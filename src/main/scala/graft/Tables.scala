@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated test corpus (TESTDATA.md).
+  *
+  * All columns keep their parquet names so query output column names line
+  * up with the DuckDB oracle (the driver's compare sorts columns by name).
+  *
+  * Scale note: these are plain parquet scans — filters/projections placed
+  * on top are pushed into the scan by Catalyst (verified via
+  * `.explain("formatted")`, see `PlanSpec`). At 100 TB the same loaders
+  * work against a partitioned table root; nothing here materializes.
+  */
+object Tables {
+  def region(s: SparkSession, dir: String): DataFrame    = s.read.parquet(s"$dir/region.parquet")
+  def nation(s: SparkSession, dir: String): DataFrame    = s.read.parquet(s"$dir/nation.parquet")
+  def customer(s: SparkSession, dir: String): DataFrame  = s.read.parquet(s"$dir/customer.parquet")
+  def supplier(s: SparkSession, dir: String): DataFrame  = s.read.parquet(s"$dir/supplier.parquet")
+  def part(s: SparkSession, dir: String): DataFrame      = s.read.parquet(s"$dir/part.parquet")
+  def orders(s: SparkSession, dir: String): DataFrame    = s.read.parquet(s"$dir/orders.parquet")
+  def lineitem(s: SparkSession, dir: String): DataFrame  = s.read.parquet(s"$dir/lineitem.parquet")
+  def documents(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/documents.parquet")
+  def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it arrives as
+    * Long ns-since-epoch. Convert to a microsecond timestamp — exactly the
+    * coercion DuckDB applies when it reads the same file, so oracle SQL can
+    * use `ts` directly. */
+  def events(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+}

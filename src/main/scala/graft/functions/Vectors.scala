@@ -1,0 +1,28 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns, built from Spark's
+  * codegen'd higher-order functions (`zip_with`/`aggregate`) — no UDFs, so
+  * the expressions stay inside whole-stage codegen and are usable at
+  * 100 TB without serialization overhead.
+  *
+  * Determinism: `aggregate` folds left in index order, giving a fixed IEEE
+  * summation order — required for DuckDB-oracle hash parity.
+  */
+object Vectors {
+
+  /** Cast to array<double> (exact float widening) for stable arithmetic. */
+  def asDouble(v: Column): Column = v.cast("array<double>")
+
+  /** Dot product via zip_with + left-fold aggregate (codegen'd). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity: dot(a,b) / (|a| * |b|). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm2(a) * norm2(b))
+}

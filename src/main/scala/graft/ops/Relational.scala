@@ -1,0 +1,300 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.{dec, dsum, dsumSql}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator inventory (SURVEY.md §2.7): scan/project, filter,
+  * top-k, aggregation, joins (broadcast/shuffle/semi/anti), window
+  * functions, set ops, distinct, split/explode, JSON extraction.
+  *
+  * Every query is declarative DataFrame code — Catalyst handles pushdown,
+  * pruning and join strategy. Scale annotations per query note the
+  * 100 TB-relevant choice (broadcast vs shuffle, partial agg, etc.).
+  */
+object Relational {
+
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // S-scan + projection: column pruning reaches the parquet reader
+    // (ReadSchema contains exactly these 4 columns).
+    QueryDef("q01_scan_project",
+      (s, d) => li(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // Filter with predicate pushdown (PushedFilters on shipdate + quantity).
+    QueryDef("q02_filter_pushdown",
+      (s, d) => li(s, d)
+        .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp") &&
+                col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00' AND l_quantity > 45
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // Top-k: orderBy+limit compiles to TakeOrderedAndProject — a per-
+    // partition top-k then a k-row merge on the driver; no full sort at
+    // scale. Tie-broken for determinism.
+    QueryDef("q03_topk",
+      (s, d) => ord(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+        .select("o_orderkey", "o_totalprice"),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin)),
+
+    // TPC-H Q1-shaped grouped aggregation: partial (map-side) agg then
+    // 6-group final — shuffle volume is O(groups), not O(rows).
+    QueryDef("q04_agg_group",
+      (s, d) => li(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  ${dsumSql("l_quantity")} AS sum_qty,
+              |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+              |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+              |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+              |  COUNT(*) AS count_order
+              |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+              |GROUP BY l_returnflag, l_linestatus
+              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // Whole-stream fold (flod `array()`/fold analog, K2): global agg —
+    // single-row result via partial aggregation, no data movement.
+    QueryDef("q05_agg_global",
+      (s, d) => li(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        countDistinct(col("l_suppkey")).as("n_supp")),
+      Some(s"""SELECT COUNT(*) AS n_rows, ${dsumSql("l_quantity")} AS sum_qty,
+              |  MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+              |  COUNT(DISTINCT l_suppkey) AS n_supp FROM lineitem""".stripMargin)),
+
+    // Broadcast join chain: nation (25 rows) and region (5 rows) broadcast
+    // to every executor — zero shuffle of the customer side at any scale.
+    QueryDef("q06_join_broadcast",
+      (s, d) => Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy("r_name", "n_name"),
+      Some(s"""SELECT r_name, n_name, COUNT(*) AS n_cust,
+              |  ${dsumSql("c_acctbal")} AS sum_bal
+              |FROM customer
+              |JOIN nation ON c_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey
+              |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)),
+
+    // Shuffle join (TPC-H Q3 shape): both sides large → sort-merge/shuffled
+    // hash on the join key; AQE splits skewed partitions at scale. The
+    // orders->priority dimension keeps output bounded.
+    QueryDef("q07_join_revenue",
+      (s, d) => li(s, d)
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+             |  COUNT(*) AS n_items
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Semi join (EXISTS): orders having a high-quantity line. left_semi
+    // ships only the join key of the probe side.
+    QueryDef("q08_join_semi",
+      (s, d) => ord(s, d)
+        .join(li(s, d).filter(col("l_quantity") >= 49),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE EXISTS (SELECT 1 FROM lineitem
+             |  WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Anti join (NOT EXISTS): customers with no orders since 2001 — the
+    // filter on the build side is applied before the join.
+    QueryDef("q09_join_anti",
+      (s, d) => Tables.customer(s, d)
+        .join(ord(s, d).filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+             |  AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Ranking window: top-3 suppliers per nation by balance. Single
+    // shuffle on the partition key; rank prune happens before output.
+    QueryDef("q10_window_rank",
+      (s, d) => {
+        val w = Window.partitionBy("s_nationkey")
+          .orderBy(col("s_acctbal").desc, col("s_suppkey").asc)
+        Tables.supplier(s, d)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select("s_nationkey", "rn", "s_suppkey", "s_acctbal")
+          .orderBy("s_nationkey", "rn")
+      },
+      Some("""SELECT s_nationkey, rn, s_suppkey, s_acctbal FROM (
+             |  SELECT s_nationkey, s_suppkey, s_acctbal,
+             |    ROW_NUMBER() OVER (PARTITION BY s_nationkey
+             |      ORDER BY s_acctbal DESC, s_suppkey ASC) AS rn
+             |  FROM supplier) t
+             |WHERE rn <= 3 ORDER BY s_nationkey, rn""".stripMargin)),
+
+    // Running-total window (frame = unbounded preceding..current row),
+    // decimal-exact so the prefix sums hash-match.
+    QueryDef("q11_window_running",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ord(s, d)
+          .withColumn("running_spend", sum(dec(col("o_totalprice"))).over(w).cast("double"))
+          .select("o_custkey", "o_orderkey", "o_orderdate", "running_spend")
+          .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+             |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+             |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)),
+
+    // Set operations over the nations that have customers vs suppliers.
+    QueryDef("q12_setop_union",
+      (s, d) => Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .union(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .distinct().orderBy("nationkey"),
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |UNION SELECT s_nationkey AS nationkey FROM supplier
+             |ORDER BY nationkey""".stripMargin)),
+
+    QueryDef("q13_setop_intersect",
+      (s, d) => Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey"),
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |INTERSECT SELECT s_nationkey AS nationkey FROM supplier
+             |ORDER BY nationkey""".stripMargin)),
+
+    // Nations with no negative-balance supplier.
+    QueryDef("q14_setop_except",
+      (s, d) => Tables.nation(s, d).select(col("n_nationkey").as("nationkey"))
+        .except(Tables.supplier(s, d).filter(col("s_acctbal") < 0)
+          .select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey"),
+      Some("""SELECT n_nationkey AS nationkey FROM nation
+             |EXCEPT SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal < 0
+             |ORDER BY nationkey""".stripMargin)),
+
+    // Distinct (hash aggregate on the pair).
+    QueryDef("q15_distinct",
+      (s, d) => li(s, d).select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // Splitter/byLine analog at the relational layer (flod K7/T2,
+    // range.d:359-508): split each document on the separator and emit one
+    // row per token — a generator (UDTF-shaped) op via explode.
+    QueryDef("q16_split_explode",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy("word"),
+      Some("""SELECT word, COUNT(*) AS n FROM (
+             |  SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+             |GROUP BY word ORDER BY word""".stripMargin)),
+
+    // JSON extraction from the events props column (metadata-carrying
+    // payload — SURVEY.md §1.4 maps tags to envelope columns).
+    QueryDef("q17_json_extract",
+      (s, d) => Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Tumbling event-time window (batch form; streaming twin lives in
+    // graft.stream): Spark's native window() — epoch-aligned, so the
+    // DuckDB bucket arithmetic lands on identical boundaries.
+    QueryDef("q18_window_tumble",
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "5 minutes").getField("start").as("w_start"),
+                 col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("w_start", "event_type"),
+      Some(s"""SELECT make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS w_start,
+              |  event_type, COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+              |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin)),
+
+    // Gap-based sessionization (30-min inactivity) via window functions —
+    // one shuffle on user_id; the same logic streams via session_window
+    // (see graft.stream.StreamOps).
+    QueryDef("q19_sessionize",
+      (s, d) => {
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, d)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("new_sess",
+            when(col("prev_ts").isNull ||
+                 unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L,
+              lit(1)).otherwise(lit(0)))
+          .withColumn("session_id", sum(col("new_sess")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+               min(col("ts")).as("sess_start"), max(col("ts")).as("sess_end"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+             |  MIN(ts) AS sess_start, MAX(ts) AS sess_end
+             |FROM (
+             |  SELECT user_id, ts,
+             |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM (
+             |    SELECT user_id, event_id, ts,
+             |      CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+             |           THEN 1 ELSE 0 END AS new_sess
+             |    FROM (
+             |      SELECT user_id, event_id, ts,
+             |        LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             |      FROM events) a) b) c
+             |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin))
+  )
+}

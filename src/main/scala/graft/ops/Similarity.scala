@@ -1,0 +1,77 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import graft.functions.Vectors
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the `embeddings` table (array<float>, dim 64).
+  *
+  * q29 is brute-force top-k for a small query set: the query side is tiny
+  * → broadcast, so the big side streams through once with no shuffle —
+  * the right baseline even at 100 TB (cost O(N·k·dim) per query batch).
+  * q30 is threshold self-join *blocked on the label column* — the
+  * IVF-style pruning pattern: candidates only within a coarse bucket, an
+  * equality join on the bucket key instead of a full cross join.
+  *
+  * Cosine values are computed with the identical expression shape on both
+  * engines (left-fold dot products) and rounded to 5 dp before compare /
+  * filter so the last-ulp differences cannot flip the hash.
+  */
+object Similarity {
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), Vectors.asDouble(col("embedding")).as("v"))
+
+  private val cosSql =
+    """round(
+      |    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+      |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+      |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 5)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Brute-force cosine top-k (k=5) for query vectors vec_id < 5.
+    QueryDef("q29_cosine_knn",
+      (s, d) => {
+        val e = emb(s, d)
+        val queries = e.where(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val scored = e.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("n_id"),
+            round(Vectors.cosine(col("qv"), col("v")), 5).as("cos"))
+        val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .where(col("rank") <= 5)
+          .select("q_id", "rank", "n_id", "cos")
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""SELECT q_id, rank, n_id, cos FROM (
+              |  SELECT a.vec_id AS q_id, b.vec_id AS n_id, $cosSql AS cos,
+              |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+              |      ORDER BY $cosSql DESC, b.vec_id ASC) AS rank
+              |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+              |  WHERE a.vec_id < 5) t
+              |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
+    // Embedding near-dup pairs above a cosine threshold, blocked by label.
+    QueryDef("q30_cosine_neardup",
+      (s, d) => {
+        val e = emb(s, d)
+        val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"))
+        val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("vb"))
+        a.join(b, "label").where(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            round(Vectors.cosine(col("va"), col("vb")), 5).as("cos"))
+          .where(col("cos") > 0.4)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, $cosSql AS cos
+              |FROM embeddings a JOIN embeddings b
+              |  ON a.label = b.label AND a.vec_id < b.vec_id
+              |WHERE $cosSql > 0.4
+              |ORDER BY id_a, id_b""".stripMargin))
+  )
+}

@@ -1,0 +1,79 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: token counting,
+  * quality scoring, language-ID heuristic, document fingerprinting.
+  * All are per-row narrow transforms — they parallelize embarrassingly at
+  * 100 TB (no shuffle except the final presentation sort, which the
+  * driver's verify needs for determinism and a real pipeline would drop).
+  */
+object TextAnalysis {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to")
+  private val stopSqlList = stopwords.map(w => s"'$w'").mkString(", ")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Whitespace token counting (counts cast to BIGINT to match DuckDB).
+    QueryDef("q20_token_count",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("n_len"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+             |  length(text) AS n_len FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Quality scoring: token count, stopword ratio, average word length.
+    // Ratios are a single double division of exact integers → deterministic.
+    QueryDef("q21_quality_score",
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val n = size(toks).cast("long")
+        val nStop = size(filter(toks, w => w.isInCollection(stopwords))).cast("long")
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            n.as("n_tokens"),
+            (nStop.cast("double") / n).as("stop_ratio"),
+            ((length(col("text")).cast("long") - n + lit(1L)).cast("double") / n)
+              .as("avg_word_len"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+              |  CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stopSqlList))) AS DOUBLE)
+              |    / len(string_split(text, ' ')) AS stop_ratio,
+              |  CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+              |    / len(string_split(text, ' ')) AS avg_word_len
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Language-ID heuristic (SQL-twin form; the richer n-gram profile
+    // scorer lives in graft.text.LangId with its own spec). Yields the
+    // confusion table predicted × labeled.
+    QueryDef("q22_lang_id",
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val nStop = size(filter(toks, w => w.isInCollection(stopwords)))
+        Tables.documents(s, d)
+          .withColumn("predicted_lang",
+            when(nStop >= 1, lit("en")).otherwise(lit("unknown")))
+          .groupBy("lang", "predicted_lang")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("lang", "predicted_lang")
+      },
+      Some(s"""SELECT lang,
+              |  CASE WHEN len(list_filter(string_split(text, ' '), x -> x IN ($stopSqlList))) >= 1
+              |       THEN 'en' ELSE 'unknown' END AS predicted_lang,
+              |  COUNT(*) AS n
+              |FROM documents GROUP BY 1, 2 ORDER BY lang, predicted_lang""".stripMargin)),
+
+    // Document fingerprint: md5 of normalized text (identical function on
+    // both engines → byte-identical hex).
+    QueryDef("q23_fingerprint",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), md5(lower(col("text"))).as("fp"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id"))
+  )
+}
