@@ -1,0 +1,131 @@
+package graft.core
+
+import org.apache.spark.sql.{Dataset, Encoder, SaveMode, SparkSession}
+import graft.text.Splitter
+
+import scala.collection.mutable
+
+/** `Flow[T]` — graft's typed pipeline surface, the Spark re-expression of
+  * the reference's `pipe` chaining (flod `pipeline.d:492-521`): a fluent
+  * wrapper over `Dataset[T]` whose operators are the reference's sources
+  * (S1–S5), transforms (T1–T3) and sinks (K1–K7) from SURVEY.md §2.
+  *
+  * Semantics mapping:
+  *  - a flod pipeline is one totally-ordered element stream. A `Flow`
+  *    built from an in-memory source or a single file preserves that
+  *    order through narrow transforms (map/filter/flatMap/take); the
+  *    driver-side sinks (`toArray`, `toIterator`, `byChunkIterator`,
+  *    `copyTo`) observe it.
+  *  - flod's method negotiation + adapters (§2.4) are Spark's exchange
+  *    planning — nothing to reimplement; `Flow` stays declarative and the
+  *    lineage executes lazily exactly like a flod schema instantiates
+  *    lazily for range-facade pipelines (`pipeline.d:423-427`).
+  *
+  * Scale: `Flow` is a thin veneer — every operator lowers to Dataset ops
+  * Catalyst can optimize (pushdown/pruning/codegen); nothing collects to
+  * the driver except the explicitly driver-side sinks, which mirror flod
+  * terminals that were driver-side (single-threaded) in the reference too.
+  */
+final class Flow[T](val ds: Dataset[T]) {
+
+  private implicit def enc: Encoder[T] = ds.encoder
+
+  // ---- transforms (flod T1-T3) ----
+
+  /** Ordered truncation after n elements — flod `take` (package.d:114-207),
+    * lazy and usable mid-pipeline, like the reference's all-method filter. */
+  def take(n: Long): Flow[T] = {
+    require(n >= 0)
+    // Dataset.limit takes Int; chunk for the (rare) >2^31 case.
+    if (n <= Int.MaxValue) new Flow(ds.limit(n.toInt))
+    else new Flow(ds) // whole stream: reference take with huge limit is identity
+  }
+
+  /** Per-element ops — flod delegates these to host-language ranges
+    * (pipeline.d:1617-1623); we delegate to Dataset (codegen'd). */
+  def map[U: Encoder](f: T => U): Flow[U] = new Flow(ds.map(f))
+  def filter(p: T => Boolean): Flow[T] = new Flow(ds.filter(p))
+  def flatMap[U: Encoder](f: T => IterableOnce[U]): Flow[U] = new Flow(ds.flatMap(f))
+
+  /** Re-chunk into fixed-size groups — flod `byChunk` (K6,
+    * range.d:549-632) as a mid-pipeline transform (per partition). */
+  def byChunk(n: Int)(implicit e: Encoder[Seq[T]]): Flow[Seq[T]] =
+    new Flow(ds.mapPartitions(_.grouped(n).map(_.toSeq)))
+
+  // ---- text (flod K7/T2 Splitter) ----
+
+  /** Split a chunked char stream into separator-delimited segments — flod
+    * `byLine` (range.d:359-508) with exact terminator semantics, including
+    * separators spanning chunk boundaries (incremental re-segmentation
+    * per partition; a single ordered stream is a single partition). */
+  def byLine(sep: String = "\n", keepSeparator: Boolean = false)
+            (implicit ev: T =:= String, e: Encoder[String]): Flow[String] =
+    new Flow(ds.asInstanceOf[Dataset[String]]
+      .mapPartitions(Splitter.incremental(sep, keepSeparator)))
+
+  // ---- sinks (flod K1-K7) ----
+
+  /** Materialize the whole stream — flod `array()` (K2, package.d:69-112). */
+  def toArray: Seq[T] = ds.collect().toSeq
+
+  /** Consume and drop — flod `discard()` (K1, package.d:43-67). The noop
+    * sink executes the full plan distributed, discarding rows. */
+  def discard(): Unit = ds.write.mode(SaveMode.Overwrite).format("noop").save()
+
+  /** Element-wise driver-side view — flod `opSlice`/ByElement (K5,
+    * range.d:309-348): lazy, pulls partition by partition. */
+  def toIterator: Iterator[T] = {
+    import scala.jdk.CollectionConverters._
+    ds.toLocalIterator().asScala
+  }
+
+  /** Fixed-size-chunk driver-side view — flod `byChunk` terminal (K6). */
+  def byChunkIterator(n: Int): Iterator[Seq[T]] = toIterator.grouped(n)
+
+  /** Copy into any growable collection — flod `copy(outputRange)` (K3,
+    * range.d:133-167). */
+  def copyTo[C <: mutable.Growable[T]](target: C): C = { toIterator.foreach(target += _); target }
+
+  /** Count without materializing. */
+  def count(): Long = ds.count()
+}
+
+object Flow {
+
+  /** S1 — in-memory array source (range.d:25-45). `parallelize` slices the
+    * seq contiguously, so element order is preserved across partition
+    * indexes (flod streams are totally ordered). */
+  def fromSeq[T: Encoder](spark: SparkSession, data: Seq[T], numPartitions: Int = 1): Flow[T] = {
+    val base = spark.createDataset(data)
+    // createDataset slices contiguously, so order is preserved across
+    // partition indexes; coalesce(1) models the single-stream case.
+    new Flow(if (numPartitions == 1) base.coalesce(1) else base)
+  }
+
+  /** S2 — iota/range source (range.d:58-87). */
+  def fromRange(spark: SparkSession, start: Long, end: Long): Flow[java.lang.Long] =
+    new Flow(spark.range(start, end))
+
+  /** S5 — file byte source (file.d:14-34): one chunk per file via the
+    * binaryFile source (distributed read, pushdown on path/length). */
+  def readBytes(spark: SparkSession, path: String): Flow[Array[Byte]] = {
+    implicit val e: Encoder[Array[Byte]] = org.apache.spark.sql.Encoders.BINARY
+    new Flow(spark.read.format("binaryFile").load(path)
+      .sort("path").select("content").as[Array[Byte]])
+  }
+
+  /** Text-file line source — the scalable byLine: the text source splits
+    * on lineSep inside the (splittable) scan itself. */
+  def readLines(spark: SparkSession, path: String, lineSep: String = "\n"): Flow[String] = {
+    implicit val e: Encoder[String] = org.apache.spark.sql.Encoders.STRING
+    new Flow(spark.read.option("lineSep", lineSep).textFile(path))
+  }
+
+  /** K4 — file sink (file.d:36-67): byte-exact single-file write on the
+    * driver, mirroring the reference's single-threaded writer. For
+    * distributed output use `flow.ds.write` directly. */
+  def writeBytes(flow: Flow[Array[Byte]], path: String): Unit = {
+    val out = java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path))
+    try flow.toIterator.foreach(out.write) finally out.close()
+  }
+}

@@ -1,0 +1,79 @@
+package graft.stream
+
+import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Push-mode pipelines — the reference's output-range front-end
+  * (`pass!E`, flod range.d:211-237; DriveMode.source, SURVEY.md §3.3):
+  * external code pushes chunks in, the pipeline runs sink-ward.
+  *
+  * Spark mapping: `MemoryStream[T]` + a Structured Streaming query; each
+  * `put` is processed synchronously at micro-batch granularity (the
+  * documented fidelity bound, SURVEY.md §7.4 — flod's fiber switch is
+  * per-buffer, ours is per-batch).
+  *
+  * Backpressure: flod halts the driving loop when a sink accepts a short
+  * count (adapter.d:110-113). `Push.take(n)` reproduces that contract:
+  * `put` returns the number of elements the pipeline will still accept;
+  * 0 tells the producer to stop.
+  */
+final class Push[T: Encoder, U](spark: SparkSession,
+                                transform: Dataset[T] => Dataset[U],
+                                limit: Option[Long] = None) {
+
+  private val source = MemoryStream[T](spark)
+  private val sink = ArrayBuffer.empty[U]
+  @volatile private var accepted = 0L
+
+  private val query: StreamingQuery =
+    transform(source.toDS())
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[U], _: Long) =>
+        val rows = batch.collect()
+        sink.synchronized {
+          val room = limit.map(l => (l - sink.length).max(0L).toInt).getOrElse(rows.length)
+          sink ++= rows.take(room)
+        }
+        ()
+      }
+      .start()
+
+  /** Push one chunk; returns how many further elements the pipeline will
+    * accept (0 = stop, short-write backpressure). */
+  def put(chunk: Seq[T]): Long = {
+    source.addData(chunk)
+    query.processAllAvailable()
+    accepted += chunk.length
+    limit match {
+      case Some(l) =>
+        val filled: Int = sink.synchronized(sink.length)
+        val room: Long = l - filled.toLong
+        if (room > 0L) room else 0L
+      case None => Long.MaxValue
+    }
+  }
+
+  /** Elements that reached the sink, in arrival order. */
+  def result: Seq[U] = sink.synchronized(sink.toVector)
+
+  def close(): Unit = query.stop()
+}
+
+object Push {
+  /** `pass!E.copy(appender)` — identity push pipeline into a collector. */
+  def pass[T: Encoder](spark: SparkSession): Push[T, T] =
+    new Push[T, T](spark, identity)
+
+  /** Push pipeline with a transform stage. */
+  def apply[T: Encoder, U](spark: SparkSession)(f: Dataset[T] => Dataset[U]): Push[T, U] =
+    new Push[T, U](spark, f)
+
+  /** Push pipeline that stops accepting after `n` sink elements — the
+    * streaming `take` (flod T1 under DriveMode.source). */
+  def take[T: Encoder](spark: SparkSession, n: Long): Push[T, T] =
+    new Push[T, T](spark, identity, Some(n))
+}

@@ -1,0 +1,112 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.QueryDef
+import graft.QueryDef.{dsum, dsumSql}
+
+/** Event-time streaming operators (✚ extensions; the reference's push
+  * pipelines are unbounded but have no event time, SURVEY.md §2.7).
+  * Each transform works identically on a batch or streaming DataFrame —
+  * the streaming specs replay the same data through MemoryStream and
+  * assert equality with the batch result.
+  */
+object StreamOps {
+
+  private def wm(df: DataFrame, delay: String): DataFrame =
+    if (df.isStreaming) df.withWatermark("ts", delay) else df
+
+  /** Tumbling event-time window aggregate with watermark. */
+  def tumbling(events: DataFrame, width: String = "5 minutes",
+               watermark: String = "10 minutes"): DataFrame =
+    wm(events, watermark)
+      .groupBy(window(col("ts"), width).getField("start").as("w_start"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+
+  /** Sliding window (10 min window, 5 min slide). */
+  def sliding(events: DataFrame, width: String = "10 minutes",
+              slide: String = "5 minutes", watermark: String = "10 minutes"): DataFrame =
+    wm(events, watermark)
+      .groupBy(window(col("ts"), width, slide).getField("start").as("w_start"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Session windows: events within `gap` merge into one session.
+    * Native session_window — in streaming this is state-store-backed
+    * session merging; in batch it compiles to a sort-based merge. */
+  def sessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    wm(events, "10 minutes")
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("sess_start"),
+              col("sw.end").as("sess_end"), col("n_events"))
+
+  /** Run any of the above as a real streaming query over a bounded input,
+    * synchronously, collecting the complete result (used by specs and the
+    * streaming-mode queries below). */
+  def runBounded(spark: SparkSession, input: DataFrame,
+                 transform: DataFrame => DataFrame,
+                 chunks: Int = 4): Seq[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.{Encoder, Encoders, Row}
+    implicit val enc: Encoder[Row] = Encoders.row(input.schema)
+    val source = MemoryStream[Row](spark)
+    val name = s"bounded_${System.identityHashCode(source)}"
+    val q: StreamingQuery = transform(source.toDF())
+      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try {
+      val rows = input.collect()
+      rows.grouped(math.max(1, rows.length / chunks)).foreach(source.addData(_))
+      q.processAllAvailable()
+      spark.table(name).collect().toSeq
+    } finally q.stop()
+  }
+
+  /** Batch-declared twins for the correctness gate. */
+  val defs: Seq[QueryDef] = Seq(
+    // Native session_window (merge semantics: gap-close iff diff < gap —
+    // boundary differs from q19's strict '>' but no event pair sits
+    // exactly on the 30-minute boundary in the corpus).
+    QueryDef("q31_session_window",
+      (s, d) => graft.Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("sw.start").as("sess_start"),
+                col("sw.end").as("sess_end"), col("n_events"))
+        .orderBy("user_id", "sess_start"),
+      Some("""SELECT user_id, MIN(ts) AS sess_start,
+             |  MAX(ts) + INTERVAL 30 MINUTE AS sess_end, COUNT(*) AS n_events
+             |FROM (
+             |  SELECT user_id, ts,
+             |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM (
+             |    SELECT user_id, ts,
+             |      CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+             |           THEN 1 ELSE 0 END AS new_sess
+             |    FROM (
+             |      SELECT user_id, ts,
+             |        LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+             |      FROM events) a) b) c
+             |GROUP BY user_id, session_id ORDER BY user_id, sess_start""".stripMargin)),
+
+    // Sliding windows, batch-declared (the streaming twin is exercised in
+    // StreamingSpec via runBounded).
+    QueryDef("q32_window_sliding",
+      (s, d) => graft.Tables.events(s, d)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").getField("start").as("w_start"),
+                 col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("w_start", "event_type"),
+      Some("""WITH buckets AS (
+             |  SELECT make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS b0,
+             |    event_type FROM events)
+             |SELECT w_start, event_type, COUNT(*) AS n FROM (
+             |  SELECT b0 AS w_start, event_type FROM buckets
+             |  UNION ALL
+             |  SELECT b0 - INTERVAL 5 MINUTE AS w_start, event_type FROM buckets) t
+             |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin))
+  )
+}

@@ -1,0 +1,13 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One shared local session for all suites. */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = Sessions.local(4, "graft-test")
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf0001 = "/root/testdata/sf0.001"
+}

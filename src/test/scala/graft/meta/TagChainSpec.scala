@@ -1,0 +1,61 @@
+package graft.meta
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Tag routing semantics ported from the reference's metadata tests
+  * (flod metadata.d:387-448 end-to-end demo, metadata.d:102-125 routing). */
+class TagChainSpec extends AnyFunSuite {
+
+  test("accumulating chain: source → filter1 → filter1 → sink (metadata.d:441-448)") {
+    val chain = new TagChain
+    // positions: 0 source (setter), 1-2 filters (getter+setter), 3 sink (getter)
+    chain.registerSetter(0, "foo")
+    chain.registerGetter(1, "foo"); chain.registerSetter(1, "foo")
+    chain.registerGetter(2, "foo"); chain.registerSetter(2, "foo")
+    chain.registerGetter(3, "foo")
+    // construction order source→sink, each filter reads then appends
+    chain.set(0, "foo", "source")
+    for (p <- Seq(1, 2)) {
+      val seen = chain.get(p, "foo").get.asInstanceOf[String]
+      chain.set(p, "foo", seen + ".filter1")
+    }
+    assert(chain.get(3, "foo").contains("source.filter1.filter1"))
+  }
+
+  test("last-setter-wins scoping: getter sees nearest upstream setter") {
+    val chain = new TagChain
+    chain.registerSetter(0, "k"); chain.registerSetter(2, "k")
+    chain.registerGetter(1, "k"); chain.registerGetter(3, "k")
+    chain.set(0, "k", "a"); chain.set(2, "k", "b")
+    assert(chain.get(1, "k").contains("a"))
+    assert(chain.get(3, "k").contains("b"))
+  }
+
+  test("onChange fires only on getters scoped to the setter, in order (pipeline.d:251-262)") {
+    val chain = new TagChain
+    val fired = scala.collection.mutable.ArrayBuffer.empty[(Int, Any)]
+    chain.registerSetter(0, "k"); chain.registerSetter(3, "k")
+    chain.registerGetter(2, "k", Some(v => fired += ((2, v))))
+    chain.registerGetter(1, "k", Some(v => fired += ((1, v))))
+    chain.registerGetter(4, "k", Some(v => fired += ((4, v))))
+    chain.set(0, "k", "x")
+    assert(fired.toSeq == Seq((1, "x"), (2, "x"))) // chain order, stops at setter 3
+    fired.clear()
+    chain.set(3, "k", "y")
+    assert(fired.toSeq == Seq((4, "y")))
+  }
+
+  test("typed second tag on an independent key (metadata.d bar=31337)") {
+    val chain = new TagChain
+    chain.registerSetter(0, "bar"); chain.registerGetter(2, "bar")
+    chain.set(0, "bar", 31337)
+    assert(chain.get(2, "bar").contains(31337))
+    assert(chain.get(2, "nope").isEmpty)
+  }
+
+  test("setting from a non-setter stage is rejected (traits.d negative tests analog)") {
+    val chain = new TagChain
+    chain.registerSetter(0, "k")
+    assertThrows[IllegalArgumentException](chain.set(1, "k", "v"))
+  }
+}
