@@ -5,44 +5,68 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication family over `documents`: exact (hash-groupBy), MinHash
-  * signatures + LSH banding, SimHash, and n-gram Jaccard verification.
+  * signatures + LSH banding over 3-word shingles, SimHash, and shingle
+  * Jaccard verification.
   *
-  * Scale design: exact dedup groups on md5(text) — the shuffle key is a
-  * fixed 32-byte hash, never the raw document, so shuffle volume is
-  * O(rows·32B) regardless of document size. MinHash/LSH is the 100 TB
-  * near-dup path: candidates come from equality joins on band hashes
-  * (shuffle on small fixed-width keys); the quadratic Jaccard check
-  * (q27) is only run on candidates in a real pipeline — here it is also
-  * declared standalone so the oracle can validate it.
+  * Scale design:
+  *  - exact dedup groups on md5(text): the shuffle key is a fixed 32-byte
+  *    hash, never the raw document — shuffle volume O(rows·32B).
+  *  - near-dup uses 3-word shingles (not unigrams): shingle frequency is
+  *    ~uniform-sparse, so the inverted-index join and the LSH band join
+  *    stay near-linear; unigram keys over a small vocabulary would make
+  *    every pair collide (measured: 3M pairs at sf0.1 vs 1k truthy ones).
+  *  - the LSH band join (q26) is the scalable candidate generator; the
+  *    Jaccard verifier (q27) joins on individual shingles and filters at
+  *    θ=0.5 — at 100 TB you run q27's check only on q26's candidates.
   */
 object Dedup {
 
-  /** One row per (doc_id, word token) — the shingle relation. */
-  private def tokens(s: SparkSession, d: String): DataFrame =
+  /** 3-word shingle set, one row per (doc_id, shingle). Documents shorter
+    * than 3 tokens contribute their whole text as a single shingle. */
+  private def shingles(s: SparkSession, d: String): DataFrame = {
+    val w = col("w")
+    val sh = when(size(w) >= 3,
+      transform(sequence(lit(0), size(w) - 3),
+        i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
+      .otherwise(array(col("text")))
+    // materialize the token array once per row; referencing split() inside
+    // the transform lambda would re-split per shingle position
     Tables.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(sh).as("sh"))
+  }
 
+  /** SQL twin of [[shingles]] (DuckDB list indexing is 1-based like
+    * element_at; range(n) is [0, n)). */
+  private val shinglesSql =
+    """SELECT doc_id, unnest(
+      |    CASE WHEN len(w) >= 3
+      |         THEN list_transform(range(len(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+      |         ELSE [text] END) AS sh
+      |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)""".stripMargin
+
+  // One md5 per shingle, sliced into 4 independent 32-bit (8-hex-char)
+  // words — 4 minhash components for the price of one hash evaluation.
   private val nHashes = 4
-  /** MinHash component i: min over tokens of md5(i ++ ":" ++ word). */
   private def minhashAgg(i: Int): Column =
-    min(md5(concat(lit(s"$i:"), col("word")))).as(s"m$i")
+    min(substring(col("h"), 8 * i + 1, 8)).as(s"m$i")
 
   private def signatures(s: SparkSession, d: String): DataFrame =
-    tokens(s, d).groupBy("doc_id")
+    shingles(s, d).withColumn("h", md5(col("sh"))).groupBy("doc_id")
       .agg(minhashAgg(0), (1 until nHashes).map(minhashAgg): _*)
 
   private val minhashSqlCols = (0 until nHashes)
-    .map(i => s"min(md5('$i:' || word)) AS m$i").mkString(",\n  ")
+    .map(i => s"min(substr(md5(sh), ${8 * i + 1}, 8)) AS m$i").mkString(",\n  ")
   private val sigSql =
     s"""SELECT doc_id, $minhashSqlCols
-       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) t
+       |FROM ($shinglesSql) shx
        |GROUP BY doc_id""".stripMargin
 
-  // SimHash: 32-bit, h(word) = first 8 hex chars of md5 parsed as int;
-  // bit b of the sketch = majority vote of bit b over the doc's tokens.
+  // SimHash: 32-bit, h(sh) = first 8 hex chars of md5 parsed as int;
+  // bit b of the sketch = majority vote of bit b over the doc's shingles.
   private val simBits = 32
   private def simhashSpark(s: SparkSession, d: String): DataFrame = {
-    val h = conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long")
+    val h = conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long")
     val votes = Seq.tabulate(simBits) { b =>
       sum(when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
         .as(s"w$b")
@@ -50,20 +74,20 @@ object Dedup {
     val sketch = Seq.tabulate(simBits) { b =>
       when(col(s"w$b") > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
-    tokens(s, d).distinct()
+    shingles(s, d).distinct()
       .groupBy("doc_id").agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), sketch.as("simhash"))
       .orderBy("doc_id")
   }
   private val simhashSql = {
     val votes = (0 until simBits).map { b =>
-      s"sum(CASE WHEN ((('0x' || substr(md5(word), 1, 8))::BIGINT >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS w$b"
+      s"sum(CASE WHEN ((('0x' || substr(md5(sh), 1, 8))::BIGINT >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS w$b"
     }.mkString(",\n    ")
     val sketch = (0 until simBits)
       .map(b => s"(CASE WHEN w$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
     s"""SELECT doc_id, CAST($sketch AS BIGINT) AS simhash FROM (
        |  SELECT doc_id, $votes
-       |  FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) t
+       |  FROM (SELECT DISTINCT doc_id, sh FROM ($shinglesSql) shx) t
        |  GROUP BY doc_id) v
        |ORDER BY doc_id""".stripMargin
   }
@@ -79,13 +103,13 @@ object Dedup {
       Some("""SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
              |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin)),
 
-    // MinHash signatures (k=4 hash functions over word shingles).
+    // MinHash signatures (k=4 hash functions over 3-word shingles).
     QueryDef("q25_minhash_sig",
       (s, d) => signatures(s, d).orderBy("doc_id"),
       Some(s"$sigSql ORDER BY doc_id")),
 
     // LSH banding: 2 bands × 2 rows; candidate pairs = docs sharing a band
-    // hash. Equality join on the band key — the near-dup join that scales.
+    // hash. Equality join on the fixed-width band key — near-linear.
     QueryDef("q26_lsh_candidates",
       (s, d) => {
         val sig = signatures(s, d)
@@ -109,15 +133,14 @@ object Dedup {
               |WHERE a.doc_id < b.doc_id
               |ORDER BY id_a, id_b""".stripMargin)),
 
-    // n-gram (n=1 shingle) Jaccard near-dup verification via inverted-
-    // index self-join on distinct tokens. At scale this runs only on LSH
-    // candidates (q26); declared standalone for the oracle.
+    // Shingle-Jaccard near-dup verification (θ=0.5) via inverted-index
+    // self-join on distinct shingles.
     QueryDef("q27_ngram_jaccard",
       (s, d) => {
-        val t = tokens(s, d).distinct()
+        val t = shingles(s, d).distinct()
         val sizes = t.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val shared = t.select(col("doc_id").as("id_a"), col("word"))
-          .join(t.select(col("doc_id").as("id_b"), col("word")), "word")
+        val shared = t.select(col("doc_id").as("id_a"), col("sh"))
+          .join(t.select(col("doc_id").as("id_b"), col("sh")), "sh")
           .where(col("id_a") < col("id_b"))
           .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
         shared
@@ -125,26 +148,24 @@ object Dedup {
           .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
           .withColumn("jaccard",
             col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
-          .where(col("jaccard") >= 0.8)
+          .where(col("jaccard") >= 0.5)
           .select("id_a", "id_b", "jaccard")
           .orderBy("id_a", "id_b")
       },
-      Some("""WITH t AS (
-             |  SELECT DISTINCT doc_id, word FROM
-             |    (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) x),
+      Some(s"""WITH t AS (SELECT DISTINCT doc_id, sh FROM ($shinglesSql) shx),
              |sz AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
-             |sh AS (
+             |shr AS (
              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
-             |  FROM t a JOIN t b ON a.word = b.word AND a.doc_id < b.doc_id
+             |  FROM t a JOIN t b ON a.sh = b.sh AND a.doc_id < b.doc_id
              |  GROUP BY 1, 2)
              |SELECT id_a, id_b,
              |  CAST(shared AS DOUBLE) / (na.n + nb.n - shared) AS jaccard
-             |FROM sh JOIN sz na ON sh.id_a = na.doc_id
-             |        JOIN sz nb ON sh.id_b = nb.doc_id
-             |WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.8
+             |FROM shr JOIN sz na ON shr.id_a = na.doc_id
+             |        JOIN sz nb ON shr.id_b = nb.doc_id
+             |WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.5
              |ORDER BY id_a, id_b""".stripMargin)),
 
-    // SimHash sketches (32-bit majority-vote fingerprint).
+    // SimHash sketches (32-bit majority-vote fingerprint over shingles).
     QueryDef("q28_simhash", simhashSpark, Some(simhashSql))
   )
 }

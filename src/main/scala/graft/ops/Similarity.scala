@@ -21,9 +21,13 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
+  /** Embeddings with the L2 norm precomputed once per vector — pair joins
+    * then do one dot product per pair instead of three (norms would
+    * otherwise be recomputed per candidate at 100 TB scale). */
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), Vectors.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Vectors.norm2(col("v")))
 
   private val cosSql =
     """round(
@@ -38,10 +42,10 @@ object Similarity {
       (s, d) => {
         val e = emb(s, d)
         val queries = e.where(col("vec_id") < 5)
-          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
         val scored = e.join(broadcast(queries), col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id").as("n_id"),
-            round(Vectors.cosine(col("qv"), col("v")), 5).as("cos"))
+            round(Vectors.dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 5).as("cos"))
         val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
         scored.withColumn("rank", row_number().over(w).cast("long"))
           .where(col("rank") <= 5)
@@ -60,11 +64,11 @@ object Similarity {
     QueryDef("q30_cosine_neardup",
       (s, d) => {
         val e = emb(s, d)
-        val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"))
-        val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("vb"))
+        val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+        val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
         a.join(b, "label").where(col("id_a") < col("id_b"))
           .select(col("id_a"), col("id_b"),
-            round(Vectors.cosine(col("va"), col("vb")), 5).as("cos"))
+            round(Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb")), 5).as("cos"))
           .where(col("cos") > 0.4)
           .orderBy("id_a", "id_b")
       },
