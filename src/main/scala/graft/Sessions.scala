@@ -22,6 +22,7 @@ object Sessions {
 
   /** Apply graft's standard configs to any builder. */
   def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder = b
+    .withExtensions(new graft.functions.GraftExtensions)
     .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")

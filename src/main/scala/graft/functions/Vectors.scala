@@ -16,8 +16,13 @@ object Vectors {
   /** Cast to array<double> (exact float widening) for stable arithmetic. */
   def asDouble(v: Column): Column = v.cast("array<double>")
 
-  /** Dot product via zip_with + left-fold aggregate (codegen'd). */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product — native fused-loop Expression (see [[DotProduct]]). */
+  def dot(a: Column, b: Column): Column = DotProduct(a, b)
+
+  /** Composed-builtins dot product (zip_with + left-fold aggregate);
+    * value-identical to [[dot]], kept as the no-custom-code fallback and
+    * for the equivalence spec. */
+  def dotComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def norm2(a: Column): Column = sqrt(dot(a, a))

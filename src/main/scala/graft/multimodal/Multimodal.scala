@@ -1,0 +1,112 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video payloads ride as opaque
+  * `binary` columns next to typed metadata, processed per-partition in
+  * batches — the pattern a 100 TB training-data pipeline needs.
+  *
+  * The actual codecs are NOT in this container, so the decode step is a
+  * clearly-marked deterministic STUB (`StubCodec`); everything Spark-side
+  * is real and tested: the schema contract, the typed Dataset encoding,
+  * the per-partition batch shape (decode amortized per batch, not per
+  * row), and the partition-size control for memory-bounded decode.
+  */
+object Multimodal {
+
+  /** Typed metadata for a decoded media payload. */
+  final case class MediaMeta(format: String, width: Int, height: Int,
+                             nFrames: Int, bytes: Long)
+
+  final case class MediaRow(media_id: Long, content: Array[Byte])
+  final case class DecodedRow(media_id: Long, content: Array[Byte], meta: MediaMeta)
+  final case class FeatureRow(media_id: Long, feature: Array[Float])
+
+  implicit val mediaEnc: Encoder[MediaRow] = Encoders.product[MediaRow]
+  implicit val decodedEnc: Encoder[DecodedRow] = Encoders.product[DecodedRow]
+  implicit val featureEnc: Encoder[FeatureRow] = Encoders.product[FeatureRow]
+
+  /** STUB codec — stands in for an image/audio library. Deterministic pure
+    * function of the bytes so specs are reproducible; swap for a real
+    * decoder (JNI/javacv) without touching the pipeline shape. */
+  object StubCodec {
+    def sniffFormat(b: Array[Byte]): String =
+      if (b.isEmpty) "empty"
+      else if ((b(0) & 0xff) % 3 == 0) "img/fake-png"
+      else if ((b(0) & 0xff) % 3 == 1) "audio/fake-wav"
+      else "video/fake-mp4"
+
+    def decodeMeta(b: Array[Byte]): MediaMeta = MediaMeta(
+      format = sniffFormat(b),
+      width = if (b.length > 1) 16 * ((b(1) & 0xff) % 40 + 1) else 0,
+      height = if (b.length > 2) 16 * ((b(2) & 0xff) % 30 + 1) else 0,
+      nFrames = if (b.length > 3) (b(3) & 0xff) % 120 + 1 else 1,
+      bytes = b.length.toLong)
+
+    /** "Feature extraction": fixed-dim fingerprint of the payload
+      * (byte-histogram folded to `dim`) — the real system would run a
+      * vision/audio encoder here. */
+    def extractFeature(b: Array[Byte], dim: Int = 16): Array[Float] = {
+      val f = new Array[Float](dim)
+      var i = 0
+      while (i < b.length) { f((b(i) & 0xff) % dim) += 1.0f; i += 1 }
+      if (b.length > 0) { var j = 0; while (j < dim) { f(j) /= b.length; j += 1 } }
+      f
+    }
+
+    /** "Frame sampling": every k-th byte block stands in for every k-th
+      * decoded frame. */
+    def sampleFrames(b: Array[Byte], every: Int, blockSize: Int = 64): Seq[Array[Byte]] =
+      b.grouped(blockSize).zipWithIndex.collect {
+        case (block, idx) if idx % every == 0 => block
+      }.toSeq
+  }
+
+  /** A binary media table derived deterministically from `documents`
+    * (the corpus ships no real media; payload = UTF-8 text bytes). */
+  def mediaTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    graft.Tables.documents(s, dir)
+      .select(col("doc_id").as("media_id"), col("text").cast("binary").as("content"))
+      .as[MediaRow]
+  }
+
+  /** Decode metadata per partition — one codec instantiation per batch,
+    * not per row (the shape that matters when decode state is heavy). */
+  def decode(media: Dataset[MediaRow]): Dataset[DecodedRow] =
+    media.mapPartitions { it =>
+      // per-partition setup would init the real codec here
+      it.map(r => DecodedRow(r.media_id, r.content, StubCodec.decodeMeta(r.content)))
+    }
+
+  /** Feature extraction to fixed-dim vectors, partition-batched. */
+  def features(media: Dataset[MediaRow], dim: Int = 16): Dataset[FeatureRow] =
+    media.mapPartitions(_.map(r => FeatureRow(r.media_id, StubCodec.extractFeature(r.content, dim))))
+
+  /** Memory-bounded repartitioning for decode: target payload bytes per
+    * partition so executor memory holds a decode batch. */
+  def repartitionForDecode(media: Dataset[MediaRow], targetBytesPerPartition: Long,
+                           totalBytes: Long): Dataset[MediaRow] = {
+    val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytesPerPartition).toInt)
+    media.repartition(parts)
+  }
+
+  /** The declared inventory query: decode + aggregate media stats per
+    * sniffed format. Not SQL-expressible (stub codec) → rows-only check;
+    * exact values are asserted in MultimodalSpec. */
+  def mediaStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    decode(mediaTable(s, dir))
+      .select(col("media_id"), col("meta.format").as("format"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.bytes").as("bytes"))
+      .groupBy("format")
+      .agg(count(lit(1)).as("n"), sum("bytes").as("total_bytes"),
+        max("width").as("max_width"), max("height").as("max_height"))
+      .orderBy("format")
+  }
+
+  val defs: Seq[graft.QueryDef] = Seq(
+    graft.QueryDef("q33_multimodal_stats", (s, d) => mediaStats(s, d), None))
+}

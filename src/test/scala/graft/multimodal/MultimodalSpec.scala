@@ -1,0 +1,53 @@
+package graft.multimodal
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+import Multimodal._
+
+/** Multimodal plumbing: schema contract, deterministic stub decode,
+  * feature shape, partition-size control. */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+
+  test("media table schema: opaque binary + id") {
+    val m = mediaTable(spark, sf)
+    assert(m.schema.fieldNames.toSeq == Seq("media_id", "content"))
+    assert(m.schema("content").dataType.typeName == "binary")
+    assert(m.count() == 500)
+  }
+
+  test("decode produces typed metadata, deterministic across runs") {
+    val d1 = decode(mediaTable(spark, sf)).collect().sortBy(_.media_id)
+    val d2 = decode(mediaTable(spark, sf)).collect().sortBy(_.media_id)
+    assert(d1.map(_.meta).toSeq == d2.map(_.meta).toSeq)
+    assert(d1.forall(r => r.meta.bytes == r.content.length))
+    assert(d1.forall(r => Set("img/fake-png", "audio/fake-wav", "video/fake-mp4")
+      .contains(r.meta.format)))
+  }
+
+  test("feature extraction yields fixed-dim normalized vectors") {
+    val f = features(mediaTable(spark, sf), dim = 16).collect()
+    assert(f.forall(_.feature.length == 16))
+    assert(f.forall(r => math.abs(r.feature.sum - 1.0f) < 1e-3))
+  }
+
+  test("frame sampling keeps every k-th block") {
+    val frames = StubCodec.sampleFrames(Array.tabulate[Byte](640)(_.toByte), every = 3)
+    assert(frames.size == 4) // blocks 0,3,6,9 of 10
+    assert(frames.head.length == 64)
+  }
+
+  test("repartitionForDecode bounds partition payload") {
+    val m = mediaTable(spark, sf)
+    val total = m.collect().map(_.content.length.toLong).sum
+    val parts = repartitionForDecode(m, targetBytesPerPartition = total / 7, totalBytes = total)
+    assert(parts.rdd.getNumPartitions == 8)
+  }
+
+  test("q33 media stats aggregates per format") {
+    val stats = mediaStats(spark, sf).collect()
+    assert(stats.map(_.getLong(1)).sum == 500) // all docs accounted for
+    assert(stats.length >= 2)                  // multiple sniffed formats
+  }
+}
