@@ -76,6 +76,34 @@ object Similarity {
               |FROM embeddings a JOIN embeddings b
               |  ON a.label = b.label AND a.vec_id < b.vec_id
               |WHERE $cosSql > 0.4
-              |ORDER BY id_a, id_b""".stripMargin))
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // IVF-style ANN: the label column stands in for a coarse-quantizer
+    // cell; each query probes only its own cell — an equality join on the
+    // cell id instead of a cross join, the 100 TB scale path (recall vs
+    // q29's exact top-k is measured in SimilaritySpec).
+    QueryDef("q34_ann_ivf",
+      (s, d) => {
+        val e = emb(s, d)
+        val queries = e.where(col("vec_id") < 5)
+          .select(col("label"), col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+        val scored = e.join(broadcast(queries), "label")
+          .where(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("n_id"),
+            round(Vectors.dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 5).as("cos"))
+        val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .where(col("rank") <= 3)
+          .select("q_id", "rank", "n_id", "cos")
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""SELECT q_id, rank, n_id, cos FROM (
+              |  SELECT a.vec_id AS q_id, b.vec_id AS n_id, $cosSql AS cos,
+              |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+              |      ORDER BY $cosSql DESC, b.vec_id ASC) AS rank
+              |  FROM embeddings a JOIN embeddings b
+              |    ON a.label = b.label AND a.vec_id <> b.vec_id
+              |  WHERE a.vec_id < 5) t
+              |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin))
   )
 }

@@ -76,4 +76,14 @@ object Push {
     * streaming `take` (flod T1 under DriveMode.source). */
   def take[T: Encoder](spark: SparkSession, n: Long): Push[T, T] =
     new Push[T, T](spark, identity, Some(n))
+
+  /** S3 `DelegateSource` (flod range.d:169-189): the user lambda receives
+    * the put handle and IS the driver `run()` loop; returns everything
+    * that reached the sink. The handle's return value carries the
+    * short-write backpressure signal, as in the reference. */
+  def drive[T: Encoder](spark: SparkSession, limit: Option[Long] = None)
+                       (producer: (Seq[T] => Long) => Unit): Seq[T] = {
+    val p = new Push[T, T](spark, identity, limit)
+    try { producer(p.put); p.result } finally p.close()
+  }
 }

@@ -64,6 +64,26 @@ object StreamOps {
     } finally q.stop()
   }
 
+  /** Streaming first-seen dedup — custom keyed state via
+    * flatMapGroupsWithState (SURVEY.md §1.3: Spark's state store replaces
+    * the reference's in-pipeline buffering for unbounded flows). Emits
+    * each key's first element only, across micro-batches. At scale the
+    * state store shards by key; pair with a TTL timeout for unbounded
+    * key spaces. */
+  def firstSeen[K, V](ds: Dataset[V], key: V => K)
+                     (implicit ke: org.apache.spark.sql.Encoder[K],
+                      ve: org.apache.spark.sql.Encoder[V]): Dataset[V] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val boolEnc: org.apache.spark.sql.Encoder[Boolean] =
+      org.apache.spark.sql.Encoders.scalaBoolean
+    ds.groupByKey(key).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (_: K, values: Iterator[V], state: GroupState[Boolean]) =>
+        if (state.exists) Iterator.empty
+        else { state.update(true); values.take(1) }
+    }
+  }
+
   /** Batch-declared twins for the correctness gate. */
   val defs: Seq[QueryDef] = Seq(
     // Native session_window (merge semantics: gap-close iff diff < gap —

@@ -34,4 +34,37 @@ class PushSpec extends AnyFunSuite {
       assert(p.result == Seq(1L, 2L, 3L, 4L))
     } finally p.close()
   }
+
+  test("drive: producer lambda is the run() loop (S3, range.d:169-189)") {
+    val got = Push.drive[Long](spark) { put =>
+      var i = 0L
+      while (i < 6L) { put(Seq(i, i + 1)); i += 2 }
+    }
+    assert(got == (0L until 6L))
+  }
+
+  test("drive with limit: producer observes backpressure and stops") {
+    var stops = 0
+    val got = Push.drive[Long](spark, limit = Some(3)) { put =>
+      var room = 1L
+      var i = 0L
+      while (room > 0) { room = put(Seq(i)); i += 1 }
+      stops += 1
+    }
+    assert(got == Seq(0L, 1L, 2L) && stops == 1)
+  }
+
+  test("firstSeen streaming dedup drops repeats across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val source = MemoryStream[Long](spark)
+    val deduped = StreamOps.firstSeen[Long, Long](source.toDS(), identity)
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      source.addData(Seq(1L, 2L, 2L, 3L)); q.processAllAvailable()
+      source.addData(Seq(2L, 3L, 4L)); q.processAllAvailable()
+      val got = spark.table("dedup_out").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == Seq(1L, 2L, 3L, 4L))
+    } finally q.stop()
+  }
 }
