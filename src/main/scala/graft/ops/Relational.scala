@@ -295,6 +295,66 @@ object Relational {
              |      SELECT user_id, event_id, ts,
              |        LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
              |      FROM events) a) b) c
-             |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin))
+             |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)),
+
+    // Rollup (grouping-set hierarchy): per-(flag,status), per-flag, grand
+    // total in one pass. NULLS FIRST pinned on both engines.
+    QueryDef("q35_rollup",
+      (s, d) => li(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+              |  ${dsumSql("l_quantity")} AS sum_qty
+              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+              |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    // Calendar bucketing via date-part extraction (ints on both engines).
+    QueryDef("q36_date_parts",
+      (s, d) => ord(s, d)
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"),
+                 month(col("o_orderdate")).cast("long").as("o_month"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy("o_year", "o_month"),
+      Some(s"""SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+              |  COUNT(*) AS n, ${dsumSql("o_totalprice")} AS revenue
+              |FROM orders GROUP BY 1, 2 ORDER BY o_year, o_month""".stripMargin)),
+
+    // Scalar string-function surface (identical semantics on both
+    // engines, including levenshtein).
+    QueryDef("q37_string_funcs",
+      (s, d) => Tables.part(s, d)
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          length(col("p_name")).cast("long").as("nlen"),
+          regexp_replace(col("p_name"), " ", "_").as("snake"),
+          substring(col("p_name"), 1, 4).as("prefix4"),
+          concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+          levenshtein(col("p_name"), lit("small ring")).cast("long").as("dist"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, upper(p_name) AS uname, length(p_name) AS nlen,
+             |  replace(p_name, ' ', '_') AS snake, substr(p_name, 1, 4) AS prefix4,
+             |  p_brand || ':' || p_type AS brand_type,
+             |  CAST(levenshtein(p_name, 'small ring') AS BIGINT) AS dist
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // Pivot-shaped conditional aggregation: one row per user, one column
+    // per event type (count(when) ≙ FILTER).
+    QueryDef("q38_pivot_events",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        ev.groupBy("user_id")
+          .agg(count(lit(1)).as("n_total"),
+            types.map(t => count(when(col("event_type") === t, 1)).as(s"n_$t")): _*)
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, COUNT(*) AS n_total,
+             |  COUNT(*) FILTER (event_type = 'click') AS n_click,
+             |  COUNT(*) FILTER (event_type = 'error') AS n_error,
+             |  COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+             |  COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+             |  COUNT(*) FILTER (event_type = 'view') AS n_view
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }

@@ -127,6 +127,22 @@ object StreamOps {
              |  SELECT b0 AS w_start, event_type FROM buckets
              |  UNION ALL
              |  SELECT b0 - INTERVAL 5 MINUTE AS w_start, event_type FROM buckets) t
-             |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin)),
+
+    // Executed THROUGH Structured Streaming: the events table is replayed
+    // in micro-batches via MemoryStream and aggregated by the streaming
+    // engine; the result must hash-match the same oracle as a batch pass
+    // (stream/batch unification under one gate query).
+    QueryDef("q39_stream_tumble",
+      (s, d) => {
+        val input = graft.Tables.events(s, d)
+        val rows = runBounded(s, input, tumbling(_))
+        s.createDataFrame(new java.util.ArrayList(java.util.Arrays.asList(rows: _*)),
+            tumbling(input).schema)
+          .orderBy("w_start", "event_type")
+      },
+      Some(s"""SELECT make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS w_start,
+              |  event_type, COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+              |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin))
   )
 }
