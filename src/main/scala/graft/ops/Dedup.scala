@@ -112,11 +112,14 @@ object Dedup {
     // hash. Equality join on the fixed-width band key — near-linear.
     QueryDef("q26_lsh_candidates",
       (s, d) => {
-        val sig = signatures(s, d)
-        val bands = sig.select(col("doc_id"), lit(0).as("band"),
-            md5(concat(col("m0"), col("m1"))).as("bh"))
-          .union(sig.select(col("doc_id"), lit(1).as("band"),
-            md5(concat(col("m2"), col("m3"))).as("bh")))
+        // explode-unpivot keeps ONE signature lineage (a union of two
+        // selects doubles the scan+shuffle tree); the band self-join's
+        // identical exchanges are then deduped by ReuseExchange.
+        val bands = signatures(s, d)
+          .select(col("doc_id"), explode(array(
+            struct(lit(0).as("band"), md5(concat(col("m0"), col("m1"))).as("bh")),
+            struct(lit(1).as("band"), md5(concat(col("m2"), col("m3"))).as("bh")))).as("e"))
+          .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
         val a = bands.select(col("band"), col("bh"), col("doc_id").as("id_a"))
         val b = bands.select(col("band"), col("bh"), col("doc_id").as("id_b"))
         a.join(b, Seq("band", "bh")).where(col("id_a") < col("id_b"))
@@ -137,15 +140,17 @@ object Dedup {
     // self-join on distinct shingles.
     QueryDef("q27_ngram_jaccard",
       (s, d) => {
-        val t = shingles(s, d).distinct()
-        val sizes = t.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val shared = t.select(col("doc_id").as("id_a"), col("sh"))
-          .join(t.select(col("doc_id").as("id_b"), col("sh")), "sh")
-          .where(col("id_a") < col("id_b"))
-          .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
-        shared
-          .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
-          .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+        // attach each doc's set size with a window count on the SAME
+        // lineage instead of two extra size-joins: 2 scans + 1 join
+        // rather than 4 scans + 3 joins; the self-join halves dedupe via
+        // ReuseExchange.
+        import org.apache.spark.sql.expressions.Window
+        val tn = shingles(s, d).distinct()
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+        val a = tn.select(col("doc_id").as("id_a"), col("sh"), col("n").as("na"))
+        val b = tn.select(col("doc_id").as("id_b"), col("sh"), col("n").as("nb"))
+        a.join(b, "sh").where(col("id_a") < col("id_b"))
+          .groupBy("id_a", "na", "id_b", "nb").agg(count(lit(1)).as("shared"))
           .withColumn("jaccard",
             col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
           .where(col("jaccard") >= 0.5)

@@ -48,14 +48,22 @@ object StreamOps {
     * streaming-mode queries below). */
   def runBounded(spark: SparkSession, input: DataFrame,
                  transform: DataFrame => DataFrame,
-                 chunks: Int = 4): Seq[org.apache.spark.sql.Row] = {
+                 chunks: Int = 2,
+                 statePartitions: Int = 8): Seq[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.{Encoder, Encoders, Row}
     implicit val enc: Encoder[Row] = Encoders.row(input.schema)
     val source = MemoryStream[Row](spark)
     val name = s"bounded_${System.identityHashCode(source)}"
-    val q: StreamingQuery = transform(source.toDF())
-      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+    // Stateful streaming creates one state store per shuffle partition per
+    // micro-batch and AQE cannot coalesce them — bound the store count for
+    // this bounded replay, then restore the session setting.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val q: StreamingQuery =
+      try transform(source.toDF())
+        .writeStream.outputMode("complete").format("memory").queryName(name).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     try {
       val rows = input.collect()
       rows.grouped(math.max(1, rows.length / chunks)).foreach(source.addData(_))
