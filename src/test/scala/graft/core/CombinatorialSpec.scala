@@ -1,0 +1,44 @@
+package graft.core
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Spark analog of the reference's crown-jewel combinatorial identity
+  * suite (flod pipeline.d:1305-1356): every chain variant × every
+  * partitioning × the reference's output-length variants
+  * {0, n/3, n−1, n, n+1, 5n} (pipeline.d:1318-1319), asserting exact
+  * ordered output. Method combinations ≙ partition counts here — the
+  * physical-layout axis Spark actually varies. n = 173447 as upstream
+  * (pipeline.d:1354). */
+class CombinatorialSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val n = 173447L
+  private val lengths = Seq(0L, n / 3, n - 1, n, n + 1, 5 * n)
+  private val partitions = Seq(1, 3, 7)
+
+  // chain variants ≙ the reference's filter stacks; each is
+  // (name, flow transform, expected on the taken prefix)
+  private val chains: Seq[(String, Flow[java.lang.Long] => Flow[Long], Seq[Long] => Seq[Long])] = Seq(
+    ("identity", f => f.map(_.toLong), ids => ids),
+    ("mark2", f => f.map(e => (e << 4) | 1L).map(e => (e << 4) | 2L),
+      ids => ids.map(e => (((e << 4) | 1L) << 4) | 2L)),
+    ("filter-even-inc", f => f.map(_.toLong).filter(_ % 2 == 0).map(_ + 1),
+      ids => ids.filter(_ % 2 == 0).map(_ + 1)))
+
+  for ((cname, chain, expectFn) <- chains; parts <- partitions) {
+    test(s"chain=$cname parts=$parts all output lengths") {
+      val base = new Flow(spark.range(0, n, 1, parts))
+      val full = expectFn((0L until n).toSeq)
+      for (k <- lengths) {
+        // take sits sink-side like the reference harness's output-length
+        // cut; it caps at stream length (truncation, package.d:114-207)
+        val got = chain(base).take(k).toArray
+        val expected = full.take(math.min(k, Int.MaxValue.toLong).toInt)
+        assert(got.length == expected.length, s"k=$k length")
+        assert(got == expected, s"k=$k")
+      }
+    }
+  }
+}
