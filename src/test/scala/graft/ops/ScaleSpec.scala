@@ -37,8 +37,17 @@ class ScaleSpec extends AnyFunSuite {
   }
 
   test("bucketed co-located join plans without a shuffle exchange") {
-    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    info(s"warehouse: $warehouse")
+    // the in-memory catalog forgets tables between JVMs but the warehouse
+    // directory survives — clear both before writing
+    for (t <- Seq("b_orders", "b_lineitem")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, t)
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
     Scale.writeBucketed(Tables.orders(spark, sf), "b_orders", "o_orderkey", 8)
     Scale.writeBucketed(
       Tables.lineitem(spark, sf).withColumnRenamed("l_orderkey", "o_orderkey"),
