@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Vectors
+
+/** Random-hyperplane LSH for cosine ANN — the scale path when no natural
+  * blocking column exists (q34 uses the label cell; this builds its own
+  * buckets from the geometry).
+  *
+  * `nBits` hyperplanes with deterministic ±1 components (seeded) hash
+  * each vector to a bucket id = sign bits of its projections; cosine-
+  * similar vectors collide with probability (1 − θ/π) per bit. Search
+  * joins query and corpus on the bucket id — an equality join, shuffling
+  * O(N) fixed-width keys instead of the O(N·Q) cross join. Multi-probe
+  * (flipping one bit) trades extra probes for recall.
+  */
+object Ann {
+
+  /** Deterministic ±1 hyperplane components: plane p, dimension j. */
+  private[ops] def planeComponent(seed: Long, p: Int, j: Int): Double = {
+    var h = seed ^ (p.toLong * 0x9e3779b97f4a7c15L) ^ (j.toLong * 0xc2b2ae3d27d4eb4fL)
+    h = (h ^ (h >>> 33)) * 0xff51afd7ed558ccdL
+    h = (h ^ (h >>> 33)) * 0xc4ceb9fe1a85ec53L
+    h ^= (h >>> 33)
+    if ((h & 1L) == 0L) 1.0 else -1.0
+  }
+
+  /** Bucket-id column: sign bits of projections onto `nBits` planes.
+    * Built from codegen'd higher-order functions over the vector column —
+    * no UDF; planes are literal arrays baked into the plan. */
+  def bucketCol(v: Column, dim: Int, nBits: Int = 8, seed: Long = 42L): Column =
+    Seq.tabulate(nBits) { p =>
+      val plane = array(Seq.tabulate(dim)(j => lit(planeComponent(seed, p, j))): _*)
+      when(Vectors.dot(v, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Top-k per query among same-bucket candidates. `embeddings` needs
+    * (vec_id, v: array<double>); `queryIds` selects the query rows. */
+  def search(embeddings: DataFrame, queryFilter: Column, k: Int,
+             dim: Int, nBits: Int = 8, seed: Long = 42L): DataFrame = {
+    val e = embeddings
+      .withColumn("bucket", bucketCol(col("v"), dim, nBits, seed))
+      .withColumn("nrm", Vectors.norm2(col("v")))
+    val q = e.where(queryFilter)
+      .select(col("bucket"), col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = e.join(broadcast(q), "bucket")
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (Vectors.dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "cos")
+  }
+}

@@ -16,14 +16,18 @@ object TextAnalysis {
 
   val defs: Seq[QueryDef] = Seq(
 
-    // Whitespace token counting (counts cast to BIGINT to match DuckDB).
+    // Token counting: whitespace tokens + BPE-ish regex word pieces
+    // (identical character-class regex on both engines); counts cast to
+    // BIGINT to match DuckDB.
     QueryDef("q20_token_count",
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).cast("long").as("n_words"),
           length(col("text")).cast("long").as("n_len"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+             |  len(regexp_extract_all(text, '[a-z0-9]+')) AS n_words,
              |  length(text) AS n_len FROM documents ORDER BY doc_id""".stripMargin)),
 
     // Quality scoring: token count, stopword ratio, average word length.
