@@ -355,6 +355,44 @@ object Relational {
              |  COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
              |  COUNT(*) FILTER (event_type = 'signup') AS n_signup,
              |  COUNT(*) FILTER (event_type = 'view') AS n_view
-             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Correlated scalar subquery (decorrelated by Catalyst into a join
+    // against the per-type aggregate): parts priced above their type's
+    // average. Threshold compare uses the decimal-exact average.
+    QueryDef("q40_subquery_avg",
+      (s, d) => {
+        val p = Tables.part(s, d)
+        val avgByType = p.groupBy(col("p_type").as("t"))
+          .agg((sum(dec(col("p_retailprice"))).cast("double") / count(lit(1))).as("avg_price"))
+        p.join(avgByType, col("p_type") === col("t"))
+          .where(col("p_retailprice") > col("avg_price"))
+          .select("p_partkey", "p_type", "p_retailprice")
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey, p_type, p_retailprice FROM part p
+             |WHERE p_retailprice > (
+             |  SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+             |  FROM part p2 WHERE p2.p_type = p.p_type)
+             |ORDER BY p_partkey""".stripMargin)),
+
+    // Analytic-function surface: lag/lead/ntile over a pinned total order.
+    QueryDef("q41_window_stats",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        ord(s, d)
+          .select(col("o_custkey"), col("o_orderkey"),
+            lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+            lead(col("o_totalprice"), 1).over(w).as("next_price"),
+            ntile(4).over(w).cast("long").as("quartile"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  LAG(o_totalprice, 1) OVER w AS prev_price,
+             |  LEAD(o_totalprice, 1) OVER w AS next_price,
+             |  NTILE(4) OVER w AS quartile
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin))
   )
 }

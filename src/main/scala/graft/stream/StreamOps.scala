@@ -49,7 +49,8 @@ object StreamOps {
   def runBounded(spark: SparkSession, input: DataFrame,
                  transform: DataFrame => DataFrame,
                  chunks: Int = 2,
-                 statePartitions: Int = 8): Seq[org.apache.spark.sql.Row] = {
+                 statePartitions: Int = 8,
+                 outputMode: String = "complete"): Seq[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.{Encoder, Encoders, Row}
     implicit val enc: Encoder[Row] = Encoders.row(input.schema)
@@ -62,7 +63,7 @@ object StreamOps {
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val q: StreamingQuery =
       try transform(source.toDF())
-        .writeStream.outputMode("complete").format("memory").queryName(name).start()
+        .writeStream.outputMode(outputMode).format("memory").queryName(name).start()
       finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     try {
       val rows = input.collect()
@@ -70,6 +71,24 @@ object StreamOps {
       q.processAllAvailable()
       spark.table(name).collect().toSeq
     } finally q.stop()
+  }
+
+  /** Stream-stream interval join: purchases within 30 minutes after a
+    * click by the same user. Watermarks on BOTH sides bound the join
+    * state; the time-range predicate lets Spark drop expired state. The
+    * watermark node sits above the source (before filtering) so any event
+    * advances it. Works identically on batch input (wm no-ops). */
+  def clickToPurchase(events: DataFrame): DataFrame = {
+    val e = wm(events, "30 minutes")
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+      col("purchase_ts") >= col("click_ts") &&
+      col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
   }
 
   /** Streaming first-seen dedup — custom keyed state via

@@ -33,4 +33,23 @@ class StreamingSpec extends AnyFunSuite {
     val streamed = StreamOps.runBounded(spark, events, StreamOps.sliding(_))
     assert(canon(streamed) == canon(batch))
   }
+
+  test("stream-stream interval join == batch join (click -> purchase)") {
+    import org.apache.spark.sql.functions._
+    val events = Tables.events(spark, TestSpark.sf0001)
+    // sentinel event far past the corpus pushes the watermark beyond
+    // every real event so append-mode emits all matches on the bounded
+    // replay; its type matches neither join side
+    val maxTs = events.agg(max("ts")).head().getTimestamp(0)
+    val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 864000L * 1000L)
+    val sentinelRow = events.sparkSession.sql(
+      s"SELECT -1L AS event_id, TIMESTAMP '$sentinelTs' AS ts, " +
+        "-1L AS user_id, 'sentinel' AS event_type, 0.0D AS value, '{}' AS props")
+    val input = events.unionByName(sentinelRow)
+    val batch = StreamOps.clickToPurchase(events).collect().toSeq
+    val streamed = StreamOps.runBounded(spark, input,
+      StreamOps.clickToPurchase(_), outputMode = "append")
+    assert(canon(streamed) == canon(batch))
+    assert(batch.nonEmpty, "corpus must contain click->purchase pairs")
+  }
 }
