@@ -393,6 +393,30 @@ object Relational {
              |  NTILE(4) OVER w AS quartile
              |FROM orders
              |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-             |ORDER BY o_custkey, o_orderkey""".stripMargin))
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // As-of join (an operator Spark lacks natively — SURVEY §7.3 option a:
+    // compose built-ins): for each click, the user's most recent purchase
+    // at-or-before it. Expressed as a carry-forward max over the unioned,
+    // per-user-ordered event stream — ONE shuffle+sort per key instead of
+    // the O(clicks×purchases) inequality join.
+    QueryDef("q42_asof_join",
+      (s, d) => {
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .withColumn("last_purchase_ts",
+            max(when(col("event_type") === "purchase", col("ts"))).over(byUser))
+          .where(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"), col("last_purchase_ts"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, ts, last_purchase_ts FROM (
+             |  SELECT event_id, user_id, ts, event_type,
+             |    MAX(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_ts
+             |  FROM events) t
+             |WHERE event_type = 'click' ORDER BY event_id""".stripMargin))
   )
 }

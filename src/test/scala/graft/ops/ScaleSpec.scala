@@ -58,4 +58,23 @@ class ScaleSpec extends AnyFunSuite {
       s"bucketed join must not shuffle:\n$plan")
     assert(joined.count() > 0)
   }
+
+  test("hive-style partitioned layout prunes partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    try {
+      Tables.lineitem(spark, sf).write.mode("overwrite")
+        .partitionBy("l_returnflag").parquet(dir)
+      val q = spark.read.parquet(dir).where(col("l_returnflag") === "A")
+        .select("l_orderkey")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("l_returnflag"),
+        s"expected partition pruning:\n$plan")
+      // only the A partition's rows are read
+      val expected = Tables.lineitem(spark, sf).where(col("l_returnflag") === "A").count()
+      assert(q.count() == expected)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
 }
