@@ -55,4 +55,10 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q29_cosine_knn")
     assert(p.contains("Broadcast"))
   }
+
+  test("flagship entry broadcasts the customer dimension and partial-aggregates") {
+    val p = SparkEntry.entry(spark).queryExecution.sparkPlan.toString
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("HashAggregate"))
+  }
 }

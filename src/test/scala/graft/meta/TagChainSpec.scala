@@ -58,4 +58,25 @@ class TagChainSpec extends AnyFunSuite {
     chain.registerSetter(0, "k")
     assertThrows[IllegalArgumentException](chain.set(1, "k", "v"))
   }
+
+  test("tags ride alongside a Flow pipeline (SURVEY §1.4 integration)") {
+    import graft.core.Flow
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val chain = new TagChain
+    // stage 0: source (sets name + encoding), 1: filter (reads, re-tags),
+    // 2: sink (reads both)
+    chain.registerSetter(0, "name"); chain.registerSetter(0, "encoding")
+    chain.registerGetter(1, "name"); chain.registerSetter(1, "name")
+    chain.registerGetter(2, "name"); chain.registerGetter(2, "encoding")
+
+    chain.set(0, "name", "memsource"); chain.set(0, "encoding", "utf-8")
+    val src = Flow.fromSeq(spark, Seq("a b", "c"))
+    chain.set(1, "name", chain.get(1, "name").get + ".split")
+    val out = src.flatMap(_.split(' ')).toArray
+
+    assert(out == Seq("a", "b", "c"))
+    assert(chain.get(2, "name").contains("memsource.split"))
+    assert(chain.get(2, "encoding").contains("utf-8"))
+  }
 }
