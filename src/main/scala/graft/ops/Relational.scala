@@ -417,6 +417,95 @@ object Relational {
              |      PARTITION BY user_id ORDER BY ts, event_id
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_ts
              |  FROM events) t
-             |WHERE event_type = 'click' ORDER BY event_id""".stripMargin))
+             |WHERE event_type = 'click' ORDER BY event_id""".stripMargin)),
+
+    // Left outer join with null-aware aggregates: order counts per
+    // customer including customers with none (COALESCE over the null side).
+    QueryDef("q43_join_left",
+      (s, d) => Tables.customer(s, d)
+        .join(ord(s, d).filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(dsum(col("o_totalprice")), lit(0.0)).as("spend"))
+        .orderBy("c_custkey"),
+      Some(s"""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+              |  COALESCE(${dsumSql("o_totalprice")}, 0.0) AS spend
+              |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+              |ON c_custkey = o_custkey
+              |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)),
+
+    // Full outer join over two partial key sets (nations with customers
+    // vs nations with suppliers).
+    QueryDef("q44_join_full",
+      (s, d) => {
+        val cn = Tables.customer(s, d).groupBy(col("c_nationkey").as("ck"))
+          .agg(count(lit(1)).as("n_cust"))
+        val sn = Tables.supplier(s, d).filter(col("s_acctbal") > 5000)
+          .groupBy(col("s_nationkey").as("sk")).agg(count(lit(1)).as("n_supp"))
+        cn.join(sn, col("ck") === col("sk"), "full_outer")
+          .select(coalesce(col("ck"), col("sk")).as("nationkey"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+          .orderBy("nationkey")
+      },
+      Some("""SELECT COALESCE(ck, sk) AS nationkey,
+             |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+             |FROM (SELECT c_nationkey AS ck, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+             |FULL OUTER JOIN (SELECT s_nationkey AS sk, COUNT(*) AS n_supp
+             |  FROM supplier WHERE s_acctbal > 5000 GROUP BY 1) s
+             |ON ck = sk ORDER BY nationkey""".stripMargin)),
+
+    // Pagination: deterministic ORDER BY + LIMIT/OFFSET.
+    QueryDef("q45_limit_offset",
+      (s, d) => ord(s, d)
+        .orderBy(col("o_orderkey"))
+        .offset(100).limit(50)
+        .select("o_orderkey", "o_totalprice"),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_orderkey LIMIT 50 OFFSET 100""".stripMargin)),
+
+    // LIKE-family predicates (identical wildcard semantics).
+    QueryDef("q46_like_predicates",
+      (s, d) => Tables.part(s, d)
+        .where(col("p_name").like("%ring%") || col("p_name").like("red%") ||
+               col("p_name").like("%bolt"))
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, p_name FROM part
+             |WHERE p_name LIKE '%ring%' OR p_name LIKE 'red%' OR p_name LIKE '%bolt'
+             |ORDER BY p_partkey""".stripMargin)),
+
+    // Cube: all grouping-set combinations of two dimensions.
+    QueryDef("q47_cube",
+      (s, d) => ord(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+      Some(s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+              |  ${dsumSql("o_totalprice")} AS revenue
+              |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+              |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
+    // Math-function surface restricted to IEEE-exact operations (sqrt,
+    // abs, floor/ceil, exact products) so both engines agree bitwise.
+    QueryDef("q48_math_funcs",
+      (s, d) => li(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_discount") - 0.05).as("d_abs"),
+          floor(col("l_extendedprice")).cast("double").as("p_floor"),
+          ceil(col("l_extendedprice")).cast("double").as("p_ceil"),
+          sqrt(col("l_quantity")).as("q_sqrt"),
+          (col("l_quantity") * col("l_quantity")).as("q_sq"),
+          pmod(col("l_orderkey"), lit(7L)).as("k_mod"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  abs(l_discount - 0.05) AS d_abs,
+             |  CAST(floor(l_extendedprice) AS DOUBLE) AS p_floor,
+             |  CAST(ceil(l_extendedprice) AS DOUBLE) AS p_ceil,
+             |  sqrt(l_quantity) AS q_sqrt,
+             |  l_quantity * l_quantity AS q_sq,
+             |  l_orderkey % 7 AS k_mod
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin))
   )
 }
