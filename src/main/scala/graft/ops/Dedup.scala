@@ -77,9 +77,8 @@ object Dedup {
     shingles(s, d).distinct()
       .groupBy("doc_id").agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), sketch.as("simhash"))
-      .orderBy("doc_id")
   }
-  private val simhashSql = {
+  private val simhashBodySql = {
     val votes = (0 until simBits).map { b =>
       s"sum(CASE WHEN ((('0x' || substr(md5(sh), 1, 8))::BIGINT >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS w$b"
     }.mkString(",\n    ")
@@ -88,9 +87,9 @@ object Dedup {
     s"""SELECT doc_id, CAST($sketch AS BIGINT) AS simhash FROM (
        |  SELECT doc_id, $votes
        |  FROM (SELECT DISTINCT doc_id, sh FROM ($shinglesSql) shx) t
-       |  GROUP BY doc_id) v
-       |ORDER BY doc_id""".stripMargin
+       |  GROUP BY doc_id) v""".stripMargin
   }
+  private val simhashSql = s"$simhashBodySql\nORDER BY doc_id"
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -171,6 +170,31 @@ object Dedup {
              |ORDER BY id_a, id_b""".stripMargin)),
 
     // SimHash sketches (32-bit majority-vote fingerprint over shingles).
-    QueryDef("q28_simhash", simhashSpark, Some(simhashSql))
+    QueryDef("q28_simhash", (s, d) => simhashSpark(s, d).orderBy("doc_id"),
+      Some(simhashSql)),
+
+    // SimHash near-dup retrieval: block on the sketch's high 16 bits
+    // (equality join on the block key — near-dups share it with high
+    // probability; rotated-prefix multi-blocking would close the gap at
+    // scale), then exact Hamming-radius check inside blocks.
+    QueryDef("q49_simhash_neardup",
+      (s, d) => {
+        val sk = simhashSpark(s, d)
+          .withColumn("blk", shiftright(col("simhash"), 16))
+        val a = sk.select(col("blk"), col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+        val b = sk.select(col("blk"), col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+        a.join(b, "blk").where(col("id_a") < col("id_b"))
+          .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)").cast("long"))
+          .where(col("hamming") <= 8)
+          .select("id_a", "id_b", "hamming")
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH sk AS ($simhashBodySql)
+              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+              |FROM sk a JOIN sk b
+              |  ON (a.simhash >> 16) = (b.simhash >> 16) AND a.doc_id < b.doc_id
+              |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+              |ORDER BY id_a, id_b""".stripMargin))
   )
 }
