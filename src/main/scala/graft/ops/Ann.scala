@@ -37,14 +37,22 @@ object Ann {
     }.reduce(_ + _)
 
   /** Top-k per query among same-bucket candidates. `embeddings` needs
-    * (vec_id, v: array<double>); `queryIds` selects the query rows. */
+    * (vec_id, v: array<double>). `multiProbe` additionally probes every
+    * bucket at Hamming distance 1 from the query's bucket (nBits extra
+    * probes — the standard recall/cost dial: each flipped bit rescues
+    * neighbors that fell on the other side of one hyperplane). */
   def search(embeddings: DataFrame, queryFilter: Column, k: Int,
-             dim: Int, nBits: Int = 8, seed: Long = 42L): DataFrame = {
+             dim: Int, nBits: Int = 8, seed: Long = 42L,
+             multiProbe: Boolean = false): DataFrame = {
     val e = embeddings
       .withColumn("bucket", bucketCol(col("v"), dim, nBits, seed))
       .withColumn("nrm", Vectors.norm2(col("v")))
+    val probes: Column => Column = b =>
+      if (!multiProbe) array(b)
+      else array(b +: Seq.tabulate(nBits)(p => b.bitwiseXOR(lit(1L << p))): _*)
     val q = e.where(queryFilter)
-      .select(col("bucket"), col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .select(explode(probes(col("bucket"))).as("bucket"),
+        col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val scored = e.join(broadcast(q), "bucket")
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),

@@ -44,10 +44,16 @@ class AnnSpec extends AnyFunSuite {
 
     val lsh = Ann.search(embeddings, col("vec_id") < 20, k, dim = 64, nBits = 4)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lshMp = Ann.search(embeddings, col("vec_id") < 20, k, dim = 64, nBits = 4,
+        multiProbe = true)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
 
     val recall = (exact intersect lsh).size.toDouble / exact.size
-    info(f"LSH(4-bit) recall@$k vs exact: $recall%.2f")
+    val recallMp = (exact intersect lshMp).size.toDouble / exact.size
+    info(f"LSH(4-bit) recall@$k vs exact: single-probe $recall%.2f, multi-probe $recallMp%.2f")
     assert(recall > 0.05, "LSH must recover some true neighbors")
+    assert(recallMp >= recall, "multi-probe must not lose recall")
+    assert(recallMp > 0.3, "flipping each bit should recover most 1-plane misses")
     assert(lsh.nonEmpty && lsh.size <= 20L * k)
   }
 }
