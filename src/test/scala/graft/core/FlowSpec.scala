@@ -13,8 +13,8 @@ class FlowSpec extends AnyFunSuite {
     assert(Flow.fromSeq(spark, Seq(1, 2, 4, 8, 16)).take(3).toArray == Seq(1, 2, 4))
   }
 
-  test("take boundary cases (package.d:216-218, scaled)") {
-    val n = 10000L
+  test("take boundary cases at the reference workload size (package.d:216-218)") {
+    val n = 10495832L // upstream's exact boundary-test stream length
     val flow = new Flow(spark.range(n))
     for (k <- Seq(0L, 1L, 4095L, 4096L, 4097L, n - 1, n, n + 1, 999999999999L)) {
       val got = flow.take(k).count()
