@@ -78,6 +78,28 @@ object TextAnalysis {
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"), md5(lower(col("text"))).as("fp"))
         .orderBy("doc_id"),
-      Some("SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id"))
+      Some("SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id")),
+
+    // Data-quality audit — the validation pass a training-data pipeline
+    // runs before ingest: one row of invariant-violation counts
+    // (metadata/content length agreement, null/empty content, lang-code
+    // domain). All-zero on a clean corpus, and cheap: one scan, partial
+    // aggregation, no shuffle of data rows.
+    QueryDef("q50_data_quality",
+      (s, d) => Tables.documents(s, d).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("text").isNull || length(col("text")) === 0, 1L).otherwise(0L))
+          .as("n_empty"),
+        sum(when(length(col("text")).cast("long") =!= col("n_chars"), 1L).otherwise(0L))
+          .as("n_len_mismatch"),
+        sum(when(!col("lang").isin("en", "de", "es", "fr", "zh"), 1L).otherwise(0L))
+          .as("n_bad_lang"),
+        sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("n_null_id")),
+      Some("""SELECT COUNT(*) AS n_docs,
+             |  CAST(SUM(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+             |  CAST(SUM(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_len_mismatch,
+             |  CAST(SUM(CASE WHEN lang NOT IN ('en','de','es','fr','zh') THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_lang,
+             |  CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_id
+             |FROM documents""".stripMargin))
   )
 }
