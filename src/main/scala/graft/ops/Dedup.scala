@@ -179,14 +179,21 @@ object Dedup {
     // scale), then exact Hamming-radius check inside blocks.
     QueryDef("q49_simhash_neardup",
       (s, d) => {
-        val sk = simhashSpark(s, d)
+        // block-then-pair-within-block: ONE sketch pass (a self-join would
+        // recompute the 32-aggregate sketch per side), one shuffle on the
+        // block key, then local pair expansion — blocks are Hamming-
+        // prefix buckets and stay small by construction.
+        val blocks = simhashSpark(s, d)
           .withColumn("blk", shiftright(col("simhash"), 16))
-        val a = sk.select(col("blk"), col("doc_id").as("id_a"), col("simhash").as("sh_a"))
-        val b = sk.select(col("blk"), col("doc_id").as("id_b"), col("simhash").as("sh_b"))
-        a.join(b, "blk").where(col("id_a") < col("id_b"))
-          .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)").cast("long"))
+          .groupBy("blk")
+          .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("docs"))
+        blocks
+          .select(col("docs"), explode(col("docs")).as("a"))
+          .select(col("a"), explode(col("docs")).as("b"))
+          .where(col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
           .where(col("hamming") <= 8)
-          .select("id_a", "id_b", "hamming")
           .orderBy("id_a", "id_b")
       },
       Some(s"""WITH sk AS ($simhashBodySql)
