@@ -93,8 +93,10 @@ object Multimodal {
   }
 
   /** The declared inventory query: decode + aggregate media stats per
-    * sniffed format. Not SQL-expressible (stub codec) → rows-only check;
-    * exact values are asserted in MultimodalSpec. */
+    * sniffed format. The stub codec is a pure byte function, so it IS
+    * SQL-expressible: the DuckDB twin re-derives each byte from
+    * hex(encode(text)) and replicates sniff/width/height exactly
+    * (validated byte-for-byte against StubCodec). */
   def mediaStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     decode(mediaTable(s, dir))
@@ -108,5 +110,23 @@ object Multimodal {
   }
 
   val defs: Seq[graft.QueryDef] = Seq(
-    graft.QueryDef("q33_multimodal_stats", (s, d) => mediaStats(s, d), None))
+    graft.QueryDef("q33_multimodal_stats", (s, d) => mediaStats(s, d),
+      // Byte k of the UTF-8 payload = hex digits (2k+1, 2k+2) of the
+      // blob's hex dump — mirrors StubCodec.sniffFormat/decodeMeta.
+      Some("""WITH b AS (
+             |  SELECT hex(encode(text)) AS hx, octet_length(encode(text)) AS len
+             |  FROM documents),
+             |m AS (
+             |  SELECT
+             |    CASE WHEN len = 0 THEN 'empty'
+             |         WHEN ('0x' || substr(hx, 1, 2))::INT % 3 = 0 THEN 'img/fake-png'
+             |         WHEN ('0x' || substr(hx, 1, 2))::INT % 3 = 1 THEN 'audio/fake-wav'
+             |         ELSE 'video/fake-mp4' END AS format,
+             |    CASE WHEN len > 1 THEN 16 * (('0x' || substr(hx, 3, 2))::INT % 40 + 1) ELSE 0 END AS width,
+             |    CASE WHEN len > 2 THEN 16 * (('0x' || substr(hx, 5, 2))::INT % 30 + 1) ELSE 0 END AS height,
+             |    len AS bytes
+             |  FROM b)
+             |SELECT format, COUNT(*) AS n, CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+             |  MAX(width) AS max_width, MAX(height) AS max_height
+             |FROM m GROUP BY format ORDER BY format""".stripMargin)))
 }

@@ -23,7 +23,7 @@ object Dedup {
 
   /** 3-word shingle set, one row per (doc_id, shingle). Documents shorter
     * than 3 tokens contribute their whole text as a single shingle. */
-  private def shingles(s: SparkSession, d: String): DataFrame = {
+  private[ops] def shinglesOf(docs: DataFrame): DataFrame = {
     val w = col("w")
     val sh = when(size(w) >= 3,
       transform(sequence(lit(0), size(w) - 3),
@@ -31,10 +31,13 @@ object Dedup {
       .otherwise(array(col("text")))
     // materialize the token array once per row; referencing split() inside
     // the transform lambda would re-split per shingle position
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), col("text"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), explode(sh).as("sh"))
   }
+
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    shinglesOf(Tables.documents(s, d))
 
   /** SQL twin of [[shingles]] (DuckDB list indexing is 1-based like
     * element_at; range(n) is [0, n)). */
@@ -65,7 +68,7 @@ object Dedup {
   // SimHash: 32-bit, h(sh) = first 8 hex chars of md5 parsed as int;
   // bit b of the sketch = majority vote of bit b over the doc's shingles.
   private val simBits = 32
-  private def simhashSpark(s: SparkSession, d: String): DataFrame = {
+  private[ops] def simhashOf(docs: DataFrame): DataFrame = {
     val h = conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long")
     val votes = Seq.tabulate(simBits) { b =>
       sum(when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
@@ -74,9 +77,32 @@ object Dedup {
     val sketch = Seq.tabulate(simBits) { b =>
       when(col(s"w$b") > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
-    shingles(s, d).distinct()
+    shinglesOf(docs).distinct()
       .groupBy("doc_id").agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), sketch.as("simhash"))
+  }
+  private def simhashSpark(s: SparkSession, d: String): DataFrame =
+    simhashOf(Tables.documents(s, d))
+
+  /** SimHash near-dup retrieval as a skew-safe self-join: block on the
+    * sketch's high 16 bits, equality-join the sketch table with itself on
+    * the block key, then the exact Hamming check per candidate pair.
+    *
+    * Scale: the sketch is computed ONCE (one lineage; the self-join's two
+    * identical aggregation subtrees collapse under ReuseExchange), and a
+    * skewed block — e.g. millions of mass-duplicated docs sharing one
+    * sketch — is a hot *join partition*, which AQE's skew-join splits
+    * across tasks. The previous collect_list-per-block formulation put a
+    * whole block into ONE row (unbounded single-task array at 100 TB);
+    * a join never materializes a block in memory. */
+  private[ops] def simhashNearDup(docs: DataFrame, radius: Int = 8): DataFrame = {
+    val sk = simhashOf(docs).withColumn("blk", shiftright(col("simhash"), 16))
+    val a = sk.select(col("blk"), col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+    val b = sk.select(col("blk"), col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, "blk").where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(sh_a ^ sh_b)").cast("long").as("hamming"))
+      .where(col("hamming") <= radius)
   }
   private val simhashBodySql = {
     val votes = (0 until simBits).map { b =>
@@ -90,6 +116,51 @@ object Dedup {
        |  GROUP BY doc_id) v""".stripMargin
   }
   private val simhashSql = s"$simhashBodySql\nORDER BY doc_id"
+
+  // Document-frequency cap for the inverted-index Jaccard join: a shingle
+  // present in more than dfCap docs is boilerplate — its posting list makes
+  // the self-join quadratic at 100 TB (a hot phrase ⇒ |postings|² pairs in
+  // one join partition). Dropping capped shingles from BOTH the shared
+  // count and the set sizes keeps the Jaccard definition coherent; 1000 ≫
+  // the corpus max df (7 at sf0.01, 25 at sf0.1), so values here are
+  // unchanged while the plan is skew-bounded by construction.
+  private val dfCap = 1000
+  private def cappedShingles(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    shingles(s, d).distinct()
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+      .where(col("df") <= dfCap).drop("df")
+  }
+  private val cappedShinglesSql =
+    s"""SELECT doc_id, sh FROM (
+       |  SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS df
+       |  FROM (SELECT DISTINCT doc_id, sh FROM ($shinglesSql) shx) dsh) c
+       |WHERE df <= $dfCap""".stripMargin
+
+  /** LSH banding candidate pairs (the scalable generator behind q26/q51). */
+  private def lshCandidates(s: SparkSession, d: String): DataFrame = {
+    // explode-unpivot keeps ONE signature lineage (a union of two
+    // selects doubles the scan+shuffle tree); the band self-join's
+    // identical exchanges are then deduped by ReuseExchange.
+    val bands = signatures(s, d)
+      .select(col("doc_id"), explode(array(
+        struct(lit(0).as("band"), md5(concat(col("m0"), col("m1"))).as("bh")),
+        struct(lit(1).as("band"), md5(concat(col("m2"), col("m3"))).as("bh")))).as("e"))
+      .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+    val a = bands.select(col("band"), col("bh"), col("doc_id").as("id_a"))
+    val b = bands.select(col("band"), col("bh"), col("doc_id").as("id_b"))
+    a.join(b, Seq("band", "bh")).where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+  private val lshCandidatesSql =
+    s"""WITH sig AS ($sigSql),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, md5(m0 || m1) AS bh FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, md5(m2 || m3) AS bh FROM sig)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+       |WHERE a.doc_id < b.doc_id""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -110,33 +181,13 @@ object Dedup {
     // LSH banding: 2 bands × 2 rows; candidate pairs = docs sharing a band
     // hash. Equality join on the fixed-width band key — near-linear.
     QueryDef("q26_lsh_candidates",
-      (s, d) => {
-        // explode-unpivot keeps ONE signature lineage (a union of two
-        // selects doubles the scan+shuffle tree); the band self-join's
-        // identical exchanges are then deduped by ReuseExchange.
-        val bands = signatures(s, d)
-          .select(col("doc_id"), explode(array(
-            struct(lit(0).as("band"), md5(concat(col("m0"), col("m1"))).as("bh")),
-            struct(lit(1).as("band"), md5(concat(col("m2"), col("m3"))).as("bh")))).as("e"))
-          .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
-        val a = bands.select(col("band"), col("bh"), col("doc_id").as("id_a"))
-        val b = bands.select(col("band"), col("bh"), col("doc_id").as("id_b"))
-        a.join(b, Seq("band", "bh")).where(col("id_a") < col("id_b"))
-          .select("id_a", "id_b").distinct()
-          .orderBy("id_a", "id_b")
-      },
-      Some(s"""WITH sig AS ($sigSql),
-              |bands AS (
-              |  SELECT doc_id, 0 AS band, md5(m0 || m1) AS bh FROM sig
-              |  UNION ALL
-              |  SELECT doc_id, 1 AS band, md5(m2 || m3) AS bh FROM sig)
-              |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              |FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
-              |WHERE a.doc_id < b.doc_id
-              |ORDER BY id_a, id_b""".stripMargin)),
+      (s, d) => lshCandidates(s, d).orderBy("id_a", "id_b"),
+      Some(s"$lshCandidatesSql\nORDER BY id_a, id_b")),
 
     // Shingle-Jaccard near-dup verification (θ=0.5) via inverted-index
-    // self-join on distinct shingles.
+    // self-join on df-capped distinct shingles (see dfCap above — the
+    // hot-shingle posting lists that would make this quadratic at scale
+    // are excluded from the plan, not just from a comment).
     QueryDef("q27_ngram_jaccard",
       (s, d) => {
         // attach each doc's set size with a window count on the SAME
@@ -144,7 +195,7 @@ object Dedup {
         // rather than 4 scans + 3 joins; the self-join halves dedupe via
         // ReuseExchange.
         import org.apache.spark.sql.expressions.Window
-        val tn = shingles(s, d).distinct()
+        val tn = cappedShingles(s, d)
           .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
         val a = tn.select(col("doc_id").as("id_a"), col("sh"), col("n").as("na"))
         val b = tn.select(col("doc_id").as("id_b"), col("sh"), col("n").as("nb"))
@@ -156,11 +207,52 @@ object Dedup {
           .select("id_a", "id_b", "jaccard")
           .orderBy("id_a", "id_b")
       },
-      Some(s"""WITH t AS (SELECT DISTINCT doc_id, sh FROM ($shinglesSql) shx),
+      Some(s"""WITH t AS ($cappedShinglesSql),
              |sz AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
              |shr AS (
              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
              |  FROM t a JOIN t b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b,
+             |  CAST(shared AS DOUBLE) / (na.n + nb.n - shared) AS jaccard
+             |FROM shr JOIN sz na ON shr.id_a = na.doc_id
+             |        JOIN sz nb ON shr.id_b = nb.doc_id
+             |WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.5
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // The composed dedup pipeline the 100 TB deployment actually runs:
+    // LSH banding generates candidate pairs (near-linear), exact Jaccard
+    // verifies ONLY those pairs — candidate-driven joins instead of the
+    // full inverted-index self-join.
+    QueryDef("q51_dedup_pipeline",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val cand = lshCandidates(s, d)
+        val tn = cappedShingles(s, d)
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+        // candidate-driven: pairs × a-side shingles, then match b-side on
+        // (id_b, sh) — cost O(|candidates| · shingles/doc), independent of
+        // corpus-wide shingle collision counts.
+        val withA = cand
+          .join(tn.select(col("doc_id").as("id_a"), col("sh"), col("n").as("na")), "id_a")
+        withA
+          .join(tn.select(col("doc_id").as("id_b"), col("sh"), col("n").as("nb")),
+            Seq("id_b", "sh"))
+          .groupBy("id_a", "na", "id_b", "nb").agg(count(lit(1)).as("shared"))
+          .withColumn("jaccard",
+            col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+          .where(col("jaccard") >= 0.5)
+          .select("id_a", "id_b", "jaccard")
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH cand AS ($lshCandidatesSql),
+             |t AS ($cappedShinglesSql),
+             |sz AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
+             |shr AS (
+             |  SELECT c.id_a, c.id_b, COUNT(*) AS shared
+             |  FROM cand c
+             |  JOIN t a ON a.doc_id = c.id_a
+             |  JOIN t b ON b.doc_id = c.id_b AND b.sh = a.sh
              |  GROUP BY 1, 2)
              |SELECT id_a, id_b,
              |  CAST(shared AS DOUBLE) / (na.n + nb.n - shared) AS jaccard
@@ -176,26 +268,9 @@ object Dedup {
     // SimHash near-dup retrieval: block on the sketch's high 16 bits
     // (equality join on the block key — near-dups share it with high
     // probability; rotated-prefix multi-blocking would close the gap at
-    // scale), then exact Hamming-radius check inside blocks.
+    // scale), then exact Hamming-radius check per candidate pair.
     QueryDef("q49_simhash_neardup",
-      (s, d) => {
-        // block-then-pair-within-block: ONE sketch pass (a self-join would
-        // recompute the 32-aggregate sketch per side), one shuffle on the
-        // block key, then local pair expansion — blocks are Hamming-
-        // prefix buckets and stay small by construction.
-        val blocks = simhashSpark(s, d)
-          .withColumn("blk", shiftright(col("simhash"), 16))
-          .groupBy("blk")
-          .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("docs"))
-        blocks
-          .select(col("docs"), explode(col("docs")).as("a"))
-          .select(col("a"), explode(col("docs")).as("b"))
-          .where(col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-            expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
-          .where(col("hamming") <= 8)
-          .orderBy("id_a", "id_b")
-      },
+      (s, d) => simhashNearDup(Tables.documents(s, d)).orderBy("id_a", "id_b"),
       Some(s"""WITH sk AS ($simhashBodySql)
               |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
               |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming

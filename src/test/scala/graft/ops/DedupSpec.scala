@@ -34,6 +34,24 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(2) >= 1))
   }
 
+  test("simhash near-dup retrieval survives a mass-duplicate skewed block") {
+    // 5k identical docs ⇒ one simhash ⇒ ONE 16-bit block holding the whole
+    // corpus: the skew case that OOMed the old collect_list-per-block plan
+    // (one unbounded array row). The self-join formulation must (a) never
+    // materialize a block in a single row — no collect_list in the plan —
+    // and (b) produce all n·(n−1)/2 pairs distributed.
+    import spark.implicits._
+    val n = 5000
+    val docs = spark.range(n).select(
+      org.apache.spark.sql.functions.col("id").as("doc_id"),
+      org.apache.spark.sql.functions.lit(
+        "the same mass duplicated document text repeated across the corpus").as("text"))
+    val pairs = Dedup.simhashNearDup(docs)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list"), "plan must not materialize blocks into rows")
+    assert(pairs.count() == n.toLong * (n - 1) / 2)
+  }
+
   test("simhash of near-identical docs lands in a small Hamming ball") {
     val sketches = SparkEntry.queries("q28_simhash")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
