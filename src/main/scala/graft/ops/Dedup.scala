@@ -17,13 +17,27 @@ import org.apache.spark.sql.functions._
   *    every pair collide (measured: 3M pairs at sf0.1 vs 1k truthy ones).
   *  - the LSH band join (q26) is the scalable candidate generator; the
   *    Jaccard verifier (q27) joins on individual shingles and filters at
-  *    θ=0.5 — at 100 TB you run q27's check only on q26's candidates.
+  *    θ=0.5 — at 100 TB you run q27's check only on q26's candidates
+  *    (that composition is q51).
+  *  - EVERY unbounded hot-key path has a cap with an explicit fallback:
+  *    shingles above `dfCap` document frequency are excluded from the
+  *    inverted-index join, and docs whose shingle sets are thereby fully
+  *    capped (mass-duplicate clusters — exactly the case dedup exists
+  *    for) are NOT silently dropped: they route to an exact-content-hash
+  *    star clustering (linear in cluster size, representative → member
+  *    pairs). Near-exact capped variants that differ byte-wise are
+  *    covered by the SimHash retrieval path (q49), whose band buckets
+  *    carry the same cap+star contract. Caps exceed the max frequency in
+  *    the test corpora, so values here are byte-identical to the
+  *    uncapped plan while the 100 TB plan is skew-bounded by
+  *    construction (DedupSpec exercises the capped paths with a
+  *    synthetic mass-dup cluster and a lowered cap).
   */
 object Dedup {
 
   /** 3-word shingle set, one row per (doc_id, shingle). Documents shorter
     * than 3 tokens contribute their whole text as a single shingle. */
-  private[ops] def shinglesOf(docs: DataFrame): DataFrame = {
+  def shinglesOf(docs: DataFrame): DataFrame = {
     val w = col("w")
     val sh = when(size(w) >= 3,
       transform(sequence(lit(0), size(w) - 3),
@@ -54,8 +68,8 @@ object Dedup {
   private def minhashAgg(i: Int): Column =
     min(substring(col("h"), 8 * i + 1, 8)).as(s"m$i")
 
-  private def signatures(s: SparkSession, d: String): DataFrame =
-    shingles(s, d).withColumn("h", md5(col("sh"))).groupBy("doc_id")
+  def signaturesOf(docs: DataFrame): DataFrame =
+    shinglesOf(docs).withColumn("h", md5(col("sh"))).groupBy("doc_id")
       .agg(minhashAgg(0), (1 until nHashes).map(minhashAgg): _*)
 
   private val minhashSqlCols = (0 until nHashes)
@@ -68,7 +82,7 @@ object Dedup {
   // SimHash: 32-bit, h(sh) = first 8 hex chars of md5 parsed as int;
   // bit b of the sketch = majority vote of bit b over the doc's shingles.
   private val simBits = 32
-  private[ops] def simhashOf(docs: DataFrame): DataFrame = {
+  def simhashOf(docs: DataFrame): DataFrame = {
     val h = conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long")
     val votes = Seq.tabulate(simBits) { b =>
       sum(when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
@@ -95,7 +109,7 @@ object Dedup {
     * across tasks. The previous collect_list-per-block formulation put a
     * whole block into ONE row (unbounded single-task array at 100 TB);
     * a join never materializes a block in memory. */
-  private[ops] def simhashNearDup(docs: DataFrame, radius: Int = 8): DataFrame = {
+  def simhashNearDup(docs: DataFrame, radius: Int = 8): DataFrame = {
     val sk = simhashOf(docs).withColumn("blk", shiftright(col("simhash"), 16))
     val a = sk.select(col("blk"), col("doc_id").as("id_a"), col("simhash").as("sh_a"))
     val b = sk.select(col("blk"), col("doc_id").as("id_b"), col("simhash").as("sh_b"))
@@ -123,44 +137,152 @@ object Dedup {
   // one join partition). Dropping capped shingles from BOTH the shared
   // count and the set sizes keeps the Jaccard definition coherent; 1000 ≫
   // the corpus max df (7 at sf0.01, 25 at sf0.1), so values here are
-  // unchanged while the plan is skew-bounded by construction.
+  // unchanged while the plan is skew-bounded by construction. Docs whose
+  // shingles are ALL capped fall back to exact-hash star clustering (see
+  // [[cappedFallbackPairs]]) rather than vanishing from the result.
   private val dfCap = 1000
-  private def cappedShingles(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    shingles(s, d).distinct()
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
-      .where(col("df") <= dfCap).drop("df")
-  }
-  private val cappedShinglesSql =
-    s"""SELECT doc_id, sh FROM (
-       |  SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS df
-       |  FROM (SELECT DISTINCT doc_id, sh FROM ($shinglesSql) shx) dsh) c
-       |WHERE df <= $dfCap""".stripMargin
 
-  /** LSH banding candidate pairs (the scalable generator behind q26/q51). */
-  private def lshCandidates(s: SparkSession, d: String): DataFrame = {
+  /** Distinct (doc_id, shingle) pairs with over-cap shingles removed.
+    * df is computed with a partial-aggregating groupBy and removed with
+    * an anti-join — NOT a count().over(Window.partitionBy(sh)), which
+    * would buffer a hot shingle's whole posting list in one task (the
+    * exact hotspot the cap exists to eliminate). */
+  def cappedShinglesOf(docs: DataFrame, cap: Int = dfCap): DataFrame = {
+    val dsh = shinglesOf(docs).distinct()
+    val hot = dsh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .where(col("df") > cap).select("sh")
+    // hot is tiny by Zipf (only over-cap heads); AQE picks broadcast when
+    // it fits, and the anti-join never widens rows.
+    dsh.join(hot, Seq("sh"), "left_anti")
+  }
+  private def cappedShinglesSql(cap: Int): String =
+    s"""SELECT doc_id, sh
+       |FROM (SELECT DISTINCT doc_id, sh FROM ($shinglesSql) shx) dsh
+       |WHERE sh NOT IN (
+       |  SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM ($shinglesSql) shx2) d2
+       |  GROUP BY sh HAVING COUNT(*) > $cap)""".stripMargin
+
+  /** Fallback for docs whose shingle sets are fully df-capped (mass-
+    * duplicate clusters): cluster them by exact content hash and emit
+    * representative→member pairs — LINEAR in cluster size where all-pairs
+    * would be quadratic. Exact copies genuinely have Jaccard 1.0; capped
+    * near-exact variants (differing bytes) are covered by q49's SimHash
+    * path. `surviving` = the capped shingle set (doc_id column used). */
+  private def cappedFallbackPairs(docs: DataFrame, surviving: DataFrame): DataFrame = {
+    val capped = docs.join(surviving.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    // groupBy+join, not min().over(partitionBy(fp)): a mass cluster is one
+    // hot fp; the rep table is one row per fingerprint (broadcastable).
+    val reps = capped.groupBy("fp").agg(min(col("doc_id")).as("id_a"))
+    capped.join(reps, "fp").where(col("doc_id") =!= col("id_a"))
+      .select(col("id_a"), col("doc_id").as("id_b"),
+        lit(1.0).cast("double").as("jaccard"))
+  }
+  private def cappedFallbackSql(cap: Int): String =
+    s"""SELECT r.id_a, f.doc_id AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
+       |FROM (SELECT doc_id, md5(text) AS fp FROM documents
+       |      WHERE doc_id NOT IN (SELECT doc_id FROM (${cappedShinglesSql(cap)}) sv)) f
+       |JOIN (SELECT fp, MIN(doc_id) AS id_a
+       |      FROM (SELECT doc_id, md5(text) AS fp FROM documents
+       |            WHERE doc_id NOT IN (SELECT doc_id FROM (${cappedShinglesSql(cap)}) sv2)) g
+       |      GROUP BY fp) r ON f.fp = r.fp
+       |WHERE f.doc_id <> r.id_a""".stripMargin
+
+  /** Shingle-Jaccard near-dup pairs (θ=0.5) via inverted-index self-join
+    * on df-capped distinct shingles, plus the mass-dup fallback. */
+  def jaccardPairs(docs: DataFrame, cap: Int = dfCap): DataFrame = {
+    // attach each doc's set size with a window count on the SAME lineage
+    // instead of two extra size-joins: 2 scans + 1 join rather than
+    // 4 scans + 3 joins; doc_id is bounded by document length — not a
+    // hot key the way shingles are. The self-join halves dedupe via
+    // ReuseExchange.
+    import org.apache.spark.sql.expressions.Window
+    val t = cappedShinglesOf(docs, cap)
+    val tn = t.withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+    val a = tn.select(col("doc_id").as("id_a"), col("sh"), col("n").as("na"))
+    val b = tn.select(col("doc_id").as("id_b"), col("sh"), col("n").as("nb"))
+    val pairs = a.join(b, "sh").where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "na", "id_b", "nb").agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .where(col("jaccard") >= 0.5)
+      .select("id_a", "id_b", "jaccard")
+    pairs.unionByName(cappedFallbackPairs(docs, t))
+  }
+
+  // Band-bucket cap for LSH candidate generation: a mass-duplicate
+  // cluster shares every band hash, so the band self-join alone would
+  // emit |cluster|² candidate pairs. Buckets above the cap switch to
+  // representative→member star pairs — for dedup, connectivity through
+  // the representative carries the same information as all-pairs.
+  private val bucketCap = 1000
+
+  /** LSH banding candidate pairs (the scalable generator behind q26/q51):
+    * all-pairs within small band buckets, star pairs within over-cap ones. */
+  def lshCandidatesOf(docs: DataFrame, cap: Int = bucketCap): DataFrame = {
     // explode-unpivot keeps ONE signature lineage (a union of two
     // selects doubles the scan+shuffle tree); the band self-join's
     // identical exchanges are then deduped by ReuseExchange.
-    val bands = signatures(s, d)
+    val bands = signaturesOf(docs)
       .select(col("doc_id"), explode(array(
         struct(lit(0).as("band"), md5(concat(col("m0"), col("m1"))).as("bh")),
         struct(lit(1).as("band"), md5(concat(col("m2"), col("m3"))).as("bh")))).as("e"))
       .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
-    val a = bands.select(col("band"), col("bh"), col("doc_id").as("id_a"))
-    val b = bands.select(col("band"), col("bh"), col("doc_id").as("id_b"))
-    a.join(b, Seq("band", "bh")).where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val stats = bands.groupBy("band", "bh")
+      .agg(count(lit(1)).as("bn"), min(col("doc_id")).as("rep"))
+    val wb = bands.join(stats, Seq("band", "bh"))
+    val small = wb.where(col("bn") <= cap)
+    val a = small.select(col("band"), col("bh"), col("doc_id").as("id_a"))
+    val b = small.select(col("band"), col("bh"), col("doc_id").as("id_b"))
+    val allPairs = a.join(b, Seq("band", "bh")).where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val starPairs = wb.where(col("bn") > cap && col("doc_id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("doc_id").as("id_b"))
+    allPairs.unionByName(starPairs).distinct()
   }
-  private val lshCandidatesSql =
+  private def lshCandidatesSql(cap: Int): String =
     s"""WITH sig AS ($sigSql),
        |bands AS (
        |  SELECT doc_id, 0 AS band, md5(m0 || m1) AS bh FROM sig
        |  UNION ALL
-       |  SELECT doc_id, 1 AS band, md5(m2 || m3) AS bh FROM sig)
-       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
-       |WHERE a.doc_id < b.doc_id""".stripMargin
+       |  SELECT doc_id, 1 AS band, md5(m2 || m3) AS bh FROM sig),
+       |st AS (SELECT band, bh, COUNT(*) AS bn, MIN(doc_id) AS rep
+       |       FROM bands GROUP BY band, bh),
+       |wb AS (SELECT bands.doc_id, bands.band, bands.bh, st.bn, st.rep
+       |       FROM bands JOIN st ON bands.band = st.band AND bands.bh = st.bh)
+       |SELECT DISTINCT id_a, id_b FROM (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM wb a JOIN wb b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |  WHERE a.bn <= $cap
+       |  UNION ALL
+       |  SELECT rep AS id_a, doc_id AS id_b FROM wb
+       |  WHERE bn > $cap AND doc_id <> rep) u""".stripMargin
+
+  /** The composed dedup pipeline the 100 TB deployment actually runs:
+    * LSH banding generates candidate pairs (near-linear), exact Jaccard
+    * verifies ONLY those pairs — candidate-driven joins instead of the
+    * full inverted-index self-join; fully-capped docs take the same
+    * exact-hash star fallback as q27. */
+  def dedupPipeline(docs: DataFrame, cap: Int = dfCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand = lshCandidatesOf(docs)
+    val t = cappedShinglesOf(docs, cap)
+    val tn = t.withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+    // candidate-driven: pairs × a-side shingles, then match b-side on
+    // (id_b, sh) — cost O(|candidates| · shingles/doc), independent of
+    // corpus-wide shingle collision counts.
+    val withA = cand
+      .join(tn.select(col("doc_id").as("id_a"), col("sh"), col("n").as("na")), "id_a")
+    val verified = withA
+      .join(tn.select(col("doc_id").as("id_b"), col("sh"), col("n").as("nb")),
+        Seq("id_b", "sh"))
+      .groupBy("id_a", "na", "id_b", "nb").agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .where(col("jaccard") >= 0.5)
+      .select("id_a", "id_b", "jaccard")
+    verified.unionByName(cappedFallbackPairs(docs, t))
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -175,78 +297,43 @@ object Dedup {
 
     // MinHash signatures (k=4 hash functions over 3-word shingles).
     QueryDef("q25_minhash_sig",
-      (s, d) => signatures(s, d).orderBy("doc_id"),
+      (s, d) => signaturesOf(Tables.documents(s, d)).orderBy("doc_id"),
       Some(s"$sigSql ORDER BY doc_id")),
 
     // LSH banding: 2 bands × 2 rows; candidate pairs = docs sharing a band
-    // hash. Equality join on the fixed-width band key — near-linear.
+    // hash. Equality join on the fixed-width band key — near-linear; see
+    // bucketCap for the mass-duplicate star contract.
     QueryDef("q26_lsh_candidates",
-      (s, d) => lshCandidates(s, d).orderBy("id_a", "id_b"),
-      Some(s"$lshCandidatesSql\nORDER BY id_a, id_b")),
+      (s, d) => lshCandidatesOf(Tables.documents(s, d)).orderBy("id_a", "id_b"),
+      Some(s"${lshCandidatesSql(bucketCap)}\nORDER BY id_a, id_b")),
 
     // Shingle-Jaccard near-dup verification (θ=0.5) via inverted-index
     // self-join on df-capped distinct shingles (see dfCap above — the
     // hot-shingle posting lists that would make this quadratic at scale
-    // are excluded from the plan, not just from a comment).
+    // are excluded from the plan, not just from a comment) + the
+    // mass-dup exact-hash fallback.
     QueryDef("q27_ngram_jaccard",
-      (s, d) => {
-        // attach each doc's set size with a window count on the SAME
-        // lineage instead of two extra size-joins: 2 scans + 1 join
-        // rather than 4 scans + 3 joins; the self-join halves dedupe via
-        // ReuseExchange.
-        import org.apache.spark.sql.expressions.Window
-        val tn = cappedShingles(s, d)
-          .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
-        val a = tn.select(col("doc_id").as("id_a"), col("sh"), col("n").as("na"))
-        val b = tn.select(col("doc_id").as("id_b"), col("sh"), col("n").as("nb"))
-        a.join(b, "sh").where(col("id_a") < col("id_b"))
-          .groupBy("id_a", "na", "id_b", "nb").agg(count(lit(1)).as("shared"))
-          .withColumn("jaccard",
-            col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
-          .where(col("jaccard") >= 0.5)
-          .select("id_a", "id_b", "jaccard")
-          .orderBy("id_a", "id_b")
-      },
-      Some(s"""WITH t AS ($cappedShinglesSql),
+      (s, d) => jaccardPairs(Tables.documents(s, d)).orderBy("id_a", "id_b"),
+      Some(s"""WITH t AS (${cappedShinglesSql(dfCap)}),
              |sz AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
              |shr AS (
              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
              |  FROM t a JOIN t b ON a.sh = b.sh AND a.doc_id < b.doc_id
              |  GROUP BY 1, 2)
-             |SELECT id_a, id_b,
-             |  CAST(shared AS DOUBLE) / (na.n + nb.n - shared) AS jaccard
-             |FROM shr JOIN sz na ON shr.id_a = na.doc_id
-             |        JOIN sz nb ON shr.id_b = nb.doc_id
-             |WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.5
+             |SELECT id_a, id_b, jaccard FROM (
+             |  SELECT id_a, id_b,
+             |    CAST(shared AS DOUBLE) / (na.n + nb.n - shared) AS jaccard
+             |  FROM shr JOIN sz na ON shr.id_a = na.doc_id
+             |          JOIN sz nb ON shr.id_b = nb.doc_id
+             |  WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.5
+             |  UNION ALL
+             |  ${cappedFallbackSql(dfCap)}) u
              |ORDER BY id_a, id_b""".stripMargin)),
 
-    // The composed dedup pipeline the 100 TB deployment actually runs:
-    // LSH banding generates candidate pairs (near-linear), exact Jaccard
-    // verifies ONLY those pairs — candidate-driven joins instead of the
-    // full inverted-index self-join.
     QueryDef("q51_dedup_pipeline",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val cand = lshCandidates(s, d)
-        val tn = cappedShingles(s, d)
-          .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
-        // candidate-driven: pairs × a-side shingles, then match b-side on
-        // (id_b, sh) — cost O(|candidates| · shingles/doc), independent of
-        // corpus-wide shingle collision counts.
-        val withA = cand
-          .join(tn.select(col("doc_id").as("id_a"), col("sh"), col("n").as("na")), "id_a")
-        withA
-          .join(tn.select(col("doc_id").as("id_b"), col("sh"), col("n").as("nb")),
-            Seq("id_b", "sh"))
-          .groupBy("id_a", "na", "id_b", "nb").agg(count(lit(1)).as("shared"))
-          .withColumn("jaccard",
-            col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
-          .where(col("jaccard") >= 0.5)
-          .select("id_a", "id_b", "jaccard")
-          .orderBy("id_a", "id_b")
-      },
-      Some(s"""WITH cand AS ($lshCandidatesSql),
-             |t AS ($cappedShinglesSql),
+      (s, d) => dedupPipeline(Tables.documents(s, d)).orderBy("id_a", "id_b"),
+      Some(s"""WITH cand AS (${lshCandidatesSql(bucketCap)}),
+             |t AS (${cappedShinglesSql(dfCap)}),
              |sz AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
              |shr AS (
              |  SELECT c.id_a, c.id_b, COUNT(*) AS shared
@@ -254,11 +341,14 @@ object Dedup {
              |  JOIN t a ON a.doc_id = c.id_a
              |  JOIN t b ON b.doc_id = c.id_b AND b.sh = a.sh
              |  GROUP BY 1, 2)
-             |SELECT id_a, id_b,
-             |  CAST(shared AS DOUBLE) / (na.n + nb.n - shared) AS jaccard
-             |FROM shr JOIN sz na ON shr.id_a = na.doc_id
-             |        JOIN sz nb ON shr.id_b = nb.doc_id
-             |WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.5
+             |SELECT id_a, id_b, jaccard FROM (
+             |  SELECT id_a, id_b,
+             |    CAST(shared AS DOUBLE) / (na.n + nb.n - shared) AS jaccard
+             |  FROM shr JOIN sz na ON shr.id_a = na.doc_id
+             |          JOIN sz nb ON shr.id_b = nb.doc_id
+             |  WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.5
+             |  UNION ALL
+             |  ${cappedFallbackSql(dfCap)}) u
              |ORDER BY id_a, id_b""".stripMargin)),
 
     // SimHash sketches (32-bit majority-vote fingerprint over shingles).

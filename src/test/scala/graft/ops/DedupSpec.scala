@@ -52,6 +52,41 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.count() == n.toLong * (n - 1) / 2)
   }
 
+  test("mass-dup cluster beyond dfCap routes to the exact-hash star fallback") {
+    // 30 identical docs with cap=10: every shingle of the cluster has
+    // df=30 > cap, so the whole cluster is capped out of the inverted-
+    // index join. The fallback must still report the cluster — as LINEAR
+    // representative→member pairs (29), not quadratic all-pairs (435) —
+    // and the distinct docs' pairs must be unaffected.
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val cluster = spark.range(30).select(col("id").as("doc_id"),
+      lit("mass duplicated boilerplate template text shared by every copy").as("text"))
+    val distinctDocs = spark.range(100, 105).select(col("id").as("doc_id"),
+      concat(lit("unique document number "), col("id"),
+        lit(" with its own words entirely")).as("text"))
+    val docs = cluster.unionByName(distinctDocs)
+    val pairs = Dedup.jaccardPairs(docs, cap = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val clusterPairs = pairs.filter(_._1 < 100)
+    assert(clusterPairs.length == 29, s"expected 29 star pairs, got ${clusterPairs.length}")
+    assert(clusterPairs.forall(p => p._1 == 0L && p._3 == 1.0))
+    // "unique document number <id> with its own words entirely" shares 4
+    // of 7 shingles pairwise (j≈0.4 < θ) — no cross pairs expected, and
+    // crucially none LOST to the cap either (their shingles survive).
+    assert(pairs.forall(p => p._2 < 100 || p._1 >= 100 || p._1 == 0L))
+  }
+
+  test("LSH band buckets beyond bucketCap emit star pairs, not |bucket|^2") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val n = 40
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      lit("mass duplicated boilerplate template text shared by every copy").as("text"))
+    val cand = Dedup.lshCandidatesOf(docs, cap = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(cand.length == n - 1, s"expected ${n - 1} star pairs, got ${cand.length}")
+    assert(cand.forall(_._1 == 0L), "all pairs anchor at the representative")
+  }
+
   test("simhash of near-identical docs lands in a small Hamming ball") {
     val sketches = SparkEntry.queries("q28_simhash")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
