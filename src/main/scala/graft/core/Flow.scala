@@ -36,9 +36,19 @@ final class Flow[T](val ds: Dataset[T]) {
     * lazy and usable mid-pipeline, like the reference's all-method filter. */
   def take(n: Long): Flow[T] = {
     require(n >= 0)
-    // Dataset.limit takes Int; chunk for the (rare) >2^31 case.
-    if (n <= Int.MaxValue) new Flow(ds.limit(n.toInt))
-    else new Flow(ds) // whole stream: reference take with huge limit is identity
+    if (n <= Int.MaxValue) new Flow(ds.limit(n.toInt)) else takeIndexed(n)
+  }
+
+  /** The beyond-2^31 take path: Dataset.limit takes Int, so attach an
+    * ordered global index (zipWithIndex preserves partition order — the
+    * Flow ordering contract) and filter. Costs one extra counting pass;
+    * correct for streams longer than 2^31 with a limit between 2^31 and
+    * the length, where an identity shortcut would silently over-return. */
+  private[core] def takeIndexed(n: Long): Flow[T] = {
+    val e = enc
+    implicit val ct: scala.reflect.ClassTag[T] = e.clsTag
+    new Flow(ds.sparkSession.createDataset(
+      ds.rdd.zipWithIndex().filter(_._2 < n).map(_._1))(e))
   }
 
   /** Per-element ops — flod delegates these to host-language ranges

@@ -97,9 +97,13 @@ object Multimodal {
     * SQL-expressible: the DuckDB twin re-derives each byte from
     * hex(encode(text)) and replicates sniff/width/height exactly
     * (validated byte-for-byte against StubCodec). */
-  def mediaStats(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    decode(mediaTable(s, dir))
+  def mediaStats(s: SparkSession, dir: String): DataFrame =
+    mediaStatsOf(mediaTable(s, dir))
+
+  /** Stats over any media Dataset (spec entry for synthetic fixtures,
+    * e.g. the empty-payload branch the corpus doesn't contain). */
+  def mediaStatsOf(media: Dataset[MediaRow]): DataFrame =
+    decode(media)
       .select(col("media_id"), col("meta.format").as("format"),
         col("meta.width").as("width"), col("meta.height").as("height"),
         col("meta.bytes").as("bytes"))
@@ -107,23 +111,26 @@ object Multimodal {
       .agg(count(lit(1)).as("n"), sum("bytes").as("total_bytes"),
         max("width").as("max_width"), max("height").as("max_height"))
       .orderBy("format")
-  }
 
   val defs: Seq[graft.QueryDef] = Seq(
     graft.QueryDef("q33_multimodal_stats", (s, d) => mediaStats(s, d),
       // Byte k of the UTF-8 payload = hex digits (2k+1, 2k+2) of the
       // blob's hex dump — mirrors StubCodec.sniffFormat/decodeMeta.
+      // TRY_CAST keeps the short-payload branches well-defined even if
+      // CASE branch evaluation were eager: for len=0/len<=2 rows the
+      // cast input degenerates to '0x', which TRY_CAST maps to NULL
+      // instead of erroring (the CASE then never selects that branch).
       Some("""WITH b AS (
              |  SELECT hex(encode(text)) AS hx, octet_length(encode(text)) AS len
              |  FROM documents),
              |m AS (
              |  SELECT
              |    CASE WHEN len = 0 THEN 'empty'
-             |         WHEN ('0x' || substr(hx, 1, 2))::INT % 3 = 0 THEN 'img/fake-png'
-             |         WHEN ('0x' || substr(hx, 1, 2))::INT % 3 = 1 THEN 'audio/fake-wav'
+             |         WHEN TRY_CAST('0x' || substr(hx, 1, 2) AS INT) % 3 = 0 THEN 'img/fake-png'
+             |         WHEN TRY_CAST('0x' || substr(hx, 1, 2) AS INT) % 3 = 1 THEN 'audio/fake-wav'
              |         ELSE 'video/fake-mp4' END AS format,
-             |    CASE WHEN len > 1 THEN 16 * (('0x' || substr(hx, 3, 2))::INT % 40 + 1) ELSE 0 END AS width,
-             |    CASE WHEN len > 2 THEN 16 * (('0x' || substr(hx, 5, 2))::INT % 30 + 1) ELSE 0 END AS height,
+             |    CASE WHEN len > 1 THEN 16 * (TRY_CAST('0x' || substr(hx, 3, 2) AS INT) % 40 + 1) ELSE 0 END AS width,
+             |    CASE WHEN len > 2 THEN 16 * (TRY_CAST('0x' || substr(hx, 5, 2) AS INT) % 30 + 1) ELSE 0 END AS height,
              |    len AS bytes
              |  FROM b)
              |SELECT format, COUNT(*) AS n, CAST(SUM(bytes) AS BIGINT) AS total_bytes,

@@ -100,6 +100,40 @@ object TextAnalysis {
              |  CAST(SUM(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_len_mismatch,
              |  CAST(SUM(CASE WHEN lang NOT IN ('en','de','es','fr','zh') THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_lang,
              |  CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_id
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // Distributed byLine with full Splitter semantics: the corpus as ONE
+    // ordered char stream (doc texts + '\n', range-partitioned by
+    // doc_id so partition index order is stream order), split on ' '
+    // across partition boundaries by the two-pass boundary repair
+    // (graft.text.DistributedSplit — q16 covers per-row splitting; this
+    // is the whole-stream operator the reference's byLine actually is).
+    // Segments spanning doc boundaries (word+'\n'+word) are the PROOF
+    // the split ran on the stream, not per-row; the DuckDB twin
+    // replicates them by aggregating the same concatenation. The corpus
+    // has no leading/trailing/double spaces, so DuckDB's string_split
+    // (which keeps empty fields) agrees with reference semantics here.
+    QueryDef("q52_distributed_split",
+      (s, d) => {
+        import s.implicits._
+        val chunks = Tables.documents(s, d)
+          .select(col("doc_id"), concat(col("text"), lit("\n")).as("chunk"))
+          .repartitionByRange(8, col("doc_id"))
+          .sortWithinPartitions("doc_id")
+          .select("chunk").as[String]
+        graft.text.DistributedSplit.split(chunks, " ")
+          .toDF("seg")
+          .agg(count(lit(1)).as("n_segments"),
+            sum(length(col("seg"))).as("total_chars"),
+            count_distinct(col("seg")).as("n_distinct"))
+      },
+      Some("""WITH s AS (
+             |  SELECT string_agg(text || chr(10), '' ORDER BY doc_id) AS stream
+             |  FROM documents),
+             |seg AS (SELECT unnest(string_split(stream, ' ')) AS seg FROM s)
+             |SELECT COUNT(*) AS n_segments,
+             |  CAST(SUM(length(seg)) AS BIGINT) AS total_chars,
+             |  COUNT(DISTINCT seg) AS n_distinct
+             |FROM seg""".stripMargin))
   )
 }

@@ -94,20 +94,33 @@ object StreamOps {
   /** Streaming first-seen dedup — custom keyed state via
     * flatMapGroupsWithState (SURVEY.md §1.3: Spark's state store replaces
     * the reference's in-pipeline buffering for unbounded flows). Emits
-    * each key's first element only, across micro-batches. At scale the
-    * state store shards by key; pair with a TTL timeout for unbounded
-    * key spaces. */
-  def firstSeen[K, V](ds: Dataset[V], key: V => K)
+    * each key's first element only, across micro-batches.
+    *
+    * State is BOUNDED by default: each key's entry expires `ttl` after
+    * its first occurrence (ProcessingTimeTimeout; the timeout is set
+    * once and not refreshed by suppressed repeats, so the dedup window
+    * is anchored at first-seen). After expiry the key re-emits — the
+    * standard windowed-dedup contract for unbounded key spaces at
+    * 100 TB, where never-expiring state is an unbounded state store.
+    * Pass `ttl = None` only for genuinely finite key domains. */
+  def firstSeen[K, V](ds: Dataset[V], key: V => K,
+                      ttl: Option[java.time.Duration] = Some(java.time.Duration.ofHours(24)))
                      (implicit ke: org.apache.spark.sql.Encoder[K],
                       ve: org.apache.spark.sql.Encoder[V]): Dataset[V] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     implicit val boolEnc: org.apache.spark.sql.Encoder[Boolean] =
       org.apache.spark.sql.Encoders.scalaBoolean
-    ds.groupByKey(key).flatMapGroupsWithState(
-      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+    val conf = if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+               else GroupStateTimeout.NoTimeout
+    ds.groupByKey(key).flatMapGroupsWithState(OutputMode.Append, conf) {
       (_: K, values: Iterator[V], state: GroupState[Boolean]) =>
-        if (state.exists) Iterator.empty
-        else { state.update(true); values.take(1) }
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
+        else if (state.exists) Iterator.empty
+        else {
+          state.update(true)
+          ttl.foreach(t => state.setTimeoutDuration(t.toMillis))
+          values.take(1)
+        }
     }
   }
 

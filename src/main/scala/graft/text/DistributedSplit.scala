@@ -1,0 +1,148 @@
+package graft.text
+
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+
+/** Distributed separator-splitting with the full reference semantics
+  * (flod `byLine`, reference `range.d:359-508` — keepSeparator, the
+  * terminated-empty-segment rule, multi-char separators), correct across
+  * partition boundaries.
+  *
+  * `Flow.byLine` is only correct when one partition holds the whole
+  * ordered stream; the text-source `lineSep` path cannot keep
+  * terminators or reproduce the terminated-empty-segment rule. This is
+  * the missing distributed operator: a two-pass repair.
+  *
+  *  - Pass 1 (distributed): each partition splits its own chunk stream
+  *    with [[Splitter.incremental]] (keepSeparator internally, so
+  *    concatenation is lossless). Interior segments — those that both
+  *    begin after a separator found in this partition and end with one —
+  *    are provably correct locally and stay distributed.
+  *  - Pass 2 (driver, O(partitions) data): only each partition's FIRST
+  *    segment and unterminated TAIL are boundary-suspect (a separator
+  *    can even span the junction byte-wise). These ≤2 small fragments
+  *    per partition are walked in order, junctions re-split, and the
+  *    repaired segments unioned back. A single segment spanning a whole
+  *    multi-GB partition would chain through the driver — the inherent
+  *    pathological case of any order-preserving split, documented here.
+  *
+  * Scale: shuffled data is ONLY the repaired boundary segments
+  * (≤2·partitions rows); interior segments never leave their partition
+  * until the final order-preserving sort (range partitioning).
+  */
+object DistributedSplit {
+
+  // non-private: encoder codegen instantiates these from generated code
+  case class Seg(part: Int, slot: Int, idx: Long, seg: String)
+  case class Boundary(part: Int, first: String, tail: String,
+                      nSegs: Long, lastTerminated: Boolean)
+
+  /** Split an ordered, partitioned chunk stream into segments, totally
+    * ordered (by the returned Dataset's order), with exact Splitter
+    * semantics. `chunks` must be an ordered stream whose partition index
+    * order is the stream order (true for file reads and fromSeq).
+    *
+    * Costs two scans of the chunk stream (interior pass + boundary
+    * pass) — the standard price of an order-preserving split without an
+    * index; `persist()` the chunk Dataset upstream to trade memory for
+    * the rescan. */
+  def split(chunks: Dataset[String], sep: String,
+            keepSeparator: Boolean = false): Dataset[String] = {
+    require(sep.nonEmpty, "separator must be non-empty")
+    val spark = chunks.sparkSession
+    import spark.implicits._
+
+    // Pass 1: local split, keepSeparator=true for losslessness.
+    // slot -1 = repaired-junction segments (inserted by pass 2),
+    // slot  0 = interior segments.
+    val local: Dataset[(Int, Array[String])] = chunks.rdd
+      .mapPartitionsWithIndex { (pi, it) =>
+        Iterator.single(pi -> Splitter.incremental(sep, keepSeparator = true)(it).toArray)
+      }.toDS()
+
+    val interior: Dataset[Seg] = local.flatMap { case (pi, segs) =>
+      val n = segs.length
+      // s0 is boundary; s1..s_{k-1} interior; sk interior iff terminated
+      val lastIsInterior = n >= 2 && segs(n - 1).endsWith(sep)
+      val hi = if (lastIsInterior) n else n - 1
+      (1 until hi).iterator.map(j => Seg(pi, 0, j.toLong, segs(j)))
+    }(Encoders.product[Seg])
+
+    val boundaries: Array[Boundary] = local.map { case (pi, segs) =>
+      val n = segs.length
+      val lastTerm = n > 0 && segs(n - 1).endsWith(sep)
+      Boundary(pi,
+        first = if (n > 0) segs(0) else "",
+        tail = if (n >= 2 && !lastTerm) segs(n - 1) else "",
+        nSegs = n.toLong, lastTerminated = lastTerm)
+    }(Encoders.product[Boundary]).collect().sortBy(_.part)
+
+    // Pass 2: walk junctions in stream order.
+    val repaired = Vector.newBuilder[Seg]
+    var pending = ""
+    for (b <- boundaries) {
+      if (b.nSegs == 0L) {
+        // empty partition: nothing to do
+      } else if (b.nSegs == 1L) {
+        val junction = pending + b.first
+        if (b.lastTerminated) {
+          // partition ends exactly on a separator: junction closes here
+          Splitter.split(junction, sep, keepSeparator = true).zipWithIndex
+            .foreach { case (s, j) => repaired += Seg(b.part, -1, j.toLong, s) }
+          pending = ""
+        } else pending = junction // separator-less partition: keep chaining
+      } else {
+        // first segment is terminated (>=2 segments): junction closes
+        Splitter.split(pending + b.first, sep, keepSeparator = true).zipWithIndex
+          .foreach { case (s, j) => repaired += Seg(b.part, -1, j.toLong, s) }
+        pending = if (b.lastTerminated) "" else b.tail
+      }
+    }
+    val lastPart = boundaries.lastOption.map(_.part + 1).getOrElse(0)
+    // the pending chain can itself contain separators assembled across
+    // separator-less fragments ("<" ++ "|>tail" for sep "<|>") — re-split
+    // on final emission, exactly like a junction close
+    if (pending.nonEmpty)
+      Splitter.split(pending, sep, keepSeparator = true).zipWithIndex
+        .foreach { case (s, j) => repaired += Seg(lastPart, -1, j.toLong, s) }
+
+    val all = interior.unionByName(
+      spark.createDataset(repaired.result())(Encoders.product[Seg]))
+    val ordered = all.orderBy("part", "slot", "idx").map(_.seg)(Encoders.STRING)
+    if (keepSeparator) ordered
+    else ordered.map { s =>
+      if (s.endsWith(sep)) s.substring(0, s.length - sep.length) else s
+    }(Encoders.STRING)
+  }
+
+  /** Distributed file read + split: the scalable `byLine` with full
+    * Splitter semantics over an arbitrary (multi-char) separator. Reads
+    * the file as fixed-size chunks partitioned by byte ranges — each
+    * task reads only its range (the splittable-scan pattern) — then
+    * applies [[split]]. Assumes UTF-8 text whose separator bytes cannot
+    * be a suffix/prefix mix inside a multi-byte code point (true for
+    * ASCII separators over UTF-8). */
+  def readSplit(spark: SparkSession, path: String, sep: String,
+                keepSeparator: Boolean = false,
+                chunkBytes: Long = 4L << 20, parallelism: Int = 0): Dataset[String] = {
+    import spark.implicits._
+    val size = new java.io.File(path).length()
+    val nChunks = math.max(1L, (size + chunkBytes - 1) / chunkBytes)
+    val parts = if (parallelism > 0) parallelism
+                else math.min(nChunks, spark.sparkContext.defaultParallelism.toLong).toInt
+    val chunks = spark.range(0, nChunks, 1, parts.toInt).map { i =>
+      val ch = java.nio.channels.FileChannel.open(java.nio.file.Paths.get(path))
+      try {
+        val start = i * chunkBytes
+        val len = math.min(chunkBytes, size - start).toInt
+        val buf = java.nio.ByteBuffer.allocate(len)
+        ch.position(start)
+        var read = 0
+        while (read < len) {
+          val r = ch.read(buf); if (r < 0) read = len else read += r
+        }
+        new String(buf.array(), 0, buf.position(), java.nio.charset.StandardCharsets.UTF_8)
+      } finally ch.close()
+    }
+    split(chunks, sep, keepSeparator)
+  }
+}

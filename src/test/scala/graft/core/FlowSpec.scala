@@ -22,6 +22,16 @@ class FlowSpec extends AnyFunSuite {
     }
   }
 
+  test("indexed take (the beyond-2^31 path) keeps order across partitions") {
+    // take(>2^31) routes here (the 999999999999L boundary case above
+    // covers the cap-at-length behavior at 10M rows); ordering semantics
+    // of the indexed path are pinned on a multi-partition stream
+    val flow = Flow.fromSeq(spark, (1 to 20).toSeq, numPartitions = 4)
+    assert(flow.takeIndexed(7L).toArray == (1 to 7))
+    assert(flow.takeIndexed(0L).toArray == Seq.empty)
+    assert(flow.takeIndexed(25L).toArray == (1 to 20))
+  }
+
   test("map(+1).filter(>10) over [1,14,10,19,32,5,43] (pipeline.d:1617-1623)") {
     val got = Flow.fromSeq(spark, Seq(1, 14, 10, 19, 32, 5, 43))
       .map(_ + 1).filter(_ > 10).toArray

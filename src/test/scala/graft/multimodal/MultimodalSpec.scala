@@ -45,6 +45,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(parts.rdd.getNumPartitions == 8)
   }
 
+  test("empty and short payloads take the degenerate decode branches") {
+    // the corpus has no empty docs, so the 'empty' format and the
+    // len<=2 width/height zero-branches are pinned here (and the DuckDB
+    // twin's TRY_CAST guard is cross-checked against these exact values
+    // in tools/oracle_branch_check.py)
+    assert(StubCodec.decodeMeta(Array.emptyByteArray) ==
+      MediaMeta("empty", 0, 0, 1, 0L))
+    val one = StubCodec.decodeMeta(Array[Byte](65)) // "A" = 65, 65%3=2
+    assert(one == MediaMeta("video/fake-mp4", 0, 0, 1, 1L))
+    val two = StubCodec.decodeMeta("AB".getBytes("UTF-8")) // 66%40+1=27
+    assert(two == MediaMeta("video/fake-mp4", 16 * 27, 0, 1, 2L))
+    import spark.implicits._
+    val media = spark.createDataset(Seq(
+      MediaRow(1L, Array.emptyByteArray),
+      MediaRow(2L, "A".getBytes("UTF-8")),
+      MediaRow(3L, "some longer document".getBytes("UTF-8"))))
+    val stats = mediaStatsOf(media).collect()
+    assert(stats.map(_.getString(0)).contains("empty"))
+    assert(stats.map(_.getLong(1)).sum == 3)
+  }
+
   test("q33 media stats aggregates per format") {
     val stats = mediaStats(spark, sf).collect()
     assert(stats.map(_.getLong(1)).sum == 500) // all docs accounted for

@@ -61,10 +61,64 @@ class PushSpec extends AnyFunSuite {
     val q = deduped.writeStream.outputMode("append")
       .format("memory").queryName("dedup_out").start()
     try {
-      source.addData(Seq(1L, 2L, 2L, 3L)); q.processAllAvailable()
-      source.addData(Seq(2L, 3L, 4L)); q.processAllAvailable()
-      val got = spark.table("dedup_out").collect().map(_.getLong(0)).sorted.toSeq
-      assert(got == Seq(1L, 2L, 3L, 4L))
+      source.addData(Seq(1L, 2L, 2L, 3L))
+      assert(pollRows("dedup_out", 3).sorted == Seq(1L, 2L, 3L))
+      source.addData(Seq(2L, 3L, 4L))
+      assert(pollRows("dedup_out", 4).sorted == Seq(1L, 2L, 3L, 4L))
+    } finally q.stop()
+  }
+
+  // With ProcessingTimeTimeout the engine keeps scheduling no-data
+  // batches to fire pending timeouts, so processAllAvailable never
+  // settles — the TTL tests poll the sink instead of blocking.
+  private def pollRows(table: String, atLeast: Int, timeoutMs: Long = 30000): Seq[Long] = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var rows = Seq.empty[Long]
+    while (rows.length < atLeast && System.currentTimeMillis() < deadline) {
+      rows = spark.table(table).collect().map(_.getLong(0)).toSeq
+      if (rows.length < atLeast) Thread.sleep(100)
+    }
+    rows
+  }
+
+  test("firstSeen with a TTL still dedups inside the window") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val source = MemoryStream[Long](spark)
+    val deduped = StreamOps.firstSeen[Long, Long](source.toDS(), identity,
+      ttl = Some(java.time.Duration.ofMinutes(10)))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_ttl_window").start()
+    try {
+      source.addData(Seq(7L, 7L, 8L))
+      assert(pollRows("dedup_ttl_window", 2).sorted == Seq(7L, 8L))
+      source.addData(Seq(7L, 8L, 9L))
+      assert(pollRows("dedup_ttl_window", 3).sorted == Seq(7L, 8L, 9L))
+      // repeats inside the TTL window stay suppressed (settle, recheck)
+      Thread.sleep(500)
+      assert(spark.table("dedup_ttl_window").count() == 3)
+    } finally q.stop()
+  }
+
+  test("firstSeen state expires after the TTL and the key re-emits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val source = MemoryStream[Long](spark)
+    val deduped = StreamOps.firstSeen[Long, Long](source.toDS(), identity,
+      ttl = Some(java.time.Duration.ofMillis(200)))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_ttl_expire").start()
+    try {
+      source.addData(Seq(1L))
+      assert(pollRows("dedup_ttl_expire", 1) == Seq(1L))   // first seen: emits
+      Thread.sleep(500)                                    // let the TTL lapse
+      source.addData(Seq(99L))                             // next batches fire the timeout
+      assert(pollRows("dedup_ttl_expire", 2).length == 2)
+      source.addData(Seq(1L))                              // expired: re-emits
+      val got = pollRows("dedup_ttl_expire", 3)
+      assert(got.count(_ == 1L) == 2, s"expected key 1 twice (expiry re-emit), got $got")
+      // expiry must actually REMOVE state, not only re-emit: the store
+      // holds the two live keys, not every key ever seen
+      val stateRows = q.recentProgress.last.stateOperators.head.numRowsTotal
+      assert(stateRows <= 2, s"state store must stay bounded, holds $stateRows rows")
     } finally q.stop()
   }
 }
