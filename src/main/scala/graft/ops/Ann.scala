@@ -36,6 +36,81 @@ object Ann {
       when(Vectors.dot(v, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  // ---- learned IVF: k-means coarse quantizer ----
+
+  /** Nearest-centroid cell id as a codegen'd expression: centroids are
+    * baked in as literal arrays; squared-L2 per centroid via zip_with +
+    * aggregate; argmin via array_min over (distance, index) structs
+    * (struct ordering compares the distance first). No UDF, no shuffle —
+    * the assignment is a narrow projection even at 100 TB. */
+  def cellCol(v: Column, cents: Array[Array[Double]]): Column = {
+    val entries = cents.zipWithIndex.map { case (c, i) =>
+      val carr = array(c.map(lit).toSeq: _*)
+      val d2 = aggregate(zip_with(v, carr, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+      struct(d2.as("d"), lit(i).as("i"))
+    }
+    array_min(array(entries.toSeq: _*)).getField("i")
+  }
+
+  /** The query-side probe list: the `nprobe` nearest cells in ascending
+    * centroid distance (array_sort on (distance, index) structs). */
+  def probeCells(v: Column, cents: Array[Array[Double]], nprobe: Int): Column = {
+    val entries = cents.zipWithIndex.map { case (c, i) =>
+      val carr = array(c.map(lit).toSeq: _*)
+      val d2 = aggregate(zip_with(v, carr, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+      struct(d2.as("d"), lit(i).as("i"))
+    }
+    slice(transform(array_sort(array(entries.toSeq: _*)), e => e.getField("i")),
+      1, nprobe)
+  }
+
+  /** Lloyd's k-means over a DataFrame of (vec_id, v: array<double>) —
+    * the learned coarse quantizer q34's label-cell stand-in lacks.
+    * Deterministic: init = the k lowest-id vectors; each iteration is
+    * one distributed assignment pass (cellCol — narrow, codegen'd) plus
+    * a per-dimension mean (groupBy cell,pos — k·dim result rows to the
+    * driver, trivially small for any real k/dim). Empty cells keep their
+    * previous centroid. At 100 TB you fit on a sample; assignment cost
+    * is the same narrow pass either way. */
+  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int = 5): Array[Array[Double]] = {
+    var cents = emb.orderBy("vec_id").limit(k).select("v")
+      .collect().map(_.getSeq[Double](0).toArray)
+    for (_ <- 0 until iters) {
+      val sums = emb.withColumn("cell", cellCol(col("v"), cents))
+        .select(col("cell"), posexplode(col("v")))
+        .groupBy("cell", "pos").agg(avg(col("col")).as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      cents = next
+    }
+    cents
+  }
+
+  /** IVF search with a learned quantizer: corpus vectors live in their
+    * nearest cell; each query probes its `nprobe` nearest cells — an
+    * equality join on the cell id (the same scale shape as q34, but the
+    * cells adapt to the data instead of borrowing a label column). */
+  def ivfSearch(embeddings: DataFrame, queryFilter: Column, k: Int,
+                cents: Array[Array[Double]], nprobe: Int = 1): DataFrame = {
+    val e = embeddings
+      .withColumn("cell", cellCol(col("v"), cents))
+      .withColumn("nrm", Vectors.norm2(col("v")))
+    val q = e.where(queryFilter)
+      .select(explode(probeCells(col("v"), cents, nprobe)).as("cell"),
+        col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = e.join(broadcast(q), "cell")
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (Vectors.dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "cos")
+  }
+
   /** Top-k per query among same-bucket candidates. `embeddings` needs
     * (vec_id, v: array<double>). `multiProbe` additionally probes every
     * bucket at Hamming distance 1 from the query's bucket (nBits extra

@@ -121,7 +121,7 @@ object TextAnalysis {
           .repartitionByRange(8, col("doc_id"))
           .sortWithinPartitions("doc_id")
           .select("chunk").as[String]
-        graft.text.DistributedSplit.split(chunks, " ")
+        graft.text.DistributedSplit.split(chunks, " ", ordered = false)
           .toDF("seg")
           .agg(count(lit(1)).as("n_segments"),
             sum(length(col("seg"))).as("total_chars"),

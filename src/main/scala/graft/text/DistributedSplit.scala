@@ -46,7 +46,8 @@ object DistributedSplit {
     * index; `persist()` the chunk Dataset upstream to trade memory for
     * the rescan. */
   def split(chunks: Dataset[String], sep: String,
-            keepSeparator: Boolean = false): Dataset[String] = {
+            keepSeparator: Boolean = false,
+            ordered: Boolean = true): Dataset[String] = {
     require(sep.nonEmpty, "separator must be non-empty")
     val spark = chunks.sparkSession
     import spark.implicits._
@@ -107,9 +108,12 @@ object DistributedSplit {
 
     val all = interior.unionByName(
       spark.createDataset(repaired.result())(Encoders.product[Seg]))
-    val ordered = all.orderBy("part", "slot", "idx").map(_.seg)(Encoders.STRING)
-    if (keepSeparator) ordered
-    else ordered.map { s =>
+    // ordered=false skips the global range sort — right for order-
+    // insensitive consumers (aggregation, dedup, set ops)
+    val placed = if (ordered) all.orderBy("part", "slot", "idx") else all
+    val segs = placed.map(_.seg)(Encoders.STRING)
+    if (keepSeparator) segs
+    else segs.map { s =>
       if (s.endsWith(sep)) s.substring(0, s.length - sep.length) else s
     }(Encoders.STRING)
   }

@@ -41,4 +41,38 @@ class CombinatorialSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ---- the second drive-mode axis (reference pipeline.d:1352): the SAME
+  // chains × output lengths driven push-mode (DriveMode.source) through
+  // MemoryStream micro-batches, asserting byte-identical output to the
+  // batch run. Stream length and chunk size are mutually prime so chunk
+  // boundaries sweep all phases; n is smaller than the batch axis because
+  // each (chain, k) run is a full streaming query (micro-batch fidelity,
+  // SURVEY §7.4), not because semantics differ.
+  private val pushN = 2503L
+  private val pushChunk = 617
+  private val pushLengths = Seq(0L, pushN / 3, pushN - 1, pushN, pushN + 1, 5 * pushN)
+
+  for ((cname, chain, expectFn) <- chains) {
+    test(s"push-mode chain=$cname all output lengths") {
+      val full = expectFn((0L until pushN).toSeq)
+      for (k <- pushLengths) {
+        val p = new graft.stream.Push[java.lang.Long, Long](
+          spark, ds => chain(new Flow(ds)).ds, Some(k))
+        try {
+          var i = 0L
+          var room = 1L
+          // the drive loop honors short-write backpressure exactly like
+          // the reference's run() (adapter.d:110-113)
+          while (i < pushN && room > 0) {
+            val hi = math.min(i + pushChunk, pushN)
+            room = p.put((i until hi).map(java.lang.Long.valueOf))
+            i = hi
+          }
+          val expected = full.take(math.min(k, Int.MaxValue.toLong).toInt)
+          assert(p.result == expected, s"k=$k")
+        } finally p.close()
+      }
+    }
+  }
 }

@@ -79,4 +79,51 @@ class TagChainSpec extends AnyFunSuite {
     assert(chain.get(2, "name").contains("memsource.split"))
     assert(chain.get(2, "encoding").contains("utf-8"))
   }
+
+  test("schema-carrier tag survives select/filter/join/repartition (metadata.d:365-385)") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val docs = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("id", "text")
+    val tagged = Tags.setTag(Tags.setTag(docs, "text", "encoding", "utf-8"),
+      "text", "source", "memsource")
+
+    val dim = Seq((1L, "en"), (2L, "de"), (3L, "en")).toDF("id", "lang")
+    val downstream = tagged
+      .filter($"id" =!= 2L)
+      .select($"id", $"text")
+      .join(dim, "id")
+      .repartition(4)
+      .select($"text", $"lang")
+
+    assert(Tags.getTag(downstream, "text", "encoding").contains("utf-8"))
+    assert(Tags.getTag(downstream, "text", "source").contains("memsource"))
+    assert(Tags.tags(downstream, "text") ==
+      Map("encoding" -> "utf-8", "source" -> "memsource"))
+    // the untagged join side carries nothing
+    assert(Tags.getTag(downstream, "lang", "encoding").isEmpty)
+    // last-setter-wins on re-tag (nearest-upstream-setter on a linear chain)
+    val retagged = Tags.setTag(downstream, "text", "source", "memsource.join")
+    assert(Tags.getTag(retagged, "text", "source").contains("memsource.join"))
+    // values still flow, tag plumbing is zero-cost schema metadata
+    assert(retagged.count() == 2)
+  }
+
+  test("row-envelope tag changes mid-stream and rides through a shuffle") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // two "sources" with different tag values unioned into one stream —
+    // the flod onChange case: the tag value changes at a stream position,
+    // so it must ride per-row to stay correct after partition interleave
+    val a = Tags.setRowTag(Seq("x", "y").toDF("v"), "file", lit("part-0"))
+    val b = Tags.setRowTag(Seq("z").toDF("v"), "file", lit("part-1"))
+    val stream = a.unionByName(b).repartition(5) // interleave partitions
+    val got = stream.select($"v", Tags.rowTag("file").as("f"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("x" -> "part-0", "y" -> "part-0", "z" -> "part-1"))
+    // overwrite replaces, not duplicates, the key
+    val re = Tags.setRowTag(stream, "file", lit("re"))
+    assert(re.select(Tags.rowTag("file")).distinct().collect().map(_.getString(0)).toSeq == Seq("re"))
+    assert(Tags.dropRowTags(re).columns.toSeq == Seq("v"))
+  }
 }

@@ -59,6 +59,58 @@ class ScaleSpec extends AnyFunSuite {
     assert(joined.count() > 0)
   }
 
+  test("q07 on bucketed tables: zero-exchange join, identical result (sf0.1)") {
+    // the heaviest relational gate query re-run on bucketed fact tables:
+    // the 100 TB pattern where lineitem⋈orders repeats daily, so both are
+    // written bucketed by the join key once and every subsequent join is
+    // co-located (no shuffle of either fact table)
+    val sf01 = "/root/testdata/sf0.1"
+    for (t <- Seq("b7_orders", "b7_lineitem")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, t)
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
+    Scale.writeBucketed(Tables.orders(spark, sf01), "b7_orders", "o_orderkey", 16)
+    Scale.writeBucketed(
+      Tables.lineitem(spark, sf01).withColumnRenamed("l_orderkey", "o_orderkey"),
+      "b7_lineitem", "o_orderkey", 16)
+
+    def q07Shape(lineitem: org.apache.spark.sql.DataFrame,
+                 orders: org.apache.spark.sql.DataFrame,
+                 key: String): org.apache.spark.sql.DataFrame = {
+      import graft.QueryDef.dec
+      lineitem
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        .join(orders, key)
+        .groupBy("o_orderpriority")
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority")
+    }
+
+    val bucketed = q07Shape(spark.table("b7_lineitem"), spark.table("b7_orders"),
+      "o_orderkey")
+    val plan = bucketed.queryExecution.executedPlan.toString
+    // the join must be co-located: no hashpartitioning exchange on the
+    // join key anywhere in the plan (the only exchange left is the 5-row
+    // groupBy on o_orderpriority, which is unavoidable and tiny)
+    assert(!plan.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed q07 join must not shuffle the fact tables:\n$plan")
+    assert(plan.contains("Join"), s"expected a join in:\n$plan")
+
+    val base = q07Shape(
+      Tables.lineitem(spark, sf01).withColumnRenamed("l_orderkey", "o_orderkey"),
+      Tables.orders(spark, sf01), "o_orderkey")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val got = bucketed.collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(got.toSeq == base.toSeq, "bucketed layout must not change values")
+  }
+
   test("hive-style partitioned layout prunes partitions at the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     try {

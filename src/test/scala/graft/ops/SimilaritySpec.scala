@@ -23,6 +23,48 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf.size == 15)
   }
 
+  test("learned k-means IVF: recall@nprobe=4 beats the label-cell baseline") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Vectors
+    val emb = graft.Tables.embeddings(spark, TestSpark.sf0001)
+      .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v"))
+    val exact = SparkEntry.queries("q29_cosine_knn")(spark, TestSpark.sf0001)
+      .collect().filter(_.getLong(1) <= 3)
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val labelCell = SparkEntry.queries("q34_ann_ivf")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val labelRecall = (exact intersect labelCell).size.toDouble / exact.size
+
+    val cents = Ann.kmeansCentroids(emb, k = 16, iters = 5)
+    assert(cents.length == 16 && cents.forall(_.length == 64))
+    def recallAt(nprobe: Int): Double = {
+      val got = Ann.ivfSearch(emb, col("vec_id") < 5, k = 3, cents, nprobe)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val r1 = recallAt(1)
+    val r4 = recallAt(4)
+    info(f"kmeans-IVF recall vs exact top-3: nprobe=1 $r1%.2f, nprobe=4 $r4%.2f " +
+      f"(label-cell baseline $labelRecall%.2f)")
+    assert(r4 >= r1, "more probes must not lose recall")
+    assert(r4 >= labelRecall,
+      f"learned cells at nprobe=4 ($r4%.2f) must match/beat the label-cell baseline ($labelRecall%.2f)")
+  }
+
+  test("kmeans assignment is deterministic and covers all points") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Vectors
+    val emb = graft.Tables.embeddings(spark, TestSpark.sf0001)
+      .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v"))
+    val c1 = Ann.kmeansCentroids(emb, k = 8, iters = 3)
+    val c2 = Ann.kmeansCentroids(emb, k = 8, iters = 3)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq, "deterministic fit")
+    val cells = emb.withColumn("cell", Ann.cellCol(col("v"), c1))
+      .groupBy("cell").count().collect()
+    assert(cells.map(_.getLong(1)).sum == 500, "every vector lands in a cell")
+    assert(cells.length > 1, "quantizer actually partitions the space")
+  }
+
   test("brute-force kNN returns k ordered neighbors per query") {
     val rows = SparkEntry.queries("q29_cosine_knn")(spark, TestSpark.sf0001).collect()
     val byQuery = rows.groupBy(_.getLong(0))
