@@ -112,7 +112,58 @@ object Multimodal {
         max("width").as("max_width"), max("height").as("max_height"))
       .orderBy("format")
 
+  final case class FrameRow(media_id: Long, format: String,
+                            n_frames: Long, frame_bytes: Long)
+  implicit val frameEnc: Encoder[FrameRow] = Encoders.product[FrameRow]
+
+  /** Frame-sampling stats: runs the REAL sampleFrames path per partition
+    * (every 3rd 64-byte block) and aggregates per sniffed format. The
+    * DuckDB twin derives the same counts from pure length arithmetic —
+    * an independent oracle for the sampling pipeline: for nb=ceil(len/64)
+    * blocks, kept = ceil(nb/3); kept bytes = 64·kept minus the shortfall
+    * when the final partial block happens to be sampled. */
+  def frameStats(s: SparkSession, dir: String, every: Int = 3): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir).mapPartitions { it =>
+      it.map { r =>
+        val frames = StubCodec.sampleFrames(r.content, every)
+        FrameRow(r.media_id, StubCodec.sniffFormat(r.content),
+          frames.length.toLong, frames.map(_.length.toLong).sum)
+      }
+    }.groupBy("format")
+      .agg(count(lit(1)).as("n"),
+        sum("n_frames").as("total_frames"),
+        sum("frame_bytes").as("sampled_bytes"))
+      .orderBy("format")
+  }
+
   val defs: Seq[graft.QueryDef] = Seq(
+    graft.QueryDef("q55_frame_sample", (s, d) => frameStats(s, d),
+      Some("""WITH b AS (
+             |  SELECT hex(encode(text)) AS hx, octet_length(encode(text)) AS len
+             |  FROM documents),
+             |m AS (
+             |  SELECT
+             |    CASE WHEN len = 0 THEN 'empty'
+             |         WHEN TRY_CAST('0x' || substr(hx, 1, 2) AS INT) % 3 = 0 THEN 'img/fake-png'
+             |         WHEN TRY_CAST('0x' || substr(hx, 1, 2) AS INT) % 3 = 1 THEN 'audio/fake-wav'
+             |         ELSE 'video/fake-mp4' END AS format,
+             |    len, (len + 63) // 64 AS nb
+             |  FROM b),
+             |f AS (
+             |  SELECT format, len, nb,
+             |    CASE WHEN nb = 0 THEN 0 ELSE (nb + 2) // 3 END AS nk
+             |  FROM m),
+             |g AS (
+             |  SELECT format, nk,
+             |    CASE WHEN nb > 0 AND ((nb - 1) % 3) = 0 AND (len % 64) > 0
+             |         THEN nk * 64 - (64 - len % 64) ELSE nk * 64 END AS fb
+             |  FROM f)
+             |SELECT format, COUNT(*) AS n,
+             |  CAST(SUM(nk) AS BIGINT) AS total_frames,
+             |  CAST(SUM(fb) AS BIGINT) AS sampled_bytes
+             |FROM g GROUP BY format ORDER BY format""".stripMargin)),
+
     graft.QueryDef("q33_multimodal_stats", (s, d) => mediaStats(s, d),
       // Byte k of the UTF-8 payload = hex digits (2k+1, 2k+2) of the
       // blob's hex dump — mirrors StubCodec.sniffFormat/decodeMeta.

@@ -169,7 +169,9 @@ object Dedup {
     * near-exact variants (differing bytes) are covered by q49's SimHash
     * path. `surviving` = the capped shingle set (doc_id column used). */
   private def cappedFallbackPairs(docs: DataFrame, surviving: DataFrame): DataFrame = {
-    val capped = docs.join(surviving.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+    // no distinct() on the anti-join build side: left_anti is an
+    // existence check, deduping first would just add an aggregation
+    val capped = docs.join(surviving.select("doc_id"), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), md5(col("text")).as("fp"))
     // groupBy+join, not min().over(partitionBy(fp)): a mass cluster is one
     // hot fp; the rep table is one row per fingerprint (broadcastable).

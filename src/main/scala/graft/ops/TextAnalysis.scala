@@ -134,6 +134,63 @@ object TextAnalysis {
              |SELECT COUNT(*) AS n_segments,
              |  CAST(SUM(length(seg)) AS BIGINT) AS total_chars,
              |  COUNT(DISTINCT seg) AS n_distinct
-             |FROM seg""".stripMargin))
+             |FROM seg""".stripMargin)),
+
+    // Deterministic stratified train/val/test split — the assignment a
+    // training-data pipeline needs to be REPRODUCIBLE and shuffle-free:
+    // the split is a pure hash of the stable doc_id (no rand(), no
+    // global sort, no state), so any executor recomputes the same
+    // assignment and adding data never reshuffles old rows between
+    // splits. Verified per stratum (lang) so skewed strata are visible.
+    QueryDef("q53_stratified_split",
+      (s, d) => {
+        val h = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("int") % 100
+        Tables.documents(s, d)
+          .withColumn("split",
+            when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+          .groupBy("lang", "split")
+          .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"),
+            max("doc_id").as("max_id"))
+          .orderBy("lang", "split")
+      },
+      Some("""SELECT lang, split, COUNT(*) AS n,
+             |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+             |FROM (
+             |  SELECT doc_id, lang,
+             |    CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+             |         ELSE 'test' END AS split
+             |  FROM (SELECT doc_id, lang,
+             |          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100 AS h
+             |        FROM documents) t) u
+             |GROUP BY lang, split ORDER BY lang, split""".stripMargin)),
+
+    // Corpus vocabulary: token frequencies with a top-k cut — the
+    // vocab-building pass of a tokenizer pipeline. explode + partial
+    // aggregation (map-side combine collapses repeats before the
+    // shuffle; the shuffle key is the token, not the document) +
+    // TakeOrderedAndProject for the k cut.
+    QueryDef("q54_vocabulary",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tok = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("freq"))
+        // the k cut FIRST (TakeOrderedAndProject — distributed top-k,
+        // never a global sort of the vocabulary), THEN the rank window
+        // over the surviving 100 rows only
+        tok.orderBy(col("freq").desc, col("token").asc).limit(100)
+          .withColumn("rank",
+            row_number().over(Window.orderBy(col("freq").desc, col("token").asc)).cast("long"))
+          .select("rank", "token", "freq")
+          .orderBy("rank")
+      },
+      Some("""SELECT ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS rank,
+             |  token, freq
+             |FROM (
+             |  SELECT token, COUNT(*) AS freq
+             |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+             |  GROUP BY token) f
+             |ORDER BY freq DESC, token ASC LIMIT 100""".stripMargin))
   )
 }

@@ -25,7 +25,11 @@ class CombinatorialSpec extends AnyFunSuite {
     ("mark2", f => f.map(e => (e << 4) | 1L).map(e => (e << 4) | 2L),
       ids => ids.map(e => (((e << 4) | 1L) << 4) | 2L)),
     ("filter-even-inc", f => f.map(_.toLong).filter(_ % 2 == 0).map(_ + 1),
-      ids => ids.filter(_ % 2 == 0).map(_ + 1)))
+      ids => ids.filter(_ % 2 == 0).map(_ + 1)),
+    // generator chain: 1→N expansion (flod's Splitter-like output-rate
+    // change) — ordering across the expansion must hold in both modes
+    ("dup-flatmap", f => f.flatMap(e => Seq(e.toLong, -e.toLong)),
+      ids => ids.flatMap(e => Seq(e, -e))))
 
   for ((cname, chain, expectFn) <- chains; parts <- partitions) {
     test(s"chain=$cname parts=$parts all output lengths") {
