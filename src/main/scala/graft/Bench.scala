@@ -22,6 +22,23 @@ object Bench {
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
     Tables.events(spark, sfDir).count()
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // one-time Structured Streaming init (state-store provider classes,
+    // checkpoint plumbing) so streaming queries measure steady state
+    locally {
+      import org.apache.spark.sql.functions.{col, count => cnt}
+      val rows = spark.range(8).select(
+        org.apache.spark.sql.functions.current_timestamp().as("ts"),
+        col("id")).collect()
+      stream.StreamOps.runBounded(spark,
+        spark.createDataFrame(new java.util.ArrayList(java.util.Arrays.asList(rows: _*)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("ts",
+              org.apache.spark.sql.types.TimestampType),
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.LongType)))),
+        df => df.groupBy(org.apache.spark.sql.functions.window(col("ts"), "5 minutes"))
+          .agg(cnt(org.apache.spark.sql.functions.lit(1))))
+    }
 
     // A failed query must be VISIBLE in the bench line (time -1 + an
     // errors map), never a healthy-looking small wall-time.

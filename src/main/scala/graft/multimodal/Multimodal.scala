@@ -13,15 +13,19 @@ import org.apache.spark.sql.functions._
   * the per-partition batch shape (decode amortized per batch, not per
   * row), and the partition-size control for memory-bounded decode.
   */
+/** Typed metadata for a decoded media payload. (Top-level, not nested in
+  * the object: REPL/spark-shell encoder reflection fails on case classes
+  * nested inside objects.) */
+final case class MediaMeta(format: String, width: Int, height: Int,
+                           nFrames: Int, bytes: Long)
+
+final case class MediaRow(media_id: Long, content: Array[Byte])
+final case class DecodedRow(media_id: Long, content: Array[Byte], meta: MediaMeta)
+final case class FeatureRow(media_id: Long, feature: Array[Float])
+final case class FrameRow(media_id: Long, format: String,
+                          n_frames: Long, frame_bytes: Long)
+
 object Multimodal {
-
-  /** Typed metadata for a decoded media payload. */
-  final case class MediaMeta(format: String, width: Int, height: Int,
-                             nFrames: Int, bytes: Long)
-
-  final case class MediaRow(media_id: Long, content: Array[Byte])
-  final case class DecodedRow(media_id: Long, content: Array[Byte], meta: MediaMeta)
-  final case class FeatureRow(media_id: Long, feature: Array[Float])
 
   implicit val mediaEnc: Encoder[MediaRow] = Encoders.product[MediaRow]
   implicit val decodedEnc: Encoder[DecodedRow] = Encoders.product[DecodedRow]
@@ -112,8 +116,6 @@ object Multimodal {
         max("width").as("max_width"), max("height").as("max_height"))
       .orderBy("format")
 
-  final case class FrameRow(media_id: Long, format: String,
-                            n_frames: Long, frame_bytes: Long)
   implicit val frameEnc: Encoder[FrameRow] = Encoders.product[FrameRow]
 
   /** Frame-sampling stats: runs the REAL sampleFrames path per partition

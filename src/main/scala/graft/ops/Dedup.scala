@@ -110,7 +110,11 @@ object Dedup {
     * whole block into ONE row (unbounded single-task array at 100 TB);
     * a join never materializes a block in memory. */
   def simhashNearDup(docs: DataFrame, radius: Int = 8): DataFrame = {
+    // both self-join sides would re-run the whole sketch aggregation
+    // (ReuseExchange measured not to fire across AQE broadcast
+    // conversion); one sketch row per doc — materialize once
     val sk = simhashOf(docs).withColumn("blk", shiftright(col("simhash"), 16))
+      .localCheckpoint()
     val a = sk.select(col("blk"), col("doc_id").as("id_a"), col("simhash").as("sh_a"))
     val b = sk.select(col("blk"), col("doc_id").as("id_b"), col("simhash").as("sh_b"))
     a.join(b, "blk").where(col("id_a") < col("id_b"))
@@ -142,13 +146,20 @@ object Dedup {
   // [[cappedFallbackPairs]]) rather than vanishing from the result.
   private val dfCap = 1000
 
-  /** Distinct (doc_id, shingle) pairs with over-cap shingles removed.
-    * df is computed with a partial-aggregating groupBy and removed with
-    * an anti-join — NOT a count().over(Window.partitionBy(sh)), which
-    * would buffer a hot shingle's whole posting list in one task (the
-    * exact hotspot the cap exists to eliminate). */
+  /** Distinct (doc_id, shingle-key) pairs with over-cap shingles
+    * removed. The set element is a 64-bit md5 prefix of the shingle, not
+    * the raw string: the inverted-index join then shuffles fixed 16-char
+    * keys instead of arbitrary-length text (~2× narrower here, more on
+    * long-shingle corpora; ~2⁻⁶⁴ collision odds, mirrored exactly in the
+    * oracle so values agree). df is computed with a partial-aggregating
+    * groupBy and removed with an anti-join — NOT a
+    * count().over(Window.partitionBy(sh)), which would buffer a hot
+    * shingle's whole posting list in one task (the exact hotspot the cap
+    * exists to eliminate). */
   def cappedShinglesOf(docs: DataFrame, cap: Int = dfCap): DataFrame = {
-    val dsh = shinglesOf(docs).distinct()
+    val dsh = shinglesOf(docs)
+      .select(col("doc_id"), substring(md5(col("sh")), 1, 16).as("sh"))
+      .distinct()
     val hot = dsh.groupBy("sh").agg(count(lit(1)).as("df"))
       .where(col("df") > cap).select("sh")
     // hot is tiny by Zipf (only over-cap heads); AQE picks broadcast when
@@ -157,9 +168,11 @@ object Dedup {
   }
   private def cappedShinglesSql(cap: Int): String =
     s"""SELECT doc_id, sh
-       |FROM (SELECT DISTINCT doc_id, sh FROM ($shinglesSql) shx) dsh
+       |FROM (SELECT DISTINCT doc_id, substr(md5(sh), 1, 16) AS sh
+       |      FROM ($shinglesSql) shx) dsh
        |WHERE sh NOT IN (
-       |  SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM ($shinglesSql) shx2) d2
+       |  SELECT sh FROM (SELECT DISTINCT doc_id, substr(md5(sh), 1, 16) AS sh
+       |                  FROM ($shinglesSql) shx2) d2
        |  GROUP BY sh HAVING COUNT(*) > $cap)""".stripMargin
 
   /** Fallback for docs whose shingle sets are fully df-capped (mass-
@@ -194,13 +207,20 @@ object Dedup {
     * on df-capped distinct shingles, plus the mass-dup fallback. */
   def jaccardPairs(docs: DataFrame, cap: Int = dfCap): DataFrame = {
     // attach each doc's set size with a window count on the SAME lineage
-    // instead of two extra size-joins: 2 scans + 1 join rather than
-    // 4 scans + 3 joins; doc_id is bounded by document length — not a
-    // hot key the way shingles are. The self-join halves dedupe via
-    // ReuseExchange.
+    // instead of two extra size-joins; doc_id is bounded by document
+    // length — not a hot key the way shingles are.
     import org.apache.spark.sql.expressions.Window
     val t = cappedShinglesOf(docs, cap)
+    // MATERIALIZE the capped shingle set once: three consumers (both
+    // self-join sides + the fallback's anti-join) would otherwise each
+    // re-run the scan→explode→distinct→cap lineage — measured at
+    // runtime, ReuseExchange does NOT collapse them (AQE's broadcast
+    // conversion on one side breaks exchange-level reuse: 10 scans,
+    // 0 reused). This is the production shape too: a 100 TB dedup run
+    // writes its shingle/signature table once and reuses it (swap
+    // localCheckpoint for a reliable checkpoint/table there).
     val tn = t.withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .localCheckpoint()
     val a = tn.select(col("doc_id").as("id_a"), col("sh"), col("n").as("na"))
     val b = tn.select(col("doc_id").as("id_b"), col("sh"), col("n").as("nb"))
     val pairs = a.join(b, "sh").where(col("id_a") < col("id_b"))
@@ -209,7 +229,7 @@ object Dedup {
         col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
       .where(col("jaccard") >= 0.5)
       .select("id_a", "id_b", "jaccard")
-    pairs.unionByName(cappedFallbackPairs(docs, t))
+    pairs.unionByName(cappedFallbackPairs(docs, tn))
   }
 
   // Band-bucket cap for LSH candidate generation: a mass-duplicate
@@ -230,6 +250,9 @@ object Dedup {
         struct(lit(0).as("band"), md5(concat(col("m0"), col("m1"))).as("bh")),
         struct(lit(1).as("band"), md5(concat(col("m2"), col("m3"))).as("bh")))).as("e"))
       .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+      // 3 consumers (stats + both self-join sides); materialize once —
+      // see jaccardPairs for the measured ReuseExchange=0 rationale
+      .localCheckpoint()
     val stats = bands.groupBy("band", "bh")
       .agg(count(lit(1)).as("bn"), min(col("doc_id")).as("rep"))
     val wb = bands.join(stats, Seq("band", "bh"))
@@ -269,7 +292,9 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val cand = lshCandidatesOf(docs)
     val t = cappedShinglesOf(docs, cap)
+    // same diamond as jaccardPairs: a-side join, b-side join, fallback
     val tn = t.withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .localCheckpoint()
     // candidate-driven: pairs × a-side shingles, then match b-side on
     // (id_b, sh) — cost O(|candidates| · shingles/doc), independent of
     // corpus-wide shingle collision counts.
@@ -283,7 +308,7 @@ object Dedup {
         col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
       .where(col("jaccard") >= 0.5)
       .select("id_a", "id_b", "jaccard")
-    verified.unionByName(cappedFallbackPairs(docs, t))
+    verified.unionByName(cappedFallbackPairs(docs, tn))
   }
 
   val defs: Seq[QueryDef] = Seq(
