@@ -28,6 +28,12 @@ import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
   * Scale: shuffled data is ONLY the repaired boundary segments
   * (≤2·partitions rows); interior segments never leave their partition
   * until the final order-preserving sort (range partitioning).
+  *
+  * Contract: the distributed path requires a BORDER-FREE separator (no
+  * proper prefix equal to a suffix — true of "\n", "\r\n", "<|>", " ",
+  * every practical record separator). Self-overlapping separators
+  * re-phase across partition boundaries and automatically fall back to
+  * the sequential single-stream parse ([[hasBorder]]).
   */
 object DistributedSplit {
 
@@ -45,10 +51,30 @@ object DistributedSplit {
     * pass) — the standard price of an order-preserving split without an
     * index; `persist()` the chunk Dataset upstream to trade memory for
     * the rescan. */
+  /** True iff a proper nonempty prefix of `sep` equals a suffix — a
+    * "bordered" separator can overlap itself (":::" under "::"), so the
+    * left-to-right non-overlapping match PHASE depends on the parse
+    * entry point and a partition-local parse cannot be trusted: a
+    * boundary straddle can re-phase every match in the partition. For
+    * border-free separators the junction re-split provably consumes
+    * exactly to the first local boundary, so interior segments stand. */
+  private[text] def hasBorder(sep: String): Boolean =
+    (1 until sep.length).exists(k => sep.substring(0, k) == sep.substring(sep.length - k))
+
   def split(chunks: Dataset[String], sep: String,
             keepSeparator: Boolean = false,
             ordered: Boolean = true): Dataset[String] = {
     require(sep.nonEmpty, "separator must be non-empty")
+    if (hasBorder(sep)) {
+      // self-overlapping separator: fall back to the correct-but-
+      // sequential single-stream parse (discovered by the randomized
+      // boundary suite: "::::::…" re-phases under "::" at partition
+      // boundaries and the shift cascades arbitrarily far). Every
+      // practical record separator ("\n", "\r\n", "<|>", " ") is
+      // border-free and takes the distributed path.
+      return chunks.coalesce(1)
+        .mapPartitions(Splitter.incremental(sep, keepSeparator))(Encoders.STRING)
+    }
     val spark = chunks.sparkSession
     import spark.implicits._
 

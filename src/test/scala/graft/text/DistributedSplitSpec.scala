@@ -57,6 +57,44 @@ class DistributedSplitSpec extends AnyFunSuite {
     assert(got == Vector("aabbcc", "dd"))
   }
 
+  test("bordered separator re-phasing counterexample routes to the sequential path") {
+    // found by the randomized suite: under sep="::" (border ":"), the
+    // run "::::::" re-phases at partition boundaries and the shift
+    // cascades — the distributed path would return [..., ":", ":>"]
+    // instead of [..., "", ">"]
+    assert(DistributedSplit.hasBorder("::"))
+    assert(!DistributedSplit.hasBorder("\r\n") && !DistributedSplit.hasBorder("<|>") &&
+      !DistributedSplit.hasBorder("\n") && !DistributedSplit.hasBorder(" "))
+    val text = "::::::fooZażółć::x|::::>::"
+    assert(viaCluster(text, "::", keep = false, chunkSize = 1, parts = 5) ==
+      Splitter.split(text, "::", keepSeparator = false))
+  }
+
+  test("randomized: distributed split equals reference split (100 adversarial cases)") {
+    // deterministic pseudo-random sweep over texts built FROM separator
+    // fragments (maximizes partial-separator boundary events), chunk
+    // sizes, partition counts, and keep flags — the property the junction
+    // walk must uphold: distributed == single-stream reference, always
+    val rnd = new scala.util.Random(20260812L)
+    val seps = Vector("\n", "\r\n", "::", "<|>", " ")
+    val atoms = Vector("", "x", "foo", "\r", ":", "<", "|", ">", "a b", "Zażółć")
+    for (i <- 0 until 100) {
+      val sep = seps(rnd.nextInt(seps.length))
+      val nParts = 1 + rnd.nextInt(12)
+      val text = (0 until nParts)
+        .map(_ => if (rnd.nextBoolean()) atoms(rnd.nextInt(atoms.length)) else sep)
+        .mkString
+      val keep = rnd.nextBoolean()
+      val chunkSize = 1 + rnd.nextInt(6)
+      val parts = 1 + rnd.nextInt(5)
+      val got = viaCluster(text, sep, keep, chunkSize, parts)
+      val want = Splitter.split(text, sep, keep)
+      assert(got == want,
+        s"case $i sep=${sep.replace("\r", "\\r").replace("\n", "\\n")} keep=$keep " +
+          s"chunk=$chunkSize parts=$parts text=${text.replace("\r", "\\r").replace("\n", "\\n")}")
+    }
+  }
+
   test("readSplit over a staged multi-separator file at small chunk sizes") {
     val text = "alpha<|>beta<|>gamma<|><|>tail"
     val f = java.io.File.createTempFile("dsplit", ".txt")
