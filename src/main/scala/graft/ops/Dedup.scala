@@ -54,13 +54,15 @@ object Dedup {
     shinglesOf(Tables.documents(s, d))
 
   /** SQL twin of [[shingles]] (DuckDB list indexing is 1-based like
-    * element_at; range(n) is [0, n)). */
-  private val shinglesSql =
-    """SELECT doc_id, unnest(
-      |    CASE WHEN len(w) >= 3
-      |         THEN list_transform(range(len(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
-      |         ELSE [text] END) AS sh
-      |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)""".stripMargin
+    * element_at; range(n) is [0, n)); parameterized over the source
+    * relation so composed pipelines (q56) can shingle a CTE. */
+  private[ops] def shinglesSqlFrom(src: String): String =
+    s"""SELECT doc_id, unnest(
+       |    CASE WHEN len(w) >= 3
+       |         THEN list_transform(range(len(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+       |         ELSE [text] END) AS sh
+       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM $src)""".stripMargin
+  private val shinglesSql = shinglesSqlFrom("documents")
 
   // One md5 per shingle, sliced into 4 independent 32-bit (8-hex-char)
   // words — 4 minhash components for the price of one hash evaluation.
@@ -122,7 +124,7 @@ object Dedup {
         expr("bit_count(sh_a ^ sh_b)").cast("long").as("hamming"))
       .where(col("hamming") <= radius)
   }
-  private val simhashBodySql = {
+  private[ops] def simhashBodySqlFrom(src: String): String = {
     val votes = (0 until simBits).map { b =>
       s"sum(CASE WHEN ((('0x' || substr(md5(sh), 1, 8))::BIGINT >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS w$b"
     }.mkString(",\n    ")
@@ -130,9 +132,10 @@ object Dedup {
       .map(b => s"(CASE WHEN w$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
     s"""SELECT doc_id, CAST($sketch AS BIGINT) AS simhash FROM (
        |  SELECT doc_id, $votes
-       |  FROM (SELECT DISTINCT doc_id, sh FROM ($shinglesSql) shx) t
+       |  FROM (SELECT DISTINCT doc_id, sh FROM (${shinglesSqlFrom(src)}) shx) t
        |  GROUP BY doc_id) v""".stripMargin
   }
+  private val simhashBodySql = simhashBodySqlFrom("documents")
   private val simhashSql = s"$simhashBodySql\nORDER BY doc_id"
 
   // Document-frequency cap for the inverted-index Jaccard join: a shingle
