@@ -61,4 +61,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"))
     assert(p.contains("HashAggregate"))
   }
+
+  test("no declared query plans a CartesianProduct or collect_list") {
+    // global anti-pattern audit over EVERY declared query: a cartesian
+    // product or a per-group collect_list anywhere is a 100 TB
+    // scale-killer regardless of small-SF timings. (q29's broadcast
+    // nested-loop over a 5-row query side is a BroadcastNestedLoopJoin,
+    // not a CartesianProduct — allowed by design.)
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val p = fn(spark, sf).queryExecution.sparkPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+      assert(!p.contains("collect_list"), s"$name materializes groups into rows")
+    }
+  }
 }
