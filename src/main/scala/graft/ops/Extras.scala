@@ -1,0 +1,107 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Later-round additions to the relational/pipeline surface: grouping
+  * sets, blocked edit-distance fuzzy matching, and time-series gap-fill
+  * — operators a reference user reaches for that the first-round
+  * inventory didn't declare as gate queries.
+  */
+object Extras {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // GROUPING SETS — the general form behind rollup (q35) / cube (q47):
+    // an explicitly chosen set of grouping combinations in ONE pass
+    // (Catalyst expands + partial-aggregates each set map-side; never
+    // N scans for N sets). grouping() disambiguates real NULLs from
+    // subtotal rows, made hash-stable via labels.
+    QueryDef("q57_grouping_sets",
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gs")
+        s.sql("""SELECT
+                |  CASE WHEN grouping(l_returnflag) = 1 THEN '(all)' ELSE l_returnflag END AS rf,
+                |  CASE WHEN grouping(l_linestatus) = 1 THEN '(all)' ELSE l_linestatus END AS ls,
+                |  COUNT(*) AS n,
+                |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+                |FROM lineitem_gs
+                |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+                |ORDER BY rf, ls""".stripMargin)
+      },
+      Some("""SELECT
+             |  CASE WHEN grouping(l_returnflag) = 1 THEN '(all)' ELSE l_returnflag END AS rf,
+             |  CASE WHEN grouping(l_linestatus) = 1 THEN '(all)' ELSE l_linestatus END AS ls,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+             |ORDER BY rf, ls""".stripMargin)),
+
+    // Blocked edit-distance fuzzy match: near-identical part names via
+    // levenshtein <= 4, but ONLY within (p_brand, p_size) blocks — the
+    // same cap-the-candidates discipline as the dedup family: an
+    // equality join on the block key bounds pairs at 100 TB; the O(n·m)
+    // edit distance runs per candidate, never per cross-pair.
+    QueryDef("q58_fuzzy_name_match",
+      (s, d) => {
+        val p = Tables.part(s, d).select(
+          col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
+        val a = p.select(col("p_brand"), col("p_size"),
+          col("p_partkey").as("id_a"), col("p_name").as("name_a"))
+        val b = p.select(col("p_brand"), col("p_size"),
+          col("p_partkey").as("id_b"), col("p_name").as("name_b"))
+        a.join(b, Seq("p_brand", "p_size")).where(col("id_a") < col("id_b"))
+          .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+          .where(col("dist") <= 4)
+          .select("id_a", "id_b", "dist")
+          .orderBy("id_a", "id_b")
+      },
+      Some("""SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+             |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+             |FROM part a JOIN part b
+             |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+             |  AND a.p_partkey < b.p_partkey
+             |WHERE levenshtein(a.p_name, b.p_name) <= 4
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Time-series gap-fill: a dense 5-minute grid per event_type between
+    // the global min and max bucket, zero-filling empty buckets — the
+    // resample step before any window/trend computation. The grid is
+    // sequence()+explode over (types × bucket range): its size is
+    // types·buckets (bounded by the TIME SPAN, not the event count), so
+    // at 100 TB the grid side is tiny and broadcastable while events
+    // partial-aggregate before the join.
+    QueryDef("q59_gapfill",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"),
+            window(col("ts"), "5 minutes").getField("start").as("b"))
+        val counts = ev.groupBy("event_type", "b").agg(count(lit(1)).as("n"))
+        val bounds = ev.agg(min(col("b")).as("lo"), max(col("b")).as("hi"))
+        val grid = bounds
+          .crossJoin(ev.select("event_type").distinct())
+          .select(col("event_type"),
+            explode(sequence(col("lo"), col("hi"), expr("INTERVAL 5 MINUTES"))).as("b"))
+        grid.join(counts, Seq("event_type", "b"), "left")
+          .select(col("event_type"), col("b"),
+            coalesce(col("n"), lit(0L)).as("n"))
+          .orderBy("event_type", "b")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type,
+             |    make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS b
+             |  FROM events),
+             |counts AS (SELECT event_type, b, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+             |bounds AS (SELECT MIN(b) AS lo, MAX(b) AS hi FROM ev),
+             |grid AS (
+             |  SELECT t.event_type, g.b
+             |  FROM (SELECT DISTINCT event_type FROM ev) t,
+             |       (SELECT unnest(generate_series(lo, hi, INTERVAL 5 MINUTE)) AS b
+             |        FROM bounds) g)
+             |SELECT grid.event_type AS event_type, grid.b AS b, COALESCE(counts.n, 0) AS n
+             |FROM grid LEFT JOIN counts
+             |  ON grid.event_type = counts.event_type AND grid.b = counts.b
+             |ORDER BY 1, 2""".stripMargin))
+  )
+}
