@@ -20,6 +20,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(canon(streamed) == canon(batch))
   }
 
+  test("tumbling window under the RocksDB state store == batch") {
+    // the production state backend at 100 TB (bounded executor heap,
+    // state spills to local disk): same transform, same result. The
+    // provider is bound at query start, so setting the session conf
+    // around runBounded is enough.
+    val events = Tables.events(spark, TestSpark.sf0001)
+    val batch = StreamOps.tumbling(events).collect().toSeq
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val streamed = StreamOps.runBounded(spark, events, StreamOps.tumbling(_))
+      assert(canon(streamed) == canon(batch))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("session windows: streaming == batch") {
     val events = Tables.events(spark, TestSpark.sf0001)
     val batch = StreamOps.sessions(events).collect().toSeq
