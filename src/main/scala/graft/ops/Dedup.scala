@@ -124,6 +124,54 @@ object Dedup {
         expr("bit_count(sh_a ^ sh_b)").cast("long").as("hamming"))
       .where(col("hamming") <= radius)
   }
+  /** Multi-block SimHash retrieval: candidates must share ANY of
+    * `nBlocks` rotated 16-bit windows of the sketch (rotations by 8
+    * bits), not just the top-16 prefix — each sketch bit is covered by
+    * two windows, so radius-8 pairs whose differing bits cluster in one
+    * half are still retrieved (q49's single block misses them). Cost:
+    * nBlocks rows per doc into the same equality self-join — the
+    * standard recall/cost dial, same skew story as q49 (a hot block is
+    * a hot JOIN partition, AQE-splittable). */
+  def simhashNearDupMulti(docs: DataFrame, radius: Int = 8,
+                          nBlocks: Int = 4): DataFrame = {
+    val sk = simhashOf(docs).localCheckpoint()
+    val mask = (1L << simBits) - 1
+    val blocks = (0 until nBlocks).map { i =>
+      val r = 8 * i
+      val rot =
+        if (r == 0) col("simhash")
+        else shiftleft(col("simhash"), r).bitwiseAND(lit(mask))
+          .bitwiseOR(shiftright(col("simhash"), simBits - r))
+      // block id namespaced by the rotation index so different windows
+      // never collide with each other
+      (lit(i.toLong * 65536L) + shiftright(rot, 16)).as(s"b$i")
+    }
+    val withBlocks = sk.select(col("doc_id") +: col("simhash") +: blocks: _*)
+      .select(col("doc_id"), col("simhash"),
+        explode(array((0 until nBlocks).map(i => col(s"b$i")): _*)).as("blk"))
+    val a = withBlocks.select(col("blk"), col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+    val b = withBlocks.select(col("blk"), col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, "blk").where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(sh_a ^ sh_b)").cast("long").as("hamming"))
+      .where(col("hamming") <= radius)
+      .distinct()
+  }
+  private def multiBlockSql(nBlocks: Int): String = {
+    val mask = (1L << simBits) - 1
+    val rots = (0 until nBlocks).map { i =>
+      val r = 8 * i
+      val rot = if (r == 0) "simhash"
+                else s"(((simhash << $r) & $mask) | (simhash >> ${simBits - r}))"
+      s"SELECT doc_id, simhash, ${i.toLong * 65536L} + ($rot >> 16) AS blk FROM sk"
+    }.mkString("\nUNION ALL\n")
+    s"""wb AS ($rots)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM wb a JOIN wb b ON a.blk = b.blk AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8""".stripMargin
+  }
+
   private[ops] def simhashBodySqlFrom(src: String): String = {
     val votes = (0 until simBits).map { b =>
       s"sum(CASE WHEN ((('0x' || substr(md5(sh), 1, 8))::BIGINT >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS w$b"
@@ -397,6 +445,15 @@ object Dedup {
               |FROM sk a JOIN sk b
               |  ON (a.simhash >> 16) = (b.simhash >> 16) AND a.doc_id < b.doc_id
               |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Rotated-window multi-block retrieval: strictly higher recall than
+    // q49's single prefix block at nBlocks× candidate cost (the dial a
+    // 100 TB deployment tunes; DedupSpec asserts the superset relation).
+    QueryDef("q60_simhash_multiblock",
+      (s, d) => simhashNearDupMulti(Tables.documents(s, d)).orderBy("id_a", "id_b"),
+      Some(s"""WITH sk AS ($simhashBodySql),
+              |${multiBlockSql(4)}
               |ORDER BY id_a, id_b""".stripMargin))
   )
 }

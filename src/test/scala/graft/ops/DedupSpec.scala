@@ -87,6 +87,16 @@ class DedupSpec extends AnyFunSuite {
     assert(cand.forall(_._1 == 0L), "all pairs anchor at the representative")
   }
 
+  test("multi-block simhash retrieval is a superset of single-block (recall dial)") {
+    val single = SparkEntry.queries("q49_simhash_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = SparkEntry.queries("q60_simhash_multiblock")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(single.subsetOf(multi),
+      s"rotation 0's window IS q49's block, so q60 ⊇ q49; missing ${single -- multi}")
+    info(s"single-block pairs: ${single.size}, multi-block: ${multi.size}")
+  }
+
   test("simhash of near-identical docs lands in a small Hamming ball") {
     val sketches = SparkEntry.queries("q28_simhash")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
