@@ -65,6 +65,21 @@ object Multimodal {
       b.grouped(blockSize).zipWithIndex.collect {
         case (block, idx) if idx % every == 0 => block
       }.toSeq
+
+    /** "Resize": deterministic byte-level downsample standing in for an
+      * image resize — output payload scaled by the pixel-count ratio
+      * (targetW·targetH)/(width·height), bytes taken at a uniform
+      * stride. A real codec decodes, resamples and re-encodes; the
+      * pipeline contract (pure function of payload+target, smaller
+      * payload out, metadata preserved modulo dims) is what's pinned. */
+    def resize(b: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+      val m = decodeMeta(b)
+      val srcPx = math.max(1L, m.width.toLong * m.height)
+      val outLen = math.max(1L,
+        math.min(b.length.toLong, b.length.toLong * targetW * targetH / srcPx)).toInt
+      if (b.isEmpty) b
+      else Array.tabulate(outLen)(i => b((i.toLong * b.length / outLen).toInt))
+    }
   }
 
   /** A binary media table derived deterministically from `documents`
@@ -87,6 +102,13 @@ object Multimodal {
   /** Feature extraction to fixed-dim vectors, partition-batched. */
   def features(media: Dataset[MediaRow], dim: Int = 16): Dataset[FeatureRow] =
     media.mapPartitions(_.map(r => FeatureRow(r.media_id, StubCodec.extractFeature(r.content, dim))))
+
+  /** Resize every payload to the target dims, partition-batched (the
+    * shape a real resample kernel runs in: codec state per partition,
+    * rows streamed through it). */
+  def resizeAll(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[MediaRow] =
+    media.mapPartitions(_.map(r =>
+      MediaRow(r.media_id, StubCodec.resize(r.content, targetW, targetH))))
 
   /** Memory-bounded repartitioning for decode: target payload bytes per
     * partition so executor memory holds a decode batch. */

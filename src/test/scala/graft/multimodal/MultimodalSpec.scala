@@ -66,6 +66,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(stats.map(_.getLong(1)).sum == 3)
   }
 
+  test("resize shrinks payloads by the pixel ratio, deterministically") {
+    val b = Array.tabulate[Byte](4096)(i => (i % 251).toByte)
+    val m = StubCodec.decodeMeta(b)
+    val half = StubCodec.resize(b, m.width / 2, m.height / 2)
+    assert(half.length < b.length && half.length > 0)
+    assert(half.toSeq == StubCodec.resize(b, m.width / 2, m.height / 2).toSeq,
+      "pure function of payload + target")
+    // upscale requests never grow the payload (no invented data)
+    assert(StubCodec.resize(b, m.width * 2, m.height * 2).length <= b.length)
+    assert(StubCodec.resize(Array.emptyByteArray, 8, 8).isEmpty)
+    // distributed path preserves ids and applies the same function
+    import spark.implicits._
+    val media = mediaTable(spark, sf)
+    val resized = resizeAll(media, 32, 32).collect().map(r => r.media_id -> r.content).toMap
+    val direct = media.collect().map(r => r.media_id -> StubCodec.resize(r.content, 32, 32)).toMap
+    assert(resized.keySet == direct.keySet)
+    assert(resized.forall { case (k, v) => v.toSeq == direct(k).toSeq })
+  }
+
   test("q33 media stats aggregates per format") {
     val stats = mediaStats(spark, sf).collect()
     assert(stats.map(_.getLong(1)).sum == 500) // all docs accounted for
