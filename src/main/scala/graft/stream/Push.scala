@@ -86,4 +86,30 @@ object Push {
     val p = new Push[T, T](spark, identity, limit)
     try { producer(p.put); p.result } finally p.close()
   }
+
+  /** Push pipeline with a DISTRIBUTED file sink: each micro-batch is
+    * written by the executors (append-mode parquet), nothing is
+    * collected to the driver — the production counterpart of the
+    * driver-side collector sinks above, which mirror flod's
+    * single-threaded terminals. Returns a handle whose `put` pushes a
+    * chunk synchronously; read the sink directory when done. */
+  def toPath[T: Encoder, U](spark: SparkSession, path: String)
+                           (transform: Dataset[T] => Dataset[U]): PushSink[T] = {
+    val source = MemoryStream[T](spark)
+    val query = transform(source.toDS())
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[U], _: Long) =>
+        batch.write.mode("append").parquet(path)
+        ()
+      }
+      .start()
+    new PushSink[T](source, query)
+  }
+
+  /** Handle for [[toPath]]: synchronous put + close. */
+  final class PushSink[T] private[Push] (source: MemoryStream[T], query: StreamingQuery) {
+    def put(chunk: Seq[T]): Unit = { source.addData(chunk); query.processAllAvailable() }
+    def close(): Unit = query.stop()
+  }
 }

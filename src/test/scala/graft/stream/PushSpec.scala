@@ -54,6 +54,17 @@ class PushSpec extends AnyFunSuite {
     assert(got == Seq(0L, 1L, 2L) && stops == 1)
   }
 
+  test("toPath sink writes micro-batches distributed, nothing at the driver") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pushsink").toString + "/out"
+    val sink = Push.toPath[Long, Long](spark, dir)(_.map(_ * 2))
+    try {
+      sink.put(Seq(1L, 2L, 3L))
+      sink.put(Seq(4L))
+    } finally sink.close()
+    val got = spark.read.parquet(dir).collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(2L, 4L, 6L, 8L))
+  }
+
   test("firstSeen streaming dedup drops repeats across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val source = MemoryStream[Long](spark)
