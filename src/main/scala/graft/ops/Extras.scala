@@ -102,6 +102,43 @@ object Extras {
              |SELECT grid.event_type AS event_type, grid.b AS b, COALESCE(counts.n, 0) AS n
              |FROM grid LEFT JOIN counts
              |  ON grid.event_type = counts.event_type AND grid.b = counts.b
-             |ORDER BY 1, 2""".stripMargin))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // Exact interpolated percentiles per group (the order-statistics
+    // surface q41's avg/stddev window stats don't cover). Exact — not
+    // the approx sketch (ApproxSpec covers that trade) — because the
+    // oracle must agree bit-for-bit; round(5) absorbs the engines'
+    // float interpolation. At 100 TB exact percentiles require a
+    // per-group sort: use the sketch instead (documented trade).
+    QueryDef("q61_percentiles",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 5).as("p50"),
+          round(expr("percentile(l_quantity, 0.9)"), 5).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 5).as("p99_price"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_quantity, 0.5), 5) AS p50,
+             |  round(quantile_cont(l_quantity, 0.9), 5) AS p90,
+             |  round(quantile_cont(l_extendedprice, 0.99), 5) AS p99_price
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Array higher-order functions over the embedding column — the
+    // codegen'd lambda surface (transform/filter/aggregate/zip_with)
+    // that keeps vector math inside whole-stage codegen instead of
+    // UDFs. All-integer outputs so the hash compare is exact.
+    QueryDef("q62_array_hof",
+      (s, d) => Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          expr("size(filter(embedding, x -> x > 0))").cast("long").as("n_pos"),
+          expr("size(filter(embedding, x -> abs(x) > 1.5))").cast("long").as("n_large"),
+          expr("cast(aggregate(transform(embedding, x -> cast(sign(x) as int)), 0, (a, x) -> a + x) as long)").as("sign_sum"))
+        .orderBy("vec_id"),
+      Some("""SELECT vec_id,
+             |  len(list_filter(embedding, x -> x > 0)) AS n_pos,
+             |  len(list_filter(embedding, x -> abs(x) > 1.5)) AS n_large,
+             |  CAST(list_sum(list_transform(embedding, x -> CAST(sign(x) AS INT))) AS BIGINT) AS sign_sum
+             |FROM embeddings ORDER BY vec_id""".stripMargin))
   )
 }
