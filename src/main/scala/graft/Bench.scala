@@ -23,21 +23,13 @@ object Bench {
     Tables.events(spark, sfDir).count()
     spark.range(1000000).selectExpr("sum(id)").collect()
     // one-time Structured Streaming init (state-store provider classes,
-    // checkpoint plumbing) so streaming queries measure steady state
+    // checkpoint plumbing) so streaming queries measure steady state;
+    // runBounded collects its input itself, so the DataFrame goes in as-is
     locally {
-      import org.apache.spark.sql.functions.{col, count => cnt}
-      val rows = spark.range(8).select(
-        org.apache.spark.sql.functions.current_timestamp().as("ts"),
-        col("id")).collect()
+      import org.apache.spark.sql.functions.{col, count => cnt, current_timestamp, lit, window}
       stream.StreamOps.runBounded(spark,
-        spark.createDataFrame(new java.util.ArrayList(java.util.Arrays.asList(rows: _*)),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("ts",
-              org.apache.spark.sql.types.TimestampType),
-            org.apache.spark.sql.types.StructField("id",
-              org.apache.spark.sql.types.LongType)))),
-        df => df.groupBy(org.apache.spark.sql.functions.window(col("ts"), "5 minutes"))
-          .agg(cnt(org.apache.spark.sql.functions.lit(1))))
+        spark.range(8).select(current_timestamp().as("ts"), col("id")),
+        df => df.groupBy(window(col("ts"), "5 minutes")).agg(cnt(lit(1))))
     }
 
     // A failed query must be VISIBLE in the bench line (time -1 + an
@@ -52,8 +44,19 @@ object Bench {
     val qs = results.map { case (k, v, err) =>
       "\"" + k + "\":" + (if (err.isDefined) "-1" else v.toString)
     }.mkString("{", ",", "}")
+    // full JSON string escaping: Spark analysis errors routinely embed
+    // newlines/plans in the first line of the message
+    def jsonEscape(s: String): String = s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val errs = results.collect { case (k, _, Some(e)) =>
-      "\"" + k + "\":\"" + e.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      "\"" + k + "\":\"" + jsonEscape(e) + "\""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
     val nErr = results.count(_._3.isDefined)

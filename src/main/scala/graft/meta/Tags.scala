@@ -63,9 +63,12 @@ object Tags {
     * source-file column, ...). Creates or extends the `_tags` map. */
   def setRowTag(df: DataFrame, key: String, value: Column): DataFrame = {
     val entry = map(lit(key), value.cast("string"))
+    // guard NULL envelopes (outer joins / allowMissingColumns unions
+    // leave _tags NULL on some rows; map_concat(NULL, …) is NULL and
+    // would silently drop the write)
     if (df.columns.contains(envCol))
-      df.withColumn(envCol, map_concat(
-        map_filter(col(envCol), (k, _) => k =!= key), entry))
+      df.withColumn(envCol, when(col(envCol).isNull, entry).otherwise(
+        map_concat(map_filter(col(envCol), (k, _) => k =!= key), entry)))
     else df.withColumn(envCol, entry)
   }
 

@@ -73,10 +73,13 @@ object Multimodal {
       * pipeline contract (pure function of payload+target, smaller
       * payload out, metadata preserved modulo dims) is what's pinned. */
     def resize(b: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+      require(targetW > 0 && targetH > 0, s"target dims must be positive: ${targetW}x$targetH")
       val m = decodeMeta(b)
       val srcPx = math.max(1L, m.width.toLong * m.height)
-      val outLen = math.max(1L,
-        math.min(b.length.toLong, b.length.toLong * targetW * targetH / srcPx)).toInt
+      // double-scale avoids Long overflow on huge target dims; capped
+      // at 1.0 (upscale never invents payload)
+      val scale = math.min(1.0, targetW.toDouble * targetH / srcPx)
+      val outLen = math.max(1L, math.round(b.length * scale)).toInt
       if (b.isEmpty) b
       else Array.tabulate(outLen)(i => b((i.toLong * b.length / outLen).toInt))
     }

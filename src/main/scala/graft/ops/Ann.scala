@@ -38,33 +38,28 @@ object Ann {
 
   // ---- learned IVF: k-means coarse quantizer ----
 
-  /** Nearest-centroid cell id as a codegen'd expression: centroids are
-    * baked in as literal arrays; squared-L2 per centroid via zip_with +
-    * aggregate; argmin via array_min over (distance, index) structs
-    * (struct ordering compares the distance first). No UDF, no shuffle —
-    * the assignment is a narrow projection even at 100 TB. */
-  def cellCol(v: Column, cents: Array[Array[Double]]): Column = {
-    val entries = cents.zipWithIndex.map { case (c, i) =>
+  /** Per-centroid (squared-L2 distance, index) structs — the shared
+    * core of assignment and probing: centroids baked in as literal
+    * arrays, distance via zip_with + aggregate (codegen'd, no UDF). */
+  private def centroidEntries(v: Column, cents: Array[Array[Double]]): Column =
+    array(cents.zipWithIndex.map { case (c, i) =>
       val carr = array(c.map(lit).toSeq: _*)
       val d2 = aggregate(zip_with(v, carr, (a, b) => (a - b) * (a - b)),
         lit(0.0), (acc, x) => acc + x)
       struct(d2.as("d"), lit(i).as("i"))
-    }
-    array_min(array(entries.toSeq: _*)).getField("i")
-  }
+    }.toSeq: _*)
+
+  /** Nearest-centroid cell id: argmin via array_min over the entries
+    * (struct ordering compares the distance first). A narrow
+    * projection — no shuffle — even at 100 TB. */
+  def cellCol(v: Column, cents: Array[Array[Double]]): Column =
+    array_min(centroidEntries(v, cents)).getField("i")
 
   /** The query-side probe list: the `nprobe` nearest cells in ascending
-    * centroid distance (array_sort on (distance, index) structs). */
-  def probeCells(v: Column, cents: Array[Array[Double]], nprobe: Int): Column = {
-    val entries = cents.zipWithIndex.map { case (c, i) =>
-      val carr = array(c.map(lit).toSeq: _*)
-      val d2 = aggregate(zip_with(v, carr, (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x)
-      struct(d2.as("d"), lit(i).as("i"))
-    }
-    slice(transform(array_sort(array(entries.toSeq: _*)), e => e.getField("i")),
+    * centroid distance (array_sort on the same entries). */
+  def probeCells(v: Column, cents: Array[Array[Double]], nprobe: Int): Column =
+    slice(transform(array_sort(centroidEntries(v, cents)), e => e.getField("i")),
       1, nprobe)
-  }
 
   /** Lloyd's k-means over a DataFrame of (vec_id, v: array<double>) —
     * the learned coarse quantizer q34's label-cell stand-in lacks.
@@ -95,9 +90,13 @@ object Ann {
     * cells adapt to the data instead of borrowing a label column). */
   def ivfSearch(embeddings: DataFrame, queryFilter: Column, k: Int,
                 cents: Array[Array[Double]], nprobe: Int = 1): DataFrame = {
+    // materialize the assignment once: the corpus side and the query
+    // side both consume it, and ReuseExchange does not fire across
+    // AQE's broadcast conversion (same measured diamond as Dedup)
     val e = embeddings
       .withColumn("cell", cellCol(col("v"), cents))
       .withColumn("nrm", Vectors.norm2(col("v")))
+      .localCheckpoint()
     val q = e.where(queryFilter)
       .select(explode(probeCells(col("v"), cents, nprobe)).as("cell"),
         col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))

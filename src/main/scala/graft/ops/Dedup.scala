@@ -254,33 +254,41 @@ object Dedup {
        |      GROUP BY fp) r ON f.fp = r.fp
        |WHERE f.doc_id <> r.id_a""".stripMargin
 
-  /** Shingle-Jaccard near-dup pairs (θ=0.5) via inverted-index self-join
-    * on df-capped distinct shingles, plus the mass-dup fallback. */
-  def jaccardPairs(docs: DataFrame, cap: Int = dfCap): DataFrame = {
-    // attach each doc's set size with a window count on the SAME lineage
-    // instead of two extra size-joins; doc_id is bounded by document
-    // length — not a hot key the way shingles are.
+  /** Materialized df-capped shingle table with each doc's set size
+    * attached (window count on the SAME lineage instead of two extra
+    * size-joins; doc_id is bounded by document length — not a hot key
+    * the way shingles are). MATERIALIZED once because its consumers
+    * (both self-join sides + the fallback's anti-join) would otherwise
+    * each re-run the scan→explode→distinct→cap lineage — measured at
+    * runtime, ReuseExchange does NOT collapse them (AQE's broadcast
+    * conversion on one side breaks exchange-level reuse: 10 scans,
+    * 0 reused). This is the production shape too: a 100 TB dedup run
+    * writes its shingle/signature table once and reuses it (swap
+    * localCheckpoint for a reliable checkpoint/table there). */
+  private def shingleTable(docs: DataFrame, cap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val t = cappedShinglesOf(docs, cap)
-    // MATERIALIZE the capped shingle set once: three consumers (both
-    // self-join sides + the fallback's anti-join) would otherwise each
-    // re-run the scan→explode→distinct→cap lineage — measured at
-    // runtime, ReuseExchange does NOT collapse them (AQE's broadcast
-    // conversion on one side breaks exchange-level reuse: 10 scans,
-    // 0 reused). This is the production shape too: a 100 TB dedup run
-    // writes its shingle/signature table once and reuses it (swap
-    // localCheckpoint for a reliable checkpoint/table there).
-    val tn = t.withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+    cappedShinglesOf(docs, cap)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
       .localCheckpoint()
-    val a = tn.select(col("doc_id").as("id_a"), col("sh"), col("n").as("na"))
-    val b = tn.select(col("doc_id").as("id_b"), col("sh"), col("n").as("nb"))
-    val pairs = a.join(b, "sh").where(col("id_a") < col("id_b"))
-      .groupBy("id_a", "na", "id_b", "nb").agg(count(lit(1)).as("shared"))
+  }
+
+  /** Shared verify stage: score candidate (id_a, id_b) shingle matches
+    * and keep pairs above θ=0.5 — q27 and q51 MUST agree on this. */
+  private def jaccardScore(joined: DataFrame): DataFrame =
+    joined.groupBy("id_a", "na", "id_b", "nb").agg(count(lit(1)).as("shared"))
       .withColumn("jaccard",
         col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
       .where(col("jaccard") >= 0.5)
       .select("id_a", "id_b", "jaccard")
-    pairs.unionByName(cappedFallbackPairs(docs, tn))
+
+  /** Shingle-Jaccard near-dup pairs (θ=0.5) via inverted-index self-join
+    * on df-capped distinct shingles, plus the mass-dup fallback. */
+  def jaccardPairs(docs: DataFrame, cap: Int = dfCap): DataFrame = {
+    val tn = shingleTable(docs, cap)
+    val a = tn.select(col("doc_id").as("id_a"), col("sh"), col("n").as("na"))
+    val b = tn.select(col("doc_id").as("id_b"), col("sh"), col("n").as("nb"))
+    jaccardScore(a.join(b, "sh").where(col("id_a") < col("id_b")))
+      .unionByName(cappedFallbackPairs(docs, tn))
   }
 
   // Band-bucket cap for LSH candidate generation: a mass-duplicate
@@ -340,26 +348,17 @@ object Dedup {
     * full inverted-index self-join; fully-capped docs take the same
     * exact-hash star fallback as q27. */
   def dedupPipeline(docs: DataFrame, cap: Int = dfCap): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cand = lshCandidatesOf(docs)
-    val t = cappedShinglesOf(docs, cap)
-    // same diamond as jaccardPairs: a-side join, b-side join, fallback
-    val tn = t.withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
-      .localCheckpoint()
+    val tn = shingleTable(docs, cap) // same materialized diamond as jaccardPairs
     // candidate-driven: pairs × a-side shingles, then match b-side on
     // (id_b, sh) — cost O(|candidates| · shingles/doc), independent of
     // corpus-wide shingle collision counts.
     val withA = cand
       .join(tn.select(col("doc_id").as("id_a"), col("sh"), col("n").as("na")), "id_a")
-    val verified = withA
+    val joined = withA
       .join(tn.select(col("doc_id").as("id_b"), col("sh"), col("n").as("nb")),
         Seq("id_b", "sh"))
-      .groupBy("id_a", "na", "id_b", "nb").agg(count(lit(1)).as("shared"))
-      .withColumn("jaccard",
-        col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
-      .where(col("jaccard") >= 0.5)
-      .select("id_a", "id_b", "jaccard")
-    verified.unionByName(cappedFallbackPairs(docs, tn))
+    jaccardScore(joined).unionByName(cappedFallbackPairs(docs, tn))
   }
 
   val defs: Seq[QueryDef] = Seq(

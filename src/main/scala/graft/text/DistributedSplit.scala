@@ -163,14 +163,33 @@ object DistributedSplit {
       val ch = java.nio.channels.FileChannel.open(java.nio.file.Paths.get(path))
       try {
         val start = i * chunkBytes
-        val len = math.min(chunkBytes, size - start).toInt
-        val buf = java.nio.ByteBuffer.allocate(len)
+        val rawEnd = math.min(start + chunkBytes, size)
+        // UTF-8 boundary repair: decoding each byte range independently
+        // would shred a multi-byte code point straddling the boundary
+        // into U+FFFD on both sides. Rule: a chunk owns the code points
+        // whose LEAD byte falls in [start, rawEnd) — skip leading
+        // continuation bytes (they belong to the previous chunk's final
+        // code point) and extend past trailing continuation bytes (≤3
+        // by the UTF-8 spec). Every chunk applies the same rule, so
+        // coverage is exact with no overlap.
+        val len = (rawEnd - start).toInt
+        val buf = java.nio.ByteBuffer.allocate(len + 3)
         ch.position(start)
         var read = 0
-        while (read < len) {
-          val r = ch.read(buf); if (r < 0) read = len else read += r
+        val want = math.min(len + 3L, size - start).toInt
+        while (read < want) {
+          val r = ch.read(buf); if (r < 0) read = want else read += r
         }
-        new String(buf.array(), 0, buf.position(), java.nio.charset.StandardCharsets.UTF_8)
+        val bytes = buf.array()
+        def isCont(b: Byte): Boolean = (b & 0xC0) == 0x80
+        var from = 0
+        if (start > 0) while (from < math.min(3, read) && isCont(bytes(from))) from += 1
+        if (from >= math.min(len, read)) "" // chunk owns no lead byte (sub-code-point chunk)
+        else {
+          var to = math.min(len, read)
+          while (to < read && to < len + 3 && isCont(bytes(to))) to += 1
+          new String(bytes, from, to - from, java.nio.charset.StandardCharsets.UTF_8)
+        }
       } finally ch.close()
     }
     split(chunks, sep, keepSeparator)

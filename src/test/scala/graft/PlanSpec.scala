@@ -62,6 +62,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"))
   }
 
+  test("dedup building blocks are clean BEFORE materialization truncates the plan") {
+    // localCheckpoint() in the dedup queries truncates their visible
+    // plan to a scan of the checkpointed RDD, so the global audit below
+    // cannot see the shingle/sketch aggregation subtrees — audit the
+    // building blocks directly (this is where the historical q49
+    // collect_list regression lived)
+    val docs = Tables.documents(spark, sf)
+    for ((nm, df) <- Seq(
+        "simhashOf" -> ops.Dedup.simhashOf(docs),
+        "signaturesOf" -> ops.Dedup.signaturesOf(docs),
+        "cappedShinglesOf" -> ops.Dedup.cappedShinglesOf(docs))) {
+      val p = df.queryExecution.sparkPlan.toString
+      assert(!p.contains("collect_list"), s"$nm materializes groups into rows")
+      assert(!p.contains("CartesianProduct"), s"$nm plans a cartesian product")
+    }
+  }
+
   test("no declared query plans a CartesianProduct or collect_list") {
     // global anti-pattern audit over EVERY declared query: a cartesian
     // product or a per-group collect_list anywhere is a 100 TB

@@ -126,4 +126,20 @@ class TagChainSpec extends AnyFunSuite {
     assert(re.select(Tags.rowTag("file")).distinct().collect().map(_.getString(0)).toSeq == Seq("re"))
     assert(Tags.dropRowTags(re).columns.toSeq == Seq("v"))
   }
+
+  test("row-tag write survives NULL envelopes from outer joins/unions") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // allowMissingColumns union leaves _tags NULL on the untagged side;
+    // a subsequent write must land on those rows, not vanish into
+    // map_concat(NULL, ...) = NULL
+    val tagged = Tags.setRowTag(Seq("x").toDF("v"), "file", lit("part-0"))
+    val untagged = Seq("y").toDF("v")
+    val mixed = tagged.unionByName(untagged, allowMissingColumns = true)
+    val re = Tags.setRowTag(mixed, "file", lit("all"))
+    val got = re.select($"v", Tags.rowTag("file").as("f"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("x" -> "all", "y" -> "all"))
+  }
 }

@@ -95,6 +95,22 @@ class DistributedSplitSpec extends AnyFunSuite {
     }
   }
 
+  test("readSplit preserves multi-byte UTF-8 across every chunk boundary") {
+    // 2- and 3-byte code points; chunkBytes from 1 up forces every
+    // possible straddle of a code point across a byte-range boundary —
+    // naive per-range decoding would shred them into U+FFFD
+    val text = "Zażółć gęślą jaźń żółw 한국어 테스트 done"
+    val f = java.io.File.createTempFile("dsplit_utf8", ".txt")
+    f.deleteOnExit()
+    java.nio.file.Files.write(f.toPath, text.getBytes("UTF-8"))
+    for (cb <- Seq(1L, 2L, 3L, 5L, 7L)) {
+      val got = DistributedSplit.readSplit(spark, f.getPath, " ",
+        keepSeparator = false, chunkBytes = cb).collect().toVector
+      assert(got == Splitter.split(text, " ", keepSeparator = false), s"chunkBytes=$cb")
+      assert(!got.exists(_.contains('�')), s"chunkBytes=$cb produced replacement chars")
+    }
+  }
+
   test("readSplit over a staged multi-separator file at small chunk sizes") {
     val text = "alpha<|>beta<|>gamma<|><|>tail"
     val f = java.io.File.createTempFile("dsplit", ".txt")

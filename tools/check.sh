@@ -13,4 +13,6 @@ python3 tools/compare.py /root/testdata/sf0.01 /tmp/verify_out
 
 echo "== bench (sf0.1) =="
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
-  sbt -batch "runMain graft.Bench" | grep -E '^\{|\{"metric"' || true
+  sbt -batch "runMain graft.Bench" | grep -F '{"metric"'
+# no '|| true': Bench exits nonzero when any query errors, and under
+# pipefail that must fail this gate (grep also fails if no JSON line)
