@@ -13,7 +13,7 @@ object SparkEntry {
 
   private def allDefs: Seq[QueryDef] =
     ops.Relational.defs ++ ops.TextAnalysis.defs ++ ops.Dedup.defs ++
-      ops.Similarity.defs ++ stream.StreamOps.defs ++
+      ops.Similarity.defs ++ ops.Ann.defs ++ stream.StreamOps.defs ++
       multimodal.Multimodal.defs ++ ops.Pipeline.defs ++ ops.Extras.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -87,9 +88,16 @@ object Ann {
   /** IVF search with a learned quantizer: corpus vectors live in their
     * nearest cell; each query probes its `nprobe` nearest cells — an
     * equality join on the cell id (the same scale shape as q34, but the
-    * cells adapt to the data instead of borrowing a label column). */
+    * cells adapt to the data instead of borrowing a label column).
+    *
+    * No broadcast hint on the query side: its size is nprobe× whatever
+    * `queryFilter` selects, which the caller controls, not this method —
+    * AQE broadcasts it when it actually fits and shuffle-joins otherwise.
+    * `roundDp ≥ 0` rounds cosine BEFORE ranking (oracle hash parity —
+    * both engines must rank the same values). */
   def ivfSearch(embeddings: DataFrame, queryFilter: Column, k: Int,
-                cents: Array[Array[Double]], nprobe: Int = 1): DataFrame = {
+                cents: Array[Array[Double]], nprobe: Int = 1,
+                roundDp: Int = -1): DataFrame = {
     // materialize the assignment once: the corpus side and the query
     // side both consume it, and ReuseExchange does not fire across
     // AQE's broadcast conversion (same measured diamond as Dedup)
@@ -100,12 +108,13 @@ object Ann {
     val q = e.where(queryFilter)
       .select(explode(probeCells(col("v"), cents, nprobe)).as("cell"),
         col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val scored = e.join(broadcast(q), "cell")
+    val rawCos = Vectors.dot(col("qv"), col("v")) / (col("qn") * col("nrm"))
+    val scored = e.join(q, "cell")
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
-        (Vectors.dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+        (if (roundDp >= 0) round(rawCos, roundDp) else rawCos).as("cos"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select("q_id", "rank", "n_id", "cos")
   }
@@ -127,7 +136,9 @@ object Ann {
     val q = e.where(queryFilter)
       .select(explode(probes(col("bucket"))).as("bucket"),
         col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val scored = e.join(broadcast(q), "bucket")
+    // no broadcast hint: the probe side is (nBits+1)× the filtered query
+    // count — AQE broadcasts when it fits, shuffles when it does not
+    val scored = e.join(q, "bucket")
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         (Vectors.dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
@@ -136,4 +147,59 @@ object Ann {
       .where(col("rank") <= k)
       .select("q_id", "rank", "n_id", "cos")
   }
+
+  /** The centroid constants as a SQL CTE body (one row per centroid) —
+    * the SAME doubles as the Spark plan's literals, so both engines
+    * assign cells from identical inputs. */
+  private def centroidsSqlCte(cents: Array[Array[Double]]): String =
+    cents.zipWithIndex.map { case (c, i) =>
+      s"SELECT $i AS i, ${c.mkString("[", ", ", "]")}::DOUBLE[] AS c"
+    }.mkString("\nUNION ALL\n")
+
+  /** Gate query for the learned-IVF path: assignment (cellCol), probe
+    * selection (probeCells) and the cell-equality search join, with the
+    * quantizer's fitted centroids baked as literals on BOTH engines
+    * (see [[AnnCentroids]]). The oracle mirrors every stage: per-vector
+    * argmin cell over the centroid list, top-nprobe probe cells, cosine
+    * scoring rounded to 5 dp before ranking. */
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q63_ann_learned_ivf",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v"))
+        ivfSearch(e, col("vec_id") < 5, k = 3, AnnCentroids.fitted,
+            nprobe = 4, roundDp = 5)
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH cents AS (
+              |${centroidsSqlCte(AnnCentroids.fitted)}),
+              |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |d AS (
+              |  SELECT e.vec_id, cents.i,
+              |    list_sum(list_transform(range(1, ${AnnCentroids.fitted.head.length + 1}),
+              |      j -> (e.v[j] - cents.c[j]) * (e.v[j] - cents.c[j]))) AS d2
+              |  FROM e CROSS JOIN cents),
+              |rnk AS (
+              |  SELECT vec_id, i,
+              |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, i ASC) AS rn
+              |  FROM d),
+              |corpus AS (
+              |  SELECT e.vec_id, e.v, r.i AS cell
+              |  FROM e JOIN rnk r ON r.vec_id = e.vec_id AND r.rn = 1),
+              |probes AS (
+              |  SELECT e.vec_id AS q_id, e.v AS qv, r.i AS cell
+              |  FROM e JOIN rnk r ON r.vec_id = e.vec_id AND r.rn <= 4
+              |  WHERE e.vec_id < 5),
+              |scored AS (
+              |  SELECT p.q_id, c.vec_id AS n_id,
+              |    round(list_dot_product(p.qv, c.v) /
+              |      (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(c.v, c.v))), 5) AS cos
+              |  FROM probes p JOIN corpus c ON c.cell = p.cell AND c.vec_id <> p.q_id)
+              |SELECT q_id, rank, n_id, cos FROM (
+              |  SELECT q_id, n_id, cos,
+              |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+              |  FROM scored) t
+              |WHERE rank <= 3
+              |ORDER BY q_id, rank""".stripMargin))
+  )
 }

@@ -208,9 +208,14 @@ object Dedup {
     * shingle's whole posting list in one task (the exact hotspot the cap
     * exists to eliminate). */
   def cappedShinglesOf(docs: DataFrame, cap: Int = dfCap): DataFrame = {
+    // scan→explode→distinct is the expensive stage and BOTH the df
+    // aggregation and the anti-join probe consume it; without
+    // materialization the whole tree executes twice (ReuseExchange does
+    // not collapse the two uses — measured, same diamond as shingleTable)
     val dsh = shinglesOf(docs)
       .select(col("doc_id"), substring(md5(col("sh")), 1, 16).as("sh"))
       .distinct()
+      .localCheckpoint()
     val hot = dsh.groupBy("sh").agg(count(lit(1)).as("df"))
       .where(col("df") > cap).select("sh")
     // hot is tiny by Zipf (only over-cap heads); AQE picks broadcast when
