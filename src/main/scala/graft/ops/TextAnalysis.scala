@@ -191,6 +191,44 @@ object TextAnalysis {
              |  SELECT token, COUNT(*) AS freq
              |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
              |  GROUP BY token) f
-             |ORDER BY freq DESC, token ASC LIMIT 100""".stripMargin))
+             |ORDER BY freq DESC, token ASC LIMIT 100""".stripMargin)),
+
+    // Winnowing fingerprints (graft.text.Fingerprint): k-gram rolling
+    // hash + per-window minimum, the edit-local dedup fingerprint q23's
+    // whole-document md5 cannot give. Gates the REAL library function
+    // through the typed-lambda surface (SURVEY §2.3 T3): a pure per-row
+    // flatMap — embarrassingly parallel, no shuffle except the
+    // presentation sort. The oracle recomputes the identical polynomial
+    // (base 257 mod 2^61−1; a 5-gram's value < 2^61−1, so plain BIGINT
+    // arithmetic equals the modular rolling form) and window minimum;
+    // the selected-hash SET is tie-rule-independent, so window-min
+    // semantics mirror exactly.
+    QueryDef("q64_winnow_fingerprint",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .flatMap { case (id, t) =>
+            graft.text.Fingerprint.winnow(t, k = 5, w = 4).map(fp => (id, fp)) }
+          .toDF("doc_id", "fp")
+          .orderBy("doc_id", "fp")
+      },
+      Some("""WITH n AS (SELECT doc_id, text, length(text) AS ln
+             |          FROM documents WHERE length(text) >= 5),
+             |pos AS (SELECT doc_id, text, ln - 4 AS nh, unnest(range(1, ln - 3)) AS p FROM n),
+             |h AS (SELECT doc_id, p, nh,
+             |    ord(substr(text, p, 1)) * 4362470401
+             |  + ord(substr(text, p+1, 1)) * 16974593
+             |  + ord(substr(text, p+2, 1)) * 66049
+             |  + ord(substr(text, p+3, 1)) * 257
+             |  + ord(substr(text, p+4, 1)) AS h
+             |  FROM pos),
+             |wins AS (
+             |  SELECT doc_id, p, nh,
+             |    min(h) OVER (PARTITION BY doc_id ORDER BY p
+             |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+             |  FROM h)
+             |SELECT DISTINCT doc_id, fp FROM wins WHERE p <= GREATEST(1, nh - 3)
+             |ORDER BY doc_id, fp""".stripMargin))
   )
 }

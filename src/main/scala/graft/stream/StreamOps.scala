@@ -35,9 +35,16 @@ object StreamOps {
 
   /** Session windows: events within `gap` merge into one session.
     * Native session_window — in streaming this is state-store-backed
-    * session merging; in batch it compiles to a sort-based merge. */
-  def sessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
-    wm(events, "10 minutes")
+    * session merging; in batch it compiles to a sort-based merge.
+    *
+    * The watermark delay defaults to the GAP itself: any event up to
+    * `gap` late still belongs to a session that is, by the gap's own
+    * definition, possibly still open — a delay shorter than the gap
+    * would drop events from open sessions (callers may pass a LONGER
+    * delay to also admit late arrivals into already-closed sessions). */
+  def sessions(events: DataFrame, gap: String = "30 minutes",
+               watermark: Option[String] = None): DataFrame =
+    wm(events, watermark.getOrElse(gap))
       .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("sw.start").as("sess_start"),
@@ -97,27 +104,39 @@ object StreamOps {
     * each key's first element only, across micro-batches.
     *
     * State is BOUNDED by default: each key's entry expires `ttl` after
-    * its first occurrence (ProcessingTimeTimeout; the timeout is set
-    * once and not refreshed by suppressed repeats, so the dedup window
-    * is anchored at first-seen). After expiry the key re-emits — the
-    * standard windowed-dedup contract for unbounded key spaces at
-    * 100 TB, where never-expiring state is an unbounded state store.
-    * Pass `ttl = None` only for genuinely finite key domains. */
+    * its FIRST occurrence. The state value is the first-seen
+    * processing-time anchor, and the timeout is re-armed for the
+    * REMAINING window on every invocation — Spark clears a group's
+    * registered timeout whenever the function runs with data for that
+    * key, so a suppressed repeat that did not re-arm would silently
+    * cancel expiry and leak the key's state forever (the r3 advisor's
+    * finding). After expiry the key re-emits — the standard
+    * windowed-dedup contract for unbounded key spaces at 100 TB, where
+    * never-expiring state is an unbounded state store. Pass
+    * `ttl = None` only for genuinely finite key domains. */
   def firstSeen[K, V](ds: Dataset[V], key: V => K,
                       ttl: Option[java.time.Duration] = Some(java.time.Duration.ofHours(24)))
                      (implicit ke: org.apache.spark.sql.Encoder[K],
                       ve: org.apache.spark.sql.Encoder[V]): Dataset[V] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    implicit val boolEnc: org.apache.spark.sql.Encoder[Boolean] =
-      org.apache.spark.sql.Encoders.scalaBoolean
+    implicit val longEnc: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
     val conf = if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
                else GroupStateTimeout.NoTimeout
     ds.groupByKey(key).flatMapGroupsWithState(OutputMode.Append, conf) {
-      (_: K, values: Iterator[V], state: GroupState[Boolean]) =>
+      (_: K, values: Iterator[V], state: GroupState[Long]) =>
         if (state.hasTimedOut) { state.remove(); Iterator.empty }
-        else if (state.exists) Iterator.empty
-        else {
-          state.update(true)
+        else if (state.exists) {
+          // suppressed repeat: re-arm for what is LEFT of the window so
+          // the expiry stays anchored at first sight
+          ttl.foreach { t =>
+            val anchor = state.get
+            state.setTimeoutDuration(
+              math.max(1L, anchor + t.toMillis - state.getCurrentProcessingTimeMs()))
+          }
+          Iterator.empty
+        } else {
+          state.update(state.getCurrentProcessingTimeMs())
           ttl.foreach(t => state.setTimeoutDuration(t.toMillis))
           values.take(1)
         }
@@ -126,9 +145,12 @@ object StreamOps {
 
   /** Batch-declared twins for the correctness gate. */
   val defs: Seq[QueryDef] = Seq(
-    // Native session_window (merge semantics: gap-close iff diff < gap —
-    // boundary differs from q19's strict '>' but no event pair sits
-    // exactly on the 30-minute boundary in the corpus).
+    // Native session_window. Boundary semantics measured, not assumed:
+    // a pair exactly `gap` apart MERGES (merge iff diff <= gap) —
+    // pinned by StreamingSpec's exactly-at-gap fixture. The oracle
+    // mirrors this with a strict '>' new-session test (same boundary
+    // rule as q19), so the gate no longer depends on the corpus
+    // containing no exactly-at-gap pair.
     QueryDef("q31_session_window",
       (s, d) => graft.Tables.events(s, d)
         .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
@@ -144,7 +166,7 @@ object StreamOps {
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
              |  FROM (
              |    SELECT user_id, ts,
-             |      CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+             |      CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
              |           THEN 1 ELSE 0 END AS new_sess
              |    FROM (
              |      SELECT user_id, ts,

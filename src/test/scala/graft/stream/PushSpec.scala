@@ -110,6 +110,35 @@ class PushSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("firstSeen: repeats inside the window do not cancel expiry (timeout re-armed)") {
+    // Spark clears a group's registered timeout on every invocation with
+    // data; before the round-4 fix, a suppressed repeat returned without
+    // re-arming, so any repeating key never expired and its state leaked
+    // forever (r3 advisor finding). This repeats the key INSIDE the
+    // window, then asserts expiry + re-emit still happen.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val source = MemoryStream[Long](spark)
+    val deduped = StreamOps.firstSeen[Long, Long](source.toDS(), identity,
+      ttl = Some(java.time.Duration.ofMillis(1200)))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_ttl_rearm").start()
+    try {
+      source.addData(Seq(5L))
+      assert(pollRows("dedup_ttl_rearm", 1) == Seq(5L))
+      source.addData(Seq(5L))                 // repeat inside the window: suppressed
+      assert(pollRows("dedup_ttl_rearm", 1) == Seq(5L))
+      Thread.sleep(2000)                      // TTL (anchored at FIRST sight) lapses
+      source.addData(Seq(99L))                // drive batches so the timeout fires
+      assert(pollRows("dedup_ttl_rearm", 2).length == 2)
+      source.addData(Seq(5L))                 // expired: re-emits
+      val got = pollRows("dedup_ttl_rearm", 3)
+      assert(got.count(_ == 5L) == 2,
+        s"expected key 5 twice (expiry survived the in-window repeat), got $got")
+      val stateRows = q.recentProgress.last.stateOperators.head.numRowsTotal
+      assert(stateRows <= 2, s"state store must stay bounded, holds $stateRows rows")
+    } finally q.stop()
+  }
+
   test("firstSeen state expires after the TTL and the key re-emits") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val source = MemoryStream[Long](spark)

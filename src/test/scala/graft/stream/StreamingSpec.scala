@@ -54,6 +54,73 @@ class StreamingSpec extends AnyFunSuite {
     assert(canon(streamed) == canon(batch))
   }
 
+  test("sessions: an event later than 10 min but within the gap still joins its session (streaming)") {
+    // Pins the watermark/gap contract: sessions() derives its watermark
+    // delay from the gap, so an event `gap`-late at most still lands in a
+    // session the gap's own definition keeps open. Under the previous
+    // hardcoded 10-minute delay the 10:05 event below (20 min behind the
+    // stream's 10:25 max) was silently dropped from user 1's open session.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("user_id", LongType)))
+    implicit val enc: Encoder[Row] = Encoders.row(schema)
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val source = MemoryStream[Row](spark)
+    val q = StreamOps.sessions(source.toDF(), gap = "30 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("sess_wm").start()
+    try {
+      source.addData(Seq(Row(t("2026-01-01 10:00:00"), 1L), Row(t("2026-01-01 10:25:00"), 2L)))
+      q.processAllAvailable()
+      // watermark is now 10:25 − gap = 09:55; with the old 10-minute
+      // delay it would be 10:15 and this event would be discarded
+      source.addData(Seq(Row(t("2026-01-01 10:05:00"), 1L)))
+      q.processAllAvailable()
+      // push the watermark past every session end so append emits them
+      source.addData(Seq(Row(t("2026-01-01 13:00:00"), 99L)))
+      q.processAllAvailable()
+      val u1 = spark.table("sess_wm").collect().filter(_.getLong(0) == 1L)
+      assert(u1.length == 1, s"user 1 must have ONE session, got ${u1.toSeq}")
+      assert(u1.head.getLong(3) == 2L,
+        s"the within-gap late event must join the session, got ${u1.toSeq}")
+    } finally q.stop()
+  }
+
+  test("session boundary semantics pinned: a pair exactly at the gap MERGES") {
+    // Measured, not assumed: Spark's native session_window merges a pair
+    // exactly `gap` apart (merge iff diff <= gap; the session extends to
+    // 11:00). q19's lag-based definition (new session iff diff > gap)
+    // has the SAME boundary rule, and q31's oracle now tests new-session
+    // with strict '>' — so all three agree at the boundary and the gates
+    // no longer depend on the corpus containing no exactly-at-gap pair.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (TIMESTAMP '2026-01-01 10:00:00', 1L),
+        |  (TIMESTAMP '2026-01-01 10:30:00', 1L) AS t(ts, user_id)""".stripMargin)
+    val native = StreamOps.sessions(df).collect()
+    assert(native.length == 1,
+      s"native session_window must MERGE at diff == gap, got ${native.toSeq}")
+    assert(native.head.getLong(3) == 2L &&
+      native.head.getTimestamp(2).toString == "2026-01-01 11:00:00.0",
+      s"merged session must span both events and end at last+gap, got ${native.toSeq}")
+
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val lagBased = df
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+             unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L,
+          lit(1)).otherwise(lit(0)))
+      .withColumn("session_id", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id").count().collect()
+    assert(lagBased.length == 1,
+      s"q19's strict-'>' definition also merges at diff == gap, got ${lagBased.toSeq}")
+  }
+
   test("stream-stream interval join == batch join (click -> purchase)") {
     import org.apache.spark.sql.functions._
     val events = Tables.events(spark, TestSpark.sf0001)
