@@ -13,8 +13,9 @@ object SparkEntry {
 
   private def allDefs: Seq[QueryDef] =
     ops.Relational.defs ++ ops.TextAnalysis.defs ++ ops.Dedup.defs ++
-      ops.Similarity.defs ++ ops.Ann.defs ++ stream.StreamOps.defs ++
-      multimodal.Multimodal.defs ++ ops.Pipeline.defs ++ ops.Extras.defs
+      ops.Similarity.defs ++ ops.Ann.defs ++ ops.Scale.defs ++
+      stream.StreamOps.defs ++ multimodal.Multimodal.defs ++
+      ops.Pipeline.defs ++ ops.Extras.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * A join+aggregate that exercises scan, broadcast join, shuffle join,

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -54,4 +55,53 @@ object Scale {
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+
+  /** Drop a managed table AND its warehouse directory — the in-memory
+    * catalog forgets tables between JVMs while the directory survives,
+    * so a fresh session's overwrite would otherwise collide. */
+  private def dropBucketed(s: SparkSession, table: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new java.io.File(
+      new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath, table)
+    if (loc.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(loc).deleteRecursively()
+    }
+  }
+
+  /** Driver-visible gate for the bucketed co-located join: q07's exact
+    * semantics, but the fact tables are first WRITTEN bucketed by the
+    * join key and the join then runs with zero exchange on either side
+    * (plan asserted in PlanSpec; values must equal q07's oracle). The
+    * measured cost intentionally includes the bucketed write — that is
+    * the real amortization decision at 100 TB: pay one layout write,
+    * then every repeated fact⋈fact join on that key skips its shuffle. */
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q65_bucketed_join",
+      (s, d) => {
+        import graft.QueryDef.dec
+        // per-sf table names: one session may gate several scale factors
+        val tag = math.abs(d.hashCode).toString
+        val lt = s"q65_lineitem_$tag"
+        val ot = s"q65_orders_$tag"
+        Seq(lt, ot).foreach(dropBucketed(s, _))
+        writeBucketed(Tables.lineitem(s, d).withColumnRenamed("l_orderkey", "o_orderkey"),
+          lt, "o_orderkey", 16)
+        writeBucketed(Tables.orders(s, d), ot, "o_orderkey", 16)
+        s.table(lt)
+          .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+          .join(s.table(ot), "o_orderkey")
+          .groupBy("o_orderpriority")
+          .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+             |  COUNT(*) AS n_items
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+  )
 }

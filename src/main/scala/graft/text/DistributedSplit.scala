@@ -61,6 +61,31 @@ object DistributedSplit {
   private[text] def hasBorder(sep: String): Boolean =
     (1 until sep.length).exists(k => sep.substring(0, k) == sep.substring(sep.length - k))
 
+  /** Lazy interior-segment iterator: skips the boundary-suspect FIRST
+    * segment, then emits each segment once a successor is known to exist
+    * (one-element lookahead); the final segment is interior only when
+    * terminated, otherwise it is the partition's tail and stays behind
+    * for pass 2. Pure iterator plumbing — DistributedSplitSpec asserts
+    * it consumes no more of the source than it emits (+lookahead). */
+  private[text] def interiorIter(pi: Int, segs: Iterator[String], sep: String): Iterator[Seg] = {
+    if (!segs.hasNext) Iterator.empty
+    else {
+      segs.next() // first segment: boundary-suspect, pass 2 repairs it
+      new Iterator[Seg] {
+        private var pending: String = if (segs.hasNext) segs.next() else null
+        private var idx = 1L
+        def hasNext: Boolean =
+          pending != null && (segs.hasNext || pending.endsWith(sep))
+        def next(): Seg = {
+          val out = Seg(pi, 0, idx, pending)
+          idx += 1
+          pending = if (segs.hasNext) segs.next() else null
+          out
+        }
+      }
+    }
+  }
+
   def split(chunks: Dataset[String], sep: String,
             keepSeparator: Boolean = false,
             ordered: Boolean = true): Dataset[String] = {
@@ -76,32 +101,33 @@ object DistributedSplit {
         .mapPartitions(Splitter.incremental(sep, keepSeparator))(Encoders.STRING)
     }
     val spark = chunks.sparkSession
-    import spark.implicits._
 
-    // Pass 1: local split, keepSeparator=true for losslessness.
-    // slot -1 = repaired-junction segments (inserted by pass 2),
-    // slot  0 = interior segments.
-    val local: Dataset[(Int, Array[String])] = chunks.rdd
+    // Pass 1 (distributed, STREAMING): local split with keepSeparator=
+    // true for losslessness; interior segments are emitted lazily from
+    // the partition iterator with a one-segment lookahead — per-task
+    // memory is O(current segment), never the partition's whole segment
+    // array (a few large chunks per partition would otherwise sit
+    // entirely on-heap). slot -1 = repaired-junction segments (inserted
+    // by pass 2), slot 0 = interior segments.
+    val interior: Dataset[Seg] = spark.createDataset(
+      chunks.rdd.mapPartitionsWithIndex { (pi, it) =>
+        interiorIter(pi, Splitter.incremental(sep, keepSeparator = true)(it), sep)
+      })(Encoders.product[Seg])
+
+    // Pass 2 input (second scan, O(1) state per task): only first/last
+    // segment, count and termination survive to the driver.
+    val boundaries: Array[Boundary] = chunks.rdd
       .mapPartitionsWithIndex { (pi, it) =>
-        Iterator.single(pi -> Splitter.incremental(sep, keepSeparator = true)(it).toArray)
-      }.toDS()
-
-    val interior: Dataset[Seg] = local.flatMap { case (pi, segs) =>
-      val n = segs.length
-      // s0 is boundary; s1..s_{k-1} interior; sk interior iff terminated
-      val lastIsInterior = n >= 2 && segs(n - 1).endsWith(sep)
-      val hi = if (lastIsInterior) n else n - 1
-      (1 until hi).iterator.map(j => Seg(pi, 0, j.toLong, segs(j)))
-    }(Encoders.product[Seg])
-
-    val boundaries: Array[Boundary] = local.map { case (pi, segs) =>
-      val n = segs.length
-      val lastTerm = n > 0 && segs(n - 1).endsWith(sep)
-      Boundary(pi,
-        first = if (n > 0) segs(0) else "",
-        tail = if (n >= 2 && !lastTerm) segs(n - 1) else "",
-        nSegs = n.toLong, lastTerminated = lastTerm)
-    }(Encoders.product[Boundary]).collect().sortBy(_.part)
+        val segs = Splitter.incremental(sep, keepSeparator = true)(it)
+        var first = ""; var last = ""; var n = 0L
+        while (segs.hasNext) {
+          val s = segs.next(); if (n == 0L) first = s; last = s; n += 1
+        }
+        val lastTerm = n > 0 && last.endsWith(sep)
+        Iterator.single(Boundary(pi, first,
+          tail = if (n >= 2 && !lastTerm) last else "",
+          nSegs = n, lastTerminated = lastTerm))
+      }.collect().sortBy(_.part)
 
     // Pass 2: walk junctions in stream order.
     val repaired = Vector.newBuilder[Seg]
@@ -144,23 +170,46 @@ object DistributedSplit {
     }(Encoders.STRING)
   }
 
+  /** Hadoop Configuration is not java-serializable; it IS Writable, so
+    * this minimal envelope ships it into tasks (the standard trick —
+    * byte-range reads must open the SAME filesystem the driver resolved,
+    * or executors on a real cluster would look at their local disks). */
+  private final class SerConf(@transient var conf: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.readFields(in)
+    }
+  }
+
   /** Distributed file read + split: the scalable `byLine` with full
     * Splitter semantics over an arbitrary (multi-char) separator. Reads
     * the file as fixed-size chunks partitioned by byte ranges — each
-    * task reads only its range (the splittable-scan pattern) — then
-    * applies [[split]]. Assumes UTF-8 text whose separator bytes cannot
+    * task positioned-reads only its range (the splittable-scan pattern)
+    * THROUGH THE HADOOP FILESYSTEM of the path, so the same code reads
+    * local files in local mode and HDFS/S3/GCS on a cluster (a raw
+    * java.io read would silently require every executor to share the
+    * driver's mount). Assumes UTF-8 text whose separator bytes cannot
     * be a suffix/prefix mix inside a multi-byte code point (true for
     * ASCII separators over UTF-8). */
   def readSplit(spark: SparkSession, path: String, sep: String,
                 keepSeparator: Boolean = false,
                 chunkBytes: Long = 4L << 20, parallelism: Int = 0): Dataset[String] = {
     import spark.implicits._
-    val size = new java.io.File(path).length()
+    import org.apache.hadoop.fs.{Path => HPath}
+    val hPath = new HPath(path)
+    val serConf = new SerConf(spark.sparkContext.hadoopConfiguration)
+    val size = hPath.getFileSystem(serConf.conf).getFileStatus(hPath).getLen
     val nChunks = math.max(1L, (size + chunkBytes - 1) / chunkBytes)
     val parts = if (parallelism > 0) parallelism
                 else math.min(nChunks, spark.sparkContext.defaultParallelism.toLong).toInt
     val chunks = spark.range(0, nChunks, 1, parts.toInt).map { i =>
-      val ch = java.nio.channels.FileChannel.open(java.nio.file.Paths.get(path))
+      val p = new HPath(path)
+      val in = p.getFileSystem(serConf.conf).open(p)
       try {
         val start = i * chunkBytes
         val rawEnd = math.min(start + chunkBytes, size)
@@ -173,24 +222,19 @@ object DistributedSplit {
         // by the UTF-8 spec). Every chunk applies the same rule, so
         // coverage is exact with no overlap.
         val len = (rawEnd - start).toInt
-        val buf = java.nio.ByteBuffer.allocate(len + 3)
-        ch.position(start)
-        var read = 0
         val want = math.min(len + 3L, size - start).toInt
-        while (read < want) {
-          val r = ch.read(buf); if (r < 0) read = want else read += r
-        }
-        val bytes = buf.array()
+        val bytes = new Array[Byte](want)
+        in.readFully(start, bytes, 0, want) // positioned read: seek + full range
         def isCont(b: Byte): Boolean = (b & 0xC0) == 0x80
         var from = 0
-        if (start > 0) while (from < math.min(3, read) && isCont(bytes(from))) from += 1
-        if (from >= math.min(len, read)) "" // chunk owns no lead byte (sub-code-point chunk)
+        if (start > 0) while (from < math.min(3, want) && isCont(bytes(from))) from += 1
+        if (from >= math.min(len, want)) "" // chunk owns no lead byte (sub-code-point chunk)
         else {
-          var to = math.min(len, read)
-          while (to < read && to < len + 3 && isCont(bytes(to))) to += 1
+          var to = math.min(len, want)
+          while (to < want && isCont(bytes(to))) to += 1
           new String(bytes, from, to - from, java.nio.charset.StandardCharsets.UTF_8)
         }
-      } finally ch.close()
+      } finally in.close()
     }
     split(chunks, sep, keepSeparator)
   }

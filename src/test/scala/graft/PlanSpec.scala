@@ -79,6 +79,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q65 declared plan joins the bucketed fact tables with zero exchange") {
+    // the DECLARED query's plan (not a spec-local replica): building it
+    // writes the bucketed tables, and the join side of the plan must
+    // carry no hashpartitioning exchange on the join key — the layout,
+    // not the planner, provides the co-location
+    val df = SparkEntry.queries("q65_bucketed_join")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed q65 join must not shuffle the fact tables:\n$p")
+    assert(p.contains("Join"), s"expected a join in:\n$p")
+  }
+
   test("no declared query plans a CartesianProduct or collect_list") {
     // global anti-pattern audit over EVERY declared query: a cartesian
     // product or a per-group collect_list anywhere is a 100 TB

@@ -57,6 +57,31 @@ class CombinatorialSpec extends AnyFunSuite {
   private val pushChunk = 617
   private val pushLengths = Seq(0L, pushN / 3, pushN - 1, pushN, pushN + 1, 5 * pushN)
 
+  // ---- third axis: the SAME chains driven push-mode into the
+  // DISTRIBUTED file sink (Push.toPath) — executors write every
+  // micro-batch, nothing reaches the driver. The file sink makes no
+  // cross-batch ordering promise (order is a property of the collector
+  // sinks, which mirror flod's single-threaded terminals), so the
+  // assertion is multiset equality of the full output.
+  for ((cname, chain, expectFn) <- chains) {
+    test(s"push-mode file-sink chain=$cname round-trips the full stream") {
+      val dir = java.nio.file.Files.createTempDirectory("graft_comb_sink").toString + "/out"
+      val sink = graft.stream.Push.toPath[java.lang.Long, Long](spark, dir)(
+        ds => chain(new Flow(ds)).ds)
+      try {
+        var i = 0L
+        while (i < pushN) {
+          val hi = math.min(i + pushChunk, pushN)
+          sink.put((i until hi).map(java.lang.Long.valueOf))
+          i = hi
+        }
+      } finally sink.close()
+      val got = spark.read.parquet(dir).as[Long].collect().sorted.toSeq
+      val expected = expectFn((0L until pushN).toSeq).sorted
+      assert(got == expected, s"file-sink multiset for $cname")
+    }
+  }
+
   for ((cname, chain, expectFn) <- chains) {
     test(s"push-mode chain=$cname all output lengths") {
       val full = expectFn((0L until pushN).toSeq)

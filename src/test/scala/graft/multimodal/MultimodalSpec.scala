@@ -90,4 +90,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(stats.map(_.getLong(1)).sum == 500) // all docs accounted for
     assert(stats.length >= 2)                  // multiple sniffed formats
   }
+
+  test("REAL PNG decode: genuine bytes, true dimensions, through the distributed pipeline") {
+    // The JDK's javax.imageio both encodes and decodes PNG, so the image
+    // leg needs no stub: fixtures are genuine PNG files (magic, IHDR,
+    // zlib-compressed scanlines) and the decoded dimensions are the
+    // true ones, asserted through the SAME Dataset pipeline the stub
+    // formats use.
+    val png1 = PngCodec.encode(20, 10, seed = 1)
+    val png2 = PngCodec.encode(7, 5, seed = 2)
+    val png3 = PngCodec.encode(33, 1, seed = 3)
+    assert(PngCodec.isPng(png1) && PngCodec.isPng(png2) && PngCodec.isPng(png3))
+    assert(!PngCodec.isPng("not a png".getBytes("UTF-8")))
+    assert(PngCodec.encode(20, 10, seed = 1).toSeq == png1.toSeq, "deterministic fixture")
+
+    import spark.implicits._
+    val media = spark.createDataset(Seq(
+      MediaRow(1L, png1), MediaRow(2L, png2), MediaRow(3L, png3),
+      MediaRow(4L, "plain text payload".getBytes("UTF-8")))).repartition(3)
+    val metas = decode(media).collect().map(r => r.media_id -> r.meta).toMap
+    assert(metas(1L) == MediaMeta("image/png", 20, 10, 1, png1.length.toLong))
+    assert(metas(2L) == MediaMeta("image/png", 7, 5, 1, png2.length.toLong))
+    assert(metas(3L) == MediaMeta("image/png", 33, 1, 1, png3.length.toLong))
+    // non-PNG rows in the same table still take the stub branch
+    assert(metas(4L).format == StubCodec.sniffFormat("plain text payload".getBytes("UTF-8")))
+  }
+
+  test("REAL PNG resize: re-encoded output decodes to the target dimensions") {
+    val src = PngCodec.encode(40, 24, seed = 7)
+    val out = PngCodec.resize(src, 10, 6)
+    val m = PngCodec.decodeMeta(out)
+    assert(m.width == 10 && m.height == 6, s"resized PNG must be 10x6, got $m")
+    // through the distributed path, dispatched by payload format
+    import spark.implicits._
+    val media = spark.createDataset(Seq(MediaRow(9L, src)))
+    val resized = resizeAll(media, 10, 6).collect().head
+    assert(PngCodec.decodeMeta(resized.content).width == 10)
+    assert(PngCodec.decodeMeta(resized.content).height == 6)
+  }
 }

@@ -120,4 +120,27 @@ class DistributedSplitSpec extends AnyFunSuite {
       keepSeparator = false, chunkBytes = 4L).collect().toVector
     assert(got == Vector("alpha", "beta", "gamma", "", "tail"))
   }
+
+  test("interior pass is streaming: consumes only emitted segments + lookahead") {
+    // Pins the round-4 memory contract: a partition's segments are never
+    // materialized as an array — the interior iterator pulls one segment
+    // ahead of what it emits, so per-task memory is O(segment), however
+    // large the partition. The counting source proves it: taking 10
+    // interior segments reads at most 12 source segments (first + 10 +
+    // one lookahead) of the 100,000 available.
+    var consumed = 0
+    val source = Iterator.tabulate(100000) { i => consumed += 1; s"seg$i|" }
+    val it = DistributedSplit.interiorIter(0, source, "|")
+    val got = it.take(10).toList
+    assert(got.map(_.seg) == (1 to 10).map(i => s"seg$i|").toList)
+    assert(consumed <= 12, s"lazy interior pass must not drain the source, consumed $consumed")
+
+    // full-drain semantics unchanged: last segment interior iff terminated
+    val term = DistributedSplit.interiorIter(0, Iterator("a|", "b|", "c|"), "|").toList
+    assert(term.map(_.seg) == List("b|", "c|"))
+    val unterm = DistributedSplit.interiorIter(0, Iterator("a|", "b|", "c"), "|").toList
+    assert(unterm.map(_.seg) == List("b|"))
+    assert(DistributedSplit.interiorIter(0, Iterator.empty, "|").isEmpty)
+    assert(DistributedSplit.interiorIter(0, Iterator("only"), "|").isEmpty)
+  }
 }
