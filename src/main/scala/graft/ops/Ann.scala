@@ -126,7 +126,7 @@ object Ann {
     * neighbors that fell on the other side of one hyperplane). */
   def search(embeddings: DataFrame, queryFilter: Column, k: Int,
              dim: Int, nBits: Int = 8, seed: Long = 42L,
-             multiProbe: Boolean = false): DataFrame = {
+             multiProbe: Boolean = false, roundDp: Int = -1): DataFrame = {
     val e = embeddings
       .withColumn("bucket", bucketCol(col("v"), dim, nBits, seed))
       .withColumn("nrm", Vectors.norm2(col("v")))
@@ -138,12 +138,13 @@ object Ann {
         col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     // no broadcast hint: the probe side is (nBits+1)× the filtered query
     // count — AQE broadcasts when it fits, shuffles when it does not
+    val rawCos = Vectors.dot(col("qv"), col("v")) / (col("qn") * col("nrm"))
     val scored = e.join(q, "bucket")
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
-        (Vectors.dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+        (if (roundDp >= 0) round(rawCos, roundDp) else rawCos).as("cos"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select("q_id", "rank", "n_id", "cos")
   }
@@ -154,6 +155,14 @@ object Ann {
   private def centroidsSqlCte(cents: Array[Array[Double]]): String =
     cents.zipWithIndex.map { case (c, i) =>
       s"SELECT $i AS i, ${c.mkString("[", ", ", "]")}::DOUBLE[] AS c"
+    }.mkString("\nUNION ALL\n")
+
+  /** The hyperplane constants as a SQL CTE body — generated from the
+    * SAME planeComponent values the Spark plan bakes in. */
+  private def planesSqlCte(dim: Int, nBits: Int, seed: Long): String =
+    (0 until nBits).map { p =>
+      val c = (0 until dim).map(j => planeComponent(seed, p, j))
+      s"SELECT $p AS p, ${c.mkString("[", ", ", "]")}::DOUBLE[] AS c"
     }.mkString("\nUNION ALL\n")
 
   /** Gate query for the learned-IVF path: assignment (cellCol), probe
@@ -195,6 +204,50 @@ object Ann {
               |    round(list_dot_product(p.qv, c.v) /
               |      (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(c.v, c.v))), 5) AS cos
               |  FROM probes p JOIN corpus c ON c.cell = p.cell AND c.vec_id <> p.q_id)
+              |SELECT q_id, rank, n_id, cos FROM (
+              |  SELECT q_id, n_id, cos,
+              |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+              |  FROM scored) t
+              |WHERE rank <= 3
+              |ORDER BY q_id, rank""".stripMargin)),
+
+    // Multi-probe hyperplane LSH — the OTHER learned-free ANN scale
+    // path: bucket = sign bits of 8 seeded ±1-plane projections, search
+    // probes the query's bucket plus every Hamming-1 neighbor (the
+    // recall dial AnnSpec measures). The oracle bakes the identical
+    // plane constants and mirrors bucket assignment, probe expansion
+    // (xor per bit) and ranked cosine scoring. A corpus vector sits in
+    // exactly ONE bucket and the 9 probe values are distinct, so no
+    // DISTINCT is needed on either engine.
+    QueryDef("q66_ann_lsh_multiprobe",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v"))
+        search(e, col("vec_id") < 5, k = 3, dim = 64, nBits = 8, seed = 42L,
+            multiProbe = true, roundDp = 5)
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH planes AS (
+              |${planesSqlCte(64, 8, 42L)}),
+              |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |bk AS (
+              |  SELECT e.vec_id,
+              |    CAST(SUM(CASE WHEN list_dot_product(e.v, planes.c) >= 0
+              |                  THEN (1::BIGINT << planes.p) ELSE 0 END) AS BIGINT) AS bucket
+              |  FROM e CROSS JOIN planes GROUP BY e.vec_id),
+              |eb AS (SELECT e.vec_id, e.v, bk.bucket
+              |       FROM e JOIN bk ON bk.vec_id = e.vec_id),
+              |probes AS (
+              |  SELECT q.vec_id AS q_id, q.v AS qv,
+              |    unnest([q.bucket, xor(q.bucket, 1), xor(q.bucket, 2), xor(q.bucket, 4),
+              |            xor(q.bucket, 8), xor(q.bucket, 16), xor(q.bucket, 32),
+              |            xor(q.bucket, 64), xor(q.bucket, 128)]) AS bucket
+              |  FROM eb q WHERE q.vec_id < 5),
+              |scored AS (
+              |  SELECT p.q_id, c.vec_id AS n_id,
+              |    round(list_dot_product(p.qv, c.v) /
+              |      (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(c.v, c.v))), 5) AS cos
+              |  FROM probes p JOIN eb c ON c.bucket = p.bucket AND c.vec_id <> p.q_id)
               |SELECT q_id, rank, n_id, cos FROM (
               |  SELECT q_id, n_id, cos,
               |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
