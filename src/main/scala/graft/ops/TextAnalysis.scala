@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Text-analysis operators over the `documents` table: token counting,
   * quality scoring, language-ID heuristic, document fingerprinting.
@@ -13,6 +14,53 @@ object TextAnalysis {
 
   private val stopwords = Seq("the", "a", "of", "and", "to")
   private val stopSqlList = stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Winnowed (doc_id, fp) table as a typed flatMap over the REAL
+    * library function (k=5, w=4) — shared by q64 (fingerprints) and q67
+    * (retrieval). */
+  private def winnowTable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        graft.text.Fingerprint.winnow(t, k = 5, w = 4).map(fp => (id, fp)) }
+      .toDF("doc_id", "fp")
+  }
+
+  /** SQL twin of [[winnowTable]]: the identical polynomial (base 257
+    * mod 2^61−1; a 5-gram's value < 2^61−1, so plain BIGINT arithmetic
+    * equals the modular rolling form) and window minimum; the
+    * selected-hash SET is tie-rule-independent, so window-min semantics
+    * mirror exactly. */
+  private val winnowSql =
+    """SELECT DISTINCT doc_id, fp FROM (
+      |  SELECT doc_id, p, nh,
+      |    min(h) OVER (PARTITION BY doc_id ORDER BY p
+      |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      |  FROM (
+      |    SELECT doc_id, p, nh,
+      |        ord(substr(text, p, 1)) * 4362470401
+      |      + ord(substr(text, p+1, 1)) * 16974593
+      |      + ord(substr(text, p+2, 1)) * 66049
+      |      + ord(substr(text, p+3, 1)) * 257
+      |      + ord(substr(text, p+4, 1)) AS h
+      |    FROM (SELECT doc_id, text, ln - 4 AS nh, unnest(range(1, ln - 3)) AS p
+      |          FROM (SELECT doc_id, text, length(text) AS ln
+      |                FROM documents WHERE length(text) >= 5) n) pos) hh) wins
+      |WHERE p <= GREATEST(1, nh - 3)""".stripMargin
+
+  // Document-frequency cap for the fingerprint posting-list join.
+  // Unlike the 3-word-shingle caps (where 1000 ≫ the corpus max df and
+  // the cap is a pure skew bound), 5-gram winnowing on a template-heavy
+  // corpus GENUINELY selects boilerplate: at sf0.1 one fingerprint
+  // appears in 3887 of 5000 docs. Dropping over-cap fingerprints is
+  // therefore part of the operator's definition, exactly as MOSS drops
+  // fingerprints shared across many submissions — they are corpus
+  // boilerplate, not near-dup evidence — and it simultaneously bounds
+  // the join (no posting list longer than `cap` ever enters it).
+  // Measured: cap=200, θ=0.8 retrieves exactly the 25 true near-dup
+  // pairs at sf0.01 that the shingle-Jaccard verifier (q27) confirms.
+  private val fpCap = 200
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -198,37 +246,55 @@ object TextAnalysis {
     // whole-document md5 cannot give. Gates the REAL library function
     // through the typed-lambda surface (SURVEY §2.3 T3): a pure per-row
     // flatMap — embarrassingly parallel, no shuffle except the
-    // presentation sort. The oracle recomputes the identical polynomial
-    // (base 257 mod 2^61−1; a 5-gram's value < 2^61−1, so plain BIGINT
-    // arithmetic equals the modular rolling form) and window minimum;
-    // the selected-hash SET is tie-rule-independent, so window-min
-    // semantics mirror exactly.
+    // presentation sort.
     QueryDef("q64_winnow_fingerprint",
+      (s, d) => winnowTable(s, d).orderBy("doc_id", "fp"),
+      Some(s"WITH w AS ($winnowSql)\nSELECT doc_id, fp FROM w ORDER BY doc_id, fp")),
+
+    // Winnowed near-dup RETRIEVAL — the MOSS-style use of q64's
+    // fingerprints: drop boilerplate fingerprints (df > fpCap, see
+    // above), posting-list self-join on the survivors, containment =
+    // shared / min(|A|,|B|) ≥ 0.8 (the high band: 5-gram windows are
+    // deliberately edit-local, so related-but-distinct template docs
+    // share plenty of fingerprints below it). Same scale discipline as
+    // the dedup family: the fingerprint table is MATERIALIZED once
+    // (both join sides + the size window consume it; ReuseExchange does
+    // not collapse the diamond), set sizes ride a window count on the
+    // same lineage, and the cap is applied via partial-agg + anti-join
+    // (never a hot posting list in one task).
+    QueryDef("q67_winnow_neardup",
       (s, d) => {
-        import s.implicits._
-        Tables.documents(s, d)
-          .select(col("doc_id"), col("text")).as[(Long, String)]
-          .flatMap { case (id, t) =>
-            graft.text.Fingerprint.winnow(t, k = 5, w = 4).map(fp => (id, fp)) }
-          .toDF("doc_id", "fp")
-          .orderBy("doc_id", "fp")
+        import org.apache.spark.sql.expressions.Window
+        val w = winnowTable(s, d)
+        val hot = w.groupBy("fp").agg(count(lit(1)).as("df"))
+          .where(col("df") > fpCap).select("fp")
+        val t = w.join(hot, Seq("fp"), "left_anti")
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+          .localCheckpoint()
+        val a = t.select(col("doc_id").as("id_a"), col("fp"), col("n").as("na"))
+        val b = t.select(col("doc_id").as("id_b"), col("fp"), col("n").as("nb"))
+        a.join(b, "fp").where(col("id_a") < col("id_b"))
+          .groupBy("id_a", "na", "id_b", "nb").agg(count(lit(1)).as("shared"))
+          .withColumn("containment",
+            col("shared").cast("double") / least(col("na"), col("nb")))
+          .where(col("containment") >= 0.8)
+          .select("id_a", "id_b", "containment")
+          .orderBy("id_a", "id_b")
       },
-      Some("""WITH n AS (SELECT doc_id, text, length(text) AS ln
-             |          FROM documents WHERE length(text) >= 5),
-             |pos AS (SELECT doc_id, text, ln - 4 AS nh, unnest(range(1, ln - 3)) AS p FROM n),
-             |h AS (SELECT doc_id, p, nh,
-             |    ord(substr(text, p, 1)) * 4362470401
-             |  + ord(substr(text, p+1, 1)) * 16974593
-             |  + ord(substr(text, p+2, 1)) * 66049
-             |  + ord(substr(text, p+3, 1)) * 257
-             |  + ord(substr(text, p+4, 1)) AS h
-             |  FROM pos),
-             |wins AS (
-             |  SELECT doc_id, p, nh,
-             |    min(h) OVER (PARTITION BY doc_id ORDER BY p
-             |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
-             |  FROM h)
-             |SELECT DISTINCT doc_id, fp FROM wins WHERE p <= GREATEST(1, nh - 3)
-             |ORDER BY doc_id, fp""".stripMargin))
+      Some(s"""WITH w AS ($winnowSql),
+             |t AS (SELECT doc_id, fp FROM w
+             |      WHERE fp NOT IN (
+             |        SELECT fp FROM w GROUP BY fp HAVING COUNT(*) > $fpCap)),
+             |sz AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
+             |shr AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+             |  FROM t a JOIN t b ON a.fp = b.fp AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b,
+             |  CAST(shared AS DOUBLE) / LEAST(na.n, nb.n) AS containment
+             |FROM shr JOIN sz na ON shr.id_a = na.doc_id
+             |        JOIN sz nb ON shr.id_b = nb.doc_id
+             |WHERE CAST(shared AS DOUBLE) / LEAST(na.n, nb.n) >= 0.8
+             |ORDER BY id_a, id_b""".stripMargin))
   )
 }
