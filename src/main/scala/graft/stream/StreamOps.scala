@@ -143,6 +143,27 @@ object StreamOps {
     }
   }
 
+  /** Shared oracle for the session-window gates (q31 batch-declared,
+    * q68 stream-executed): lag-based sessionization with the strict '>'
+    * new-session test that matches the native operator's measured
+    * merge-at-equality boundary rule. */
+  private val sessionsOracleSql =
+    """SELECT user_id, MIN(ts) AS sess_start,
+      |  MAX(ts) + INTERVAL 30 MINUTE AS sess_end, COUNT(*) AS n_events
+      |FROM (
+      |  SELECT user_id, ts,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM (
+      |    SELECT user_id, ts,
+      |      CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+      |           THEN 1 ELSE 0 END AS new_sess
+      |    FROM (
+      |      SELECT user_id, ts,
+      |        LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      |      FROM events) a) b) c
+      |GROUP BY user_id, session_id ORDER BY user_id, sess_start""".stripMargin
+
   /** Batch-declared twins for the correctness gate. */
   val defs: Seq[QueryDef] = Seq(
     // Native session_window. Boundary semantics measured, not assumed:
@@ -158,21 +179,22 @@ object StreamOps {
         .select(col("user_id"), col("sw.start").as("sess_start"),
                 col("sw.end").as("sess_end"), col("n_events"))
         .orderBy("user_id", "sess_start"),
-      Some("""SELECT user_id, MIN(ts) AS sess_start,
-             |  MAX(ts) + INTERVAL 30 MINUTE AS sess_end, COUNT(*) AS n_events
-             |FROM (
-             |  SELECT user_id, ts,
-             |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-             |  FROM (
-             |    SELECT user_id, ts,
-             |      CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
-             |           THEN 1 ELSE 0 END AS new_sess
-             |    FROM (
-             |      SELECT user_id, ts,
-             |        LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
-             |      FROM events) a) b) c
-             |GROUP BY user_id, session_id ORDER BY user_id, sess_start""".stripMargin)),
+      Some(sessionsOracleSql)),
+
+    // Session windows executed THROUGH the streaming engine (the session
+    // analog of q39): events replayed via MemoryStream micro-batches,
+    // state-store-backed session merging, result hash-matched to the
+    // same lag-based oracle as batch q31 — stream/batch unification for
+    // the stateful merge operator, not just for tumbling aggregation.
+    QueryDef("q68_stream_sessions",
+      (s, d) => {
+        val input = graft.Tables.events(s, d)
+        val rows = runBounded(s, input, sessions(_))
+        s.createDataFrame(new java.util.ArrayList(java.util.Arrays.asList(rows: _*)),
+            sessions(input).schema)
+          .orderBy("user_id", "sess_start")
+      },
+      Some(sessionsOracleSql)),
 
     // Sliding windows, batch-declared (the streaming twin is exercised in
     // StreamingSpec via runBounded).
