@@ -265,7 +265,10 @@ object TextAnalysis {
     QueryDef("q67_winnow_neardup",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val w = winnowTable(s, d)
+        // materialized ONCE: the hot-df aggregation and the anti-join
+        // probe both consume it — the same double-lineage diamond fixed
+        // in Dedup.cappedShinglesOf (ReuseExchange does not collapse it)
+        val w = winnowTable(s, d).localCheckpoint()
         val hot = w.groupBy("fp").agg(count(lit(1)).as("df"))
           .where(col("df") > fpCap).select("fp")
         val t = w.join(hot, Seq("fp"), "left_anti")
