@@ -39,18 +39,27 @@ object Bench {
     // box are ±25% under contention (SCALE.md), which made per-query
     // regression signals unadjudicable; the median is robust to one
     // contended run and the spread map records the noise band observed.
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    val iters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val runs = (1 to iters).map { _ =>
+      // fail fast: a deterministically-failing query reports after its
+      // FIRST failure instead of re-failing iters times, and the spread
+      // is computed over successful runs only (mixing fast-fail times
+      // into it would make the noise-band signal garbage exactly for
+      // the queries being debugged)
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(Double, Option[String])]
+      var i = 0
+      while (i < iters && runs.forall(_._2.isEmpty)) {
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None }
                   catch { case e: Throwable =>
                     Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}") }
-        ((System.nanoTime() - t0) / 1e9, err)
+        runs += (((System.nanoTime() - t0) / 1e9, err))
+        i += 1
       }
       val err = runs.collectFirst { case (_, Some(e)) => e }
-      val times = runs.map(_._1).sorted
-      (name, times(times.size / 2), times.last - times.head, err)
+      val times = runs.collect { case (t, None) => t }.sorted
+      if (times.isEmpty) (name, -1.0, 0.0, err)
+      else (name, times(times.size / 2), times.last - times.head, err)
     }
     val qs = results.map { case (k, v, _, err) =>
       "\"" + k + "\":" + (if (err.isDefined) "-1" else v.toString)

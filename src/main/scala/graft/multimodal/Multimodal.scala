@@ -99,12 +99,26 @@ object Multimodal {
     * formats whose codecs don't ship in this container. The gate corpus
     * (UTF-8 text bytes) never carries the PNG magic, so q33/q55 keep
     * their stub-mirroring oracles; real-PNG rows take the real path
-    * (MultimodalSpec drives both through the same pipeline). */
+    * (MultimodalSpec drives both through the same pipeline).
+    *
+    * TOTAL functions by contract: a corrupt payload (PNG magic, broken
+    * body) is quarantined with a marker format instead of throwing —
+    * at 100 TB one bad record must degrade, not abort the batch after
+    * four task retries. */
   def decodeMeta(b: Array[Byte]): MediaMeta =
-    if (PngCodec.isPng(b)) PngCodec.decodeMeta(b) else StubCodec.decodeMeta(b)
+    if (PngCodec.isPng(b))
+      try PngCodec.decodeMeta(b)
+      catch { case scala.util.control.NonFatal(_) =>
+        MediaMeta("image/png-corrupt", 0, 0, 0, b.length.toLong) }
+    else StubCodec.decodeMeta(b)
 
+  /** Corrupt images pass through UNCHANGED (quarantine semantics: never
+    * invent pixels); downstream filters drop them via the marker format
+    * from [[decodeMeta]]. */
   def resizePayload(b: Array[Byte], targetW: Int, targetH: Int): Array[Byte] =
-    if (PngCodec.isPng(b)) PngCodec.resize(b, targetW, targetH)
+    if (PngCodec.isPng(b))
+      try PngCodec.resize(b, targetW, targetH)
+      catch { case scala.util.control.NonFatal(_) => b }
     else StubCodec.resize(b, targetW, targetH)
 
   /** STUB codec — stands in for an image/audio library. Deterministic pure

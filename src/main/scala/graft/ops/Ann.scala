@@ -41,7 +41,20 @@ object Ann {
 
   /** Per-centroid (squared-L2 distance, index) structs — the shared
     * core of assignment and probing: centroids baked in as literal
-    * arrays, distance via zip_with + aggregate (codegen'd, no UDF). */
+    * arrays, distance via zip_with + aggregate (codegen'd, no UDF).
+    *
+    * Oracle-parity note (q63/q66): the ASSIGNMENT argmin compares raw
+    * double sums whose accumulation order may differ between engines;
+    * unlike the cosine output (rounded to 5 dp because ranking
+    * boundaries are dense), assignment is left unrounded — it flips
+    * only if two centroid distances (or a hyperplane projection and
+    * zero) sit within float-summation error of each other, which a
+    * non-degenerate corpus/quantizer pair does not produce (fitted
+    * centroids are cell means; projections of real vectors are bounded
+    * away from 0 at any realistic dim). Rounding before argmin would
+    * not reduce the straddle probability — it only converts exact ties
+    * into the deterministic index tiebreak, and exact cross-centroid
+    * ties cannot arise from a k-means fit on distinct data. */
   private def centroidEntries(v: Column, cents: Array[Array[Double]]): Column =
     array(cents.zipWithIndex.map { case (c, i) =>
       val carr = array(c.map(lit).toSeq: _*)

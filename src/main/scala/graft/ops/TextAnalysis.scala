@@ -31,7 +31,15 @@ object TextAnalysis {
     * mod 2^61−1; a 5-gram's value < 2^61−1, so plain BIGINT arithmetic
     * equals the modular rolling form) and window minimum; the
     * selected-hash SET is tie-rule-independent, so window-min semantics
-    * mirror exactly. */
+    * mirror exactly.
+    *
+    * Parity bound: `Fingerprint.winnow` iterates UTF-16 code units
+    * (charAt) while DuckDB's ord/substr/length are code-point-based —
+    * identical for ASCII/BMP text, divergent on supplementary-plane
+    * characters (an emoji is 2 Scala positions, 1 DuckDB position).
+    * The operator itself is well-defined either way; only the ORACLE
+    * comparison needs the ASCII corpus (verified: both SFs are pure
+    * ASCII, min length 44). */
   private val winnowSql =
     """SELECT DISTINCT doc_id, fp FROM (
       |  SELECT doc_id, p, nh,

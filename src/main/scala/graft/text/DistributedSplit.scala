@@ -170,22 +170,6 @@ object DistributedSplit {
     }(Encoders.STRING)
   }
 
-  /** Hadoop Configuration is not java-serializable; it IS Writable, so
-    * this minimal envelope ships it into tasks (the standard trick —
-    * byte-range reads must open the SAME filesystem the driver resolved,
-    * or executors on a real cluster would look at their local disks). */
-  private final class SerConf(@transient var conf: org.apache.hadoop.conf.Configuration)
-      extends Serializable {
-    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
-      out.defaultWriteObject(); conf.write(out)
-    }
-    private def readObject(in: java.io.ObjectInputStream): Unit = {
-      in.defaultReadObject()
-      conf = new org.apache.hadoop.conf.Configuration(false)
-      conf.readFields(in)
-    }
-  }
-
   /** Distributed file read + split: the scalable `byLine` with full
     * Splitter semantics over an arbitrary (multi-char) separator. Reads
     * the file as fixed-size chunks partitioned by byte ranges — each
@@ -202,14 +186,18 @@ object DistributedSplit {
     import spark.implicits._
     import org.apache.hadoop.fs.{Path => HPath}
     val hPath = new HPath(path)
-    val serConf = new SerConf(spark.sparkContext.hadoopConfiguration)
-    val size = hPath.getFileSystem(serConf.conf).getFileStatus(hPath).getLen
+    // Hadoop Configuration is not java-serializable; Spark's Writable
+    // envelope ships it into tasks, so byte-range reads open the SAME
+    // filesystem the driver resolved (not each executor's local disk)
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val size = hPath.getFileSystem(serConf.value).getFileStatus(hPath).getLen
     val nChunks = math.max(1L, (size + chunkBytes - 1) / chunkBytes)
     val parts = if (parallelism > 0) parallelism
                 else math.min(nChunks, spark.sparkContext.defaultParallelism.toLong).toInt
     val chunks = spark.range(0, nChunks, 1, parts.toInt).map { i =>
       val p = new HPath(path)
-      val in = p.getFileSystem(serConf.conf).open(p)
+      val in = p.getFileSystem(serConf.value).open(p)
       try {
         val start = i * chunkBytes
         val rawEnd = math.min(start + chunkBytes, size)

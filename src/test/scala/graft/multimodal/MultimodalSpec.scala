@@ -116,6 +116,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(metas(4L).format == StubCodec.sniffFormat("plain text payload".getBytes("UTF-8")))
   }
 
+  test("corrupt PNG payloads are quarantined, not thrown: decode marks, resize passes through") {
+    // PNG magic followed by garbage: the real reader fails mid-header;
+    // the pipeline must degrade per-record (marker format), never abort
+    // the batch
+    val corrupt = PngCodec.encode(4, 4).take(12) ++ Array.fill[Byte](20)(0x42)
+    assert(PngCodec.isPng(corrupt))
+    val m = decodeMeta(corrupt)
+    assert(m.format == "image/png-corrupt" && m.bytes == corrupt.length.toLong)
+    assert(resizePayload(corrupt, 2, 2).toSeq == corrupt.toSeq, "quarantine passes through")
+    import spark.implicits._
+    val media = spark.createDataset(Seq(
+      MediaRow(1L, corrupt), MediaRow(2L, PngCodec.encode(6, 3))))
+    val metas = decode(media).collect().map(r => r.media_id -> r.meta.format).toMap
+    assert(metas(1L) == "image/png-corrupt" && metas(2L) == "image/png")
+  }
+
   test("REAL PNG resize: re-encoded output decodes to the target dimensions") {
     val src = PngCodec.encode(40, 24, seed = 7)
     val out = PngCodec.resize(src, 10, 6)
