@@ -266,6 +266,48 @@ object Ann {
               |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
               |  FROM scored) t
               |WHERE rank <= 3
-              |ORDER BY q_id, rank""".stripMargin))
+              |ORDER BY q_id, rank""".stripMargin)),
+
+    // Embedding near-dup WITHOUT a label column — the production
+    // answer q30 cannot give when no natural blocking key exists: block
+    // on the hyperplane-LSH bucket (geometry-derived, 8 bits → ~256
+    // balanced cells), all-pairs cosine only within a bucket. The
+    // bucket table is materialized once (both self-join sides — the
+    // measured ReuseExchange diamond); a mass-duplicate bucket is a hot
+    // JOIN partition (AQE-splittable), never a driver-side array.
+    QueryDef("q69_cosine_neardup_lsh",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v"))
+          .withColumn("bucket", bucketCol(col("v"), dim = 64, nBits = 8, seed = 42L))
+          .withColumn("nrm", Vectors.norm2(col("v")))
+          .localCheckpoint()
+        val a = e.select(col("bucket"), col("vec_id").as("id_a"),
+          col("v").as("va"), col("nrm").as("na"))
+        val b = e.select(col("bucket"), col("vec_id").as("id_b"),
+          col("v").as("vb"), col("nrm").as("nb"))
+        a.join(b, "bucket").where(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            round(Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb")), 5).as("cos"))
+          .where(col("cos") > 0.4)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH planes AS (
+              |${planesSqlCte(64, 8, 42L)}),
+              |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |bk AS (
+              |  SELECT e.vec_id,
+              |    CAST(SUM(CASE WHEN list_dot_product(e.v, planes.c) >= 0
+              |                  THEN (1::BIGINT << planes.p) ELSE 0 END) AS BIGINT) AS bucket
+              |  FROM e CROSS JOIN planes GROUP BY e.vec_id),
+              |eb AS (SELECT e.vec_id, e.v, bk.bucket
+              |       FROM e JOIN bk ON bk.vec_id = e.vec_id)
+              |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              |  round(list_dot_product(a.v, b.v) /
+              |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 5) AS cos
+              |FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+              |WHERE round(list_dot_product(a.v, b.v) /
+              |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 5) > 0.4
+              |ORDER BY id_a, id_b""".stripMargin))
   )
 }
