@@ -51,6 +51,26 @@ class SimilaritySpec extends AnyFunSuite {
       f"learned cells at nprobe=4 ($r4%.2f) must match/beat the label-cell baseline ($labelRecall%.2f)")
   }
 
+  test("baked q63 centroids reproduce from a fresh fit on the gate corpus") {
+    // AnnCentroids.fitted is the quantizer trained once on sf0.01
+    // (k=8, iters=5) and shipped as constants to the q63 gate AND its
+    // DuckDB twin. If the corpus is ever regenerated, the gate would
+    // still pass (both engines share the literals) while the quantizer
+    // silently stopped matching the data — this refit catches that
+    // loudly. Regenerate with: runMain graft.tools.FitCentroids
+    import org.apache.spark.sql.functions._
+    import graft.functions.Vectors
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v"))
+    val refit = Ann.kmeansCentroids(emb, k = 8, iters = 5)
+    assert(refit.length == AnnCentroids.fitted.length)
+    refit.zip(AnnCentroids.fitted).zipWithIndex.foreach { case ((a, b), i) =>
+      val maxDiff = a.zip(b).map { case (x, y) => math.abs(x - y) }.max
+      assert(maxDiff < 1e-12,
+        s"centroid $i drifted (max |Δ| = $maxDiff) — corpus changed? re-run FitCentroids")
+    }
+  }
+
   test("kmeans assignment is deterministic and covers all points") {
     import org.apache.spark.sql.functions._
     import graft.functions.Vectors
