@@ -139,6 +139,68 @@ object Extras {
              |  len(list_filter(embedding, x -> x > 0)) AS n_pos,
              |  len(list_filter(embedding, x -> abs(x) > 1.5)) AS n_large,
              |  CAST(list_sum(list_transform(embedding, x -> CAST(sign(x) AS INT))) AS BIGINT) AS sign_sum
-             |FROM embeddings ORDER BY vec_id""".stripMargin))
+             |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
+    // BUCKETIZED RANGE JOIN — the interval-containment join done the
+    // 100 TB way. Spark plans a raw `ts BETWEEN lo AND hi` join as
+    // BroadcastNestedLoop (or worse, cartesian+filter); bucketizing
+    // turns it into an EQUALITY join: each window explodes to the
+    // 30-min epoch buckets it covers, each event carries its single
+    // bucket, the join key is (user_id, bucket) and the exact BETWEEN
+    // runs only per bucket-collided candidate. An (event, window) pair
+    // collides in exactly ONE bucket — the event's — so no dedup stage
+    // is needed. Self-checking fixture: the windows are the user
+    // sessions themselves, so n_in_window must reproduce q19's
+    // n_events per session (two independent derivations of the same
+    // number: sessionization vs containment join).
+    QueryDef("q70_range_join",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val W = 1800000000L // 30-min bucket, microseconds
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val ev = Tables.events(s, d)
+        val windows = ev
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("new_sess",
+            when(col("prev_ts").isNull ||
+                 unix_micros(col("ts")) - unix_micros(col("prev_ts")) > W, lit(1))
+              .otherwise(lit(0)))
+          .withColumn("session_id", sum(col("new_sess")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "session_id")
+          .agg(min(col("ts")).as("w_start"), max(col("ts")).as("w_end"))
+        // integer `div`, not floor(x / W): long/long promotes to double
+        // division whose rounding could flip a boundary bucket
+        val wb = windows.withColumn("bucket",
+          explode(sequence(expr(s"unix_micros(w_start) div ${W}L"),
+                           expr(s"unix_micros(w_end) div ${W}L"))))
+        val eb = ev.select(col("user_id"), col("ts"))
+          .withColumn("bucket", expr(s"unix_micros(ts) div ${W}L"))
+        eb.join(wb, Seq("user_id", "bucket"))
+          .where(col("ts") >= col("w_start") && col("ts") <= col("w_end"))
+          .groupBy("user_id", "w_start", "w_end")
+          .agg(count(lit(1)).as("n_in_window"))
+          .orderBy("user_id", "w_start")
+      },
+      Some("""WITH w AS (
+             |  SELECT user_id, MIN(ts) AS w_start, MAX(ts) AS w_end
+             |  FROM (
+             |    SELECT user_id, ts,
+             |      SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |    FROM (
+             |      SELECT user_id, event_id, ts,
+             |        CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+             |             THEN 1 ELSE 0 END AS new_sess
+             |      FROM (
+             |        SELECT user_id, event_id, ts,
+             |          LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             |        FROM events) a) b) c
+             |  GROUP BY user_id, session_id)
+             |SELECT w.user_id, w.w_start, w.w_end, COUNT(*) AS n_in_window
+             |FROM w JOIN events e
+             |  ON e.user_id = w.user_id AND e.ts >= w.w_start AND e.ts <= w.w_end
+             |GROUP BY w.user_id, w.w_start, w.w_end
+             |ORDER BY w.user_id, w_start""".stripMargin))
   )
 }

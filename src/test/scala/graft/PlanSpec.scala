@@ -91,6 +91,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Join"), s"expected a join in:\n$p")
   }
 
+  test("q70 bucketized range join plans as an equality join, not a nested loop") {
+    // the whole point of the bucketization: Spark would plan a raw
+    // interval predicate as BroadcastNestedLoopJoin; the bucketized
+    // form must hash/sort-merge on (user_id, bucket)
+    val p = plan("q70_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join must be equality-planned:\n$p")
+    assert(p.contains("Join"), s"expected a join in:\n$p")
+  }
+
   test("no declared query plans a CartesianProduct or collect_list") {
     // global anti-pattern audit over EVERY declared query: a cartesian
     // product or a per-group collect_list anywhere is a 100 TB
