@@ -306,6 +306,150 @@ object TextAnalysis {
              |FROM shr JOIN sz na ON shr.id_a = na.doc_id
              |        JOIN sz nb ON shr.id_b = nb.doc_id
              |WHERE CAST(shared AS DOUBLE) / LEAST(na.n, nb.n) >= 0.8
-             |ORDER BY id_a, id_b""".stripMargin))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Repetition metrics (the Gopher/C4-style quality filters): distinct
+    // token ratio, most-frequent-token mass, duplicate-bigram fraction.
+    // Computed entirely with codegen'd array HOFs per row — no shuffle,
+    // no explode — and every ratio is one division of exact integers,
+    // so both engines produce bit-identical doubles. The per-token
+    // count via transform(distinct, t -> count in row) is O(n·d) per
+    // row — bounded by document length, the right trade vs an
+    // explode+groupBy shuffle of every token at 100 TB.
+    QueryDef("q71_repetition",
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val bg = when(size(toks) >= 2,
+          transform(sequence(lit(0), size(toks) - 2),
+            i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+          .otherwise(array())
+        val topCnt = array_max(transform(array_distinct(toks),
+          t => size(filter(toks, x => x === t))))
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          (size(array_distinct(toks)).cast("double") / size(toks)).as("distinct_ratio"),
+          (topCnt.cast("double") / size(toks)).as("top_token_mass"),
+          when(size(bg) > 0,
+            lit(1.0) - size(array_distinct(bg)).cast("double") / size(bg))
+            .otherwise(lit(0.0)).as("dup_bigram_ratio"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  len(w) AS n_tokens,
+             |  CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS distinct_ratio,
+             |  CAST(list_max(list_transform(list_distinct(w),
+             |    t -> len(list_filter(w, x -> x = t)))) AS DOUBLE) / len(w) AS top_token_mass,
+             |  CASE WHEN len(w) >= 2 THEN
+             |    1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+             |  ELSE 0.0 END AS dup_bigram_ratio
+             |FROM (
+             |  SELECT doc_id, w,
+             |    CASE WHEN len(w) >= 2
+             |         THEN list_transform(range(len(w) - 1), i -> w[i+1] || ' ' || w[i+2])
+             |         ELSE [] END AS bg
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t) u
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Rare-trigram gibberish score — corpus-relative fluency without
+    // cross-row float aggregation: the fraction of a document's char
+    // trigram POSITIONS whose corpus frequency is below K. Exact
+    // integer counts → one exact division (no avg-of-logs whose
+    // engine-specific summation order could flip a rounded hash).
+    // Plan: one trigram explode feeding a partial-agg frequency table
+    // (shuffle ∝ distinct trigrams, broadcastable) joined back to the
+    // positions, grouped by doc — two aggregations and a broadcast
+    // join at any corpus size.
+    QueryDef("q72_rare_trigram",
+      (s, d) => {
+        val tg = Tables.documents(s, d)
+          .where(length(col("text")) >= 3)
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(1), length(col("text")) - 2),
+              i => col("text").substr(i, lit(3)))).as("tg"))
+        // tg is deliberately NOT materialized although two consumers
+        // read it: the lineage is a narrow scan+explode (no shuffle, no
+        // distinct), so recomputing it costs one extra scan while
+        // checkpointing would write ~3× the corpus — the opposite
+        // trade from the distinct-shingle diamonds (q27/q67)
+        val freq = tg.groupBy("tg").agg(count(lit(1)).as("cf"))
+        tg.join(freq, "tg")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_trigrams"),
+            sum(when(col("cf") < 5, 1L).otherwise(0L)).as("n_rare"))
+          .select(col("doc_id"), col("n_trigrams"),
+            (col("n_rare").cast("double") / col("n_trigrams")).as("rare_ratio"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tg AS (
+             |  SELECT doc_id, unnest(list_transform(range(1, length(text) - 1),
+             |    i -> substr(text, i, 3))) AS tg
+             |  FROM documents WHERE length(text) >= 3),
+             |freq AS (SELECT tg, COUNT(*) AS cf FROM tg GROUP BY tg)
+             |SELECT t.doc_id, COUNT(*) AS n_trigrams,
+             |  CAST(SUM(CASE WHEN f.cf < 5 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS rare_ratio
+             |FROM tg t JOIN freq f ON t.tg = f.tg
+             |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin)),
+
+    // BM25 document scoring (k1=1.2, b=0.75) for a fixed 3-term query —
+    // the ranking function of a retrieval pipeline, computed fully
+    // in-plan: corpus stats (N, Σdl, per-term df) are ONE aggregation
+    // row cross-joined (broadcast of 1 row) onto every document; tf is
+    // a codegen'd array filter per row; nothing collects to the
+    // driver. Floating-point parity: every input is a double of an
+    // exact integer, the formula has the IDENTICAL operator shape on
+    // both engines (dl/avgdl written as dl*n/sumdl), and ln() — the
+    // one libm call — feeds a score rounded to 5 dp BEFORE ranking.
+    QueryDef("q73_bm25",
+      (s, d) => {
+        val terms = Seq("vector", "stream", "customer")
+        val (k1, bb) = (1.2, 0.75)
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+        val aggs =
+          Seq(count(lit(1)).cast("double").as("n"),
+              sum(size(col("w")).cast("long")).cast("double").as("sumdl")) ++
+            terms.map(t => sum(when(array_contains(col("w"), t), 1L).otherwise(0L))
+              .cast("double").as(s"df_$t"))
+        val stats = docs.agg(aggs.head, aggs.tail: _*)
+        val score = terms.map { t =>
+          val tf = size(filter(col("w"), x => x === t)).cast("double")
+          val df = col(s"df_$t")
+          val idf = log(lit(1.0) + (col("n") - df + 0.5) / (df + 0.5))
+          idf * tf * (k1 + 1.0) /
+            (tf + lit(k1) * (lit(1.0 - bb) +
+              lit(bb) * (size(col("w")).cast("double") * col("n") / col("sumdl"))))
+        }.reduce(_ + _)
+        docs.crossJoin(broadcast(stats))
+          .select(col("doc_id"), round(score, 5).as("score"))
+          .where(col("score") > 0)
+          .orderBy(col("score").desc, col("doc_id").asc)
+          .limit(20)
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |st AS (SELECT
+             |  CAST(COUNT(*) AS DOUBLE) AS n,
+             |  CAST(SUM(len(w)) AS DOUBLE) AS sumdl,
+             |  CAST(SUM(CASE WHEN list_contains(w, 'vector') THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             |  CAST(SUM(CASE WHEN list_contains(w, 'stream') THEN 1 ELSE 0 END) AS DOUBLE) AS df2,
+             |  CAST(SUM(CASE WHEN list_contains(w, 'customer') THEN 1 ELSE 0 END) AS DOUBLE) AS df3
+             |  FROM d),
+             |scored AS (
+             |  SELECT doc_id, round(
+             |      ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2
+             |        / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * (dl * n / sumdl)))
+             |    + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2
+             |        / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * (dl * n / sumdl)))
+             |    + ln(1.0 + (n - df3 + 0.5) / (df3 + 0.5)) * tf3 * 2.2
+             |        / (tf3 + 1.2 * (1.0 - 0.75 + 0.75 * (dl * n / sumdl))), 5) AS score
+             |  FROM (
+             |    SELECT doc_id,
+             |      CAST(len(list_filter(w, x -> x = 'vector')) AS DOUBLE) AS tf1,
+             |      CAST(len(list_filter(w, x -> x = 'stream')) AS DOUBLE) AS tf2,
+             |      CAST(len(list_filter(w, x -> x = 'customer')) AS DOUBLE) AS tf3,
+             |      CAST(len(w) AS DOUBLE) AS dl
+             |    FROM d) t CROSS JOIN st)
+             |SELECT doc_id, score FROM scored WHERE score > 0
+             |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin))
   )
 }
