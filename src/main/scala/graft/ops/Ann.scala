@@ -162,6 +162,16 @@ object Ann {
       .select("q_id", "rank", "n_id", "cos")
   }
 
+  /** Bucket-assignment table (vec_id, v, bucket, nrm) over a prepared
+    * embedding frame — q69's pre-materialization lineage, exposed as a
+    * named builder so PlanSpec's anti-pattern audit can see the subtree
+    * that localCheckpoint truncates out of the declared query's plan. */
+  def bucketTable(embeddings: DataFrame, dim: Int,
+                  nBits: Int = 8, seed: Long = 42L): DataFrame =
+    embeddings
+      .withColumn("bucket", bucketCol(col("v"), dim, nBits, seed))
+      .withColumn("nrm", Vectors.norm2(col("v")))
+
   /** The centroid constants as a SQL CTE body (one row per centroid) —
     * the SAME doubles as the Spark plan's literals, so both engines
     * assign cells from identical inputs. */
@@ -277,10 +287,10 @@ object Ann {
     // JOIN partition (AQE-splittable), never a driver-side array.
     QueryDef("q69_cosine_neardup_lsh",
       (s, d) => {
-        val e = Tables.embeddings(s, d)
-          .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v"))
-          .withColumn("bucket", bucketCol(col("v"), dim = 64, nBits = 8, seed = 42L))
-          .withColumn("nrm", Vectors.norm2(col("v")))
+        val e = bucketTable(
+          Tables.embeddings(s, d)
+            .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v")),
+          dim = 64, nBits = 8, seed = 42L)
           .localCheckpoint()
         val a = e.select(col("bucket"), col("vec_id").as("id_a"),
           col("v").as("va"), col("nrm").as("na"))
@@ -301,13 +311,13 @@ object Ann {
               |                  THEN (1::BIGINT << planes.p) ELSE 0 END) AS BIGINT) AS bucket
               |  FROM e CROSS JOIN planes GROUP BY e.vec_id),
               |eb AS (SELECT e.vec_id, e.v, bk.bucket
-              |       FROM e JOIN bk ON bk.vec_id = e.vec_id)
-              |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-              |  round(list_dot_product(a.v, b.v) /
-              |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 5) AS cos
-              |FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-              |WHERE round(list_dot_product(a.v, b.v) /
-              |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 5) > 0.4
+              |       FROM e JOIN bk ON bk.vec_id = e.vec_id),
+              |scored AS (
+              |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              |    round(list_dot_product(a.v, b.v) /
+              |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 5) AS cos
+              |  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+              |SELECT id_a, id_b, cos FROM scored WHERE cos > 0.4
               |ORDER BY id_a, id_b""".stripMargin))
   )
 }

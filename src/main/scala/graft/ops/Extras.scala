@@ -155,18 +155,12 @@ object Extras {
     // number: sessionization vs containment join).
     QueryDef("q70_range_join",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val W = 1800000000L // 30-min bucket, microseconds
-        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val W = Relational.sessionGapMicros // 30-min bucket, microseconds
         val ev = Tables.events(s, d)
-        val windows = ev
-          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
-          .withColumn("new_sess",
-            when(col("prev_ts").isNull ||
-                 unix_micros(col("ts")) - unix_micros(col("prev_ts")) > W, lit(1))
-              .otherwise(lit(0)))
-          .withColumn("session_id", sum(col("new_sess")).over(
-            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        // the windows ARE q19's sessions — one shared definition
+        // (Relational.withSessionIds), so the self-check invariant
+        // (n_in_window == q19's n_events) cannot drift
+        val windows = Relational.withSessionIds(ev)
           .groupBy("user_id", "session_id")
           .agg(min(col("ts")).as("w_start"), max(col("ts")).as("w_end"))
         // integer `div`, not floor(x / W): long/long promotes to double
@@ -182,20 +176,9 @@ object Extras {
           .agg(count(lit(1)).as("n_in_window"))
           .orderBy("user_id", "w_start")
       },
-      Some("""WITH w AS (
+      Some(s"""WITH w AS (
              |  SELECT user_id, MIN(ts) AS w_start, MAX(ts) AS w_end
-             |  FROM (
-             |    SELECT user_id, ts,
-             |      SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-             |    FROM (
-             |      SELECT user_id, event_id, ts,
-             |        CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
-             |             THEN 1 ELSE 0 END AS new_sess
-             |      FROM (
-             |        SELECT user_id, event_id, ts,
-             |          LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-             |        FROM events) a) b) c
+             |  FROM (${Relational.sessionIdsSql}) c
              |  GROUP BY user_id, session_id)
              |SELECT w.user_id, w.w_start, w.w_end, COUNT(*) AS n_in_window
              |FROM w JOIN events e

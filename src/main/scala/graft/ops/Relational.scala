@@ -19,6 +19,36 @@ object Relational {
   private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
   private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
 
+  /** Gap-based session ids (30-min inactivity, strict '>' new-session
+    * test — the boundary rule pinned in StreamingSpec): the SINGLE
+    * definition shared by q19 (sessionization gate) and q70 (range-join
+    * self-check), so the two derivations cannot drift apart. */
+  private[ops] val sessionGapMicros = 1800000000L
+  private[ops] def withSessionIds(ev: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev.withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+             unix_micros(col("ts")) - unix_micros(col("prev_ts")) > sessionGapMicros,
+          lit(1)).otherwise(lit(0)))
+      .withColumn("session_id", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+  /** SQL twin of [[withSessionIds]], as a subquery yielding
+    * (user_id, event_id, ts, session_id). */
+  private[ops] val sessionIdsSql =
+    s"""SELECT user_id, event_id, ts,
+       |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM (
+       |    SELECT user_id, event_id, ts,
+       |      CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > $sessionGapMicros
+       |           THEN 1 ELSE 0 END AS new_sess
+       |    FROM (
+       |      SELECT user_id, event_id, ts,
+       |        LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+       |      FROM events) a) b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // S-scan + projection: column pruning reaches the parquet reader
@@ -266,35 +296,14 @@ object Relational {
     // one shuffle on user_id; the same logic streams via session_window
     // (see graft.stream.StreamOps).
     QueryDef("q19_sessionize",
-      (s, d) => {
-        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        Tables.events(s, d)
-          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
-          .withColumn("new_sess",
-            when(col("prev_ts").isNull ||
-                 unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L,
-              lit(1)).otherwise(lit(0)))
-          .withColumn("session_id", sum(col("new_sess")).over(
-            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .groupBy("user_id", "session_id")
-          .agg(count(lit(1)).as("n_events"),
-               min(col("ts")).as("sess_start"), max(col("ts")).as("sess_end"))
-          .orderBy("user_id", "session_id")
-      },
-      Some("""SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+      (s, d) => withSessionIds(Tables.events(s, d))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+             min(col("ts")).as("sess_start"), max(col("ts")).as("sess_end"))
+        .orderBy("user_id", "session_id"),
+      Some(s"""SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
              |  MIN(ts) AS sess_start, MAX(ts) AS sess_end
-             |FROM (
-             |  SELECT user_id, ts,
-             |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-             |  FROM (
-             |    SELECT user_id, event_id, ts,
-             |      CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
-             |           THEN 1 ELSE 0 END AS new_sess
-             |    FROM (
-             |      SELECT user_id, event_id, ts,
-             |        LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-             |      FROM events) a) b) c
+             |FROM ($sessionIdsSql) c
              |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)),
 
     // Rollup (grouping-set hierarchy): per-(flag,status), per-flag, grand

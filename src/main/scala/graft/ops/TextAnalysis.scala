@@ -57,6 +57,17 @@ object TextAnalysis {
       |                FROM documents WHERE length(text) >= 5) n) pos) hh) wins
       |WHERE p <= GREATEST(1, nh - 3)""".stripMargin
 
+  /** Per-(doc_id, trigram) counts — q72's pre-materialization lineage,
+    * exposed as a named builder so PlanSpec's anti-pattern audit can
+    * see the subtree that localCheckpoint truncates out of the
+    * declared query's plan. */
+  def trigramCounts(docs: DataFrame): DataFrame =
+    docs.where(length(col("text")) >= 3)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), length(col("text")) - 2),
+          i => col("text").substr(i, lit(3)))).as("tg"))
+      .groupBy("doc_id", "tg").agg(count(lit(1)).as("c"))
+
   // Document-frequency cap for the fingerprint posting-list join.
   // Unlike the 3-word-shingle caps (where 1000 ≫ the corpus max df and
   // the cap is a pure skew bound), 5-gram winnowing on a template-heavy
@@ -362,20 +373,13 @@ object TextAnalysis {
     // join at any corpus size.
     QueryDef("q72_rare_trigram",
       (s, d) => {
-        val tg = Tables.documents(s, d)
-          .where(length(col("text")) >= 3)
-          .select(col("doc_id"),
-            explode(transform(sequence(lit(1), length(col("text")) - 2),
-              i => col("text").substr(i, lit(3)))).as("tg"))
-        // collapse positions to per-(doc, trigram) COUNTS first — the
-        // partial-agg shrinks the position stream ~3× before anything
-        // else touches it — and materialize once for the two consumers
-        // (corpus freq + the weighted join probe; the ReuseExchange
-        // diamond again). Weighting by the count preserves exact
-        // position-level semantics at count-level cost: measured
-        // 4.1 s → ~1 s at sf0.1.
-        val tgc = tg.groupBy("doc_id", "tg").agg(count(lit(1)).as("c"))
-          .localCheckpoint()
+        // trigramCounts collapses positions to per-(doc, trigram)
+        // counts (the partial-agg shrinks the position stream ~3×
+        // before anything else touches it); materialized once for the
+        // two consumers (corpus freq + the weighted join probe; the
+        // ReuseExchange diamond again). Weighting by the count
+        // preserves exact position-level semantics at count-level cost.
+        val tgc = trigramCounts(Tables.documents(s, d)).localCheckpoint()
         val freq = tgc.groupBy("tg").agg(sum(col("c")).as("cf"))
         tgc.join(freq, "tg")
           .groupBy("doc_id")

@@ -68,11 +68,17 @@ class PlanSpec extends AnyFunSuite {
     // cannot see the shingle/sketch aggregation subtrees — audit the
     // building blocks directly (this is where the historical q49
     // collect_list regression lived)
+    import org.apache.spark.sql.functions.col
+    import graft.functions.Vectors
     val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v"))
     for ((nm, df) <- Seq(
         "simhashOf" -> ops.Dedup.simhashOf(docs),
         "signaturesOf" -> ops.Dedup.signaturesOf(docs),
-        "cappedShinglesOf" -> ops.Dedup.cappedShinglesOf(docs))) {
+        "cappedShinglesOf" -> ops.Dedup.cappedShinglesOf(docs),
+        "trigramCounts" -> ops.TextAnalysis.trigramCounts(docs),
+        "bucketTable" -> ops.Ann.bucketTable(emb, dim = 64))) {
       val p = df.queryExecution.sparkPlan.toString
       assert(!p.contains("collect_list"), s"$nm materializes groups into rows")
       assert(!p.contains("CartesianProduct"), s"$nm plans a cartesian product")

@@ -60,13 +60,17 @@ class SimilaritySpec extends AnyFunSuite {
     // loudly. Regenerate with: runMain graft.tools.FitCentroids
     import org.apache.spark.sql.functions._
     import graft.functions.Vectors
-    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val emb = graft.Tables.embeddings(spark, TestSpark.sf001)
       .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v"))
     val refit = Ann.kmeansCentroids(emb, k = 8, iters = 5)
     assert(refit.length == AnnCentroids.fitted.length)
+    // 1e-6 tolerance: a regenerated corpus moves centroids by ~1e-2,
+    // while avg() merge-order float noise across environments stays
+    // many orders below this — the test must catch the former without
+    // flaking on the latter
     refit.zip(AnnCentroids.fitted).zipWithIndex.foreach { case ((a, b), i) =>
       val maxDiff = a.zip(b).map { case (x, y) => math.abs(x - y) }.max
-      assert(maxDiff < 1e-12,
+      assert(maxDiff < 1e-6,
         s"centroid $i drifted (max |Δ| = $maxDiff) — corpus changed? re-run FitCentroids")
     }
   }
