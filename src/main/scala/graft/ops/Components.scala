@@ -1,0 +1,124 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Connected components over near-duplicate pairs → canonical-document
+  * assignment (✚ extension: the clustering step a production dedup run
+  * applies AFTER pair generation — pairs alone don't dedup a corpus;
+  * `keep iff doc_id == canonical_id` does).
+  *
+  * Algorithm: iterative min-label propagation with POINTER DOUBLING.
+  * Each round does two label moves:
+  *   1. neighbor hop — every node adopts the minimum label in
+  *      {itself} ∪ neighbors (one equality join on the symmetrized edge
+  *      list + one min-aggregation);
+  *   2. pointer jump — every node then adopts its label's label
+  *      (a self-join of the label table), which halves the remaining
+  *      pointer-chain depth like the classic shortcutting step of
+  *      Shiloach–Vishkin-style PRAM CC.
+  * Plain propagation needs O(diameter) rounds (a 1M-doc duplicate CHAIN
+  * — pathological but real for near-dup graphs — would need 1M rounds);
+  * with the jump the count drops to O(log diameter). Convergence is
+  * detected with a cheap changed-row count; every round's label table is
+  * localCheckpoint'd to truncate the iterative lineage (swap for a
+  * reliable checkpoint on a real cluster).
+  *
+  * Scale: per round, 3 shuffles (join on u, min-agg on node, self-join
+  * on lbl), each keyed by a fixed 8-byte id — never by document content.
+  * A mass-duplicate cluster is a hot LABEL key only in the min-agg,
+  * where partial aggregation collapses it map-side. State per round is
+  * one (node,label) row per doc — O(N) rows, no per-node adjacency
+  * lists materialized anywhere. Alternative with the same bound:
+  * alternating large-star/small-star (Kiveris et al., MapReduce CC);
+  * chosen form needs no edge-set rewriting between rounds, so the
+  * (typically much larger) edge table is shuffled once per round
+  * unchanged and AQE can reuse its partitioning.
+  */
+object Components {
+
+  /** Labels each node with the minimum node id of its connected
+    * component. `nodes`: one column `id` (must cover every vertex,
+    * including isolated ones); `pairs`: columns `id_a`, `id_b`
+    * (undirected, need not be deduplicated). Returns (`node`, `lbl`). */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+                          maxIter: Int = 25): DataFrame = {
+    // symmetrize once; the per-round join probes this static table
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .localCheckpoint()
+    var labels = nodes.select(col("id").as("node"), col("id").as("lbl"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // 1. neighbor hop: min over {self} ∪ {labels arriving over edges}.
+      // Formulated as edge-stream agg + left join (not a labels∪viaEdges
+      // union): the aggregation then sees only E rows, and isolated
+      // nodes skip the shuffle entirely via the left join.
+      val nbrMin = edges
+        .join(labels.select(col("node").as("u"), col("lbl").as("nl")), "u")
+        .groupBy(col("v").as("node")).agg(min(col("nl")).as("nmin"))
+      val hop = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+      // 2. pointer jump: adopt the label's own label. Every label value
+      // is some node's id and `hop` has a row for every node, so the
+      // lookup always hits; `left` + coalesce only guards planner-level
+      // null introduction, not a semantic miss.
+      val jumped = hop.as("a")
+        .join(hop.select(col("node").as("ln"), col("lbl").as("llbl")),
+          col("a.lbl") === col("ln"), "left")
+        .select(col("a.node").as("node"),
+          coalesce(col("llbl"), col("a.lbl")).as("lbl"))
+        .localCheckpoint()
+      // labels only ever decrease, so "any row differs" == "any row
+      // decreased"; the check is a count aggregate, O(N) scan, no collect
+      converged = jumped.as("n")
+        .join(labels.select(col("node"), col("lbl").as("old")), "node")
+        .where(col("lbl") =!= col("old"))
+        .limit(1).count() == 0L
+      labels = jumped
+      iter += 1
+    }
+    labels
+  }
+
+  /** Corpus dedup clustering: verified near-dup pairs (the q51 plan) →
+    * connected components → every document labeled with its canonical
+    * (minimum) doc_id and its cluster size. Survivor set = rows where
+    * doc_id == canonical_id. */
+  def dedupClusters(docs: DataFrame): DataFrame = {
+    val lab = connectedComponents(
+      docs.select(col("doc_id").as("id")),
+      Dedup.dedupPipeline(docs).select("id_a", "id_b"))
+    val sizes = lab.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+    lab.join(sizes, "lbl")
+      .select(col("node").as("doc_id"), col("lbl").as("canonical_id"),
+        col("cluster_size"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    // Every document mapped to its near-dup cluster representative.
+    // Oracle: the SAME verified-pairs CTE chain as q51, closed under
+    // reachability with a recursive CTE (symmetric edges ⇒ component
+    // min = min over labels that can reach the node).
+    QueryDef("q74_dedup_clusters",
+      (s, d) => dedupClusters(Tables.documents(s, d)).orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE ${Dedup.verifiedPairsCtes},
+             |edges AS (SELECT id_a AS u, id_b AS v FROM vp
+             |          UNION ALL SELECT id_b, id_a FROM vp),
+             |reach(node, lbl) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT e.v AS node, r.lbl FROM reach r JOIN edges e ON e.u = r.node),
+             |lab AS (SELECT node AS doc_id, MIN(lbl) AS canonical_id
+             |        FROM reach GROUP BY node),
+             |cs AS (SELECT canonical_id, COUNT(*) AS cluster_size
+             |       FROM lab GROUP BY canonical_id)
+             |SELECT lab.doc_id, lab.canonical_id, cs.cluster_size
+             |FROM lab JOIN cs USING (canonical_id)
+             |ORDER BY doc_id""".stripMargin))
+  )
+}

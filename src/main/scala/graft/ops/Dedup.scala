@@ -366,6 +366,29 @@ object Dedup {
     jaccardScore(joined).unionByName(cappedFallbackPairs(docs, tn))
   }
 
+  /** The q51 verified-pairs plan as a reusable CTE chain ending in `vp`
+    * (id_a, id_b, jaccard) — shared verbatim by q51's oracle and by the
+    * clustering gate's oracle (graft.ops.Components), so the two gates
+    * can never drift on what "a verified near-dup pair" means. */
+  private[ops] val verifiedPairsCtes: String =
+    s"""cand AS (${lshCandidatesSql(bucketCap)}),
+       |t AS (${cappedShinglesSql(dfCap)}),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
+       |shr AS (
+       |  SELECT c.id_a, c.id_b, COUNT(*) AS shared
+       |  FROM cand c
+       |  JOIN t a ON a.doc_id = c.id_a
+       |  JOIN t b ON b.doc_id = c.id_b AND b.sh = a.sh
+       |  GROUP BY 1, 2),
+       |vp AS (
+       |  SELECT id_a, id_b,
+       |    CAST(shared AS DOUBLE) / (na.n + nb.n - shared) AS jaccard
+       |  FROM shr JOIN sz na ON shr.id_a = na.doc_id
+       |          JOIN sz nb ON shr.id_b = nb.doc_id
+       |  WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.5
+       |  UNION ALL
+       |  ${cappedFallbackSql(dfCap)})""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact dedup: group on the content hash, keep the smallest doc_id.
@@ -414,23 +437,8 @@ object Dedup {
 
     QueryDef("q51_dedup_pipeline",
       (s, d) => dedupPipeline(Tables.documents(s, d)).orderBy("id_a", "id_b"),
-      Some(s"""WITH cand AS (${lshCandidatesSql(bucketCap)}),
-             |t AS (${cappedShinglesSql(dfCap)}),
-             |sz AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
-             |shr AS (
-             |  SELECT c.id_a, c.id_b, COUNT(*) AS shared
-             |  FROM cand c
-             |  JOIN t a ON a.doc_id = c.id_a
-             |  JOIN t b ON b.doc_id = c.id_b AND b.sh = a.sh
-             |  GROUP BY 1, 2)
-             |SELECT id_a, id_b, jaccard FROM (
-             |  SELECT id_a, id_b,
-             |    CAST(shared AS DOUBLE) / (na.n + nb.n - shared) AS jaccard
-             |  FROM shr JOIN sz na ON shr.id_a = na.doc_id
-             |          JOIN sz nb ON shr.id_b = nb.doc_id
-             |  WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.5
-             |  UNION ALL
-             |  ${cappedFallbackSql(dfCap)}) u
+      Some(s"""WITH $verifiedPairsCtes
+             |SELECT id_a, id_b, jaccard FROM vp
              |ORDER BY id_a, id_b""".stripMargin)),
 
     // SimHash sketches (32-bit majority-vote fingerprint over shingles).

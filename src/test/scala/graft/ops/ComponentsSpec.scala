@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Connected-components guarantees the value-level oracle can't express:
+  * pointer-doubling convergence on the shapes that break plain
+  * propagation (long chains) and the mass-dup star shape. */
+class ComponentsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def cc(n: Seq[Long], e: Seq[(Long, Long)],
+                 maxIter: Int = 25): Map[Long, Long] =
+    Components.connectedComponents(
+        n.toDF("id"), e.toDF("id_a", "id_b"), maxIter)
+      .as[(Long, Long)].collect().toMap
+
+  test("chain graph collapses to its minimum within O(log n) rounds") {
+    // 0-1-2-...-15 as a path: plain min-propagation needs 15 rounds;
+    // pointer doubling must get there in ~log2(15)+1 — maxIter=6 proves
+    // the jump is actually shortening chains, not just along for the ride
+    val got = cc(0L to 15L, (0L until 15L).map(i => (i, i + 1)), maxIter = 6)
+    assert(got == (0L to 15L).map(_ -> 0L).toMap)
+  }
+
+  test("isolated nodes label themselves; components don't bleed") {
+    val got = cc(Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L),
+      Seq((5L, 3L), (3L, 7L), (2L, 6L)))
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L,
+      5L -> 3L, 6L -> 2L, 7L -> 3L))
+  }
+
+  test("duplicate and reversed edges are harmless") {
+    val got = cc(Seq(1L, 2L, 3L), Seq((2L, 1L), (1L, 2L), (2L, 3L), (2L, 3L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("star cluster (mass-dup shape) resolves immediately") {
+    val members = 1L to 50L
+    val got = cc(0L +: members, members.map(m => (0L, m)))
+    assert(got.values.forall(_ == 0L))
+  }
+
+  test("dedupClusters: exact copies cluster under the min id; singletons survive alone") {
+    val docs = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "alpha beta gamma delta epsilon zeta"), // exact dup of 10
+      (12L, "alpha beta gamma delta epsilon eta"),  // near-dup of 10 (may or may not band-collide)
+      (20L, "one two three four five six seven"),
+      (30L, "completely different text about nothing at all")
+    ).toDF("doc_id", "text")
+    val got = Components.dedupClusters(docs)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.keySet == Set(10L, 11L, 12L, 20L, 30L), "every doc labeled")
+    assert(got(10L)._1 == 10L && got(11L)._1 == 10L, "exact dups share canonical 10")
+    assert(got(20L) == (20L, 1L) && got(30L) == (30L, 1L), "singleton clusters")
+    // each cluster's size is consistent across its members and sums to N
+    val byCluster = got.values.groupBy(_._1)
+    assert(byCluster.forall { case (_, v) => v.map(_._2).toSet.size == 1 })
+    assert(byCluster.values.map(_.head._2).sum == 5L)
+  }
+}
