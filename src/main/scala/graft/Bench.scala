@@ -40,7 +40,13 @@ object Bench {
     // regression signals unadjudicable; the median is robust to one
     // contended run and the spread map records the noise band observed.
     val iters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Dev loop: SPARK_GRAFT_BENCH_ONLY=q74,q27 times just those queries.
+    // The driver never sets it, so per-round numbers stay complete.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(o => o.exists(n.startsWith)) }
+    val results = selected.map { case (name, fn) =>
       // fail fast: a deterministically-failing query reports after its
       // FIRST failure instead of re-failing iters times, and the spread
       // is computed over successful runs only (mixing fast-fail times

@@ -21,9 +21,11 @@ import org.apache.spark.sql.functions._
   * Plain propagation needs O(diameter) rounds (a 1M-doc duplicate CHAIN
   * — pathological but real for near-dup graphs — would need 1M rounds);
   * with the jump the count drops to O(log diameter). Convergence is
-  * detected with a cheap changed-row count; every round's label table is
-  * localCheckpoint'd to truncate the iterative lineage (swap for a
-  * reliable checkpoint on a real cluster).
+  * detected with a cheap changed-row count over the round's own
+  * checkpoint; both label moves are localCheckpoint'd per round — the
+  * jump's input because a self-join otherwise executes the hop lineage
+  * twice, the round's output to truncate the iterative lineage (swap
+  * for a reliable checkpoint on a real cluster).
   *
   * Scale: per round, 3 shuffles (join on u, min-agg on node, self-join
   * on lbl), each keyed by a fixed 8-byte id — never by document content.
@@ -60,9 +62,16 @@ object Components {
       val nbrMin = edges
         .join(labels.select(col("node").as("u"), col("lbl").as("nl")), "u")
         .groupBy(col("v").as("node")).agg(min(col("nl")).as("nmin"))
+      // `old` rides along so convergence below is a filter on the final
+      // checkpoint — no join back to the previous label table. hop is
+      // materialized BEFORE the self-join: ReuseExchange does not fire
+      // across AQE's broadcast conversion of a self-join side (measured
+      // on q27's diamond, SCALE.md round 3), so an unmaterialized hop
+      // would execute its join+agg+join lineage twice per round.
       val hop = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("lbl").as("old"),
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
       // 2. pointer jump: adopt the label's own label. Every label value
       // is some node's id and `hop` has a row for every node, so the
       // lookup always hits; `left` + coalesce only guards planner-level
@@ -70,16 +79,14 @@ object Components {
       val jumped = hop.as("a")
         .join(hop.select(col("node").as("ln"), col("lbl").as("llbl")),
           col("a.lbl") === col("ln"), "left")
-        .select(col("a.node").as("node"),
+        .select(col("a.node").as("node"), col("a.old").as("old"),
           coalesce(col("llbl"), col("a.lbl")).as("lbl"))
         .localCheckpoint()
       // labels only ever decrease, so "any row differs" == "any row
-      // decreased"; the check is a count aggregate, O(N) scan, no collect
-      converged = jumped.as("n")
-        .join(labels.select(col("node"), col("lbl").as("old")), "node")
-        .where(col("lbl") =!= col("old"))
-        .limit(1).count() == 0L
-      labels = jumped
+      // decreased"; the check scans the checkpoint just written — no
+      // shuffle, no recompute, no collect
+      converged = jumped.where(col("lbl") =!= col("old")).limit(1).count() == 0L
+      labels = jumped.select("node", "lbl")
       iter += 1
     }
     labels

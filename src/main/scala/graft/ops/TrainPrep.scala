@@ -1,0 +1,188 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-set preparation operators (✚ extensions beyond the reference
+  * surface): benchmark decontamination, token-budget sequence packing,
+  * and sub-document block dedup with reconstruction — the three pipeline
+  * stages between "corpus is deduped" (Dedup/Components) and "batches
+  * reach the trainer".
+  *
+  * Scale design:
+  *  - decontamination joins the corpus n-gram stream against a BROADCAST
+  *    distinct-gram set of the eval benchmarks: eval suites are MBs while
+  *    the corpus is 100 TB, so the contaminated-gram probe is map-side
+  *    (no shuffle of corpus grams); only the per-doc hit counts shuffle,
+  *    keyed by 8-byte doc_id.
+  *  - sequence packing is a per-`source`-shard running sum (one range
+  *    partition + sort per shard, all shards in parallel). A GLOBAL
+  *    concat order would serialize the corpus through one partition —
+  *    deliberately avoided; shard-local contiguity is what packed
+  *    pretraining batches need.
+  *  - block dedup keys the first-occurrence argmin by block CONTENT; the
+  *    aggregation is partial (map-side combine collapses mass-duplicated
+  *    blocks before the shuffle — same hot-key story as exact dedup
+  *    q24). Reconstruction groups by doc_id (8-byte key) with an ordered
+  *    listagg — the aggregation buffer is the rebuilt string itself,
+  *    bounded by document size; no per-group array, no window.
+  */
+object TrainPrep {
+
+  /** One row per (doc_id, g): the doc's n-word grams. Documents shorter
+    * than n tokens contribute their whole text as one gram (same
+    * fallback as Dedup.shinglesOf, reference range.d:470ff splitting). */
+  def ngramsOf(docs: DataFrame, n: Int): DataFrame = {
+    val w = col("w")
+    val g = when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", (1 to n).map(k => element_at(w, i + k)): _*)))
+      .otherwise(array(col("text")))
+    docs
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(g).as("g"))
+  }
+
+  private def ngramsSql(n: Int): String = {
+    val terms = (1 to n).map(k => s"w[i+$k]").mkString(" || ' ' || ")
+    s"""SELECT doc_id, unnest(
+       |    CASE WHEN len(w) >= $n
+       |         THEN list_transform(range(len(w) - ${n - 1}), i -> $terms)
+       |         ELSE [text] END) AS g
+       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)""".stripMargin
+  }
+
+  /** Benchmark decontamination: for every training document, how many of
+    * its distinct n-grams appear in the eval set. `isEval` is a predicate
+    * over the document columns (typically doc_id/source membership).
+    * Returns every TRAIN doc with (n_hits, contaminated) — downstream
+    * drops `contaminated` rows before training. */
+  def contaminationOf(docs: DataFrame, isEval: Column, n: Int = 6): DataFrame = {
+    val grams = ngramsOf(docs, n)
+    val evalGrams = grams.where(isEval).select("g").distinct()
+    val hits = grams.where(!isEval).distinct()
+      .join(broadcast(evalGrams), "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    docs.where(!isEval).select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
+  /** Token-budget sequence packing (concat-then-chunk): within each
+    * `source` shard, documents are laid out contiguously in doc_id order
+    * and cut into fixed `budget`-token sequences. Emits each doc's global
+    * offset in its shard stream, the sequence it starts in, and its
+    * offset inside that sequence. */
+  def packSequences(docs: DataFrame, budget: Int = 256): DataFrame = {
+    val byShard = Window.partitionBy("source")
+      .orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("begin_tok", sum(col("n_tok")).over(byShard) - col("n_tok"))
+      .withColumn("seq_id", floor(col("begin_tok") / budget))
+      .withColumn("seq_off", col("begin_tok") - col("seq_id") * budget)
+  }
+
+  /** Sub-document block dedup (C4/RefinedWeb line-dedup shape, applied to
+    * fixed 10-token blocks because the corpus has no newlines): a block
+    * occurring in several documents survives only at its FIRST occurrence
+    * (min (doc_id, pos)); each document is rebuilt from its surviving
+    * blocks in order. Documents reduced to nothing stay present with
+    * clean_text = '' so the output is total over the corpus. */
+  def blockDedup(docs: DataFrame, blockTokens: Int = 10): DataFrame = {
+    val w = col("w")
+    val nb = ceil(size(w) / lit(blockTokens.toDouble)).cast("int")
+    val blocks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nb - 1),
+          i => concat_ws(" ", slice(w, i * blockTokens + 1, lit(blockTokens))))))
+      .toDF("doc_id", "pos", "blk")
+    val first = blocks.groupBy("blk")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+    val kept = blocks.join(first, "blk")
+      .where(col("doc_id") === col("f.doc_id") && col("pos") === col("f.pos"))
+    // ordered listagg, not collect_list+sort: the buffer is the
+    // concatenated string itself (bounded by document size), never an
+    // intermediate per-group array
+    val rebuilt = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      expr("listagg(blk, ' ') WITHIN GROUP (ORDER BY pos)").as("clean_text"))
+    docs
+      .select(col("doc_id"),
+        ceil(size(split(col("text"), " ")) / lit(blockTokens.toDouble))
+          .cast("long").as("n_total"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        col("n_total"))
+  }
+
+  // Eval membership for the gate: a deterministic ~1% slice by doc_id.
+  private val evalMod = 97
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q75_decontaminate",
+      (s, d) => contaminationOf(Tables.documents(s, d),
+          col("doc_id") % evalMod === 0)
+        .orderBy("doc_id"),
+      Some(s"""WITH g AS (${ngramsSql(6)}),
+             |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % $evalMod = 0),
+             |tr AS (SELECT DISTINCT doc_id, g FROM g WHERE doc_id % $evalMod <> 0),
+             |h AS (SELECT tr.doc_id, COUNT(*) AS n_hits
+             |      FROM tr JOIN ev USING (g) GROUP BY 1)
+             |SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+             |       COALESCE(h.n_hits, 0) > 0 AS contaminated
+             |FROM documents d LEFT JOIN h USING (doc_id)
+             |WHERE d.doc_id % $evalMod <> 0
+             |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q76_seq_pack",
+      (s, d) => packSequences(Tables.documents(s, d)).orderBy("doc_id"),
+      Some("""SELECT doc_id, source, n_tok,
+             |  begin_tok,
+             |  CAST(FLOOR(begin_tok / 256) AS BIGINT) AS seq_id,
+             |  begin_tok - CAST(FLOOR(begin_tok / 256) AS BIGINT) * 256 AS seq_off
+             |FROM (
+             |  SELECT doc_id, source, n_tok,
+             |    CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |      - n_tok AS begin_tok
+             |  FROM (SELECT doc_id, source,
+             |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |        FROM documents) t) p
+             |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q77_block_dedup",
+      (s, d) => blockDedup(Tables.documents(s, d)).orderBy("doc_id"),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |b AS (SELECT doc_id,
+             |        unnest(range(CAST(ceil(len(w) / 10.0) AS BIGINT))) AS pos
+             |      FROM w),
+             |blk AS (SELECT b.doc_id, b.pos,
+             |          array_to_string(w.w[b.pos*10+1 : b.pos*10+10], ' ') AS blk
+             |        FROM b JOIN w ON b.doc_id = w.doc_id),
+             |kept AS (SELECT doc_id, pos, blk FROM (
+             |           SELECT doc_id, pos, blk,
+             |             row_number() OVER (PARTITION BY blk
+             |               ORDER BY doc_id, pos) AS rn
+             |           FROM blk) r
+             |         WHERE rn = 1),
+             |reb AS (SELECT doc_id, COUNT(*) AS n_kept,
+             |          string_agg(blk, ' ' ORDER BY pos) AS clean_text
+             |        FROM kept GROUP BY doc_id),
+             |tot AS (SELECT doc_id, CAST(ceil(len(w) / 10.0) AS BIGINT) AS n_total
+             |        FROM w)
+             |SELECT t.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+             |       COALESCE(r.n_kept, 0) AS n_kept, t.n_total
+             |FROM tot t LEFT JOIN reb r USING (doc_id)
+             |ORDER BY doc_id""".stripMargin))
+  )
+}

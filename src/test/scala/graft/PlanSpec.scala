@@ -107,6 +107,39 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Join"), s"expected a join in:\n$p")
   }
 
+  test("q75 decontamination probes a BROADCAST eval-gram set") {
+    // the scale contract: corpus grams must never shuffle — the tiny
+    // eval side broadcasts and the only exchange of corpus rows is the
+    // per-doc hit count keyed by doc_id
+    val p = plan("q75_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"eval grams must broadcast:\n$p")
+  }
+
+  // exchanges only exist post-EnsureRequirements — executedPlan, not sparkPlan
+  private def physical(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q76 packing sorts within source shards, never globally") {
+    // a single-partition global window is the serialization this
+    // operator exists to avoid; the running sum must run per-shard
+    // after a hash exchange on source
+    val p = physical("q76_seq_pack")
+    assert(p.contains("windowspecdefinition(source"),
+      s"window must partition by source shard:\n$p")
+    assert(p.contains("Exchange hashpartitioning(source"),
+      s"expected a hash exchange on source:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"packing must not serialize through one partition:\n$p")
+  }
+
+  test("q77 block dedup keys the first-occurrence argmin by block content, partial-agg first") {
+    val p = physical("q77_block_dedup")
+    assert(p.contains("Exchange hashpartitioning(blk"),
+      s"argmin must shuffle by block content:\n$p")
+    assert(p.contains("partial_min") || p.contains("HashAggregate"),
+      s"expected map-side partial aggregation:\n$p")
+  }
+
   test("no declared query plans a CartesianProduct or collect_list") {
     // global anti-pattern audit over EVERY declared query: a cartesian
     // product or a per-group collect_list anywhere is a 100 TB

@@ -55,4 +55,23 @@ class SourcesSpec extends AnyFunSuite {
         col("f").getItem(2).cast("long").as("n_chars"))
     assert(canon(back) == expected)
   }
+
+  test("hive-partitioned write prunes partitions at read time") {
+    // the layout story next to q65's bucketing: partitionBy(lang) writes
+    // lang=XX/ directories; a reader filtering on lang must touch ONLY
+    // that directory (PartitionFilters in the scan, one partition listed)
+    // — at 100 TB this is the difference between scanning 1/5 and 5/5 of
+    // the corpus for a per-language job.
+    val p = tmp("part")
+    docs.write.partitionBy("lang").parquet(p)
+    val back = spark.read.parquet(p).where(col("lang") === "en")
+    val scan = back.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("expected a FileSourceScanExec"))
+    assert(scan.partitionFilters.nonEmpty, "lang filter must prune partitions")
+    assert(scan.relation.location.listFiles(scan.partitionFilters, Nil).size == 1,
+      "only the lang=en directory may survive pruning")
+    assert(canon(back) ==
+      expected.filter(_.split('|')(1) == "en"), "pruned read returns exactly the en rows")
+  }
 }

@@ -1,0 +1,80 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Value-level guarantees of the training-prep operators on corpora
+  * engineered to hit the branches the synthetic tables may miss
+  * (planted contamination, short docs, cross-doc AND within-doc block
+  * repeats, shard boundaries). */
+class TrainPrepSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("contamination: planted eval overlap is counted, clean docs report 0") {
+    // eval doc 0 shares its full 6-gram stream with train doc 10 (exact
+    // copy) and exactly one 6-gram with train doc 11; doc 12 is clean.
+    val docs = Seq(
+      (0L, "a b c d e f g h"),             // eval (isEval: id < 10)
+      (10L, "a b c d e f g h"),            // copy: grams {abcdef,bcdefg,cdefgh}
+      (11L, "x y a b c d e f q r s t u"),  // one shared gram "a b c d e f"
+      (12L, "p q r s t u v w")             // clean
+    ).toDF("doc_id", "text")
+    val got = TrainPrep.contaminationOf(docs, col("doc_id") < 10, n = 6)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == Set((10L, 3L, true), (11L, 1L, true), (12L, 0L, false)))
+  }
+
+  test("contamination: sub-n-token docs fall back to whole-text grams") {
+    val docs = Seq(
+      (0L, "tiny doc"),       // eval, 2 tokens -> gram is the whole text
+      (10L, "tiny doc"),      // exact short dup
+      (11L, "tiny document")  // not the same text
+    ).toDF("doc_id", "text")
+    val got = TrainPrep.contaminationOf(docs, col("doc_id") < 10, n = 6)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == Set((10L, 1L, true), (11L, 0L, false)))
+  }
+
+  test("packing: per-shard offsets are contiguous and sequences respect the budget") {
+    // shard A: 3 docs of 100 tokens; budget 256 puts doc boundaries at
+    // 0, 100, 200 -> seqs 0,0,0 with offsets 0,100,200... third doc
+    // begins at 200 (seq 0); shard B independently restarts at 0.
+    def words(n: Int) = (1 to n).map(_ => "w").mkString(" ")
+    val docs = Seq(
+      (1L, "A", words(100)), (2L, "A", words(100)), (3L, "A", words(100)),
+      (4L, "B", words(300)), (5L, "B", words(10))
+    ).toDF("doc_id", "source", "text")
+    val got = TrainPrep.packSequences(docs, budget = 256)
+      .select("doc_id", "begin_tok", "seq_id", "seq_off")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 0L, 0L, 0L), (2L, 100L, 0L, 100L), (3L, 200L, 0L, 200L),
+      (4L, 0L, 0L, 0L), (5L, 300L, 1L, 44L)))
+  }
+
+  test("block dedup: first occurrence wins across docs, order-rebuilt, empty docs total") {
+    def blk(c: String) = (1 to 10).map(_ => c).mkString(" ")
+    val docs = Seq(
+      (1L, s"${blk("a")} ${blk("b")}"),  // blocks a,b first seen here
+      (2L, s"${blk("b")} ${blk("c")}"),  // b dropped, c kept
+      (3L, s"${blk("a")} ${blk("b")}")   // fully dropped -> empty survivor
+    ).toDF("doc_id", "text")
+    val got = TrainPrep.blockDedup(docs)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, s"${blk("a")} ${blk("b")}", 2L, 2L),
+      (2L, blk("c"), 1L, 2L),
+      (3L, "", 0L, 2L)))
+  }
+
+  test("block dedup: within-doc repeats keep only the earliest position, tail block short") {
+    def blk(c: String) = (1 to 10).map(_ => c).mkString(" ")
+    val docs = Seq((1L, s"${blk("a")} ${blk("a")} tail words")).toDF("doc_id", "text")
+    val got = TrainPrep.blockDedup(docs)
+      .as[(Long, String, Long, Long)].collect().toSet
+    // 22 tokens -> 3 blocks; the second "a" block dies, short tail survives
+    assert(got == Set((1L, s"${blk("a")} tail words", 2L, 3L)))
+  }
+}
