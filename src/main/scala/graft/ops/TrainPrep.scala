@@ -62,8 +62,14 @@ object TrainPrep {
   def contaminationOf(docs: DataFrame, isEval: Column, n: Int = 6): DataFrame = {
     val grams = ngramsOf(docs, n)
     val evalGrams = grams.where(isEval).select("g").distinct()
-    val hits = grams.where(!isEval).distinct()
+    // broadcast-probe FIRST, dedupe the survivors after: distinct on the
+    // raw corpus gram stream would shuffle every gram by its string;
+    // filtered through the broadcast set, only actual hits (rare) reach
+    // the distinct + count shuffles. Equivalent because the probe is an
+    // equality semi-filter on the distinct key itself.
+    val hits = grams.where(!isEval)
       .join(broadcast(evalGrams), "g")
+      .distinct()
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
     docs.where(!isEval).select("doc_id")
       .join(hits, Seq("doc_id"), "left")

@@ -69,6 +69,55 @@ class TrainPrepSpec extends AnyFunSuite {
       (3L, "", 0L, 2L)))
   }
 
+  test("block dedup matches a naive in-memory reference on random corpora") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    for (_ <- 1 to 3) {
+      val corpus = (1L to 20L).map { id =>
+        // tiny vocab + short docs => plenty of genuine block collisions
+        (id, Seq.fill(1 + rnd.nextInt(35))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val naive = {
+        val blocks = corpus.flatMap { case (id, text) =>
+          text.split(" ").grouped(10).zipWithIndex
+            .map { case (b, pos) => (id, pos, b.mkString(" ")) }
+        }
+        val firstOf = blocks.groupBy(_._3).map { case (b, occ) =>
+          b -> occ.map(o => (o._1, o._2)).min }
+        corpus.map { case (id, text) =>
+          val mine = blocks.filter(_._1 == id)
+          val kept = mine.filter(o => firstOf(o._3) == ((o._1, o._2)))
+          (id, kept.sortBy(_._2).map(_._3).mkString(" "),
+            kept.size.toLong, mine.size.toLong)
+        }.toSet
+      }
+      val got = TrainPrep.blockDedup(corpus.toDF("doc_id", "text"))
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(got == naive)
+    }
+  }
+
+  test("contamination matches a naive in-memory reference on random corpora") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("x", "y", "z")
+    val corpus = (1L to 30L).map { id =>
+      (id, Seq.fill(2 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    def grams(text: String, n: Int): Set[String] = {
+      val w = text.split(" ")
+      if (w.length >= n) w.sliding(n).map(_.mkString(" ")).toSet else Set(text)
+    }
+    val evalGrams = corpus.filter(_._1 <= 5).flatMap(c => grams(c._2, 3)).toSet
+    val naive = corpus.filter(_._1 > 5).map { case (id, text) =>
+      val hits = grams(text, 3).count(evalGrams)
+      (id, hits.toLong, hits > 0)
+    }.toSet
+    val got = TrainPrep.contaminationOf(corpus.toDF("doc_id", "text"),
+        col("doc_id") <= 5, n = 3)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == naive)
+  }
+
   test("block dedup: within-doc repeats keep only the earliest position, tail block short") {
     def blk(c: String) = (1 to 10).map(_ => c).mkString(" ")
     val docs = Seq((1L, s"${blk("a")} ${blk("a")} tail words")).toDF("doc_id", "text")
