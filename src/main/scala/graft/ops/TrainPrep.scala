@@ -130,6 +130,32 @@ object TrainPrep {
         col("n_total"))
   }
 
+  /** Temperature-scaled language-mixture weights (the multilingual
+    * pretraining sampler of mBERT/XLM/mT5): sampling share
+    * w_l ∝ p_l^alpha flattens the natural distribution p_l toward
+    * uniform as alpha→0. Returns one row per language with its natural
+    * share, temperature share, and the implied up/down-sampling factor.
+    *
+    * Scale: two tiny aggregations (per-lang counts, then the 1-row
+    * normalizers) broadcast back onto the per-lang table — the corpus
+    * is read once; nothing but lang counts ever shuffles. Shares are
+    * rounded to 6 dp: pow/sum association may differ by ulps across
+    * engines, and the rounding makes the value deterministic without
+    * changing any sampling decision. */
+  def mixtureWeights(docs: DataFrame, alpha: Double = 0.7): DataFrame = {
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum(col("n_docs")).as("n_total"))
+    val scored = counts.crossJoin(broadcast(total))
+      .withColumn("p", col("n_docs").cast("double") / col("n_total"))
+      .withColumn("pa", pow(col("p"), alpha))
+    val z = scored.agg(sum(col("pa")).as("z"))
+    scored.crossJoin(broadcast(z))
+      .select(col("lang"), col("n_docs"),
+        round(col("p"), 6).as("nat_share"),
+        round(col("pa") / col("z"), 6).as("temp_share"),
+        round(col("pa") / col("z") / col("p"), 6).as("upsample"))
+  }
+
   // Eval membership for the gate: a deterministic ~1% slice by doc_id.
   private val evalMod = 97
 
@@ -165,6 +191,21 @@ object TrainPrep {
              |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
              |        FROM documents) t) p
              |ORDER BY doc_id""".stripMargin)),
+
+    QueryDef("q78_temperature_mix",
+      (s, d) => mixtureWeights(Tables.documents(s, d)).orderBy("lang"),
+      Some("""WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+             |t AS (SELECT SUM(n_docs) AS n_total FROM c),
+             |sc AS (SELECT lang, n_docs,
+             |         CAST(n_docs AS DOUBLE) / n_total AS p,
+             |         POW(CAST(n_docs AS DOUBLE) / n_total, 0.7) AS pa
+             |       FROM c, t),
+             |z AS (SELECT SUM(pa) AS z FROM sc)
+             |SELECT lang, n_docs,
+             |  ROUND(p, 6) AS nat_share,
+             |  ROUND(pa / z, 6) AS temp_share,
+             |  ROUND(pa / z / p, 6) AS upsample
+             |FROM sc, z ORDER BY lang""".stripMargin)),
 
     QueryDef("q77_block_dedup",
       (s, d) => blockDedup(Tables.documents(s, d)).orderBy("doc_id"),

@@ -42,6 +42,21 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got.values.forall(_ == 0L))
   }
 
+  test("connectedComponents matches union-find on random graphs") {
+    val rnd = new scala.util.Random(13)
+    for (_ <- 1 to 3) {
+      val n = 40
+      val nodes = (0L until n).toSeq
+      val edges = Seq.fill(45)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val parent = Array.tabulate(n.toInt)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+      val naive = nodes.map(_.toInt).groupBy(find).values
+        .flatMap(c => c.map(_.toLong -> c.map(_.toLong).min)).toMap
+      assert(cc(nodes, edges) == naive)
+    }
+  }
+
   test("dedupClusters: exact copies cluster under the min id; singletons survive alone") {
     val docs = Seq(
       (10L, "alpha beta gamma delta epsilon zeta"),

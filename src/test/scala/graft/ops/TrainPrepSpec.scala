@@ -69,6 +69,21 @@ class TrainPrepSpec extends AnyFunSuite {
       (3L, "", 0L, 2L)))
   }
 
+  test("mixture weights: temperature flattens toward uniform, rare langs upsample") {
+    // 90/10 split at alpha=0.7: w_rare/p_rare > 1 > w_common/p_common,
+    // both share columns each sum to 1
+    val docs = ((1 to 90).map(i => (i.toLong, "en")) ++
+      (91 to 100).map(i => (i.toLong, "fr"))).toDF("doc_id", "lang")
+    val rows = TrainPrep.mixtureWeights(docs)
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows("en")._2 == 90L && rows("fr")._2 == 10L)
+    assert(math.abs(rows("en")._3 + rows("fr")._3 - 1.0) < 1e-5)
+    assert(math.abs(rows("en")._4 + rows("fr")._4 - 1.0) < 1e-5)
+    assert(rows("fr")._5 > 1.0 && rows("en")._5 < 1.0, "temperature must favor the rare lang")
+    assert(rows("fr")._4 < rows("fr")._3 * 5, "alpha=0.7 is a partial flattening, not uniform")
+  }
+
   test("block dedup matches a naive in-memory reference on random corpora") {
     val rnd = new scala.util.Random(7)
     val vocab = Vector("a", "b", "c", "d", "e")
