@@ -21,11 +21,13 @@ import org.apache.spark.sql.functions._
   * Plain propagation needs O(diameter) rounds (a 1M-doc duplicate CHAIN
   * — pathological but real for near-dup graphs — would need 1M rounds);
   * with the jump the count drops to O(log diameter). Convergence is
-  * detected with a cheap changed-row count over the round's own
-  * checkpoint; both label moves are localCheckpoint'd per round — the
-  * jump's input because a self-join otherwise executes the hop lineage
-  * twice, the round's output to truncate the iterative lineage (swap
-  * for a reliable checkpoint on a real cluster).
+  * decided with a cheap changed-row count on the hop's own checkpoint
+  * (hop-stability implies jump-stability under symmetric edges, so the
+  * final round skips its self-join); both label moves are
+  * localCheckpoint'd per round — the jump's input because a self-join
+  * otherwise executes the hop lineage twice, the round's output to
+  * truncate the iterative lineage (swap for a reliable checkpoint on a
+  * real cluster).
   *
   * Scale: per round, 3 shuffles (join on u, min-agg on node, self-join
   * on lbl), each keyed by a fixed 8-byte id — never by document content.
@@ -72,21 +74,29 @@ object Components {
         .select(col("node"), col("lbl").as("old"),
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
         .localCheckpoint()
-      // 2. pointer jump: adopt the label's own label. Every label value
-      // is some node's id and `hop` has a row for every node, so the
-      // lookup always hits; `left` + coalesce only guards planner-level
-      // null introduction, not a semantic miss.
-      val jumped = hop.as("a")
-        .join(hop.select(col("node").as("ln"), col("lbl").as("llbl")),
-          col("a.lbl") === col("ln"), "left")
-        .select(col("a.node").as("node"), col("a.old").as("old"),
-          coalesce(col("llbl"), col("a.lbl")).as("lbl"))
-        .localCheckpoint()
-      // labels only ever decrease, so "any row differs" == "any row
-      // decreased"; the check scans the checkpoint just written — no
-      // shuffle, no recompute, no collect
-      converged = jumped.where(col("lbl") =!= col("old")).limit(1).count() == 0L
-      labels = jumped.select("node", "lbl")
+      // Convergence is decided on the HOP alone, skipping the final
+      // round's self-join entirely: labels only ever decrease, and if
+      // the hop changed nothing then every node satisfies
+      // lbl(v) ≤ lbl(u) for each neighbor u — with symmetric edges that
+      // forces lbl uniform across each component, and on a uniform
+      // component the jump is the identity (lbl(m) = m for the minimum
+      // node m whose id the component carries). The check scans the
+      // checkpoint just written — no shuffle, no recompute, no collect.
+      converged = hop.where(col("lbl") =!= col("old")).limit(1).count() == 0L
+      if (converged) {
+        labels = hop.select("node", "lbl")
+      } else {
+        // 2. pointer jump: adopt the label's own label. Every label
+        // value is some node's id and `hop` has a row for every node,
+        // so the lookup always hits; `left` + coalesce only guards
+        // planner-level null introduction, not a semantic miss.
+        labels = hop.as("a")
+          .join(hop.select(col("node").as("ln"), col("lbl").as("llbl")),
+            col("a.lbl") === col("ln"), "left")
+          .select(col("a.node").as("node"),
+            coalesce(col("llbl"), col("a.lbl")).as("lbl"))
+          .localCheckpoint()
+      }
       iter += 1
     }
     labels
