@@ -13,7 +13,7 @@ object SparkEntry {
 
   private def allDefs: Seq[QueryDef] =
     ops.Relational.defs ++ ops.TextAnalysis.defs ++ ops.Dedup.defs ++
-      ops.Components.defs ++ ops.TrainPrep.defs ++
+      ops.Components.defs ++ ops.TrainPrep.defs ++ ops.Sketch.defs ++
       ops.Similarity.defs ++ ops.Ann.defs ++ ops.Scale.defs ++
       stream.StreamOps.defs ++ multimodal.Multimodal.defs ++
       ops.Pipeline.defs ++ ops.Extras.defs

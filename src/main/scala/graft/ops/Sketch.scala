@@ -1,0 +1,95 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch over the corpus token stream (✚ extension): the
+  * bounded-memory frequency structure a 100 TB pipeline broadcasts to
+  * probe token frequencies without carrying the full vocabulary.
+  *
+  * Construction is pure aggregation, so it is mergeable by construction:
+  * cell(row i, bucket b) = Σ counts of tokens with h_i(tok) = b, built
+  * with ordinary partial aggregation (map-side combine collapses hot
+  * tokens before the shuffle, the same story as exact dedup q24). The
+  * sketch is d×w rows TOTAL (4×1024 here) regardless of corpus size —
+  * at 100 TB the cells table broadcasts in KBs while the true
+  * vocabulary would not. Estimates are the classic min over rows:
+  * est(tok) = min_i cell(i, h_i(tok)) ≥ true count, with overcount
+  * ≤ e/w · N at probability 1−e^−d.
+  *
+  * Hash family: row i reads hex chars [8i+1, 8i+8) of md5(tok) — the
+  * same one-digest-sliced-into-independent-words trick as the MinHash
+  * components (Dedup.scala), so the oracle mirrors it exactly
+  * (DuckDB `('0x' || substr(md5(tok), …))::BIGINT`, the proven q56
+  * pattern).
+  */
+object Sketch {
+
+  val width = 1024
+  val depth = 4
+
+  /** Bucket of `tok` in sketch row `i`: 32 md5 bits → [0, width). */
+  private def bucket(tok: Column, i: Int): Column =
+    conv(substring(md5(tok), 8 * i + 1, 8), 16, 10).cast("long") % width
+
+  /** Exact per-token counts — the input the sketch compresses. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+
+  /** The d×w cells table. One pass: each token row fans out to its
+    * `depth` (row, bucket) coordinates via posexplode — never a
+    * union-of-branches that would re-run the count aggregation. */
+  def countMinCells(counts: DataFrame): DataFrame =
+    counts
+      .select(col("n"),
+        posexplode(array((0 until depth).map(i => bucket(col("tok"), i)): _*))
+          .as(Seq("row", "bucket")))
+      .groupBy("row", "bucket")
+      .agg(sum(col("n")).as("cell"))
+
+  /** Point estimates for `probes` (one column `tok`): min cell across
+    * the sketch's rows. The cells side is broadcast — at any corpus
+    * size it is d×w rows. */
+  def estimate(cells: DataFrame, probes: DataFrame): DataFrame =
+    probes
+      .select(col("tok"),
+        posexplode(array((0 until depth).map(i => bucket(col("tok"), i)): _*))
+          .as(Seq("row", "bucket")))
+      .join(broadcast(cells), Seq("row", "bucket"))
+      .groupBy("tok").agg(min(col("cell")).as("est_n"))
+
+  val defs: Seq[QueryDef] = Seq(
+    // The exact top-20 tokens with their sketch estimates alongside the
+    // truth: est_n ≥ n always; the margin IS the sketch's documented
+    // error at this corpus/width ratio.
+    QueryDef("q79_countmin",
+      (s, d) => {
+        val tc = tokenCounts(Tables.documents(s, d)).localCheckpoint()
+        val top = tc.orderBy(col("n").desc, col("tok")).limit(20)
+        top.join(estimate(countMinCells(tc), top.select("tok")), "tok")
+          .select(col("tok"), col("n"), col("est_n"))
+          .orderBy("tok")
+      },
+      Some(s"""WITH tc AS (
+             |  SELECT tok, COUNT(*) AS n
+             |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+             |  GROUP BY tok),
+             |coords AS (
+             |  SELECT tok, n, i.i AS row,
+             |    ('0x' || substr(md5(tok), i.i * 8 + 1, 8))::BIGINT % $width AS bucket
+             |  FROM tc, (SELECT unnest(range($depth)) AS i) i),
+             |cells AS (SELECT row, bucket, CAST(SUM(n) AS BIGINT) AS cell
+             |          FROM coords GROUP BY row, bucket),
+             |top AS (SELECT tok, n FROM tc ORDER BY n DESC, tok LIMIT 20),
+             |lk AS (
+             |  SELECT t.tok, t.n, i.i AS row,
+             |    ('0x' || substr(md5(t.tok), i.i * 8 + 1, 8))::BIGINT % $width AS bucket
+             |  FROM top t, (SELECT unnest(range($depth)) AS i) i)
+             |SELECT lk.tok, lk.n, MIN(c.cell) AS est_n
+             |FROM lk JOIN cells c ON c.row = lk.row AND c.bucket = lk.bucket
+             |GROUP BY lk.tok, lk.n
+             |ORDER BY tok""".stripMargin))
+  )
+}

@@ -1,0 +1,50 @@
+package graft.ops
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Count-min guarantees the gate's 20-row sample can't pin down:
+  * one-sided error over the WHOLE vocabulary and the sketch's fixed
+  * size, on corpora with enough tokens to force bucket collisions. */
+class SketchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = {
+    val rnd = new scala.util.Random(42)
+    // 3000 distinct-ish tokens over width 1024 => guaranteed collisions
+    (1L to 200L).map { id =>
+      (id, Seq.fill(40)(s"tok${rnd.nextInt(3000)}").mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  test("estimates are one-sided: est >= exact for EVERY token, most are exact") {
+    val tc = Sketch.tokenCounts(docs).localCheckpoint()
+    val est = Sketch.estimate(Sketch.countMinCells(tc), tc.select("tok"))
+    val joined = tc.join(est, "tok").as[(String, Long, Long)].collect()
+    assert(joined.nonEmpty)
+    assert(joined.forall { case (_, n, e) => e >= n },
+      "count-min must never undercount")
+    // at ~2.7 tokens/bucket, P(some row collision-free) = 1-(1-e^-2.7)^4
+    // ≈ 0.235 — measured 24%. Assert above 15% so the hash family is
+    // actually spreading (a degenerate family would give ~0% exact).
+    val exact = joined.count { case (_, n, e) => e == n }
+    assert(exact > joined.length * 0.15,
+      s"exact-estimate rate below collision model (got $exact/${joined.length})")
+    // classic bound: overcount <= (e/w)·N at prob 1-e^-d; allow 4x slack
+    val totalN = joined.map(_._2).sum
+    val bound = math.E / Sketch.width * totalN * 4
+    assert(joined.forall { case (_, n, e) => e - n <= bound },
+      s"overcount must respect the e/w·N bound (bound=$bound)")
+  }
+
+  test("the cells table is d x w bounded regardless of corpus size") {
+    val cells = Sketch.countMinCells(Sketch.tokenCounts(docs))
+    assert(cells.count() <= Sketch.depth.toLong * Sketch.width)
+    // and total mass is preserved per row: each row sums to the token count
+    val mass = cells.groupBy("row").sum("cell").as[(Int, Long)].collect().toMap
+    val n = docs.select(org.apache.spark.sql.functions.expr(
+      "sum(size(split(text, ' ')))")).as[Long].head()
+    assert(mass.values.forall(_ == n), s"every row must conserve total mass $n")
+  }
+}
