@@ -60,6 +60,45 @@ object Sketch {
       .join(broadcast(cells), Seq("row", "bucket"))
       .groupBy("tok").agg(min(col("cell")).as("est_n"))
 
+  /** Cells built directly from a raw token stream (one column `tok`),
+    * skipping the exact per-token count: the shuffle is keyed by
+    * (row, bucket) — at most d×w distinct keys, collapsed map-side to
+    * ≤ d×w rows per input partition REGARDLESS of vocabulary size.
+    * This is the build a 100 TB corpus uses; [[countMinCells]] over an
+    * existing count table produces identical cells. */
+  def countMinCellsOf(toks: DataFrame): DataFrame =
+    toks
+      .select(posexplode(array((0 until depth).map(i => bucket(col("tok"), i)): _*))
+        .as(Seq("row", "bucket")))
+      .groupBy("row", "bucket")
+      .agg(count(lit(1)).as("cell"))
+
+  /** Heavy hitters via sketch-as-filter — the two-pass production
+    * pattern. Pass 1: build the d×w cells from the raw stream (bounded
+    * shuffle above). Pass 2: re-stream tokens, compute each
+    * occurrence's estimate with d broadcast joins (map-side — the
+    * stream itself never shuffles), admit occurrences whose estimate
+    * clears `frac`·total (no false negatives: est ≥ truth), and
+    * exact-count ONLY the admitted tokens — the exact aggregation's key
+    * space is the candidate set, never the vocabulary. Sketch false
+    * positives are then dropped exactly (`n ≥ frac·total`). */
+  def heavyHitters(docs: DataFrame, frac: Double = 0.02): DataFrame = {
+    val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+    val cells = countMinCellsOf(toks).localCheckpoint() // probed d times below
+    val est = (0 until depth).foldLeft(toks) { (df, i) =>
+      df.join(broadcast(cells.where(col("row") === i)
+          .select(col("bucket").as(s"b$i"), col("cell").as(s"c$i"))),
+        bucket(col("tok"), i) === col(s"b$i"))
+        .drop(s"b$i")
+    }.withColumn("est_n", least((0 until depth).map(j => col(s"c$j")): _*))
+    est
+      .crossJoin(broadcast(toks.agg(count(lit(1)).as("total"))))
+      .where(col("est_n") >= col("total") * frac)
+      .groupBy("tok", "est_n", "total").agg(count(lit(1)).as("n"))
+      .where(col("n") >= col("total") * frac)
+      .select(col("tok"), col("n"), col("est_n"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // The exact top-20 tokens with their sketch estimates alongside the
     // truth: est_n ≥ n always; the margin IS the sketch's documented
@@ -90,6 +129,32 @@ object Sketch {
              |SELECT lk.tok, lk.n, MIN(c.cell) AS est_n
              |FROM lk JOIN cells c ON c.row = lk.row AND c.bucket = lk.bucket
              |GROUP BY lk.tok, lk.n
+             |ORDER BY tok""".stripMargin)),
+
+    // Sketch-as-filter heavy hitters at 2% of the token stream. The
+    // oracle computes the same VALUES from the distinct-token side
+    // (per-token estimates are constant across occurrences, so
+    // admit-then-count equals count-then-admit); the Spark plan is the
+    // streaming shape (see heavyHitters).
+    QueryDef("q80_heavy_hitters",
+      (s, d) => heavyHitters(Tables.documents(s, d)).orderBy("tok"),
+      Some(s"""WITH toks AS (
+             |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+             |tc AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+             |coords AS (
+             |  SELECT tok, n, i.i AS row,
+             |    ('0x' || substr(md5(tok), i.i * 8 + 1, 8))::BIGINT % $width AS bucket
+             |  FROM tc, (SELECT unnest(range($depth)) AS i) i),
+             |cells AS (SELECT row, bucket, CAST(SUM(n) AS BIGINT) AS cell
+             |          FROM coords GROUP BY row, bucket),
+             |est AS (SELECT c.tok, c.n, MIN(cl.cell) AS est_n
+             |        FROM coords c JOIN cells cl
+             |          ON cl.row = c.row AND cl.bucket = c.bucket
+             |        GROUP BY c.tok, c.n),
+             |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM toks)
+             |SELECT tok, n, est_n
+             |FROM est, tot
+             |WHERE est_n >= total * 0.02 AND n >= total * 0.02
              |ORDER BY tok""".stripMargin))
   )
 }

@@ -38,6 +38,36 @@ class SketchSpec extends AnyFunSuite {
       s"overcount must respect the e/w·N bound (bound=$bound)")
   }
 
+  test("heavy hitters equal the naive threshold set; estimates stay one-sided") {
+    // skewed corpus: "whale" dominates, the long tail stays under 2%
+    val rnd = new scala.util.Random(3)
+    val skewed = (1L to 100L).map { id =>
+      (id, Seq.fill(30)(
+        if (rnd.nextInt(10) < 3) "whale" else s"tok${rnd.nextInt(500)}"
+      ).mkString(" "))
+    }.toDF("doc_id", "text")
+    val counts = skewed.select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split($"text", " ")).as("tok"))
+      .groupBy("tok").count().as[(String, Long)].collect().toMap
+    val total = counts.values.sum
+    val expect = counts.filter { case (_, n) => n >= total * 0.02 }
+    val got = Sketch.heavyHitters(skewed)
+      .as[(String, Long, Long)].collect()
+    assert(got.map(r => r._1 -> r._2).toMap == expect, "exact heavy-hitter set")
+    assert(got.forall { case (_, n, e) => e >= n }, "one-sided estimates")
+    assert(expect.contains("whale"))
+  }
+
+  test("raw-stream cells equal count-table cells") {
+    val toks = docs.select(org.apache.spark.sql.functions.explode(
+      org.apache.spark.sql.functions.split($"text", " ")).as("tok"))
+    val a = Sketch.countMinCellsOf(toks)
+      .as[(Int, Long, Long)].collect().toSet
+    val b = Sketch.countMinCells(Sketch.tokenCounts(docs))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(a == b, "both builds must produce identical sketches")
+  }
+
   test("the cells table is d x w bounded regardless of corpus size") {
     val cells = Sketch.countMinCells(Sketch.tokenCounts(docs))
     assert(cells.count() <= Sketch.depth.toLong * Sketch.width)
