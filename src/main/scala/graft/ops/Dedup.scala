@@ -37,18 +37,11 @@ object Dedup {
 
   /** 3-word shingle set, one row per (doc_id, shingle). Documents shorter
     * than 3 tokens contribute their whole text as a single shingle. */
-  def shinglesOf(docs: DataFrame): DataFrame = {
-    val w = col("w")
-    val sh = when(size(w) >= 3,
-      transform(sequence(lit(0), size(w) - 3),
-        i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
-      .otherwise(array(col("text")))
-    // materialize the token array once per row; referencing split() inside
-    // the transform lambda would re-split per shingle position
-    docs
-      .select(col("doc_id"), col("text"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), explode(sh).as("sh"))
-  }
+  def shinglesOf(docs: DataFrame): DataFrame =
+    // one definition of word-gram extraction for the whole library:
+    // the near-dup pipelines and decontamination (TrainPrep) must never
+    // drift on tokenization or the short-document fallback
+    TrainPrep.ngramsOf(docs, 3).withColumnRenamed("g", "sh")
 
   private def shingles(s: SparkSession, d: String): DataFrame =
     shinglesOf(Tables.documents(s, d))

@@ -51,14 +51,16 @@ object Sketch {
 
   /** Point estimates for `probes` (one column `tok`): min cell across
     * the sketch's rows. The cells side is broadcast — at any corpus
-    * size it is d×w rows. */
+    * size it is d×w rows. LEFT join: an empty bucket means zero mass,
+    * so a never-seen probe token correctly estimates 0 instead of
+    * being dropped (or worse, overestimated off its nonempty rows). */
   def estimate(cells: DataFrame, probes: DataFrame): DataFrame =
     probes
       .select(col("tok"),
         posexplode(array((0 until depth).map(i => bucket(col("tok"), i)): _*))
           .as(Seq("row", "bucket")))
-      .join(broadcast(cells), Seq("row", "bucket"))
-      .groupBy("tok").agg(min(col("cell")).as("est_n"))
+      .join(broadcast(cells), Seq("row", "bucket"), "left")
+      .groupBy("tok").agg(min(coalesce(col("cell"), lit(0L))).as("est_n"))
 
   /** Cells built directly from a raw token stream (one column `tok`),
     * skipping the exact per-token count: the shuffle is keyed by
@@ -91,8 +93,12 @@ object Sketch {
         bucket(col("tok"), i) === col(s"b$i"))
         .drop(s"b$i")
     }.withColumn("est_n", least((0 until depth).map(j => col(s"c$j")): _*))
+    // total token mass is conserved by every sketch row (SketchSpec
+    // asserts it), so the scalar comes from the 4096-row checkpoint —
+    // not a third pass over the corpus
     est
-      .crossJoin(broadcast(toks.agg(count(lit(1)).as("total"))))
+      .crossJoin(broadcast(cells.where(col("row") === 0)
+        .agg(sum(col("cell")).as("total"))))
       .where(col("est_n") >= col("total") * frac)
       .groupBy("tok", "est_n", "total").agg(count(lit(1)).as("n"))
       .where(col("n") >= col("total") * frac)

@@ -60,14 +60,20 @@ object TrainPrep {
     * Returns every TRAIN doc with (n_hits, contaminated) — downstream
     * drops `contaminated` rows before training. */
   def contaminationOf(docs: DataFrame, isEval: Column, n: Int = 6): DataFrame = {
+    // resolve isEval against the full document row (it may reference any
+    // column — source, lang, …), then carry only the eval doc_id set to
+    // the gram stream: eval sets are tiny, so both the semi- and
+    // anti-join against the ids are broadcast map-side filters
+    val evalIds = docs.where(isEval).select("doc_id")
     val grams = ngramsOf(docs, n)
-    val evalGrams = grams.where(isEval).select("g").distinct()
+    val evalGrams = grams.join(broadcast(evalIds), "doc_id")
+      .select("g").distinct()
     // broadcast-probe FIRST, dedupe the survivors after: distinct on the
     // raw corpus gram stream would shuffle every gram by its string;
     // filtered through the broadcast set, only actual hits (rare) reach
     // the distinct + count shuffles. Equivalent because the probe is an
     // equality semi-filter on the distinct key itself.
-    val hits = grams.where(!isEval)
+    val hits = grams.join(broadcast(evalIds), Seq("doc_id"), "left_anti")
       .join(broadcast(evalGrams), "g")
       .distinct()
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
@@ -103,12 +109,17 @@ object TrainPrep {
   def blockDedup(docs: DataFrame, blockTokens: Int = 10): DataFrame = {
     val w = col("w")
     val nb = ceil(size(w) / lit(blockTokens.toDouble)).cast("int")
+    // one corpus pass: the block table feeds the argmin aggregation,
+    // the join probe AND the per-doc totals — unmaterialized, the
+    // scan→split→posexplode lineage would run three times (the
+    // ReuseExchange-vs-broadcast diamond, SCALE.md round 3)
     val blocks = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), nb - 1),
           i => concat_ws(" ", slice(w, i * blockTokens + 1, lit(blockTokens))))))
       .toDF("doc_id", "pos", "blk")
+      .localCheckpoint()
     val first = blocks.groupBy("blk")
       .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
     val kept = blocks.join(first, "blk")
@@ -119,10 +130,10 @@ object TrainPrep {
     val rebuilt = kept.groupBy("doc_id").agg(
       count(lit(1)).as("n_kept"),
       expr("listagg(blk, ' ') WITHIN GROUP (ORDER BY pos)").as("clean_text"))
-    docs
-      .select(col("doc_id"),
-        ceil(size(split(col("text"), " ")) / lit(blockTokens.toDouble))
-          .cast("long").as("n_total"))
+    // every document has ≥1 block, so totals come from the block table
+    // (max pos + 1) — no third scan of docs
+    blocks.groupBy("doc_id")
+      .agg((max(col("pos")) + 1).cast("long").as("n_total"))
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
@@ -143,7 +154,12 @@ object TrainPrep {
     * engines, and the rounding makes the value deterministic without
     * changing any sampling decision. */
   def mixtureWeights(docs: DataFrame, alpha: Double = 0.7): DataFrame = {
+    // the per-lang count table is THE corpus aggregation — materialize
+    // it so the total/normalizer/final subtrees (4 consumers) read a
+    // handful of rows instead of re-running the corpus scan (the
+    // ReuseExchange-vs-broadcast diamond, SCALE.md round 3)
     val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint()
     val total = counts.agg(sum(col("n_docs")).as("n_total"))
     val scored = counts.crossJoin(broadcast(total))
       .withColumn("p", col("n_docs").cast("double") / col("n_total"))

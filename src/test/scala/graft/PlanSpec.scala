@@ -136,8 +136,8 @@ class PlanSpec extends AnyFunSuite {
     val p = physical("q77_block_dedup")
     assert(p.contains("Exchange hashpartitioning(blk"),
       s"argmin must shuffle by block content:\n$p")
-    assert(p.contains("partial_min") || p.contains("HashAggregate"),
-      s"expected map-side partial aggregation:\n$p")
+    assert(p.contains("partial_min"),
+      s"expected a map-side partial_min before the content shuffle:\n$p")
   }
 
   test("no declared query plans a CartesianProduct or collect_list") {
