@@ -17,11 +17,14 @@ import org.apache.spark.sql.functions._
   *    the corpus is 100 TB, so the contaminated-gram probe is map-side
   *    (no shuffle of corpus grams); only the per-doc hit counts shuffle,
   *    keyed by 8-byte doc_id.
-  *  - sequence packing is a per-`source`-shard running sum (one range
-  *    partition + sort per shard, all shards in parallel). A GLOBAL
-  *    concat order would serialize the corpus through one partition —
-  *    deliberately avoided; shard-local contiguity is what packed
-  *    pretraining batches need.
+  *  - sequence packing is a two-phase per-shard prefix sum: range
+  *    partitions in (source, doc_id) order, per-(partition, source)
+  *    token subtotals, driver prefix-summed start offsets broadcast
+  *    back, and a running sum inside each bounded (partition, source)
+  *    group. A window keyed by `source` alone would sort each shard in
+  *    ONE task (~5 TB per task for a 20-source 100 TB corpus); a GLOBAL
+  *    concat order would be worse still — both deliberately avoided;
+  *    shard-local contiguity is what packed pretraining batches need.
   *  - block dedup keys the first-occurrence argmin by block CONTENT; the
   *    aggregation is partial (map-side combine collapses mass-duplicated
   *    blocks before the shuffle — same hot-key story as exact dedup
@@ -87,17 +90,56 @@ object TrainPrep {
     * `source` shard, documents are laid out contiguously in doc_id order
     * and cut into fixed `budget`-token sequences. Emits each doc's global
     * offset in its shard stream, the sequence it starts in, and its
-    * offset inside that sequence. */
-  def packSequences(docs: DataFrame, budget: Int = 256): DataFrame = {
-    val byShard = Window.partitionBy("source")
-      .orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
+    * offset inside that sequence.
+    *
+    * Two-phase per-shard prefix sum — NOT `Window.partitionBy(source)`:
+    * a window keyed by source alone hash-routes EVERY row of a source
+    * into one task, a multi-TB sort per shard on a real corpus. Here:
+    *   phase 1 — range-partition by (source, doc_id), so each shard
+    *     spans many bounded partitions in doc_id order, then aggregate
+    *     one token subtotal per (partition, source). That table is
+    *     O(partitions × sources) rows; its per-source prefix sums (the
+    *     group start offsets) are computed on the driver — the same
+    *     documented-small collect as kmeansCentroids (Ann.scala).
+    *   phase 2 — broadcast the start offsets back and run the running
+    *     sum inside each (partition, source) group: group size is
+    *     bounded by the range partition, never by the shard.
+    * Range partitioning on (source, doc_id) makes the partition id
+    * monotone in doc_id within each source, which is exactly what makes
+    * the per-source prefix over subtotals the correct group offset.
+    * `materialize` must PIN the range-partitioned table (default
+    * localCheckpoint; pass `_.checkpoint()` on a real cluster): its
+    * sampled boundaries feed BOTH phases, and a recomputed lineage
+    * could resample different boundaries, mismatching offsets against
+    * rows. seq arithmetic is integer (`div`), exact at any corpus size
+    * — floor(x / budget) over doubles drifts past 2^53 tokens. */
+  def packSequences(docs: DataFrame, budget: Int = 256,
+      materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sized = materialize(docs
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
-      .withColumn("begin_tok", sum(col("n_tok")).over(byShard) - col("n_tok"))
-      .withColumn("seq_id", floor(col("begin_tok") / budget))
+      .repartitionByRange(col("source"), col("doc_id"))
+      .withColumn("pid", spark_partition_id()))
+    val offsets = {
+      val subs = sized.groupBy("pid", "source")
+        .agg(sum(col("n_tok")).as("sub")).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      subs.groupBy(_._2).iterator.flatMap { case (src, rows) =>
+        val sorted = rows.sortBy(_._1)
+        sorted.zip(sorted.scanLeft(0L)(_ + _._3))
+          .map { case ((pid, _, _), off) => (pid, src, off) }
+      }.toSeq.toDF("pid", "source", "off")
+    }
+    val local = Window.partitionBy("pid", "source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sized.join(broadcast(offsets), Seq("pid", "source"))
+      .withColumn("begin_tok",
+        col("off") + sum(col("n_tok")).over(local) - col("n_tok"))
+      .withColumn("seq_id", expr(s"begin_tok div $budget"))
       .withColumn("seq_off", col("begin_tok") - col("seq_id") * budget)
+      .select("doc_id", "source", "n_tok", "begin_tok", "seq_id", "seq_off")
   }
 
   /** Sub-document block dedup (C4/RefinedWeb line-dedup shape, applied to
@@ -196,8 +238,8 @@ object TrainPrep {
       (s, d) => packSequences(Tables.documents(s, d)).orderBy("doc_id"),
       Some("""SELECT doc_id, source, n_tok,
              |  begin_tok,
-             |  CAST(FLOOR(begin_tok / 256) AS BIGINT) AS seq_id,
-             |  begin_tok - CAST(FLOOR(begin_tok / 256) AS BIGINT) * 256 AS seq_off
+             |  begin_tok // 256 AS seq_id,
+             |  begin_tok - (begin_tok // 256) * 256 AS seq_off
              |FROM (
              |  SELECT doc_id, source, n_tok,
              |    CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id

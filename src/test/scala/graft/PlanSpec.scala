@@ -119,15 +119,16 @@ class PlanSpec extends AnyFunSuite {
   private def physical(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
-  test("q76 packing sorts within source shards, never globally") {
-    // a single-partition global window is the serialization this
-    // operator exists to avoid; the running sum must run per-shard
-    // after a hash exchange on source
+  test("q76 packing never routes a whole source shard into one task") {
+    // the scale contract of the two-phase prefix sum: the running sum
+    // is keyed by (range-partition, source) — groups bounded by the
+    // range partition — NEVER by source alone (which would sort each
+    // multi-TB shard in a single task) and never globally
     val p = physical("q76_seq_pack")
-    assert(p.contains("windowspecdefinition(source"),
-      s"window must partition by source shard:\n$p")
-    assert(p.contains("Exchange hashpartitioning(source"),
-      s"expected a hash exchange on source:\n$p")
+    assert(p.contains("windowspecdefinition(pid"),
+      s"running sum must partition by (pid, source):\n$p")
+    assert("hashpartitioning\\(source#\\d+, \\d+\\)".r.findFirstIn(p).isEmpty,
+      s"no exchange may hash-partition solely by source:\n$p")
     assert(!p.contains("Exchange SinglePartition"),
       s"packing must not serialize through one partition:\n$p")
   }

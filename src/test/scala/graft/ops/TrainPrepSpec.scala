@@ -133,6 +133,47 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(got == naive)
   }
 
+  test("packing: two-phase prefix sum matches a naive reference across many input partitions") {
+    // 2 interleaved sources spread over 16 input partitions: the shape
+    // the two-phase rewrite exists for. Compared against an in-memory
+    // running sum in (source, doc_id) order.
+    val rnd = new scala.util.Random(13)
+    val corpus = (1L to 400L).map { id =>
+      (id, if (id % 2 == 0) "A" else "B",
+        (1 to (1 + rnd.nextInt(9))).map(_ => "w").mkString(" "))
+    }
+    val docs = corpus.toDF("doc_id", "source", "text").repartition(16)
+    val naive = corpus.groupBy(_._2).iterator.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(_._1)
+      val toks = sorted.map(_._3.split(" ").length.toLong)
+      sorted.zip(toks.scanLeft(0L)(_ + _)).map { case ((id, src, _), begin) =>
+        (id, src, toks(sorted.indexWhere(_._1 == id)), begin,
+          begin / 32, begin % 32)
+      }
+    }.toSet
+    val got = TrainPrep.packSequences(docs, budget = 32)
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSet
+    assert(got == naive)
+    // plan contract on the SAME fixture: the running sum never keys an
+    // exchange by source alone (one task per shard), and the window is
+    // the bounded (pid, source) one
+    val p = TrainPrep.packSequences(docs, budget = 32)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(source#\\d+, \\d+\\)".r.findFirstIn(p).isEmpty,
+      s"no exchange may hash-partition solely by source:\n$p")
+    assert(p.contains("windowspecdefinition(pid"), s"expected (pid, source) window:\n$p")
+  }
+
+  test("packing: gate corpus doc_id is unique, so per-shard prefix order is total") {
+    // the q76 oracle's SUM() OVER (ORDER BY doc_id) is deterministic
+    // only because doc_id never ties within a shard — pin that property
+    // of the gate corpus so a testdata regeneration can't silently make
+    // the gate order-dependent
+    val docs = graft.Tables.documents(spark, graft.TestSpark.sf0001)
+    assert(docs.count() == docs.select("doc_id").distinct().count(),
+      "documents.doc_id must be unique for the packing gate to be deterministic")
+  }
+
   test("block dedup: within-doc repeats keep only the earliest position, tail block short") {
     def blk(c: String) = (1 to 10).map(_ => c).mkString(" ")
     val docs = Seq((1L, s"${blk("a")} ${blk("a")} tail words")).toDF("doc_id", "text")
