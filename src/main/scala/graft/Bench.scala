@@ -41,9 +41,16 @@ object Bench {
     // contended run and the spread map records the noise band observed.
     val iters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
     // Dev loop: SPARK_GRAFT_BENCH_ONLY=q74,q27 times just those queries.
-    // The driver never sets it, so per-round numbers stay complete.
+    // Entries match by NAME PREFIX ("q7" selects q70..q79); an entry
+    // matching nothing is a hard error so a typo can't produce an
+    // empty-but-healthy-looking benchmark run. The driver never sets
+    // it, so per-round numbers stay complete.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { o =>
+      val dead = o.filterNot(p => SparkEntry.queries.keys.exists(_.startsWith(p)))
+      require(dead.isEmpty, s"SPARK_GRAFT_BENCH_ONLY entries match no query: $dead")
+    }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(o => o.exists(n.startsWith)) }
     val results = selected.map { case (name, fn) =>
@@ -89,7 +96,10 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, _, None) => v }.sum
     val nErr = results.count(_._4.isDefined)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"iters":$iters,"spread":$spreads,"n_errors":$nErr,"errors":$errs,"sf":"$sfDir"}""")
+    // the driver stores the TAIL of this line when it truncates — the
+    // per-query map (large, alphabetical) goes FIRST so the summary
+    // scalars (total/n_errors/sf) at the END survive any truncation
+    println(s"""{"metric":"total","queries":$qs,"iters":$iters,"spread":$spreads,"errors":$errs,"unit":"sec","sf":"$sfDir","n_errors":$nErr,"value":$total}""")
     spark.stop()
     if (nErr > 0) sys.exit(1)
   }
