@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.{QueryDef, Tables}
+import graft.{Materialize, QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -39,6 +39,11 @@ import org.apache.spark.sql.functions._
   * chosen form needs no edge-set rewriting between rounds, so the
   * (typically much larger) edge table is shuffled once per round
   * unchanged and AQE can reuse its partitioning.
+  *
+  * Durability: every per-round pin goes through the injectable
+  * `materialize` strategy (graft.Materialize) — `local` for single-box,
+  * `reliable` for clusters where an executor loss in round 12 must not
+  * restart the whole iteration (ComponentsSpec proves the swap).
   */
 object Components {
 
@@ -47,13 +52,14 @@ object Components {
     * including isolated ones); `pairs`: columns `id_a`, `id_b`
     * (undirected, need not be deduplicated). Returns (`node`, `lbl`). */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          materialize: Materialize.Strategy = Materialize.local): DataFrame = {
     // symmetrize once; the per-round join probes this static table
-    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
-      .localCheckpoint()
-    var labels = nodes.select(col("id").as("node"), col("id").as("lbl"))
-      .localCheckpoint()
+    val edges = materialize(
+      pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+        .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v"))))
+    var labels = materialize(
+      nodes.select(col("id").as("node"), col("id").as("lbl")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -70,10 +76,9 @@ object Components {
       // across AQE's broadcast conversion of a self-join side (measured
       // on q27's diamond, SCALE.md round 3), so an unmaterialized hop
       // would execute its join+agg+join lineage twice per round.
-      val hop = labels.join(nbrMin, Seq("node"), "left")
+      val hop = materialize(labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"), col("lbl").as("old"),
-          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl")))
       // Convergence is decided on the HOP alone, skipping the final
       // round's self-join entirely: labels only ever decrease, and if
       // the hop changed nothing then every node satisfies
@@ -90,12 +95,11 @@ object Components {
         // value is some node's id and `hop` has a row for every node,
         // so the lookup always hits; `left` + coalesce only guards
         // planner-level null introduction, not a semantic miss.
-        labels = hop.as("a")
+        labels = materialize(hop.as("a")
           .join(hop.select(col("node").as("ln"), col("lbl").as("llbl")),
             col("a.lbl") === col("ln"), "left")
           .select(col("a.node").as("node"),
-            coalesce(col("llbl"), col("a.lbl")).as("lbl"))
-          .localCheckpoint()
+            coalesce(col("llbl"), col("a.lbl")).as("lbl")))
       }
       iter += 1
     }
@@ -106,10 +110,12 @@ object Components {
     * connected components → every document labeled with its canonical
     * (minimum) doc_id and its cluster size. Survivor set = rows where
     * doc_id == canonical_id. */
-  def dedupClusters(docs: DataFrame): DataFrame = {
+  def dedupClusters(docs: DataFrame,
+                    materialize: Materialize.Strategy = Materialize.local): DataFrame = {
     val lab = connectedComponents(
       docs.select(col("doc_id").as("id")),
-      Dedup.dedupPipeline(docs).select("id_a", "id_b"))
+      Dedup.dedupPipeline(docs, materialize = materialize).select("id_a", "id_b"),
+      materialize = materialize)
     val sizes = lab.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
     lab.join(sizes, "lbl")
       .select(col("node").as("doc_id"), col("lbl").as("canonical_id"),

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.{QueryDef, Tables}
+import graft.{Materialize, QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -104,12 +104,13 @@ object Dedup {
     * across tasks. The previous collect_list-per-block formulation put a
     * whole block into ONE row (unbounded single-task array at 100 TB);
     * a join never materializes a block in memory. */
-  def simhashNearDup(docs: DataFrame, radius: Int = 8): DataFrame = {
+  def simhashNearDup(docs: DataFrame, radius: Int = 8,
+      materialize: Materialize.Strategy = Materialize.local): DataFrame = {
     // both self-join sides would re-run the whole sketch aggregation
     // (ReuseExchange measured not to fire across AQE broadcast
     // conversion); one sketch row per doc — materialize once
-    val sk = simhashOf(docs).withColumn("blk", shiftright(col("simhash"), 16))
-      .localCheckpoint()
+    val sk = materialize(
+      simhashOf(docs).withColumn("blk", shiftright(col("simhash"), 16)))
     val a = sk.select(col("blk"), col("doc_id").as("id_a"), col("simhash").as("sh_a"))
     val b = sk.select(col("blk"), col("doc_id").as("id_b"), col("simhash").as("sh_b"))
     a.join(b, "blk").where(col("id_a") < col("id_b"))
@@ -126,8 +127,9 @@ object Dedup {
     * standard recall/cost dial, same skew story as q49 (a hot block is
     * a hot JOIN partition, AQE-splittable). */
   def simhashNearDupMulti(docs: DataFrame, radius: Int = 8,
-                          nBlocks: Int = 4): DataFrame = {
-    val sk = simhashOf(docs).localCheckpoint()
+                          nBlocks: Int = 4,
+                          materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+    val sk = materialize(simhashOf(docs))
     val mask = (1L << simBits) - 1
     val blocks = (0 until nBlocks).map { i =>
       val r = 8 * i
@@ -200,15 +202,15 @@ object Dedup {
     * count().over(Window.partitionBy(sh)), which would buffer a hot
     * shingle's whole posting list in one task (the exact hotspot the cap
     * exists to eliminate). */
-  def cappedShinglesOf(docs: DataFrame, cap: Int = dfCap): DataFrame = {
+  def cappedShinglesOf(docs: DataFrame, cap: Int = dfCap,
+      materialize: Materialize.Strategy = Materialize.local): DataFrame = {
     // scan→explode→distinct is the expensive stage and BOTH the df
     // aggregation and the anti-join probe consume it; without
     // materialization the whole tree executes twice (ReuseExchange does
     // not collapse the two uses — measured, same diamond as shingleTable)
-    val dsh = shinglesOf(docs)
+    val dsh = materialize(shinglesOf(docs)
       .select(col("doc_id"), substring(md5(col("sh")), 1, 16).as("sh"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     val hot = dsh.groupBy("sh").agg(count(lit(1)).as("df"))
       .where(col("df") > cap).select("sh")
     // hot is tiny by Zipf (only over-cap heads); AQE picks broadcast when
@@ -261,13 +263,13 @@ object Dedup {
     * runtime, ReuseExchange does NOT collapse them (AQE's broadcast
     * conversion on one side breaks exchange-level reuse: 10 scans,
     * 0 reused). This is the production shape too: a 100 TB dedup run
-    * writes its shingle/signature table once and reuses it (swap
-    * localCheckpoint for a reliable checkpoint/table there). */
-  private def shingleTable(docs: DataFrame, cap: Int): DataFrame = {
+    * writes its shingle/signature table once and reuses it (pass
+    * Materialize.reliable, or a write-then-read strategy, there). */
+  private def shingleTable(docs: DataFrame, cap: Int,
+      materialize: Materialize.Strategy): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    cappedShinglesOf(docs, cap)
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
-      .localCheckpoint()
+    materialize(cappedShinglesOf(docs, cap, materialize)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id"))))
   }
 
   /** Shared verify stage: score candidate (id_a, id_b) shingle matches
@@ -281,8 +283,9 @@ object Dedup {
 
   /** Shingle-Jaccard near-dup pairs (θ=0.5) via inverted-index self-join
     * on df-capped distinct shingles, plus the mass-dup fallback. */
-  def jaccardPairs(docs: DataFrame, cap: Int = dfCap): DataFrame = {
-    val tn = shingleTable(docs, cap)
+  def jaccardPairs(docs: DataFrame, cap: Int = dfCap,
+      materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+    val tn = shingleTable(docs, cap, materialize)
     val a = tn.select(col("doc_id").as("id_a"), col("sh"), col("n").as("na"))
     val b = tn.select(col("doc_id").as("id_b"), col("sh"), col("n").as("nb"))
     jaccardScore(a.join(b, "sh").where(col("id_a") < col("id_b")))
@@ -298,7 +301,8 @@ object Dedup {
 
   /** LSH banding candidate pairs (the scalable generator behind q26/q51):
     * all-pairs within small band buckets, star pairs within over-cap ones. */
-  def lshCandidatesOf(docs: DataFrame, cap: Int = bucketCap): DataFrame = {
+  def lshCandidatesOf(docs: DataFrame, cap: Int = bucketCap,
+      materialize: Materialize.Strategy = Materialize.local): DataFrame = {
     // explode-unpivot keeps ONE signature lineage (a union of two
     // selects doubles the scan+shuffle tree); the band self-join's
     // identical exchanges are then deduped by ReuseExchange.
@@ -307,12 +311,12 @@ object Dedup {
         struct(lit(0).as("band"), md5(concat(col("m0"), col("m1"))).as("bh")),
         struct(lit(1).as("band"), md5(concat(col("m2"), col("m3"))).as("bh")))).as("e"))
       .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
-      // 3 consumers (stats + both self-join sides); materialize once —
-      // see jaccardPairs for the measured ReuseExchange=0 rationale
-      .localCheckpoint()
-    val stats = bands.groupBy("band", "bh")
+    // 3 consumers (stats + both self-join sides); materialize once —
+    // see jaccardPairs for the measured ReuseExchange=0 rationale
+    val bandsM = materialize(bands)
+    val stats = bandsM.groupBy("band", "bh")
       .agg(count(lit(1)).as("bn"), min(col("doc_id")).as("rep"))
-    val wb = bands.join(stats, Seq("band", "bh"))
+    val wb = bandsM.join(stats, Seq("band", "bh"))
     val small = wb.where(col("bn") <= cap)
     val a = small.select(col("band"), col("bh"), col("doc_id").as("id_a"))
     val b = small.select(col("band"), col("bh"), col("doc_id").as("id_b"))
@@ -345,9 +349,10 @@ object Dedup {
     * verifies ONLY those pairs — candidate-driven joins instead of the
     * full inverted-index self-join; fully-capped docs take the same
     * exact-hash star fallback as q27. */
-  def dedupPipeline(docs: DataFrame, cap: Int = dfCap): DataFrame = {
-    val cand = lshCandidatesOf(docs)
-    val tn = shingleTable(docs, cap) // same materialized diamond as jaccardPairs
+  def dedupPipeline(docs: DataFrame, cap: Int = dfCap,
+      materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+    val cand = lshCandidatesOf(docs, materialize = materialize)
+    val tn = shingleTable(docs, cap, materialize) // same materialized diamond as jaccardPairs
     // candidate-driven: pairs × a-side shingles, then match b-side on
     // (id_b, sh) — cost O(|candidates| · shingles/doc), independent of
     // corpus-wide shingle collision counts.

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.{QueryDef, Tables}
+import graft.{Materialize, QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -51,9 +51,12 @@ object Sketch {
 
   /** Point estimates for `probes` (one column `tok`): min cell across
     * the sketch's rows. The cells side is broadcast — at any corpus
-    * size it is d×w rows. LEFT join: an empty bucket means zero mass,
-    * so a never-seen probe token correctly estimates 0 instead of
-    * being dropped (or worse, overestimated off its nonempty rows). */
+    * size it is d×w rows. LEFT join: an empty bucket counts as zero
+    * mass, so a probe with any empty bucket isn't dropped from the min
+    * (which would inflate its estimate off its nonempty rows alone). A
+    * never-seen token thus estimates 0 whenever at least one of its d
+    * buckets is empty; if all d collide with real tokens it keeps the
+    * standard positive CMS overcount. */
   def estimate(cells: DataFrame, probes: DataFrame): DataFrame =
     probes
       .select(col("tok"),
@@ -84,9 +87,10 @@ object Sketch {
     * exact-count ONLY the admitted tokens — the exact aggregation's key
     * space is the candidate set, never the vocabulary. Sketch false
     * positives are then dropped exactly (`n ≥ frac·total`). */
-  def heavyHitters(docs: DataFrame, frac: Double = 0.02): DataFrame = {
+  def heavyHitters(docs: DataFrame, frac: Double = 0.02,
+      materialize: Materialize.Strategy = Materialize.local): DataFrame = {
     val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
-    val cells = countMinCellsOf(toks).localCheckpoint() // probed d times below
+    val cells = materialize(countMinCellsOf(toks)) // probed d times below
     val est = (0 until depth).foldLeft(toks) { (df, i) =>
       df.join(broadcast(cells.where(col("row") === i)
           .select(col("bucket").as(s"b$i"), col("cell").as(s"c$i"))),

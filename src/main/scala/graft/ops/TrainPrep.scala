@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.{QueryDef, Tables}
+import graft.{Materialize, QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -114,7 +114,7 @@ object TrainPrep {
     * rows. seq arithmetic is integer (`div`), exact at any corpus size
     * — floor(x / budget) over doubles drifts past 2^53 tokens. */
   def packSequences(docs: DataFrame, budget: Int = 256,
-      materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+      materialize: Materialize.Strategy = Materialize.local): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val sized = materialize(docs
@@ -148,20 +148,21 @@ object TrainPrep {
     * (min (doc_id, pos)); each document is rebuilt from its surviving
     * blocks in order. Documents reduced to nothing stay present with
     * clean_text = '' so the output is total over the corpus. */
-  def blockDedup(docs: DataFrame, blockTokens: Int = 10): DataFrame = {
+  def blockDedup(docs: DataFrame, blockTokens: Int = 10,
+      materialize: Materialize.Strategy = Materialize.local): DataFrame = {
     val w = col("w")
     val nb = ceil(size(w) / lit(blockTokens.toDouble)).cast("int")
     // one corpus pass: the block table feeds the argmin aggregation,
     // the join probe AND the per-doc totals — unmaterialized, the
     // scan→split→posexplode lineage would run three times (the
     // ReuseExchange-vs-broadcast diamond, SCALE.md round 3)
-    val blocks = docs
+    val blocksRaw = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), nb - 1),
           i => concat_ws(" ", slice(w, i * blockTokens + 1, lit(blockTokens))))))
       .toDF("doc_id", "pos", "blk")
-      .localCheckpoint()
+    val blocks = materialize(blocksRaw)
     val first = blocks.groupBy("blk")
       .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
     val kept = blocks.join(first, "blk")
@@ -195,13 +196,14 @@ object TrainPrep {
     * rounded to 6 dp: pow/sum association may differ by ulps across
     * engines, and the rounding makes the value deterministic without
     * changing any sampling decision. */
-  def mixtureWeights(docs: DataFrame, alpha: Double = 0.7): DataFrame = {
+  def mixtureWeights(docs: DataFrame, alpha: Double = 0.7,
+      materialize: Materialize.Strategy = Materialize.local): DataFrame = {
     // the per-lang count table is THE corpus aggregation — materialize
     // it so the total/normalizer/final subtrees (4 consumers) read a
     // handful of rows instead of re-running the corpus scan (the
     // ReuseExchange-vs-broadcast diamond, SCALE.md round 3)
-    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
-      .localCheckpoint()
+    val counts = materialize(
+      docs.groupBy("lang").agg(count(lit(1)).as("n_docs")))
     val total = counts.agg(sum(col("n_docs")).as("n_total"))
     val scored = counts.crossJoin(broadcast(total))
       .withColumn("p", col("n_docs").cast("double") / col("n_total"))
