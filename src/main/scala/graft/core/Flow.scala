@@ -131,6 +131,17 @@ object Flow {
     new Flow(spark.read.option("lineSep", lineSep).textFile(path))
   }
 
+  /** S5, arrival-driven — the STREAMING analog of readLines (reference
+    * push mode, where the source drives the pipeline as data arrives:
+    * range.d:225-237, pipeline.d:768-770). Files appearing under `path`
+    * become micro-batches through Structured Streaming's file source;
+    * listing and reads happen on executors — nothing stages through the
+    * driver. The returned Flow composes with the same per-element
+    * transforms; terminate with `flow.ds.writeStream` (driver-side
+    * terminals like toArray are batch-only by construction). */
+  def readLinesStream(spark: SparkSession, path: String, lineSep: String = "\n"): Flow[String] =
+    new Flow(spark.readStream.option("lineSep", lineSep).textFile(path))
+
   /** K4 — file sink (file.d:36-67): byte-exact single-file write on the
     * driver, mirroring the reference's single-threaded writer. For
     * distributed output use `flow.ds.write` directly. */

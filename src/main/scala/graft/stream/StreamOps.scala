@@ -50,9 +50,37 @@ object StreamOps {
       .select(col("user_id"), col("sw.start").as("sess_start"),
               col("sw.end").as("sess_end"), col("n_events"))
 
-  /** Run any of the above as a real streaming query over a bounded input,
-    * synchronously, collecting the complete result (used by specs and the
-    * streaming-mode queries below). */
+  /** Shared bounded-replay scaffold: start `transform(source)` into a
+    * memory sink, let `feed` push data (no-op for sources whose data
+    * already exists), drain, collect. Stateful streaming creates one
+    * state store per shuffle partition per micro-batch and AQE cannot
+    * coalesce them — the store count is bounded for the replay and the
+    * session setting restored after query START (the conf is bound into
+    * the query at start). */
+  private def collectBounded(spark: SparkSession, source: DataFrame,
+                             transform: DataFrame => DataFrame,
+                             statePartitions: Int,
+                             outputMode: String)
+                            (feed: => Unit): Seq[org.apache.spark.sql.Row] = {
+    val name = s"bounded_${System.identityHashCode(source)}"
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val q: StreamingQuery =
+      try transform(source)
+        .writeStream.outputMode(outputMode).format("memory").queryName(name).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    try {
+      feed
+      q.processAllAvailable()
+      spark.table(name).collect().toSeq
+    } finally q.stop()
+  }
+
+  /** Run any of the above as a real streaming query over a bounded
+    * in-memory input, synchronously, collecting the complete result.
+    * MemoryStream replay inherently stages rows through the driver —
+    * spec/push-semantics tool; the distributed analog is
+    * [[runBoundedFromPath]]. */
   def runBounded(spark: SparkSession, input: DataFrame,
                  transform: DataFrame => DataFrame,
                  chunks: Int = 2,
@@ -62,22 +90,38 @@ object StreamOps {
     import org.apache.spark.sql.{Encoder, Encoders, Row}
     implicit val enc: Encoder[Row] = Encoders.row(input.schema)
     val source = MemoryStream[Row](spark)
-    val name = s"bounded_${System.identityHashCode(source)}"
-    // Stateful streaming creates one state store per shuffle partition per
-    // micro-batch and AQE cannot coalesce them — bound the store count for
-    // this bounded replay, then restore the session setting.
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    val q: StreamingQuery =
-      try transform(source.toDF())
-        .writeStream.outputMode(outputMode).format("memory").queryName(name).start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    try {
+    collectBounded(spark, source.toDF(), transform, statePartitions, outputMode) {
       val rows = input.collect()
       rows.grouped(math.max(1, rows.length / chunks)).foreach(source.addData(_))
-      q.processAllAvailable()
-      spark.table(name).collect().toSeq
-    } finally q.stop()
+    }
+  }
+
+  /** Bounded replay through a FILE source — the arrival-driven S5 analog
+    * (Flow.readLinesStream's contract) end-to-end: the input is written
+    * as `chunks` parquet files, re-read via `spark.readStream` with
+    * maxFilesPerTrigger=1 so each file arrives as its own micro-batch,
+    * and every byte moves executor-side — the input is never collected
+    * to the driver (the gate-only collect runBounded needs for
+    * MemoryStream replay). At production scale this is exactly a
+    * landing-directory pipeline: files dropped by an upstream writer,
+    * picked up incrementally by the running query. */
+  def runBoundedFromPath(spark: SparkSession, input: DataFrame,
+                         transform: DataFrame => DataFrame,
+                         chunks: Int = 2,
+                         statePartitions: Int = 8,
+                         outputMode: String = "complete"): Seq[org.apache.spark.sql.Row] = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
+    try {
+      input.repartition(chunks).write.mode("overwrite").parquet(dir)
+      val source = spark.readStream.schema(input.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      collectBounded(spark, source, transform, statePartitions, outputMode)(())
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
   }
 
   /** Stream-stream interval join: purchases within 30 minutes after a
@@ -182,14 +226,15 @@ object StreamOps {
       Some(sessionsOracleSql)),
 
     // Session windows executed THROUGH the streaming engine (the session
-    // analog of q39): events replayed via MemoryStream micro-batches,
-    // state-store-backed session merging, result hash-matched to the
-    // same lag-based oracle as batch q31 — stream/batch unification for
-    // the stateful merge operator, not just for tumbling aggregation.
+    // analog of q39): events arrive as parquet micro-batches through a
+    // FILE source (no driver staging of the input), state-store-backed
+    // session merging, result hash-matched to the same lag-based oracle
+    // as batch q31 — stream/batch unification for the stateful merge
+    // operator, not just for tumbling aggregation.
     QueryDef("q68_stream_sessions",
       (s, d) => {
         val input = graft.Tables.events(s, d)
-        val rows = runBounded(s, input, sessions(_))
+        val rows = runBoundedFromPath(s, input, sessions(_))
         s.createDataFrame(new java.util.ArrayList(java.util.Arrays.asList(rows: _*)),
             sessions(input).schema)
           .orderBy("user_id", "sess_start")
@@ -213,14 +258,15 @@ object StreamOps {
              |  SELECT b0 - INTERVAL 5 MINUTE AS w_start, event_type FROM buckets) t
              |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin)),
 
-    // Executed THROUGH Structured Streaming: the events table is replayed
-    // in micro-batches via MemoryStream and aggregated by the streaming
-    // engine; the result must hash-match the same oracle as a batch pass
-    // (stream/batch unification under one gate query).
+    // Executed THROUGH Structured Streaming: the events table arrives in
+    // micro-batches via the streaming FILE source (distributed reads,
+    // input never collected to the driver) and is aggregated by the
+    // streaming engine; the result must hash-match the same oracle as a
+    // batch pass (stream/batch unification under one gate query).
     QueryDef("q39_stream_tumble",
       (s, d) => {
         val input = graft.Tables.events(s, d)
-        val rows = runBounded(s, input, tumbling(_))
+        val rows = runBoundedFromPath(s, input, tumbling(_))
         s.createDataFrame(new java.util.ArrayList(java.util.Arrays.asList(rows: _*)),
             tumbling(input).schema)
           .orderBy("w_start", "event_type")

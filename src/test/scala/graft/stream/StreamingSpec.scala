@@ -139,4 +139,72 @@ class StreamingSpec extends AnyFunSuite {
     assert(canon(streamed) == canon(batch))
     assert(batch.nonEmpty, "corpus must contain click->purchase pairs")
   }
+
+  test("tumbling aggregation off a file stream == batch (bounded replay, no driver staging)") {
+    val events = Tables.events(spark, TestSpark.sf0001)
+    val batch = StreamOps.tumbling(events).collect().toSeq
+    val streamed = StreamOps.runBoundedFromPath(spark, events, StreamOps.tumbling(_), chunks = 3)
+    assert(canon(streamed) == canon(batch))
+  }
+
+  test("file stream picks up files written incrementally WHILE the query runs") {
+    // the arrival-driven contract itself, not just bounded replay: a
+    // second file dropped into the landing dir after the query started
+    // must flow through the same running aggregation
+    import org.apache.spark.sql.functions._
+    val events = Tables.events(spark, TestSpark.sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft-arrival").toString
+    val first = events.where(col("event_id") % 2 === 0)
+    val second = events.where(col("event_id") % 2 =!= 0)
+    val name = "arrival_tumble"
+    first.coalesce(1).write.mode("append").parquet(dir)
+    val q = StreamOps.tumbling(
+        spark.readStream.schema(events.schema).parquet(dir))
+      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      val afterFirst = spark.table(name).collect().toSeq
+      assert(canon(afterFirst) == canon(StreamOps.tumbling(first).collect().toSeq))
+      second.coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val afterBoth = spark.table(name).collect().toSeq
+      assert(canon(afterBoth) == canon(StreamOps.tumbling(events).collect().toSeq))
+    } finally {
+      q.stop()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("readLinesStream: streamed line counts across incremental files == batch readLines") {
+    import org.apache.spark.sql.functions._
+    import graft.core.Flow
+    val dir = java.nio.file.Files.createTempDirectory("graft-lines").toString
+    val name = "arrival_lines"
+    def writeFile(n: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, n), lines.mkString("", "\n", "\n"))
+    writeFile("a.txt", Seq("alpha", "beta", "alpha"))
+    val q = Flow.readLinesStream(spark, dir).ds
+      .groupBy(col("value")).count()
+      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      writeFile("b.txt", Seq("beta", "gamma"))
+      q.processAllAvailable()
+      val streamed = spark.table(name).collect().toSeq
+      val batch = Flow.readLines(spark, dir).ds
+        .groupBy(col("value")).count().collect().toSeq
+      assert(canon(streamed) == canon(batch))
+      assert(batch.map(_.getLong(1)).sum == 5L)
+    } finally {
+      q.stop()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 }
