@@ -216,6 +216,30 @@ object TrainPrep {
         round(col("pa") / col("z") / col("p"), 6).as("upsample"))
   }
 
+  /** Mixture sampling APPLIED (the q78 weights composed back onto the
+    * corpus): every document row is annotated with its language's
+    * upsample factor via a broadcast join — the production shape, where
+    * a downstream sampler reads the weight per row — then accounted per
+    * (source, lang): natural doc count and the deterministic expected
+    * sampled count floor(n_docs · upsample).
+    *
+    * Scale: mixtureWeights is two tiny aggregations; its per-lang table
+    * (≤ #langs rows) broadcasts onto the corpus, so the weight attach is
+    * map-side — the corpus shuffles only for the (source, lang) count,
+    * with map-side combine. floor, not round: round's half-up vs
+    * half-even tie rule differs across engines, while floor over the
+    * same 6-dp weight is tie-free deterministic. */
+  def sampledCounts(docs: DataFrame, alpha: Double = 0.7,
+      materialize: Materialize.Strategy = Materialize.local): DataFrame =
+    docs.join(
+        broadcast(mixtureWeights(docs, alpha, materialize)
+          .select(col("lang"), col("upsample"))),
+        "lang")
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), first(col("upsample")).as("upsample"))
+      .select(col("source"), col("lang"), col("n_docs"), col("upsample"),
+        floor(col("n_docs") * col("upsample")).cast("long").as("n_sampled"))
+
   // Eval membership for the gate: a deterministic ~1% slice by doc_id.
   private val evalMod = 97
 
@@ -266,6 +290,26 @@ object TrainPrep {
              |  ROUND(pa / z, 6) AS temp_share,
              |  ROUND(pa / z / p, 6) AS upsample
              |FROM sc, z ORDER BY lang""".stripMargin)),
+
+    // The q78 weights composed back onto the corpus: per-(source, lang)
+    // expected sampled counts under the temperature mixture. The oracle
+    // reuses q78's CTE chain verbatim so the two gates cannot drift on
+    // what "the upsample factor" means.
+    QueryDef("q81_mixture_sample",
+      (s, d) => sampledCounts(Tables.documents(s, d)).orderBy("source", "lang"),
+      Some("""WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+             |t AS (SELECT SUM(n_docs) AS n_total FROM c),
+             |sc AS (SELECT lang, n_docs,
+             |         CAST(n_docs AS DOUBLE) / n_total AS p,
+             |         POW(CAST(n_docs AS DOUBLE) / n_total, 0.7) AS pa
+             |       FROM c, t),
+             |z AS (SELECT SUM(pa) AS z FROM sc),
+             |w AS (SELECT lang, ROUND(pa / z / p, 6) AS upsample FROM sc, z)
+             |SELECT d.source, d.lang, COUNT(*) AS n_docs, w.upsample,
+             |  CAST(FLOOR(COUNT(*) * w.upsample) AS BIGINT) AS n_sampled
+             |FROM documents d JOIN w USING (lang)
+             |GROUP BY d.source, d.lang, w.upsample
+             |ORDER BY source, lang""".stripMargin)),
 
     QueryDef("q77_block_dedup",
       (s, d) => blockDedup(Tables.documents(s, d)).orderBy("doc_id"),

@@ -84,6 +84,26 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(rows("fr")._4 < rows("fr")._3 * 5, "alpha=0.7 is a partial flattening, not uniform")
   }
 
+  test("sampled counts compose the mixture weights deterministically per (source, lang)") {
+    // 90 en / 10 fr split across 2 sources: n_sampled must equal
+    // floor(group count x the lang's upsample), rare lang net-upsampled
+    val docs = ((1 to 90).map(i => (i.toLong, "en", if (i <= 60) "web" else "book")) ++
+      (91 to 100).map(i => (i.toLong, "fr", "web")))
+      .toDF("doc_id", "lang", "source")
+    val w = TrainPrep.mixtureWeights(docs)
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r._5).toMap
+    val got = TrainPrep.sampledCounts(docs)
+      .as[(String, String, Long, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got.keySet == Set(("web", "en"), ("book", "en"), ("web", "fr")))
+    got.foreach { case ((_, lang), (n, up, sampled)) =>
+      assert(up == w(lang), "per-group factor must equal the q78 weight")
+      assert(sampled == math.floor(n * up).toLong)
+    }
+    assert(got(("web", "fr"))._3 > 10L, "rare lang must be net-upsampled")
+  }
+
   test("block dedup matches a naive in-memory reference on random corpora") {
     val rnd = new scala.util.Random(7)
     val vocab = Vector("a", "b", "c", "d", "e")
