@@ -29,9 +29,12 @@ object Sketch {
   val width = 1024
   val depth = 4
 
-  /** Bucket of `tok` in sketch row `i`: 32 md5 bits → [0, width). */
-  private def bucket(tok: Column, i: Int): Column =
-    conv(substring(md5(tok), 8 * i + 1, 8), 16, 10).cast("long") % width
+  /** Bucket of `tok` in sketch row `i`: 32 md5 bits → [0, w). `w` is
+    * overridable so specs can shrink the sketch to a HOSTILE width where
+    * every bucket collides — the one-sided bound is only exercised where
+    * collisions actually occur (at w=1024 most estimates are exact). */
+  private def bucket(tok: Column, i: Int, w: Int = width): Column =
+    conv(substring(md5(tok), 8 * i + 1, 8), 16, 10).cast("long") % w
 
   /** Exact per-token counts — the input the sketch compresses. */
   def tokenCounts(docs: DataFrame): DataFrame =
@@ -41,10 +44,10 @@ object Sketch {
   /** The d×w cells table. One pass: each token row fans out to its
     * `depth` (row, bucket) coordinates via posexplode — never a
     * union-of-branches that would re-run the count aggregation. */
-  def countMinCells(counts: DataFrame): DataFrame =
+  def countMinCells(counts: DataFrame, w: Int = width): DataFrame =
     counts
       .select(col("n"),
-        posexplode(array((0 until depth).map(i => bucket(col("tok"), i)): _*))
+        posexplode(array((0 until depth).map(i => bucket(col("tok"), i, w)): _*))
           .as(Seq("row", "bucket")))
       .groupBy("row", "bucket")
       .agg(sum(col("n")).as("cell"))
@@ -57,10 +60,10 @@ object Sketch {
     * never-seen token thus estimates 0 whenever at least one of its d
     * buckets is empty; if all d collide with real tokens it keeps the
     * standard positive CMS overcount. */
-  def estimate(cells: DataFrame, probes: DataFrame): DataFrame =
+  def estimate(cells: DataFrame, probes: DataFrame, w: Int = width): DataFrame =
     probes
       .select(col("tok"),
-        posexplode(array((0 until depth).map(i => bucket(col("tok"), i)): _*))
+        posexplode(array((0 until depth).map(i => bucket(col("tok"), i, w)): _*))
           .as(Seq("row", "bucket")))
       .join(broadcast(cells), Seq("row", "bucket"), "left")
       .groupBy("tok").agg(min(coalesce(col("cell"), lit(0L))).as("est_n"))
@@ -71,9 +74,9 @@ object Sketch {
     * ≤ d×w rows per input partition REGARDLESS of vocabulary size.
     * This is the build a 100 TB corpus uses; [[countMinCells]] over an
     * existing count table produces identical cells. */
-  def countMinCellsOf(toks: DataFrame): DataFrame =
+  def countMinCellsOf(toks: DataFrame, w: Int = width): DataFrame =
     toks
-      .select(posexplode(array((0 until depth).map(i => bucket(col("tok"), i)): _*))
+      .select(posexplode(array((0 until depth).map(i => bucket(col("tok"), i, w)): _*))
         .as(Seq("row", "bucket")))
       .groupBy("row", "bucket")
       .agg(count(lit(1)).as("cell"))

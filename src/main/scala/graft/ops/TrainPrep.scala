@@ -61,7 +61,16 @@ object TrainPrep {
     * its distinct n-grams appear in the eval set. `isEval` is a predicate
     * over the document columns (typically doc_id/source membership).
     * Returns every TRAIN doc with (n_hits, contaminated) — downstream
-    * drops `contaminated` rows before training. */
+    * drops `contaminated` rows before training.
+    *
+    * Broadcast CONTRACT: the explicit broadcast of the distinct eval
+    * grams assumes `isEval` selects a BOUNDED eval suite (real
+    * benchmarks are MBs — the setting this operator exists for). An
+    * isEval that scales with the corpus (e.g. a fixed fraction of a
+    * 100 TB corpus, like the gate's deterministic ~1% slice at larger
+    * SFs) would grow the broadcast with the corpus; for that usage drop
+    * to a shuffle join by removing the hint — the plan degrades
+    * gracefully but corpus grams then shuffle. */
   def contaminationOf(docs: DataFrame, isEval: Column, n: Int = 6): DataFrame = {
     // resolve isEval against the full document row (it may reference any
     // column — source, lang, …), then carry only the eval doc_id set to

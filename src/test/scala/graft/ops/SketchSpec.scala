@@ -38,6 +38,27 @@ class SketchSpec extends AnyFunSuite {
       s"overcount must respect the e/w·N bound (bound=$bound)")
   }
 
+  test("hostile width 16: one-sided bound holds where collisions are forced, overcounts strict") {
+    // ~3000 tokens over 16 buckets => every bucket shared by ~190
+    // tokens in all 4 rows — the regime where the one-sided bound does
+    // real work (at w=1024 most estimates are simply exact)
+    val w = 16
+    val tc = Sketch.tokenCounts(docs).localCheckpoint()
+    val est = Sketch.estimate(Sketch.countMinCells(tc, w), tc.select("tok"), w)
+    val joined = tc.join(est, "tok").as[(String, Long, Long)].collect()
+    assert(joined.nonEmpty)
+    assert(joined.forall { case (_, n, e) => e >= n },
+      "count-min must never undercount, even at hostile width")
+    assert(joined.exists { case (_, n, e) => e > n },
+      "at w=16 collisions are certain; some estimate must strictly overcount")
+    // mass conservation survives the shrink: every row still sums to N
+    val mass = Sketch.countMinCells(tc, w).groupBy("row").sum("cell")
+      .as[(Int, Long)].collect().toMap
+    val n = docs.select(org.apache.spark.sql.functions.expr(
+      "sum(size(split(text, ' ')))")).as[Long].head()
+    assert(mass.size == Sketch.depth && mass.values.forall(_ == n))
+  }
+
   test("heavy hitters equal the naive threshold set; estimates stay one-sided") {
     // skewed corpus: "whale" dominates, the long tail stays under 2%
     val rnd = new scala.util.Random(3)
