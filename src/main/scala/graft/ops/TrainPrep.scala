@@ -249,6 +249,34 @@ object TrainPrep {
       .select(col("source"), col("lang"), col("n_docs"), col("upsample"),
         floor(col("n_docs") * col("upsample")).cast("long").as("n_sampled"))
 
+  /** The temperature mixture MATERIALIZED — the sampler q78
+    * parameterizes and q81 accounts for, actually emitting the
+    * resampled corpus: each document appears floor(upsample) times,
+    * plus once more iff a deterministic per-doc uniform draw falls
+    * below the fractional part. E[copies] = upsample exactly; no RNG —
+    * the draw is a pure md5 slice of doc_id (the same
+    * one-digest-sliced family as MinHash/CMS), so the sample is
+    * append-stable and reproducible across runs and engines.
+    *
+    * Scale: broadcast weight attach + per-row hash + explode — the
+    * corpus side never shuffles; the output size is the resampled
+    * corpus itself, the irreducible cost of materialization. */
+  def resample(docs: DataFrame, alpha: Double = 0.7,
+      materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+    val up = col("upsample")
+    // 32 md5 bits → uniform [0,1): both engines compute the identical
+    // BIGINT / 2^32 double, so the < comparison can never disagree
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    docs.join(broadcast(mixtureWeights(docs, alpha, materialize)
+        .select(col("lang"), col("upsample"))), "lang")
+      .withColumn("n_copies",
+        (floor(up) + when(u < up - floor(up), 1L).otherwise(0L)).cast("long"))
+      .where(col("n_copies") > 0)
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(0L), col("n_copies") - 1)).as("copy"))
+  }
+
   // Eval membership for the gate: a deterministic ~1% slice by doc_id.
   private val evalMod = 97
 
@@ -319,6 +347,33 @@ object TrainPrep {
              |FROM documents d JOIN w USING (lang)
              |GROUP BY d.source, d.lang, w.upsample
              |ORDER BY source, lang""".stripMargin)),
+
+    // The mixture sampler materialized: the resampled corpus itself,
+    // deterministic copy counts from the same md5-slice hash family as
+    // MinHash/CMS. Oracle shares q78's weight CTEs verbatim.
+    QueryDef("q82_mixture_resample",
+      (s, d) => resample(Tables.documents(s, d)).orderBy("doc_id", "copy"),
+      Some("""WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+             |t AS (SELECT SUM(n_docs) AS n_total FROM c),
+             |sc AS (SELECT lang,
+             |         CAST(n_docs AS DOUBLE) / n_total AS p,
+             |         POW(CAST(n_docs AS DOUBLE) / n_total, 0.7) AS pa
+             |       FROM c, t),
+             |z AS (SELECT SUM(pa) AS z FROM sc),
+             |w AS (SELECT lang, ROUND(pa / z / p, 6) AS upsample FROM sc, z),
+             |drawn AS (
+             |  SELECT doc_id, d.lang, upsample,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             |      / 4294967296.0 AS u
+             |  FROM documents d JOIN w USING (lang)),
+             |n AS (
+             |  SELECT doc_id, lang,
+             |    CAST(FLOOR(upsample) AS BIGINT) +
+             |    CASE WHEN u < upsample - FLOOR(upsample) THEN 1 ELSE 0 END AS n_copies
+             |  FROM drawn)
+             |SELECT doc_id, lang, unnest(range(n_copies)) AS copy
+             |FROM n WHERE n_copies > 0
+             |ORDER BY doc_id, copy""".stripMargin)),
 
     QueryDef("q77_block_dedup",
       (s, d) => blockDedup(Tables.documents(s, d)).orderBy("doc_id"),

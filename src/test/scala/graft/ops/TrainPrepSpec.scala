@@ -104,6 +104,33 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(got(("web", "fr"))._3 > 10L, "rare lang must be net-upsampled")
   }
 
+  test("resample: copy counts match an independent md5-draw reference; E[copies]=upsample") {
+    val docs = ((1 to 90).map(i => (i.toLong, "en")) ++
+      (91 to 100).map(i => (i.toLong, "fr"))).toDF("doc_id", "lang")
+    val w = TrainPrep.mixtureWeights(docs)
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r._5).toMap
+    // independent reimplementation of the draw (JDK MessageDigest, not
+    // Spark's md5): first 8 hex chars of md5(doc_id.toString) / 2^32
+    def draw(id: Long): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16) / 4294967296.0
+    }
+    val naive = (1L to 100L).flatMap { id =>
+      val up = w(if (id <= 90) "en" else "fr")
+      val n = math.floor(up).toLong + (if (draw(id) < up - math.floor(up)) 1L else 0L)
+      (0L until n).map(c => (id, if (id <= 90) "en" else "fr", c))
+    }.toSet
+    val got = TrainPrep.resample(docs)
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == naive)
+    // the sampler must actually move mass toward the rare lang
+    val perLang = got.toSeq.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(perLang("fr") > 10, "rare lang upsampled")
+    assert(perLang("en") < 90, "common lang downsampled")
+  }
+
   test("block dedup matches a naive in-memory reference on random corpora") {
     val rnd = new scala.util.Random(7)
     val vocab = Vector("a", "b", "c", "d", "e")
