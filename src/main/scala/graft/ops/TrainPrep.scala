@@ -193,6 +193,62 @@ object TrainPrep {
         col("n_total"))
   }
 
+  /** Content-defined chunking dedup (the rsync/FastCDC boundary rule
+    * applied to token streams, ✚): q77's fixed 10-token grid misses
+    * duplicated runs that don't reproduce its block boundaries — a
+    * one-token prefix insertion shifts every subsequent block. CDC cuts
+    * AFTER any `n`-token window whose 32-bit hash ≡ 0 (mod m), so
+    * boundaries are a function of CONTENT alone: identical runs chunk
+    * identically at ANY offset, and expected chunk length is m + n - 1
+    * tokens. First-occurrence survival + ordered rebuild then mirror
+    * blockDedup exactly.
+    *
+    * Scale: chunking is pure per-row HOF compute (transform/filter/
+    * zip_with inside one projection — no shuffle, no state); the dedup
+    * argmin shuffles by chunk content with map-side partial aggregation
+    * collapsing mass-duplicated chunks (same hot-key story and same
+    * 64-bit-hash narrowing option as q77, kept exact for oracle
+    * parity). The window-hash is the md5-slice family shared with
+    * MinHash/CMS so the oracle mirrors it verbatim. */
+  def cdcChunkDedup(docs: DataFrame, n: Int = 4, m: Int = 8,
+      materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+    val w = split(col("text"), " ")
+    val len = size(w)
+    // 0-based window starts; docs shorter than one window have none
+    val starts0 = when(len >= n, sequence(lit(0), len - n))
+      .otherwise(array().cast("array<int>"))
+    // cut positions = last token (0-based) of each boundary window
+    val ends = transform(
+      filter(starts0, i =>
+        conv(substring(md5(concat_ws(" ", slice(w, i + 1, lit(n)))), 1, 8), 16, 10)
+          .cast("long") % m === 0),
+      i => i + n - 1)
+    // chunk k spans [starts(k), stops(k)]; a cut on the final token
+    // would open an empty trailing chunk — nulled and filtered
+    val chunkStarts = concat(array(lit(0)), transform(ends, e => e + 1))
+    val chunkStops = concat(ends, array(len - 1))
+    val chunksArr = filter(
+      zip_with(chunkStarts, chunkStops, (s, e) =>
+        when(e >= s, concat_ws(" ", slice(w, s + 1, e - s + 1)))),
+      c => c.isNotNull)
+    val chunks = materialize(docs
+      .select(col("doc_id"), posexplode(chunksArr).as(Seq("pos", "chunk"))))
+    val first = chunks.groupBy("chunk")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+    val kept = chunks.join(first, "chunk")
+      .where(col("doc_id") === col("f.doc_id") && col("pos") === col("f.pos"))
+    val rebuilt = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      expr("listagg(chunk, ' ') WITHIN GROUP (ORDER BY pos)").as("clean_text"))
+    chunks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_total"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        col("n_total"))
+  }
+
   /** Temperature-scaled language-mixture weights (the multilingual
     * pretraining sampler of mBERT/XLM/mT5): sampling share
     * w_l ∝ p_l^alpha flattens the natural distribution p_l toward
@@ -374,6 +430,45 @@ object TrainPrep {
              |SELECT doc_id, lang, unnest(range(n_copies)) AS copy
              |FROM n WHERE n_copies > 0
              |ORDER BY doc_id, copy""".stripMargin)),
+
+    // Offset-invariant sub-document dedup: content-defined boundaries
+    // (cut after a 4-token window hashing to 0 mod 8), first occurrence
+    // survives, docs rebuilt in order. The oracle recomputes the same
+    // boundary rule with the proven md5-slice BIGINT pattern.
+    QueryDef("q83_cdc_dedup",
+      (s, d) => cdcChunkDedup(Tables.documents(s, d)).orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |cut AS (
+             |  SELECT g.doc_id, g.i + 3 AS e
+             |  FROM (SELECT doc_id, unnest(range(len(w) - 3)) AS i
+             |        FROM t WHERE len(w) >= 4) g JOIN t USING (doc_id)
+             |  WHERE ('0x' || substr(md5(array_to_string(t.w[g.i+1 : g.i+4], ' ')), 1, 8))::BIGINT
+             |          % 8 = 0),
+             |tk AS (SELECT p.doc_id, p.j, t.w[p.j+1] AS tok
+             |       FROM (SELECT doc_id, unnest(range(len(w))) AS j FROM t) p
+             |       JOIN t USING (doc_id)),
+             |chunked AS (
+             |  SELECT doc_id, j, tok,
+             |    COALESCE(SUM(is_end) OVER (PARTITION BY doc_id ORDER BY j
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+             |  FROM (SELECT tk.doc_id, tk.j, tk.tok,
+             |          CASE WHEN c.e IS NOT NULL THEN 1 ELSE 0 END AS is_end
+             |        FROM tk LEFT JOIN cut c ON c.doc_id = tk.doc_id AND c.e = tk.j) b),
+             |chk AS (SELECT doc_id, chunk, string_agg(tok, ' ' ORDER BY j) AS ctext
+             |        FROM chunked GROUP BY doc_id, chunk),
+             |kept AS (SELECT doc_id, chunk, ctext FROM (
+             |           SELECT doc_id, chunk, ctext,
+             |             row_number() OVER (PARTITION BY ctext
+             |               ORDER BY doc_id, chunk) AS rn
+             |           FROM chk) r WHERE rn = 1),
+             |reb AS (SELECT doc_id, COUNT(*) AS n_kept,
+             |          string_agg(ctext, ' ' ORDER BY chunk) AS clean_text
+             |        FROM kept GROUP BY doc_id),
+             |tot AS (SELECT doc_id, COUNT(*) AS n_total FROM chk GROUP BY doc_id)
+             |SELECT t2.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+             |       COALESCE(r.n_kept, 0) AS n_kept, t2.n_total
+             |FROM tot t2 LEFT JOIN reb r USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
 
     QueryDef("q77_block_dedup",
       (s, d) => blockDedup(Tables.documents(s, d)).orderBy("doc_id"),

@@ -131,6 +131,67 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(perLang("en") < 90, "common lang downsampled")
   }
 
+  // independent CDC reference: JDK md5, same boundary rule
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+  private def cdcChunks(text: String, n: Int = 4, m: Int = 8): Seq[String] = {
+    val w = text.split(" ")
+    val ends = (0 to w.length - n)
+      .filter(i => java.lang.Long.parseLong(
+        md5hex(w.slice(i, i + n).mkString(" ")).take(8), 16) % m == 0)
+      .map(_ + n - 1)
+    val starts = 0 +: ends.map(_ + 1)
+    val stops = ends :+ (w.length - 1)
+    starts.zip(stops).collect {
+      case (s, e) if e >= s => w.slice(s, e + 1).mkString(" ")
+    }
+  }
+  private def naiveCdcDedup(corpus: Seq[(Long, String)]): Set[(Long, String, Long, Long)] = {
+    val all = corpus.flatMap { case (id, text) =>
+      cdcChunks(text).zipWithIndex.map { case (c, pos) => (id, pos.toLong, c) }
+    }
+    val firstOf = all.groupBy(_._3).map { case (c, occ) =>
+      c -> occ.map(o => (o._1, o._2)).min }
+    corpus.map { case (id, _) =>
+      val mine = all.filter(_._1 == id)
+      val kept = mine.filter(o => firstOf(o._3) == ((o._1, o._2)))
+      (id, kept.sortBy(_._2).map(_._3).mkString(" "),
+        kept.size.toLong, mine.size.toLong)
+    }.toSet
+  }
+
+  test("CDC dedup: boundaries are offset-invariant — a shifted duplicated run still dedups") {
+    // doc 2 repeats doc 1's 48-token run behind a 3-token prefix: the
+    // fixed 10-token grid of q77 would never align, but CDC boundaries
+    // re-derive from content, so every interior chunk of the run
+    // reappears verbatim and dies to first-occurrence
+    val rnd = new scala.util.Random(5)
+    val run = Seq.fill(48)(s"w${rnd.nextInt(1000)}").mkString(" ")
+    assert(cdcChunks(run).length > 2, "fixture must contain interior cuts")
+    val docs = Seq((1L, run), (2L, s"pre1 pre2 pre3 $run"))
+    val got = TrainPrep.cdcChunkDedup(docs.toDF("doc_id", "text"))
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got == naiveCdcDedup(docs))
+    val doc2 = got.find(_._1 == 2L).get
+    assert(doc2._3 < doc2._4, "shifted copy must lose chunks to doc 1")
+    assert(doc2._2.length < docs(1)._2.length, "rebuilt doc 2 must shrink")
+  }
+
+  test("CDC dedup matches the naive reference on random corpora (short docs, repeats)") {
+    val rnd = new scala.util.Random(17)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    for (_ <- 1 to 3) {
+      val corpus = (1L to 25L).map { id =>
+        // includes sub-window docs (len < 4) hitting the no-cut branch
+        (id, Seq.fill(1 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val got = TrainPrep.cdcChunkDedup(corpus.toDF("doc_id", "text"))
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(got == naiveCdcDedup(corpus))
+    }
+  }
+
   test("block dedup matches a naive in-memory reference on random corpora") {
     val rnd = new scala.util.Random(7)
     val vocab = Vector("a", "b", "c", "d", "e")
