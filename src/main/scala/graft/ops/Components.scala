@@ -122,6 +122,26 @@ object Components {
         col("cluster_size"))
   }
 
+  /** Per-source dedup report (✚ the executive summary a pipeline owner
+    * reads after a dedup run): for each source, its document count, how
+    * many survive canonical-only dedup (doc_id == canonical_id), and
+    * the survival rate. Composes dedupClusters — same labels as q74.
+    *
+    * Scale: one join of the label table against a 2-column corpus
+    * projection keyed by 8-byte doc_id, then a ≤ #sources-key
+    * aggregation with map-side combine. Rate rounded to 6 dp for
+    * cross-engine determinism (same rationale as mixtureWeights). */
+  def dedupReport(docs: DataFrame,
+      materialize: Materialize.Strategy = Materialize.local): DataFrame =
+    dedupClusters(docs, materialize)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") === col("canonical_id"), 1L).otherwise(0L))
+          .as("n_survivors"))
+      .withColumn("survival_rate",
+        round(col("n_survivors").cast("double") / col("n_docs"), 6))
+
   val defs: Seq[QueryDef] = Seq(
     // Every document mapped to its near-dup cluster representative.
     // Oracle: the SAME verified-pairs CTE chain as q51, closed under
@@ -142,6 +162,28 @@ object Components {
              |       FROM lab GROUP BY canonical_id)
              |SELECT lab.doc_id, lab.canonical_id, cs.cluster_size
              |FROM lab JOIN cs USING (canonical_id)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Per-source survival under canonical-only dedup — same recursive
+    // label chain as q74, aggregated to the curator's report.
+    QueryDef("q85_dedup_report",
+      (s, d) => dedupReport(Tables.documents(s, d)).orderBy("source"),
+      Some(s"""WITH RECURSIVE ${Dedup.verifiedPairsCtes},
+             |edges AS (SELECT id_a AS u, id_b AS v FROM vp
+             |          UNION ALL SELECT id_b, id_a FROM vp),
+             |reach(node, lbl) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT e.v AS node, r.lbl FROM reach r JOIN edges e ON e.u = r.node),
+             |lab AS (SELECT node AS doc_id, MIN(lbl) AS canonical_id
+             |        FROM reach GROUP BY node)
+             |SELECT d.source, COUNT(*) AS n_docs,
+             |  CAST(SUM(CASE WHEN lab.doc_id = lab.canonical_id THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_survivors,
+             |  ROUND(SUM(CASE WHEN lab.doc_id = lab.canonical_id THEN 1 ELSE 0 END)
+             |          / CAST(COUNT(*) AS DOUBLE), 6) AS survival_rate
+             |FROM lab JOIN documents d USING (doc_id)
+             |GROUP BY d.source
+             |ORDER BY source""".stripMargin))
   )
 }

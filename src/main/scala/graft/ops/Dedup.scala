@@ -364,6 +364,28 @@ object Dedup {
     jaccardScore(joined).unionByName(cappedFallbackPairs(docs, tn))
   }
 
+  /** Cross-source near-duplication matrix (✚ corpus-curation audit —
+    * "which sources copy from each other"): verified near-dup pairs
+    * (the q51 plan) attributed to their unordered source pair. The
+    * report a curator reads before deciding which overlapping source
+    * to drop.
+    *
+    * Scale: the pair set is the candidate-verified output (near-linear
+    * in corpus size by the LSH/cap construction); the source attach is
+    * two joins keyed by 8-byte doc_id against a 2-column projection of
+    * the corpus, and the final aggregation's key space is ≤ sources²
+    * — partial-agg collapses it map-side. */
+  def sourceOverlap(docs: DataFrame,
+      materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    dedupPipeline(docs, materialize = materialize)
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+               greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** The q51 verified-pairs plan as a reusable CTE chain ending in `vp`
     * (id_a, id_b, jaccard) — shared verbatim by q51's oracle and by the
     * clustering gate's oracle (graft.ops.Components), so the two gates
@@ -438,6 +460,22 @@ object Dedup {
       Some(s"""WITH $verifiedPairsCtes
              |SELECT id_a, id_b, jaccard FROM vp
              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Cross-source near-duplication matrix over the SAME verified pairs
+    // as q51 (shared vp CTEs — the gates cannot drift on what a
+    // near-dup pair is).
+    QueryDef("q84_source_overlap",
+      (s, d) => sourceOverlap(Tables.documents(s, d))
+        .orderBy("source_a", "source_b"),
+      Some(s"""WITH $verifiedPairsCtes,
+             |ds AS (SELECT doc_id, source FROM documents)
+             |SELECT LEAST(a.source, b.source) AS source_a,
+             |       GREATEST(a.source, b.source) AS source_b,
+             |       COUNT(*) AS n_pairs
+             |FROM vp JOIN ds a ON a.doc_id = vp.id_a
+             |        JOIN ds b ON b.doc_id = vp.id_b
+             |GROUP BY 1, 2
+             |ORDER BY source_a, source_b""".stripMargin)),
 
     // SimHash sketches (32-bit majority-vote fingerprint over shingles).
     QueryDef("q28_simhash", (s, d) => simhashSpark(s, d).orderBy("doc_id"),

@@ -84,6 +84,23 @@ class ComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupReport: survivors count one per cluster, rates consistent") {
+    val docs = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta", "web"),
+      (11L, "alpha beta gamma delta epsilon zeta", "book"), // dup of 10, other source
+      (20L, "one two three four five six seven", "web"),
+      (30L, "completely different text about nothing at all", "web")
+    ).toDF("doc_id", "text", "source")
+    val rep = Components.dedupReport(docs)
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(rep("web") == (("web", 3L, 3L, 1.0)), "web docs all survive (10 is canonical)")
+    assert(rep("book") == (("book", 1L, 0L, 0.0)), "book's only doc dies to web's 10")
+    // survivors across sources == number of clusters
+    val clusters = Components.dedupClusters(docs)
+      .select("canonical_id").distinct().count()
+    assert(rep.values.map(_._3).sum == clusters)
+  }
+
   test("dedupClusters: exact copies cluster under the min id; singletons survive alone") {
     val docs = Seq(
       (10L, "alpha beta gamma delta epsilon zeta"),

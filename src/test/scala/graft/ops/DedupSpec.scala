@@ -34,6 +34,16 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(2) >= 1))
   }
 
+  test("sourceOverlap attributes every verified pair to one normalized source pair") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf)
+    val overlap = Dedup.sourceOverlap(docs)
+      .as[(String, String, Long)].collect()
+    val nPairs = Dedup.dedupPipeline(docs).count()
+    assert(overlap.map(_._3).sum == nPairs, "matrix must conserve the pair count")
+    assert(overlap.forall { case (a, b, _) => a <= b }, "unordered pairs normalized")
+  }
+
   test("simhash near-dup retrieval survives a mass-duplicate skewed block") {
     // 5k identical docs ⇒ one simhash ⇒ ONE 16-bit block holding the whole
     // corpus: the skew case that OOMed the old collect_list-per-block plan
