@@ -66,4 +66,28 @@ object Folds {
     def jaccard(a: Array[Long], b: Array[Long]): Double =
       a.zip(b).count { case (x, y) => x == y }.toDouble / k
   }
+
+  /** Bounded per-group top-k as a mergeable fold — the windowless answer
+    * to "top k rows per group". ROW_NUMBER() OVER (PARTITION BY group)
+    * routes EVERY row of a group through one task (the q76 lesson);
+    * this buffer instead holds at most k (score, id) pairs at every
+    * stage: partial aggregation caps map-side, merge concatenates and
+    * re-caps, so shuffle traffic is ≤ k rows per (partition, group)
+    * regardless of group size. Ordering is score DESC with id ASC
+    * tiebreak — fully deterministic under any partitioning. */
+  final class TopK(k: Int)
+      extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    private def cap(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      s.sortBy { case (score, id) => (-score, id) }.take(k)
+    override def zero: Seq[(Double, Long)] = Nil
+    override def reduce(acc: Seq[(Double, Long)], e: (Double, Long)): Seq[(Double, Long)] =
+      cap(acc :+ e)
+    override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      cap(a ++ b)
+    override def finish(acc: Seq[(Double, Long)]): Seq[(Double, Long)] = acc
+    override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+    override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+  }
 }

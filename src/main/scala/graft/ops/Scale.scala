@@ -109,6 +109,40 @@ object Scale {
              |  COUNT(*) AS n_items
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |WHERE l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
-             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Per-group top-k through the bounded TopK fold (Folds.TopK): top-5
+    // docs per source by token count. A row_number window would sort
+    // each source's entire shard in one task; the fold's buffer caps at
+    // k everywhere, so the shuffle moves <= k rows per (partition,
+    // source). Oracle uses the window formulation — same rows, the
+    // physical shape is exactly what differs.
+    QueryDef("q86_topk_per_group",
+      (s, d) => {
+        import s.implicits._
+        val topk = new graft.functions.Folds.TopK(5)
+        Tables.documents(s, d)
+          .select(col("source"),
+            size(split(col("text"), " ")).cast("double").as("score"),
+            col("doc_id"))
+          .as[(String, Double, Long)]
+          .groupByKey(_._1)
+          .mapValues(t => (t._2, t._3))
+          .agg(topk.toColumn.name("top"))
+          .flatMap { case (src, top) =>
+            top.iterator.zipWithIndex.map { case ((score, id), i) =>
+              (src, (i + 1).toLong, id, score.toLong) } }
+          .toDF("source", "rank", "doc_id", "n_tok")
+          .orderBy("source", "rank")
+      },
+      Some("""SELECT source, rank, doc_id, n_tok FROM (
+             |  SELECT source, doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+             |      ORDER BY len(string_split(text, ' ')) DESC, doc_id)
+             |      AS BIGINT) AS rank
+             |  FROM documents) t
+             |WHERE rank <= 5
+             |ORDER BY source, rank""".stripMargin))
   )
 }

@@ -129,4 +129,30 @@ class ScaleSpec extends AnyFunSuite {
       new Directory(new java.io.File(dir)).deleteRecursively()
     }
   }
+
+  test("TopK fold equals the window formulation on a skewed input, any partitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // hot group "g0" holds 90% of rows — the shape where a row_number
+    // window would single-task; ties in score exercise the id tiebreak
+    val rows = (1L to 2000L).map { id =>
+      (if (rnd.nextInt(10) < 9) "g0" else s"g${1 + rnd.nextInt(5)}",
+        rnd.nextInt(50).toDouble, id)
+    }
+    val naive = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      rs.sortBy { case (_, s, id) => (-s, id) }.take(5).zipWithIndex
+        .map { case ((_, s, id), i) => (g, (i + 1).toLong, id, s) }
+    }.toSet
+    for (parts <- Seq(1, 7, 32)) {
+      val topk = new graft.functions.Folds.TopK(5)
+      val got = rows.toDF("g", "score", "id").repartition(parts)
+        .as[(String, Double, Long)].groupByKey(_._1)
+        .mapValues(t => (t._2, t._3))
+        .agg(topk.toColumn.name("top"))
+        .flatMap { case (g, top) => top.iterator.zipWithIndex.map {
+          case ((s, id), i) => (g, (i + 1).toLong, id, s) } }
+        .collect().toSet
+      assert(got == naive, s"parts=$parts")
+    }
+  }
 }
