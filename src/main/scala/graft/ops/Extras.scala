@@ -184,6 +184,47 @@ object Extras {
              |FROM w JOIN events e
              |  ON e.user_id = w.user_id AND e.ts >= w.w_start AND e.ts <= w.w_end
              |GROUP BY w.user_id, w.w_start, w.w_end
-             |ORDER BY w.user_id, w_start""".stripMargin))
+             |ORDER BY w.user_id, w_start""".stripMargin)),
+
+    // Exponentially-decayed event counts (half-life 1 day against the
+    // corpus max ts) in 2^-20 FIXED POINT: age buckets are integer day
+    // differences, each bucket's weight is the integer 2^20 >> age, and
+    // the decayed mass is sum(count * weight) — pure integer arithmetic,
+    // exact and engine-independent, where float pow-sums would hash-
+    // differ by association order. The recency weighting a freshness-
+    // aware training mix applies to its sources.
+    //
+    // Scale: one groupBy (event_type, age) — key space is types × days,
+    // bounded — then the weighted rollup on that tiny table; the 1-row
+    // max-ts anchor attaches via broadcast (the BM25 stats pattern).
+    QueryDef("q88_decayed_counts",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val anchor = ev.agg(max(col("ts")).as("max_ts"))
+        ev.crossJoin(broadcast(anchor))
+          .select(col("event_type"),
+            floor((unix_timestamp(col("max_ts")) - unix_timestamp(col("ts")))
+              / 86400L).cast("long").as("age"))
+          .groupBy("event_type", "age").agg(count(lit(1)).as("n"))
+          .groupBy("event_type")
+          .agg(sum(col("n")).as("n_events"),
+            sum(col("n") * when(col("age") < 20,
+                expr("shiftright(CAST(1048576 AS BIGINT), CAST(age AS INT))"))
+              .otherwise(0L)).as("decayed_fp"))
+          .orderBy("event_type")
+      },
+      Some("""WITH anchor AS (SELECT MAX(ts) AS max_ts FROM events),
+             |aged AS (
+             |  SELECT event_type,
+             |    CAST(FLOOR((epoch(max_ts) - epoch(ts)) / 86400) AS BIGINT) AS age
+             |  FROM events, anchor),
+             |b AS (SELECT event_type, age, COUNT(*) AS n
+             |      FROM aged GROUP BY event_type, age)
+             |SELECT event_type,
+             |  CAST(SUM(n) AS BIGINT) AS n_events,
+             |  CAST(SUM(n * CASE WHEN age < 20 THEN 1048576 >> age ELSE 0 END)
+             |    AS BIGINT) AS decayed_fp
+             |FROM b GROUP BY event_type
+             |ORDER BY event_type""".stripMargin))
   )
 }

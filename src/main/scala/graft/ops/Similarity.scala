@@ -104,6 +104,42 @@ object Similarity {
               |  FROM embeddings a JOIN embeddings b
               |    ON a.label = b.label AND a.vec_id <> b.vec_id
               |  WHERE a.vec_id < 5) t
-              |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin))
+              |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)),
+
+    // Filtered vector search — retrieval constrained by a METADATA
+    // predicate from another table (every vector store's hard case, and
+    // the shape a training pipeline runs for "nearest in-language
+    // neighbors"): candidates must share the query document's lang.
+    // Metadata attaches once via an 8-byte-keyed join of embeddings to
+    // the 2-column documents projection; the tiny query side broadcasts
+    // WITH its lang, so candidate generation is the map-side equality
+    // on lang — a pre-filter, never score-then-discard over the corpus.
+    QueryDef("q87_filtered_ann",
+      (s, d) => {
+        val e = emb(s, d).join(
+          Tables.documents(s, d).select(col("doc_id").as("vec_id"), col("lang")),
+          "vec_id")
+        val queries = e.where(col("vec_id") < 5)
+          .select(col("lang"), col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+        val scored = e.join(broadcast(queries), "lang")
+          .where(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("n_id"),
+            round(Vectors.dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 5).as("cos"))
+        val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .where(col("rank") <= 5)
+          .select("q_id", "rank", "n_id", "cos")
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH e AS (
+              |  SELECT em.vec_id, em.embedding, dc.lang
+              |  FROM embeddings em JOIN documents dc ON dc.doc_id = em.vec_id)
+              |SELECT q_id, rank, n_id, cos FROM (
+              |  SELECT a.vec_id AS q_id, b.vec_id AS n_id, $cosSql AS cos,
+              |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+              |      ORDER BY $cosSql DESC, b.vec_id ASC) AS rank
+              |  FROM e a JOIN e b ON a.lang = b.lang AND a.vec_id <> b.vec_id
+              |  WHERE a.vec_id < 5) t
+              |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin))
   )
 }
