@@ -115,9 +115,37 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"eval grams must broadcast:\n$p")
   }
 
+  test("q82 resampler attaches weights via broadcast; the corpus side never shuffles") {
+    // the whole operator is broadcast-join + per-row hash + explode —
+    // the only exchanges allowed are inside the tiny weight aggregation
+    // (which ends at a localCheckpoint), so the corpus-side plan must
+    // show a broadcast join and no corpus-keyed hashpartitioning
+    val p = plan("q82_mixture_resample")
+    assert(p.contains("BroadcastHashJoin"), s"weights must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus side must not shuffle for the attach:\n$p")
+  }
+
+  test("q87 filtered ANN broadcasts the query side; no nested loop over the corpus") {
+    val p = plan("q87_filtered_ann")
+    assert(p.contains("BroadcastHashJoin"), s"query side must broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"candidate generation must be the lang equality, not a scan-all:\n$p")
+  }
+
   // exchanges only exist post-EnsureRequirements — executedPlan, not sparkPlan
   private def physical(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q86 per-group top-k plans as a partial typed fold, never a window sort") {
+    // the scale contract of Folds.TopK: bounded buffers partial-
+    // aggregate map-side; a windowspecdefinition here would mean the
+    // whole group is being sorted in one task again
+    val p = physical("q86_topk_per_group")
+    assert(!p.contains("windowspecdefinition"),
+      s"per-group top-k must not plan a window:\n$p")
+    assert(p.contains("partial_"),
+      s"expected map-side partial aggregation of the fold:\n$p")
+  }
 
   test("q76 packing never routes a whole source shard into one task") {
     // the scale contract of the two-phase prefix sum: the running sum
