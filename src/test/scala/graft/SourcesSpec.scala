@@ -42,6 +42,12 @@ class SourcesSpec extends AnyFunSuite {
     assert(canon(back) == expected)
   }
 
+  test("ORC round-trip preserves values (schema carried by the format)") {
+    val p = tmp("orc")
+    docs.write.orc(p)
+    assert(canon(spark.read.orc(p)) == expected)
+  }
+
   test("text sink + distributed split reads records back") {
     // text format writes one string column; round-trip through the
     // library's own splitter path
