@@ -333,6 +333,28 @@ object TrainPrep {
         explode(sequence(lit(0L), col("n_copies") - 1)).as("copy"))
   }
 
+  /** Deterministic shard export — the training pipeline's terminal:
+    * rows are range-partitioned and sorted by `orderCol`, so shard
+    * membership is a pure function of the data (not of cluster timing),
+    * and `maxRecordsPerFile` bounds every output file so downstream
+    * loaders get uniform work units. Returns the manifest (file,
+    * n_rows) a trainer's data loader consumes.
+    *
+    * Scale: one range exchange then executor-side streaming writes —
+    * nothing on the driver; the manifest is a grouped read-back on the
+    * file-path metadata column, O(files) result rows. */
+  def exportShards(df: DataFrame, path: String, orderCol: String,
+      maxRecordsPerFile: Int): DataFrame = {
+    df.repartitionByRange(col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .parquet(path)
+    df.sparkSession.read.parquet(path)
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
   // Eval membership for the gate: a deterministic ~1% slice by doc_id.
   private val evalMod = 97
 

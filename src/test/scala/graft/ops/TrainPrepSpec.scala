@@ -282,6 +282,26 @@ class TrainPrepSpec extends AnyFunSuite {
       "documents.doc_id must be unique for the packing gate to be deterministic")
   }
 
+  test("exportShards: every shard bounded, nothing lost, manifest counts exact") {
+    val docs = graft.Tables.documents(spark, graft.TestSpark.sf0001)
+      .select("doc_id", "lang", "source")
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    try {
+      val manifest = TrainPrep.exportShards(docs, dir, "doc_id", maxRecordsPerFile = 7)
+        .as[(String, Long)].collect()
+      assert(manifest.nonEmpty && manifest.forall(_._2 <= 7), "file bound must hold")
+      assert(manifest.map(_._2).sum == docs.count(), "manifest must account for every row")
+      val back = spark.read.parquet(dir)
+      assert(back.as[(Long, String, String)].collect().toSet ==
+        docs.as[(Long, String, String)].collect().toSet, "read-back equals input")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("block dedup: within-doc repeats keep only the earliest position, tail block short") {
     def blk(c: String) = (1 to 10).map(_ => c).mkString(" ")
     val docs = Seq((1L, s"${blk("a")} ${blk("a")} tail words")).toDF("doc_id", "text")
