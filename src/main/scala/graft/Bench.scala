@@ -47,6 +47,7 @@ object Bench {
     // it, so per-round numbers stay complete.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty) // a blank selector means "no restriction", not "nothing"
     only.foreach { o =>
       val dead = o.filterNot(p => SparkEntry.queries.keys.exists(_.startsWith(p)))
       require(dead.isEmpty, s"SPARK_GRAFT_BENCH_ONLY entries match no query: $dead")

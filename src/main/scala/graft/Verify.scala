@@ -17,6 +17,7 @@ object Verify {
     // matching nothing is a hard error, not an empty healthy-looking run.
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty) // a blank selector means "no restriction", not "nothing"
     only.foreach { o =>
       val unknown = o -- SparkEntry.queries.keySet
       require(unknown.isEmpty, s"unknown queries in SPARK_GRAFT_VERIFY_ONLY: $unknown")
