@@ -492,6 +492,45 @@ object TrainPrep {
              |FROM tot t2 LEFT JOIN reb r USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
 
+    // The composed training-prep path: decontaminate, then pack the
+    // surviving corpus, summarized per shard — proves the two-phase
+    // packer composes downstream of a filtered corpus (its correctness
+    // is partitioning-independent by construction). Oracle chains the
+    // q75 CTEs with the window formulation of packing.
+    QueryDef("q89_trainprep_e2e",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val clean = contaminationOf(docs, col("doc_id") % evalMod === 0)
+          .where(!col("contaminated")).select("doc_id")
+        packSequences(docs.join(clean, "doc_id"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            (max(col("seq_id")) + 1).as("n_seqs"),
+            sum(col("n_tok")).as("n_toks"))
+          .orderBy("source")
+      },
+      Some(s"""WITH g AS (${ngramsSql(6)}),
+             |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % $evalMod = 0),
+             |tr AS (SELECT DISTINCT doc_id, g FROM g WHERE doc_id % $evalMod <> 0),
+             |h AS (SELECT tr.doc_id, COUNT(*) AS n_hits
+             |      FROM tr JOIN ev USING (g) GROUP BY 1),
+             |clean AS (
+             |  SELECT d.doc_id FROM documents d LEFT JOIN h USING (doc_id)
+             |  WHERE d.doc_id % $evalMod <> 0 AND COALESCE(h.n_hits, 0) = 0),
+             |p AS (
+             |  SELECT doc_id, source, n_tok,
+             |    CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |      - n_tok AS begin_tok
+             |  FROM (SELECT d.doc_id, d.source,
+             |          CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+             |        FROM documents d JOIN clean USING (doc_id)) t)
+             |SELECT source, COUNT(*) AS n_docs,
+             |  MAX(begin_tok // 256) + 1 AS n_seqs,
+             |  CAST(SUM(n_tok) AS BIGINT) AS n_toks
+             |FROM p GROUP BY source
+             |ORDER BY source""".stripMargin)),
+
     QueryDef("q77_block_dedup",
       (s, d) => blockDedup(Tables.documents(s, d)).orderBy("doc_id"),
       Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
