@@ -79,6 +79,23 @@ class SketchSpec extends AnyFunSuite {
     assert(expect.contains("whale"))
   }
 
+  test("cells built BY the streaming engine (file-source replay) equal batch cells") {
+    // the sketch build is a pure aggregation, so it must be the same
+    // computation under Structured Streaming — micro-batched arrival
+    // through the file source, complete-mode aggregation, no special
+    // streaming path in the operator itself
+    import org.apache.spark.sql.functions.{col, explode, split}
+    val streamed = graft.stream.StreamOps.runBoundedFromPath(spark, docs,
+        df => Sketch.countMinCellsOf(
+          df.select(explode(split(col("text"), " ")).as("tok"))),
+        chunks = 3)
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Sketch.countMinCellsOf(
+        docs.select(explode(split(col("text"), " ")).as("tok")))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(streamed == batch)
+  }
+
   test("raw-stream cells equal count-table cells") {
     val toks = docs.select(org.apache.spark.sql.functions.explode(
       org.apache.spark.sql.functions.split($"text", " ")).as("tok"))

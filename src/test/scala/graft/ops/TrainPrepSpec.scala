@@ -192,6 +192,18 @@ class TrainPrepSpec extends AnyFunSuite {
     }
   }
 
+  test("resample at alpha=1 is the identity sample: exactly one copy of every doc") {
+    // alpha=1 leaves the natural distribution untouched: upsample == 1
+    // for every lang, the fractional draw is never taken, and the
+    // output is the corpus itself with copy 0
+    val docs = ((1 to 90).map(i => (i.toLong, "en")) ++
+      (91 to 100).map(i => (i.toLong, "fr"))).toDF("doc_id", "lang")
+    val got = TrainPrep.resample(docs, alpha = 1.0)
+      .as[(Long, String, Long)].collect()
+    assert(got.length == 100 && got.forall(_._3 == 0L))
+    assert(got.map(_._1).toSet == (1L to 100L).toSet)
+  }
+
   test("block dedup matches a naive in-memory reference on random corpora") {
     val rnd = new scala.util.Random(7)
     val vocab = Vector("a", "b", "c", "d", "e")
