@@ -122,6 +122,52 @@ object Components {
         col("cluster_size"))
   }
 
+  /** PageRank over an undirected pair graph (✚ the second classic
+    * iterative graph operator after CC — on the near-dup graph it
+    * scores how CENTRAL a document is within its duplication
+    * neighborhood, the importance signal canonical-selection can weight
+    * beyond min-id). Power iteration with uniform teleport and dangling
+    * redistribution:
+    *   s'(v) = 0.15/N + 0.85 · (Σ_{u→v} s(u)/deg(u) + D/N),
+    * D = Σ over dangling nodes of s — a fixed `iters` rounds from the
+    * uniform start (the gate's oracle unrolls the same rounds as
+    * generated CTEs, so both engines execute the identical arithmetic;
+    * scores round to 6 dp — cross-engine double sums differ at ~1e-15,
+    * far below the rounding).
+    *
+    * Scale: per round, the same 3-shuffle shape as CC — score⋈edges on
+    * u, contribution sum keyed by v, dangling anti-join — every key an
+    * 8-byte id; the dangling mass is a 1-row broadcast, N a driver
+    * literal (corpus-independent size). Each round's scores go through
+    * `materialize` (two consumers: contribution join + dangling sum). */
+  def pageRank(nodes: DataFrame, pairs: DataFrame, iters: Int = 5,
+               materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+    val edges = materialize(
+      pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+        .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v"))))
+    val deg = edges.groupBy("u").agg(count(lit(1)).cast("double").as("deg"))
+    val base = nodes.select(col("id").as("node"))
+    val n = base.count().toDouble
+    var scores = materialize(base.withColumn("score", lit(1.0 / n)))
+    for (_ <- 1 to iters) {
+      val contrib = scores
+        .join(edges, scores("node") === edges("u"))
+        .join(deg, "u")
+        .select(col("v").as("node"), (col("score") / col("deg")).as("c"))
+        .groupBy("node").agg(sum(col("c")).as("inc"))
+      val dangling = scores
+        .join(deg.select(col("u").as("node")), Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("score")), lit(0.0)).as("dm"))
+      scores = materialize(base
+        .join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"),
+          (lit(0.15) / n + lit(0.85) *
+            (coalesce(col("inc"), lit(0.0)) + col("dm") / n)).as("score")))
+    }
+    scores.select(col("node").as("doc_id"), round(col("score"), 6).as("score"))
+  }
+
   /** Per-source dedup report (✚ the executive summary a pipeline owner
     * reads after a dedup run): for each source, its document count, how
     * many survive canonical-only dedup (doc_id == canonical_id), and
@@ -141,6 +187,41 @@ object Components {
           .as("n_survivors"))
       .withColumn("survival_rate",
         round(col("n_survivors").cast("double") / col("n_docs"), 6))
+
+  // The q90 oracle unrolls the power iteration as generated CTE levels
+  // (DuckDB recursive CTEs cannot aggregate over the recursive table),
+  // so both engines execute the same per-round arithmetic. Every
+  // generated CTE is AS MATERIALIZED: DuckDB inlines plain CTEs, and
+  // inlining an iteration chain re-evaluates each level once per
+  // reference — exponential re-execution over the unroll (measured:
+  // >10 min inlined vs 0.5 s materialized at sf0.01).
+  private def prOracleSql(iters: Int): String = {
+    val levels = (0 until iters).map { k =>
+      s"""d$k AS MATERIALIZED (
+         |  SELECT COALESCE(SUM(score), 0) AS dm FROM p$k
+         |  WHERE node NOT IN (SELECT u FROM deg)),
+         |p${k + 1} AS MATERIALIZED (
+         |  SELECT n.node,
+         |    0.15 / (SELECT n FROM cnt) + 0.85 *
+         |      (COALESCE(i.s, 0) + (SELECT dm FROM d$k) / (SELECT n FROM cnt)) AS score
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.v AS node, SUM(p.score / g.deg) AS s
+         |    FROM p$k p JOIN edges e ON e.u = p.node JOIN deg g ON g.u = p.node
+         |    GROUP BY e.v) i ON i.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${Dedup.verifiedPairsCtes},
+       |nodes AS MATERIALIZED (SELECT doc_id AS node FROM documents),
+       |cnt AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+       |edges AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM vp
+       |          UNION ALL SELECT id_b, id_a FROM vp),
+       |deg AS MATERIALIZED (SELECT u, CAST(COUNT(*) AS DOUBLE) AS deg
+       |       FROM edges GROUP BY u),
+       |p0 AS MATERIALIZED (
+       |  SELECT node, 1.0 / (SELECT n FROM cnt) AS score FROM nodes),
+       |$levels
+       |SELECT node AS doc_id, ROUND(score, 6) AS score FROM p$iters
+       |ORDER BY doc_id""".stripMargin
+  }
 
   val defs: Seq[QueryDef] = Seq(
     // Every document mapped to its near-dup cluster representative.
@@ -184,6 +265,18 @@ object Components {
              |          / CAST(COUNT(*) AS DOUBLE), 6) AS survival_rate
              |FROM lab JOIN documents d USING (doc_id)
              |GROUP BY d.source
-             |ORDER BY source""".stripMargin))
+             |ORDER BY source""".stripMargin)),
+
+    // Document centrality within the near-dup graph — 5 power-iteration
+    // rounds over the q51 verified pairs, oracle unrolled level by
+    // level with identical arithmetic.
+    QueryDef("q90_pagerank",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        pageRank(docs.select(col("doc_id").as("id")),
+            Dedup.dedupPipeline(docs).select("id_a", "id_b"))
+          .orderBy("doc_id")
+      },
+      Some(prOracleSql(5)))
   )
 }

@@ -101,6 +101,34 @@ class ComponentsSpec extends AnyFunSuite {
     assert(rep.values.map(_._3).sum == clusters)
   }
 
+  test("pageRank matches a naive in-memory power iteration; mass conserved; hubs rank higher") {
+    // star (0 hub, 1-4 leaves) + pair (10, 11) + isolated 20
+    val nodes = Seq(0L, 1L, 2L, 3L, 4L, 10L, 11L, 20L)
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (10L, 11L))
+    val naive = {
+      val edges = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      val deg = edges.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+      val n = nodes.size.toDouble
+      var s = nodes.map(_ -> 1.0 / n).toMap
+      for (_ <- 1 to 5) {
+        val dm = nodes.filterNot(deg.contains).map(s).sum
+        val inc = edges.groupBy(_._2).view.mapValues(
+          _.map { case (u, _) => s(u) / deg(u) }.sum).toMap
+        s = nodes.map(v => v ->
+          (0.15 / n + 0.85 * (inc.getOrElse(v, 0.0) + dm / n))).toMap
+      }
+      s.view.mapValues(x => math.rint(x * 1e6) / 1e6).toMap
+    }
+    val got = Components.pageRank(nodes.toDF("id"), pairs.toDF("id_a", "id_b"))
+      .as[(Long, Double)].collect().toMap
+    assert(got.keySet == naive.keySet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - naive(k)) < 2e-6, s"node $k: $v vs ${naive(k)}") }
+    assert(math.abs(got.values.sum - 1.0) < 1e-3, "probability mass conserved")
+    assert(got(0L) > got(1L), "the hub must outrank its leaves")
+    assert(got(1L) > got(20L), "connected nodes outrank isolated ones")
+  }
+
   test("dedupClusters: exact copies cluster under the min id; singletons survive alone") {
     val docs = Seq(
       (10L, "alpha beta gamma delta epsilon zeta"),
