@@ -140,6 +140,43 @@ object Similarity {
               |      ORDER BY $cosSql DESC, b.vec_id ASC) AS rank
               |  FROM e a JOIN e b ON a.lang = b.lang AND a.vec_id <> b.vec_id
               |  WHERE a.vec_id < 5) t
-              |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin))
+              |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
+    // Bulk kNN-GRAPH build — every document's top-3 in-block neighbors
+    // (the graph that feeds graph-based curation/dedup), composing the
+    // label-blocked candidate join with the bounded TopK fold: a
+    // row_number window per query doc would single-task each label
+    // block (hot blocks are real — a mass-dup cluster shares a label),
+    // while the fold shuffles ≤ k rows per (partition, query doc). The
+    // fold ranks the ROUNDED cosine with id tiebreak, exactly the
+    // oracle's ORDER BY.
+    QueryDef("q91_knn_graph",
+      (s, d) => {
+        import s.implicits._
+        val topk = new graft.functions.Folds.TopK(3)
+        val e = emb(s, d)
+        val a = e.select(col("label"), col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+        val b = e.select(col("label"), col("vec_id").as("n_id"), col("v").as("nv"), col("nrm").as("nn"))
+        a.join(b, "label").where(col("q_id") =!= col("n_id"))
+          .select(col("q_id"),
+            round(Vectors.dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 5).as("cos"),
+            col("n_id"))
+          .as[(Long, Double, Long)]
+          .groupByKey(_._1)
+          .mapValues(t => (t._2, t._3))
+          .agg(topk.toColumn.name("top"))
+          .flatMap { case (q, top) =>
+            top.iterator.zipWithIndex.map { case ((cos, n), i) =>
+              (q, (i + 1).toLong, n, cos) } }
+          .toDF("q_id", "rank", "n_id", "cos")
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""SELECT q_id, rank, n_id, cos FROM (
+              |  SELECT a.vec_id AS q_id, b.vec_id AS n_id, $cosSql AS cos,
+              |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+              |      ORDER BY $cosSql DESC, b.vec_id ASC) AS rank
+              |  FROM embeddings a JOIN embeddings b
+              |    ON a.label = b.label AND a.vec_id <> b.vec_id) t
+              |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin))
   )
 }
