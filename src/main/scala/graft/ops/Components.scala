@@ -145,8 +145,12 @@ object Components {
     val edges = materialize(
       pairs.select(col("id_a").as("u"), col("id_b").as("v"))
         .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v"))))
-    val deg = edges.groupBy("u").agg(count(lit(1)).cast("double").as("deg"))
-    val base = nodes.select(col("id").as("node"))
+    // deg and the node base are probed EVERY round (contrib join,
+    // dangling anti-join, final attach) — pin them once or each of the
+    // 5 rounds re-runs the degree aggregation and the node scan
+    val deg = materialize(
+      edges.groupBy("u").agg(count(lit(1)).cast("double").as("deg")))
+    val base = materialize(nodes.select(col("id").as("node")))
     val n = base.count().toDouble
     var scores = materialize(base.withColumn("score", lit(1.0 / n)))
     for (_ <- 1 to iters) {
