@@ -284,6 +284,33 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(p.contains("windowspecdefinition(pid"), s"expected (pid, source) window:\n$p")
   }
 
+  test("packing under the reliable-checkpoint strategy equals the default") {
+    // pinning is CORRECTNESS-critical here (both phases must see the
+    // same sampled range boundaries) — prove the durable strategy
+    // preserves that contract, not just the local default
+    val sc = spark.sparkContext
+    val prior = sc.getCheckpointDir
+    val dir = java.nio.file.Files.createTempDirectory("graft-pack-ckpt").toString
+    sc.setCheckpointDir(dir)
+    try {
+      val docs = (1L to 200L).map { id =>
+        (id, if (id % 3 == 0) "A" else "B", (1 to (1 + (id % 7)).toInt).map(_ => "w").mkString(" "))
+      }.toDF("doc_id", "source", "text").repartition(8)
+      val durable = TrainPrep.packSequences(docs, budget = 32,
+          materialize = graft.Materialize.reliable)
+        .as[(Long, String, Long, Long, Long, Long)].collect().toSet
+      val default = TrainPrep.packSequences(docs, budget = 32)
+        .as[(Long, String, Long, Long, Long, Long)].collect().toSet
+      assert(durable == default)
+    } finally {
+      prior.foreach(sc.setCheckpointDir)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("packing: gate corpus doc_id is unique, so per-shard prefix order is total") {
     // the q76 oracle's SUM() OVER (ORDER BY doc_id) is deterministic
     // only because doc_id never ties within a shard — pin that property
