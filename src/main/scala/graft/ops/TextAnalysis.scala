@@ -232,6 +232,43 @@ object TextAnalysis {
              |        FROM documents) t) u
              |GROUP BY lang, split ORDER BY lang, split""".stripMargin)),
 
+    // Exact-k-per-stratum deterministic sample — eval-slice
+    // construction ("exactly 5 docs per language"), the companion to
+    // q53's fractional split: the k docs with the smallest md5 draw per
+    // lang, selected through the bounded TopK fold so no stratum is
+    // ever routed through one task (a row_number window would
+    // single-task each lang — millions of docs per language at corpus
+    // scale). Pure hash draw: reproducible, append-stable for the
+    // already-chosen ranks, shuffle carries ≤ k rows per (partition,
+    // lang).
+    QueryDef("q92_stratified_exact_k",
+      (s, d) => {
+        import s.implicits._
+        val topk = new graft.functions.Folds.TopK(5)
+        Tables.documents(s, d)
+          .select(col("lang"),
+            negate(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+              .cast("double")).as("score"),
+            col("doc_id"))
+          .as[(String, Double, Long)]
+          .groupByKey(_._1)
+          .mapValues(t => (t._2, t._3))
+          .agg(topk.toColumn.name("top"))
+          .flatMap { case (lang, top) =>
+            top.iterator.zipWithIndex.map { case ((_, id), i) =>
+              (lang, (i + 1).toLong, id) } }
+          .toDF("lang", "rank", "doc_id")
+          .orderBy("lang", "rank")
+      },
+      Some("""SELECT lang, rank, doc_id FROM (
+             |  SELECT lang, doc_id,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+             |      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT ASC,
+             |        doc_id ASC) AS BIGINT) AS rank
+             |  FROM documents) t
+             |WHERE rank <= 5
+             |ORDER BY lang, rank""".stripMargin)),
+
     // Corpus vocabulary: token frequencies with a top-k cut — the
     // vocab-building pass of a tokenizer pipeline. explode + partial
     // aggregation (map-side combine collapses repeats before the
