@@ -70,9 +70,10 @@ object DotProduct {
   def apply(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 }
 
-/** Session extensions registering graft's native functions — the public
-  * `SparkSessionExtensions` route, so `graft_dot` is also callable from
-  * plain SQL. Wired in via `SparkSession.builder().withExtensions`. */
+/** Session extensions registering graft's native functions and plan
+  * rules — the public `SparkSessionExtensions` route, so `graft_dot` is
+  * also callable from plain SQL and the interval-join rewrite applies
+  * to every query. Wired in via `SparkSession.builder().withExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
@@ -82,5 +83,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       // casts on array<double> are optimized away.
       (exprs: Seq[Expression]) => DotProduct(
         Cast(exprs(0), ArrayType(DoubleType)), Cast(exprs(1), ArrayType(DoubleType)))))
+    e.injectOptimizerRule(_ => graft.plans.IntervalJoinRule())
   }
 }

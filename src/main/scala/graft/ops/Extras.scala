@@ -186,6 +186,36 @@ object Extras {
              |GROUP BY w.user_id, w.w_start, w.w_end
              |ORDER BY w.user_id, w_start""".stripMargin)),
 
+    // The SAME containment semantics as q70 but written in the NATURAL
+    // form — plain ts BETWEEN w_start AND w_end, no equi key, no
+    // hand-bucketization — counting corpus-wide events inside each
+    // session window. graft's IntervalJoinRule (plans/) rewrites it
+    // into the bucketed equality join at optimization time; without the
+    // rule Spark would plan a BroadcastNestedLoopJoin over
+    // |events| x |windows| pairs. PlanSpec asserts the rewrite fired.
+    QueryDef("q93_interval_join_auto",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val windows = Relational.withSessionIds(ev)
+          .groupBy("user_id", "session_id")
+          .agg(min(col("ts")).as("w_start"), max(col("ts")).as("w_end"))
+          .select("w_start", "w_end")
+        ev.select(col("ts"))
+          .join(windows, col("ts") >= col("w_start") && col("ts") <= col("w_end"))
+          .groupBy("w_start", "w_end")
+          .agg(count(lit(1)).as("n_in_window"))
+          .orderBy("w_start", "w_end")
+      },
+      Some(s"""WITH w AS (
+             |  SELECT MIN(ts) AS w_start, MAX(ts) AS w_end
+             |  FROM (${Relational.sessionIdsSql}) c
+             |  GROUP BY user_id, session_id)
+             |SELECT w.w_start, w.w_end, COUNT(*) AS n_in_window
+             |FROM w JOIN events e
+             |  ON e.ts >= w.w_start AND e.ts <= w.w_end
+             |GROUP BY w.w_start, w.w_end
+             |ORDER BY w_start, w_end""".stripMargin)),
+
     // Exponentially-decayed event counts (half-life 1 day against the
     // corpus max ts) in 2^-20 FIXED POINT: age buckets are integer day
     // differences, each bucket's weight is the integer 2^20 >> age, and

@@ -115,6 +115,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"eval grams must broadcast:\n$p")
   }
 
+  test("q93 natural interval join is rewritten to a bucketed equality join by the rule") {
+    // the IntervalJoinRule contract on a declared query: the plan must
+    // carry the generated bucket key and never a nested loop over
+    // |events| x |windows|
+    val p = plan("q93_interval_join_auto")
+    assert(p.contains("graft_bucket"), s"expected the rule's bucket key:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"natural interval join must not plan a nested loop:\n$p")
+  }
+
   test("q82 resampler attaches weights via broadcast; the corpus side never shuffles") {
     // the whole operator is broadcast-join + per-row hash + explode —
     // the only exchanges allowed are inside the tiny weight aggregation
