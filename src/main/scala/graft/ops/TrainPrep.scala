@@ -151,6 +151,29 @@ object TrainPrep {
       .select("doc_id", "source", "n_tok", "begin_tok", "seq_id", "seq_off")
   }
 
+  /** Packing manifest — the INVERSE view of [[packSequences]] and what a
+    * dataloader actually consumes: for every (sequence, document) pair
+    * the doc contributes tokens to, the span it occupies. A document
+    * crossing budget boundaries appears once per sequence it touches
+    * (the explode mirrors the interval→bucket pattern of
+    * plans/IntervalJoinRule); pure integer arithmetic throughout.
+    *
+    * Scale: packSequences' bounded two-phase shape plus one per-row
+    * explode whose fan-out is ceil(n_tok/budget)+1 — no new shuffle. */
+  def packSpans(docs: DataFrame, budget: Int = 256,
+      materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+    val b = lit(budget.toLong)
+    packSequences(docs, budget, materialize)
+      .where(col("n_tok") > 0)
+      .withColumn("seq_id",
+        explode(sequence(col("seq_id"), expr(s"(begin_tok + n_tok - 1) div $budget"))))
+      .withColumn("seq_start", greatest(col("begin_tok"), col("seq_id") * b) - col("seq_id") * b)
+      .withColumn("len",
+        least(col("begin_tok") + col("n_tok"), (col("seq_id") + 1) * b)
+          - greatest(col("begin_tok"), col("seq_id") * b))
+      .select("source", "seq_id", "seq_start", "doc_id", "len")
+  }
+
   /** Sub-document block dedup (C4/RefinedWeb line-dedup shape, applied to
     * fixed 10-token blocks because the corpus has no newlines): a block
     * occurring in several documents survives only at its FIRST occurrence
@@ -530,6 +553,32 @@ object TrainPrep {
              |  CAST(SUM(n_tok) AS BIGINT) AS n_toks
              |FROM p GROUP BY source
              |ORDER BY source""".stripMargin)),
+
+    // The packing manifest in sequence-major order: every (sequence,
+    // doc) span, integer-exact. The oracle rebuilds the same spans from
+    // the windowed prefix sum.
+    QueryDef("q94_pack_spans",
+      (s, d) => packSpans(Tables.documents(s, d))
+        .orderBy("source", "seq_id", "seq_start"),
+      Some("""WITH p AS (
+             |  SELECT doc_id, source, n_tok,
+             |    CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |      - n_tok AS begin_tok
+             |  FROM (SELECT doc_id, source,
+             |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |        FROM documents) t),
+             |x AS (
+             |  SELECT source, doc_id, n_tok, begin_tok,
+             |    unnest(range(begin_tok // 256, (begin_tok + n_tok - 1) // 256 + 1)) AS seq_id
+             |  FROM p WHERE n_tok > 0)
+             |SELECT source, seq_id,
+             |  GREATEST(begin_tok, seq_id * 256) - seq_id * 256 AS seq_start,
+             |  doc_id,
+             |  LEAST(begin_tok + n_tok, (seq_id + 1) * 256)
+             |    - GREATEST(begin_tok, seq_id * 256) AS len
+             |FROM x
+             |ORDER BY source, seq_id, seq_start""".stripMargin)),
 
     QueryDef("q77_block_dedup",
       (s, d) => blockDedup(Tables.documents(s, d)).orderBy("doc_id"),

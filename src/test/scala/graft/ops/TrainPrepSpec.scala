@@ -311,6 +311,33 @@ class TrainPrepSpec extends AnyFunSuite {
     }
   }
 
+  test("pack spans tile every sequence exactly: contiguous, gap-free, budget-bounded") {
+    def words(n: Int) = (1 to n).map(_ => "w").mkString(" ")
+    // doc of 70 tokens crosses two 32-token boundaries; shard B tiny
+    val docs = Seq(
+      (1L, "A", words(20)), (2L, "A", words(70)), (3L, "A", words(5)),
+      (4L, "B", words(3))
+    ).toDF("doc_id", "source", "text")
+    val got = TrainPrep.packSpans(docs, budget = 32)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.forall { case (_, _, start, _, len) =>
+      len > 0 && start >= 0 && start + len <= 32 })
+    // spans within each (source, seq) are contiguous from 0 (except the
+    // shard's final partial sequence, which still starts at 0)
+    got.groupBy(t => (t._1, t._2)).foreach { case (_, spans) =>
+      val sorted = spans.sortBy(_._3)
+      assert(sorted.head._3 == 0, "first span starts the sequence")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 + a._5 == b._3, "no gaps between spans")
+        case _ =>
+      }
+    }
+    // total span mass equals total tokens
+    assert(got.map(_._5).sum == 20 + 70 + 5 + 3)
+    // doc 2 (70 tokens from offset 20 in shard A) crosses into 3 sequences
+    assert(got.count(_._4 == 2L) == 3)
+  }
+
   test("packing: gate corpus doc_id is unique, so per-shard prefix order is total") {
     // the q76 oracle's SUM() OVER (ORDER BY doc_id) is deterministic
     // only because doc_id never ties within a shard — pin that property
