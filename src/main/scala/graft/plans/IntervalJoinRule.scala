@@ -36,6 +36,14 @@ import org.apache.spark.sql.types._
   * Buckets use integer `div` on epoch micros (truncation): identical
   * on both join sides, so alignment is consistent; like q70 it assumes
   * post-epoch timestamps (pre-1970 micros would need floorDiv).
+  *
+  * Sizing contract: the interval side fans out to
+  * ceil(interval-length / bucketMicros) + 1 rows per interval, so
+  * bucketMicros should sit near the TYPICAL interval length — the
+  * standard bounded-interval assumption of temporal joins (Flink's
+  * interval join makes the same one). For corpus-length intervals over
+  * tiny buckets, raise bucketMicros or disable the rule; the rewrite
+  * never changes results either way.
   */
 case class IntervalJoinRule() extends Rule[LogicalPlan] with PredicateHelper {
 

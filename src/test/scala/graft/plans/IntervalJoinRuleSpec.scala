@@ -74,6 +74,22 @@ class IntervalJoinRuleSpec extends AnyFunSuite {
     assert(!po.contains("graft_bucket"), s"outer joins stay untouched:\n$po")
   }
 
+  test("SQL BETWEEN syntax is rewritten too (parser lowers it to the bound pair)") {
+    points.createOrReplaceTempView("g_pts")
+    intervals.createOrReplaceTempView("g_ivs")
+    val df = spark.sql(
+      "SELECT * FROM g_pts JOIN g_ivs ON g_pts.ts BETWEEN g_ivs.lo AND g_ivs.hi")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_bucket"), s"BETWEEN must hit the rule:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"no nested loop:\n$p")
+    val key = "spark.graft.intervalJoin.enabled"
+    spark.conf.set(key, "false")
+    val want = try canon(spark.sql(
+      "SELECT * FROM g_pts JOIN g_ivs ON g_pts.ts BETWEEN g_ivs.lo AND g_ivs.hi"))
+      finally spark.conf.unset(key)
+    assert(canon(df) == want)
+  }
+
   test("randomized: rewritten join equals nested-loop on arbitrary data") {
     val rnd = new scala.util.Random(31)
     val pts = Seq.fill(300)(Tuple1(ts(rnd.nextLong(10 * W)))).toDF("ts")
