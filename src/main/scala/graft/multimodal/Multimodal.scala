@@ -89,36 +89,92 @@ object PngCodec {
   }
 }
 
+/** REAL WAV codec — `javax.sound.sampled` ships in the JDK exactly like
+  * `javax.imageio`, so PCM WAV needs no external library either:
+  * metadata comes from a genuine RIFF/fmt header parse (O(header), no
+  * sample decode), and fixtures are written by the JDK's real WAV
+  * writer. Compressed audio (mp3/ogg) and video keep the stub — those
+  * codecs genuinely don't ship in this container. */
+object WavCodec {
+  import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+  import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+  def isWav(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  /** Real metadata decode. The generalized "dims" of a 1-D signal:
+    * width := sample rate (Hz), height := channels; nFrames is the true
+    * PCM frame count from the data-chunk length. */
+  def decodeMeta(b: Array[Byte]): MediaMeta = {
+    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(b))
+    try {
+      val f = in.getFormat
+      MediaMeta("audio/wav", width = f.getSampleRate.toInt,
+        height = f.getChannels,
+        nFrames = math.min(in.getFrameLength, Int.MaxValue.toLong).toInt,
+        bytes = b.length.toLong)
+    } finally in.close()
+  }
+
+  /** Deterministic genuine WAV (for fixtures): 16-bit little-endian mono
+    * PCM whose samples are a pure function of (index, seed), written by
+    * the JDK's real WAV writer. */
+  def encode(nSamples: Int, sampleRate: Int = 8000, seed: Int = 0): Array[Byte] = {
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val data = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val s = ((i * 2654435761L + seed * 40503L) & 0xffffL).toShort
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val in = new AudioInputStream(new ByteArrayInputStream(data), fmt, nSamples.toLong)
+    val out = new ByteArrayOutputStream()
+    try AudioSystem.write(in, AudioFileFormat.Type.WAVE, out) finally in.close()
+    out.toByteArray
+  }
+}
+
 object Multimodal {
 
   implicit val mediaEnc: Encoder[MediaRow] = Encoders.product[MediaRow]
   implicit val decodedEnc: Encoder[DecodedRow] = Encoders.product[DecodedRow]
   implicit val featureEnc: Encoder[FeatureRow] = Encoders.product[FeatureRow]
 
-  /** Format dispatch: REAL decode for genuine PNG payloads, stub for the
-    * formats whose codecs don't ship in this container. The gate corpus
-    * (UTF-8 text bytes) never carries the PNG magic, so q33/q55 keep
-    * their stub-mirroring oracles; real-PNG rows take the real path
-    * (MultimodalSpec drives both through the same pipeline).
+  /** Format dispatch: REAL decode for genuine PNG and (PCM) WAV
+    * payloads, stub for the formats whose codecs don't ship in this
+    * container (compressed audio, video). The gate corpus (UTF-8 text
+    * bytes) never carries either magic, so q33/q55 keep their
+    * stub-mirroring oracles; real rows take the real paths
+    * (MultimodalSpec drives all three through the same pipeline).
     *
-    * TOTAL functions by contract: a corrupt payload (PNG magic, broken
-    * body) is quarantined with a marker format instead of throwing —
-    * at 100 TB one bad record must degrade, not abort the batch after
-    * four task retries. */
+    * TOTAL functions by contract: a corrupt payload (right magic,
+    * broken body) is quarantined with a marker format instead of
+    * throwing — at 100 TB one bad record must degrade, not abort the
+    * batch after four task retries. */
   def decodeMeta(b: Array[Byte]): MediaMeta =
     if (PngCodec.isPng(b))
       try PngCodec.decodeMeta(b)
       catch { case scala.util.control.NonFatal(_) =>
         MediaMeta("image/png-corrupt", 0, 0, 0, b.length.toLong) }
+    else if (WavCodec.isWav(b))
+      try WavCodec.decodeMeta(b)
+      catch { case scala.util.control.NonFatal(_) =>
+        MediaMeta("audio/wav-corrupt", 0, 0, 0, b.length.toLong) }
     else StubCodec.decodeMeta(b)
 
   /** Corrupt images pass through UNCHANGED (quarantine semantics: never
     * invent pixels); downstream filters drop them via the marker format
-    * from [[decodeMeta]]. */
+    * from [[decodeMeta]]. WAV passes through unchanged too — resize is
+    * a pixel operation, and the JDK ships no PCM rate converter to make
+    * an audio "resample" real. */
   def resizePayload(b: Array[Byte], targetW: Int, targetH: Int): Array[Byte] =
     if (PngCodec.isPng(b))
       try PngCodec.resize(b, targetW, targetH)
       catch { case scala.util.control.NonFatal(_) => b }
+    else if (WavCodec.isWav(b)) b
     else StubCodec.resize(b, targetW, targetH)
 
   /** STUB codec — stands in for an image/audio library. Deterministic pure

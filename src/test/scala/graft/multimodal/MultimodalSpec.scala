@@ -144,4 +144,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(PngCodec.decodeMeta(resized.content).width == 10)
     assert(PngCodec.decodeMeta(resized.content).height == 6)
   }
+
+  test("REAL WAV decode: genuine RIFF/PCM bytes, true rate/channels/frames, distributed") {
+    // javax.sound.sampled ships in the JDK like imageio: the fixture is
+    // a genuine WAV file (RIFF header, fmt chunk, PCM samples) written
+    // by the JDK's own writer, and the decoded metadata is the true
+    // header content — through the SAME pipeline as PNG/stub rows.
+    val wav1 = WavCodec.encode(1600, sampleRate = 8000, seed = 1)
+    val wav2 = WavCodec.encode(441, sampleRate = 44100, seed = 2)
+    assert(WavCodec.isWav(wav1) && WavCodec.isWav(wav2))
+    assert(!WavCodec.isWav("RIFFnot really".getBytes("UTF-8")))
+    assert(WavCodec.encode(1600, 8000, seed = 1).toSeq == wav1.toSeq, "deterministic fixture")
+
+    import spark.implicits._
+    val media = spark.createDataset(Seq(
+      MediaRow(1L, wav1), MediaRow(2L, wav2),
+      MediaRow(3L, PngCodec.encode(5, 4)),
+      MediaRow(4L, "plain text".getBytes("UTF-8")))).repartition(2)
+    val metas = decode(media).collect().map(r => r.media_id -> r.meta).toMap
+    assert(metas(1L) == MediaMeta("audio/wav", 8000, 1, 1600, wav1.length.toLong))
+    assert(metas(2L) == MediaMeta("audio/wav", 44100, 1, 441, wav2.length.toLong))
+    assert(metas(3L).format == "image/png", "PNG dispatch unaffected")
+    assert(metas(4L).format == StubCodec.sniffFormat("plain text".getBytes("UTF-8")))
+  }
+
+  test("corrupt WAV payloads are quarantined; resize passes WAV through unchanged") {
+    val corrupt = "RIFF0000WAVE".getBytes("UTF-8") ++ Array.fill[Byte](16)(0x13)
+    assert(WavCodec.isWav(corrupt))
+    val m = decodeMeta(corrupt)
+    assert(m.format == "audio/wav-corrupt" && m.bytes == corrupt.length.toLong)
+    val good = WavCodec.encode(100)
+    assert(resizePayload(good, 2, 2).toSeq == good.toSeq,
+      "resize is a pixel op; audio passes through intact")
+  }
 }
