@@ -178,6 +178,33 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("TopK fold under streaming state merge == batch fold (micro-batch merge order)") {
+    // the Aggregator's merge runs in a DIFFERENT order under streaming
+    // (per-micro-batch partials merged into the state store) than in a
+    // batch job — equal results prove the fold is genuinely
+    // order-insensitive, not just correct for one merge tree
+    import org.apache.spark.sql.{DataFrame, Row}
+    import org.apache.spark.sql.functions._
+    def top(df: DataFrame): DataFrame = {
+      val spark2 = df.sparkSession
+      import spark2.implicits._
+      val topk = new graft.functions.Folds.TopK(4)
+      df.select(col("event_type"), col("value").cast("double"), col("event_id"))
+        .as[(String, Double, Long)]
+        .groupByKey(_._1).mapValues(t => (t._2, t._3))
+        .agg(topk.toColumn.name("top"))
+        .flatMap { case (g, t) => t.iterator.zipWithIndex.map {
+          case ((s, id), i) => (g, (i + 1).toLong, id, s) } }
+        .toDF("event_type", "rank", "event_id", "value")
+    }
+    val events = Tables.events(spark, TestSpark.sf0001)
+      .select("event_type", "value", "event_id")
+    val batch = top(events).collect().toSeq
+    val streamed = StreamOps.runBoundedFromPath(spark, events, top, chunks = 4)
+    assert(canon(streamed) == canon(batch))
+    assert(batch.nonEmpty)
+  }
+
   test("readLinesStream: streamed line counts across incremental files == batch readLines") {
     import org.apache.spark.sql.functions._
     import graft.core.Flow
