@@ -90,6 +90,35 @@ class IntervalJoinRuleSpec extends AnyFunSuite {
     assert(canon(df) == want)
   }
 
+  test("orientation flip: intervals on the left, points on the right — same rewrite, same rows") {
+    val flipped = intervals.join(points,
+      col("ts") >= col("lo") && col("ts") <= col("hi"))
+    val p = flipped.queryExecution.executedPlan.toString
+    assert(p.contains("graft_bucket") && !p.contains("BroadcastNestedLoopJoin"),
+      s"rule must fire with the interval side on the left:\n$p")
+    val key = "spark.graft.intervalJoin.enabled"
+    spark.conf.set(key, "false")
+    val want = try canon(intervals.join(points,
+      col("ts") >= col("lo") && col("ts") <= col("hi"))) finally spark.conf.unset(key)
+    assert(canon(flipped) == want)
+  }
+
+  test("extra cross-side predicates survive as join filters") {
+    // a residual non-equi conjunct beyond the bounds must be preserved
+    // verbatim — the rewrite keeps the WHOLE original condition
+    val p2 = points.withColumn("w", expr("unix_micros(ts) % 7"))
+    val i2 = intervals.withColumn("z", expr("unix_micros(lo) % 5"))
+    def run() = p2.join(i2,
+      col("ts") >= col("lo") && col("ts") <= col("hi") && col("w") > col("z"))
+    val withRule = run()
+    assert(withRule.queryExecution.executedPlan.toString.contains("graft_bucket"))
+    val key = "spark.graft.intervalJoin.enabled"
+    spark.conf.set(key, "false")
+    val want = try canon(run()) finally spark.conf.unset(key)
+    assert(canon(withRule) == want)
+    assert(want.nonEmpty, "fixture must keep some rows through the residual predicate")
+  }
+
   test("randomized: rewritten join equals nested-loop on arbitrary data") {
     val rnd = new scala.util.Random(31)
     val pts = Seq.fill(300)(Tuple1(ts(rnd.nextLong(10 * W)))).toDF("ts")
