@@ -175,7 +175,7 @@ object Ann {
   /** The centroid constants as a SQL CTE body (one row per centroid) —
     * the SAME doubles as the Spark plan's literals, so both engines
     * assign cells from identical inputs. */
-  private def centroidsSqlCte(cents: Array[Array[Double]]): String =
+  private[ops] def centroidsSqlCte(cents: Array[Array[Double]]): String =
     cents.zipWithIndex.map { case (c, i) =>
       s"SELECT $i AS i, ${c.mkString("[", ", ", "]")}::DOUBLE[] AS c"
     }.mkString("\nUNION ALL\n")

@@ -48,6 +48,54 @@ object Scale {
     bigS.join(smallS, Seq(key, "_salt")).drop("_salt")
   }
 
+  // ---- broadcast Bloom pre-join filter ----
+
+  /** 64-bit masks indexed by bit position — a literal lookup array so
+    * the probe stays in pure Column algebra (shiftleft's Scala wrapper
+    * only takes a literal shift count). */
+  private def bitMasks: Column = array((0 until 64).map(b => lit(1L << b)): _*)
+
+  /** The `kHash` bit positions of `key` in an `mBits`-bit Bloom filter.
+    * Independent hash functions come from seeding murmur3 with the
+    * function index — the same construction on build and probe side. */
+  private def bloomPositions(key: Column, mBits: Int, kHash: Int): Seq[Column] =
+    (0 until kHash).map(i => pmod(hash(key, lit(i)), lit(mBits)).cast("int"))
+
+  /** Build a Bloom bitset over the distinct values of `keys(key)` as
+    * `mBits/64` longs. The aggregation is fully distributed (positions
+    * fan out map-side, `bit_or` partial-aggregates per word); only the
+    * finished bitset — whose size is fixed by `mBits`, NOT by the data —
+    * is collected, the same documented-small driver touch as
+    * `Ann.kmeansCentroids`. Size for a target false-positive rate p with
+    * the standard bound mBits ≈ −n·ln(p)/ln²2, kHash ≈ (m/n)·ln 2. */
+  def bloomBits(keys: DataFrame, key: String, mBits: Int = 1 << 16,
+                kHash: Int = 3): Array[Long] = {
+    require(mBits % 64 == 0, s"mBits must be a multiple of 64, got $mBits")
+    val words = keys
+      .select(explode(array(bloomPositions(col(key), mBits, kHash): _*)).as("pos"))
+      .select(shiftright(col("pos"), 6).as("word"),
+        element_at(bitMasks, col("pos").bitwiseAND(lit(63)) + 1).as("mask"))
+      .groupBy("word").agg(bit_or(col("mask")).as("bits"))
+      .collect()
+    val arr = new Array[Long](mBits / 64)
+    words.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    arr
+  }
+
+  /** Membership probe against a built bitset: true for every key that
+    * was in the build set (no false negatives), true with probability
+    * ≈ (1−e^(−kn/m))^k for keys that were not. The bitset rides the
+    * plan as a literal array — evaluated per row inside whole-stage
+    * codegen, no join, no broadcast variable plumbing. */
+  def bloomMightContain(key: Column, bits: Array[Long], mBits: Int,
+                        kHash: Int = 3): Column = {
+    val wordsArr = array(bits.map(lit).toSeq: _*)
+    bloomPositions(key, mBits, kHash).map { pos =>
+      element_at(wordsArr, shiftright(pos, 6) + 1)
+        .bitwiseAND(element_at(bitMasks, pos.bitwiseAND(lit(63)) + 1)) =!= 0
+    }.reduce(_ && _)
+  }
+
   /** Write both sides bucketed by the join key; subsequent joins on that
     * key are co-located — zero exchange (verified in ScaleSpec by plan
     * inspection). The 100 TB pattern for dimension/fact tables joined
@@ -109,6 +157,39 @@ object Scale {
              |  COUNT(*) AS n_items
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |WHERE l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Broadcast Bloom pre-join: revenue of line items belonging to
+    // high-value orders. The bloom (built from the ~10% qualifying
+    // order keys, fixed 8 KiB bitset) filters lineitem IN ITS SCAN —
+    // rows that cannot join never reach the exchange, the explicit
+    // form of Spark's runtime row-filter that a user can apply to any
+    // pipeline stage (pre-aggregated inputs, mid-pipeline frames)
+    // where the optimizer's own InSubquery rewrite cannot see the
+    // join. False positives (bounded by (1−e^(−kn/m))^k ≈ 1e-7 here)
+    // are removed by the exact join that follows, so the oracle is the
+    // plain join — the bloom changes the physical row flow only.
+    QueryDef("q97_bloom_prejoin",
+      (s, d) => {
+        import graft.QueryDef.dec
+        val hi = Tables.orders(s, d)
+          .where(col("o_totalprice") > 450000.0)
+          .select("o_orderkey", "o_orderpriority")
+        val bits = bloomBits(hi, "o_orderkey")
+        Tables.lineitem(s, d)
+          .where(bloomMightContain(col("l_orderkey"), bits, 1 << 16))
+          .join(hi, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+             |  COUNT(*) AS n_items
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_totalprice > 450000
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
     // Per-group top-k through the bounded TopK fold (Folds.TopK): top-5
