@@ -227,6 +227,53 @@ object Components {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Exact triangle count over an undirected pair graph (✚ the third
+    * classic graph kernel after CC/PageRank — triangle density is the
+    * standard cluster-cohesion audit over a near-dup graph: duplicate
+    * groups are near-cliques, chains of borderline matches are not).
+    *
+    * DEGREE-ORDERED orientation (Cohen's MapReduce triangle counting /
+    * node-iterator++): every edge points from its (degree, id)-smaller
+    * endpoint, each triangle then has exactly ONE vertex with both
+    * out-edges, so it is found once — and a vertex's out-degree is
+    * bounded by O(√m) regardless of its raw degree, which turns the
+    * hot-hub d² wedge blowup into the provably-optimal O(m^1.5) total.
+    * A raw id-orientation would leave a low-id hub with out-degree d
+    * and a single d²-wedge task at 100 TB; the degree sort is exactly
+    * what removes that skew.
+    *
+    * Three content-free shuffles: the degree aggregation (8-byte keys,
+    * partial-agg collapses hubs map-side), the wedge self-join on the
+    * oriented source, and the closing probe of the id-canonical edge
+    * set. `canon`/`oriented` feed two consumers each and are pinned via
+    * `materialize` (the Dedup/CC diamond discipline). */
+  def triangles(pairs: DataFrame,
+                materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+    val canon = materialize(pairs
+      .select(least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"))
+      .where(col("a") =!= col("b")).distinct())
+    val deg = canon.select(col("a").as("id"))
+      .unionAll(canon.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("dg"))
+    val oriented = materialize(canon
+      .join(deg.select(col("id").as("a"), col("dg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("dg").as("db")), "b")
+      .select(when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("f"), col("b").as("t")))
+        .otherwise(struct(col("b").as("f"), col("a").as("t"))).as("o"))
+      .select(col("o.f").as("f"), col("o.t").as("t")))
+    // out-neighbor pairs of each source, id-sorted to meet the
+    // id-canonical edge set exactly once
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.f") === col("e2.f") && col("e1.t") < col("e2.t"))
+      .select(col("e1.t").as("a"), col("e2.t").as("b"))
+    val nt = wedges.join(canon, Seq("a", "b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    canon.agg(count(lit(1)).as("n_edges")).crossJoin(nt)
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // Every document mapped to its near-dup cluster representative.
     // Oracle: the SAME verified-pairs CTE chain as q51, closed under
@@ -282,5 +329,23 @@ object Components {
           .orderBy("doc_id")
       },
       Some(prOracleSql(5)))
+  ,
+
+    // Cohesion audit of the near-dup graph: edge + triangle counts over
+    // the SAME verified pairs as q51/q74/q90. Oracle: id-sorted edges,
+    // a<b<c three-way self-join (one row per triangle).
+    QueryDef("q98_triangle_count",
+      (s, d) => triangles(
+        Dedup.dedupPipeline(Tables.documents(s, d)).select("id_a", "id_b")),
+      Some(s"""WITH ${Dedup.verifiedPairsCtes},
+             |edges AS MATERIALIZED (
+             |  SELECT DISTINCT LEAST(id_a, id_b) AS a, GREATEST(id_a, id_b) AS b
+             |  FROM vp WHERE id_a <> id_b)
+             |SELECT
+             |  (SELECT COUNT(*) FROM edges) AS n_edges,
+             |  (SELECT COUNT(*)
+             |   FROM edges e1
+             |   JOIN edges e2 ON e2.a = e1.b
+             |   JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles""".stripMargin))
   )
 }

@@ -255,6 +255,100 @@ object Extras {
              |  CAST(SUM(n * CASE WHEN age < 20 THEN 1048576 >> age ELSE 0 END)
              |    AS BIGINT) AS decayed_fp
              |FROM b GROUP BY event_type
-             |ORDER BY event_type""".stripMargin))
+             |ORDER BY event_type""".stripMargin)),
+
+    // Curriculum binning by global quantile cutpoints: 9 decile cuts of
+    // the per-doc token count from ONE tiny aggregation, broadcast back
+    // as a 1-row frame (the established scalar-attach pattern), per-doc
+    // bin = 1 + #cuts below its score — NO ntile(): an ntile window
+    // over the corpus is a single-task global sort, the q76 class of
+    // scale-killer, while this shape is one small agg + a map-side
+    // comparison against 9 literals. Exact percentile keeps the oracle
+    // bit-equal (q61's parity); at 100 TB swap the cutpoint agg for
+    // approx_percentile — the sketch is mergeable with bounded memory,
+    // the binning side is unchanged (documented trade, as q61).
+    QueryDef("q99_curriculum_bins",
+      (s, d) => {
+        val scored = Tables.documents(s, d)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("double").as("score"))
+        val cuts = scored.agg(array((1 to 9).map(i =>
+          round(expr(s"percentile(score, 0.$i)"), 5)): _*).as("cuts"))
+        scored.crossJoin(broadcast(cuts))
+          .withColumn("bin",
+            (size(filter(col("cuts"), c => col("score") > c)) + 1).cast("long"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("score")).as("lo"), max(col("score")).as("hi"))
+          .orderBy("bin")
+      },
+      Some("""WITH scored AS (
+             |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS score
+             |  FROM documents),
+             |cuts AS (SELECT [round(quantile_cont(score, 0.1), 5),
+             |                 round(quantile_cont(score, 0.2), 5),
+             |                 round(quantile_cont(score, 0.3), 5),
+             |                 round(quantile_cont(score, 0.4), 5),
+             |                 round(quantile_cont(score, 0.5), 5),
+             |                 round(quantile_cont(score, 0.6), 5),
+             |                 round(quantile_cont(score, 0.7), 5),
+             |                 round(quantile_cont(score, 0.8), 5),
+             |                 round(quantile_cont(score, 0.9), 5)] AS cuts
+             |        FROM scored)
+             |SELECT CAST(1 + len(list_filter(c.cuts, x -> s.score > x)) AS BIGINT) AS bin,
+             |  COUNT(*) AS n_docs, MIN(s.score) AS lo, MAX(s.score) AS hi
+             |FROM scored s CROSS JOIN cuts c
+             |GROUP BY 1 ORDER BY bin""".stripMargin)),
+
+    // Ordered funnel over the event stream: per user, the first 'view',
+    // the first 'click' AFTER it, the first 'purchase' after that —
+    // staged conditional min-aggregations chained by co-partitioned
+    // user_id joins (each stage's survivors only), never a per-user
+    // event-sequence sort. Nullable stage times surface as unix_micros
+    // with a -1 sentinel (hash-stable across engines; the synthetic ns
+    // timestamps are µs-aligned, same contract as q18/q19).
+    QueryDef("q100_funnel",
+      (s, d) => {
+        val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+        val v = ev.where(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+        val c = ev.where(col("event_type") === "click")
+          .join(v, "user_id").where(col("ts") > col("t_view"))
+          .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+        val p = ev.where(col("event_type") === "purchase")
+          .join(c, "user_id").where(col("ts") > col("t_click"))
+          .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+        v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+          .select(col("user_id"),
+            (lit(1L) + col("t_click").isNotNull.cast("long")
+              + col("t_purchase").isNotNull.cast("long")).as("steps"),
+            unix_micros(col("t_view")).as("view_us"),
+            coalesce(unix_micros(col("t_click")), lit(-1L)).as("click_us"),
+            coalesce(unix_micros(col("t_purchase")), lit(-1L)).as("purchase_us"))
+          .orderBy("user_id")
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, MIN(ts) AS t_view FROM events
+             |  WHERE event_type = 'view' GROUP BY user_id),
+             |c AS (
+             |  SELECT e.user_id, MIN(e.ts) AS t_click
+             |  FROM events e JOIN v ON v.user_id = e.user_id
+             |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+             |  GROUP BY e.user_id),
+             |p AS (
+             |  SELECT e.user_id, MIN(e.ts) AS t_purchase
+             |  FROM events e JOIN c ON c.user_id = e.user_id
+             |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+             |  GROUP BY e.user_id)
+             |SELECT v.user_id,
+             |  CAST(1 + CAST(c.user_id IS NOT NULL AS INT)
+             |         + CAST(p.user_id IS NOT NULL AS INT) AS BIGINT) AS steps,
+             |  epoch_us(v.t_view) AS view_us,
+             |  COALESCE(epoch_us(c.t_click), -1) AS click_us,
+             |  COALESCE(epoch_us(p.t_purchase), -1) AS purchase_us
+             |FROM v
+             |LEFT JOIN c ON c.user_id = v.user_id
+             |LEFT JOIN p ON p.user_id = v.user_id
+             |ORDER BY v.user_id""".stripMargin))
   )
 }

@@ -147,4 +147,30 @@ class ComponentsSpec extends AnyFunSuite {
     assert(byCluster.forall { case (_, v) => v.map(_._2).toSet.size == 1 })
     assert(byCluster.values.map(_.head._2).sum == 5L)
   }
+
+  private def tri(e: Seq[(Long, Long)]): (Long, Long) = {
+    val r = Components.triangles(e.toDF("id_a", "id_b")).first()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  test("triangles: K4 has 4, a square has 0, a star has 0") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    assert(tri(k4) == (6L, 4L))
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))) == (4L, 0L))
+    assert(tri((2L to 9L).map(i => (1L, i))) == (8L, 0L), "hub star is triangle-free")
+  }
+
+  test("triangles: duplicate, reversed, and self-loop edges don't distort the count") {
+    val messy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (2L, 3L), (1L, 3L),
+      (4L, 4L), (3L, 4L))
+    // clean graph: triangle {1,2,3} plus pendant edge 3-4
+    assert(tri(messy) == (4L, 1L))
+  }
+
+  test("triangles: two triangles sharing an edge count separately") {
+    // {1,2,3} and {2,3,4} share edge 2-3; the hub-ish vertices get the
+    // degree-ordered orientation exercised (deg(2)=deg(3)=3 > deg(1)=deg(4)=2)
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(tri(g) == (5L, 2L))
+  }
 }
