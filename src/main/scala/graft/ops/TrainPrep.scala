@@ -378,6 +378,32 @@ object TrainPrep {
       .agg(count(lit(1)).as("n_rows"))
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    * each row draws key = ln(u)/w with u uniform in (0,1]; the k
+    * largest keys are a weight-proportional sample — the one-pass,
+    * merge-friendly way to draw "k docs biased toward weight" from a
+    * corpus (vs. resample's with-replacement copy counts).
+    *
+    * No RNG: u is the proven md5-slice uniform (salted so it cannot
+    * correlate with resample's draw), so the sample is reproducible and
+    * append-stable, and the DuckDB oracle derives the identical keys.
+    * Keys are rounded to 6 dp BEFORE ranking with a doc_id tiebreak
+    * (the q63 discipline: both engines must rank the same values; ln's
+    * cross-libm spread is ~1 ulp, vanishing at 6 dp).
+    *
+    * Scale: per-row hash + log, then a global top-k — which Spark
+    * plans as TakeOrderedAndProject (per-partition heaps + a k-row
+    * driver merge), never a global sort. */
+  def weightedSample(docs: DataFrame, weight: Column, k: Int): DataFrame = {
+    val u = (conv(substring(md5(concat(lit("aes:"), col("doc_id").cast("string"))),
+      1, 8), 16, 10).cast("double") + 1.0) / lit(4294967296.0)
+    val w = greatest(weight.cast("long"), lit(1L))
+    docs.select(col("doc_id"), col("source"), w.as("w"),
+        round(log(u) / w, 6).as("key"))
+      .orderBy(col("key").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   // Eval membership for the gate: a deterministic ~1% slice by doc_id.
   private val evalMod = 97
 
@@ -603,6 +629,29 @@ object TrainPrep {
              |SELECT t.doc_id, COALESCE(r.clean_text, '') AS clean_text,
              |       COALESCE(r.n_kept, 0) AS n_kept, t.n_total
              |FROM tot t LEFT JOIN reb r USING (doc_id)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Weighted sample without replacement, k=100 biased by n_chars —
+    // the A-ES key ranking with the md5-slice uniform; oracle derives
+    // identical keys and takes the same rounded-key/doc_id top-k.
+    QueryDef("q101_weighted_sample",
+      (s, d) => weightedSample(Tables.documents(s, d), col("n_chars"), 100)
+        .orderBy(col("key").desc, col("doc_id").asc),
+      Some("""WITH drawn AS (
+             |  SELECT doc_id, source, GREATEST(n_chars, 1) AS w,
+             |    (('0x' || substr(md5('aes:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             |       + 1.0) / 4294967296.0 AS u
+             |  FROM documents),
+             |keyed AS (
+             |  SELECT doc_id, source, CAST(w AS BIGINT) AS w,
+             |    ROUND(ln(u) / w, 6) AS key
+             |  FROM drawn),
+             |ranked AS (
+             |  SELECT doc_id, source, w, key,
+             |    ROW_NUMBER() OVER (ORDER BY key DESC, doc_id ASC) AS rn
+             |  FROM keyed)
+             |SELECT doc_id, source, w, key FROM ranked
+             |WHERE rn <= 100
+             |ORDER BY key DESC, doc_id ASC""".stripMargin))
   )
 }

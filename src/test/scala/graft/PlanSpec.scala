@@ -179,6 +179,47 @@ class PlanSpec extends AnyFunSuite {
       s"expected a map-side partial_min before the content shuffle:\n$p")
   }
 
+  test("q97 evaluates the Bloom probe on the lineitem side BELOW the join") {
+    // the entire point of the pre-join filter: rows that cannot join are
+    // dropped in the scan stage, before the exchange — a FilterExec whose
+    // condition carries the literal-array bit test must sit on the
+    // lineitem subtree, not above the join
+    import org.apache.spark.sql.execution.FilterExec
+    val sp = SparkEntry.queries("q97_bloom_prejoin")(spark, sf)
+      .queryExecution.sparkPlan
+    val bloomFilters = sp.collect {
+      case f: FilterExec if f.condition.toString.contains("element_at") => f
+    }
+    assert(bloomFilters.nonEmpty, "bloom probe must survive into the physical plan")
+    assert(bloomFilters.exists(_.collectLeaves().exists(_.toString.contains("lineitem"))),
+      "the probe must filter the big (lineitem) scan subtree")
+  }
+
+  test("q96 shuffles only (key, digest): one co-partitioned full-outer join") {
+    val p = plan("q96_snapshot_diff")
+    assert(p.contains("FullOuter"), "snapshot diff is a full-outer join")
+    // both sides hash-partition by doc_id; the md5 projection happens
+    // below the exchange so text never rides a shuffle (the logical-
+    // plan column sets are asserted in DeltaSpec). Exchanges only exist
+    // after EnsureRequirements — read the executed plan, not sparkPlan.
+    val ep = SparkEntry.queries("q96_snapshot_diff")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val hits = "hashpartitioning\\(doc_id".r.findAllIn(ep).size
+    assert(hits == 2, s"expected 2 doc_id hash exchanges, got $hits")
+  }
+
+  test("q99 bins by broadcast cutpoints — no ntile, no per-bin window sort") {
+    val p = plan("q99_curriculum_bins")
+    assert(!p.contains("Window"), "ntile/window would global-sort the corpus")
+    assert(p.contains("HashAggregate"), "histogram partial-aggregates")
+  }
+
+  test("q100 funnel is staged aggregations + user_id joins — no sequence window") {
+    val p = plan("q100_funnel")
+    assert(!p.contains("Window"), "no per-user event-sequence sort")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"))
+  }
+
   test("no declared query plans a CartesianProduct or collect_list") {
     // global anti-pattern audit over EVERY declared query: a cartesian
     // product or a per-group collect_list anywhere is a 100 TB

@@ -376,4 +376,42 @@ class TrainPrepSpec extends AnyFunSuite {
     // 22 tokens -> 3 blocks; the second "a" block dies, short tail survives
     assert(got == Set((1L, s"${blk("a")} tail words", 2L, 3L)))
   }
+
+  test("weighted sample matches a driver-side A-ES replay and biases toward weight") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, graft.TestSpark.sf0001)
+    val k = 50
+    val got = TrainPrep.weightedSample(docs, col("n_chars"), k)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(got.length == k && got.map(_._1).distinct.length == k, "k distinct docs")
+
+    // independent reference: same md5-slice uniform + key, top-k in Scala
+    val corpus = docs.select("doc_id", "n_chars")
+      .as[(Long, Long)].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long, w: Long): Double = {
+      val hex = md.digest(s"aes:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1.0) / 4294967296.0
+      math.rint(math.log(u) / math.max(w, 1L) * 1e6) / 1e6
+    }
+    val want = corpus.map { case (id, w) => (id, math.max(w, 1L), key(id, w)) }
+      .sortBy { case (id, _, kk) => (-kk, id) }.take(k)
+    assert(got.toSeq == want.toSeq, "engine sample must equal the A-ES replay")
+
+    // weight bias: P(include) grows with w, so the sampled mean weight
+    // must exceed the corpus mean by a clear margin
+    val sampledMean = got.map(_._2).sum.toDouble / k
+    val corpusMean = corpus.map { case (_, w) => math.max(w, 1L) }.sum.toDouble / corpus.length
+    info(f"mean weight: sampled $sampledMean%.1f vs corpus $corpusMean%.1f")
+    assert(sampledMean > corpusMean * 1.05)
+  }
+
+  test("weighted sample plans as TakeOrderedAndProject, not a global sort") {
+    import org.apache.spark.sql.functions.col
+    val p = TrainPrep.weightedSample(
+        graft.Tables.documents(spark, graft.TestSpark.sf0001), col("n_chars"), 100)
+      .queryExecution.sparkPlan.toString
+    assert(p.contains("TakeOrderedAndProject"))
+  }
 }
