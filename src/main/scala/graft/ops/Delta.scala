@@ -40,6 +40,36 @@ object Delta {
         coalesce(col("new_digest"), lit("")).as("new_digest"))
   }
 
+  /** Incremental exact dedup: classify an INCOMING batch against the
+    * digest index of an already-deduplicated prior corpus — the other
+    * half of incremental maintenance (snapshotDiff tells you what
+    * changed; this tells you which new docs to keep). Statuses:
+    * `new` (first sight anywhere), `dup_of_prior` (the stored index
+    * already has the digest), `dup_within_batch` (another incoming doc
+    * with a smaller id has it first).
+    *
+    * Scale shape: the production artifact is the (digest → min id)
+    * index — ~24 bytes per prior doc, built once, never rescanning the
+    * prior corpus per batch; the incoming batch (typically ≪ corpus)
+    * shuffles by digest twice (its own first-occurrence aggregation and
+    * the index join), and when the index fits the AQE broadcast
+    * threshold the join doesn't shuffle the batch at all. */
+  def incrementalDedup(prior: DataFrame, incoming: DataFrame,
+                       payload: Column): DataFrame = {
+    val idx = prior.select(md5(payload).as("fp"), col("doc_id"))
+      .groupBy("fp").agg(min(col("doc_id")).as("prior_id"))
+    val inc = incoming.select(col("doc_id"), md5(payload).as("fp"))
+    val firstNew = inc.groupBy("fp").agg(min(col("doc_id")).as("first_new"))
+    inc.join(idx, Seq("fp"), "left")
+      .join(firstNew, "fp")
+      .withColumn("status",
+        when(col("prior_id").isNotNull, lit("dup_of_prior"))
+          .when(col("doc_id") =!= col("first_new"), lit("dup_within_batch"))
+          .otherwise(lit("new")))
+      .select(col("doc_id"), col("fp"),
+        coalesce(col("prior_id"), lit(-1L)).as("prior_id"), col("status"))
+  }
+
   /** Gate: two deterministic snapshots derived from `documents` — v1
     * drops the doc_id%11 slice (those rows are "added" in v2), v2 drops
     * the %13 slice ("removed") and appends an edit marker to the %7
@@ -74,6 +104,48 @@ object Delta {
              |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
              |WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL
              |   OR v1.old_digest <> v2.new_digest
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Incoming batch = the %3 slice plus deterministic "re-crawls":
+    // prior %5 docs under new ids (+100000 → dup_of_prior) and base %7
+    // incoming docs under new ids (+200000 → dup_within_batch), so all
+    // three statuses fire. Oracle mirrors the derivation and both joins.
+    QueryDef("q102_incremental_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val prior = docs.where(pmod(col("doc_id"), lit(3)) =!= 0)
+        val base = docs.where(pmod(col("doc_id"), lit(3)) === 0)
+        val incoming = base
+          .unionByName(prior.where(pmod(col("doc_id"), lit(5)) === 0)
+            .withColumn("doc_id", col("doc_id") + 100000L))
+          .unionByName(base.where(pmod(col("doc_id"), lit(7)) === 0)
+            .withColumn("doc_id", col("doc_id") + 200000L))
+        incrementalDedup(prior, incoming, col("text"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH prior AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+             |base AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+             |inc0 AS (
+             |  SELECT doc_id, text FROM base
+             |  UNION ALL
+             |  SELECT doc_id + 100000, text FROM prior WHERE doc_id % 5 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 200000, text FROM base WHERE doc_id % 7 = 0),
+             |idx AS (
+             |  SELECT md5(text) AS fp, MIN(doc_id) AS prior_id
+             |  FROM prior GROUP BY 1),
+             |inc AS (SELECT doc_id, md5(text) AS fp FROM inc0),
+             |fn AS (SELECT fp, MIN(doc_id) AS first_new FROM inc GROUP BY fp)
+             |SELECT inc.doc_id, inc.fp,
+             |  COALESCE(idx.prior_id, -1) AS prior_id,
+             |  CASE WHEN idx.prior_id IS NOT NULL THEN 'dup_of_prior'
+             |       WHEN inc.doc_id <> fn.first_new THEN 'dup_within_batch'
+             |       ELSE 'new' END AS status
+             |FROM inc
+             |LEFT JOIN idx ON idx.fp = inc.fp
+             |JOIN fn ON fn.fp = inc.fp
+             |ORDER BY inc.doc_id""".stripMargin))
   )
 }

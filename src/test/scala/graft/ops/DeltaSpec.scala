@@ -33,6 +33,34 @@ class DeltaSpec extends AnyFunSuite {
     assert(Delta.snapshotDiff(old, old, "doc_id", col("text")).isEmpty)
   }
 
+  test("incremental dedup: prior index wins over batch order; first-new keeps") {
+    val prior = frame(1L -> "alpha", 2L -> "bravo")
+    val incoming = frame(
+      10L -> "charlie", // new
+      11L -> "alpha",   // dup_of_prior (index has it as id 1)
+      12L -> "charlie", // dup_within_batch (10 saw it first)
+      13L -> "bravo",   // dup_of_prior even though 13 is unique in-batch
+      14L -> "delta")   // new
+    val got = Delta.incrementalDedup(prior, incoming, col("text"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (10L, -1L, "new"),
+      (11L, 1L, "dup_of_prior"),
+      (12L, -1L, "dup_within_batch"),
+      (13L, 2L, "dup_of_prior"),
+      (14L, -1L, "new")))
+  }
+
+  test("incremental dedup: empty prior index degrades to plain within-batch dedup") {
+    val prior = frame()
+    val incoming = frame(1L -> "x", 2L -> "x", 3L -> "y")
+    val got = Delta.incrementalDedup(prior, incoming, col("text"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(3)))
+    assert(got.toSeq == Seq(1L -> "new", 2L -> "dup_within_batch", 3L -> "new"))
+  }
+
   test("only (key, digest) reaches the full-outer join — text is pruned pre-shuffle") {
     val old = frame(1L -> "a"); val neu = frame(1L -> "b")
     val joins = Delta.snapshotDiff(old, neu, "doc_id", col("text"))
