@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Later-round additions to the relational/pipeline surface: grouping
   * sets, blocked edit-distance fuzzy matching, and time-series gap-fill
@@ -349,6 +350,35 @@ object Extras {
              |FROM v
              |LEFT JOIN c ON c.user_id = v.user_id
              |LEFT JOIN p ON p.user_id = v.user_id
-             |ORDER BY v.user_id""".stripMargin))
+             |ORDER BY v.user_id""".stripMargin)),
+
+    // Event-transition matrix (the funnel's exploratory complement:
+    // which step follows which, before you fix a funnel order): per
+    // user, consecutive event pairs in (ts, event_id) order, counted
+    // into a types×types matrix. The window partitions by user_id —
+    // per-user history is bounded (the q19 sessionize contract), so no
+    // shard-sized sort task exists; the aggregation key space is ≤
+    // |event types|², collapsed map-side. event_id breaks same-ts ties
+    // so both engines see the same sequence.
+    QueryDef("q104_event_transitions",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .where(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("prev_type"), col("next_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("prev_type", "next_type")
+      },
+      Some("""WITH nx AS (
+             |  SELECT user_id, event_type AS prev_type,
+             |    LEAD(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS next_type
+             |  FROM events)
+             |SELECT prev_type, next_type, COUNT(*) AS n
+             |FROM nx WHERE next_type IS NOT NULL
+             |GROUP BY 1, 2
+             |ORDER BY prev_type, next_type""".stripMargin))
   )
 }

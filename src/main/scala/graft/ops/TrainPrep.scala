@@ -378,6 +378,26 @@ object TrainPrep {
       .agg(count(lit(1)).as("n_rows"))
   }
 
+  /** Packing-efficiency report — the audit a training engineer reads
+    * after [[packSequences]]: per shard, how many fixed-budget
+    * sequences exist, how many real tokens they carry, and the fill
+    * ratio (1 − padding waste). Derived entirely from [[packSpans]]
+    * (one aggregation over the manifest — no new scan of the corpus,
+    * no new shuffle class): tokens = Σ span lengths, sequences =
+    * max(seq_id)+1 per shard, fill = tokens / (sequences · budget).
+    * With concat-then-chunk packing only each shard's FINAL sequence
+    * can be partial, so fill → 1 as shards grow; a low fill flags a
+    * mis-sharded corpus (many tiny sources). */
+  def packingReport(docs: DataFrame, budget: Int = 256,
+      materialize: Materialize.Strategy = Materialize.local): DataFrame =
+    packSpans(docs, budget, materialize)
+      .groupBy("source")
+      .agg(
+        (max(col("seq_id")) + 1L).as("n_seqs"),
+        sum(col("len")).as("n_tokens"))
+      .withColumn("fill_ratio",
+        round(col("n_tokens") / (col("n_seqs") * budget.toLong), 6))
+
   /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
     * each row draws key = ln(u)/w with u uniform in (0,1]; the k
     * largest keys are a weight-proportional sample — the one-pass,
@@ -652,6 +672,35 @@ object TrainPrep {
              |  FROM keyed)
              |SELECT doc_id, source, w, key FROM ranked
              |WHERE rn <= 100
-             |ORDER BY key DESC, doc_id ASC""".stripMargin))
+             |ORDER BY key DESC, doc_id ASC""".stripMargin)),
+
+    // Packing-efficiency audit over the q94 span manifest: per shard,
+    // sequences / real tokens / fill ratio. Oracle shares q94's span
+    // derivation and aggregates it.
+    QueryDef("q103_packing_report",
+      (s, d) => packingReport(Tables.documents(s, d)).orderBy("source"),
+      Some("""WITH p AS (
+             |  SELECT doc_id, source, n_tok,
+             |    CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |      - n_tok AS begin_tok
+             |  FROM (SELECT doc_id, source,
+             |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |        FROM documents) t),
+             |x AS (
+             |  SELECT source, doc_id, n_tok, begin_tok,
+             |    unnest(range(begin_tok // 256, (begin_tok + n_tok - 1) // 256 + 1)) AS seq_id
+             |  FROM p WHERE n_tok > 0),
+             |sp AS (
+             |  SELECT source, seq_id,
+             |    LEAST(begin_tok + n_tok, (seq_id + 1) * 256)
+             |      - GREATEST(begin_tok, seq_id * 256) AS len
+             |  FROM x)
+             |SELECT source,
+             |  CAST(MAX(seq_id) + 1 AS BIGINT) AS n_seqs,
+             |  CAST(SUM(len) AS BIGINT) AS n_tokens,
+             |  ROUND(SUM(len) / ((MAX(seq_id) + 1) * 256.0), 6) AS fill_ratio
+             |FROM sp GROUP BY source
+             |ORDER BY source""".stripMargin))
   )
 }

@@ -71,4 +71,21 @@ class ExtrasSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3L, 2L -> 2L, 3L -> 1L, 5L -> 1L),
       "step counts per user; non-viewers excluded; ordering enforced")
   }
+
+  test("event transitions match a driver-side ordered replay; counts conserve") {
+    val d = TestSpark.sf0001
+    val got = SparkEntry.queries("q104_event_transitions")(spark, d)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val ev = Tables.events(spark, d)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getTimestamp(3).getTime))
+    val want = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val types = rows.sortBy(r => (r._4, r._2)).map(_._3).toSeq
+      types.zip(types.drop(1))
+    }.groupBy(p => p).map { case (k, v) => k -> v.size.toLong }
+    assert(got == want)
+    // conservation: one transition per consecutive pair per user
+    val users = ev.groupBy(_._1).map(_._2.size.toLong - 1).sum
+    assert(got.values.sum == users)
+  }
 }

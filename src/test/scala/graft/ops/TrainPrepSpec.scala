@@ -407,6 +407,26 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(sampledMean > corpusMean * 1.05)
   }
 
+  test("packing report: tokens conserved per shard, only the final sequence partial") {
+    import org.apache.spark.sql.functions.{col, size, split, sum}
+    val docs = graft.Tables.documents(spark, graft.TestSpark.sf0001)
+    val budget = 256L
+    val rep = TrainPrep.packingReport(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val wantTok = docs
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy("source").agg(sum("n").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep.map(_._1).toSet == wantTok.keySet)
+    rep.foreach { case (src, nSeqs, nTok, fill) =>
+      assert(nTok == wantTok(src), s"$src: every token accounted")
+      // concat-then-chunk: all sequences full except possibly the last
+      assert(nTok > (nSeqs - 1) * budget && nTok <= nSeqs * budget)
+      assert(fill > 0.0 && fill <= 1.0)
+      assert(math.abs(fill - nTok.toDouble / (nSeqs * budget)) < 1e-6 + 1e-9)
+    }
+  }
+
   test("weighted sample plans as TakeOrderedAndProject, not a global sort") {
     import org.apache.spark.sql.functions.col
     val p = TrainPrep.weightedSample(
