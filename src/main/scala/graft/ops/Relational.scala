@@ -515,6 +515,72 @@ object Relational {
              |  sqrt(l_quantity) AS q_sqrt,
              |  l_quantity * l_quantity AS q_sq,
              |  l_orderkey % 7 AS k_mod
-             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin))
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // UNPIVOT — the inverse of q38's pivot, closing the reshape pair:
+    // the wide per-user count row melts back to (user_id, type, n)
+    // through the codegen'd stack() generator (one pass, 5 output rows
+    // per input row map-side, no shuffle beyond q38's aggregation).
+    // The oracle melts the same wide table with UNION ALL arms.
+    QueryDef("q105_unpivot_stack",
+      (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val counts = types.map(t =>
+          count(when(col("event_type") === t, 1)).as(s"n_$t"))
+        Tables.events(s, d).groupBy("user_id")
+          .agg(counts.head, counts.tail: _*)
+          .selectExpr("user_id",
+            s"stack(${types.length}, ${types.map(t => s"'$t', n_$t").mkString(", ")}) AS (event_type, n)")
+          .where(col("n") > 0)
+          .orderBy("user_id", "event_type")
+      },
+      Some {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        s"""WITH wide AS (
+           |  SELECT user_id,
+           |${types.map(t => s"    COUNT(*) FILTER (event_type = '$t') AS n_$t").mkString(",\n")}
+           |  FROM events GROUP BY user_id),
+           |melted AS (
+           |${types.map(t => s"  SELECT user_id, '$t' AS event_type, n_$t AS n FROM wide").mkString("\n  UNION ALL\n")})
+           |SELECT user_id, event_type, n FROM melted
+           |WHERE n > 0
+           |ORDER BY user_id, event_type""".stripMargin
+      }),
+
+    // NULL-semantics audit — the three places engines classically
+    // disagree, pinned value-level on BOTH: aggregate skipping
+    // (count(k) vs count(*)), GROUP BY retaining one NULL group, and
+    // inner equi-joins DROPPING null keys (null = null is not true).
+    // k derives nulls from the majority status; the self-join side is
+    // thinned %100 so pair counts stay bounded at any SF.
+    QueryDef("q106_null_semantics",
+      (s, d) => {
+        val base = Tables.orders(s, d)
+          .where(pmod(col("o_orderkey"), lit(100)) === 0)
+          .select(expr("nullif(o_orderstatus, 'O')").as("k"), col("o_orderkey"))
+        val agg = base.groupBy("k")
+          .agg(count(lit(1)).as("n_rows"), count(col("k")).as("n_k"))
+        val pairs = base.select(col("k"), col("o_orderkey").as("a"))
+          .join(base.select(col("k"), col("o_orderkey").as("b")), "k")
+          .groupBy("k").agg(count(lit(1)).as("n_pairs"))
+        agg.join(pairs, Seq("k"), "left")
+          .select(col("k"), col("n_rows"), col("n_k"),
+            coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+          .orderBy(col("k").asc_nulls_first)
+      },
+      Some("""WITH base AS (
+             |  SELECT nullif(o_orderstatus, 'O') AS k, o_orderkey
+             |  FROM orders WHERE o_orderkey % 100 = 0),
+             |agg AS (
+             |  SELECT k, COUNT(*) AS n_rows, COUNT(k) AS n_k
+             |  FROM base GROUP BY k),
+             |pairs AS (
+             |  SELECT a.k, COUNT(*) AS n_pairs
+             |  FROM base a JOIN base b ON a.k = b.k
+             |  GROUP BY a.k)
+             |SELECT agg.k, agg.n_rows, agg.n_k,
+             |  COALESCE(pairs.n_pairs, 0) AS n_pairs
+             |FROM agg LEFT JOIN pairs ON agg.k = pairs.k
+             |ORDER BY agg.k ASC NULLS FIRST""".stripMargin))
   )
 }

@@ -33,6 +33,20 @@ class BloomSpec extends AnyFunSuite {
     assert(rate < 0.01, "orders of magnitude below a useful pre-filter bar")
   }
 
+  test("no false negatives across random key sets and filter geometries") {
+    val rnd = new scala.util.Random(41)
+    for (_ <- 1 to 3) {
+      val mBits = 64 << rnd.nextInt(5) // 64..1024 bits, deliberately tight
+      val kHash = 1 + rnd.nextInt(4)
+      val keys = Seq.fill(50)(rnd.nextLong() % 100000L).distinct
+      val bits = Scale.bloomBits(keys.toDF("key"), "key", mBits, kHash)
+      val missed = keys.toDF("key")
+        .where(!Scale.bloomMightContain(col("key"), bits, mBits, kHash))
+        .count()
+      assert(missed == 0L, s"mBits=$mBits kHash=$kHash lost a member")
+    }
+  }
+
   test("pre-filter passes exactly the joinable rows plus rare false positives") {
     val d = TestSpark.sf0001
     val hi = Tables.orders(spark, d).where(col("o_totalprice") > 450000.0)

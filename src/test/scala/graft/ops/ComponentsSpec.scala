@@ -173,4 +173,25 @@ class ComponentsSpec extends AnyFunSuite {
     val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
     assert(tri(g) == (5L, 2L))
   }
+
+  test("triangles match brute force on random graphs (incl. a planted hub)") {
+    val rnd = new scala.util.Random(29)
+    for (round <- 1 to 3) {
+      val n = 24
+      val random = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      // planted hub: node 0 adjacent to everything — the degree-ordered
+      // orientation must still count correctly where a naive id
+      // orientation would wedge-blow the hub
+      val hub = if (round == 2) (1L until n).map(i => (0L, i)) else Seq.empty
+      val edges = random ++ hub
+      val canon = edges.map { case (a, b) => (a min b, a max b) }
+        .filter { case (a, b) => a != b }.distinct.toSet
+      val naive = (for {
+        Seq(a, b, c) <- canon.flatMap { case (x, y) => Seq(x, y) }
+          .toSeq.distinct.sorted.combinations(3)
+        if canon((a, b)) && canon((b, c)) && canon((a, c))
+      } yield 1).size.toLong
+      assert(tri(edges) == (canon.size.toLong, naive), s"round $round")
+    }
+  }
 }

@@ -33,6 +33,32 @@ class DeltaSpec extends AnyFunSuite {
     assert(Delta.snapshotDiff(old, old, "doc_id", col("text")).isEmpty)
   }
 
+  test("snapshot diff matches a random edit script") {
+    val rnd = new scala.util.Random(37)
+    for (_ <- 1 to 3) {
+      val base = (0L until 60L).map(i => i -> s"doc-$i-${rnd.nextInt(5)}").toMap
+      // random script: each key independently kept/edited/removed in v2;
+      // plus fresh keys added
+      val edited = base.map { case (k, v) =>
+        rnd.nextInt(3) match {
+          case 0 => k -> Some(v)              // unchanged
+          case 1 => k -> Some(v + "-edit")    // changed
+          case 2 => k -> None                 // removed
+        }
+      }
+      val added = (100L until 100L + rnd.nextInt(10)).map(k => k -> s"new-$k")
+      val v2 = edited.collect { case (k, Some(v)) => k -> v } ++ added
+      val want = (edited.collect { case (k, None) => k -> "removed" } ++
+        edited.collect { case (k, Some(v)) if v != base(k) => k -> "changed" } ++
+        added.map { case (k, _) => k -> "added" }).toMap
+      val got = Delta.snapshotDiff(
+          base.toSeq.toDF("doc_id", "text"), v2.toSeq.toDF("doc_id", "text"),
+          "doc_id", col("text"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == want)
+    }
+  }
+
   test("incremental dedup: prior index wins over batch order; first-new keeps") {
     val prior = frame(1L -> "alpha", 2L -> "bravo")
     val incoming = frame(
