@@ -111,10 +111,12 @@ object Components {
     * (minimum) doc_id and its cluster size. Survivor set = rows where
     * doc_id == canonical_id. */
   def dedupClusters(docs: DataFrame,
-                    materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+                    materialize: Materialize.Strategy = Materialize.local,
+                    pairs: Option[DataFrame] = None): DataFrame = {
     val lab = connectedComponents(
       docs.select(col("doc_id").as("id")),
-      Dedup.dedupPipeline(docs, materialize = materialize).select("id_a", "id_b"),
+      pairs.getOrElse(Dedup.dedupPipeline(docs, materialize = materialize))
+        .select("id_a", "id_b"),
       materialize = materialize)
     val sizes = lab.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
     lab.join(sizes, "lbl")
@@ -182,8 +184,9 @@ object Components {
     * aggregation with map-side combine. Rate rounded to 6 dp for
     * cross-engine determinism (same rationale as mixtureWeights). */
   def dedupReport(docs: DataFrame,
-      materialize: Materialize.Strategy = Materialize.local): DataFrame =
-    dedupClusters(docs, materialize)
+      materialize: Materialize.Strategy = Materialize.local,
+      pairs: Option[DataFrame] = None): DataFrame =
+    dedupClusters(docs, materialize, pairs)
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),

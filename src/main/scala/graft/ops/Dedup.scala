@@ -376,9 +376,10 @@ object Dedup {
     * the corpus, and the final aggregation's key space is ≤ sources²
     * — partial-agg collapses it map-side. */
   def sourceOverlap(docs: DataFrame,
-      materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+      materialize: Materialize.Strategy = Materialize.local,
+      pairs: Option[DataFrame] = None): DataFrame = {
     val src = docs.select(col("doc_id"), col("source"))
-    dedupPipeline(docs, materialize = materialize)
+    pairs.getOrElse(dedupPipeline(docs, materialize = materialize))
       .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
       .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
       .groupBy(least(col("sa"), col("sb")).as("source_a"),
