@@ -177,6 +177,45 @@ object Similarity {
               |      ORDER BY $cosSql DESC, b.vec_id ASC) AS rank
               |  FROM embeddings a JOIN embeddings b
               |    ON a.label = b.label AND a.vec_id <> b.vec_id) t
-              |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin))
+              |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)),
+
+    // Embedding centering — the standard preprocessing before IVF/PQ
+    // training (anisotropic corpora cluster badly around a far-off
+    // mean): per-dimension corpus mean via posexplode (dim rows of
+    // output, partial-agg collapses everything map-side), collected to
+    // the driver (dim doubles — the kmeansCentroids class of
+    // documented-small) and baked back as a literal for the narrow
+    // per-row subtraction. Norms rounded to 5 dp: the mean each engine
+    // computes differs in final ulps (their summation orders differ —
+    // the one aggregation in this engine where order is NOT fixed),
+    // and the round absorbs exactly that.
+    QueryDef("q108_embed_center",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), graft.functions.Vectors.asDouble(col("embedding")).as("v"))
+        val dim = 64
+        val mean = new Array[Double](dim)
+        e.select(posexplode(col("v")))
+          .groupBy("pos").agg(avg(col("col")).as("m"))
+          .collect().foreach(r => mean(r.getInt(0)) = r.getDouble(1))
+        val mArr = array(mean.map(lit).toSeq: _*)
+        val centered = zip_with(col("v"), mArr, (a, b) => a - b)
+        e.select(col("vec_id"),
+            round(graft.functions.Vectors.norm2(col("v")), 5).as("norm_before"),
+            round(graft.functions.Vectors.norm2(centered), 5).as("norm_after"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |px AS (
+             |  SELECT unnest(range(1, 65)) AS pos, unnest(v) AS val FROM e),
+             |m AS (SELECT pos, AVG(val) AS mv FROM px GROUP BY pos),
+             |ml AS (SELECT list(mv ORDER BY pos) AS m FROM m)
+             |SELECT vec_id,
+             |  round(sqrt(list_sum(list_transform(range(1, 65),
+             |    j -> v[j] * v[j]))), 5) AS norm_before,
+             |  round(sqrt(list_sum(list_transform(range(1, 65),
+             |    j -> (v[j] - ml.m[j]) * (v[j] - ml.m[j])))), 5) AS norm_after
+             |FROM e CROSS JOIN ml
+             |ORDER BY vec_id""".stripMargin))
   )
 }

@@ -495,6 +495,79 @@ object TextAnalysis {
              |      CAST(len(w) AS DOUBLE) AS dl
              |    FROM d) t CROSS JOIN st)
              |SELECT doc_id, score FROM scored WHERE score > 0
-             |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin))
+             |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin)),
+
+    // Sliding-window RAG chunking: fixed 64-token chunks at stride 48
+    // (16-token overlap so no retrieval span is cut mid-context) — the
+    // retrieval-prep counterpart of q76's training packing. Pure
+    // per-row token slicing (one explode, fan-out ceil(n/stride)); no
+    // shuffle beyond the presentation sort at any corpus size.
+    QueryDef("q107_rag_chunks",
+      (s, d) => {
+        val size = 64; val stride = 48
+        Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .where(org.apache.spark.sql.functions.size(col("w")) > 0)
+          .select(col("doc_id"), col("w"),
+            explode(sequence(lit(0),
+              org.apache.spark.sql.functions.size(col("w")) - 1,
+              lit(stride))).as("start"))
+          .select(col("doc_id"), (col("start") / stride).cast("long").as("chunk_id"),
+            least(lit(size),
+              org.apache.spark.sql.functions.size(col("w")) - col("start"))
+              .cast("long").as("n_tok"),
+            array_join(slice(col("w"), col("start") + 1, lit(size)), " ").as("chunk"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+             |  WHERE len(string_split(text, ' ')) > 0),
+             |st AS (
+             |  SELECT doc_id, w, unnest(range(0, len(w), 48)) AS start FROM t)
+             |SELECT doc_id,
+             |  CAST(start // 48 AS BIGINT) AS chunk_id,
+             |  CAST(LEAST(64, len(w) - start) AS BIGINT) AS n_tok,
+             |  array_to_string(w[start+1 : start+64], ' ') AS chunk
+             |FROM st
+             |ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // PII scrubbing — the redaction pass every public-web corpus runs
+    // before training. Patterns kept in the RE2 ∩ Java-regex dialect
+    // (classes + bounded counts, no backrefs) so both engines match the
+    // same spans; the gate PLANTS deterministic PII (the corpus has
+    // none) and emits redaction counts + the digest of the cleaned
+    // text, not the text itself. Per-row regex, no shuffle.
+    QueryDef("q109_pii_scrub",
+      (s, d) => {
+        val email = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+        val ssn = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+        Tables.documents(s, d)
+          .withColumn("t",
+            when(pmod(col("doc_id"), lit(10)) === 0,
+              concat(col("text"), lit(" contact user"), col("doc_id"),
+                lit("@example.com or 123-45-6789")))
+            .otherwise(col("text")))
+          .select(col("doc_id"),
+            org.apache.spark.sql.functions.size(
+              regexp_extract_all(col("t"), lit(email), lit(0))).cast("long").as("n_email"),
+            org.apache.spark.sql.functions.size(
+              regexp_extract_all(col("t"), lit(ssn), lit(0))).cast("long").as("n_ssn"),
+            md5(regexp_replace(regexp_replace(col("t"), email, "<EMAIL>"),
+              ssn, "<SSN>")).as("clean_fp"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS BIGINT) AS n_email,
+             |  CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_ssn,
+             |  md5(regexp_replace(regexp_replace(t, '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+             |      '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g')) AS clean_fp
+             |FROM (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 10 = 0
+             |         THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+             |              || '@example.com or 123-45-6789'
+             |         ELSE text END AS t
+             |  FROM documents)
+             |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -1,0 +1,88 @@
+package graft.ops
+
+import graft.{SparkEntry, Tables, TestSpark}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Invariants of the retrieval/scrub prep ops the value oracles can't
+  * state: chunk coverage/overlap algebra, centering's zero-mean, and
+  * scrub completeness on planted PII. */
+class TextPrepSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("RAG chunks: stride-48 windows cover every token; overlap reconstructs the doc") {
+    val d = TestSpark.sf0001
+    val chunks = SparkEntry.queries("q107_rag_chunks")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byDoc = chunks.groupBy(_._1)
+    assert(byDoc.keySet == docs.keySet)
+    byDoc.foreach { case (id, cs) =>
+      val toks = docs(id).split(" ")
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == sorted.indices.map(_.toLong), "dense chunk ids")
+      // every chunk is exactly the 64-token window at its stride offset
+      sorted.foreach { case (_, cid, nTok, chunk) =>
+        val start = (cid * 48).toInt
+        val want = toks.slice(start, start + 64)
+        assert(chunk == want.mkString(" "), s"doc $id chunk $cid")
+        assert(nTok == want.length.toLong)
+      }
+      // dropping each chunk's 16-token overlap tail reconstructs the doc
+      val rebuilt = sorted.map { case (_, cid, _, chunk) =>
+        chunk.split(" ").take(48)
+      }.flatten ++ sorted.last._4.split(" ").drop(48)
+      assert(rebuilt.toSeq == toks.toSeq, s"doc $id reconstruction")
+    }
+  }
+
+  test("embedding centering: centered corpus mean is ~0 per dimension") {
+    val d = TestSpark.sf0001
+    val e = Tables.embeddings(spark, d)
+      .select(graft.functions.Vectors.asDouble(col("embedding")).as("v"))
+    val mean = new Array[Double](64)
+    e.select(posexplode(col("v"))).groupBy("pos").agg(avg(col("col")).as("m"))
+      .collect().foreach(r => mean(r.getInt(0)) = r.getDouble(1))
+    val mArr = array(mean.map(lit).toSeq: _*)
+    val residual = e
+      .select(posexplode(zip_with(col("v"), mArr, (a, b) => a - b)))
+      .groupBy("pos").agg(avg(col("col")).as("m"))
+      .collect().map(r => math.abs(r.getDouble(1))).max
+    assert(residual < 1e-12, "per-dimension mean of the centered corpus vanishes")
+    // the gate's norms are consistent with direct computation
+    val out = SparkEntry.queries("q108_embed_center")(spark, d).collect()
+    assert(out.forall(r => r.getDouble(1) > 0 && r.getDouble(2) > 0))
+  }
+
+  test("PII scrub: planted spans are fully removed; clean docs unchanged") {
+    val d = TestSpark.sf0001
+    val email = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+    val ssn = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+    val out = SparkEntry.queries("q109_pii_scrub")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.exists(_._2 > 0) && out.exists(_._3 > 0), "plants detected")
+    out.foreach { case (id, ne, ns, _) =>
+      if (id % 10 == 0) assert(ne >= 1 && ns >= 1, s"doc $id planted counts")
+      else assert(ne == 0 && ns == 0, s"doc $id must be clean")
+    }
+    // scrubbing is complete: re-applying the redaction to the cleaned
+    // text finds nothing (digest equals digest of a no-PII fixed point)
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    val planted = docs.withColumn("t",
+        when(pmod(col("doc_id"), lit(10)) === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or 123-45-6789"))).otherwise(col("text")))
+      .withColumn("clean",
+        regexp_replace(regexp_replace(col("t"), email, "<EMAIL>"), ssn, "<SSN>"))
+    val residue = planted
+      .where(size(regexp_extract_all(col("clean"), lit(email), lit(0))) > 0 ||
+             size(regexp_extract_all(col("clean"), lit(ssn), lit(0))) > 0)
+      .count()
+    assert(residue == 0L, "no PII pattern survives the scrub")
+    val wantFp = planted.select(col("doc_id"), md5(col("clean")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { case (id, _, _, fp) => assert(fp == wantFp(id)) }
+  }
+}
