@@ -234,4 +234,45 @@ class StreamingSpec extends AnyFunSuite {
       rm(new java.io.File(dir))
     }
   }
+
+  test("streaming incremental dedup == batch q102 keep-set (file-source arrival)") {
+    // the q102 ingest as a RUNNING pipeline: the incoming batch arrives
+    // as file micro-batches, dup_of_prior drops via a stream-static
+    // broadcast anti-join against the stored index, within-stream dups
+    // via the stateful firstSeen — the streamed keep-set must cover
+    // exactly the digests batch q102 classifies 'new', once each.
+    // (Arrival order is file order, so WHICH member of a dup group
+    // survives may differ from batch min-id — set equality on the
+    // digest is the streaming contract.)
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val d = TestSpark.sf0001
+    val docs = Tables.documents(spark, d).select("doc_id", "text")
+    val prior = docs.where(pmod(col("doc_id"), lit(3)) =!= 0)
+    val base = docs.where(pmod(col("doc_id"), lit(3)) === 0)
+    val incoming = base
+      .unionByName(prior.where(pmod(col("doc_id"), lit(5)) === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L))
+      .unionByName(base.where(pmod(col("doc_id"), lit(7)) === 0)
+        .withColumn("doc_id", col("doc_id") + 200000L))
+    val priorIdx = prior.select(md5(col("text")).as("fp")).distinct()
+
+    val streamed = StreamOps.runBoundedFromPath(spark, incoming,
+      df => {
+        val inc = df.select(col("doc_id"), md5(col("text")).as("fp"))
+        val fresh = inc.join(broadcast(priorIdx), Seq("fp"), "left_anti")
+          .select(col("doc_id"), col("fp"))
+        StreamOps.firstSeen[String, (Long, String)](
+          fresh.as[(Long, String)], _._2, ttl = None).toDF("doc_id", "fp")
+      },
+      chunks = 3, outputMode = "append")
+
+    val batchNew = graft.SparkEntry.queries("q102_incremental_dedup")(spark, d)
+      .where(col("status") === "new")
+      .select("fp").collect().map(_.getString(0)).toSet
+    val streamedFps = streamed.map(_.getString(1))
+    assert(streamedFps.toSet == batchNew, "same digests survive")
+    assert(streamedFps.length == streamedFps.distinct.length, "each digest once")
+  }
 }
