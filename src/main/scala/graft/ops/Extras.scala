@@ -379,6 +379,42 @@ object Extras {
              |SELECT prev_type, next_type, COUNT(*) AS n
              |FROM nx WHERE next_type IS NOT NULL
              |GROUP BY 1, 2
-             |ORDER BY prev_type, next_type""".stripMargin))
+             |ORDER BY prev_type, next_type""".stripMargin)),
+
+    // ANALYZE-style column profile — the stats pass every warehouse
+    // runs before planning/ingest QA: one scan computes non-null /
+    // exact-distinct / min / max for each profiled column (Catalyst
+    // plans the multi-distinct via Expand — still one pass over the
+    // data), melted to a tall report via stack(). Exact NDV needs a
+    // shuffle per column's value space; at 100 TB swap COUNT(DISTINCT)
+    // for approx_count_distinct (HLL, mergeable, bounded memory) — the
+    // q61 class of documented exact-for-oracle trade. min/max cast to
+    // VARCHAR so one report covers heterogeneous types.
+    QueryDef("q110_column_profile",
+      (s, d) => {
+        val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_linestatus")
+        val li = Tables.lineitem(s, d)
+        val measures = count(lit(1)).as("n_rows") +:
+          cols.flatMap(c => Seq(
+            count(col(c)).as(s"nn_$c"),
+            countDistinct(col(c)).as(s"nd_$c"),
+            min(col(c)).cast("string").as(s"mn_$c"),
+            max(col(c)).cast("string").as(s"mx_$c")))
+        li.agg(measures.head, measures.tail: _*)
+          .selectExpr("n_rows",
+            s"stack(${cols.length}, ${cols.map(c => s"'$c', nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")}) AS (column_name, n_nonnull, n_distinct, min_s, max_s)")
+          .select(col("column_name"), col("n_rows"), col("n_nonnull"),
+            col("n_distinct"), col("min_s"), col("max_s"))
+          .orderBy("column_name")
+      },
+      Some {
+        val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_linestatus")
+        cols.map(c =>
+          s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+             |  COUNT($c) AS n_nonnull, COUNT(DISTINCT $c) AS n_distinct,
+             |  CAST(MIN($c) AS VARCHAR) AS min_s, CAST(MAX($c) AS VARCHAR) AS max_s
+             |FROM lineitem""".stripMargin)
+          .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+      })
   )
 }
