@@ -143,15 +143,21 @@ object Components {
     * literal (corpus-independent size). Each round's scores go through
     * `materialize` (two consumers: contribution join + dangling sum). */
   def pageRank(nodes: DataFrame, pairs: DataFrame, iters: Int = 5,
-               materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+               materialize: Materialize.Strategy = Materialize.local,
+               weightCol: Option[String] = None): DataFrame = {
+    // weighted form: s(u) splits over out-edges ∝ edge weight (here the
+    // verified jaccard — a strong near-dup tie carries more centrality
+    // than a borderline one); w = 1.0 recovers the classic uniform
+    // split bit-exactly (score·1.0/Σ1.0 ≡ score/deg in IEEE terms)
+    val w = weightCol.map(col).getOrElse(lit(1.0)).as("w")
     val edges = materialize(
-      pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-        .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v"))))
+      pairs.select(col("id_a").as("u"), col("id_b").as("v"), w)
+        .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v"), w)))
     // deg and the node base are probed EVERY round (contrib join,
     // dangling anti-join, final attach) — pin them once or each of the
     // 5 rounds re-runs the degree aggregation and the node scan
     val deg = materialize(
-      edges.groupBy("u").agg(count(lit(1)).cast("double").as("deg")))
+      edges.groupBy("u").agg(sum(col("w")).as("deg")))
     val base = materialize(nodes.select(col("id").as("node")))
     val n = base.count().toDouble
     var scores = materialize(base.withColumn("score", lit(1.0 / n)))
@@ -159,7 +165,7 @@ object Components {
       val contrib = scores
         .join(edges, scores("node") === edges("u"))
         .join(deg, "u")
-        .select(col("v").as("node"), (col("score") / col("deg")).as("c"))
+        .select(col("v").as("node"), (col("score") * col("w") / col("deg")).as("c"))
         .groupBy("node").agg(sum(col("c")).as("inc"))
       val dangling = scores
         .join(deg.select(col("u").as("node")), Seq("node"), "left_anti")
@@ -202,7 +208,8 @@ object Components {
   // inlining an iteration chain re-evaluates each level once per
   // reference — exponential re-execution over the unroll (measured:
   // >10 min inlined vs 0.5 s materialized at sf0.01).
-  private def prOracleSql(iters: Int): String = {
+  private def prOracleSql(iters: Int, weighted: Boolean = false): String = {
+    val contribution = if (weighted) "SUM(p.score * e.w / g.deg)" else "SUM(p.score / g.deg)"
     val levels = (0 until iters).map { k =>
       s"""d$k AS MATERIALIZED (
          |  SELECT COALESCE(SUM(score), 0) AS dm FROM p$k
@@ -212,17 +219,24 @@ object Components {
          |    0.15 / (SELECT n FROM cnt) + 0.85 *
          |      (COALESCE(i.s, 0) + (SELECT dm FROM d$k) / (SELECT n FROM cnt)) AS score
          |  FROM nodes n LEFT JOIN (
-         |    SELECT e.v AS node, SUM(p.score / g.deg) AS s
+         |    SELECT e.v AS node, $contribution AS s
          |    FROM p$k p JOIN edges e ON e.u = p.node JOIN deg g ON g.u = p.node
          |    GROUP BY e.v) i ON i.node = n.node)""".stripMargin
     }.mkString(",\n")
+    val edgesCte = if (weighted)
+      """edges AS MATERIALIZED (SELECT id_a AS u, id_b AS v, jaccard AS w FROM vp
+        |          UNION ALL SELECT id_b, id_a, jaccard FROM vp),
+        |deg AS MATERIALIZED (SELECT u, SUM(w) AS deg
+        |       FROM edges GROUP BY u),""".stripMargin
+    else
+      """edges AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM vp
+        |          UNION ALL SELECT id_b, id_a FROM vp),
+        |deg AS MATERIALIZED (SELECT u, CAST(COUNT(*) AS DOUBLE) AS deg
+        |       FROM edges GROUP BY u),""".stripMargin
     s"""WITH ${Dedup.verifiedPairsCtes},
        |nodes AS MATERIALIZED (SELECT doc_id AS node FROM documents),
        |cnt AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
-       |edges AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM vp
-       |          UNION ALL SELECT id_b, id_a FROM vp),
-       |deg AS MATERIALIZED (SELECT u, CAST(COUNT(*) AS DOUBLE) AS deg
-       |       FROM edges GROUP BY u),
+       |$edgesCte
        |p0 AS MATERIALIZED (
        |  SELECT node, 1.0 / (SELECT n FROM cnt) AS score FROM nodes),
        |$levels
@@ -333,6 +347,22 @@ object Components {
       },
       Some(prOracleSql(5)))
   ,
+
+    // Jaccard-WEIGHTED centrality: a document's score splits over its
+    // neighbors in proportion to verified similarity, so a 0.95 exact
+    // near-copy pulls more canonical-selection weight than a 0.5
+    // borderline match. Identical iteration/physical shape as q90
+    // (3 content-free shuffles per round); the oracle unrolls the same
+    // weighted arithmetic.
+    QueryDef("q111_pagerank_weighted",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        pageRank(docs.select(col("doc_id").as("id")),
+            Dedup.dedupPipeline(docs).select("id_a", "id_b", "jaccard"),
+            weightCol = Some("jaccard"))
+          .orderBy("doc_id")
+      },
+      Some(prOracleSql(5, weighted = true))),
 
     // Cohesion audit of the near-dup graph: edge + triangle counts over
     // the SAME verified pairs as q51/q74/q90. Oracle: id-sorted edges,

@@ -129,6 +129,43 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got(1L) > got(20L), "connected nodes outrank isolated ones")
   }
 
+  test("weighted pageRank matches a naive weighted iteration; strong ties pull more score") {
+    // triangle where 0-1 is a heavy tie (0.9) and 0-2 / 1-2 are weak
+    // (0.1): under weighted splitting, 1 receives most of 0's mass
+    val nodes = Seq(0L, 1L, 2L, 9L)
+    val wpairs = Seq((0L, 1L, 0.9), (0L, 2L, 0.1), (1L, 2L, 0.1))
+    val naive = {
+      val edges = wpairs.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+      val wdeg = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      val n = nodes.size.toDouble
+      var s = nodes.map(_ -> 1.0 / n).toMap
+      for (_ <- 1 to 5) {
+        val dm = nodes.filterNot(wdeg.contains).map(s).sum
+        val inc = edges.groupBy(_._2).view.mapValues(
+          _.map { case (u, _, w) => s(u) * w / wdeg(u) }.sum).toMap
+        s = nodes.map(v => v ->
+          (0.15 / n + 0.85 * (inc.getOrElse(v, 0.0) + dm / n))).toMap
+      }
+      s.view.mapValues(x => math.rint(x * 1e6) / 1e6).toMap
+    }
+    val got = Components.pageRank(nodes.toDF("id"),
+        wpairs.toDF("id_a", "id_b", "w"), weightCol = Some("w"))
+      .as[(Long, Double)].collect().toMap
+    assert(got.keySet == naive.keySet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - naive(k)) < 2e-6, s"node $k: $v vs ${naive(k)}") }
+    assert(got(1L) > got(2L), "the heavy-tie neighbor collects more centrality")
+    // w=1.0 degenerates to the classic split exactly
+    val uni = Components.pageRank(nodes.toDF("id"),
+        wpairs.map(p => (p._1, p._2, 1.0)).toDF("id_a", "id_b", "w"),
+        weightCol = Some("w"))
+      .as[(Long, Double)].collect().toMap
+    val classic = Components.pageRank(nodes.toDF("id"),
+        wpairs.map(p => (p._1, p._2)).toDF("id_a", "id_b"))
+      .as[(Long, Double)].collect().toMap
+    assert(uni == classic)
+  }
+
   test("dedupClusters: exact copies cluster under the min id; singletons survive alone") {
     val docs = Seq(
       (10L, "alpha beta gamma delta epsilon zeta"),
