@@ -382,29 +382,33 @@ object Extras {
              |ORDER BY prev_type, next_type""".stripMargin)),
 
     // ANALYZE-style column profile — the stats pass every warehouse
-    // runs before planning/ingest QA: one scan computes non-null /
-    // exact-distinct / min / max for each profiled column (Catalyst
-    // plans the multi-distinct via Expand — still one pass over the
-    // data), melted to a tall report via stack(). Exact NDV needs a
-    // shuffle per column's value space; at 100 TB swap COUNT(DISTINCT)
-    // for approx_count_distinct (HLL, mergeable, bounded memory) — the
-    // q61 class of documented exact-for-oracle trade. min/max cast to
-    // VARCHAR so one report covers heterogeneous types.
+    // runs before planning/ingest QA: non-null / exact-distinct / min /
+    // max per profiled column. NOT the single-agg multi-COUNT(DISTINCT)
+    // form: Catalyst plans that through Expand (data × (cols+1)) into a
+    // SortAggregate — measured 6 s at sf0.1 where this shape runs at
+    // the scan floor. Instead, one branch per column: a column-PRUNED
+    // scan (only that column is read) into a two-level hash aggregation
+    // — groupBy(value) partial-aggregates map-side, the second level
+    // reduces |distinct values| rows — then a 4-arm union of 1-row
+    // results. Exact NDV with map-side combine at any scale; the HLL
+    // sketch (approx_count_distinct) remains the one-pass alternative
+    // when N scans of one column each still cost too much. min/max cast
+    // to VARCHAR so one report covers heterogeneous types.
     QueryDef("q110_column_profile",
       (s, d) => {
         val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_linestatus")
         val li = Tables.lineitem(s, d)
-        val measures = count(lit(1)).as("n_rows") +:
-          cols.flatMap(c => Seq(
-            count(col(c)).as(s"nn_$c"),
-            countDistinct(col(c)).as(s"nd_$c"),
-            min(col(c)).cast("string").as(s"mn_$c"),
-            max(col(c)).cast("string").as(s"mx_$c")))
-        li.agg(measures.head, measures.tail: _*)
-          .selectExpr("n_rows",
-            s"stack(${cols.length}, ${cols.map(c => s"'$c', nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")}) AS (column_name, n_nonnull, n_distinct, min_s, max_s)")
-          .select(col("column_name"), col("n_rows"), col("n_nonnull"),
-            col("n_distinct"), col("min_s"), col("max_s"))
+        cols.map { c =>
+          li.select(col(c).as("v"))
+            .groupBy("v").agg(count(lit(1)).as("cnt"))
+            .agg(sum(col("cnt")).as("n_rows"),
+              sum(when(col("v").isNotNull, col("cnt")).otherwise(0L)).as("n_nonnull"),
+              count(col("v")).as("n_distinct"),
+              min(col("v")).cast("string").as("min_s"),
+              max(col("v")).cast("string").as("max_s"))
+            .select(lit(c).as("column_name"), col("n_rows"), col("n_nonnull"),
+              col("n_distinct"), col("min_s"), col("max_s"))
+        }.reduce(_ unionByName _)
           .orderBy("column_name")
       },
       Some {
