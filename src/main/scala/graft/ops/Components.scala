@@ -244,6 +244,82 @@ object Components {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Synchronous label propagation (✚ community detection — the dense-
+    * neighborhood complement of [[connectedComponents]]: CC answers
+    * "reachable?", LPA answers "which cluster does the weight of your
+    * ties put you in", splitting a weakly-bridged component where CC
+    * cannot). Each round every node adopts the most frequent label
+    * among its neighbors; classic async LPA is nondeterministic, so
+    * this is the SYNC variant with a total tie order — (max count,
+    * then MIN label) — and a fixed `iters` rounds, making the result a
+    * pure function of the graph that the oracle unrolls level by level
+    * (all-integer arithmetic: zero float parity risk).
+    *
+    * Scale: per round the CC hop shape exactly — one equality join on
+    * the symmetrized edges, one (node, label) count whose partial
+    * aggregation collapses heavy labels map-side, one argmin via
+    * min(struct) (no window, no per-node sort). Labels go through
+    * `materialize` per round (two consumers + lineage truncation). */
+  def labelPropagation(nodes: DataFrame, pairs: DataFrame, iters: Int = 4,
+      materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+    val edges = materialize(
+      pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+        .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+        .where(col("u") =!= col("v")).distinct())
+    val base = materialize(nodes.select(col("id").as("node")))
+    var labels = materialize(base.withColumn("lbl", col("node")))
+    for (_ <- 1 to iters) {
+      val votes = labels
+        .join(edges, labels("node") === edges("u"))
+        .groupBy(col("v").as("node2"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      val pick = votes
+        .groupBy(col("node2").as("node"))
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l")))
+          .getField("l").as("next"))
+      labels = materialize(base
+        .join(labels, "node")
+        .join(pick, Seq("node"), "left")
+        .select(col("node"), coalesce(col("next"), col("lbl")).as("lbl")))
+    }
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, "lbl")
+      .select(col("node").as("doc_id"), col("lbl").as("community"),
+        col("community_size"))
+  }
+
+  // The q112 oracle unrolls the same sync rounds (AS MATERIALIZED per
+  // the q90 lesson); ROW_NUMBER (c DESC, lbl ASC) = min(struct(-c, lbl)).
+  private def lpaOracleSql(iters: Int): String = {
+    val levels = (1 to iters).map { k =>
+      s"""v$k AS MATERIALIZED (
+         |  SELECT e.v AS node, l.lbl, COUNT(*) AS c
+         |  FROM l${k - 1} l JOIN edges e ON e.u = l.node
+         |  GROUP BY 1, 2),
+         |p$k AS MATERIALIZED (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl,
+         |      ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+         |    FROM v$k) t
+         |  WHERE rn = 1),
+         |l$k AS MATERIALIZED (
+         |  SELECT l.node, COALESCE(p.lbl, l.lbl) AS lbl
+         |  FROM l${k - 1} l LEFT JOIN p$k p ON p.node = l.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${Dedup.verifiedPairsCtes},
+       |nodes AS MATERIALIZED (SELECT doc_id AS node FROM documents),
+       |edges AS MATERIALIZED (
+       |  SELECT DISTINCT u, v FROM (
+       |    SELECT id_a AS u, id_b AS v FROM vp WHERE id_a <> id_b
+       |    UNION ALL SELECT id_b, id_a FROM vp WHERE id_a <> id_b) e),
+       |l0 AS MATERIALIZED (SELECT node, node AS lbl FROM nodes),
+       |$levels,
+       |cs AS (SELECT lbl, COUNT(*) AS community_size FROM l$iters GROUP BY lbl)
+       |SELECT l.node AS doc_id, l.lbl AS community, cs.community_size
+       |FROM l$iters l JOIN cs ON cs.lbl = l.lbl
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Exact triangle count over an undirected pair graph (✚ the third
     * classic graph kernel after CC/PageRank — triangle density is the
     * standard cluster-cohesion audit over a near-dup graph: duplicate
@@ -363,6 +439,18 @@ object Components {
           .orderBy("doc_id")
       },
       Some(prOracleSql(5, weighted = true))),
+
+    // Communities over the near-dup graph: 4 sync LPA rounds with the
+    // deterministic (max count, min label) tie order — all-integer, the
+    // oracle unrolls identical rounds.
+    QueryDef("q112_label_propagation",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        labelPropagation(docs.select(col("doc_id").as("id")),
+            Dedup.dedupPipeline(docs).select("id_a", "id_b"))
+          .orderBy("doc_id")
+      },
+      Some(lpaOracleSql(4))),
 
     // Cohesion audit of the near-dup graph: edge + triangle counts over
     // the SAME verified pairs as q51/q74/q90. Oracle: id-sorted edges,

@@ -185,6 +185,46 @@ class ComponentsSpec extends AnyFunSuite {
     assert(byCluster.values.map(_.head._2).sum == 5L)
   }
 
+  private def lpa(n: Seq[Long], e: Seq[(Long, Long)], iters: Int = 4): Map[Long, Long] =
+    Components.labelPropagation(n.toDF("id"), e.toDF("id_a", "id_b"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("label propagation splits two bridged triangles; CC cannot") {
+    val nodes = 1L to 6L
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val got = lpa(nodes, edges)
+    assert(got(1L) == got(2L) && got(2L) == got(3L), "left triangle one community")
+    assert(got(4L) == got(5L) && got(5L) == got(6L), "right triangle one community")
+    assert(got(1L) != got(4L), "the bridge does not merge the communities")
+    // the same graph is ONE connected component — LPA sees density, CC reachability
+    val ccGot = cc(nodes, edges)
+    assert(ccGot.values.toSet.size == 1)
+  }
+
+  test("label propagation matches a naive sync replay on random graphs (integer-exact)") {
+    val rnd = new scala.util.Random(53)
+    for (_ <- 1 to 3) {
+      val n = 20
+      val nodes = (0L until n).toSeq
+      val edges = Seq.fill(30)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .filter { case (a, b) => a != b }.distinct
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var lbl = nodes.map(v => v -> v).toMap
+      for (_ <- 1 to 4) {
+        lbl = nodes.map { v =>
+          val votes = adj.getOrElse(v, Seq.empty).map(lbl)
+          if (votes.isEmpty) v -> lbl(v)
+          else {
+            val grouped = votes.groupBy(identity).view.mapValues(_.size).toSeq
+            v -> grouped.minBy { case (l, c) => (-c, l) }._1
+          }
+        }.toMap
+      }
+      assert(lpa(nodes, edges) == lbl)
+    }
+  }
+
   private def tri(e: Seq[(Long, Long)]): (Long, Long) = {
     val r = Components.triangles(e.toDF("id_a", "id_b")).first()
     (r.getLong(0), r.getLong(1))
