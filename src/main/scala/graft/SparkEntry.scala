@@ -15,7 +15,7 @@ object SparkEntry {
     ops.Relational.defs ++ ops.TextAnalysis.defs ++ ops.Dedup.defs ++
       ops.Components.defs ++ ops.TrainPrep.defs ++ ops.Sketch.defs ++
       ops.Similarity.defs ++ ops.Ann.defs ++ ops.Scale.defs ++
-      ops.Delta.defs ++ ops.Pq.defs ++
+      ops.Delta.defs ++ ops.Pq.defs ++ ops.OrderStats.defs ++
       stream.StreamOps.defs ++ multimodal.Multimodal.defs ++
       ops.Pipeline.defs ++ ops.Extras.defs
 

@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.{Tables, TestSpark}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** The distributed selection algorithm against sorted-array truth:
+  * random data with duplicates/negatives, degenerate constant columns,
+  * both median parities, and agreement with Spark's own percentile. */
+class OrderStatsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("selectKth equals the sorted reference on random data (dups, negatives)") {
+    val rnd = new scala.util.Random(61)
+    for (round <- 1 to 3) {
+      val n = 500 + rnd.nextInt(500)
+      val data = Seq.fill(n)(math.rint(rnd.nextGaussian() * 100) / 4.0 - 50)
+      val df = data.toDF("x")
+      val sorted = data.sorted
+      // force the iterative path with a tiny exactThreshold
+      for (k <- Seq(1, n / 3, n / 2, n - 1, n)) {
+        val got = OrderStats.selectKth(df, col("x"), k, buckets = 16,
+          exactThreshold = 8)
+        assert(got == sorted(k - 1), s"round $round k=$k")
+      }
+    }
+  }
+
+  test("constant and two-value columns terminate and select correctly") {
+    val const = Seq.fill(100)(7.25).toDF("x")
+    assert(OrderStats.selectKth(const, col("x"), 50, buckets = 8,
+      exactThreshold = 4) == 7.25)
+    val two = (Seq.fill(60)(1.0) ++ Seq.fill(40)(2.0)).toDF("x")
+    assert(OrderStats.selectKth(two, col("x"), 60, buckets = 8,
+      exactThreshold = 4) == 1.0)
+    assert(OrderStats.selectKth(two, col("x"), 61, buckets = 8,
+      exactThreshold = 4) == 2.0)
+  }
+
+  test("exactMedian handles both parities like quantile_cont") {
+    val odd = Seq(5.0, 1.0, 3.0).toDF("x")
+    assert(OrderStats.exactMedian(odd, col("x")) == ((3L, 3.0)))
+    val even = Seq(4.0, 1.0, 3.0, 2.0).toDF("x")
+    assert(OrderStats.exactMedian(even, col("x")) == ((4L, 2.5)))
+  }
+
+  test("refinement median equals Spark's percentile aggregate on lineitem") {
+    val li = Tables.lineitem(spark, TestSpark.sf0001)
+    val (_, m) = OrderStats.exactMedian(li, col("l_extendedprice"))
+    val want = li.select(expr("percentile(l_extendedprice, 0.5)")).first().getDouble(0)
+    assert(math.abs(m - want) < 1e-9)
+  }
+}
