@@ -381,6 +381,54 @@ object Extras {
              |GROUP BY 1, 2
              |ORDER BY prev_type, next_type""".stripMargin)),
 
+    // Last-touch attribution: each purchase credits the most recent
+    // click by the same user within a 30-minute window. NO click⋈
+    // purchase join at all — one carry-forward window per user
+    // (last(click_ts) IGNORE NULLS over the interleaved event stream,
+    // the q42 as-of pattern) turns the interval join into a linear
+    // pass; per-user history bounds the window task (q19 contract),
+    // and the summary aggregation is ≤ |users| keys. Decimal-exact
+    // revenue sums per the q07 money discipline.
+    QueryDef("q114_attribution",
+      (s, d) => {
+        import graft.QueryDef.dec
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .withColumn("last_click",
+            last(when(col("event_type") === "click", col("ts")), ignoreNulls = true)
+              .over(w))
+          .where(col("event_type") === "purchase")
+          .withColumn("attributed",
+            col("last_click").isNotNull &&
+              col("last_click") >= col("ts") - expr("INTERVAL 30 MINUTES"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(when(col("attributed"), 1L).otherwise(0L)).as("n_attributed"),
+            sum(when(col("attributed"), dec(col("value"))).otherwise(lit(0)))
+              .cast("double").as("rev_attributed"),
+            sum(when(!col("attributed"), dec(col("value"))).otherwise(lit(0)))
+              .cast("double").as("rev_unattributed"))
+          .orderBy("user_id")
+      },
+      Some("""WITH carried AS (
+             |  SELECT user_id, event_type, ts, value,
+             |    LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click
+             |  FROM events),
+             |p AS (
+             |  SELECT user_id, value,
+             |    (last_click IS NOT NULL AND last_click >= ts - INTERVAL 30 MINUTE)
+             |      AS attributed
+             |  FROM carried WHERE event_type = 'purchase')
+             |SELECT user_id, COUNT(*) AS n_purchases,
+             |  CAST(SUM(CASE WHEN attributed THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+             |  CAST(SUM(CASE WHEN attributed THEN CAST(value AS DECIMAL(12,2)) ELSE 0 END) AS DOUBLE) AS rev_attributed,
+             |  CAST(SUM(CASE WHEN NOT attributed THEN CAST(value AS DECIMAL(12,2)) ELSE 0 END) AS DOUBLE) AS rev_unattributed
+             |FROM p GROUP BY user_id
+             |ORDER BY user_id""".stripMargin)),
+
     // ANALYZE-style column profile — the stats pass every warehouse
     // runs before planning/ingest QA: non-null / exact-distinct / min /
     // max per profiled column. NOT the single-agg multi-COUNT(DISTINCT)

@@ -72,6 +72,31 @@ class ExtrasSpec extends AnyFunSuite {
       "step counts per user; non-viewers excluded; ordering enforced")
   }
 
+  test("attribution matches a driver-side carry-forward replay; both outcomes occur") {
+    val d = TestSpark.sf0001
+    val got = SparkEntry.queries("q114_attribution")(spark, d)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ev = Tables.events(spark, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val want = ev.groupBy(_._1).map { case (u, rows) =>
+      var lastClick = Option.empty[Long]
+      var nP = 0L; var nA = 0L
+      rows.sortBy(r => (r._4, r._2)).foreach { case (_, _, t, us) =>
+        if (t == "click") lastClick = Some(us)
+        else if (t == "purchase") {
+          nP += 1
+          if (lastClick.exists(c => c >= us - 30L * 60 * 1000000)) nA += 1
+        }
+      }
+      u -> ((nP, nA))
+    }.filter(_._2._1 > 0)
+    assert(got == want)
+    assert(got.values.exists { case (np, na) => na > 0 }, "some purchase attributed")
+    assert(got.values.exists { case (np, na) => na < np }, "some purchase unattributed")
+  }
+
   test("event transitions match a driver-side ordered replay; counts conserve") {
     val d = TestSpark.sf0001
     val got = SparkEntry.queries("q104_event_transitions")(spark, d)
