@@ -277,8 +277,9 @@ object Components {
         .groupBy(col("node2").as("node"))
         .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l")))
           .getField("l").as("next"))
-      labels = materialize(base
-        .join(labels, "node")
+      // labels always carries exactly base's node set, so joining base
+      // back in would be an identity join — pick attaches directly
+      labels = materialize(labels
         .join(pick, Seq("node"), "left")
         .select(col("node"), coalesce(col("next"), col("lbl")).as("lbl")))
     }
@@ -346,9 +347,11 @@ object Components {
       .select(least(col("id_a"), col("id_b")).as("a"),
         greatest(col("id_a"), col("id_b")).as("b"))
       .where(col("a") =!= col("b")).distinct())
-    val deg = canon.select(col("a").as("id"))
+    // deg feeds TWO join consumers (the da and db attachments) — pin it
+    // like canon/oriented or the union+aggregation lineage runs twice
+    val deg = materialize(canon.select(col("a").as("id"))
       .unionAll(canon.select(col("b").as("id")))
-      .groupBy("id").agg(count(lit(1)).as("dg"))
+      .groupBy("id").agg(count(lit(1)).as("dg")))
     val oriented = materialize(canon
       .join(deg.select(col("id").as("a"), col("dg").as("da")), "a")
       .join(deg.select(col("id").as("b"), col("dg").as("db")), "b")

@@ -26,13 +26,19 @@ object Delta {
     * join. `payload` is the content whose digest defines "changed". */
   def snapshotDiff(old: DataFrame, newer: DataFrame, key: String,
                    payload: Column): DataFrame = {
-    val o = old.select(col(key), md5(payload).as("old_digest"))
-    val n = newer.select(col(key), md5(payload).as("new_digest"))
+    // presence markers, NOT digest nullness, drive the classification:
+    // md5(NULL payload) is NULL, and a key present on both sides with a
+    // NULL payload must compare as unchanged (null-safe <=>), not leak
+    // into 'added'
+    val o = old.select(col(key), md5(payload).as("old_digest"),
+      lit(true).as("_in_old"))
+    val n = newer.select(col(key), md5(payload).as("new_digest"),
+      lit(true).as("_in_new"))
     o.join(n, Seq(key), "full_outer")
       .withColumn("change",
-        when(col("old_digest").isNull, lit("added"))
-          .when(col("new_digest").isNull, lit("removed"))
-          .when(col("old_digest") =!= col("new_digest"), lit("changed"))
+        when(col("_in_old").isNull, lit("added"))
+          .when(col("_in_new").isNull, lit("removed"))
+          .when(!(col("old_digest") <=> col("new_digest")), lit("changed"))
           .otherwise(lit("unchanged")))
       .where(col("change") =!= "unchanged")
       .select(col(key), col("change"),
@@ -120,8 +126,11 @@ object Delta {
             .withColumn("doc_id", col("doc_id") + 100000L))
           .unionByName(base.where(pmod(col("doc_id"), lit(7)) === 0)
             .withColumn("doc_id", col("doc_id") + 200000L))
+        // (doc_id, fp) order: the synthetic id offsets cannot collide
+        // with real ids at gate SFs, but a total tie-safe order keeps
+        // the hash compare deterministic under any corpus
         incrementalDedup(prior, incoming, col("text"))
-          .orderBy("doc_id")
+          .orderBy("doc_id", "fp")
       },
       Some("""WITH prior AS (
              |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
@@ -146,6 +155,6 @@ object Delta {
              |FROM inc
              |LEFT JOIN idx ON idx.fp = inc.fp
              |JOIN fn ON fn.fp = inc.fp
-             |ORDER BY inc.doc_id""".stripMargin))
+             |ORDER BY inc.doc_id, inc.fp""".stripMargin))
   )
 }

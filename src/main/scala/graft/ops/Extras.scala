@@ -11,6 +11,11 @@ import org.apache.spark.sql.expressions.Window
   */
 object Extras {
 
+  // q110's profiled columns — ONE list feeding both the Spark branches
+  // and the oracle arms, so the two sides cannot drift
+  private val profileCols =
+    Seq("l_orderkey", "l_quantity", "l_returnflag", "l_linestatus")
+
   val defs: Seq[QueryDef] = Seq(
 
     // GROUPING SETS — the general form behind rollup (q35) / cube (q47):
@@ -444,9 +449,8 @@ object Extras {
     // to VARCHAR so one report covers heterogeneous types.
     QueryDef("q110_column_profile",
       (s, d) => {
-        val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_linestatus")
         val li = Tables.lineitem(s, d)
-        cols.map { c =>
+        profileCols.map { c =>
           li.select(col(c).as("v"))
             .groupBy("v").agg(count(lit(1)).as("cnt"))
             .agg(sum(col("cnt")).as("n_rows"),
@@ -460,8 +464,7 @@ object Extras {
           .orderBy("column_name")
       },
       Some {
-        val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_linestatus")
-        cols.map(c =>
+        profileCols.map(c =>
           s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
              |  COUNT($c) AS n_nonnull, COUNT(DISTINCT $c) AS n_distinct,
              |  CAST(MIN($c) AS VARCHAR) AS min_s, CAST(MAX($c) AS VARCHAR) AS max_s

@@ -39,8 +39,13 @@ object OrderStats {
       // width to 0 — every surviving value is then equal at double
       // resolution and the k-th of them IS that value
       if (width == 0.0) return lo
-      // clamp: hi itself lands in the last bucket, not bucket B
-      val b = least(floor((col("v") - lit(lo)) / lit(width)), lit(buckets - 1))
+      // clamp BOTH sides: hi itself lands in the last bucket, and a
+      // round-2 survivor can sit a float-rounding hair BELOW the new lo
+      // (its previous-round floor rounded up across the boundary) —
+      // unclamped it would bucket to -1 and vanish from the rank scan
+      val b = greatest(
+        least(floor((col("v") - lit(lo)) / lit(width)), lit(buckets - 1)),
+        lit(0))
       val counts = scope.groupBy(b.cast("int").as("b"))
         .agg(count(lit(1)).as("n"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -56,9 +61,9 @@ object OrderStats {
       val newLo = lo + chosen * width
       val newHi = if (chosen == buckets - 1) hi else lo + (chosen + 1) * width
       // the descend filter mirrors the bucket assignment EXACTLY (same
-      // floor arithmetic), so the slice row set equals the counted set
-      scope = scope.where(
-        least(floor((col("v") - lit(lo)) / lit(width)), lit(buckets - 1)) === chosen)
+      // clamped floor arithmetic), so the slice row set equals the
+      // counted set
+      scope = scope.where(b.cast("int") === chosen)
       lo = newLo; hi = newHi
       n = counts.getOrElse(chosen, 0L)
     }

@@ -33,6 +33,18 @@ class DeltaSpec extends AnyFunSuite {
     assert(Delta.snapshotDiff(old, old, "doc_id", col("text")).isEmpty)
   }
 
+  test("NULL payloads classify by key presence, not digest nullness") {
+    val old = Seq((1L, Option.empty[String]), (2L, Some("x")), (3L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val neu = Seq((1L, Option.empty[String]), (2L, Option.empty[String]), (4L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val got = Delta.snapshotDiff(old, neu, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 1: NULL -> NULL is unchanged (dropped); 2: value -> NULL is
+    // changed; 3: removed; 4: added — NONE misread as added via a NULL digest
+    assert(got == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
   test("snapshot diff matches a random edit script") {
     val rnd = new scala.util.Random(37)
     for (_ <- 1 to 3) {
@@ -93,10 +105,12 @@ class DeltaSpec extends AnyFunSuite {
       .queryExecution.optimizedPlan.collect { case j: Join => j }
     assert(joins.nonEmpty)
     joins.foreach { j =>
-      assert(j.left.output.map(_.name).toSet == Set("doc_id", "old_digest"),
-        s"left side must carry only key+digest, got ${j.left.output}")
-      assert(j.right.output.map(_.name).toSet == Set("doc_id", "new_digest"),
-        s"right side must carry only key+digest, got ${j.right.output}")
+      assert(j.left.output.map(_.name).toSet == Set("doc_id", "old_digest", "_in_old"),
+        s"left side must carry only key+digest+presence, got ${j.left.output}")
+      assert(j.right.output.map(_.name).toSet == Set("doc_id", "new_digest", "_in_new"),
+        s"right side must carry only key+digest+presence, got ${j.right.output}")
+      assert(!j.left.output.map(_.name).contains("text") &&
+        !j.right.output.map(_.name).contains("text"), "text never reaches the shuffle")
     }
   }
 }

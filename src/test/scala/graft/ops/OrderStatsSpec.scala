@@ -27,6 +27,21 @@ class OrderStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("values sitting exactly on bucket boundaries survive deep refinement") {
+    // every value is an exact multiple of the first-round bucket width,
+    // maximizing the float-rounding boundary traffic the clamp guards
+    // (an unclamped round-2 bucket of -1 would silently drop rows)
+    val n = 256
+    val data = (0 until n).map(i => i * 0.1)
+    val df = data.toDF("x")
+    val sorted = data.sorted
+    for (k <- Seq(1, 2, n / 2, n - 1, n)) {
+      val got = OrderStats.selectKth(df, col("x"), k, buckets = 16,
+        exactThreshold = 4)
+      assert(got == sorted(k - 1), s"k=$k")
+    }
+  }
+
   test("constant and two-value columns terminate and select correctly") {
     val const = Seq.fill(100)(7.25).toDF("x")
     assert(OrderStats.selectKth(const, col("x"), 50, buckets = 8,
