@@ -83,6 +83,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       // casts on array<double> are optimized away.
       (exprs: Seq[Expression]) => DotProduct(
         Cast(exprs(0), ArrayType(DoubleType)), Cast(exprs(1), ArrayType(DoubleType)))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_l2sq"),
+      new ExpressionInfo(classOf[SqDist].getName, "graft_l2sq"),
+      (exprs: Seq[Expression]) => SqDist(
+        Cast(exprs(0), ArrayType(DoubleType)), Cast(exprs(1), ArrayType(DoubleType)))))
     e.injectOptimizerRule(_ => graft.plans.IntervalJoinRule())
   }
 }

@@ -27,6 +27,15 @@ object Vectors {
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
 
+  /** Squared L2 distance — native fused-loop Expression ([[SqDist]]). */
+  def l2sq(a: Column, b: Column): Column = SqDist(a, b)
+
+  /** Composed-builtins squared L2; value-identical to [[l2sq]], kept
+    * for the equivalence spec. */
+  def l2sqComposed(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
   /** Cosine similarity: dot(a,b) / (|a| * |b|). */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm2(a) * norm2(b))

@@ -57,9 +57,10 @@ object Ann {
     * ties cannot arise from a k-means fit on distinct data. */
   private def centroidEntries(v: Column, cents: Array[Array[Double]]): Column =
     array(cents.zipWithIndex.map { case (c, i) =>
-      val carr = array(c.map(lit).toSeq: _*)
-      val d2 = aggregate(zip_with(v, carr, (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x)
+      // native fused squared-L2 (graft_l2sq): k distances per row make
+      // this THE assignment hot loop; bit-identical to the composed
+      // zip_with/aggregate fold, so the baked oracles are unaffected
+      val d2 = Vectors.l2sq(v, array(c.map(lit).toSeq: _*))
       struct(d2.as("d"), lit(i).as("i"))
     }.toSeq: _*)
 

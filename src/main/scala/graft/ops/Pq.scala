@@ -33,12 +33,11 @@ object Pq {
   private def m = books.length
   private def dsub = books(0)(0).length
 
-  /** Squared L2 between a vector column and a literal centroid —
-    * left fold in index order (oracle parity, see q63's note). */
+  /** Squared L2 between a vector column and a literal centroid — the
+    * native fused loop (graft_l2sq), left fold in index order so the
+    * oracle parity argument of q63 carries over bit-for-bit. */
   private def d2(sub: Column, cent: Array[Double]): Column =
-    aggregate(
-      zip_with(sub, array(cent.map(lit).toSeq: _*), (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
+    Vectors.l2sq(sub, array(cent.map(lit).toSeq: _*))
 
   /** Subspace `s` of a vector: dims s·dsub+1 … (s+1)·dsub (1-based). */
   private def sub(v: Column, s: Int): Column = slice(v, s * dsub + 1, dsub)

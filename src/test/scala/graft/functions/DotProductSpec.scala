@@ -45,4 +45,26 @@ class DotProductSpec extends AnyFunSuite {
     val df = Seq((Some(Array(1.0)), Option.empty[Array[Double]])).toDF("a", "b")
     assert(df.select(Vectors.dot(col("a"), col("b"))).head().isNullAt(0))
   }
+
+  test("graft_l2sq matches composed form bit-for-bit; eval path; SQL-callable") {
+    val e = graft.Tables.embeddings(spark, TestSpark.sf0001)
+      .select(Vectors.asDouble(col("embedding")).as("v"))
+    val paired = e.withColumn("w", reverse(col("v")))
+    val diff = paired.select(
+        (Vectors.l2sq(col("v"), col("w")) - Vectors.l2sqComposed(col("v"), col("w"))).as("d"))
+      .agg(max(abs(col("d")))).as[Double].head()
+    assert(diff == 0.0)
+    // known value through codegen and the interpreted path
+    val df = Seq((Array(1.0, 2.0), Array(4.0, 6.0))).toDF("a", "b")
+    assert(df.select(Vectors.l2sq(col("a"), col("b"))).as[Double].head() == 25.0)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val expr = SqDist(
+      Literal.create(Array(1.0, 2.0), ArrayType(DoubleType)),
+      Literal.create(Array(4.0, 6.0), ArrayType(DoubleType)))
+    assert(expr.eval(null) == 25.0)
+    df.createOrReplaceTempView("l2sq_fixture")
+    assert(spark.sql("SELECT graft_l2sq(a, b) FROM l2sq_fixture")
+      .as[Double].head() == 25.0)
+  }
 }
