@@ -386,6 +386,40 @@ object Extras {
              |GROUP BY 1, 2
              |ORDER BY prev_type, next_type""".stripMargin)),
 
+    // Equi-width histogram, fully IN-PLAN: the (min, max) row is a
+    // 1-row broadcast attached to the scan (the established scalar-
+    // attach pattern — q78/q88), bin assignment is a per-row clamped
+    // floor, and the aggregation has exactly `bins` keys collapsed
+    // map-side. Nothing touches the driver; the profile companion to
+    // q110's per-column stats.
+    QueryDef("q115_histogram",
+      (s, d) => {
+        val bins = 10
+        val li = Tables.lineitem(s, d).select(col("l_extendedprice").as("v"))
+        val mm = li.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+        val width = (col("mx") - col("mn")) / bins
+        li.crossJoin(broadcast(mm))
+          .withColumn("bin",
+            least(floor((col("v") - col("mn")) / width), lit(bins - 1))
+              .cast("long"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"),
+            round(min(col("mn") + col("bin") * width), 5).as("lo"),
+            round(min(col("mn") + (col("bin") + 1) * width), 5).as("hi"))
+          .orderBy("bin")
+      },
+      Some("""WITH mm AS (SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+             |            FROM lineitem),
+             |b AS (
+             |  SELECT LEAST(FLOOR((l_extendedprice - mn) / ((mx - mn) / 10)), 9) AS bin,
+             |    mn, mx
+             |  FROM lineitem, mm)
+             |SELECT CAST(bin AS BIGINT) AS bin, COUNT(*) AS n,
+             |  round(MIN(mn + bin * ((mx - mn) / 10)), 5) AS lo,
+             |  round(MIN(mn + (bin + 1) * ((mx - mn) / 10)), 5) AS hi
+             |FROM b GROUP BY bin
+             |ORDER BY bin""".stripMargin)),
+
     // Last-touch attribution: each purchase credits the most recent
     // click by the same user within a 30-minute window. NO click⋈
     // purchase join at all — one carry-forward window per user

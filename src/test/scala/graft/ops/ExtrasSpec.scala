@@ -72,6 +72,21 @@ class ExtrasSpec extends AnyFunSuite {
       "step counts per user; non-viewers excluded; ordering enforced")
   }
 
+  test("histogram bins partition the column; ranges tile contiguously") {
+    val d = TestSpark.sf0001
+    val rows = SparkEntry.queries("q115_histogram")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val total = Tables.lineitem(spark, d).count()
+    assert(rows.map(_._2).sum == total, "every row binned")
+    assert(rows.map(_._1).toSeq == (0L until 10L), "all 10 bins populated, in order")
+    rows.sliding(2).foreach {
+      case Array((_, _, _, hi1), (_, _, lo2, _)) =>
+        assert(math.abs(hi1 - lo2) < 1e-4, "contiguous tiling")
+      case _ =>
+    }
+    rows.foreach { case (_, _, lo, hi) => assert(lo < hi) }
+  }
+
   test("attribution matches a driver-side carry-forward replay; both outcomes occur") {
     val d = TestSpark.sf0001
     val got = SparkEntry.queries("q114_attribution")(spark, d)
