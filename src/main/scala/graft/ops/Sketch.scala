@@ -112,6 +112,69 @@ object Sketch {
       .select(col("tok"), col("n"), col("est_n"))
   }
 
+  // ── HyperLogLog distinct sketch ──────────────────────────────────────
+  //
+  // The cardinality twin of the count-min family above: per-key distinct
+  // counts in 64 one-byte registers per key, regardless of how many
+  // distinct items the key holds. Registers are built by ONE max-
+  // aggregation keyed by (key, register) — at most keys×64 shuffle keys
+  // with map-side combine, and max-merge makes the sketch mergeable by
+  // construction (partial registers from any partitioning of the stream
+  // max-merge to the full-stream registers; HllSpec asserts it). At
+  // 100 TB this replaces COUNT(DISTINCT x), whose exact form shuffles
+  // every distinct value by its own bytes.
+
+  /** Register count 2^6 and the matching alpha_64 bias constant from
+    * Flajolet et al. (HyperLogLog, AofA 2007). m = 64 keeps the dense
+    * register table oracle-manageable while the stderr bound
+    * 1.04/sqrt(m) = 13% stays honest; production would use p = 12–14
+    * by changing these two constants. */
+  val hllM = 64
+  val hllAlpha = 0.709
+
+  /** (register, rank) coordinates of one item: 32 md5 bits split as
+    * low-6 register index + the remaining 26 bits' leading-zero rank
+    * rho in [1, 27]. bin() renders a long without leading zeros in both
+    * engines, so bit_length(w) is just length(bin(w)) with the single
+    * w = 0 case handled by the '0'-trim. Same one-digest hash family as
+    * the CMS rows above, so the oracle mirrors it verbatim. */
+  private def hllCoords(item: Column): (Column, Column) = {
+    val h = conv(substring(md5(item), 1, 8), 16, 10).cast("long")
+    (h % hllM, lit(27) - length(ltrim(bin(shiftright(h, 6)), "0")))
+  }
+
+  /** Per-key HLL registers of `items` (columns `key`, `item`). */
+  def hllRegisters(items: DataFrame): DataFrame = {
+    val (j, rho) = hllCoords(col("item"))
+    items.select(col("key"), j.as("j"), rho.as("rho"))
+      .groupBy("key", "j").agg(max(col("rho")).as("mj"))
+  }
+
+  /** Cardinality estimates from a register table. Densifies to all 64
+    * registers per key (empty register = 0), then applies the standard
+    * estimator with the small-range linear-counting correction.
+    *
+    * Determinism: every 2^-mj term is a multiple of 2^-27 and the sum
+    * of 64 of them is < 64, so all partial sums are exactly
+    * representable in double — the indicator sum is EXACT and order-
+    * independent, and both engines compute bit-identical `raw`. The
+    * correction branch (taken iff raw ≤ 2.5m and an empty register
+    * exists — identically decided on both sides) is one ln term,
+    * rounded at 4 dp like the BM25 gate's ln. */
+  def hllEstimate(regs: DataFrame): DataFrame =
+    regs.select("key").distinct()
+      .select(col("key"), explode(sequence(lit(0), lit(hllM - 1))).as("j"))
+      .join(regs, Seq("key", "j"), "left")
+      .withColumn("mj", coalesce(col("mj"), lit(0)))
+      .groupBy("key")
+      .agg(sum(pow(lit(2.0), -col("mj"))).as("s"),
+           sum(when(col("mj") === 0, 1).otherwise(0)).as("v"))
+      .withColumn("raw", lit(hllAlpha * hllM * hllM) / col("s"))
+      .select(col("key"),
+        round(when(col("raw") <= 2.5 * hllM && col("v") > 0,
+            lit(hllM.toDouble) * log(lit(hllM.toDouble) / col("v")))
+          .otherwise(col("raw")), 4).as("n_est"))
+
   val defs: Seq[QueryDef] = Seq(
     // The exact top-20 tokens with their sketch estimates alongside the
     // truth: est_n ≥ n always; the margin IS the sketch's documented
@@ -168,6 +231,49 @@ object Sketch {
              |SELECT tok, n, est_n
              |FROM est, tot
              |WHERE est_n >= total * 0.02 AND n >= total * 0.02
-             |ORDER BY tok""".stripMargin))
+             |ORDER BY tok""".stripMargin)),
+
+    // HLL distinct partkeys per returnflag, next to the exact count so
+    // the gate exhibits the sketch's actual error at m = 64 (~13%
+    // stderr). The exact side is gate-only demonstration — bounded here
+    // by the part table — a 100 TB pipeline ships ONLY the 64-register
+    // sketch per key.
+    QueryDef("q116_hll_distinct",
+      (s, d) => {
+        val items = Tables.lineitem(s, d)
+          .select(col("l_returnflag").as("key"),
+                  col("l_partkey").cast("string").as("item"))
+        items.groupBy("key").agg(countDistinct(col("item")).as("n_exact"))
+          .join(hllEstimate(hllRegisters(items)), "key")
+          .orderBy("key")
+      },
+      Some(s"""WITH it AS (
+             |  SELECT l_returnflag AS key, CAST(l_partkey AS VARCHAR) AS item
+             |  FROM lineitem),
+             |h AS (SELECT key, ('0x' || substr(md5(item), 1, 8))::BIGINT AS h
+             |      FROM it),
+             |r AS (SELECT key, h % $hllM AS j,
+             |        27 - length(ltrim(bin(h // $hllM), '0')) AS rho
+             |      FROM h),
+             |regs AS (SELECT key, j, MAX(rho) AS mj FROM r GROUP BY key, j),
+             |dense AS (
+             |  SELECT f.key, g.j, COALESCE(regs.mj, 0) AS mj
+             |  FROM (SELECT DISTINCT key FROM it) f
+             |  CROSS JOIN (SELECT unnest(range($hllM)) AS j) g
+             |  LEFT JOIN regs ON regs.key = f.key AND regs.j = g.j),
+             |est AS (
+             |  SELECT key, SUM(power(2.0, -mj)) AS s,
+             |         SUM(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS v
+             |  FROM dense GROUP BY key),
+             |fin AS (
+             |  SELECT key, CAST($hllAlpha AS DOUBLE) * $hllM * $hllM / s AS raw, v
+             |  FROM est)
+             |SELECT f.key, x.n_exact,
+             |  round(CASE WHEN raw <= 2.5 * $hllM AND v > 0
+             |             THEN $hllM * ln($hllM.0 / v) ELSE raw END, 4) AS n_est
+             |FROM fin f
+             |JOIN (SELECT key, COUNT(DISTINCT item) AS n_exact FROM it GROUP BY key) x
+             |  USING (key)
+             |ORDER BY key""".stripMargin))
   )
 }

@@ -115,4 +115,53 @@ class SketchSpec extends AnyFunSuite {
       "sum(size(split(text, ' ')))")).as[Long].head()
     assert(mass.values.forall(_ == n), s"every row must conserve total mass $n")
   }
+
+  // ── HyperLogLog ────────────────────────────────────────────────────
+
+  private lazy val hllItems = // 2000 distinct items, each seen 3x
+    (1 to 3).flatMap(_ => 1 to 2000).map(i => ("k", s"item$i"))
+      .toDF("key", "item")
+
+  test("hll estimate lands within the 1.04/sqrt(m) error envelope") {
+    val est = Sketch.hllEstimate(Sketch.hllRegisters(hllItems))
+      .as[(String, Double)].head()._2
+    // m = 64 => stderr 13%; assert 3 sigma
+    assert(math.abs(est - 2000) / 2000.0 < 0.39,
+      s"estimate $est too far from true 2000 at m=${Sketch.hllM}")
+    // repetitions must not move the registers: distinct-only input
+    val estOnce = Sketch.hllEstimate(Sketch.hllRegisters(
+        hllItems.dropDuplicates("item")))
+      .as[(String, Double)].head()._2
+    assert(est == estOnce, "HLL must be insensitive to duplicates")
+  }
+
+  test("hll registers max-merge: sharded partials equal the full-stream sketch") {
+    // split the stream arbitrarily, build registers per shard, max-merge
+    val withShard = hllItems.withColumn("shard",
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.crc32($"item"),
+        org.apache.spark.sql.functions.lit(7)))
+    val partials = Sketch.hllRegisters(
+      withShard.select(
+        org.apache.spark.sql.functions.concat($"key",
+          org.apache.spark.sql.functions.lit("#"), $"shard").as("key"),
+        $"item"))
+    val merged = partials
+      .select(org.apache.spark.sql.functions.lit("k").as("key"), $"j", $"mj")
+      .groupBy("key", "j")
+      .agg(org.apache.spark.sql.functions.max($"mj").as("mj"))
+      .as[(String, Long, Int)].collect().toSet
+    val full = Sketch.hllRegisters(hllItems)
+      .as[(String, Long, Int)].collect().toSet
+    assert(merged == full, "max-merged shard registers must equal full registers")
+  }
+
+  test("hll small-range regime uses linear counting") {
+    // 5 distinct items: most registers empty => correction branch
+    val tiny = (1 to 5).map(i => ("k", s"only$i")).toDF("key", "item")
+    val est = Sketch.hllEstimate(Sketch.hllRegisters(tiny))
+      .as[(String, Double)].head()._2
+    // linear counting at v >= 59 of 64 empty registers is near-exact
+    assert(math.abs(est - 5) < 1.5, s"linear-counting estimate $est for true 5")
+  }
 }
