@@ -124,6 +124,51 @@ object Scale {
     * measured cost intentionally includes the bucketed write — that is
     * the real amortization decision at 100 TB: pay one layout write,
     * then every repeated fact⋈fact join on that key skips its shuffle. */
+  // ---- Z-order (Morton) clustering layout ----
+
+  /** Morton interleave of two 8-bit cell coordinates into a 16-bit
+    * z-value: x's bit i lands at position 2i, y's at 2i+1. Pure integer
+    * Column algebra (shift/and/add) — codegen-friendly, and the oracle
+    * writes the identical `(v // 2^i) % 2` arithmetic. */
+  private def morton8(xb: Column, yb: Column): Column =
+    (0 until 8).map { i =>
+      shiftright(xb, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+      shiftright(yb, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+
+  /** Adds a z-order key over two INTEGRAL dimension columns: each is
+    * scaled to an 8-bit cell with pure integer arithmetic
+    * `((v - min) * 256) div (max - min + 1)` (exact — no float
+    * boundary drift between engines), then Morton-interleaved.
+    *
+    * Scale: the min/max bounds are ONE 1-row aggregate broadcast back
+    * (at 100 TB they come from table statistics instead — same two
+    * numbers per dimension); the key itself is per-row narrow
+    * arithmetic. Sorting/range-partitioning by `z` co-locates rows
+    * that are close in BOTH dimensions, so parquet min/max file stats
+    * prune selective predicates on EITHER column — the multi-dim
+    * pruning a single-column sort cannot give. */
+  def zOrderKey(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val b = df.select(x.as("_zx"), y.as("_zy"))
+      .agg(min("_zx").as("_minx"), max("_zx").as("_maxx"),
+           min("_zy").as("_miny"), max("_zy").as("_maxy"))
+    df.withColumn("_zx", x).withColumn("_zy", y)
+      .crossJoin(broadcast(b))
+      .withColumn("xb", expr("((_zx - _minx) * 256) div (_maxx - _minx + 1)"))
+      .withColumn("yb", expr("((_zy - _miny) * 256) div (_maxy - _miny + 1)"))
+      .withColumn("z", morton8(col("xb"), col("yb")))
+      .drop("_zx", "_zy", "_minx", "_maxx", "_miny", "_maxy")
+  }
+
+  /** The clustered layout itself: one range shuffle on `z`. Each output
+    * partition then covers a contiguous z-run = a bounded rectangle
+    * family in (x, y) space (ScaleSpec asserts disjoint z-ranges and
+    * bounded per-partition extents) — written as files, every file's
+    * min/max stats are selective on both dimensions. */
+  def zOrderLayout(df: DataFrame, x: Column, y: Column,
+                   partitions: Int = 32): DataFrame =
+    zOrderKey(df, x, y).repartitionByRange(partitions, col("z"))
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q65_bucketed_join",
       (s, d) => {
@@ -224,6 +269,42 @@ object Scale {
              |      AS BIGINT) AS rank
              |  FROM documents) t
              |WHERE rank <= 5
-             |ORDER BY source, rank""".stripMargin))
+             |ORDER BY source, rank""".stripMargin)),
+
+    // Z-order clustering report over events (user_id × event time):
+    // per coarse z-cell (64 cells of 1024 z-values), the row count and
+    // the exact (xb, yb) bounding rectangle. Tight rectangles ARE the
+    // multi-dim pruning evidence: a predicate on either dimension
+    // eliminates whole z-runs. The aggregation is keyed by at most 64
+    // cells — bounded at any corpus size.
+    QueryDef("q117_zorder_layout",
+      (s, d) => {
+        val z = zOrderKey(Tables.events(s, d),
+          col("user_id"), unix_micros(col("ts")))
+        z.groupBy((col("z") / lit(1024)).cast("long").as("zcell"))
+          .agg(count(lit(1)).as("n"),
+               min("xb").as("xb_min"), max("xb").as("xb_max"),
+               min("yb").as("yb_min"), max("yb").as("yb_max"))
+          .orderBy("zcell")
+      },
+      Some {
+        val terms = (0 until 8).map { i =>
+          s"((xb // ${1L << i}) % 2) * ${1L << (2 * i)}" +
+          s" + ((yb // ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
+        }.mkString(" + ")
+        s"""WITH b AS (
+           |  SELECT MIN(user_id) AS minx, MAX(user_id) AS maxx,
+           |         MIN(epoch_us(ts)) AS miny, MAX(epoch_us(ts)) AS maxy
+           |  FROM events),
+           |c AS (
+           |  SELECT ((user_id - minx) * 256) // (maxx - minx + 1) AS xb,
+           |         ((epoch_us(ts) - miny) * 256) // (maxy - miny + 1) AS yb
+           |  FROM events, b),
+           |z AS (SELECT xb, yb, $terms AS z FROM c)
+           |SELECT z // 1024 AS zcell, COUNT(*) AS n,
+           |  MIN(xb) AS xb_min, MAX(xb) AS xb_max,
+           |  MIN(yb) AS yb_min, MAX(yb) AS yb_max
+           |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+      })
   )
 }

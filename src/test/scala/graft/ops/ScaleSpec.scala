@@ -155,4 +155,44 @@ class ScaleSpec extends AnyFunSuite {
       assert(got == naive, s"parts=$parts")
     }
   }
+
+  test("morton8 z-order key is a bijection on the 16x16 low grid") {
+    import spark.implicits._
+    // 16x16 grid scaled so the cell math maps i -> cell i*16..i*16+15;
+    // use raw coords 0..255 on both axes => xb = x, yb = y cells 0..255
+    val grid = (for (x <- 0 until 16; y <- 0 until 16) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val z = Scale.zOrderKey(grid, col("x"), col("y"))
+      .select("xb", "yb", "z").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(z.size == 256)
+    assert(z.values.toSet.size == 256, "z must be injective on the grid")
+    // reference interleave in plain Scala
+    def ref(x: Long, y: Long): Long =
+      (0 until 8).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    // xb = ((x - 0) * 256) div 16 = x * 16: cells stretch by 16
+    assert(z.forall { case ((xb, yb), zz) => zz == ref(xb, yb) })
+  }
+
+  test("zOrderLayout partitions cover disjoint z-ranges with bounded rectangles") {
+    val ev = Tables.events(spark, sf)
+    val laid = Scale.zOrderLayout(ev, col("user_id"), unix_micros(col("ts")), partitions = 8)
+    val ranges = laid
+      .groupBy(spark_partition_id().as("pid"))
+      .agg(min("z").as("zmin"), max("z").as("zmax"),
+        (max("xb") - min("xb")).as("xspan"), (max("yb") - min("yb")).as("yspan"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+    assert(ranges.length > 1)
+    // disjoint, ordered z-ranges: range partitioning did its job
+    ranges.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 <= b._1, s"overlapping z ranges: $a vs $b") ; case _ => }
+    // every partition's rectangle is a strict subset of the full 256x256
+    // space: z-contiguity bounds BOTH dimensions, the pruning property
+    assert(ranges.forall { case (_, _, xs, ys, _) => xs < 256 && ys < 256 })
+    assert(ranges.count { case (_, _, xs, ys, _) => xs <= 128 && ys <= 128 } >= ranges.length / 2,
+      "at least half the partitions must sit in a quarter-space rectangle")
+  }
 }
