@@ -568,6 +568,62 @@ object TextAnalysis {
              |              || '@example.com or 123-45-6789'
              |         ELSE text END AS t
              |  FROM documents)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Unigram log-prob quality scoring (the CCNet-style perplexity
+    // proxy): each doc's mean negative log-probability under the
+    // corpus's own unigram LM, and a keep flag relative to the
+    // corpus-level per-token NLL. Docs with unusually surprising token
+    // mixes (high nll) are the boilerplate/noise candidates.
+    //
+    // Scale: per-(doc, tok) counts collapse map-side; the frequency
+    // join is broadcast (vocab table at gate scale — a 100 TB corpus
+    // swaps in the q79 count-min cells as the broadcast frequency
+    // probe, same plan shape with bounded memory). Float determinism:
+    // each ln term is rounded at 9 dp and summed in DECIMAL, so the
+    // per-doc and corpus sums are exact and order-independent — the
+    // only doubles are final divisions of identical exact operands.
+    QueryDef("q118_unigram_logprob",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        val dt = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        val freq = toks.groupBy("tok").agg(count(lit(1)).as("fn"))
+        val total = toks.agg(count(lit(1)).as("total"))
+        val lp = round(log(col("fn").cast("double") / col("total")), 9)
+          .cast("decimal(28,9)")
+        val perDoc = dt.join(broadcast(freq), "tok")
+          .crossJoin(broadcast(total))
+          .groupBy("doc_id")
+          .agg(sum(lp * col("c")).as("slp"), sum(col("c")).as("n_tok"))
+        val corpus = perDoc.agg(sum(col("slp")).as("gslp"),
+                                sum(col("n_tok")).as("gn"))
+        perDoc.crossJoin(broadcast(corpus))
+          .select(col("doc_id"), col("n_tok"),
+            round(-col("slp").cast("double") / col("n_tok"), 5).as("nll"),
+            (-col("slp").cast("double") / col("n_tok") <=
+              -col("gslp").cast("double") / col("gn")).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |dt AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+             |freq AS (SELECT tok, COUNT(*) AS fn FROM toks GROUP BY 1),
+             |tot AS (SELECT COUNT(*) AS total FROM toks),
+             |lp AS (
+             |  SELECT dt.doc_id, dt.c,
+             |    CAST(round(ln(CAST(fn AS DOUBLE) / total), 9)
+             |         AS DECIMAL(28,9)) AS lp
+             |  FROM dt JOIN freq USING (tok), tot),
+             |pd AS (SELECT doc_id, SUM(lp * c) AS slp,
+             |         CAST(SUM(c) AS BIGINT) AS n_tok
+             |       FROM lp GROUP BY 1),
+             |g AS (SELECT SUM(slp) AS gslp, SUM(n_tok) AS gn FROM pd)
+             |SELECT doc_id, n_tok,
+             |  round(-CAST(slp AS DOUBLE) / n_tok, 5) AS nll,
+             |  (-CAST(slp AS DOUBLE) / n_tok) <= (-CAST(gslp AS DOUBLE) / gn)
+             |    AS keep
+             |FROM pd, g ORDER BY doc_id""".stripMargin))
   )
 }

@@ -85,4 +85,27 @@ class TextPrepSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     out.foreach { case (id, _, _, fp) => assert(fp == wantFp(id)) }
   }
+
+  test("q118 unigram NLL is partition-order invariant and ranks repetition as unsurprising") {
+    val q = SparkEntry.queries("q118_unigram_logprob")
+    val base = q(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(base.nonEmpty)
+    // exact decimal summation: a different input partitioning must give
+    // bit-identical nll values, not merely close ones
+    val docs = Tables.documents(spark, TestSpark.sf0001).repartition(17)
+    docs.createOrReplaceTempView("_ignore") // force distinct lineage
+    val again = q(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(base.sameElements(again))
+    // both sides of the keep flag are populated, and the flag is exactly
+    // nll <= corpus per-token NLL (weighted mean reproduced here)
+    val kept = base.count(_._4)
+    assert(kept > 0 && kept < base.length)
+    val gn = base.map(_._2).sum.toDouble
+    val corpus = base.map(t => t._3 * t._2).sum / gn
+    // nll is rounded at 5dp for output; allow that rounding at the boundary
+    base.foreach { case (_, _, nll, keep) =>
+      assert(keep == (nll <= corpus + 5e-6) || math.abs(nll - corpus) < 1e-4) }
+  }
 }
