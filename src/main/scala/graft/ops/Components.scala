@@ -124,6 +124,32 @@ object Components {
         col("cluster_size"))
   }
 
+  /** Cluster canonicalization (✚): after [[dedupClusters]], each
+    * cluster elects ONE representative — the longest member (n_chars,
+    * doc_id tiebreak) — and every member points at it. This is the
+    * step that turns a clustering into an actual dedup decision: keep
+    * is_rep rows, or reweight members toward their representative.
+    *
+    * The election is a struct-max aggregation keyed by cluster id —
+    * partial aggregation collapses each cluster map-side (no window
+    * over clusters, no per-group array; a mass-duplicated cluster is
+    * exactly the hot key partial-agg absorbs). The representative
+    * table then joins back on the 8-byte cluster key. */
+  def canonicalize(docs: DataFrame,
+                   materialize: Materialize.Strategy = Materialize.local,
+                   pairs: Option[DataFrame] = None): DataFrame = {
+    val clusters = materialize(dedupClusters(docs, materialize, pairs))
+    val withLen = clusters
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+    val rep = withLen.groupBy("canonical_id")
+      .agg(max(struct(col("n_chars").as("len"),
+                      (-col("doc_id")).as("negid"))).as("m"))
+      .select(col("canonical_id"), (-col("m.negid")).as("rep_id"))
+    withLen.join(rep, "canonical_id")
+      .select(col("doc_id"), col("rep_id"),
+        (col("doc_id") === col("rep_id")).as("is_rep"), col("cluster_size"))
+  }
+
   /** PageRank over an undirected pair graph (✚ the second classic
     * iterative graph operator after CC — on the near-dup graph it
     * scores how CENTRAL a document is within its duplication
@@ -390,6 +416,36 @@ object Components {
              |       FROM lab GROUP BY canonical_id)
              |SELECT lab.doc_id, lab.canonical_id, cs.cluster_size
              |FROM lab JOIN cs USING (canonical_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Canonical representative per dup cluster — longest member wins,
+    // doc_id breaks ties. Shares q74's reach/lab CTEs verbatim so the
+    // two gates cannot disagree on what a cluster is; the oracle's
+    // row_number election is the windowed twin of the Spark plan's
+    // struct-max partial aggregation.
+    QueryDef("q119_cluster_canonical",
+      (s, d) => canonicalize(Tables.documents(s, d)).orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE ${Dedup.verifiedPairsCtes},
+             |edges AS (SELECT id_a AS u, id_b AS v FROM vp
+             |          UNION ALL SELECT id_b, id_a FROM vp),
+             |reach(node, lbl) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT e.v AS node, r.lbl FROM reach r JOIN edges e ON e.u = r.node),
+             |lab AS (SELECT node AS doc_id, MIN(lbl) AS canonical_id
+             |        FROM reach GROUP BY node),
+             |cs AS (SELECT canonical_id, COUNT(*) AS cluster_size
+             |       FROM lab GROUP BY canonical_id),
+             |rep AS (
+             |  SELECT canonical_id, doc_id AS rep_id FROM (
+             |    SELECT lab.canonical_id, d.doc_id,
+             |      ROW_NUMBER() OVER (PARTITION BY lab.canonical_id
+             |        ORDER BY d.n_chars DESC, d.doc_id) AS rn
+             |    FROM lab JOIN documents d USING (doc_id)) t
+             |  WHERE rn = 1)
+             |SELECT lab.doc_id, rep.rep_id, lab.doc_id = rep.rep_id AS is_rep,
+             |       cs.cluster_size
+             |FROM lab JOIN rep USING (canonical_id) JOIN cs USING (canonical_id)
              |ORDER BY doc_id""".stripMargin)),
 
     // Per-source survival under canonical-only dedup — same recursive

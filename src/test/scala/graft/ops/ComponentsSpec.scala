@@ -271,4 +271,28 @@ class ComponentsSpec extends AnyFunSuite {
       assert(tri(edges) == (canon.size.toLong, naive), s"round $round")
     }
   }
+
+  test("canonicalize elects one longest-member representative per cluster") {
+    val docs = graft.Tables.documents(spark, TestSpark.sf0001)
+    val out = Components.canonicalize(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3)))
+    assert(out.length == docs.count())
+    val byRep = out.groupBy(_._2)
+    // exactly one is_rep per cluster, and it IS the rep_id row
+    byRep.foreach { case (rep, members) =>
+      assert(members.count(_._3) == 1)
+      assert(members.find(_._3).get._1 == rep)
+      assert(members.forall(_._4 == members.length),
+        "cluster_size must equal the member count")
+    }
+    // the representative is the longest member (doc_id tiebreak)
+    val len = docs.select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byRep.foreach { case (rep, members) =>
+      val want = members.map(_._1).minBy(id => (-len(id), id))
+      assert(rep == want, s"cluster of $rep should elect $want")
+    }
+    // the fixture actually contains multi-doc clusters
+    assert(byRep.exists(_._2.length > 1))
+  }
 }
