@@ -410,6 +410,61 @@ object Dedup {
        |  UNION ALL
        |  ${cappedFallbackSql(dfCap)})""".stripMargin
 
+  // ── sorted-neighborhood method ───────────────────────────────────────
+
+  /** A doc's distinct 3-word shingle ARRAY as one Column — the row-local
+    * twin of [[shinglesOf]]'s table form, for operators that verify a
+    * pair inside a single row (no shingle-table join). Short docs fall
+    * back to the whole text, same as shinglesOf. */
+  private def shingleArr(t: Column, n: Int = 3): Column = {
+    val w = split(t, " ")
+    array_distinct(when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", (1 to n).map(k => element_at(w, i + k)): _*)))
+      .otherwise(array(t)))
+  }
+
+  /** Sorted-neighborhood dedup (Hernández–Stolfo): sort the corpus by a
+    * cheap blocking key (here the 32-char text prefix), compare each doc
+    * with its next `window`-1 neighbors in sort order, keep pairs whose
+    * shingle Jaccard clears `tau`. The classic complement to hash
+    * blocking (q26/q49): it catches near-dups whose edits fall OUTSIDE
+    * any sampled band but not in the key prefix, at strictly linear
+    * candidate count (n·(window-1) pairs, vs LSH's bucket blowup on hot
+    * bands).
+    *
+    * Distributed shape: the global sort rank comes from
+    * [[Scale.globalRowNumber]] — range partitions + prefix offsets, NO
+    * single-task window. Neighbor pairs are (window-1) copies of each
+    * row joined on the 8-byte rank — shuffle ∝ rows·window, and the
+    * Jaccard verify is row-local Column algebra (array_intersect on the
+    * pair's two shingle arrays), no shingle table, no second shuffle.
+    * Production would carry shingle digests instead of text through the
+    * rank join; the gate carries text to keep the verify exact. */
+  def sortedNeighborhood(docs: DataFrame, window: Int = 4, tau: Double = 0.5,
+      materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+    val keyed = docs.select(col("doc_id"),
+      substring(col("text"), 1, 32).as("key"), col("text"))
+    val ranked = materialize(
+      Scale.globalRowNumber(keyed, Seq(col("key"), col("doc_id")),
+        materialize)) // two consumers below
+    val left = ranked
+      .select(col("rn"), col("doc_id").as("id_l"), col("text").as("t_l"))
+      .withColumn("_k", explode(array((1 until window).map(lit): _*)))
+      .withColumn("rn2", col("rn") + col("_k")).drop("_k")
+    val right = ranked.select(col("rn").as("rn2"),
+      col("doc_id").as("id_r"), col("text").as("t_r"))
+    val da = shingleArr(col("t_l"))
+    val db = shingleArr(col("t_r"))
+    val inter = size(array_intersect(da, db))
+    val jac = inter.cast("double") / (size(da) + size(db) - inter)
+    left.join(right, "rn2")
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"),
+        round(jac, 6).as("jac"))
+      .where(col("jac") >= tau)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact dedup: group on the content hash, keep the smallest doc_id.
@@ -503,6 +558,44 @@ object Dedup {
       (s, d) => simhashNearDupMulti(Tables.documents(s, d)).orderBy("id_a", "id_b"),
       Some(s"""WITH sk AS ($simhashBodySql),
               |${multiBlockSql(4)}
-              |ORDER BY id_a, id_b""".stripMargin))
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Sorted-neighborhood dedup: prefix-sort the corpus, verify each
+    // doc against its next 3 sort neighbors. The oracle's flat
+    // ROW_NUMBER() OVER (ORDER BY ...) is the single-node twin of the
+    // two-phase distributed rank (range partitions + prefix offsets)
+    // the Spark plan uses.
+    QueryDef("q120_sorted_neighborhood",
+      (s, d) => sortedNeighborhood(Tables.documents(s, d))
+        .orderBy("id_a", "id_b"),
+      Some("""WITH k AS (SELECT doc_id, substr(text, 1, 32) AS key, text
+             |           FROM documents),
+             |r AS (SELECT doc_id, text,
+             |        ROW_NUMBER() OVER (ORDER BY key, doc_id) AS rn
+             |      FROM k),
+             |p AS (SELECT a.doc_id AS id_a, a.text AS ta,
+             |             b.doc_id AS id_b, b.text AS tb
+             |      FROM r a JOIN r b ON b.rn BETWEEN a.rn + 1 AND a.rn + 3),
+             |sh AS (SELECT id_a, id_b,
+             |  list_distinct(CASE WHEN len(string_split(ta, ' ')) >= 3
+             |    THEN list_transform(range(len(string_split(ta, ' ')) - 2),
+             |      i -> string_split(ta, ' ')[i+1] || ' ' ||
+             |           string_split(ta, ' ')[i+2] || ' ' ||
+             |           string_split(ta, ' ')[i+3])
+             |    ELSE [ta] END) AS da,
+             |  list_distinct(CASE WHEN len(string_split(tb, ' ')) >= 3
+             |    THEN list_transform(range(len(string_split(tb, ' ')) - 2),
+             |      i -> string_split(tb, ' ')[i+1] || ' ' ||
+             |           string_split(tb, ' ')[i+2] || ' ' ||
+             |           string_split(tb, ' ')[i+3])
+             |    ELSE [tb] END) AS db
+             |  FROM p),
+             |j AS (SELECT least(id_a, id_b) AS id_a, greatest(id_a, id_b) AS id_b,
+             |  round(CAST(len(list_filter(da, x -> list_contains(db, x))) AS DOUBLE)
+             |    / (len(da) + len(db)
+             |       - len(list_filter(da, x -> list_contains(db, x)))), 6) AS jac
+             |  FROM sh)
+             |SELECT id_a, id_b, jac FROM j WHERE jac >= 0.5
+             |ORDER BY id_a, id_b""".stripMargin))
   )
 }

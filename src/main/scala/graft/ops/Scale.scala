@@ -124,6 +124,37 @@ object Scale {
     * measured cost intentionally includes the bucketed write — that is
     * the real amortization decision at 100 TB: pay one layout write,
     * then every repeated fact⋈fact join on that key skips its shuffle. */
+  // ---- two-phase global row numbering ----
+
+  /** Global 1-based row_number over a total order WITHOUT the
+    * single-task sort that `Window.orderBy(...)` (no partitionBy)
+    * plans: range-partition on the sort key, count rows per partition
+    * (a tiny aggregate — one long per partition, the same
+    * documented-small driver collect as packSequences' offsets), and
+    * add each partition's prefix offset to a bounded per-partition
+    * row_number. Every task sorts only its own range slice.
+    *
+    * `materialize` must PIN the range-partitioned table: its sampled
+    * boundaries feed both the count pass and the numbering pass, and a
+    * recomputed lineage could resample different boundaries (default
+    * localCheckpoint; `_.checkpoint()` on a real cluster). The sort
+    * key list must be a total order (append a unique id) or numbering
+    * within ties is partition-dependent. */
+  def globalRowNumber(df: DataFrame, sort: Seq[Column],
+      materialize: graft.Materialize.Strategy = graft.Materialize.local): DataFrame = {
+    val ranged = materialize(df.repartitionByRange(sort: _*)
+      .withColumn("_pid", spark_partition_id()))
+    val counts = ranged.groupBy("_pid").agg(count(lit(1)).as("_n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.map(_._1).zip(counts.scanLeft(0L)(_ + _._2)).toMap
+    val offExpr = offsets.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
+      when(col("_pid") === pid, lit(off)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_pid").orderBy(sort: _*)
+    ranged.withColumn("rn", row_number().over(w) + offExpr).drop("_pid")
+  }
+
   // ---- Z-order (Morton) clustering layout ----
 
   /** Morton interleave of two 8-bit cell coordinates into a 16-bit

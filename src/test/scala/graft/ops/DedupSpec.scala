@@ -118,4 +118,35 @@ class DedupSpec extends AnyFunSuite {
     info(s"simhash hamming distances on j>=0.95 pairs: ${dists.toSeq.sorted.mkString(",")}")
     assert(dists.forall(_ <= 8), s"expected <=8/32 differing bits, got ${dists.max}")
   }
+
+  test("sortedNeighborhood pairs are partitioning-invariant and windowed-complete") {
+    val docs = graft.Tables.documents(spark, TestSpark.sf0001)
+    val base = Dedup.sortedNeighborhood(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(base.nonEmpty, "fixture must yield sorted-neighborhood hits")
+    // same pairs regardless of how the input arrives: boundary pairs
+    // crossing range-partition edges must survive any layout
+    for (parts <- Seq(1, 7)) {
+      val got = Dedup.sortedNeighborhood(docs.repartition(parts)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == base, s"parts=$parts")
+    }
+    // completeness against the naive in-memory SNM with the same key
+    val keyed = docs.selectExpr("doc_id", "substring(text, 1, 32) AS key", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy { case (id, k, _) => (k, id) }
+    def shingles(t: String): Set[String] = {
+      val w = t.split(" ")
+      if (w.length >= 3) w.sliding(3).map(_.mkString(" ")).toSet else Set(t)
+    }
+    val naive = (for {
+      i <- keyed.indices
+      j <- (i + 1) until math.min(i + 4, keyed.length)
+      sa = shingles(keyed(i)._3); sb = shingles(keyed(j)._3)
+      inter = (sa & sb).size
+      jac = inter.toDouble / (sa.size + sb.size - inter)
+      if BigDecimal(jac).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble >= 0.5
+    } yield (math.min(keyed(i)._1, keyed(j)._1), math.max(keyed(i)._1, keyed(j)._1))).toSet
+    assert(base.map(t => (t._1, t._2)) == naive)
+  }
 }

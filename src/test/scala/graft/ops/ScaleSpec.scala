@@ -195,4 +195,21 @@ class ScaleSpec extends AnyFunSuite {
     assert(ranges.count { case (_, _, xs, ys, _) => xs <= 128 && ys <= 128 } >= ranges.length / 2,
       "at least half the partitions must sit in a quarter-space rectangle")
   }
+
+  test("globalRowNumber equals the single-task window rank at any partitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // duplicate keys force the doc_id tiebreak; skewed keys force
+    // uneven range partitions
+    val rows = (1L to 5000L).map(id => (s"k${rnd.nextInt(40)}", id)).toDF("key", "id")
+    val want = rows.orderBy("key", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).zipWithIndex
+      .map { case (t, i) => (t, i + 1L) }.toMap
+    for (parts <- Seq(1, 5, 32)) {
+      val got = Scale.globalRowNumber(rows.repartition(parts),
+          Seq(col("key"), col("id")))
+        .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+      assert(got == want, s"parts=$parts")
+    }
+  }
 }
