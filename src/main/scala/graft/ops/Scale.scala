@@ -141,18 +141,34 @@ object Scale {
     * key list must be a total order (append a unique id) or numbering
     * within ties is partition-dependent. */
   def globalRowNumber(df: DataFrame, sort: Seq[Column],
+      materialize: graft.Materialize.Strategy = graft.Materialize.local): DataFrame =
+    globalRunningSum(df, sort, lit(1L), materialize).withColumnRenamed("cum", "rn")
+
+  /** Global running sum of `value` over a total order — same two-phase
+    * shape as [[globalRowNumber]] (which is this with value = 1): per-
+    * partition subtotals (one long per partition to the driver),
+    * prefix offsets folded into a literal CASE chain, bounded
+    * per-partition windows. The inclusive running sum at each row is
+    * its partition's offset plus the within-partition running sum. */
+  def globalRunningSum(df: DataFrame, sort: Seq[Column], value: Column,
       materialize: graft.Materialize.Strategy = graft.Materialize.local): DataFrame = {
-    val ranged = materialize(df.repartitionByRange(sort: _*)
+    val ranged = materialize(df.withColumn("_v", value)
+      .repartitionByRange(sort: _*)
       .withColumn("_pid", spark_partition_id()))
-    val counts = ranged.groupBy("_pid").agg(count(lit(1)).as("_n"))
+    val subs = ranged.groupBy("_pid").agg(sum(col("_v")).as("_s"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets = counts.map(_._1).zip(counts.scanLeft(0L)(_ + _._2)).toMap
+    val offsets = subs.map(_._1).zip(subs.scanLeft(0L)(_ + _._2))
     val offExpr = offsets.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
       when(col("_pid") === pid, lit(off)).otherwise(acc)
     }
+    // ROWS frame, not the default RANGE: identical under a total order,
+    // but immune to ties if a caller under-specifies the sort
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("_pid").orderBy(sort: _*)
-    ranged.withColumn("rn", row_number().over(w) + offExpr).drop("_pid")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    ranged.withColumn("cum", sum(col("_v")).over(w) + offExpr)
+      .drop("_pid", "_v")
   }
 
   // ---- Z-order (Morton) clustering layout ----

@@ -701,6 +701,41 @@ object TrainPrep {
              |  CAST(SUM(len) AS BIGINT) AS n_tokens,
              |  ROUND(SUM(len) / ((MAX(seq_id) + 1) * 256.0), 6) AS fill_ratio
              |FROM sp GROUP BY source
-             |ORDER BY source""".stripMargin))
+             |ORDER BY source""".stripMargin)),
+
+    // Token-budget corpus selection: rank docs by lexical density
+    // (distinct-token ratio — the repetition-penalizing quality proxy),
+    // take the greedy prefix whose running token total fits the budget.
+    // The running sum is Scale.globalRunningSum's two-phase shape —
+    // range partitions over (density, doc_id), driver prefix offsets,
+    // bounded per-partition windows — NEVER a single-task global
+    // window; the oracle's flat SUM() OVER is its single-node twin.
+    // Density is one exact double division computed identically by
+    // both engines, so the ordering cannot drift.
+    QueryDef("q121_budget_select",
+      (s, d) => {
+        val w = split(col("text"), " ")
+        val sized = Tables.documents(s, d).select(col("doc_id"),
+          size(w).cast("long").as("n_tok"),
+          (size(array_distinct(w)).cast("double") / size(w)).as("density"))
+        Scale.globalRunningSum(sized,
+            Seq(col("density").desc, col("doc_id")), col("n_tok"))
+          .where(col("cum") <= 20000L)
+          .select(col("doc_id"), col("n_tok"),
+            round(col("density"), 6).as("density"), col("cum").as("cum_tok"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+             |           FROM documents),
+             |s AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok,
+             |        CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS density
+             |      FROM t),
+             |c AS (SELECT doc_id, n_tok, density,
+             |        SUM(n_tok) OVER (ORDER BY density DESC, doc_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |      FROM s)
+             |SELECT doc_id, n_tok, round(density, 6) AS density,
+             |  CAST(cum AS BIGINT) AS cum_tok
+             |FROM c WHERE cum <= 20000 ORDER BY doc_id""".stripMargin))
   )
 }

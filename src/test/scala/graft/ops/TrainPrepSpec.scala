@@ -434,4 +434,25 @@ class TrainPrepSpec extends AnyFunSuite {
       .queryExecution.sparkPlan.toString
     assert(p.contains("TakeOrderedAndProject"))
   }
+
+  test("q121 selects the exact greedy prefix of the density order") {
+    val q = graft.SparkEntry.queries("q121_budget_select")
+    val sel = q(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(sel.nonEmpty)
+    assert(sel.map(_._4).max <= 20000L)
+    // reproduce the greedy prefix naively
+    val docs = graft.Tables.documents(spark, TestSpark.sf0001)
+      .selectExpr("doc_id",
+        "CAST(size(split(text, ' ')) AS LONG) AS n_tok",
+        "CAST(size(array_distinct(split(text, ' '))) AS DOUBLE) / size(split(text, ' ')) AS density")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy { case (id, _, dn) => (-dn, id) }
+    val cums = docs.scanLeft(0L)(_ + _._2).tail
+    val want = docs.zip(cums).takeWhile(_._2 <= 20000L)
+      .map { case ((id, n, _), c) => (id, n, c) }.toSet
+    assert(sel.map(t => (t._1, t._2, t._4)).toSet == want)
+    // two-phase cum is layout-invariant
+    assert(q(spark, TestSpark.sf0001).collect().length == sel.length)
+  }
 }
