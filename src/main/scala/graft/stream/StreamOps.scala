@@ -258,6 +258,39 @@ object StreamOps {
              |  SELECT b0 - INTERVAL 5 MINUTE AS w_start, event_type FROM buckets) t
              |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin)),
 
+    // The count-min cells table (q79's structure) built THROUGH the
+    // streaming engine: documents arrive as parquet micro-batches via
+    // the FILE source, tokens explode executor-side, and the (row,
+    // bucket) aggregation runs as streaming state in complete mode.
+    // The full 4096-cell table must hash-match the batch construction
+    // — stream/batch unification for the sketch family: a live
+    // pipeline can maintain the same sketch incrementally that a batch
+    // backfill builds, because the cells are a pure aggregation (the
+    // mergeability argument in ops/Sketch.scala, exercised here
+    // through the state store). Streaming shuffle state is ≤ d×w keys.
+    QueryDef("q122_stream_countmin",
+      (s, d) => {
+        val input = graft.Tables.documents(s, d).select("text")
+        val toCells = (df: org.apache.spark.sql.DataFrame) =>
+          graft.ops.Sketch.countMinCellsOf(
+              df.select(explode(split(col("text"), " ")).as("tok")))
+            .select(col("row").cast("long").as("row"),
+                    col("bucket"), col("cell"))
+        val rows = runBoundedFromPath(s, input, toCells, chunks = 3)
+        s.createDataFrame(new java.util.ArrayList(java.util.Arrays.asList(rows: _*)),
+            toCells(input).schema)
+          .orderBy("row", "bucket")
+      },
+      Some("""WITH toks AS (
+             |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+             |coords AS (
+             |  SELECT tok, i.i AS row,
+             |    ('0x' || substr(md5(tok), i.i * 8 + 1, 8))::BIGINT % 1024 AS bucket
+             |  FROM toks, (SELECT unnest(range(4)) AS i) i)
+             |SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cell
+             |FROM coords GROUP BY row, bucket
+             |ORDER BY row, bucket""".stripMargin)),
+
     // Executed THROUGH Structured Streaming: the events table arrives in
     // micro-batches via the streaming FILE source (distributed reads,
     // input never collected to the driver) and is aggregated by the
