@@ -109,10 +109,27 @@ object StreamOps {
                          transform: DataFrame => DataFrame,
                          chunks: Int = 2,
                          statePartitions: Int = 8,
-                         outputMode: String = "complete"): Seq[org.apache.spark.sql.Row] = {
+                         outputMode: String = "complete",
+                         arrivalOrder: Seq[org.apache.spark.sql.Column] = Nil): Seq[org.apache.spark.sql.Row] = {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
     try {
-      input.repartition(chunks).write.mode("overwrite").parquet(dir)
+      // arrivalOrder simulates a source that honors the watermark's
+      // bounded-disorder contract: chunks are event-time ranges written
+      // oldest-first (strictly increasing mtimes), so the file source
+      // replays them in order and no row arrives behind the watermark.
+      // Watermark-free transforms (pure aggregations) can skip it —
+      // their arithmetic is arrival-order-independent by construction.
+      if (arrivalOrder.isEmpty)
+        input.repartition(chunks).write.mode("overwrite").parquet(dir)
+      else {
+        val ranged = input.repartitionByRange(chunks, arrivalOrder: _*)
+          .withColumn("_chunk", spark_partition_id()).localCheckpoint()
+        (0 until chunks).foreach { i =>
+          ranged.where(col("_chunk") === i).drop("_chunk")
+            .write.mode(if (i == 0) "overwrite" else "append").parquet(dir)
+          Thread.sleep(15) // distinct mtimes => deterministic replay order
+        }
+      }
       val source = spark.readStream.schema(input.schema)
         .option("maxFilesPerTrigger", "1").parquet(dir)
       collectBounded(spark, source, transform, statePartitions, outputMode)(())
@@ -257,6 +274,36 @@ object StreamOps {
              |  UNION ALL
              |  SELECT b0 - INTERVAL 5 MINUTE AS w_start, event_type FROM buckets) t
              |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin)),
+
+    // Stream-stream interval join executed THROUGH the streaming
+    // engine: one file-source stream self-joined (clicks × purchases
+    // within 30 min, watermark-bounded state on both sides), append
+    // mode — inner-join matches emit as they arrive; the watermark
+    // exists to EVICT state, so bounded replay yields the complete
+    // match set, hash-equal to the batch interval join the oracle
+    // runs. Closes the gate set over the last join family that only
+    // specs exercised.
+    QueryDef("q123_stream_join",
+      (s, d) => {
+        val input = graft.Tables.events(s, d)
+          .select("user_id", "ts", "event_type", "value")
+        val toPairs = (df: org.apache.spark.sql.DataFrame) =>
+          clickToPurchase(df)
+            .select(col("c_user").as("user_id"), col("click_ts"),
+                    col("purchase_ts"), col("purchase_value"))
+        val rows = runBoundedFromPath(s, input, toPairs,
+          chunks = 3, outputMode = "append", arrivalOrder = Seq(col("ts")))
+        s.createDataFrame(new java.util.ArrayList(java.util.Arrays.asList(rows: _*)),
+            toPairs(input).schema)
+          .orderBy("user_id", "click_ts", "purchase_ts", "purchase_value")
+      },
+      Some("""SELECT c.user_id, c.ts AS click_ts, p.ts AS purchase_ts,
+             |  p.value AS purchase_value
+             |FROM events c JOIN events p
+             |  ON p.user_id = c.user_id
+             | AND c.event_type = 'click' AND p.event_type = 'purchase'
+             | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+             |ORDER BY c.user_id, click_ts, purchase_ts, purchase_value""".stripMargin)),
 
     // The count-min cells table (q79's structure) built THROUGH the
     // streaming engine: documents arrive as parquet micro-batches via
