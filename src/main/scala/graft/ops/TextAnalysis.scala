@@ -624,6 +624,58 @@ object TextAnalysis {
              |  round(-CAST(slp AS DOUBLE) / n_tok, 5) AS nll,
              |  (-CAST(slp AS DOUBLE) / n_tok) <= (-CAST(gslp AS DOUBLE) / gn)
              |    AS keep
-             |FROM pd, g ORDER BY doc_id""".stripMargin))
+             |FROM pd, g ORDER BY doc_id""".stripMargin)),
+
+    // Frequent co-occurring token pairs with PMI — the market-basket
+    // primitive (token association mining for tokenizer/vocab work).
+    // Scale: the Apriori prune runs FIRST — only tokens whose doc
+    // frequency clears the support threshold survive, applied as a
+    // broadcast semi-filter on the (doc, token) stream before any
+    // pairing, so the quadratic per-doc pair explode only sees
+    // frequent items. The pair aggregation then shuffles bounded
+    // (frequent-vocab²) keys with map-side combine. PMI's ln is over
+    // an exact rational, rounded at 5 dp (the BM25 precedent).
+    QueryDef("q124_cooccurrence_pmi",
+      (s, d) => {
+        val dt = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .distinct().localCheckpoint() // 3 consumers: n, df, pair stream
+        val n = dt.agg(countDistinct(col("doc_id")).as("n"))
+        val fi = dt.groupBy("tok").agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(n))
+          .where(col("df") >= col("n") * 0.25).select("tok", "df")
+        val dtf = dt.join(broadcast(fi.select("tok")), "tok")
+        val pairs = dtf.as("a").join(dtf.as("b"),
+            col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
+          .groupBy(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
+          .agg(count(lit(1)).as("n_ab"))
+        pairs.crossJoin(broadcast(n))
+          .where(col("n_ab") >= col("n") * 0.25)
+          .join(broadcast(fi.select(col("tok").as("tok_a"), col("df").as("df_a"))), "tok_a")
+          .join(broadcast(fi.select(col("tok").as("tok_b"), col("df").as("df_b"))), "tok_b")
+          .select(col("tok_a"), col("tok_b"), col("n_ab"),
+            round(log(col("n_ab").cast("double") * col("n") /
+              (col("df_a") * col("df_b"))), 5).as("pmi"))
+          .orderBy("tok_a", "tok_b")
+      },
+      Some("""WITH dt AS MATERIALIZED (
+             |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM dt),
+             |fi AS MATERIALIZED (
+             |  SELECT tok, COUNT(*) AS df FROM dt, n
+             |  GROUP BY tok, n.n HAVING COUNT(*) >= n.n * 0.25),
+             |p AS (SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS n_ab
+             |      FROM (SELECT dt.doc_id, dt.tok FROM dt JOIN fi USING (tok)) a
+             |      JOIN (SELECT dt.doc_id, dt.tok FROM dt JOIN fi USING (tok)) b
+             |        ON a.doc_id = b.doc_id AND a.tok < b.tok
+             |      GROUP BY 1, 2),
+             |f AS (SELECT tok_a, tok_b, n_ab FROM p, n WHERE n_ab >= n.n * 0.25)
+             |SELECT f.tok_a, f.tok_b, f.n_ab,
+             |  round(ln(CAST(f.n_ab AS DOUBLE) * n.n / (fa.df * fb.df)), 5) AS pmi
+             |FROM f CROSS JOIN n
+             |JOIN fi fa ON fa.tok = f.tok_a
+             |JOIN fi fb ON fb.tok = f.tok_b
+             |ORDER BY tok_a, tok_b""".stripMargin))
   )
 }
