@@ -676,6 +676,47 @@ object TextAnalysis {
              |FROM f CROSS JOIN n
              |JOIN fi fa ON fa.tok = f.tok_a
              |JOIN fi fb ON fb.tok = f.tok_b
-             |ORDER BY tok_a, tok_b""".stripMargin))
+             |ORDER BY tok_a, tok_b""".stripMargin)),
+
+    // Subword tokenization (greedy longest-match against the pinned
+    // merge vocab — BPE inference) with corpus-weighted subword
+    // frequencies. The tokenizer loop runs once per DISTINCT word (a
+    // typed flatMap, the reference's host-language transform T3), and
+    // the stream weighting happens by aggregation — tokenize cost is
+    // vocabulary-bounded while the counts reflect the full corpus.
+    // The oracle reruns the IDENTICAL longest-match rule as a
+    // recursive CTE over the same formatted vocab literal.
+    QueryDef("q125_subword_tokenize",
+      (s, d) => {
+        import s.implicits._
+        val wc = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("n"))
+        wc.as[(String, Long)]
+          .flatMap { case (w, n) =>
+            graft.text.Subword.tokenize(w).map(sub => (sub, n)) }
+          .toDF("subword", "n0")
+          .groupBy("subword").agg(sum(col("n0")).as("n"))
+          .orderBy("subword")
+      },
+      Some(s"""WITH RECURSIVE wc AS MATERIALIZED (
+             |  SELECT tok AS w, COUNT(*) AS n FROM (
+             |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+             |  GROUP BY tok),
+             |vocab(t) AS (SELECT unnest([${graft.text.Subword.vocabSqlList}])),
+             |st(w, rest, toks) AS (
+             |  SELECT w, w, CAST([] AS VARCHAR[]) FROM wc
+             |  UNION ALL
+             |  SELECT w, substr(rest, l + 1), list_append(toks, substr(rest, 1, l))
+             |  FROM (
+             |    SELECT w, rest, toks,
+             |      COALESCE((SELECT MAX(len(t)) FROM vocab
+             |                WHERE substr(rest, 1, len(t)) = t), 1) AS l
+             |    FROM st WHERE rest <> '') s),
+             |subs AS (SELECT w, unnest(toks) AS subword
+             |         FROM st WHERE rest = '')
+             |SELECT subword, CAST(SUM(wc.n) AS BIGINT) AS n
+             |FROM subs JOIN wc USING (w)
+             |GROUP BY subword ORDER BY subword""".stripMargin))
   )
 }

@@ -108,4 +108,35 @@ class TextPrepSpec extends AnyFunSuite {
     base.foreach { case (_, _, nll, keep) =>
       assert(keep == (nll <= corpus + 5e-6) || math.abs(nll - corpus) < 1e-4) }
   }
+
+  test("subword tokenize: lossless, longest-match, unicode fallback") {
+    import graft.text.Subword
+    val words = Seq("the", "theater", "interesting", "xyzzy", "a",
+      "entertainer", "station", "\u4e2d\u6587word\u8bcd")
+    words.foreach { w =>
+      val toks = Subword.tokenize(w)
+      assert(toks.mkString("") == w, s"lossless: $w")
+      // greedy longest-match: at each emitted position, no LONGER vocab
+      // entry can match the suffix that was tokenized there
+      var pos = 0
+      toks.foreach { t =>
+        val rest = w.substring(pos)
+        val best = Subword.vocab.filter(rest.startsWith).map(_.length)
+          .maxOption.getOrElse(1)
+        assert(t.length == best, s"at $pos in $w: got '$t', best len $best")
+        pos += t.length
+      }
+    }
+    // the gate's weighting: subword mass equals total character mass
+    val q = graft.SparkEntry.queries("q125_subword_tokenize")
+    val out = q(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.nonEmpty)
+    val massFromGate = out.map { case (sub, n) => sub.length * n }.sum
+    val massFromCorpus = graft.Tables.documents(spark, TestSpark.sf0001)
+      .selectExpr("CAST(aggregate(transform(split(text, ' '), w -> length(w)), 0L, (a, x) -> a + x) AS LONG) AS m")
+      .collect().map(_.getLong(0)).sum
+    assert(massFromGate == massFromCorpus,
+      "every character of every token occurrence is covered exactly once")
+  }
 }
