@@ -504,6 +504,74 @@ object Extras {
              |  CAST(MIN($c) AS VARCHAR) AS min_s, CAST(MAX($c) AS VARCHAR) AS max_s
              |FROM lineitem""".stripMargin)
           .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
-      })
+      }),
+
+    // Weekly retention cohorts: users grouped by first-seen week, the
+    // classic (cohort × week-offset → distinct active users) matrix.
+    // Both the first-seen reduction and the activity distinct key on
+    // the 8-byte user id; the output is cohorts × offsets — tiny at
+    // any corpus size. Week offsets are exact integer arithmetic on
+    // microsecond epochs of week-truncated timestamps.
+    QueryDef("q126_retention_cohorts",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        val first = ev.groupBy("user_id").agg(min(col("wk")).as("cohort"))
+        ev.distinct().join(first, "user_id")
+          .groupBy(col("cohort"),
+            ((unix_micros(col("wk")) - unix_micros(col("cohort"))) /
+              lit(604800000000L)).cast("long").as("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy("cohort", "week_offset")
+      },
+      Some("""WITH ev AS (
+             |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+             |  FROM events),
+             |first AS (SELECT user_id, MIN(wk) AS cohort FROM ev GROUP BY 1)
+             |SELECT cohort,
+             |  (epoch_us(wk) - epoch_us(cohort)) // 604800000000 AS week_offset,
+             |  COUNT(DISTINCT ev.user_id) AS n_users
+             |FROM ev JOIN first USING (user_id)
+             |GROUP BY 1, 2 ORDER BY cohort, week_offset""".stripMargin)),
+
+    // 2D Pareto skyline (maximize both dims) as the two-phase
+    // distributed shape: any partitioning's LOCAL skylines are a
+    // superset of the global skyline (a global dominator of p implies
+    // a local-skyline dominator in its own partition), so phase 1
+    // prunes per partition with a bounded running-max window and only
+    // the survivor union — skyline-sized, not corpus-sized — takes the
+    // exact single-task pass in phase 2 (the same documented-small
+    // terminal as the driver prefix offsets). The oracle is the
+    // quadratic NOT EXISTS definition.
+    QueryDef("q127_skyline",
+      (s, d) => {
+        val pts = Tables.part(s, d)
+          .select(col("p_retailprice").as("x"),
+                  col("p_size").cast("long").as("y"))
+          .distinct()
+          .withColumn("_pid", spark_partition_id())
+        // sorted by (x desc, y desc), a point survives iff its y beats
+        // every earlier y: earlier rows have x' > x, or x' = x, y' > y
+        // (exact ties impossible after distinct) — both dominate
+        def prune(w: org.apache.spark.sql.expressions.WindowSpec) =
+          max(col("y")).over(
+            w.orderBy(col("x").desc, col("y").desc)
+              .rowsBetween(Window.unboundedPreceding, -1))
+        val local = pts
+          .withColumn("pm", prune(Window.partitionBy(col("_pid"))))
+          .where(col("pm").isNull || col("pm") < col("y")).drop("pm", "_pid")
+        local.coalesce(1)
+          .withColumn("pm", prune(Window.partitionBy(lit(1))))
+          .where(col("pm").isNull || col("pm") < col("y")).drop("pm")
+          .orderBy("x", "y")
+      },
+      Some("""WITH p AS (
+             |  SELECT DISTINCT p_retailprice AS x, CAST(p_size AS BIGINT) AS y
+             |  FROM part)
+             |SELECT x, y FROM p a
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM p b
+             |  WHERE b.x >= a.x AND b.y >= a.y AND (b.x > a.x OR b.y > a.y))
+             |ORDER BY x, y""".stripMargin))
   )
 }

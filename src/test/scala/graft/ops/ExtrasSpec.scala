@@ -128,4 +128,22 @@ class ExtrasSpec extends AnyFunSuite {
     val users = ev.groupBy(_._1).map(_._2.size.toLong - 1).sum
     assert(got.values.sum == users)
   }
+
+  test("skyline two-phase equals the naive quadratic definition at any layout") {
+    val q = graft.SparkEntry.queries("q127_skyline")
+    val got = q(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).toSet
+    assert(got.nonEmpty)
+    val pts = graft.Tables.part(spark, TestSpark.sf0001)
+      .selectExpr("p_retailprice AS x", "CAST(p_size AS LONG) AS y")
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSet
+    val naive = pts.filter { case (x, y) =>
+      !pts.exists { case (bx, by) =>
+        bx >= x && by >= y && (bx > x || by > y) } }
+    assert(got == naive)
+    // no survivor dominates another (mutual incomparability)
+    got.foreach { case (x, y) =>
+      assert(!got.exists { case (bx, by) =>
+        bx >= x && by >= y && (bx > x || by > y) }) }
+  }
 }
