@@ -338,6 +338,35 @@ object StreamOps {
              |FROM coords GROUP BY row, bucket
              |ORDER BY row, bucket""".stripMargin)),
 
+    // HLL registers (q116's structure) maintained THROUGH the streaming
+    // engine: lineitem arrives as parquet micro-batches, the per-(key,
+    // register) MAX runs as streaming state in complete mode. Register
+    // max is idempotent and commutative, so arbitrary arrival order
+    // and re-delivery converge to the batch registers — the sketch
+    // mergeability q116's spec proves shard-wise, exercised here
+    // through the state store. State is ≤ keys×64 rows forever.
+    QueryDef("q128_stream_hll",
+      (s, d) => {
+        val input = graft.Tables.lineitem(s, d)
+          .select(col("l_returnflag").as("key"),
+                  col("l_partkey").cast("string").as("item"))
+        val toRegs = (df: org.apache.spark.sql.DataFrame) =>
+          graft.ops.Sketch.hllRegisters(df)
+        val rows = runBoundedFromPath(s, input, toRegs, chunks = 3)
+        s.createDataFrame(new java.util.ArrayList(java.util.Arrays.asList(rows: _*)),
+            toRegs(input).schema)
+          .orderBy("key", "j")
+      },
+      Some("""WITH it AS (
+             |  SELECT l_returnflag AS key, CAST(l_partkey AS VARCHAR) AS item
+             |  FROM lineitem),
+             |h AS (SELECT key, ('0x' || substr(md5(item), 1, 8))::BIGINT AS h
+             |      FROM it)
+             |SELECT key, h % 64 AS j,
+             |  CAST(MAX(27 - length(ltrim(bin(h // 64), '0'))) AS INT) AS mj
+             |FROM h GROUP BY key, j
+             |ORDER BY key, j""".stripMargin)),
+
     // Executed THROUGH Structured Streaming: the events table arrives in
     // micro-batches via the streaming FILE source (distributed reads,
     // input never collected to the driver) and is aggregated by the
