@@ -443,22 +443,35 @@ object Dedup {
     * rank join; the gate carries text to keep the verify exact. */
   def sortedNeighborhood(docs: DataFrame, window: Int = 4, tau: Double = 0.5,
       materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+    // Shingle each doc exactly ONCE, on a hash-repartitioned stream.
+    // Two measured pathologies this layout avoids (sf0.1 numbers in
+    // SCALE.md): (1) lambda HOFs (transform) are interpreted, not
+    // codegen'd, AND Catalyst evaluates projections before exchanges —
+    // shingling inline in the rank input ran the whole corpus's array
+    // build in the SCAN's task layout (one task per parquet file,
+    // ~4 s single-task here; unboundedly worse at 100 TB); (2) leaving
+    // shingleArr in the per-pair verify rebuilds it (window-1)·2·refs
+    // times per doc because CSE cannot see through lambdas. The
+    // repartition makes the interpreted build use every core, and the
+    // rank then moves only (key, doc_id) — arrays join back by id.
+    val sh = materialize(docs.repartition(col("doc_id"))
+      .select(col("doc_id"), shingleArr(col("text")).as("sh")))
     val keyed = docs.select(col("doc_id"),
-      substring(col("text"), 1, 32).as("key"), col("text"))
-    val ranked = materialize(
-      Scale.globalRowNumber(keyed, Seq(col("key"), col("doc_id")),
-        materialize)) // two consumers below
-    val left = ranked
-      .select(col("rn"), col("doc_id").as("id_l"), col("text").as("t_l"))
+      substring(col("text"), 1, 32).as("key"))
+    val ranked = Scale.globalRowNumber(keyed,
+      Seq(col("key"), col("doc_id")), materialize)
+    val left = ranked.select(col("rn"), col("doc_id").as("id_l"))
       .withColumn("_k", explode(array((1 until window).map(lit): _*)))
       .withColumn("rn2", col("rn") + col("_k")).drop("_k")
-    val right = ranked.select(col("rn").as("rn2"),
-      col("doc_id").as("id_r"), col("text").as("t_r"))
-    val da = shingleArr(col("t_l"))
-    val db = shingleArr(col("t_r"))
-    val inter = size(array_intersect(da, db))
-    val jac = inter.cast("double") / (size(da) + size(db) - inter)
+    val right = ranked.select(col("rn").as("rn2"), col("doc_id").as("id_r"))
+    // inter/sizes are plain (non-lambda) expressions over attribute
+    // children here, so codegen CSE computes the intersect once
+    val inter = size(array_intersect(col("sh_l"), col("sh_r")))
+    val jac = inter.cast("double") /
+      (size(col("sh_l")) + size(col("sh_r")) - inter)
     left.join(right, "rn2")
+      .join(sh.select(col("doc_id").as("id_l"), col("sh").as("sh_l")), "id_l")
+      .join(sh.select(col("doc_id").as("id_r"), col("sh").as("sh_r")), "id_r")
       .select(least(col("id_l"), col("id_r")).as("id_a"),
         greatest(col("id_l"), col("id_r")).as("id_b"),
         round(jac, 6).as("jac"))
