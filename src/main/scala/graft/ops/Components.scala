@@ -396,6 +396,52 @@ object Components {
     canon.agg(count(lit(1)).as("n_edges")).crossJoin(nt)
   }
 
+  /** Per-node clustering coefficient (✚): 2·t(v) / (d(v)·(d(v)−1)),
+    * the local cohesion score behind [[triangles]]'s global count —
+    * over a near-dup graph it separates genuine duplicate groups
+    * (near-cliques, coeff → 1) from chains of borderline matches
+    * (coeff → 0), per NODE rather than per corpus.
+    *
+    * Same degree-ordered oriented wedge join as [[triangles]] (hub
+    * out-degree O(√m), total O(m^1.5)), except each closed triangle
+    * keeps its three vertex ids and explodes them — one count row per
+    * (triangle, vertex), aggregated on the 8-byte id. Degrees come
+    * from the already-pinned `deg` table; the final join is keyed by
+    * id. The coefficient divides exact integers, so both engines
+    * compute the identical double. */
+  def clusteringCoefficient(pairs: DataFrame,
+      materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+    val canon = materialize(pairs
+      .select(least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"))
+      .where(col("a") =!= col("b")).distinct())
+    val deg = materialize(canon.select(col("a").as("id"))
+      .unionAll(canon.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("dg")))
+    val oriented = materialize(canon
+      .join(deg.select(col("id").as("a"), col("dg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("dg").as("db")), "b")
+      .select(when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("f"), col("b").as("t")))
+        .otherwise(struct(col("b").as("f"), col("a").as("t"))).as("o"))
+      .select(col("o.f").as("f"), col("o.t").as("t")))
+    val closed = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.f") === col("e2.f") && col("e1.t") < col("e2.t"))
+      .select(col("e1.f").as("v"), col("e1.t").as("a"), col("e2.t").as("b"))
+      .join(canon, Seq("a", "b"))
+    val tri = closed
+      .select(explode(array(col("v"), col("a"), col("b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+    deg.join(tri, Seq("id"), "left")
+      .select(col("id"), col("dg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        round(when(col("dg") >= 2,
+            lit(2) * coalesce(col("n_tri"), lit(0L)) /
+              (col("dg") * (col("dg") - 1)).cast("double"))
+          .otherwise(lit(0.0)), 6).as("coeff"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // Every document mapped to its near-dup cluster representative.
     // Oracle: the SAME verified-pairs CTE chain as q51, closed under
@@ -526,6 +572,34 @@ object Components {
              |  (SELECT COUNT(*)
              |   FROM edges e1
              |   JOIN edges e2 ON e2.a = e1.b
-             |   JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles""".stripMargin))
+             |   JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles""".stripMargin)),
+
+    // Per-node clustering coefficient over the verified near-dup graph
+    // — shares q98's edge CTE; the oracle enumerates each id-ordered
+    // triangle (a < b < c) once and credits all three vertices.
+    QueryDef("q129_clustering_coeff",
+      (s, d) => clusteringCoefficient(
+        Dedup.dedupPipeline(Tables.documents(s, d)).select("id_a", "id_b"))
+        .orderBy("id"),
+      Some(s"""WITH ${Dedup.verifiedPairsCtes},
+             |edges AS MATERIALIZED (
+             |  SELECT DISTINCT LEAST(id_a, id_b) AS a, GREATEST(id_a, id_b) AS b
+             |  FROM vp WHERE id_a <> id_b),
+             |deg AS (SELECT id, COUNT(*) AS dg FROM (
+             |          SELECT a AS id FROM edges
+             |          UNION ALL SELECT b FROM edges) u GROUP BY id),
+             |tri AS (SELECT id, COUNT(*) AS n_tri FROM (
+             |          SELECT unnest([e1.a, e1.b, e2.b]) AS id
+             |          FROM edges e1
+             |          JOIN edges e2 ON e2.a = e1.b
+             |          JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b) t
+             |        GROUP BY id)
+             |SELECT d.id, d.dg, COALESCE(tri.n_tri, 0) AS n_tri,
+             |  round(CASE WHEN d.dg >= 2
+             |    THEN 2 * COALESCE(tri.n_tri, 0)
+             |         / CAST(d.dg * (d.dg - 1) AS DOUBLE)
+             |    ELSE 0.0 END, 6) AS coeff
+             |FROM deg d LEFT JOIN tri USING (id)
+             |ORDER BY id""".stripMargin))
   )
 }

@@ -295,4 +295,24 @@ class ComponentsSpec extends AnyFunSuite {
     // the fixture actually contains multi-doc clusters
     assert(byRep.exists(_._2.length > 1))
   }
+
+  test("clusteringCoefficient on a known graph: clique 1.0, chain 0.0, mixed exact") {
+    import spark.implicits._
+    // K3 {1,2,3} + path 3-4-5 + pendant 6 off node 1
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (1L, 6L))
+      .toDF("id_a", "id_b")
+    val got = Components.clusteringCoefficient(pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // node 1: deg 3 (2,3,6), one triangle => 2*1/(3*2) = 0.333333
+    assert(got(1L) == ((3L, 1L, 0.333333)))
+    // node 2: deg 2, in the triangle => 1.0
+    assert(got(2L) == ((2L, 1L, 1.0)))
+    // node 3: deg 3 (1,2,4), one triangle => 0.333333
+    assert(got(3L) == ((3L, 1L, 0.333333)))
+    // node 4: deg 2, neighbors 3,5 unconnected => 0.0
+    assert(got(4L) == ((2L, 0L, 0.0)))
+    // leaves: deg 1 => 0 by convention
+    assert(got(5L) == ((1L, 0L, 0.0)))
+    assert(got(6L) == ((1L, 0L, 0.0)))
+  }
 }
