@@ -232,4 +232,42 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("collect_list"), s"$name materializes groups into rows")
     }
   }
+
+  test("q116 HLL registers partial-aggregate map-side (bounded shuffle keys)") {
+    // the sketch contract: the register MAX combines before the
+    // shuffle, so at most keys x 64 rows move per input partition
+    val p = physical("q116_hll_distinct")
+    assert(p.contains("partial_max"),
+      s"expected map-side partial max of the registers:\n$p")
+  }
+
+  test("q120/q121 running sums window by the range partition, never one task") {
+    // the two-phase contract (same as q76): the rank/cumsum windows
+    // key by the materialized range-partition id; a global window or a
+    // single-partition exchange would serialize the corpus
+    for (name <- Seq("q120_sorted_neighborhood", "q121_budget_select")) {
+      val p = physical(name)
+      assert(p.contains("windowspecdefinition(_pid"),
+        s"$name: running sum must partition by _pid:\n$p")
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$name: must not serialize through one partition:\n$p")
+    }
+  }
+
+  test("q124 applies the Apriori prune as a broadcast before pairing") {
+    // frequent-item semi-filter must reach the (doc, token) stream as
+    // a broadcast join, so the quadratic pair explode only sees
+    // frequent items and corpus tokens never shuffle for the prune
+    val p = physical("q124_cooccurrence_pmi")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected broadcast Apriori prune:\n$p")
+  }
+
+  test("q127 skyline prunes locally before the bounded final pass") {
+    // phase 1's window keys by the input partition id; phase 2's
+    // single partition is the documented skyline-sized survivor pass
+    val p = physical("q127_skyline")
+    assert(p.contains("windowspecdefinition(_pid"),
+      s"local skyline prune must window by _pid:\n$p")
+  }
 }
