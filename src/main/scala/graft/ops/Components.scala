@@ -442,6 +442,39 @@ object Components {
           .otherwise(lit(0.0)), 6).as("coeff"))
   }
 
+  /** k-core decomposition by iterative peel (✚): repeatedly drop
+    * nodes with degree < k until stable. Over a near-dup graph the
+    * 2-core separates cyclically-confirmed duplicate groups from
+    * pendant chains of one-off borderline matches — the standard
+    * graph-density filter before trusting a cluster.
+    *
+    * Runs a FIXED `rounds` of peeling (the q112 LPA discipline: a
+    * pure function of the graph, oracle unrolled round by round;
+    * ComponentsSpec asserts the gate corpus converges within the
+    * budget so the fixed unroll IS the fixpoint). Each round is one
+    * degree aggregation (8-byte keys, map-side combine collapses
+    * hubs) and two semi-joins of the edge list against the surviving
+    * ids — the iterate-materialize shape shared with CC/PageRank;
+    * rounds are bounded, never corpus-sized state. */
+  def kCore(pairs: DataFrame, k: Int = 2, rounds: Int = 4,
+      materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+    var edges = materialize(pairs
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .select(explode(array(struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v")).distinct())
+    for (_ <- 1 to rounds) {
+      val alive = edges.groupBy("u").agg(count(lit(1)).as("dg"))
+        .where(col("dg") >= k).select("u")
+      edges = materialize(edges
+        .join(alive, "u")
+        .join(alive.select(col("u").as("v")), "v"))
+    }
+    edges.groupBy("u").agg(count(lit(1)).as("dg"))
+      .select(col("u").as("id"), col("dg"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // Every document mapped to its near-dup cluster representative.
     // Oracle: the SAME verified-pairs CTE chain as q51, closed under
@@ -600,6 +633,33 @@ object Components {
              |         / CAST(d.dg * (d.dg - 1) AS DOUBLE)
              |    ELSE 0.0 END, 6) AS coeff
              |FROM deg d LEFT JOIN tri USING (id)
-             |ORDER BY id""".stripMargin))
+             |ORDER BY id""".stripMargin)),
+
+    // 2-core of the near-dup graph after 4 peel rounds (fixpoint at
+    // gate scale — ComponentsSpec asserts round 5 changes nothing).
+    // The oracle unrolls the same peel round by round over q51's pair
+    // CTEs, like the q112 LPA unroll.
+    QueryDef("q130_kcore",
+      (s, d) => kCore(
+        Dedup.dedupPipeline(Tables.documents(s, d)).select("id_a", "id_b"))
+        .orderBy("id"),
+      Some {
+        val rounds = (1 to 4).map { r =>
+          s"""a$r AS (SELECT u FROM (
+             |  SELECT u, COUNT(*) AS dg FROM e${r - 1} GROUP BY u) t
+             |  WHERE dg >= 2),
+             |e$r AS (SELECT e.u, e.v FROM e${r - 1} e
+             |  JOIN a$r x ON x.u = e.u JOIN a$r y ON y.u = e.v)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ${Dedup.verifiedPairsCtes},
+           |e0 AS MATERIALIZED (
+           |  SELECT DISTINCT u, v FROM (
+           |    SELECT id_a AS u, id_b AS v FROM vp
+           |    UNION ALL SELECT id_b, id_a FROM vp) s
+           |  WHERE u <> v),
+           |$rounds
+           |SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS dg
+           |FROM e4 GROUP BY u ORDER BY id""".stripMargin
+      })
   )
 }

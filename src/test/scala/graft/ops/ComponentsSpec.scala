@@ -315,4 +315,25 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got(5L) == ((1L, 0L, 0.0)))
     assert(got(6L) == ((1L, 0L, 0.0)))
   }
+
+  test("kCore peels chains, keeps cycles, and converges within the gate's round budget") {
+    import spark.implicits._
+    // triangle {1,2,3} + chain 3-4-5-6 + pendant 7 off 1
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (1L, 7L)).toDF("id_a", "id_b")
+    val core = Components.kCore(pairs, k = 2, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // only the triangle survives, every survivor at degree 2
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // fixed-round unroll is the fixpoint on the gate corpus: one more
+    // round changes nothing (the oracle's 4-round unroll is exact)
+    val gate = Dedup.dedupPipeline(
+      graft.Tables.documents(spark, TestSpark.sf0001)).select("id_a", "id_b")
+      .localCheckpoint()
+    val r4 = Components.kCore(gate, 2, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r5 = Components.kCore(gate, 2, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(r4 == r5, "peel must have converged by round 4")
+  }
 }
