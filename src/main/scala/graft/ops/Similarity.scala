@@ -216,6 +216,60 @@ object Similarity {
              |  round(sqrt(list_sum(list_transform(range(1, 65),
              |    j -> (v[j] - ml.m[j]) * (v[j] - ml.m[j])))), 5) AS norm_after
              |FROM e CROSS JOIN ml
-             |ORDER BY vec_id""".stripMargin))
+             |ORDER BY vec_id""".stripMargin)),
+
+    // Per-label embedding cohesion: each label's centroid (per-dim
+    // means, the q108/kmeansCentroids documented-small collect, baked
+    // back as literals) and every vector's squared distance to its own
+    // label's centroid via the fused graft_l2sq — avg/max distance per
+    // label is the cluster-quality audit run before trusting labels as
+    // ANN cells (q34) or dedup blocks (q30). Distances are rounded at
+    // 6 dp and summed in DECIMAL (the q118 discipline), so the
+    // per-label aggregates are exact and order-independent.
+    QueryDef("q131_label_cohesion",
+      (s, d) => {
+        val dim = 64
+        val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+          graft.functions.Vectors.asDouble(col("embedding")).as("v"))
+        val cents: Seq[(Long, Array[Double])] = e
+          .select(col("label"), posexplode(col("v")))
+          .groupBy("label", "pos").agg(avg(col("col")).as("m"))
+          .collect().groupBy(_.getAs[Number](0).longValue).toSeq
+          .map { case (l, rows) =>
+            val arr = new Array[Double](dim)
+            rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+            l -> arr
+          }.sortBy(_._1)
+        val d2 = cents.foldLeft(lit(Double.NaN)) { case (acc, (l, c)) =>
+          when(col("label") === l,
+            graft.functions.Vectors.l2sq(col("v"),
+              array(c.map(lit).toSeq: _*))).otherwise(acc)
+        }
+        e.select(col("label"),
+            round(d2, 6).cast("decimal(24,6)").as("rd2"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"), sum(col("rd2")).as("s"),
+               max(col("rd2")).as("mx"))
+          .select(col("label"), col("n"),
+            round(col("s").cast("double") / col("n"), 5).as("avg_d2"),
+            round(col("mx").cast("double"), 5).as("max_d2"))
+          .orderBy("label")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+             |px AS (SELECT label, unnest(range(1, 65)) AS pos, unnest(v) AS val
+             |       FROM e),
+             |m AS (SELECT label, pos, AVG(val) AS mv FROM px GROUP BY 1, 2),
+             |ml AS (SELECT label, list(mv ORDER BY pos) AS c FROM m GROUP BY label),
+             |d AS (
+             |  SELECT e.label,
+             |    CAST(round(list_sum(list_transform(range(1, 65),
+             |      j -> (e.v[j] - ml.c[j]) * (e.v[j] - ml.c[j]))), 6)
+             |      AS DECIMAL(24,6)) AS rd2
+             |  FROM e JOIN ml USING (label))
+             |SELECT label, COUNT(*) AS n,
+             |  round(CAST(SUM(rd2) AS DOUBLE) / COUNT(*), 5) AS avg_d2,
+             |  round(CAST(MAX(rd2) AS DOUBLE), 5) AS max_d2
+             |FROM d GROUP BY label ORDER BY label""".stripMargin))
   )
 }

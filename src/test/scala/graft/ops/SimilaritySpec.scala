@@ -98,4 +98,31 @@ class SimilaritySpec extends AnyFunSuite {
       assert(cos.sorted.reverse.toSeq == cos.toSeq, "descending by similarity")
     }
   }
+
+  test("q131 label cohesion equals the naive driver-side replay") {
+    val rows = graft.Tables.embeddings(spark, TestSpark.sf0001)
+      .selectExpr("label", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .collect().map(r => (r.getAs[Number](0).longValue,
+        r.getSeq[Double](1).toArray))
+    val byLabel = rows.groupBy(_._1)
+    val naive = byLabel.map { case (l, vs) =>
+      val dim = vs.head._2.length
+      val c = Array.tabulate(dim)(j => vs.map(_._2(j)).sum / vs.length)
+      val d2s = vs.map { case (_, v) =>
+        BigDecimal(v.indices.foldLeft(0.0)((a, j) =>
+          a + (v(j) - c(j)) * (v(j) - c(j))))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP) }
+      val avg = BigDecimal((d2s.sum / d2s.length).toDouble)
+        .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+      l -> (vs.length.toLong, avg)
+    }
+    val got = graft.SparkEntry.queries("q131_label_cohesion")(spark, TestSpark.sf0001)
+      .collect().map(r => r.getAs[Number](0).longValue ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == naive.keySet)
+    naive.foreach { case (l, (n, avg)) =>
+      assert(got(l)._1 == n)
+      assert(math.abs(got(l)._2 - avg) < 2e-5, s"label $l: ${got(l)._2} vs $avg")
+    }
+  }
 }
