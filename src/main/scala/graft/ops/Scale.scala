@@ -157,18 +157,23 @@ object Scale {
       .withColumn("_pid", spark_partition_id()))
     val subs = ranged.groupBy("_pid").agg(sum(col("_v")).as("_s"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets = subs.map(_._1).zip(subs.scanLeft(0L)(_ + _._2))
-    val offExpr = offsets.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
-      when(col("_pid") === pid, lit(off)).otherwise(acc)
-    }
+    // prefix offsets rejoin via a BROADCAST table (one row per
+    // partition): a literal CASE chain here would grow expression
+    // depth linearly with the cluster's partition count
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offs = broadcast(
+      subs.map(_._1).zip(subs.scanLeft(0L)(_ + _._2)).toSeq
+        .toDF("_pid", "_off"))
     // ROWS frame, not the default RANGE: identical under a total order,
     // but immune to ties if a caller under-specifies the sort
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("_pid").orderBy(sort: _*)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    ranged.withColumn("cum", sum(col("_v")).over(w) + offExpr)
-      .drop("_pid", "_v")
+    ranged.join(offs, "_pid")
+      .withColumn("cum", sum(col("_v")).over(w) + col("_off"))
+      .drop("_pid", "_v", "_off")
   }
 
   // ---- Z-order (Morton) clustering layout ----
