@@ -161,7 +161,11 @@ object Sketch {
     * correction branch (taken iff raw ≤ 2.5m and an empty register
     * exists — identically decided on both sides) is one ln term,
     * rounded at 4 dp like the BM25 gate's ln. */
-  def hllEstimate(regs: DataFrame): DataFrame =
+  def hllEstimate(regs0: DataFrame): DataFrame = {
+    // regs feeds both the densify-distinct and the join below: pin the
+    // keys x 64 table once (diamond discipline) or the whole register
+    // aggregation lineage runs twice
+    val regs = regs0.localCheckpoint()
     regs.select("key").distinct()
       .select(col("key"), explode(sequence(lit(0), lit(hllM - 1))).as("j"))
       .join(regs, Seq("key", "j"), "left")
@@ -174,6 +178,7 @@ object Sketch {
         round(when(col("raw") <= 2.5 * hllM && col("v") > 0,
             lit(hllM.toDouble) * log(lit(hllM.toDouble) / col("v")))
           .otherwise(col("raw")), 4).as("n_est"))
+  }
 
   val defs: Seq[QueryDef] = Seq(
     // The exact top-20 tokens with their sketch estimates alongside the

@@ -592,10 +592,13 @@ object TextAnalysis {
         val total = toks.agg(count(lit(1)).as("total"))
         val lp = round(log(col("fn").cast("double") / col("total")), 9)
           .cast("decimal(28,9)")
+        // perDoc feeds the corpus scalar AND the final projection —
+        // pin it once (diamond discipline)
         val perDoc = dt.join(broadcast(freq), "tok")
           .crossJoin(broadcast(total))
           .groupBy("doc_id")
           .agg(sum(lp * col("c")).as("slp"), sum(col("c")).as("n_tok"))
+          .localCheckpoint()
         val corpus = perDoc.agg(sum(col("slp")).as("gslp"),
                                 sum(col("n_tok")).as("gn"))
         perDoc.crossJoin(broadcast(corpus))
@@ -644,6 +647,7 @@ object TextAnalysis {
         val fi = dt.groupBy("tok").agg(count(lit(1)).as("df"))
           .crossJoin(broadcast(n))
           .where(col("df") >= col("n") * 0.25).select("tok", "df")
+          .localCheckpoint() // 3 consumers: prune, df_a, df_b
         val dtf = dt.join(broadcast(fi.select("tok")), "tok")
         val pairs = dtf.as("a").join(dtf.as("b"),
             col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
