@@ -88,6 +88,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SqDist].getName, "graft_l2sq"),
       (exprs: Seq[Expression]) => SqDist(
         Cast(exprs(0), ArrayType(DoubleType)), Cast(exprs(1), ArrayType(DoubleType)))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_ngrams"),
+      new ExpressionInfo(classOf[Ngrams].getName, "graft_ngrams"),
+      // (text, n, distinct) — n/distinct must be literals; they shape
+      // the expression, not the data
+      (exprs: Seq[Expression]) => Ngrams(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue,
+        exprs(2).eval() == true)))
     e.injectOptimizerRule(_ => graft.plans.IntervalJoinRule())
   }
 }

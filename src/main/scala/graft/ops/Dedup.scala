@@ -416,13 +416,11 @@ object Dedup {
     * twin of [[shinglesOf]]'s table form, for operators that verify a
     * pair inside a single row (no shingle-table join). Short docs fall
     * back to the whole text, same as shinglesOf. */
-  private def shingleArr(t: Column, n: Int = 3): Column = {
-    val w = split(t, " ")
-    array_distinct(when(size(w) >= n,
-      transform(sequence(lit(0), size(w) - n),
-        i => concat_ws(" ", (1 to n).map(k => element_at(w, i + k)): _*)))
-      .otherwise(array(t)))
-  }
+  private def shingleArr(t: Column, n: Int = 3): Column =
+    // native graft_ngrams (one compiled call per row) — the composed
+    // transform + array_distinct form evaluates its lambda interpreted
+    // per gram (round 8's q120 lesson); NgramsSpec proves equality
+    call_function("graft_ngrams", t, lit(n), lit(true))
 
   /** Sorted-neighborhood dedup (Hernández–Stolfo): sort the corpus by a
     * cheap blocking key (here the 32-char text prefix), compare each doc

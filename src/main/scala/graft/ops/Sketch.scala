@@ -150,9 +150,13 @@ object Sketch {
       .groupBy("key", "j").agg(max(col("rho")).as("mj"))
   }
 
-  /** Cardinality estimates from a register table. Densifies to all 64
-    * registers per key (empty register = 0), then applies the standard
-    * estimator with the small-range linear-counting correction.
+  /** Cardinality estimates from a register table, WITHOUT densifying:
+    * a present register always has mj ≥ 1 (rho ≥ 1 by construction),
+    * so every absent register is an empty one contributing exactly
+    * 2^-0 = 1.0 to the indicator sum — hence
+    * s = Σ_present 2^-mj + (m − n_present) and v = m − n_present, from
+    * ONE aggregation over the sparse register table (no keys×64 grid,
+    * no second consumer of `regs`, no materialization).
     *
     * Determinism: every 2^-mj term is a multiple of 2^-27 and the sum
     * of 64 of them is < 64, so all partial sums are exactly
@@ -161,24 +165,16 @@ object Sketch {
     * correction branch (taken iff raw ≤ 2.5m and an empty register
     * exists — identically decided on both sides) is one ln term,
     * rounded at 4 dp like the BM25 gate's ln. */
-  def hllEstimate(regs0: DataFrame): DataFrame = {
-    // regs feeds both the densify-distinct and the join below: pin the
-    // keys x 64 table once (diamond discipline) or the whole register
-    // aggregation lineage runs twice
-    val regs = regs0.localCheckpoint()
-    regs.select("key").distinct()
-      .select(col("key"), explode(sequence(lit(0), lit(hllM - 1))).as("j"))
-      .join(regs, Seq("key", "j"), "left")
-      .withColumn("mj", coalesce(col("mj"), lit(0)))
-      .groupBy("key")
-      .agg(sum(pow(lit(2.0), -col("mj"))).as("s"),
-           sum(when(col("mj") === 0, 1).otherwise(0)).as("v"))
+  def hllEstimate(regs: DataFrame): DataFrame =
+    regs.groupBy("key")
+      .agg(sum(pow(lit(2.0), -col("mj"))).as("sp"), count(lit(1)).as("np"))
+      .withColumn("s", col("sp") + (lit(hllM) - col("np")))
+      .withColumn("v", lit(hllM) - col("np"))
       .withColumn("raw", lit(hllAlpha * hllM * hllM) / col("s"))
       .select(col("key"),
         round(when(col("raw") <= 2.5 * hllM && col("v") > 0,
             lit(hllM.toDouble) * log(lit(hllM.toDouble) / col("v")))
           .otherwise(col("raw")), 4).as("n_est"))
-  }
 
   val defs: Seq[QueryDef] = Seq(
     // The exact top-20 tokens with their sketch estimates alongside the

@@ -592,15 +592,18 @@ object TextAnalysis {
         val total = toks.agg(count(lit(1)).as("total"))
         val lp = round(log(col("fn").cast("double") / col("total")), 9)
           .cast("decimal(28,9)")
-        // perDoc feeds the corpus scalar AND the final projection —
-        // pin it once (diamond discipline)
         val perDoc = dt.join(broadcast(freq), "tok")
           .crossJoin(broadcast(total))
           .groupBy("doc_id")
           .agg(sum(lp * col("c")).as("slp"), sum(col("c")).as("n_tok"))
-          .localCheckpoint()
-        val corpus = perDoc.agg(sum(col("slp")).as("gslp"),
-                                sum(col("n_tok")).as("gn"))
+        // the corpus scalar needs no second pass over perDoc:
+        // Σ_docs slp = Σ_tok fn·lp (same DECIMAL terms regrouped —
+        // exact), and Σ n_tok = total; both come from the VOCAB-sized
+        // freq table, so perDoc has one consumer and nothing corpus-
+        // sized is materialized or recomputed
+        val corpus = freq.crossJoin(broadcast(total))
+          .agg(sum(lp * col("fn")).as("gslp"),
+               first(col("total")).as("gn"))
         perDoc.crossJoin(broadcast(corpus))
           .select(col("doc_id"), col("n_tok"),
             round(-col("slp").cast("double") / col("n_tok"), 5).as("nll"),

@@ -36,17 +36,17 @@ object TrainPrep {
 
   /** One row per (doc_id, g): the doc's n-word grams. Documents shorter
     * than n tokens contribute their whole text as one gram (same
-    * fallback as Dedup.shinglesOf, reference range.d:470ff splitting). */
-  def ngramsOf(docs: DataFrame, n: Int): DataFrame = {
-    val w = col("w")
-    val g = when(size(w) >= n,
-      transform(sequence(lit(0), size(w) - n),
-        i => concat_ws(" ", (1 to n).map(k => element_at(w, i + k)): _*)))
-      .otherwise(array(col("text")))
-    docs
-      .select(col("doc_id"), col("text"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), explode(g).as("g"))
-  }
+    * fallback as Dedup.shinglesOf, reference range.d:470ff splitting).
+    *
+    * The gram array comes from the native `graft_ngrams` Expression —
+    * one compiled call per row — replacing the composed
+    * transform/concat_ws form whose lambda evaluates INTERPRETED for
+    * every gram of every document (round 8's measured q120 lesson;
+    * NgramsSpec proves output equality with the composed form). */
+  def ngramsOf(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"),
+      explode(call_function("graft_ngrams", col("text"), lit(n), lit(false)))
+        .as("g"))
 
   private def ngramsSql(n: Int): String = {
     val terms = (1 to n).map(k => s"w[i+$k]").mkString(" || ' ' || ")
