@@ -96,6 +96,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => Ngrams(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue,
         exprs(2).eval() == true)))
+    e.injectFunction((
+      new FunctionIdentifier("graft_char_ngrams"),
+      new ExpressionInfo(classOf[CharNgrams].getName, "graft_char_ngrams"),
+      (exprs: Seq[Expression]) => CharNgrams(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue)))
     e.injectOptimizerRule(_ => graft.plans.IntervalJoinRule())
   }
 }

@@ -88,3 +88,46 @@ object Ngrams {
     sb.toString
   }
 }
+
+/** Character n-grams — the char-level sibling of [[Ngrams]] (q72's
+  * trigram table builds ~length(text) grams per document through an
+  * interpreted transform/substr lambda without this). All grams kept
+  * (duplicates included — the counts ARE the point); an input shorter
+  * than n yields an empty array (callers filter, matching the
+  * composed form's length guard). BMP-equivalent to both Spark's
+  * substr and DuckDB's: the corpora are ASCII + BMP CJK. */
+case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_char_ngrams"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_char_ngrams needs a string argument, got $other")
+  }
+
+  override def nullSafeEval(s: Any): Any =
+    CharNgrams.compute(s.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CharNgrams.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgrams =
+    copy(child = newChild)
+}
+
+object CharNgrams {
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString
+    val count = s.length - n + 1
+    if (count <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](count)
+    var i = 0
+    while (i < count) {
+      out(i) = UTF8String.fromString(s.substring(i, i + n)); i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

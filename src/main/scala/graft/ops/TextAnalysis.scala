@@ -64,8 +64,8 @@ object TextAnalysis {
   def trigramCounts(docs: DataFrame): DataFrame =
     docs.where(length(col("text")) >= 3)
       .select(col("doc_id"),
-        explode(transform(sequence(lit(1), length(col("text")) - 2),
-          i => col("text").substr(i, lit(3)))).as("tg"))
+        explode(call_function("graft_char_ngrams", col("text"), lit(3)))
+          .as("tg"))
       .groupBy("doc_id", "tg").agg(count(lit(1)).as("c"))
 
   // Document-frequency cap for the fingerprint posting-list join.

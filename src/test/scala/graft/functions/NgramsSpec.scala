@@ -64,4 +64,22 @@ class NgramsSpec extends AnyFunSuite {
       org.apache.spark.unsafe.types.UTF8String.fromString("a b c d"), 3, false)
     assert(arr.numElements() == 2)
   }
+
+  test("char ngrams identical to the composed substr form") {
+    val inputs = (hostile ++ Seq("abc", "ab", "abcd efg", "中文词")).toDF("t")
+    val rows = inputs.where(length(col("t")) >= 3).select(
+        call_function("graft_char_ngrams", col("t"), lit(3)).as("native"),
+        transform(sequence(lit(1), length(col("t")) - 2),
+          i => col("t").substr(i, lit(3))).as("comp"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
+    // below-length inputs yield an empty array (callers' length guard)
+    val short = Seq("ab").toDF("t")
+      .select(call_function("graft_char_ngrams", col("t"), lit(3)).as("g"))
+      .collect()
+    assert(short(0).getSeq[String](0).isEmpty)
+  }
 }
