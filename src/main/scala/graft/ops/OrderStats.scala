@@ -71,6 +71,106 @@ object OrderStats {
       .orderBy(col("v").desc).limit(1).first().getDouble(0)
   }
 
+  /** GROUPED exact discrete quantile (value at rank ceil(p·n) within
+    * each group) by the same refinement idea as [[selectKth]], all
+    * groups descending SIMULTANEOUSLY: each round joins a broadcast
+    * per-group bounds table, buckets every value inside its own
+    * group's [lo, hi] (strictly-below / strictly-above tagged), and
+    * collects ≤ groups×(B+2) counters. Rank bookkeeping is recomputed
+    * every round from the strict below-count — the k-th value is
+    * located by VALUE RANGE, so float fuzz at bucket boundaries
+    * cannot accumulate (a stray ulp just shows up in the next
+    * below-count). Groups whose slice fits `exactThreshold` resolve
+    * in ONE final pass: a row_number window over the bounded slices
+    * (never over a whole group). ~log_B(n_max) scans of two pruned
+    * columns; driver state is O(groups) — the tool for
+    * moderate-cardinality keys where q61's percentile() would buffer
+    * entire groups; high-cardinality keys stay with the sketch.
+    *
+    * Returns (g, n, kth). */
+  def quantileDiscByGroup(df: DataFrame, key: Column, value: Column, p: Double,
+      buckets: Int = 256, exactThreshold: Long = 4096,
+      materialize: graft.Materialize.Strategy = graft.Materialize.local): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = materialize(df
+      .select(key.cast("string").as("g"), value.cast("double").as("v"))
+      .where(col("v").isNotNull)) // scanned once per round — pin the lineage
+    final class St(val n: Long, val k: Long, var lo: Double, var hi: Double,
+                   var sliceN: Long, var done: Option[Double])
+    val st = scala.collection.mutable.LinkedHashMap(
+      vals.groupBy("g").agg(count(lit(1)).as("n"),
+          min("v").as("lo"), max("v").as("hi")).collect().map { r =>
+        val n = r.getLong(1)
+        r.getString(0) -> new St(n, math.max(1L, math.ceil(p * n).toLong),
+          r.getDouble(2), r.getDouble(3), n, None)
+      }.toSeq: _*)
+    var rounds = 0
+    while (rounds < 12 &&
+        st.values.exists(s => s.done.isEmpty && s.sliceN > exactThreshold)) {
+      rounds += 1
+      val active = st.filter { case (_, s) =>
+        s.done.isEmpty && s.sliceN > exactThreshold }
+      active.foreach { case (_, s) =>
+        // all-equal slice (or width underflow): the k-th IS that value
+        if (s.lo == s.hi || (s.hi - s.lo) / buckets == 0.0) s.done = Some(s.lo) }
+      val act = active.filter(_._2.done.isEmpty)
+      if (act.nonEmpty) {
+        val bounds = broadcast(act.toSeq.map { case (g, s) => (g, s.lo, s.hi) }
+          .toDF("g", "_lo", "_hi"))
+        val width = (col("_hi") - col("_lo")) / buckets
+        val b = when(col("v") < col("_lo"), lit(-1))
+          .when(col("v") > col("_hi"), lit(-2))
+          .otherwise(greatest(least(
+            floor((col("v") - col("_lo")) / width), lit(buckets - 1)), lit(0))
+            .cast("int"))
+        val counts = vals.join(bounds, "g")
+          .groupBy(col("g"), b.as("b")).agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+          .groupBy(_._1).map { case (g, rs) =>
+            g -> rs.map(t => t._2 -> t._3).toMap }
+        act.foreach { case (g, s) =>
+          val cm = counts.getOrElse(g, Map.empty[Int, Long])
+          val need = s.k - cm.getOrElse(-1, 0L)
+          var acc = 0L; var chosen = -1; var i = 0
+          while (chosen < 0 && i < buckets) {
+            val cn = cm.getOrElse(i, 0L)
+            if (acc + cn >= need) chosen = i else acc += cn
+            i += 1
+          }
+          val w0 = (s.hi - s.lo) / buckets
+          val newLo = s.lo + chosen * w0
+          s.hi = if (chosen == buckets - 1) s.hi else s.lo + (chosen + 1) * w0
+          s.lo = newLo
+          s.sliceN = cm.getOrElse(chosen, 0L)
+          if (s.sliceN == 0L) s.done = Some(newLo)
+        }
+      }
+    }
+    // final exact pass over the bounded slices, all open groups at once
+    val open = st.toSeq.collect { case (g, s) if s.done.isEmpty => (g, s) }
+    val resolved: Seq[(String, Long, Double)] = if (open.isEmpty) Nil else {
+      val fin = broadcast(open.map { case (g, s) => (g, s.lo, s.hi) }
+        .toDF("g", "_lo", "_hi"))
+      val tagged = vals.join(fin, "g")
+      val below = tagged.where(col("v") < col("_lo"))
+        .groupBy("g").agg(count(lit(1)).as("nb")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val needDf = broadcast(open.map { case (g, s) =>
+        (g, s.k - below.getOrElse(g, 0L)) }.toDF("g", "_need"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy("v")
+      tagged.where(col("v") >= col("_lo") && col("v") <= col("_hi"))
+        .withColumn("rn", row_number().over(w))
+        .join(needDf, "g").where(col("rn") === col("_need"))
+        .select("g", "v").collect()
+        .map(r => (r.getString(0), st(r.getString(0)).n, r.getDouble(1))).toSeq
+    }
+    val done = st.toSeq.collect { case (g, s) if s.done.isDefined =>
+      (g, s.n, s.done.get) }
+    (resolved ++ done).toDF("g", "n", "kth")
+  }
+
   /** Exact interpolated median (quantile_cont 0.5 semantics): odd N →
     * the middle value; even N → the mean of the two middle values. */
   def exactMedian(df: DataFrame, c: Column): (Long, Double) = {
@@ -93,6 +193,36 @@ object OrderStats {
       },
       Some("""SELECT COUNT(l_extendedprice) AS n_rows,
              |  round(quantile_cont(l_extendedprice, 0.5), 5) AS median
-             |FROM lineitem""".stripMargin))
+             |FROM lineitem""".stripMargin)),
+
+    // Grouped exact p50/p90 through the simultaneous refinement path —
+    // never a per-group value buffer or sort. The oracle pins the
+    // identical rank definition (value at ROW_NUMBER = ceil(p·n))
+    // explicitly, so no engine quantile-function semantics are
+    // trusted; raw double values compare unrounded (they are corpus
+    // values, not arithmetic).
+    QueryDef("q133_grouped_quantiles",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        quantileDiscByGroup(li, col("l_returnflag"), col("l_extendedprice"), 0.5)
+          .select(col("g"), col("n"), col("kth").as("p50"))
+          .join(quantileDiscByGroup(li, col("l_returnflag"),
+              col("l_extendedprice"), 0.9)
+            .select(col("g"), col("kth").as("p90")), "g")
+          .orderBy("g")
+      },
+      Some("""WITH v AS (
+             |  SELECT l_returnflag AS g, l_extendedprice AS v
+             |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+             |n AS (SELECT g, COUNT(*) AS n FROM v GROUP BY g),
+             |r AS (SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v)
+             |        AS rn FROM v)
+             |SELECT n.g, n.n,
+             |  MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.5 * n.n) AS BIGINT))
+             |           THEN r.v END) AS p50,
+             |  MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.9 * n.n) AS BIGINT))
+             |           THEN r.v END) AS p90
+             |FROM r JOIN n USING (g) GROUP BY n.g, n.n
+             |ORDER BY n.g""".stripMargin))
   )
 }

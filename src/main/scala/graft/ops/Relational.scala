@@ -404,6 +404,36 @@ object Relational {
              |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
              |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
+    // Distribution window functions — the remaining window surface
+    // beyond rank/lag/ntile (q10/q11/q41): percent_rank and cume_dist
+    // are exact rationals of (rank, n) so both engines compute
+    // identical doubles (rounded 6 dp for the boundary-free hash);
+    // first/nth value use an explicit ROWS frame. Same single shuffle
+    // on the partition key as every window gate.
+    QueryDef("q132_window_distribution",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+        val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"),
+            round(percent_rank().over(w), 6).as("pr"),
+            round(cume_dist().over(w), 6).as("cd"),
+            first(col("o_totalprice")).over(wf).as("first_price"),
+            nth_value(col("o_totalprice"), 2).over(wf).as("second_price"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  round(PERCENT_RANK() OVER w, 6) AS pr,
+             |  round(CUME_DIST() OVER w, 6) AS cd,
+             |  FIRST_VALUE(o_totalprice) OVER wf AS first_price,
+             |  NTH_VALUE(o_totalprice, 2) OVER wf AS second_price
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+             |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
     // As-of join (an operator Spark lacks natively — SURVEY §7.3 option a:
     // compose built-ins): for each click, the user's most recent purchase
     // at-or-before it. Expressed as a carry-forward max over the unioned,

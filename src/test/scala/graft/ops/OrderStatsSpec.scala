@@ -66,4 +66,32 @@ class OrderStatsSpec extends AnyFunSuite {
     val want = li.select(expr("percentile(l_extendedprice, 0.5)")).first().getDouble(0)
     assert(math.abs(m - want) < 1e-9)
   }
+
+  test("quantileDiscByGroup equals the sorted-array truth under hostile shapes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    // group A: large continuous; B: heavy duplicates (forces boundary
+    // ties); C: all-equal (width-underflow branch); D: tiny (straight
+    // to the exact pass); E: negatives
+    val rows =
+      (1 to 20000).map(_ => ("A", rnd.nextDouble() * 1e4)) ++
+      (1 to 15000).map(_ => ("B", (rnd.nextInt(7) * 10).toDouble)) ++
+      (1 to 5000).map(_ => ("C", 42.0)) ++
+      (1 to 9).map(i => ("D", i.toDouble)) ++
+      (1 to 12000).map(_ => ("E", -rnd.nextDouble() * 1e3))
+    val df = rows.toDF("g", "v").repartition(13)
+    for (p <- Seq(0.5, 0.9, 0.01)) {
+      val got = OrderStats
+        .quantileDiscByGroup(df, col("g"), col("v"), p,
+          buckets = 32, exactThreshold = 64)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+      val truth = rows.groupBy(_._1).map { case (g, vs) =>
+        val sorted = vs.map(_._2).sorted
+        val k = math.max(1L, math.ceil(p * sorted.length).toLong)
+        g -> ((sorted.length.toLong, sorted((k - 1).toInt)))
+      }
+      assert(got == truth, s"p=$p")
+    }
+  }
 }
