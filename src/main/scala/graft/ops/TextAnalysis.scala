@@ -724,6 +724,50 @@ object TextAnalysis {
              |         FROM st WHERE rest = '')
              |SELECT subword, CAST(SUM(wc.n) AS BIGINT) AS n
              |FROM subs JOIN wc USING (w)
-             |GROUP BY subword ORDER BY subword""".stripMargin))
+             |GROUP BY subword ORDER BY subword""".stripMargin)),
+
+    // Inverted-index summary: per token, document frequency, collection
+    // frequency, and the first 5 posting doc ids — via the bounded
+    // TopK fold (buffer ≤ 5 at every stage, shuffle ≤ 5 rows per
+    // (partition, token)), NEVER a collect_list/window that would
+    // buffer a hot token's whole posting list in one task. The real
+    // inverted index at 100 TB is the (tok, doc) RELATION itself,
+    // stored bucketed by token (the q65 layout); this gate emits the
+    // bounded per-token summary a query planner actually broadcasts.
+    // One corpus pass: df/cf/heads all derive from the per-(doc, tok)
+    // count table, materialized once for its two consumers.
+    QueryDef("q134_posting_heads",
+      (s, d) => {
+        import s.implicits._
+        val c = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+          .localCheckpoint()
+        val stats = c.groupBy("tok")
+          .agg(count(lit(1)).as("df"), sum(col("c")).as("cf"))
+        val topk = new graft.functions.Folds.TopK(5)
+        val heads = c.select(col("tok"), col("doc_id")).as[(String, Long)]
+          .groupByKey(_._1)
+          .mapValues { case (_, id) => (-id.toDouble, id) }
+          .agg(topk.toColumn.name("top"))
+          .map { case (tok, hs) => (tok, hs.map(_._2).mkString(",")) }
+          .toDF("tok", "heads")
+        stats.join(heads, "tok").orderBy("tok")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |c AS MATERIALIZED (
+             |  SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+             |stats AS (SELECT tok, COUNT(*) AS df,
+             |            CAST(SUM(c) AS BIGINT) AS cf
+             |          FROM c GROUP BY tok),
+             |hd AS (SELECT tok,
+             |         array_to_string((list(doc_id ORDER BY doc_id))[1:5], ',')
+             |           AS heads
+             |       FROM c GROUP BY tok)
+             |SELECT stats.tok, stats.df, stats.cf, hd.heads
+             |FROM stats JOIN hd USING (tok)
+             |ORDER BY tok""".stripMargin))
   )
 }

@@ -139,4 +139,22 @@ class TextPrepSpec extends AnyFunSuite {
     assert(massFromGate == massFromCorpus,
       "every character of every token occurrence is covered exactly once")
   }
+
+  test("q134 posting heads equal the sorted first-5 under any partitioning") {
+    val q = graft.SparkEntry.queries("q134_posting_heads")
+    val got = q(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.nonEmpty)
+    val truth = graft.Tables.documents(spark, TestSpark.sf0001)
+      .selectExpr("doc_id", "explode(split(text, ' ')) AS tok")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byTok = truth.groupBy(_._2)
+    got.foreach { case (tok, df, cf, heads) =>
+      val docs = byTok(tok).map(_._1)
+      assert(df == docs.distinct.length.toLong)
+      assert(cf == docs.length.toLong)
+      assert(heads == docs.distinct.sorted.take(5).mkString(","))
+    }
+    assert(got.map(_._1).toSet == byTok.keySet)
+  }
 }
