@@ -75,32 +75,86 @@ object DotProduct {
   * also callable from plain SQL and the interval-join rewrite applies
   * to every query. Wired in via `SparkSession.builder().withExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  // Literal-shape arguments (n-gram width, chunking modulus) shape the
+  // EXPRESSION, not the data — a non-foldable or missing one must fail
+  // analysis with a message naming the function, not surface later as
+  // an opaque ClassCastException from eval() (ADVICE round 8).
+  private def checkArgs(fn: String, exprs: Seq[Expression], arity: Int,
+      foldableFrom: Int): Unit = {
+    if (exprs.length != arity)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "USER_RAISED_EXCEPTION",
+        messageParameters = Map("errorMessage" ->
+          s"$fn expects $arity arguments, got ${exprs.length}"))
+    exprs.drop(foldableFrom).zipWithIndex.foreach { case (ex, i) =>
+      if (!ex.foldable)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "USER_RAISED_EXCEPTION",
+          messageParameters = Map("errorMessage" ->
+            s"$fn argument ${foldableFrom + i + 1} must be a literal, got ${ex.sql}"))
+    }
+  }
+  private def litInt(fn: String, ex: Expression): Int = ex.eval() match {
+    case n: Number => n.intValue
+    case other => throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "USER_RAISED_EXCEPTION",
+      messageParameters = Map("errorMessage" ->
+        s"$fn expects an integer literal, got $other"))
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       // Cast lets callers pass array<float> (exact widening); trivial
       // casts on array<double> are optimized away.
-      (exprs: Seq[Expression]) => DotProduct(
-        Cast(exprs(0), ArrayType(DoubleType)), Cast(exprs(1), ArrayType(DoubleType)))))
+      (exprs: Seq[Expression]) => {
+        checkArgs("graft_dot", exprs, 2, foldableFrom = 2)
+        DotProduct(
+          Cast(exprs(0), ArrayType(DoubleType)), Cast(exprs(1), ArrayType(DoubleType)))
+      }))
     e.injectFunction((
       new FunctionIdentifier("graft_l2sq"),
       new ExpressionInfo(classOf[SqDist].getName, "graft_l2sq"),
-      (exprs: Seq[Expression]) => SqDist(
-        Cast(exprs(0), ArrayType(DoubleType)), Cast(exprs(1), ArrayType(DoubleType)))))
+      (exprs: Seq[Expression]) => {
+        checkArgs("graft_l2sq", exprs, 2, foldableFrom = 2)
+        SqDist(
+          Cast(exprs(0), ArrayType(DoubleType)), Cast(exprs(1), ArrayType(DoubleType)))
+      }))
     e.injectFunction((
       new FunctionIdentifier("graft_ngrams"),
       new ExpressionInfo(classOf[Ngrams].getName, "graft_ngrams"),
       // (text, n, distinct) — n/distinct must be literals; they shape
       // the expression, not the data
-      (exprs: Seq[Expression]) => Ngrams(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue,
-        exprs(2).eval() == true)))
+      (exprs: Seq[Expression]) => {
+        checkArgs("graft_ngrams", exprs, 3, foldableFrom = 1)
+        Ngrams(exprs(0), litInt("graft_ngrams", exprs(1)),
+          exprs(2).eval() == true)
+      }))
     e.injectFunction((
       new FunctionIdentifier("graft_char_ngrams"),
       new ExpressionInfo(classOf[CharNgrams].getName, "graft_char_ngrams"),
-      (exprs: Seq[Expression]) => CharNgrams(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue)))
+      (exprs: Seq[Expression]) => {
+        checkArgs("graft_char_ngrams", exprs, 2, foldableFrom = 1)
+        CharNgrams(exprs(0), litInt("graft_char_ngrams", exprs(1)))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("graft_cdc_chunks"),
+      new ExpressionInfo(classOf[CdcChunks].getName, "graft_cdc_chunks"),
+      // (text, n, m) — window width and cut modulus are literals
+      (exprs: Seq[Expression]) => {
+        checkArgs("graft_cdc_chunks", exprs, 3, foldableFrom = 1)
+        CdcChunks(exprs(0), litInt("graft_cdc_chunks", exprs(1)),
+          litInt("graft_cdc_chunks", exprs(2)))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("graft_top_token_count"),
+      new ExpressionInfo(classOf[TopTokenCount].getName, "graft_top_token_count"),
+      (exprs: Seq[Expression]) => {
+        checkArgs("graft_top_token_count", exprs, 1, foldableFrom = 1)
+        TopTokenCount(exprs(0))
+      }))
     e.injectOptimizerRule(_ => graft.plans.IntervalJoinRule())
   }
 }

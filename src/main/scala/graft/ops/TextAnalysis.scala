@@ -358,21 +358,20 @@ object TextAnalysis {
 
     // Repetition metrics (the Gopher/C4-style quality filters): distinct
     // token ratio, most-frequent-token mass, duplicate-bigram fraction.
-    // Computed entirely with codegen'd array HOFs per row — no shuffle,
-    // no explode — and every ratio is one division of exact integers,
-    // so both engines produce bit-identical doubles. The per-token
-    // count via transform(distinct, t -> count in row) is O(n·d) per
-    // row — bounded by document length, the right trade vs an
-    // explode+groupBy shuffle of every token at 100 TB.
+    // Computed entirely per row — no shuffle, no explode — and every
+    // ratio is one division of exact integers, so both engines produce
+    // bit-identical doubles. Round 9 made the row compute fully native:
+    // the top-token count was O(n·distinct) NESTED interpreted lambdas
+    // per row (the suite's last heavy interpreted HOF), now one
+    // codegen'd hashmap pass (functions/TopTokenCount.scala); bigrams
+    // come from graft_ngrams, whose short-input [text] fallback yields
+    // the same dup_bigram_ratio (1 - 1/1 = 0.0) as the composed form's
+    // empty-array branch on single-token docs.
     QueryDef("q71_repetition",
       (s, d) => {
         val toks = split(col("text"), " ")
-        val bg = when(size(toks) >= 2,
-          transform(sequence(lit(0), size(toks) - 2),
-            i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
-          .otherwise(array())
-        val topCnt = array_max(transform(array_distinct(toks),
-          t => size(filter(toks, x => x === t))))
+        val bg = call_function("graft_ngrams", col("text"), lit(2), lit(false))
+        val topCnt = call_function("graft_top_token_count", col("text"))
         Tables.documents(s, d).select(
           col("doc_id"),
           size(toks).cast("long").as("n_tokens"),

@@ -226,35 +226,23 @@ object TrainPrep {
     * tokens. First-occurrence survival + ordered rebuild then mirror
     * blockDedup exactly.
     *
-    * Scale: chunking is pure per-row HOF compute (transform/filter/
-    * zip_with inside one projection — no shuffle, no state); the dedup
-    * argmin shuffles by chunk content with map-side partial aggregation
-    * collapsing mass-duplicated chunks (same hot-key story and same
-    * 64-bit-hash narrowing option as q77, kept exact for oracle
-    * parity). The window-hash is the md5-slice family shared with
-    * MinHash/CMS so the oracle mirrors it verbatim. */
+    * Scale: chunking is one codegen'd call per row ([[graft.functions
+    * .CdcChunks]] — round 9 replaced the composed transform/filter/
+    * zip_with form, whose md5-per-window lambda evaluated INTERPRETED
+    * inside the scan's task layout: one parquet file ⇒ one task chunked
+    * the whole corpus, 4.3 s solo at sf0.1, the q120 pathology); the
+    * doc stream is hash-repartitioned first so chunk assembly uses
+    * every core at any file layout. The dedup argmin shuffles by chunk
+    * content with map-side partial aggregation collapsing
+    * mass-duplicated chunks (same hot-key story and same 64-bit-hash
+    * narrowing option as q77, kept exact for oracle parity). The
+    * window-hash is the md5-slice family shared with MinHash/CMS so
+    * the oracle mirrors it verbatim. */
   def cdcChunkDedup(docs: DataFrame, n: Int = 4, m: Int = 8,
       materialize: Materialize.Strategy = Materialize.local): DataFrame = {
-    val w = split(col("text"), " ")
-    val len = size(w)
-    // 0-based window starts; docs shorter than one window have none
-    val starts0 = when(len >= n, sequence(lit(0), len - n))
-      .otherwise(array().cast("array<int>"))
-    // cut positions = last token (0-based) of each boundary window
-    val ends = transform(
-      filter(starts0, i =>
-        conv(substring(md5(concat_ws(" ", slice(w, i + 1, lit(n)))), 1, 8), 16, 10)
-          .cast("long") % m === 0),
-      i => i + n - 1)
-    // chunk k spans [starts(k), stops(k)]; a cut on the final token
-    // would open an empty trailing chunk — nulled and filtered
-    val chunkStarts = concat(array(lit(0)), transform(ends, e => e + 1))
-    val chunkStops = concat(ends, array(len - 1))
-    val chunksArr = filter(
-      zip_with(chunkStarts, chunkStops, (s, e) =>
-        when(e >= s, concat_ws(" ", slice(w, s + 1, e - s + 1)))),
-      c => c.isNotNull)
-    val chunks = materialize(docs
+    val chunksArr = call_function("graft_cdc_chunks",
+      col("text"), lit(n), lit(m))
+    val chunks = materialize(docs.repartition(col("doc_id"))
       .select(col("doc_id"), posexplode(chunksArr).as(Seq("pos", "chunk"))))
     val first = chunks.groupBy("chunk")
       .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
