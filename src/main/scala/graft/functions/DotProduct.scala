@@ -102,6 +102,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       messageParameters = Map("errorMessage" ->
         s"$fn expects an integer literal, got $other"))
   }
+  private def litStr(fn: String, ex: Expression): String = ex.eval() match {
+    case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+    case other => throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "USER_RAISED_EXCEPTION",
+      messageParameters = Map("errorMessage" ->
+        s"$fn expects a string literal, got $other"))
+  }
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
@@ -154,6 +161,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         checkArgs("graft_top_token_count", exprs, 1, foldableFrom = 1)
         TopTokenCount(exprs(0))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("graft_count_tokens_in"),
+      new ExpressionInfo(classOf[CountTokensIn].getName, "graft_count_tokens_in"),
+      // (textOrTokenArray, wordsCsv) — the word set is a literal
+      (exprs: Seq[Expression]) => {
+        checkArgs("graft_count_tokens_in", exprs, 2, foldableFrom = 1)
+        CountTokensIn(exprs(0), litStr("graft_count_tokens_in", exprs(1)))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("graft_adc"),
+      new ExpressionInfo(classOf[AdcDistance].getName, "graft_adc"),
+      (exprs: Seq[Expression]) => {
+        checkArgs("graft_adc", exprs, 2, foldableFrom = 2)
+        AdcDistance(exprs(0), exprs(1))
       }))
     e.injectOptimizerRule(_ => graft.plans.IntervalJoinRule())
   }

@@ -62,10 +62,13 @@ object Pq {
     }: _*)
 
   /** Asymmetric distance: ordered fold over subspaces of the table
-    * entry the candidate's code selects — m lookups per pair. */
+    * entry the candidate's code selects — m lookups per pair, fused
+    * into one native loop ([[graft.functions.AdcDistance]]; the
+    * composed zip_with/aggregate form evaluated two interpreted
+    * lambdas per candidate PAIR on the index-scan side of the cell
+    * join — the hottest expression of the search). */
   def adcDist(tabs: Column, codes: Column): Column =
-    aggregate(zip_with(tabs, codes, (t, c) => element_at(t, c + 1)),
-      lit(0.0), (acc, x) => acc + x)
+    call_function("graft_adc", tabs, codes)
 
   /** IVF-PQ search: candidates from the learned-IVF cell join (query
     * probes its `nprobe` nearest cells), scored by ADC over the code

@@ -199,10 +199,13 @@ object Similarity {
           .groupBy("pos").agg(avg(col("col")).as("m"))
           .collect().foreach(r => mean(r.getInt(0)) = r.getDouble(1))
         val mArr = array(mean.map(lit).toSeq: _*)
-        val centered = zip_with(col("v"), mArr, (a, b) => a - b)
+        // ||v - m|| = sqrt(l2sq(v, m)) — the native fused loop; the
+        // zip_with-difference-then-norm form it replaces is
+        // bit-identical (d computed once, then d*d, same index order)
+        // but ran an interpreted lambda in the scan's task layout
         e.select(col("vec_id"),
             round(graft.functions.Vectors.norm2(col("v")), 5).as("norm_before"),
-            round(graft.functions.Vectors.norm2(centered), 5).as("norm_after"))
+            round(sqrt(graft.functions.Vectors.l2sq(col("v"), mArr)), 5).as("norm_after"))
           .orderBy("vec_id")
       },
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

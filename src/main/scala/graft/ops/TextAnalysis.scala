@@ -103,7 +103,11 @@ object TextAnalysis {
       (s, d) => {
         val toks = split(col("text"), " ")
         val n = size(toks).cast("long")
-        val nStop = size(filter(toks, w => w.isInCollection(stopwords))).cast("long")
+        // native set-membership count — the interpreted isInCollection
+        // lambda ran per token in the scan's task layout (PlanSpec
+        // lambda walker, round 9)
+        val nStop = call_function("graft_count_tokens_in",
+          col("text"), lit(stopwords.mkString(","))).cast("long")
         Tables.documents(s, d)
           .select(col("doc_id"),
             n.as("n_tokens"),
@@ -124,8 +128,8 @@ object TextAnalysis {
     // confusion table predicted × labeled.
     QueryDef("q22_lang_id",
       (s, d) => {
-        val toks = split(col("text"), " ")
-        val nStop = size(filter(toks, w => w.isInCollection(stopwords)))
+        val nStop = call_function("graft_count_tokens_in",
+          col("text"), lit(stopwords.mkString(",")))
         Tables.documents(s, d)
           .withColumn("predicted_lang",
             when(nStop >= 1, lit("en")).otherwise(lit("unknown")))
@@ -457,7 +461,9 @@ object TextAnalysis {
               .cast("double").as(s"df_$t"))
         val stats = docs.agg(aggs.head, aggs.tail: _*)
         val score = terms.map { t =>
-          val tf = size(filter(col("w"), x => x === t)).cast("double")
+          // native single-term tf (terms contain no commas)
+          val tf = call_function("graft_count_tokens_in",
+            col("w"), lit(t)).cast("double")
           val df = col(s"df_$t")
           val idf = log(lit(1.0) + (col("n") - df + 0.5) / (df + 0.5))
           idf * tf * (k1 + 1.0) /

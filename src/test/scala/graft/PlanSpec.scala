@@ -270,4 +270,62 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("windowspecdefinition(_pid"),
       s"local skyline prune must window by _pid:\n$p")
   }
+
+  test("no lambda-bearing projection executes in a file scan's task layout") {
+    // The structural form of rounds 8-9's measured lesson (q120 21->1 s,
+    // q83 4.3->0.7 s): lambda HOFs (transform/filter/aggregate/zip_with)
+    // evaluate INTERPRETED, and Catalyst runs projections in their
+    // input's task layout — so a lambda projection whose input chain
+    // reaches a FileSourceScan without crossing an exchange does the
+    // whole corpus's per-row work in one-task-per-file parallelism
+    // (4 files at 100 TB/2k-file layout is still catastrophically
+    // fewer tasks than cores x executors, and the work is interpreted
+    // either way). Heavy per-row compute belongs in a native codegen'd
+    // Expression (functions/) or behind a repartition.
+    import org.apache.spark.sql.catalyst.expressions.LambdaFunction
+    import org.apache.spark.sql.execution.{FileSourceScanExec, ProjectExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+
+    def scanWithoutExchangeBelow(p: SparkPlan): Boolean = p match {
+      case _: Exchange => false // layout changes here; lambda runs post-shuffle
+      case _: FileSourceScanExec => true
+      case a: AdaptiveSparkPlanExec => scanWithoutExchangeBelow(a.executedPlan)
+      case other => other.children.exists(scanWithoutExchangeBelow)
+    }
+    def violations(p: SparkPlan): Seq[String] = {
+      val here = p match {
+        case proj: ProjectExec
+            if proj.projectList.exists(_.exists(_.isInstanceOf[LambdaFunction])) &&
+               scanWithoutExchangeBelow(proj.child) =>
+          Seq(proj.projectList.filter(_.exists(_.isInstanceOf[LambdaFunction]))
+            .map(_.sql).mkString("; ").take(200))
+        case _ => Nil
+      }
+      val below = p match {
+        case a: AdaptiveSparkPlanExec => violations(a.executedPlan)
+        case other => other.children.flatMap(violations)
+      }
+      here ++ below
+    }
+    // Documented bounded-lambda exemptions — flagged queries whose
+    // per-row lambda cost is a SMALL FIXED constant, where the
+    // repartition that would silence the walker costs strictly more
+    // (a full-corpus shuffle) than the work it parallelizes:
+    //  - q62: the array-HOF surface gate itself; lambdas over the
+    //    fixed 64-dim embedding are the behavior under test;
+    //  - q99: bin = count(cuts < score) over the ~10-element broadcast
+    //    cutpoint array — O(#bins) per row.
+    // Any UNBOUNDED lambda (per-token/per-window text work: q83, q120,
+    // q21/q22/q73 historically) must be fixed, not added here.
+    val bounded = Set("q62_array_hof", "q99_curriculum_bins")
+    val bad = for {
+      (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+      if !bounded(name)
+      v <- violations(fn(spark, sf).queryExecution.executedPlan)
+    } yield s"$name: $v"
+    assert(bad.isEmpty,
+      s"interpreted lambda projections in scan task layout (repartition first " +
+        s"or write a native Expression):\n${bad.mkString("\n")}")
+  }
 }
