@@ -100,7 +100,20 @@ object Bench {
     // the driver stores the TAIL of this line when it truncates — the
     // per-query map (large, alphabetical) goes FIRST so the summary
     // scalars (total/n_errors/sf) at the END survive any truncation
-    println(s"""{"metric":"total","queries":$qs,"iters":$iters,"spread":$spreads,"errors":$errs,"unit":"sec","sf":"$sfDir","n_errors":$nErr,"value":$total}""")
+    val line = s"""{"metric":"total","queries":$qs,"iters":$iters,"spread":$spreads,"errors":$errs,"unit":"sec","sf":"$sfDir","n_errors":$nErr,"value":$total}"""
+    println(line)
+    // The driver's BENCH_rN.json keeps only a log tail (r7/r8 records
+    // retained 51 of 134 per-query entries and no spreads — VERDICT r8
+    // "what's wrong" #2, which forced solo re-benching to adjudicate
+    // regressions). Persist the FULL line to a file so the record
+    // survives intact; path overridable for dev runs.
+    val out = args.headOption
+      .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
+      .getOrElse("/root/repo/bench_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception =>
+      System.err.println(s"bench: could not write $out: $e") }
     spark.stop()
     if (nErr > 0) sys.exit(1)
   }
