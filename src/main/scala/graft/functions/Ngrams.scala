@@ -93,9 +93,11 @@ object Ngrams {
   * trigram table builds ~length(text) grams per document through an
   * interpreted transform/substr lambda without this). All grams kept
   * (duplicates included — the counts ARE the point); an input shorter
-  * than n yields an empty array (callers filter, matching the
-  * composed form's length guard). BMP-equivalent to both Spark's
-  * substr and DuckDB's: the corpora are ASCII + BMP CJK. */
+  * than n CODEPOINTS yields an empty array (callers filter, matching
+  * the composed form's `length(text) >= n` guard, which also counts
+  * codepoints). Windows advance by CODEPOINT — matching Spark's and
+  * DuckDB's substr on all of Unicode, so non-BMP text (emoji,
+  * supplementary CJK) never splits a surrogate pair. */
 case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -121,12 +123,21 @@ case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
 object CharNgrams {
   def compute(text: UTF8String, n: Int): ArrayData = {
     val s = text.toString
-    val count = s.length - n + 1
+    val count = s.codePointCount(0, s.length) - n + 1
     if (count <= 0) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](count)
+    // two sliding CODE-UNIT cursors, each advanced one codepoint per
+    // gram — O(1) per step, surrogate pairs never split
+    var from = 0
+    var until = s.offsetByCodePoints(0, n)
     var i = 0
     while (i < count) {
-      out(i) = UTF8String.fromString(s.substring(i, i + n)); i += 1
+      out(i) = UTF8String.fromString(s.substring(from, until))
+      i += 1
+      if (i < count) {
+        from = s.offsetByCodePoints(from, 1)
+        until = s.offsetByCodePoints(until, 1)
+      }
     }
     new GenericArrayData(out)
   }

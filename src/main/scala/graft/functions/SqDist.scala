@@ -18,10 +18,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * of those, where this is one allocation-free loop inside whole-stage
   * codegen.
   *
-  * Accumulation is a strict left fold in index order: bit-identical to
-  * the composed form (same IEEE ops in the same order), so swapping it
-  * into existing oracle-gated queries cannot move a single bit — the
-  * DuckDB twins stay valid unchanged (proven: q63/q66/q95 hashes). */
+  * Accumulation is a strict left fold in index order: for EQUAL-LENGTH
+  * inputs it is bit-identical to the composed form (same IEEE ops in
+  * the same order), so swapping it into existing oracle-gated queries
+  * cannot move a single bit — the DuckDB twins stay valid unchanged
+  * (proven: q63/q66/q95 hashes). On length-MISMATCHED inputs the two
+  * forms diverge by construction: zip_with pads the short side with
+  * null and the composed fold returns null, while this loop folds over
+  * the common prefix. Every gate pairs fixed-dimension vectors (64-dim
+  * embeddings, m-dim subspaces), so the mismatch case is unreachable
+  * there; callers comparing ragged arrays must length-guard first. */
 case class SqDist(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType

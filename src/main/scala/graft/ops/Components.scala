@@ -568,6 +568,15 @@ object Components {
     // borderline match. Identical iteration/physical shape as q90
     // (3 content-free shuffles per round); the oracle unrolls the same
     // weighted arithmetic.
+    //
+    // Parity margin — DOCUMENTED ACCEPTED TRADE: the weighted
+    // contribution sums accumulate fractional doubles (score·w/deg) in
+    // engine-chosen order, so after 5 rounds cross-engine drift is
+    // O(iters · n_neighbors · ulp) ≈ 1e-13 at gate degree scales —
+    // thin vs the 6-dp round but still 6+ orders below it. Per-round
+    // rounding on both sides would widen the margin but couple the
+    // gate to a non-standard PageRank definition; revisit only if a
+    // corpus with ~1e6-degree hubs pushes drift past 1e-9.
     QueryDef("q111_pagerank_weighted",
       (s, d) => {
         val docs = Tables.documents(s, d)

@@ -61,18 +61,18 @@ object Delta {
     * the index join), and when the index fits the AQE broadcast
     * threshold the join doesn't shuffle the batch at all. */
   def incrementalDedup(prior: DataFrame, incoming: DataFrame,
-                       payload: Column): DataFrame = {
-    val idx = prior.select(md5(payload).as("fp"), col("doc_id"))
-      .groupBy("fp").agg(min(col("doc_id")).as("prior_id"))
-    val inc = incoming.select(col("doc_id"), md5(payload).as("fp"))
-    val firstNew = inc.groupBy("fp").agg(min(col("doc_id")).as("first_new"))
+                       payload: Column, key: String = "doc_id"): DataFrame = {
+    val idx = prior.select(md5(payload).as("fp"), col(key))
+      .groupBy("fp").agg(min(col(key)).as("prior_id"))
+    val inc = incoming.select(col(key), md5(payload).as("fp"))
+    val firstNew = inc.groupBy("fp").agg(min(col(key)).as("first_new"))
     inc.join(idx, Seq("fp"), "left")
       .join(firstNew, "fp")
       .withColumn("status",
         when(col("prior_id").isNotNull, lit("dup_of_prior"))
-          .when(col("doc_id") =!= col("first_new"), lit("dup_within_batch"))
+          .when(col(key) =!= col("first_new"), lit("dup_within_batch"))
           .otherwise(lit("new")))
-      .select(col("doc_id"), col("fp"),
+      .select(col(key), col("fp"),
         coalesce(col("prior_id"), lit(-1L)).as("prior_id"), col("status"))
   }
 
@@ -109,7 +109,7 @@ object Delta {
              |  COALESCE(v2.new_digest, '') AS new_digest
              |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
              |WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL
-             |   OR v1.old_digest <> v2.new_digest
+             |   OR v1.old_digest IS DISTINCT FROM v2.new_digest
              |ORDER BY doc_id""".stripMargin)),
 
     // Incoming batch = the %3 slice plus deterministic "re-crawls":

@@ -22,23 +22,46 @@ import org.apache.spark.sql.functions._
   */
 object OrderStats {
 
+  /** A degenerate range (zero or ulp-scale width) holds at most ~a
+    * thousand DISTINCT doubles however many rows survive: resolve the
+    * rank exactly over the distinct values (one cheap map-side-combined
+    * aggregation) instead of returning the range edge — the edge is a
+    * computed bucket boundary after round 1, not necessarily a corpus
+    * value. */
+  private def resolveDegenerate(scope: DataFrame, need: Long): Double = {
+    val dv = scope.groupBy("v").agg(count(lit(1)).as("n"))
+      .orderBy("v").collect()
+    var acc = 0L
+    var i = 0
+    while (i < dv.length) {
+      acc += dv(i).getLong(1)
+      if (acc >= need) return dv(i).getDouble(0)
+      i += 1
+    }
+    throw new IllegalArgumentException(
+      s"rank $need exceeds the $acc surviving rows")
+  }
+
   /** The k-th smallest value (1-based rank) of `c` over `df`. */
   def selectKth(df: DataFrame, c: Column, k: Long,
                 buckets: Int = 1024, exactThreshold: Long = 65536): Double = {
+    require(k >= 1, s"rank k=$k must be >= 1")
     val vals = df.select(c.cast("double").as("v")).where(col("v").isNotNull)
     var bounds = vals.agg(min(col("v")), max(col("v"))).first()
+    require(!bounds.isNullAt(0), "selectKth over an empty or all-null column")
     var lo = bounds.getDouble(0)
     var hi = bounds.getDouble(1)
     var need = k
     var scope = vals
     var n = -1L
+    var total = -1L
     while (n < 0 || n > exactThreshold) {
-      if (lo == hi) return lo
+      if (lo == hi) return resolveDegenerate(scope, need)
       val width = (hi - lo) / buckets
       // adversarial guard: a range of a few ulps underflows the bucket
-      // width to 0 — every surviving value is then equal at double
-      // resolution and the k-th of them IS that value
-      if (width == 0.0) return lo
+      // width to 0 — the survivors span ≤ buckets distinct doubles;
+      // resolve among them exactly
+      if (width == 0.0) return resolveDegenerate(scope, need)
       // clamp BOTH sides: hi itself lands in the last bucket, and a
       // round-2 survivor can sit a float-rounding hair BELOW the new lo
       // (its previous-round floor rounded up across the boundary) —
@@ -49,6 +72,10 @@ object OrderStats {
       val counts = scope.groupBy(b.cast("int").as("b"))
         .agg(count(lit(1)).as("n"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      if (total < 0) { // round 1 counts ALL values: k > n detected here
+        total = counts.values.sum
+        require(k <= total, s"rank k=$k exceeds the $total non-null rows")
+      }
       var acc = 0L
       var chosen = -1
       var i = 0
@@ -79,10 +106,15 @@ object OrderStats {
     * collects ≤ groups×(B+2) counters. Rank bookkeeping is recomputed
     * every round from the strict below-count — the k-th value is
     * located by VALUE RANGE, so float fuzz at bucket boundaries
-    * cannot accumulate (a stray ulp just shows up in the next
-    * below-count). Groups whose slice fits `exactThreshold` resolve
-    * in ONE final pass: a row_number window over the bounded slices
-    * (never over a whole group). ~log_B(n_max) scans of two pruned
+    * cannot accumulate for non-kth values (a stray ulp just shows up
+    * in the next below-count); if fuzz ever displaces the k-th value
+    * itself outside the refined range (need ≤ 0, an empty chosen
+    * bucket, or a missed final match) the group falls back to one
+    * exact pass over its FULL [min,max] — never a fabricated value,
+    * never a silently dropped group. Groups whose slice fits
+    * `exactThreshold` resolve in ONE final pass: a row_number window
+    * over the bounded slices (never over a whole group outside the
+    * fallback). ~log_B(n_max) scans of two pruned
     * columns; driver state is O(groups) — the tool for
     * moderate-cardinality keys where q61's percentile() would buffer
     * entire groups; high-cardinality keys stay with the sketch.
@@ -97,7 +129,10 @@ object OrderStats {
       .select(key.cast("string").as("g"), value.cast("double").as("v"))
       .where(col("v").isNotNull)) // scanned once per round — pin the lineage
     final class St(val n: Long, val k: Long, var lo: Double, var hi: Double,
-                   var sliceN: Long, var done: Option[Double])
+                   var sliceN: Long, var done: Option[Double]) {
+      val lo0: Double = lo; val hi0: Double = hi // full group bounds
+      var full: Boolean = false // float-fuzz fallback: resolve over [lo0,hi0]
+    }
     val st = scala.collection.mutable.LinkedHashMap(
       vals.groupBy("g").agg(count(lit(1)).as("n"),
           min("v").as("lo"), max("v").as("hi")).collect().map { r =>
@@ -107,10 +142,10 @@ object OrderStats {
       }.toSeq: _*)
     var rounds = 0
     while (rounds < 12 &&
-        st.values.exists(s => s.done.isEmpty && s.sliceN > exactThreshold)) {
+        st.values.exists(s => s.done.isEmpty && !s.full && s.sliceN > exactThreshold)) {
       rounds += 1
       val active = st.filter { case (_, s) =>
-        s.done.isEmpty && s.sliceN > exactThreshold }
+        s.done.isEmpty && !s.full && s.sliceN > exactThreshold }
       active.foreach { case (_, s) =>
         // all-equal slice (or width underflow): the k-th IS that value
         if (s.lo == s.hi || (s.hi - s.lo) / buckets == 0.0) s.done = Some(s.lo) }
@@ -132,40 +167,61 @@ object OrderStats {
         act.foreach { case (g, s) =>
           val cm = counts.getOrElse(g, Map.empty[Int, Long])
           val need = s.k - cm.getOrElse(-1, 0L)
-          var acc = 0L; var chosen = -1; var i = 0
-          while (chosen < 0 && i < buckets) {
-            val cn = cm.getOrElse(i, 0L)
-            if (acc + cn >= need) chosen = i else acc += cn
-            i += 1
+          // float fuzz at a refined boundary can push the k-th value
+          // below _lo (need <= 0) or land the rank in an empty bucket
+          // (sliceN == 0): both would fabricate a non-corpus value.
+          // Fall back to ONE exact pass over the group's full range —
+          // the group pays a whole-group window, correctness first.
+          if (need <= 0L) { s.full = true }
+          else {
+            var acc = 0L; var chosen = -1; var i = 0
+            while (chosen < 0 && i < buckets) {
+              val cn = cm.getOrElse(i, 0L)
+              if (acc + cn >= need) chosen = i else acc += cn
+              i += 1
+            }
+            val w0 = (s.hi - s.lo) / buckets
+            val newLo = s.lo + chosen * w0
+            s.hi = if (chosen == buckets - 1) s.hi else s.lo + (chosen + 1) * w0
+            s.lo = newLo
+            s.sliceN = cm.getOrElse(chosen, 0L)
+            if (s.sliceN == 0L) { s.full = true }
           }
-          val w0 = (s.hi - s.lo) / buckets
-          val newLo = s.lo + chosen * w0
-          s.hi = if (chosen == buckets - 1) s.hi else s.lo + (chosen + 1) * w0
-          s.lo = newLo
-          s.sliceN = cm.getOrElse(chosen, 0L)
-          if (s.sliceN == 0L) s.done = Some(newLo)
         }
       }
     }
-    // final exact pass over the bounded slices, all open groups at once
+    // final exact pass over bounded slices, all open groups at once;
+    // (g, lo, hi, need) → value at in-range rank `need`
+    def exactPass(groups: Seq[(String, Double, Double, Long)]): Map[String, Double] =
+      if (groups.isEmpty) Map.empty else {
+        val fin = broadcast(groups.toDF("g", "_lo", "_hi", "_need"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("g").orderBy("v")
+        vals.join(fin, "g")
+          .where(col("v") >= col("_lo") && col("v") <= col("_hi"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === col("_need"))
+          .select("g", "v").collect()
+          .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      }
     val open = st.toSeq.collect { case (g, s) if s.done.isEmpty => (g, s) }
-    val resolved: Seq[(String, Long, Double)] = if (open.isEmpty) Nil else {
-      val fin = broadcast(open.map { case (g, s) => (g, s.lo, s.hi) }
-        .toDF("g", "_lo", "_hi"))
-      val tagged = vals.join(fin, "g")
-      val below = tagged.where(col("v") < col("_lo"))
+    val refined = open.filter { case (_, s) => !s.full }
+    val below: Map[String, Long] = if (refined.isEmpty) Map.empty else {
+      val fin = broadcast(refined.map { case (g, s) => (g, s.lo) }
+        .toDF("g", "_lo"))
+      vals.join(fin, "g").where(col("v") < col("_lo"))
         .groupBy("g").agg(count(lit(1)).as("nb")).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
-      val needDf = broadcast(open.map { case (g, s) =>
-        (g, s.k - below.getOrElse(g, 0L)) }.toDF("g", "_need"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("g").orderBy("v")
-      tagged.where(col("v") >= col("_lo") && col("v") <= col("_hi"))
-        .withColumn("rn", row_number().over(w))
-        .join(needDf, "g").where(col("rn") === col("_need"))
-        .select("g", "v").collect()
-        .map(r => (r.getString(0), st(r.getString(0)).n, r.getDouble(1))).toSeq
     }
+    val r1 = exactPass(refined
+      .map { case (g, s) => (g, s.lo, s.hi, s.k - below.getOrElse(g, 0L)) }
+      .filter(_._4 > 0L)) // fuzz-negative need: leave to the fallback
+    // fallback pass: flagged groups, fuzz-negative needs, and any group
+    // the bounded pass missed — exact over the FULL group range, where
+    // below-count is 0 by construction and rank k cannot miss
+    val r2 = exactPass(open.collect { case (g, s) if !r1.contains(g) =>
+      (g, s.lo0, s.hi0, s.k) })
+    val resolved = (r1 ++ r2).toSeq.map { case (g, v) => (g, st(g).n, v) }
     val done = st.toSeq.collect { case (g, s) if s.done.isDefined =>
       (g, s.n, s.done.get) }
     (resolved ++ done).toDF("g", "n", "kth")

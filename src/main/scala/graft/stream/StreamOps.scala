@@ -124,10 +124,30 @@ object StreamOps {
       else {
         val ranged = input.repartitionByRange(chunks, arrivalOrder: _*)
           .withColumn("_chunk", spark_partition_id()).localCheckpoint()
+        // FileStreamSource orders files by modification time; filesystem
+        // mtime granularity can be as coarse as 1 s, so write-order
+        // timestamps alone don't guarantee the replay order. Stamp each
+        // chunk's files EXPLICITLY with strictly increasing mtimes
+        // (distinct within a chunk too) and verify the stamp took.
+        // stamps are whole seconds (coarsest common granularity) counted
+        // back from now, strictly increasing across AND within chunks
+        var seq = 0L
+        val stamped = scala.collection.mutable.Set.empty[String]
+        val base = (System.currentTimeMillis() / 1000L) * 1000L - 3600L * 1000L
         (0 until chunks).foreach { i =>
           ranged.where(col("_chunk") === i).drop("_chunk")
             .write.mode(if (i == 0) "overwrite" else "append").parquet(dir)
-          Thread.sleep(15) // distinct mtimes => deterministic replay order
+          val fresh = new java.io.File(dir).listFiles
+            .filter(f => f.getName.endsWith(".parquet") && !stamped(f.getName))
+            .sortBy(_.getName)
+          fresh.foreach { f =>
+            val t = base + seq * 1000L
+            seq += 1
+            require(f.setLastModified(t) && f.lastModified() == t,
+              s"cannot pin mtime of $f — arrival-ordered replay would be " +
+                "nondeterministic on this filesystem")
+            stamped += f.getName
+          }
         }
       }
       val source = spark.readStream.schema(input.schema)

@@ -66,7 +66,11 @@ class NgramsSpec extends AnyFunSuite {
   }
 
   test("char ngrams identical to the composed substr form") {
-    val inputs = (hostile ++ Seq("abc", "ab", "abcd efg", "中文词")).toDF("t")
+    // non-BMP inputs included: Spark substr counts CODEPOINTS, so the
+    // native form must never split a surrogate pair (emoji below are
+    // supplementary-plane, 2 UTF-16 code units each)
+    val inputs = (hostile ++ Seq("abc", "ab", "abcd efg", "中文词",
+      "a😀b😁c", "😀😁😂😃", "x😀", "𝕊𝕡𝕒𝕣𝕜 sql")).toDF("t")
     val rows = inputs.where(length(col("t")) >= 3).select(
         call_function("graft_char_ngrams", col("t"), lit(3)).as("native"),
         transform(sequence(lit(1), length(col("t")) - 2),

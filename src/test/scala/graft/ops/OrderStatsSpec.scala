@@ -53,6 +53,55 @@ class OrderStatsSpec extends AnyFunSuite {
       exactThreshold = 4) == 2.0)
   }
 
+  test("degenerate ulp-scale ranges resolve to a CORPUS value, not a boundary") {
+    // two distinct doubles one ulp apart: every bucket width underflows
+    // to 0 immediately after the first descent, so the degenerate exit
+    // must pick among the surviving values exactly — returning the
+    // refined range's lo (a computed boundary) would fabricate a value
+    val a = 1.0
+    val b = java.lang.Math.nextUp(a)
+    val data = Seq.fill(30)(a) ++ Seq.fill(20)(b)
+    val df = data.toDF("x")
+    assert(OrderStats.selectKth(df, col("x"), 30, buckets = 8,
+      exactThreshold = 4) == a)
+    assert(OrderStats.selectKth(df, col("x"), 31, buckets = 8,
+      exactThreshold = 4) == b)
+  }
+
+  test("empty input and out-of-range ranks fail with clear errors, not NPE") {
+    val empty = Seq.empty[Double].toDF("x")
+    val e1 = intercept[IllegalArgumentException] {
+      OrderStats.selectKth(empty, col("x"), 1)
+    }
+    assert(e1.getMessage.contains("empty"))
+    val df = Seq(1.0, 2.0, 3.0).toDF("x")
+    val e2 = intercept[IllegalArgumentException] {
+      OrderStats.selectKth(df, col("x"), 4, buckets = 8, exactThreshold = 1)
+    }
+    assert(e2.getMessage.contains("exceeds"))
+    intercept[IllegalArgumentException] {
+      OrderStats.selectKth(df, col("x"), 0)
+    }
+  }
+
+  test("grouped quantiles survive ulp-boundary groups (full-range fallback)") {
+    // group F sits entirely within a few ulps: per-group width
+    // underflows and any boundary fuzz must route to the exact
+    // fallback rather than dropping F or inventing a value
+    val a = 123.456
+    val vals = Iterator.iterate(a)(java.lang.Math.nextUp).take(5).toSeq
+    val rows = vals.flatMap(v => Seq.fill(200)(("F", v))) ++
+      (1 to 5000).map(i => ("G", i.toDouble))
+    val df = rows.toDF("g", "v").repartition(7)
+    val got = OrderStats
+      .quantileDiscByGroup(df, col("g"), col("v"), 0.5,
+        buckets = 16, exactThreshold = 32)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val truthF = vals.flatMap(v => Seq.fill(200)(v)).sorted.apply(499)
+    assert(got("F") == truthF)
+    assert(got("G") == 2500.0)
+  }
+
   test("exactMedian handles both parities like quantile_cont") {
     val odd = Seq(5.0, 1.0, 3.0).toDF("x")
     assert(OrderStats.exactMedian(odd, col("x")) == ((3L, 3.0)))
