@@ -240,6 +240,24 @@ object Multimodal {
       .as[MediaRow]
   }
 
+  private val WavRates = Array(8000, 16000, 22050, 44100)
+
+  /** Deterministic AUDIO fixture derived from `documents` ids: each doc
+    * gets a genuine PCM WAV written executor-side by the JDK's real WAV
+    * writer, with sample count and rate pure functions of the id. That
+    * determinism is what makes the REAL decode gateable: an arithmetic
+    * oracle knows exactly what the RIFF header parse must report back
+    * (the audio twin of q33's PNG leg). Encode runs per partition in
+    * the documents scan's layout — payloads never shuffle. */
+  def audioTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    graft.Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        MediaRow(id, WavCodec.encode(nSamples = 500 + (id % 977).toInt,
+          sampleRate = WavRates((id % 4).toInt), seed = id.toInt))
+      })
+  }
+
   /** Decode metadata per partition — one codec instantiation per batch,
     * not per row (the shape that matters when decode state is heavy). */
   def decode(media: Dataset[MediaRow]): Dataset[DecodedRow] =
@@ -312,6 +330,35 @@ object Multimodal {
   }
 
   val defs: Seq[graft.QueryDef] = Seq(
+    // REAL audio decode gate: genuine WAVs (JDK writer) → genuine RIFF
+    // header parse (javax.sound.sampled) per row; the oracle re-derives
+    // every field arithmetically from the id-determined encode params,
+    // so a single header byte wrong anywhere in the write→parse round
+    // trip breaks the row hash. Duration is exact integer arithmetic
+    // scaled to ms (frames·1000/rate), identical on both sides.
+    graft.QueryDef("q135_audio_meta",
+      (s, d) => decode(audioTable(s, d))
+        .select(col("media_id").as("doc_id"),
+          col("meta.format").as("format"),
+          col("meta.width").as("sample_rate"),
+          col("meta.height").as("channels"),
+          col("meta.nFrames").cast("long").as("n_frames"),
+          col("meta.bytes").as("bytes"))
+        // div (IntegralDivide) keeps the arithmetic in exact longs,
+        // mirroring DuckDB's // — never a double on either side
+        .withColumn("duration_ms", expr("n_frames * 1000 div sample_rate"))
+        .orderBy("doc_id"),
+      Some("""WITH p AS (
+             |  SELECT doc_id,
+             |    CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+             |         WHEN 2 THEN 22050 ELSE 44100 END AS sample_rate,
+             |    500 + doc_id % 977 AS n_frames
+             |  FROM documents)
+             |SELECT doc_id, 'audio/wav' AS format, sample_rate,
+             |  1 AS channels, n_frames,
+             |  n_frames * 1000 // sample_rate AS duration_ms,
+             |  44 + 2 * n_frames AS bytes
+             |FROM p ORDER BY doc_id""".stripMargin)),
     graft.QueryDef("q55_frame_sample", (s, d) => frameStats(s, d),
       Some("""WITH b AS (
              |  SELECT hex(encode(text)) AS hx, octet_length(encode(text)) AS len
