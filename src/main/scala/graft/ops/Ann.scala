@@ -173,6 +173,76 @@ object Ann {
       .withColumn("bucket", bucketCol(col("v"), dim, nBits, seed))
       .withColumn("nrm", Vectors.norm2(col("v")))
 
+  /** Centroid drift audit — the q96/q102 maintenance gate for the ANN
+    * index (the lifecycle gap: IVF centroids are fit offline and
+    * pinned; a corpus delta degrades them SILENTLY). The production
+    * refresh shape at 100 TB is a WARM-START: one Lloyd refinement
+    * from the pinned quantizer over corpus+delta — never a cold
+    * re-fit — then a report of what the refresh would change. Per
+    * cell: population under the pinned vs refitted quantizer, how many
+    * vectors would move out, the shift in basis points (integer
+    * arithmetic — no float ratio), and the centroid's squared
+    * displacement. A pipeline owner reads this to decide whether to
+    * re-ship the quantizer.
+    *
+    * Scale shape: both assignment passes are narrow codegen'd
+    * literal-argmin projections in the scan's layout (the q63 path);
+    * the refinement mean is one posexplode aggregation to k·dim driver
+    * rows (the documented kmeansCentroids fit shape — at 100 TB you
+    * refine on a sample); the report aggregations reduce to k rows.
+    * Re-assignment distances are rounded (`roundDp`) BEFORE the argmin
+    * with the cell-index tiebreak: the refitted means carry ~1e-15
+    * cross-engine summation drift, and ranking must happen far above
+    * it (the q131 discipline — pinned-literal assignment stays exact
+    * and unrounded). */
+  def centroidDrift(emb: DataFrame, pinned: Array[Array[Double]],
+                    roundDp: Int = 6): DataFrame = {
+    val dim = pinned.head.length
+    val assigned = emb.withColumn("old_cell", cellCol(col("v"), pinned))
+    // warm-start refinement means; an empty cell keeps its pinned
+    // centroid (the kmeansCentroids rule)
+    val refit = pinned.map(_.clone())
+    assigned.select(col("old_cell"), posexplode(col("v")))
+      .groupBy("old_cell", "pos").agg(avg(col("col")).as("m"))
+      .collect()
+      .foreach(r => refit(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    val entries = array(refit.indices.map { i =>
+      struct(round(Vectors.l2sq(col("v"),
+          array(refit(i).map(lit).toSeq: _*)), roundDp).as("d"),
+        lit(i).as("i"))
+    }: _*)
+    val moved = assigned.withColumn("new_cell",
+      array_min(entries).getField("i"))
+    val byOld = moved.groupBy(col("old_cell").as("cell"))
+      .agg(count(lit(1)).as("n_old"),
+        sum(when(col("new_cell") =!= col("old_cell"), 1L).otherwise(0L))
+          .as("moved_out"))
+    val byNew = moved.groupBy(col("new_cell").as("cell"))
+      .agg(count(lit(1)).as("n_new"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // every relation below is ≤ k rows (post-aggregation) — join
+    // strategy is irrelevant at any corpus scale
+    val disp = refit.indices.map { i =>
+      var acc = 0.0 // same left fold as l2sq/list_sum: index order
+      var j = 0
+      while (j < dim) {
+        val x = refit(i)(j) - pinned(i)(j); acc += x * x; j += 1
+      }
+      (i, BigDecimal(acc).setScale(roundDp, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    }.toDF("cell", "displacement")
+    disp.join(byOld, Seq("cell"), "left").join(byNew, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("moved_out"), lit(0L)).as("moved_out"),
+        expr("10000 * coalesce(moved_out, 0) div greatest(1, coalesce(n_old, 0))")
+          .as("shift_bp"),
+        col("displacement"))
+      .orderBy("cell")
+  }
+
   /** The centroid constants as a SQL CTE body (one row per centroid) —
     * the SAME doubles as the Spark plan's literals, so both engines
     * assign cells from identical inputs. */
@@ -234,6 +304,79 @@ object Ann {
               |  FROM scored) t
               |WHERE rank <= 3
               |ORDER BY q_id, rank""".stripMargin)),
+
+    // Drift audit over a deterministic corpus delta (the q102 re-crawl
+    // shape: the %5 slice re-lands under new ids, doubling its weight):
+    // pinned-vs-warm-start-refit assignment matrix per cell. The oracle
+    // mirrors every stage — exact literal argmin for the old cells,
+    // avg-refit centroids with the keep-pinned-when-empty rule, 6-dp
+    // rounded re-assignment with the index tiebreak, integer-division
+    // basis points (never a rounded float ratio: small-integer ratios
+    // DO land on .5 rounding boundaries where engines may disagree).
+    QueryDef("q136_centroid_drift",
+      (s, d) => {
+        val e0 = Tables.embeddings(s, d)
+          .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v"))
+        val delta = e0.where(col("vec_id") % 5 === 0)
+          .withColumn("vec_id", col("vec_id") + 100000L)
+        centroidDrift(e0.unionByName(delta), AnnCentroids.fitted)
+      },
+      Some(s"""WITH cents AS (
+              |${centroidsSqlCte(AnnCentroids.fitted)}),
+              |e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |e AS (SELECT vec_id, v FROM e0
+              |      UNION ALL
+              |      SELECT vec_id + 100000, v FROM e0 WHERE vec_id % 5 = 0),
+              |d AS (
+              |  SELECT e.vec_id, cents.i,
+              |    list_sum(list_transform(range(1, 65),
+              |      j -> (e.v[j] - cents.c[j]) * (e.v[j] - cents.c[j]))) AS d2
+              |  FROM e CROSS JOIN cents),
+              |olda AS (
+              |  SELECT vec_id, i AS old_cell FROM (
+              |    SELECT vec_id, i,
+              |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, i ASC) AS rn
+              |    FROM d) t WHERE rn = 1),
+              |ev AS (SELECT e.vec_id, e.v, olda.old_cell
+              |       FROM e JOIN olda USING (vec_id)),
+              |px AS (SELECT old_cell, unnest(range(1, 65)) AS pos,
+              |              unnest(v) AS val FROM ev),
+              |m AS (SELECT old_cell AS i, pos, AVG(val) AS mv
+              |      FROM px GROUP BY 1, 2),
+              |refit0 AS (SELECT i, list(mv ORDER BY pos) AS c FROM m GROUP BY i),
+              |refit AS (
+              |  SELECT cents.i, COALESCE(refit0.c, cents.c) AS c
+              |  FROM cents LEFT JOIN refit0 USING (i)),
+              |nd AS (
+              |  SELECT ev.vec_id, ev.old_cell, r.i,
+              |    round(list_sum(list_transform(range(1, 65),
+              |      j -> (ev.v[j] - r.c[j]) * (ev.v[j] - r.c[j]))), 6) AS d2
+              |  FROM ev CROSS JOIN refit r),
+              |newa AS (
+              |  SELECT vec_id, old_cell, i AS new_cell FROM (
+              |    SELECT vec_id, old_cell, i,
+              |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, i ASC) AS rn
+              |    FROM nd) t WHERE rn = 1),
+              |disp AS (
+              |  SELECT cents.i AS cell,
+              |    round(list_sum(list_transform(range(1, 65),
+              |      j -> (r.c[j] - cents.c[j]) * (r.c[j] - cents.c[j]))), 6) AS displacement
+              |  FROM cents JOIN refit r USING (i)),
+              |o AS (SELECT old_cell AS cell, COUNT(*) AS n_old,
+              |        CAST(SUM(CASE WHEN new_cell <> old_cell THEN 1 ELSE 0 END)
+              |          AS BIGINT) AS moved_out
+              |      FROM newa GROUP BY 1),
+              |nn AS (SELECT new_cell AS cell, COUNT(*) AS n_new
+              |       FROM newa GROUP BY 1)
+              |SELECT disp.cell, COALESCE(o.n_old, 0) AS n_old,
+              |  COALESCE(nn.n_new, 0) AS n_new,
+              |  COALESCE(o.moved_out, 0) AS moved_out,
+              |  10000 * COALESCE(o.moved_out, 0) // GREATEST(1, COALESCE(o.n_old, 0))
+              |    AS shift_bp,
+              |  disp.displacement
+              |FROM disp LEFT JOIN o ON o.cell = disp.cell
+              |LEFT JOIN nn ON nn.cell = disp.cell
+              |ORDER BY disp.cell""".stripMargin)),
 
     // Multi-probe hyperplane LSH — the OTHER learned-free ANN scale
     // path: bucket = sign bits of 8 seeded ±1-plane projections, search

@@ -56,4 +56,27 @@ class AnnSpec extends AnyFunSuite {
     assert(recallMp > 0.3, "flipping each bit should recover most 1-plane misses")
     assert(lsh.nonEmpty && lsh.size <= 20L * k)
   }
+
+  test("centroid drift audit: populations conserve, report covers every cell") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.embeddings(spark, graft.TestSpark.sf0001)
+      .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v"))
+    val n = emb.count()
+    val rows = Ann.centroidDrift(emb, AnnCentroids.fitted).collect()
+    assert(rows.length == AnnCentroids.fitted.length, "one row per cell")
+    // both assignments partition the SAME corpus
+    assert(rows.map(_.getLong(1)).sum == n, "n_old sums to corpus")
+    assert(rows.map(_.getLong(2)).sum == n, "n_new sums to corpus")
+    rows.foreach { r =>
+      val (nOld, moved, bp) = (r.getLong(1), r.getLong(3), r.getLong(4))
+      assert(moved <= nOld, "cannot move out more than were assigned")
+      assert(bp >= 0 && bp <= 10000, s"shift_bp in basis-point range, got $bp")
+      assert(r.getDouble(5) >= 0.0, "squared displacement is non-negative")
+    }
+    // one warm-start iteration from a 5-iteration fit must be a small
+    // correction, not a re-shuffle of the index
+    val totalMoved = rows.map(_.getLong(3)).sum
+    assert(totalMoved.toDouble / n < 0.5,
+      s"warm-start refinement moved $totalMoved of $n vectors")
+  }
 }
