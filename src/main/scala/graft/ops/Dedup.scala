@@ -416,7 +416,7 @@ object Dedup {
     * twin of [[shinglesOf]]'s table form, for operators that verify a
     * pair inside a single row (no shingle-table join). Short docs fall
     * back to the whole text, same as shinglesOf. */
-  private def shingleArr(t: Column, n: Int = 3): Column =
+  private[graft] def shingleArr(t: Column, n: Int = 3): Column =
     // native graft_ngrams (one compiled call per row) — the composed
     // transform + array_distinct form evaluates its lambda interpreted
     // per gram (round 8's q120 lesson); NgramsSpec proves equality

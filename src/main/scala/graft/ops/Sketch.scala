@@ -275,6 +275,97 @@ object Sketch {
              |FROM fin f
              |JOIN (SELECT key, COUNT(DISTINCT item) AS n_exact FROM it GROUP BY key) x
              |  USING (key)
-             |ORDER BY key""".stripMargin))
+             |ORDER BY key""".stripMargin)),
+
+    // Sketch MERGEABILITY as an incremental-maintenance gate (the
+    // q96/q102 pattern for sketch state): the corpus splits into a
+    // prior batch and a delta batch, each builds its own registers,
+    // and the MERGE (register-wise max — what a 1000-executor fleet
+    // or a nightly-delta pipeline actually unions) must estimate
+    // IDENTICALLY to a from-scratch full-corpus build. The oracle
+    // computes only the full-corpus estimate and expects it in BOTH
+    // columns, so any defect in the merge arithmetic — a lost
+    // register, a wrong max, a dropped key — breaks the row hash.
+    QueryDef("q137_hll_merge",
+      (s, d) => {
+        val items = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_returnflag").as("key"),
+                  col("l_partkey").cast("string").as("item"))
+        val prior = items.where(col("l_orderkey") % 4 =!= 0).drop("l_orderkey")
+        val delta = items.where(col("l_orderkey") % 4 === 0).drop("l_orderkey")
+        val merged = hllRegisters(prior).unionByName(hllRegisters(delta))
+          .groupBy("key", "j").agg(max(col("mj")).as("mj"))
+        hllEstimate(merged).select(col("key"), col("n_est").as("n_est_merged"))
+          .join(hllEstimate(hllRegisters(items.drop("l_orderkey")))
+            .select(col("key"), col("n_est").as("n_est_full")), "key")
+          .orderBy("key")
+      },
+      Some(s"""WITH it AS (
+             |  SELECT l_returnflag AS key, CAST(l_partkey AS VARCHAR) AS item
+             |  FROM lineitem),
+             |h AS (SELECT key, ('0x' || substr(md5(item), 1, 8))::BIGINT AS h
+             |      FROM it),
+             |r AS (SELECT key, h % $hllM AS j,
+             |        27 - length(ltrim(bin(h // $hllM), '0')) AS rho
+             |      FROM h),
+             |regs AS (SELECT key, j, MAX(rho) AS mj FROM r GROUP BY key, j),
+             |est AS (
+             |  SELECT key, SUM(power(2.0, -mj)) + ($hllM - COUNT(*)) AS s,
+             |         $hllM - COUNT(*) AS v
+             |  FROM regs GROUP BY key),
+             |fin AS (
+             |  SELECT key, CAST($hllAlpha AS DOUBLE) * $hllM * $hllM / s AS raw, v
+             |  FROM est)
+             |SELECT key,
+             |  round(CASE WHEN raw <= 2.5 * $hllM AND v > 0
+             |             THEN $hllM * ln($hllM.0 / v) ELSE raw END, 4) AS n_est_merged,
+             |  round(CASE WHEN raw <= 2.5 * $hllM AND v > 0
+             |             THEN $hllM * ln($hllM.0 / v) ELSE raw END, 4) AS n_est_full
+             |FROM fin ORDER BY key""".stripMargin)),
+
+    // The CMS twin of q137: cells are COUNTERS, so the merge is
+    // cell-wise ADDITION of the prior and delta sketches. Estimates
+    // for the full corpus's top-10 tokens probed against the merged
+    // cells must equal probes against a from-scratch build — the
+    // oracle computes the full-corpus estimate once and expects it in
+    // both columns.
+    QueryDef("q138_cms_merge",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val prior = docs.where(pmod(col("doc_id"), lit(4)) =!= 0)
+        val delta = docs.where(pmod(col("doc_id"), lit(4)) === 0)
+        val merged = countMinCells(tokenCounts(prior))
+          .unionByName(countMinCells(tokenCounts(delta)))
+          .groupBy("row", "bucket").agg(sum(col("cell")).as("cell"))
+        val tcAll = tokenCounts(docs).localCheckpoint()
+        val top = tcAll.orderBy(col("n").desc, col("tok")).limit(10)
+          .select("tok")
+        estimate(merged, top)
+          .select(col("tok"), col("est_n").as("est_merged"))
+          .join(estimate(countMinCells(tcAll), top)
+            .select(col("tok"), col("est_n").as("est_full")), "tok")
+          .orderBy("tok")
+      },
+      Some(s"""WITH tc AS (
+             |  SELECT tok, COUNT(*) AS n
+             |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+             |  GROUP BY tok),
+             |coords AS (
+             |  SELECT tok, n, i.i AS row,
+             |    ('0x' || substr(md5(tok), i.i * 8 + 1, 8))::BIGINT % $width AS bucket
+             |  FROM tc, (SELECT unnest(range($depth)) AS i) i),
+             |cells AS (SELECT row, bucket, CAST(SUM(n) AS BIGINT) AS cell
+             |          FROM coords GROUP BY row, bucket),
+             |top AS (SELECT tok FROM tc ORDER BY n DESC, tok LIMIT 10),
+             |lk AS (
+             |  SELECT t.tok, i.i AS row,
+             |    ('0x' || substr(md5(t.tok), i.i * 8 + 1, 8))::BIGINT % $width AS bucket
+             |  FROM top t, (SELECT unnest(range($depth)) AS i) i),
+             |est AS (
+             |  SELECT lk.tok, MIN(c.cell) AS e
+             |  FROM lk JOIN cells c ON c.row = lk.row AND c.bucket = lk.bucket
+             |  GROUP BY lk.tok)
+             |SELECT tok, e AS est_merged, e AS est_full
+             |FROM est ORDER BY tok""".stripMargin))
   )
 }

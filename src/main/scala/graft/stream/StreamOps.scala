@@ -6,6 +6,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import graft.QueryDef
 import graft.QueryDef.{dsum, dsumSql}
 
+/** Row types for the streamed sorted-neighborhood pass (top-level —
+  * encoder reflection, see MediaMeta's note). */
+final case class SnmDoc(doc_id: Long, key: String, sh: Seq[String])
+final case class SnmPair(id_a: Long, id_b: Long, jac: Double)
+
 /** Event-time streaming operators (✚ extensions; the reference's push
   * pipelines are unbounded but have no event time, SURVEY.md §2.7).
   * Each transform works identically on a batch or streaming DataFrame —
@@ -246,6 +251,62 @@ object StreamOps {
       |GROUP BY user_id, session_id ORDER BY user_id, sess_start""".stripMargin
 
   /** Batch-declared twins for the correctness gate. */
+  /** STREAMED sorted-neighborhood pass: pre-shingled docs arrive in
+    * sort-key-ordered chunks (the arrivalOrder contract — upstream
+    * delivers key-range runs, exactly what a sorted landing directory
+    * or a range-partitioned exporter produces) and a stateful operator
+    * compares each row with its `window`-1 predecessors, carrying the
+    * trailing rows ACROSS micro-batch boundaries so no neighbor pair
+    * is lost at a chunk edge. Each pair is emitted exactly once — by
+    * the batch where its LATER row first arrives (bounded replay never
+    * re-delivers a row). State is `window`-1 rows, constant forever.
+    *
+    * Jaccard arithmetic mirrors the batch operator bit-for-bit: same
+    * distinct-shingle arrays (built by graft_ngrams BEFORE the stream,
+    * the carry-digests-not-text production shape Dedup.scala
+    * documents), same inter/(na+nb−inter) double division, and
+    * BigDecimal.valueOf half-up scaling — the exact algorithm of
+    * Spark's round(_, 6).
+    *
+    * Scale note: the gate keys all rows to ONE state group (the chunks
+    * are one global sorted run). A 100 TB deployment range-partitions
+    * the key space into G sorted sub-streams, runs this operator per
+    * group, and ships each boundary row to both adjacent ranges — the
+    * standard SNM overlap trick; the per-group state and arithmetic
+    * are exactly what this gate exercises. */
+  def snmPairsStream(docs: DataFrame, window: Int = 4,
+                     tau: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.as[SnmDoc].groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, it: Iterator[SnmDoc], state: GroupState[Seq[SnmDoc]]) =>
+          val carry = state.getOption.getOrElse(Seq.empty)
+          val fresh = it.toSeq.sortBy(r => (r.key, r.doc_id))
+          val all = (carry ++ fresh).toIndexedSeq
+          val out = Seq.newBuilder[SnmPair]
+          var p = carry.length
+          while (p < all.length) {
+            var q = math.max(0, p - (window - 1))
+            while (q < p) {
+              val (a, b) = (all(q), all(p))
+              val inter = a.sh.toSet.intersect(b.sh.toSet).size
+              val jac = BigDecimal.valueOf(
+                  inter.toDouble / (a.sh.size + b.sh.size - inter))
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              if (jac >= tau)
+                out += SnmPair(math.min(a.doc_id, b.doc_id),
+                  math.max(a.doc_id, b.doc_id), jac)
+              q += 1
+            }
+            p += 1
+          }
+          state.update(all.takeRight(window - 1))
+          out.result().iterator
+      }.toDF()
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // Native session_window. Boundary semantics measured, not assumed:
     // a pair exactly `gap` apart MERGES (merge iff diff <= gap) —
@@ -357,6 +418,54 @@ object StreamOps {
              |SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cell
              |FROM coords GROUP BY row, bucket
              |ORDER BY row, bucket""".stripMargin)),
+
+    // Sorted-neighborhood dedup THROUGH the streaming engine: the
+    // shingled corpus arrives in key-range-ordered chunks and the
+    // stateful trailing-window pass must emit EXACTLY the batch q120
+    // pair set — same oracle, boundary pairs included (the carry
+    // across micro-batches is the thing under test; dropping it loses
+    // every pair spanning a chunk edge).
+    QueryDef("q139_stream_snm",
+      (s, d) => {
+        val input = graft.Tables.documents(s, d).select(col("doc_id"),
+          substring(col("text"), 1, 32).as("key"),
+          graft.ops.Dedup.shingleArr(col("text")).as("sh"))
+        val rows = runBoundedFromPath(s, input, snmPairsStream(_),
+          chunks = 3, outputMode = "append",
+          arrivalOrder = Seq(col("key"), col("doc_id")))
+        s.createDataFrame(new java.util.ArrayList(java.util.Arrays.asList(rows: _*)),
+            org.apache.spark.sql.Encoders.product[SnmPair].schema)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH k AS (SELECT doc_id, substr(text, 1, 32) AS key, text
+             |           FROM documents),
+             |r AS (SELECT doc_id, text,
+             |        ROW_NUMBER() OVER (ORDER BY key, doc_id) AS rn
+             |      FROM k),
+             |p AS (SELECT a.doc_id AS id_a, a.text AS ta,
+             |             b.doc_id AS id_b, b.text AS tb
+             |      FROM r a JOIN r b ON b.rn BETWEEN a.rn + 1 AND a.rn + 3),
+             |sh AS (SELECT id_a, id_b,
+             |  list_distinct(CASE WHEN len(string_split(ta, ' ')) >= 3
+             |    THEN list_transform(range(len(string_split(ta, ' ')) - 2),
+             |      i -> string_split(ta, ' ')[i+1] || ' ' ||
+             |           string_split(ta, ' ')[i+2] || ' ' ||
+             |           string_split(ta, ' ')[i+3])
+             |    ELSE [ta] END) AS da,
+             |  list_distinct(CASE WHEN len(string_split(tb, ' ')) >= 3
+             |    THEN list_transform(range(len(string_split(tb, ' ')) - 2),
+             |      i -> string_split(tb, ' ')[i+1] || ' ' ||
+             |           string_split(tb, ' ')[i+2] || ' ' ||
+             |           string_split(tb, ' ')[i+3])
+             |    ELSE [tb] END) AS db
+             |  FROM p),
+             |j AS (SELECT least(id_a, id_b) AS id_a, greatest(id_a, id_b) AS id_b,
+             |  round(CAST(len(list_filter(da, x -> list_contains(db, x))) AS DOUBLE)
+             |    / (len(da) + len(db)
+             |       - len(list_filter(da, x -> list_contains(db, x)))), 6) AS jac
+             |  FROM sh)
+             |SELECT id_a, id_b, jac FROM j WHERE jac >= 0.5
+             |ORDER BY id_a, id_b""".stripMargin)),
 
     // HLL registers (q116's structure) maintained THROUGH the streaming
     // engine: lineitem arrives as parquet micro-batches, the per-(key,

@@ -275,4 +275,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedFps.toSet == batchNew, "same digests survive")
     assert(streamedFps.length == streamedFps.distinct.length, "each digest once")
   }
+
+  test("streamed SNM equals batch SNM, including pairs straddling chunk edges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, substring}
+    // a sliding-token chain: EVERY adjacent doc pair is a near-dup, so
+    // with 12 docs over 3 chunks at least two qualifying pairs straddle
+    // a chunk boundary — a dropped carry cannot pass this
+    val toks = (0 until 40).map(i => f"tok$i%03d")
+    val docs = (0 until 12).map { i =>
+      (i.toLong, toks.slice(i, i + 20).mkString(" "))
+    }.toDF("doc_id", "text")
+    val batch = graft.ops.Dedup.sortedNeighborhood(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val input = docs.select(col("doc_id"),
+      substring(col("text"), 1, 32).as("key"),
+      graft.ops.Dedup.shingleArr(col("text")).as("sh"))
+    val streamed = StreamOps.runBoundedFromPath(spark, input,
+        StreamOps.snmPairsStream(_), chunks = 3, outputMode = "append",
+        arrivalOrder = Seq(col("key"), col("doc_id")))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed.size >= 11, "every adjacent pair must clear tau")
+    assert(streamed == batch, "streamed pass must equal the batch operator")
+  }
 }
