@@ -138,7 +138,7 @@ object StreamOps {
         // back from now, strictly increasing across AND within chunks
         var seq = 0L
         val stamped = scala.collection.mutable.Set.empty[String]
-        val base = (System.currentTimeMillis() / 1000L) * 1000L - 3600L * 1000L
+        val base = (System.currentTimeMillis() / 1000L) * 1000L - 60L * 1000L
         (0 until chunks).foreach { i =>
           ranged.where(col("_chunk") === i).drop("_chunk")
             .write.mode(if (i == 0) "overwrite" else "append").parquet(dir)
