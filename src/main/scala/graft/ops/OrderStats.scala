@@ -274,9 +274,12 @@ object OrderStats {
              |r AS (SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v)
              |        AS rn FROM v)
              |SELECT n.g, n.n,
-             |  MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.5 * n.n) AS BIGINT))
+             |  -- ::DOUBLE mirrors the Spark side's math.ceil(p * n) double
+             |  -- arithmetic: DuckDB's bare 0.9*n is exact DECIMAL and can
+             |  -- sit one below the double product at integral boundaries
+             |  MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.5::DOUBLE * n.n) AS BIGINT))
              |           THEN r.v END) AS p50,
-             |  MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.9 * n.n) AS BIGINT))
+             |  MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.9::DOUBLE * n.n) AS BIGINT))
              |           THEN r.v END) AS p90
              |FROM r JOIN n USING (g) GROUP BY n.g, n.n
              |ORDER BY n.g""".stripMargin))

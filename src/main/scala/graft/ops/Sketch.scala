@@ -366,6 +366,92 @@ object Sketch {
              |  FROM lk JOIN cells c ON c.row = lk.row AND c.bucket = lk.bucket
              |  GROUP BY lk.tok)
              |SELECT tok, e AS est_merged, e AS est_full
-             |FROM est ORDER BY tok""".stripMargin))
+             |FROM est ORDER BY tok""".stripMargin)),
+
+    // The third mergeable sketch: a fixed-bin HISTOGRAM quantile sketch
+    // (the deterministic member of the quantile-sketch family — KLL's
+    // compaction is randomized and can't be oracle-mirrored). Bounds
+    // come from a one-pass per-key min/max (the catalog-stats pass a
+    // warehouse already has); B=128 equi-width bins give a ≤(hi−lo)/B
+    // error bound; the estimate is the RIGHT EDGE of the first bin
+    // whose cumulative count reaches rank ceil(p·n) — q133's rank
+    // definition against bin edges. Like q137/q138 the gate is the
+    // MERGE: prior⊎delta bin-count addition must estimate identically
+    // to the from-scratch build (the oracle computes full only, both
+    // columns).
+    //
+    // Scale: histograms collapse map-side to ≤ keys×B rows; the
+    // cumulative window runs over the BIN TABLE (≤ keys×B), never the
+    // corpus; every per-key relation joins by broadcast. All doubles
+    // derive from identical (lo, hi, counts) on both engines — no
+    // rounding anywhere.
+    QueryDef("q141_hist_quantile_merge",
+      (s, d) => {
+        val B = 128
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+          col("l_returnflag").as("g"), col("l_extendedprice").cast("double").as("v"))
+        val bounds = li.groupBy("g").agg(min("v").as("lo"), max("v").as("hi"),
+          count(lit(1)).as("n")).localCheckpoint()
+        val wdt = (col("hi") - col("lo")) / B
+        def hist(df: DataFrame) =
+          df.join(broadcast(bounds.select("g", "lo", "hi")), "g")
+            .select(col("g"),
+              when(wdt === 0.0, lit(0)).otherwise(
+                greatest(least(floor((col("v") - col("lo")) / wdt), lit(B - 1)),
+                  lit(0)).cast("int")).as("b"))
+            .groupBy("g", "b").agg(count(lit(1)).as("c"))
+        val full = hist(li).localCheckpoint()
+        val merged = hist(li.where(col("l_orderkey") % 4 =!= 0))
+          .unionByName(hist(li.where(col("l_orderkey") % 4 === 0)))
+          .groupBy("g", "b").agg(sum(col("c")).as("c")).localCheckpoint()
+        def est(h: DataFrame, p: Double, name: String) = {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("g").orderBy("b")
+          h.withColumn("cum", sum(col("c")).over(w))
+            .join(broadcast(bounds), "g")
+            .where(col("cum") >= ceil(lit(p) * col("n")))
+            .groupBy("g").agg(min(col("b")).as("bin"))
+            .join(broadcast(bounds), "g")
+            .select(col("g"),
+              (col("lo") + (col("bin") + 1) * wdt).as(name))
+        }
+        est(merged, 0.5, "p50_merged").join(est(full, 0.5, "p50_full"), "g")
+          .join(est(merged, 0.9, "p90_merged"), "g")
+          .join(est(full, 0.9, "p90_full"), "g")
+          .join(bounds.select("g", "n"), "g")
+          .select("g", "n", "p50_merged", "p50_full", "p90_merged", "p90_full")
+          .orderBy("g")
+      },
+      Some("""WITH li AS (
+             |  SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v
+             |  FROM lineitem),
+             |bounds AS (SELECT g, MIN(v) AS lo, MAX(v) AS hi,
+             |             COUNT(*) AS n FROM li GROUP BY g),
+             |hist AS (
+             |  SELECT li.g,
+             |    CASE WHEN (hi - lo) / 128 = 0 THEN 0
+             |         ELSE CAST(GREATEST(LEAST(
+             |           FLOOR((v - lo) / ((hi - lo) / 128)), 127), 0) AS INT)
+             |    END AS b,
+             |    COUNT(*) AS c
+             |  FROM li JOIN bounds USING (g) GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT g, b, SUM(c) OVER (PARTITION BY g ORDER BY b) AS cum
+             |  FROM hist),
+             |q AS (
+             |  SELECT cum.g,
+             |    -- ::DOUBLE pins the rank arithmetic to Spark's: DuckDB's
+             |    -- bare 0.9*n is exact DECIMAL and diverges at integral
+             |    -- boundaries (double 0.9*n can land one ulp above)
+             |    MIN(CASE WHEN cum >= CEIL(0.5::DOUBLE * n) THEN b END) AS b50,
+             |    MIN(CASE WHEN cum >= CEIL(0.9::DOUBLE * n) THEN b END) AS b90
+             |  FROM cum JOIN bounds USING (g) GROUP BY 1)
+             |SELECT q.g, bounds.n,
+             |  lo + (b50 + 1) * ((hi - lo) / 128) AS p50_merged,
+             |  lo + (b50 + 1) * ((hi - lo) / 128) AS p50_full,
+             |  lo + (b90 + 1) * ((hi - lo) / 128) AS p90_merged,
+             |  lo + (b90 + 1) * ((hi - lo) / 128) AS p90_full
+             |FROM q JOIN bounds USING (g)
+             |ORDER BY g""".stripMargin))
   )
 }

@@ -273,6 +273,49 @@ object TextAnalysis {
              |WHERE rank <= 5
              |ORDER BY lang, rank""".stripMargin)),
 
+    // WEIGHTED reproducible sampling (Efraimidis–Spirakis A-ES): the
+    // q92 companion when strata members should be drawn with
+    // probability ∝ a weight (here content mass, n_chars+1 — the
+    // "sample long documents more" curation knob). Key = u^(1/w)
+    // ranked desc ≡ ln(u)/w ranked desc (ln is monotone; ln/÷ are the
+    // cross-engine-safe ops — pow(u, 1/w) is NOT guaranteed bit-equal
+    // across libms). u is the salted deterministic md5 uniform shifted
+    // to (0,1) (+0.5 — u=0 would blow up ln). Scores rounded@9 BEFORE
+    // ranking, doc_id tiebreak; selection through the bounded TopK
+    // fold — never a per-stratum window (the q92/q76 discipline).
+    QueryDef("q142_weighted_sample",
+      (s, d) => {
+        import s.implicits._
+        val topk = new graft.functions.Folds.TopK(5)
+        val u = (conv(substring(md5(concat(lit("q142|"),
+            col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long").cast("double") + 0.5) / 4294967296.0
+        Tables.documents(s, d)
+          .select(col("source"),
+            round(log(u) / (col("n_chars") + 1), 9).as("score"),
+            col("doc_id"))
+          .as[(String, Double, Long)]
+          .groupByKey(_._1)
+          .mapValues(t => (t._2, t._3))
+          .agg(topk.toColumn.name("top"))
+          .flatMap { case (source, top) =>
+            top.iterator.zipWithIndex.map { case ((sc, id), i) =>
+              (source, (i + 1).toLong, id, sc) } }
+          .toDF("source", "rank", "doc_id", "score")
+          .orderBy("source", "rank")
+      },
+      Some("""SELECT source, rank, doc_id, score FROM (
+             |  SELECT source, doc_id, score,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+             |      ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+             |  FROM (
+             |    SELECT source, doc_id,
+             |      round(ln((('0x' || substr(md5('q142|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             |                + 0.5) / 4294967296.0) / (n_chars + 1), 9) AS score
+             |    FROM documents) s) t
+             |WHERE rank <= 5
+             |ORDER BY source, rank""".stripMargin)),
+
     // Corpus vocabulary: token frequencies with a top-k cut — the
     // vocab-building pass of a tokenizer pipeline. explode + partial
     // aggregation (map-side combine collapses repeats before the
@@ -773,6 +816,89 @@ object TextAnalysis {
              |       FROM c GROUP BY tok)
              |SELECT stats.tok, stats.df, stats.cf, hd.heads
              |FROM stats JOIN hd USING (tok)
-             |ORDER BY tok""".stripMargin))
+             |ORDER BY tok""".stripMargin)),
+
+    // Token-distribution drift between corpus snapshots — the
+    // DISTRIBUTION twin of q96's row diff (a pipeline owner watches
+    // this between crawls: a quiet row-churn can still shift the token
+    // mixture the model trains on). Snapshots are q96's exact v1/v2
+    // derivation; drift = per-token Jensen–Shannon contribution
+    // p·ln(p/m) + q·ln(q/m) (m the midpoint — ≥ 0 per token by the
+    // log-sum inequality), top-20 drifters plus the corpus total.
+    //
+    // Scale: two map-side-combined token counts, one full-outer join
+    // keyed by token, totals as 1-row broadcasts; the ln terms follow
+    // the q118 discipline — each rounded at 9 dp then summed in
+    // DECIMAL, so the corpus total is exact and order-independent (the
+    // total is emitted UNDIVIDED — halving a 9-dp decimal can land
+    // exactly on the 10th-dp .5 boundary where engine rounding modes
+    // could disagree).
+    QueryDef("q140_token_drift",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val v1 = docs.where(pmod(col("doc_id"), lit(11)) =!= 0)
+        val v2 = docs.where(pmod(col("doc_id"), lit(13)) =!= 0)
+          .withColumn("text",
+            when(pmod(col("doc_id"), lit(7)) === 0,
+              concat(col("text"), lit(" v2-edit"))).otherwise(col("text")))
+        def counts(v: org.apache.spark.sql.DataFrame, n: String) = v
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as(n))
+        val joined = counts(v1, "n1").join(counts(v2, "n2"), Seq("tok"), "full")
+          .select(col("tok"), coalesce(col("n1"), lit(0L)).as("n1"),
+            coalesce(col("n2"), lit(0L)).as("n2"))
+        val totals = joined.agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"))
+        val p = col("n1").cast("double") / col("t1")
+        val q = col("n2").cast("double") / col("t2")
+        val m = (p + q) / 2
+        val contrib = round(
+          when(col("n1") > 0, p * log(p / m)).otherwise(lit(0.0)) +
+          when(col("n2") > 0, q * log(q / m)).otherwise(lit(0.0)), 9)
+        val terms = joined.crossJoin(broadcast(totals))
+          .select(col("tok"), col("n1"), col("n2"),
+            contrib.cast("decimal(28,9)").as("c"))
+        val total = terms.agg(sum(col("c")).as("jsd"))
+        terms.crossJoin(broadcast(total))
+          .select(col("tok"), col("n1"), col("n2"),
+            col("c").cast("double").as("contrib"),
+            col("jsd").cast("double").as("total_drift"))
+          .orderBy(col("contrib").desc, col("tok")).limit(20)
+      },
+      Some("""WITH v1 AS (
+             |  SELECT text FROM documents WHERE doc_id % 11 <> 0),
+             |v2 AS (
+             |  SELECT CASE WHEN doc_id % 7 = 0 THEN text || ' v2-edit'
+             |              ELSE text END AS text
+             |  FROM documents WHERE doc_id % 13 <> 0),
+             |c1 AS (SELECT tok, COUNT(*) AS n1 FROM
+             |        (SELECT unnest(string_split(text, ' ')) AS tok FROM v1) t
+             |       GROUP BY 1),
+             |c2 AS (SELECT tok, COUNT(*) AS n2 FROM
+             |        (SELECT unnest(string_split(text, ' ')) AS tok FROM v2) t
+             |       GROUP BY 1),
+             |j AS (SELECT COALESCE(c1.tok, c2.tok) AS tok,
+             |        COALESCE(n1, 0) AS n1, COALESCE(n2, 0) AS n2
+             |      FROM c1 FULL OUTER JOIN c2 ON c1.tok = c2.tok),
+             |tot AS (SELECT CAST(SUM(n1) AS BIGINT) AS t1,
+             |               CAST(SUM(n2) AS BIGINT) AS t2 FROM j),
+             |terms AS (
+             |  SELECT tok, n1, n2,
+             |    CAST(round(
+             |      (CASE WHEN n1 > 0
+             |            THEN (CAST(n1 AS DOUBLE) / t1) *
+             |                 ln((CAST(n1 AS DOUBLE) / t1) /
+             |                    ((CAST(n1 AS DOUBLE) / t1 + CAST(n2 AS DOUBLE) / t2) / 2))
+             |            ELSE 0 END) +
+             |      (CASE WHEN n2 > 0
+             |            THEN (CAST(n2 AS DOUBLE) / t2) *
+             |                 ln((CAST(n2 AS DOUBLE) / t2) /
+             |                    ((CAST(n1 AS DOUBLE) / t1 + CAST(n2 AS DOUBLE) / t2) / 2))
+             |            ELSE 0 END), 9) AS DECIMAL(28,9)) AS c
+             |  FROM j, tot),
+             |g AS (SELECT SUM(c) AS jsd FROM terms)
+             |SELECT tok, n1, n2, CAST(c AS DOUBLE) AS contrib,
+             |  CAST(jsd AS DOUBLE) AS total_drift
+             |FROM terms, g
+             |ORDER BY contrib DESC, tok LIMIT 20""".stripMargin))
   )
 }
