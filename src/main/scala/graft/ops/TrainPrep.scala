@@ -639,6 +639,74 @@ object TrainPrep {
              |FROM tot t LEFT JOIN reb r USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
 
+    // Repeated-SPAN audit — the alignment-robust sibling of q77's
+    // block dedup: q77 partitions text into DISJOINT 10-token blocks
+    // (a repeat shifted by one token never collides); here OVERLAPPING
+    // 32-token windows at stride 16 fingerprint every span, so
+    // boilerplate repeated at ARBITRARY offsets still collides in at
+    // least one window (any 47+-token repeat guarantees a shared
+    // aligned window; shorter repeats collide when their offsets agree
+    // mod 16). This is the bounded, shuffle-friendly stand-in for
+    // suffix-array span dedup: fingerprints are 16-byte digests
+    // grouped map-side (production: 8-byte xxhash), the span text
+    // itself never shuffles — only (fp, doc_id) pairs — and the
+    // per-doc report joins back by fp. Stride halves the window so
+    // the span stream is ~n_tok/16 rows per doc, a constant factor
+    // of the token stream.
+    QueryDef("q143_repeated_spans",
+      (s, d) => {
+        val spanW = 32
+        val stride = 16
+        val w = split(col("text"), " ")
+        val spans = Tables.documents(s, d)
+          .where(size(w) >= spanW)
+          // the window-hash transform is an interpreted lambda — it
+          // must run AFTER an exchange, not in the scan's
+          // one-task-per-file layout (the q83/q120 lesson; the PlanSpec
+          // walker enforces this)
+          .repartition(col("doc_id"))
+          .select(col("doc_id"),
+            posexplode(transform(
+              sequence(lit(0), size(w) - spanW, lit(stride)),
+              p => md5(array_join(slice(w, p + 1, lit(spanW)), " "))))
+              .as(Seq("pos", "fp")))
+          .localCheckpoint() // 2 consumers: occurrence counts + report
+        val occ = spans.groupBy("fp")
+          .agg(count(lit(1)).as("n_occ"),
+            countDistinct(col("doc_id")).as("n_docs"))
+        spans.join(occ, "fp")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_repeated"),
+            sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_cross_doc"))
+          .withColumn("repeated_frac",
+            round(col("n_repeated").cast("double") / col("n_spans"), 6))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+             |  WHERE len(string_split(text, ' ')) >= 32),
+             |sp AS (
+             |  SELECT doc_id,
+             |    md5(array_to_string(w[p+1 : p+32], ' ')) AS fp
+             |  FROM (SELECT doc_id, w,
+             |          unnest(range(0, len(w) - 31, 16)) AS p
+             |        FROM w) t),
+             |occ AS (SELECT fp, COUNT(*) AS n_occ,
+             |          COUNT(DISTINCT doc_id) AS n_docs
+             |        FROM sp GROUP BY fp)
+             |SELECT sp.doc_id,
+             |  COUNT(*) AS n_spans,
+             |  CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_repeated,
+             |  CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_cross_doc,
+             |  round(CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / COUNT(*), 6) AS repeated_frac
+             |FROM sp JOIN occ USING (fp)
+             |GROUP BY sp.doc_id
+             |ORDER BY sp.doc_id""".stripMargin)),
+
     // Weighted sample without replacement, k=100 biased by n_chars —
     // the A-ES key ranking with the md5-slice uniform; oracle derives
     // identical keys and takes the same rounded-key/doc_id top-k.

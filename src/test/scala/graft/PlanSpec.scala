@@ -271,6 +271,48 @@ class PlanSpec extends AnyFunSuite {
       s"local skyline prune must window by _pid:\n$p")
   }
 
+  test("q142 selects through the TopK fold, never a per-stratum window") {
+    // the q92/q76 discipline: ROW_NUMBER OVER (PARTITION BY source)
+    // routes every row of a stratum through one task; the fold caps
+    // its buffer at k at every stage instead
+    val p = physical("q142_weighted_sample")
+    assert(!p.contains("Window"),
+      s"weighted sampling must not window per stratum:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"expected the typed TopK aggregation:\n$p")
+  }
+
+  test("q141's cumulative windows run over bin tables, not the corpus") {
+    // every WindowExec input chain must hit an aggregation (the
+    // <= keys x B histogram) before any file scan — the quantile
+    // sketch never windows corpus-sized data
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def scanWithoutAggBelow(p: SparkPlan): Boolean = p match {
+      case _: BaseAggregateExec => false
+      case _: FileSourceScanExec => true
+      case a: AdaptiveSparkPlanExec => scanWithoutAggBelow(a.executedPlan)
+      case other => other.children.exists(scanWithoutAggBelow)
+    }
+    def badWindows(p: SparkPlan): Seq[String] = {
+      val here = p match {
+        case w: WindowExec if scanWithoutAggBelow(w.child) => Seq(w.toString.take(120))
+        case _ => Nil
+      }
+      val below = p match {
+        case a: AdaptiveSparkPlanExec => badWindows(a.executedPlan)
+        case other => other.children.flatMap(badWindows)
+      }
+      here ++ below
+    }
+    val plan = SparkEntry.queries("q141_hist_quantile_merge")(spark, sf)
+      .queryExecution.executedPlan
+    assert(badWindows(plan).isEmpty,
+      s"windows must aggregate to bin tables first:\n${badWindows(plan).mkString("\n")}")
+  }
+
   test("no lambda-bearing projection executes in a file scan's task layout") {
     // The structural form of rounds 8-9's measured lesson (q120 21->1 s,
     // q83 4.3->0.7 s): lambda HOFs (transform/filter/aggregate/zip_with)
