@@ -404,20 +404,25 @@ object Sketch {
         val merged = hist(li.where(col("l_orderkey") % 4 =!= 0))
           .unionByName(hist(li.where(col("l_orderkey") % 4 === 0)))
           .groupBy("g", "b").agg(sum(col("c")).as("c")).localCheckpoint()
-        def est(h: DataFrame, p: Double, name: String) = {
+        // BOTH quantiles from one cumulative pass per histogram (the
+        // oracle's conditional-min shape): 2 windows total, each over
+        // a ≤ keys×B bin table
+        def ests(h: DataFrame, suffix: String) = {
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy("g").orderBy("b")
           h.withColumn("cum", sum(col("c")).over(w))
             .join(broadcast(bounds), "g")
-            .where(col("cum") >= ceil(lit(p) * col("n")))
-            .groupBy("g").agg(min(col("b")).as("bin"))
+            .groupBy("g").agg(
+              min(when(col("cum") >= ceil(lit(0.5) * col("n")), col("b")))
+                .as("b50"),
+              min(when(col("cum") >= ceil(lit(0.9) * col("n")), col("b")))
+                .as("b90"))
             .join(broadcast(bounds), "g")
             .select(col("g"),
-              (col("lo") + (col("bin") + 1) * wdt).as(name))
+              (col("lo") + (col("b50") + 1) * wdt).as(s"p50_$suffix"),
+              (col("lo") + (col("b90") + 1) * wdt).as(s"p90_$suffix"))
         }
-        est(merged, 0.5, "p50_merged").join(est(full, 0.5, "p50_full"), "g")
-          .join(est(merged, 0.9, "p90_merged"), "g")
-          .join(est(full, 0.9, "p90_full"), "g")
+        ests(merged, "merged").join(ests(full, "full"), "g")
           .join(bounds.select("g", "n"), "g")
           .select("g", "n", "p50_merged", "p50_full", "p90_merged", "p90_full")
           .orderBy("g")
