@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Layout invariance — the generic 100 TB readiness claim, asserted:
+  * a declared query's CONTENT must not depend on how the engine happens
+  * to partition the work. Each sampled query runs under the default
+  * test layout and again under a hostile one (prime shuffle width,
+  * file splits forced tiny), and the row multisets must match exactly.
+  *
+  * The sample is chosen for layout sensitivity, not convenience: the
+  * two-phase prefix machinery (q120/q121 — range partitions + driver
+  * offsets), partition-id-keyed local phases (q127's _pid skyline
+  * prune), driver-side refinement state (q113/q133), per-partition
+  * lambda work behind repartitions (q83/q143), sketch merges whose
+  * partial states form differently per layout (q137/q138), typed
+  * TopK folds whose cap order must be merge-invariant (q92/q142), and
+  * the warm-start drift audit's collect (q136).
+  *
+  * Multiset comparison, not ordered: the ORDER contract is the DuckDB
+  * oracle's business (hash compare); invariance here claims the
+  * CONTENT is layout-independent.
+  */
+class LayoutInvarianceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+
+  private val sample = Seq(
+    "q83_cdc_dedup",
+    "q92_stratified_exact_k",
+    "q113_exact_median",
+    "q120_sorted_neighborhood",
+    "q121_budget_select",
+    "q127_skyline",
+    "q133_grouped_quantiles",
+    "q136_centroid_drift",
+    "q137_hll_merge",
+    "q138_cms_merge",
+    "q140_token_drift",
+    "q141_hist_quantile_merge",
+    "q142_weighted_sample",
+    "q143_repeated_spans")
+
+  private def contents(name: String): Seq[String] =
+    SparkEntry.queries(name)(spark, sf).collect()
+      .map(_.toString).sorted.toSeq
+
+  test("query content is identical under a hostile partition layout") {
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val baseline = sample.map(q => q -> contents(q)).toMap
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+      sample.foreach { q =>
+        assert(contents(q) == baseline(q),
+          s"$q content changed under 7 shuffle partitions / 16 KB splits")
+      }
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevSplit)
+    }
+  }
+}
