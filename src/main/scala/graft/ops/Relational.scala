@@ -611,6 +611,67 @@ object Relational {
              |SELECT agg.k, agg.n_rows, agg.n_k,
              |  COALESCE(pairs.n_pairs, 0) AS n_pairs
              |FROM agg LEFT JOIN pairs ON agg.k = pairs.k
-             |ORDER BY agg.k ASC NULLS FIRST""".stripMargin))
+             |ORDER BY agg.k ASC NULLS FIRST""".stripMargin)),
+
+    // Source/sink format breadth (SURVEY §2.7 scans/sources/sinks): a
+    // lineitem slice round-trips through ORC, CSV and JSON sinks and
+    // sources, and each format's re-read must aggregate IDENTICALLY to
+    // the parquet original (the oracle computes the parquet aggregate
+    // once, cross-joined with the format labels). Doubles survive the
+    // text formats because Spark writes shortest-repr and Java's
+    // parse(shortest(d)) == d round-trip guarantee holds; dates are
+    // text-exact by construction. The union is localCheckpoint-ed so
+    // the temp files can be deleted before the driver consumes the
+    // result (the query must not depend on scratch files outliving
+    // its construction).
+    QueryDef("q144_format_roundtrip",
+      (s, d) => {
+        val slice = Tables.lineitem(s, d)
+          .where(col("l_orderkey") % 50 === 0)
+          .select(col("l_orderkey"), col("l_returnflag"),
+            col("l_quantity"), col("l_extendedprice"),
+            col("l_shipdate").cast("date").as("l_shipdate"))
+        val dir = java.nio.file.Files.createTempDirectory("graft-fmt").toString
+        def roundTrip(fmt: String): DataFrame = {
+          val p = s"$dir/$fmt"
+          slice.write.format(fmt).option("header", "true").save(p)
+          s.read.format(fmt).option("header", "true")
+            .schema(slice.schema).load(p)
+            .groupBy("l_returnflag").agg(
+              count(lit(1)).as("n"),
+              dsum(col("l_quantity")).as("sum_qty"),
+              dsum(col("l_extendedprice")).as("sum_price"),
+              // string-typed: the compare harness reads date32 and
+              // DuckDB DATE into different pandas types
+              max(col("l_shipdate")).cast("string").as("max_ship"))
+            .withColumn("fmt", lit(fmt))
+        }
+        try {
+          roundTrip("csv").unionByName(roundTrip("json"))
+            .unionByName(roundTrip("orc"))
+            .select("fmt", "l_returnflag", "n", "sum_qty", "sum_price",
+              "max_ship")
+            .orderBy("fmt", "l_returnflag")
+            .localCheckpoint()
+        } finally {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(new java.io.File(dir))
+        }
+      },
+      Some(s"""WITH slice AS (
+             |  SELECT l_returnflag, l_quantity, l_extendedprice,
+             |    CAST(l_shipdate AS DATE) AS d
+             |  FROM lineitem WHERE l_orderkey % 50 = 0),
+             |a AS (
+             |  SELECT l_returnflag, COUNT(*) AS n,
+             |    ${dsumSql("l_quantity")} AS sum_qty,
+             |    ${dsumSql("l_extendedprice")} AS sum_price,
+             |    CAST(MAX(d) AS VARCHAR) AS max_ship
+             |  FROM slice GROUP BY 1)
+             |SELECT fmt, l_returnflag, n, sum_qty, sum_price, max_ship
+             |FROM a CROSS JOIN (SELECT unnest(['csv', 'json', 'orc']) AS fmt) f
+             |ORDER BY fmt, l_returnflag""".stripMargin))
   )
 }
