@@ -572,6 +572,114 @@ object Extras {
              |WHERE NOT EXISTS (
              |  SELECT 1 FROM p b
              |  WHERE b.x >= a.x AND b.y >= a.y AND (b.x > a.x OR b.y > a.y))
-             |ORDER BY x, y""".stripMargin))
+             |ORDER BY x, y""".stripMargin)),
+
+    // k-anonymity audit over a generalization ladder (✚, privacy —
+    // the release-side companion of q109's scrubbing): for each
+    // coarsening level of the quasi-identifier tuple (nation, segment,
+    // account-balance band) → (nation, segment) → (segment), how many
+    // QI groups fall below k=10, and what fraction of rows they hold
+    // (the rows that must be suppressed or generalized further).
+    //
+    // Scale: the ladder is ONE pass — GROUPING SETS expands the three
+    // levels inside a single aggregation with map-side partials (the
+    // q57 machinery), so the corpus is scanned once regardless of
+    // ladder depth; the second aggregation runs over ≤|groups| rows.
+    // grouping() flags identify the level (never NULL-sentinel abuse:
+    // a real NULL QI value cannot masquerade as a subtotal row).
+    QueryDef("q145_k_anonymity",
+      (s, d) => {
+        Tables.customer(s, d)
+          .select(col("c_nationkey"), col("c_mktsegment"),
+            floor(col("c_acctbal") / 1000.0).cast("long").as("band"))
+          .createOrReplaceTempView("cust_qi")
+        s.sql("""SELECT lvl, COUNT(*) AS n_groups,
+                |  CAST(SUM(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_viol_groups,
+                |  CAST(SUM(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT) AS n_suppressed,
+                |  ROUND(CAST(SUM(CASE WHEN n < 10 THEN n ELSE 0 END) AS DOUBLE) / SUM(n), 6) AS suppression_rate
+                |FROM (
+                |  SELECT CASE WHEN grouping(band) = 0 THEN 0
+                |              WHEN grouping(c_nationkey) = 0 THEN 1
+                |              ELSE 2 END AS lvl,
+                |    COUNT(*) AS n
+                |  FROM cust_qi
+                |  GROUP BY GROUPING SETS ((c_nationkey, c_mktsegment, band),
+                |                          (c_nationkey, c_mktsegment),
+                |                          (c_mktsegment)))
+                |GROUP BY lvl ORDER BY lvl""".stripMargin)
+      },
+      Some("""WITH g AS (
+             |  SELECT CASE WHEN grouping(band) = 0 THEN 0
+             |              WHEN grouping(c_nationkey) = 0 THEN 1
+             |              ELSE 2 END AS lvl,
+             |    count(*) AS n
+             |  FROM (SELECT c_nationkey, c_mktsegment,
+             |          CAST(floor(c_acctbal/1000.0) AS BIGINT) AS band FROM customer)
+             |  GROUP BY GROUPING SETS ((c_nationkey, c_mktsegment, band),
+             |                          (c_nationkey, c_mktsegment),
+             |                          (c_mktsegment)))
+             |SELECT lvl, count(*) AS n_groups,
+             |  CAST(sum(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_viol_groups,
+             |  CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT) AS n_suppressed,
+             |  round(CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS DOUBLE) / sum(n), 6) AS suppression_rate
+             |FROM g GROUP BY lvl ORDER BY lvl""".stripMargin)),
+
+    // Rolling-window anomaly flags (✚, time-series monitoring): per
+    // user, each event's value is z-scored against its own trailing
+    // history — a bounded 20-row frame ENDING BEFORE the current row
+    // (the standard self-exclusion, so an outlier never suppresses its
+    // own detection) — and rows with |z| > 3 after ≥10 observations
+    // are flagged. The bounded-frame rolling statistic is the window
+    // surface none of q11/q32/q41 exercise (all unbounded-preceding).
+    //
+    // Determinism: the frame's count / Σx / Σx² are EXACT (DECIMAL
+    // sums of 2-dp values; the square is DECIMAL×DECIMAL, still
+    // exact), and mean/variance/z are derived from those exact sums
+    // in double — identical IEEE arithmetic on identical inputs, so
+    // the |z| > 3 cut cannot flip on engine-side summation order
+    // (unlike stddev_samp OVER, whose streaming accumulation is
+    // engine-specific). Scale: one shuffle by user_id, frame state
+    // bounded at 20 rows per partition cursor, flags collapse to the
+    // anomaly set — nothing corpus-sized leaves the window stage.
+    QueryDef("q149_rolling_anomaly",
+      (s, d) => {
+        val f = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-20, -1)
+        val dv = col("value").cast("decimal(12,2)")
+        val base = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"),
+            count(lit(1)).over(f).as("n_hist"),
+            sum(dv).over(f).cast("double").as("sx"),
+            sum(dv * dv).over(f).cast("double").as("sx2"))
+          .where(col("n_hist") >= 10)
+          .withColumn("mean", col("sx") / col("n_hist"))
+          .withColumn("var",
+            (col("sx2") - col("sx") * col("sx") / col("n_hist")) /
+              (col("n_hist") - 1))
+          .where(col("var") > 0)
+          .withColumn("z", round((col("value") - col("mean")) / sqrt(col("var")), 6))
+        base.where(abs(col("z")) > 3)
+          .select("event_id", "user_id", "event_type", "value", "z")
+          .orderBy("event_id")
+      },
+      Some("""WITH w AS (
+             |  SELECT event_id, user_id, event_type, value,
+             |    count(*) OVER f AS n_hist,
+             |    CAST(sum(CAST(value AS DECIMAL(12,2))) OVER f AS DOUBLE) AS sx,
+             |    CAST(sum(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) OVER f AS DOUBLE) AS sx2
+             |  FROM events
+             |  WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+             |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+             |z AS (
+             |  SELECT event_id, user_id, event_type, value,
+             |    sx / n_hist AS mean,
+             |    (sx2 - sx*sx/n_hist) / (n_hist - 1) AS var
+             |  FROM w WHERE n_hist >= 10)
+             |SELECT event_id, user_id, event_type, value,
+             |  round((value - mean) / sqrt(var), 6) AS z
+             |FROM z WHERE var > 0
+             |  AND abs(round((value - mean) / sqrt(var), 6)) > 3
+             |ORDER BY event_id""".stripMargin))
   )
 }
