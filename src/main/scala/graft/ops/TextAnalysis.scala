@@ -81,6 +81,49 @@ object TextAnalysis {
   // pairs at sf0.01 that the shingle-Jaccard verifier (q27) confirms.
   private val fpCap = 200
 
+  /** Positional phrase search over an inverted index (✚, the IR
+    * operator behind "exact phrase" retrieval): each phrase matches
+    * where its words occupy CONSECUTIVE token positions in a document —
+    * an adjacency equi-join chain over the positional postings
+    * relation, never a substring scan (substring matching can't use an
+    * index and false-positives across token boundaries).
+    *
+    * Scale: the postings stream is filtered to the phrases' vocabulary
+    * BEFORE anything shuffles (the `isin` predicate runs inside the
+    * scan stage's projection), so only matching-term postings — a
+    * vanishing fraction of the corpus — reach the joins; each
+    * adjacency step is an equi-join on (doc_id, aligned position).
+    * At 100 TB the postings relation is the PREBUILT token-bucketed
+    * index (the q65 layout q134 summarizes): a phrase query scans just
+    * its terms' buckets. The filtered postings table is materialized
+    * once and shared by every phrase's join chain. */
+  def phraseSearch(docs: DataFrame, phrases: Seq[String],
+      materialize: graft.Materialize.Strategy = graft.Materialize.local)
+      : DataFrame = {
+    val vocab = phrases.flatMap(_.split(" ")).distinct
+    val postings = materialize(
+      docs.where(col("text").isNotNull && length(col("text")) > 0)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .where(col("tok").isin(vocab: _*)))
+    val perPhrase = phrases.map { ph =>
+      val ws = ph.split(" ")
+      val matches = ws.zipWithIndex.drop(1).foldLeft(
+        postings.where(col("tok") === ws.head).select("doc_id", "pos")) {
+        case (acc, (w, i)) =>
+          val nxt = postings.where(col("tok") === w)
+            .select(col("doc_id").as(s"_d$i"), col("pos").as(s"_p$i"))
+          acc.join(nxt, acc("doc_id") === col(s"_d$i") &&
+              col(s"_p$i") === acc("pos") + i)
+            .drop(s"_d$i", s"_p$i")
+      }
+      matches.agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .select(lit(ph).as("phrase"), col("n_occurrences"), col("n_docs"))
+    }
+    perPhrase.reduce(_.unionAll(_)).orderBy("phrase")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Token counting: whitespace tokens + BPE-ish regex word pieces
@@ -899,6 +942,46 @@ object TextAnalysis {
              |SELECT tok, n1, n2, CAST(c AS DOUBLE) AS contrib,
              |  CAST(jsd AS DOUBLE) AS total_drift
              |FROM terms, g
-             |ORDER BY contrib DESC, tok LIMIT 20""".stripMargin))
+             |ORDER BY contrib DESC, tok LIMIT 20""".stripMargin)),
+
+    // Positional phrase search (✚): two 2-token phrases, one 3-token
+    // phrase with hits, and one 3-token phrase with NO hits — the
+    // zero-result aggregate must still emit its row (a silent drop is
+    // the classic union-of-groupBy bug). Oracle mirrors the adjacency
+    // join over DuckDB's aligned unnest/generate_subscripts postings.
+    QueryDef("q146_phrase_search",
+      (s, d) => phraseSearch(Tables.documents(s, d),
+        Seq("hash join", "table scan", "row column sort",
+          "sort merge join")),
+      Some("""WITH toks AS MATERIALIZED (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             |         generate_subscripts(string_split(text, ' '), 1) AS pos
+             |  FROM documents
+             |  WHERE text IS NOT NULL AND length(text) > 0),
+             |p1 AS (
+             |  SELECT 'hash join' AS phrase, count(*) AS n_occurrences,
+             |         count(DISTINCT a.doc_id) AS n_docs
+             |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+             |  WHERE a.tok = 'hash' AND b.tok = 'join'),
+             |p2 AS (
+             |  SELECT 'table scan' AS phrase, count(*) AS n_occurrences,
+             |         count(DISTINCT a.doc_id) AS n_docs
+             |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+             |  WHERE a.tok = 'table' AND b.tok = 'scan'),
+             |p3 AS (
+             |  SELECT 'row column sort' AS phrase, count(*) AS n_occurrences,
+             |         count(DISTINCT a.doc_id) AS n_docs
+             |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+             |              JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+             |  WHERE a.tok = 'row' AND b.tok = 'column' AND c.tok = 'sort'),
+             |p4 AS (
+             |  SELECT 'sort merge join' AS phrase, count(*) AS n_occurrences,
+             |         count(DISTINCT a.doc_id) AS n_docs
+             |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+             |              JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+             |  WHERE a.tok = 'sort' AND b.tok = 'merge' AND c.tok = 'join')
+             |SELECT * FROM p1 UNION ALL SELECT * FROM p2
+             |UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4
+             |ORDER BY phrase""".stripMargin))
   )
 }
