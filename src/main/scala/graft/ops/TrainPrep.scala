@@ -415,6 +415,57 @@ object TrainPrep {
   // Eval membership for the gate: a deterministic ~1% slice by doc_id.
   private val evalMod = 97
 
+  /** Dedup-aware train/val/test split with leakage audit (✚): split
+    * assignment is made ONCE per near-dup cluster (the q74 connected-
+    * component relation over verified shingle-Jaccard pairs) — every
+    * member inherits the CANONICAL doc's deterministic bucket — so no
+    * near-identical pair can straddle train and eval (the classic
+    * benchmark leak through duplicated boilerplate). The audit reports
+    * per split the cluster-level stats, a structural zero (docs whose
+    * cluster spans multiple cluster-level splits), and the
+    * counterfactual leakage a naive doc-level hash split would have
+    * produced on the same corpus.
+    *
+    * Determinism: buckets are salted md5 integers over the canonical
+    * id (the q142 uniform idiom) — reproducible across engines and
+    * runs, no RNG. Scale: the cluster relation is the q74 machinery
+    * (pointer-doubling CC on 8-byte ids); after it, everything
+    * shuffles on canonical_id or on the 3-value split name after
+    * per-cluster collapse — map-side partials everywhere, nothing
+    * collects to the driver.
+    */
+  def splitAudit(docs: DataFrame, trainPct: Int = 8, valPct: Int = 1,
+      materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+    def bucket(c: Column): Column =
+      conv(substring(md5(concat(lit("q147|"), c.cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 10
+    def name(b: Column): Column =
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val").otherwise("test")
+    val lab = Components.dedupClusters(docs, materialize)
+      .select("doc_id", "canonical_id")
+    // pinned: the per-cluster distinct-split counts AND the two final
+    // per-split rollups all consume it (ReuseExchange does not
+    // collapse the diamond — the q67 lesson)
+    val withSplits = materialize(
+      docs.select(col("doc_id"), col("n_chars")).join(lab, "doc_id")
+        .withColumn("cluster_split", name(bucket(col("canonical_id"))))
+        .withColumn("naive_split", name(bucket(col("doc_id")))))
+    val cstats = withSplits.groupBy("canonical_id").agg(
+      countDistinct(col("cluster_split")).as("ncs"),
+      countDistinct(col("naive_split")).as("nns"))
+    val d2 = withSplits.join(cstats, "canonical_id")
+    val byCluster = d2.groupBy(col("cluster_split").as("split")).agg(
+      countDistinct(col("canonical_id")).as("n_clusters"),
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("n_chars"),
+      sum(when(col("ncs") > 1, 1L).otherwise(0L)).as("leak_docs_cluster"))
+    val byNaive = d2.groupBy(col("naive_split").as("split")).agg(
+      count(lit(1)).as("n_docs_naive"),
+      sum(when(col("nns") > 1, 1L).otherwise(0L)).as("leak_docs_naive"))
+    byCluster.join(byNaive, Seq("split"), "full_outer").orderBy("split")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q75_decontaminate",
@@ -792,6 +843,58 @@ object TrainPrep {
              |      FROM s)
              |SELECT doc_id, n_tok, round(density, 6) AS density,
              |  CAST(cum AS BIGINT) AS cum_tok
-             |FROM c WHERE cum <= 20000 ORDER BY doc_id""".stripMargin))
+             |FROM c WHERE cum <= 20000 ORDER BY doc_id""".stripMargin)),
+
+    // Dedup-aware split + leakage audit (✚, see splitAudit above):
+    // leak_docs_cluster must read 0 in every row — an end-to-end proof
+    // that assignment really is cluster-atomic — while leak_docs_naive
+    // counts the docs a doc-level hash split would have leaked across
+    // train/eval through near-dup clusters. Oracle: the q74 recursive
+    // reachability CTE chain (same verified-pairs definition, so the
+    // two gates cannot disagree on what a cluster is) + the q142 md5
+    // bucket idiom.
+    QueryDef("q147_split_leakage",
+      (s, d) => splitAudit(Tables.documents(s, d)),
+      Some(s"""WITH RECURSIVE ${Dedup.verifiedPairsCtes},
+             |edges AS (SELECT id_a AS u, id_b AS v FROM vp
+             |          UNION ALL SELECT id_b, id_a FROM vp),
+             |reach(node, lbl) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT e.v AS node, r.lbl FROM reach r JOIN edges e ON e.u = r.node),
+             |lab AS (SELECT node AS doc_id, MIN(lbl) AS canonical_id
+             |        FROM reach GROUP BY node),
+             |wb AS (
+             |  SELECT d.doc_id, d.n_chars, lab.canonical_id,
+             |    ('0x' || substr(md5('q147|' || CAST(lab.canonical_id AS VARCHAR)), 1, 8))::BIGINT % 10 AS cb,
+             |    ('0x' || substr(md5('q147|' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 AS nb
+             |  FROM documents d JOIN lab USING (doc_id)),
+             |wc AS (
+             |  SELECT doc_id, n_chars, canonical_id,
+             |    CASE WHEN cb < 8 THEN 'train' WHEN cb < 9 THEN 'val'
+             |         ELSE 'test' END AS cluster_split,
+             |    CASE WHEN nb < 8 THEN 'train' WHEN nb < 9 THEN 'val'
+             |         ELSE 'test' END AS naive_split
+             |  FROM wb),
+             |cstats AS (
+             |  SELECT canonical_id, count(DISTINCT cluster_split) AS ncs,
+             |         count(DISTINCT naive_split) AS nns
+             |  FROM wc GROUP BY canonical_id),
+             |d2 AS (SELECT wc.*, cstats.ncs, cstats.nns
+             |       FROM wc JOIN cstats USING (canonical_id)),
+             |ac AS (
+             |  SELECT cluster_split AS split,
+             |    count(DISTINCT canonical_id) AS n_clusters,
+             |    count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars,
+             |    CAST(sum(CASE WHEN ncs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS leak_docs_cluster
+             |  FROM d2 GROUP BY 1),
+             |an AS (
+             |  SELECT naive_split AS split, count(*) AS n_docs_naive,
+             |    CAST(sum(CASE WHEN nns > 1 THEN 1 ELSE 0 END) AS BIGINT) AS leak_docs_naive
+             |  FROM d2 GROUP BY 1)
+             |SELECT split, n_clusters, n_docs, n_chars, leak_docs_cluster,
+             |  n_docs_naive, leak_docs_naive
+             |FROM ac FULL OUTER JOIN an USING (split)
+             |ORDER BY split""".stripMargin))
   )
 }
