@@ -16,6 +16,63 @@ object Extras {
   private val profileCols =
     Seq("l_orderkey", "l_quantity", "l_returnflag", "l_linestatus")
 
+  /** Referential-integrity + value-domain constraint audit (✚, the
+    * data-quality gate a curation pipeline runs before anything else):
+    * one row per named constraint with the violating-row count and
+    * rate. FK checks are LEFT ANTI joins on the key (including the
+    * reverse containment "parent with no children", which an FK join
+    * can't see); value-domain checks for a table are conditional sums
+    * fused into ONE aggregate over ONE scan — adding a rule never adds
+    * a scan, the unpivot happens on the 1-row aggregate.
+    *
+    * Scale: anti joins shuffle on the 8-byte key (AQE turns the small
+    * parent sides into broadcasts at these sizes; at 100 TB the
+    * orders⋉customer side stays a shuffle join and the nation side a
+    * broadcast); domain aggregates are map-side partials to a single
+    * row; the final result is O(#rules) rows via unions of 1-row
+    * frames — nothing corpus-sized moves.
+    */
+  def integrityAudit(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.{Column, DataFrame}
+    def fk(name: String, child: DataFrame, childKey: String,
+        parent: DataFrame, parentKey: String): DataFrame = {
+      val orphans = child
+        .join(parent.select(col(parentKey).as(childKey)).distinct(),
+          Seq(childKey), "left_anti")
+        .agg(count(lit(1)).as("n_bad"))
+      child.agg(count(lit(1)).as("n_rows"))
+        .crossJoin(broadcast(orphans))
+        .select(lit(name).as("check"), col("n_rows"), col("n_bad"))
+    }
+    def domain(table: DataFrame, rules: Seq[(String, Column)]): DataFrame =
+      table.agg(count(lit(1)).as("n_rows"),
+          rules.zipWithIndex.map { case ((_, c), i) => c.as(s"r$i") }: _*)
+        .select(explode(array(rules.zipWithIndex.map { case ((n, _), i) =>
+          struct(lit(n).as("check"), col("n_rows"),
+            col(s"r$i").as("n_bad")) }: _*)).as("r"))
+        .select("r.*")
+    def bad(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    val audit = Seq(
+      fk("orders_customer_fk", Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey"),
+      fk("lineitem_orders_fk", Tables.lineitem(s, d), "l_orderkey",
+        Tables.orders(s, d), "o_orderkey"),
+      fk("customer_nation_fk", Tables.customer(s, d), "c_nationkey",
+        Tables.nation(s, d), "n_nationkey"),
+      fk("orders_without_lineitems", Tables.orders(s, d), "o_orderkey",
+        Tables.lineitem(s, d), "l_orderkey"),
+      domain(Tables.lineitem(s, d), Seq(
+        "lineitem_discount_range" -> bad(!col("l_discount").between(0.0, 0.1)),
+        "lineitem_quantity_range" -> bad(!col("l_quantity").between(1.0, 50.0)))),
+      domain(Tables.customer(s, d), Seq(
+        "customer_negative_acctbal" -> bad(col("c_acctbal") < 0)))
+    ).reduce(_.unionAll(_))
+    audit.select(col("check"), col("n_rows"), col("n_bad"),
+        round(col("n_bad").cast("double") / col("n_rows"), 6).as("bad_rate"))
+      .orderBy("check")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // GROUPING SETS — the general form behind rollup (q35) / cube (q47):
@@ -680,6 +737,50 @@ object Extras {
              |  round((value - mean) / sqrt(var), 6) AS z
              |FROM z WHERE var > 0
              |  AND abs(round((value - mean) / sqrt(var), 6)) > 3
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // Referential-integrity + domain audit (✚, see integrityAudit):
+    // two constraints genuinely fire on this corpus (257 childless
+    // orders, 122 negative balances) and the rest must read EXACTLY
+    // zero — the oracle proves both directions.
+    QueryDef("q148_integrity_audit",
+      (s, d) => integrityAudit(s, d),
+      Some("""WITH checks AS (
+             |  SELECT 'orders_customer_fk' AS "check",
+             |    (SELECT count(*) FROM orders) AS n_rows,
+             |    (SELECT count(*) FROM orders o WHERE NOT EXISTS
+             |       (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS n_bad
+             |  UNION ALL
+             |  SELECT 'lineitem_orders_fk',
+             |    (SELECT count(*) FROM lineitem),
+             |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+             |       (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+             |  UNION ALL
+             |  SELECT 'customer_nation_fk',
+             |    (SELECT count(*) FROM customer),
+             |    (SELECT count(*) FROM customer c WHERE NOT EXISTS
+             |       (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+             |  UNION ALL
+             |  SELECT 'orders_without_lineitems',
+             |    (SELECT count(*) FROM orders),
+             |    (SELECT count(*) FROM orders o WHERE NOT EXISTS
+             |       (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))
+             |  UNION ALL
+             |  SELECT 'lineitem_discount_range',
+             |    (SELECT count(*) FROM lineitem),
+             |    (SELECT count(*) FROM lineitem
+             |     WHERE l_discount NOT BETWEEN 0.0 AND 0.1)
+             |  UNION ALL
+             |  SELECT 'lineitem_quantity_range',
+             |    (SELECT count(*) FROM lineitem),
+             |    (SELECT count(*) FROM lineitem
+             |     WHERE l_quantity NOT BETWEEN 1.0 AND 50.0)
+             |  UNION ALL
+             |  SELECT 'customer_negative_acctbal',
+             |    (SELECT count(*) FROM customer),
+             |    (SELECT count(*) FROM customer WHERE c_acctbal < 0))
+             |SELECT "check", n_rows, n_bad,
+             |  round(CAST(n_bad AS DOUBLE) / n_rows, 6) AS bad_rate
+             |FROM checks ORDER BY "check" """.stripMargin))
   )
 }
