@@ -781,6 +781,64 @@ object Extras {
              |    (SELECT count(*) FROM customer WHERE c_acctbal < 0))
              |SELECT "check", n_rows, n_bad,
              |  round(CAST(n_bad AS DOUBLE) / n_rows, 6) AS bad_rate
-             |FROM checks ORDER BY "check" """.stripMargin))
+             |FROM checks ORDER BY "check" """.stripMargin)),
+
+    // SCD2 interval build (✚, temporal run-length encoding — the
+    // "type 2 dimension" a feature store derives from an attribute
+    // change stream): each user's event_type sequence collapses into
+    // one row per RUN of consecutive equal values, carrying
+    // [valid_from, valid_to) where valid_to is the NEXT run's start
+    // (-1 sentinel for the open current run — the ts-coalesce parity
+    // idiom). Change points are lag-based, island ids a running sum of
+    // change flags — the gaps-and-islands shape q19 keys by idle gap,
+    // keyed here by value change.
+    //
+    // Scale: ONE shuffle by user_id; the lag window, the running sum,
+    // and the post-aggregation lead all reuse that partitioning
+    // (per-user history bounded — the q19 contract); the interval
+    // table is runs-sized, never events-sized.
+    QueryDef("q150_scd2_intervals",
+      (s, d) => {
+        val byUser = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        val runs = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("chg",
+            when(lag(col("event_type"), 1).over(byUser) === col("event_type"), 0L)
+              .otherwise(1L))
+          .withColumn("run_id", sum(col("chg")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        runs.groupBy("user_id", "run_id").agg(
+            min(col("event_type")).as("event_type"),
+            min(col("ts")).as("valid_from"),
+            count(lit(1)).as("n_events"))
+          .withColumn("valid_to", lead(col("valid_from"), 1).over(
+            Window.partitionBy("user_id").orderBy("run_id")))
+          .select(col("user_id"), col("run_id").as("seq"), col("event_type"),
+            unix_micros(col("valid_from")).as("from_us"),
+            coalesce(unix_micros(col("valid_to")), lit(-1L)).as("to_us"),
+            col("n_events"))
+          .orderBy("user_id", "seq")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    CASE WHEN lag(event_type) OVER w = event_type THEN 0 ELSE 1 END AS chg
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |r AS (
+             |  SELECT user_id, ts, event_type,
+             |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+             |  FROM e),
+             |iv AS (
+             |  SELECT user_id, run_id, min(event_type) AS event_type,
+             |    min(ts) AS valid_from, count(*) AS n_events
+             |  FROM r GROUP BY user_id, run_id)
+             |SELECT user_id, CAST(run_id AS BIGINT) AS seq, event_type,
+             |  epoch_us(valid_from) AS from_us,
+             |  coalesce(epoch_us(lead(valid_from) OVER
+             |    (PARTITION BY user_id ORDER BY run_id)), -1) AS to_us,
+             |  n_events
+             |FROM iv ORDER BY user_id, seq""".stripMargin))
   )
 }
