@@ -10,6 +10,10 @@ import graft.QueryDef.{dsum, dsumSql}
   * encoder reflection, see MediaMeta's note). */
 final case class SnmDoc(doc_id: Long, key: String, sh: Seq[String])
 final case class SnmPair(id_a: Long, id_b: Long, jac: Double)
+final case class AnomEvent(event_id: Long, user_id: Long, event_type: String,
+  value: Double, ts_us: Long)
+final case class AnomFlag(event_id: Long, user_id: Long, event_type: String,
+  value: Double, z: Double)
 
 /** Event-time streaming operators (✚ extensions; the reference's push
   * pipelines are unbounded but have no event time, SURVEY.md §2.7).
@@ -307,6 +311,54 @@ object StreamOps {
       }.toDF()
   }
 
+  /** STREAMED rolling-anomaly flags — the stateful twin of batch q149:
+    * events arrive per user in event-time order (the arrivalOrder
+    * contract) and a keyed state operator carries each user's trailing
+    * `frame` observations across micro-batch boundaries, z-scoring
+    * every arrival against the history that PRECEDES it (self-
+    * excluding, exactly the batch ROWS 20 PRECEDING..1 PRECEDING
+    * frame). State is ≤ frame rows per user, constant forever — the
+    * always-on monitoring deployment of the batch audit.
+    *
+    * Arithmetic mirrors batch q149 bit-for-bit: the frame sums are
+    * exact BigDecimal scale-2/scale-4 values (the decimal(12,2) cast
+    * and its square), collapsed to double only where the batch plan
+    * casts, and the z cut applies after the same half-up round@6 —
+    * so the stream twin cannot flag a different row set. */
+  def rollingAnomalyStream(events: DataFrame, frame: Int = 20,
+      minHist: Int = 10, cut: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.as[AnomEvent].groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[AnomEvent], state: GroupState[Seq[AnomEvent]]) =>
+          var hist = state.getOption.getOrElse(Seq.empty).toIndexedSeq
+          val out = Seq.newBuilder[AnomFlag]
+          it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            val n = hist.length
+            if (n >= minHist) {
+              val dvs = hist.map(h => BigDecimal.valueOf(h.value)
+                .setScale(2, BigDecimal.RoundingMode.HALF_UP))
+              val sx = dvs.sum.toDouble
+              val sx2 = dvs.map(d => d * d).sum.toDouble
+              val mean = sx / n
+              val vr = (sx2 - sx * sx / n) / (n - 1)
+              if (vr > 0) {
+                val z = BigDecimal.valueOf((e.value - mean) / math.sqrt(vr))
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                if (math.abs(z) > cut)
+                  out += AnomFlag(e.event_id, e.user_id, e.event_type,
+                    e.value, z)
+              }
+            }
+            hist = (hist :+ e).takeRight(frame)
+          }
+          state.update(hist)
+          out.result().iterator
+      }.toDF()
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // Native session_window. Boundary semantics measured, not assumed:
     // a pair exactly `gap` apart MERGES (merge iff diff <= gap) —
@@ -466,6 +518,45 @@ object StreamOps {
              |  FROM sh)
              |SELECT id_a, id_b, jac FROM j WHERE jac >= 0.5
              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Rolling-window anomaly flags THROUGH the streaming engine: the
+    // always-on twin of batch q149, same oracle — the trailing-frame
+    // state carried across micro-batch boundaries is the thing under
+    // test (dropping it mis-scores every row whose history straddles a
+    // chunk edge). Events arrive in event-time-ordered chunks (the
+    // arrivalOrder contract); keyed state is ≤20 rows per user.
+    QueryDef("q151_stream_anomaly",
+      (s, d) => {
+        val input = graft.Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), unix_micros(col("ts")).as("ts_us"))
+        val rows = runBoundedFromPath(s, input, rollingAnomalyStream(_),
+          chunks = 3, outputMode = "append",
+          arrivalOrder = Seq(col("ts_us"), col("event_id")))
+        s.createDataFrame(new java.util.ArrayList(java.util.Arrays.asList(rows: _*)),
+            org.apache.spark.sql.Encoders.product[AnomFlag].schema)
+          .orderBy("event_id")
+      },
+      // identical to q149's oracle: the stream twin must flag the
+      // exact batch row set
+      Some("""WITH w AS (
+             |  SELECT event_id, user_id, event_type, value,
+             |    count(*) OVER f AS n_hist,
+             |    CAST(sum(CAST(value AS DECIMAL(12,2))) OVER f AS DOUBLE) AS sx,
+             |    CAST(sum(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) OVER f AS DOUBLE) AS sx2
+             |  FROM events
+             |  WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+             |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+             |z AS (
+             |  SELECT event_id, user_id, event_type, value,
+             |    sx / n_hist AS mean,
+             |    (sx2 - sx*sx/n_hist) / (n_hist - 1) AS var
+             |  FROM w WHERE n_hist >= 10)
+             |SELECT event_id, user_id, event_type, value,
+             |  round((value - mean) / sqrt(var), 6) AS z
+             |FROM z WHERE var > 0
+             |  AND abs(round((value - mean) / sqrt(var), 6)) > 3
+             |ORDER BY event_id""".stripMargin)),
 
     // HLL registers (q116's structure) maintained THROUGH the streaming
     // engine: lineitem arrives as parquet micro-batches, the per-(key,
