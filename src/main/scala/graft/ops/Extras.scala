@@ -839,6 +839,76 @@ object Extras {
              |  coalesce(epoch_us(lead(valid_from) OVER
              |    (PARTITION BY user_id ORDER BY run_id)), -1) AS to_us,
              |  n_events
-             |FROM iv ORDER BY user_id, seq""".stripMargin))
+             |FROM iv ORDER BY user_id, seq""".stripMargin)),
+
+    // Chi-square independence test (✚, the categorical-association
+    // statistic none of the profile gates compute): contingency table
+    // of order priority × status, expected counts from the marginals,
+    // per-cell contributions, and the χ² total + degrees of freedom on
+    // every row. The cell grid is the CROSS PRODUCT of the observed
+    // marginals — a zero cell (n=0, e>0) still contributes e, which a
+    // plain groupBy would silently drop.
+    //
+    // Determinism: expected = rn·cn/N is an exact-integer product in
+    // double division (both engines), contributions round@6 BEFORE the
+    // total, and the total is an exact DECIMAL sum of the rounded
+    // terms (the q140 discipline — no cross-engine summation-order
+    // drift). Scale: ONE corpus scan collapses to the ≤|V1|·|V2|-cell
+    // table (map-side partials), pinned once; every marginal,
+    // expected, and total derives from those cells — the statistic
+    // costs one aggregation regardless of corpus size.
+    QueryDef("q152_chi_square",
+      (s, d) => {
+        val ct = Tables.orders(s, d)
+          .groupBy(col("o_orderpriority").as("priority"),
+                   col("o_orderstatus").as("status"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint()
+        val rt = ct.groupBy("priority").agg(sum("n").as("rn"))
+        val colt = ct.groupBy("status").agg(sum("n").as("cn"))
+        val tot = ct.agg(sum("n").as("nn"))
+        val cells = rt.crossJoin(colt)
+          .join(ct, Seq("priority", "status"), "left_outer")
+          .withColumn("n", coalesce(col("n"), lit(0L)))
+          .crossJoin(broadcast(tot))
+          .withColumn("expected", (col("rn") * col("cn")) / col("nn"))
+          .withColumn("contrib",
+            round((col("n") - col("expected")) * (col("n") - col("expected"))
+              / col("expected"), 6))
+          .localCheckpoint()
+        val chi2 = cells.agg(
+          sum(col("contrib").cast("decimal(18,6)")).cast("double").as("chi2"))
+        val dof = rt.agg(count(lit(1)).as("npr"))
+          .crossJoin(broadcast(colt.agg(count(lit(1)).as("nst"))))
+          .select(((col("npr") - 1) * (col("nst") - 1)).as("dof"))
+        cells.select(col("priority"), col("status"), col("n"),
+            round(col("expected"), 6).as("expected"), col("contrib"))
+          .crossJoin(broadcast(chi2)).crossJoin(broadcast(dof))
+          .orderBy("priority", "status")
+      },
+      Some("""WITH ct AS MATERIALIZED (
+             |  SELECT o_orderpriority AS priority, o_orderstatus AS status,
+             |         count(*) AS n
+             |  FROM orders GROUP BY 1, 2),
+             |rt AS (SELECT priority, CAST(sum(n) AS BIGINT) AS rn FROM ct GROUP BY 1),
+             |colt AS (SELECT status, CAST(sum(n) AS BIGINT) AS cn FROM ct GROUP BY 1),
+             |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM ct),
+             |cells AS MATERIALIZED (
+             |  SELECT rt.priority, colt.status, coalesce(ct.n, 0) AS n,
+             |    (rt.rn * colt.cn) / tot.nn AS expected
+             |  FROM rt CROSS JOIN colt
+             |  LEFT JOIN ct ON ct.priority = rt.priority AND ct.status = colt.status,
+             |  tot),
+             |c2 AS MATERIALIZED (
+             |  SELECT priority, status, n, expected,
+             |    round((n - expected) * (n - expected) / expected, 6) AS contrib
+             |  FROM cells),
+             |t AS (SELECT CAST(sum(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE) AS chi2
+             |      FROM c2),
+             |df AS (SELECT (SELECT count(*) - 1 FROM rt) *
+             |              (SELECT count(*) - 1 FROM colt) AS dof)
+             |SELECT priority, status, n, round(expected, 6) AS expected,
+             |  contrib, t.chi2, df.dof
+             |FROM c2, t, df ORDER BY priority, status""".stripMargin))
   )
 }
