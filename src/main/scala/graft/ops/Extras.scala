@@ -16,6 +16,11 @@ object Extras {
   private val profileCols =
     Seq("l_orderkey", "l_quantity", "l_returnflag", "l_linestatus")
 
+  // q153's correlated columns — one list feeds the Spark aggregates AND
+  // the generated oracle arms (the q110 anti-drift discipline)
+  private val corrCols =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
   /** Referential-integrity + value-domain constraint audit (✚, the
     * data-quality gate a curation pipeline runs before anything else):
     * one row per named constraint with the violating-row count and
@@ -909,6 +914,64 @@ object Extras {
              |              (SELECT count(*) - 1 FROM colt) AS dof)
              |SELECT priority, status, n, round(expected, 6) AS expected,
              |  contrib, t.chi2, df.dof
-             |FROM c2, t, df ORDER BY priority, status""".stripMargin))
+             |FROM c2, t, df ORDER BY priority, status""".stripMargin)),
+
+    // Pearson correlation matrix in ONE pass (✚): every pairwise
+    // correlation among the numeric columns from a single aggregation
+    // — k sums, k sums-of-squares and k(k−1)/2 cross-products as
+    // conditional aggregates over ONE scan; adding a column never adds
+    // a pass. The unpivot to pair rows happens on the 1-row aggregate.
+    //
+    // Determinism: all sums are exact DECIMAL(12,2)/scale-4 values
+    // cast to double only once (the q149 discipline), and corr is the
+    // textbook (nΣxy−ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²)) evaluated in
+    // the SAME IEEE order on both engines from those identical
+    // doubles, rounded@6. Both the Spark branches and the oracle arms
+    // are generated from corrCols — the sides cannot drift.
+    QueryDef("q153_corr_matrix",
+      (s, d) => {
+        val cs = corrCols
+        def dv(c: String) = col(c).cast("decimal(12,2)")
+        val sumAggs = cs.map(c => sum(dv(c)).cast("double").as(s"s_$c"))
+        val prodAggs = for { i <- cs.indices; j <- i until cs.length }
+          yield sum(dv(cs(i)) * dv(cs(j))).cast("double").as(s"p_${i}_$j")
+        val m = Tables.lineitem(s, d)
+          .agg(count(lit(1)).as("nn"), (sumAggs ++ prodAggs): _*)
+        val pairRows = for { i <- cs.indices; j <- (i + 1) until cs.length }
+          yield {
+            val (a, b) = (cs(i), cs(j))
+            val n = col("nn").cast("double")
+            val num = n * col(s"p_${i}_$j") - col(s"s_$a") * col(s"s_$b")
+            val den = sqrt(
+              (n * col(s"p_${i}_$i") - col(s"s_$a") * col(s"s_$a")) *
+              (n * col(s"p_${j}_$j") - col(s"s_$b") * col(s"s_$b")))
+            struct(lit(a).as("col_a"), lit(b).as("col_b"),
+              col("nn").as("n"), round(num / den, 6).as("corr"))
+          }
+        m.select(explode(array(pairRows: _*)).as("r")).select("r.*")
+          .orderBy("col_a", "col_b")
+      },
+      Some {
+        val cs = corrCols
+        val sums = cs.map(c =>
+          s"CAST(sum(CAST($c AS DECIMAL(12,2))) AS DOUBLE) AS s_$c")
+        val prods = for { i <- cs.indices; j <- i until cs.length } yield
+          s"CAST(sum(CAST(${cs(i)} AS DECIMAL(12,2)) * CAST(${cs(j)} AS DECIMAL(12,2))) AS DOUBLE) AS p_${i}_$j"
+        val arms = (for { i <- cs.indices; j <- (i + 1) until cs.length }
+          yield {
+            val (a, b) = (cs(i), cs(j))
+            s"""SELECT '$a' AS col_a, '$b' AS col_b, nn AS n,
+               |  round((CAST(nn AS DOUBLE)*p_${i}_$j - s_$a*s_$b) /
+               |    sqrt((CAST(nn AS DOUBLE)*p_${i}_$i - s_$a*s_$a) *
+               |         (CAST(nn AS DOUBLE)*p_${j}_$j - s_$b*s_$b)), 6) AS corr
+               |FROM m""".stripMargin
+          }).mkString("\nUNION ALL\n")
+        s"""WITH m AS MATERIALIZED (
+           |  SELECT count(*) AS nn,
+           |    ${(sums ++ prods).mkString(",\n    ")}
+           |  FROM lineitem)
+           |$arms
+           |ORDER BY col_a, col_b""".stripMargin
+      })
   )
 }
