@@ -982,6 +982,53 @@ object TextAnalysis {
              |  WHERE a.tok = 'sort' AND b.tok = 'merge' AND c.tok = 'join')
              |SELECT * FROM p1 UNION ALL SELECT * FROM p2
              |UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4
-             |ORDER BY phrase""".stripMargin))
+             |ORDER BY phrase""".stripMargin)),
+
+    // Cross-source vocabulary overlap (✚, the dataset-similarity
+    // matrix behind mixture curation: two sources with near-identical
+    // vocabularies are redundant in a training mix): pairwise Jaccard
+    // over each source's DISTINCT token set, via an inverted token-
+    // keyed self-join — never a source×source×vocab cube. A token seen
+    // by k sources contributes k(k−1)/2 ≤ S²/2 pair rows (S = #sources,
+    // a handful), collapsed by map-side partials before the pair
+    // shuffle; the distinct (source, token) relation is pinned once
+    // and feeds sizes and the join both. Pairs sharing no token drop
+    // out (inner join) — absent rows, not zero rows, by contract.
+    QueryDef("q154_source_overlap",
+      (s, d) => {
+        val t = Tables.documents(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .distinct().localCheckpoint()
+        val sz = t.groupBy("source").agg(count(lit(1)).as("nv"))
+        val shared = t.select(col("source").as("source_a"), col("tok"))
+          .join(t.select(col("source").as("source_b"), col("tok")), Seq("tok"))
+          .where(col("source_a") < col("source_b"))
+          .groupBy("source_a", "source_b").agg(count(lit(1)).as("shared"))
+        shared
+          .join(sz.select(col("source").as("source_a"), col("nv").as("n_a")),
+            "source_a")
+          .join(sz.select(col("source").as("source_b"), col("nv").as("n_b")),
+            "source_b")
+          .select(col("source_a"), col("source_b"), col("shared"),
+            col("n_a"), col("n_b"),
+            round(col("shared") / (col("n_a") + col("n_b") - col("shared")), 6)
+              .as("jaccard"))
+          .orderBy("source_a", "source_b")
+      },
+      Some("""WITH t AS MATERIALIZED (
+             |  SELECT DISTINCT source, tok FROM (
+             |    SELECT source, unnest(string_split(text, ' ')) AS tok
+             |    FROM documents)),
+             |sz AS (SELECT source, count(*) AS nv FROM t GROUP BY 1),
+             |sh AS (
+             |  SELECT a.source AS source_a, b.source AS source_b,
+             |         count(*) AS shared
+             |  FROM t a JOIN t b ON a.tok = b.tok AND a.source < b.source
+             |  GROUP BY 1, 2)
+             |SELECT source_a, source_b, shared, na.nv AS n_a, nb.nv AS n_b,
+             |  round(CAST(shared AS DOUBLE) / (na.nv + nb.nv - shared), 6) AS jaccard
+             |FROM sh JOIN sz na ON sh.source_a = na.source
+             |        JOIN sz nb ON sh.source_b = nb.source
+             |ORDER BY source_a, source_b""".stripMargin))
   )
 }
