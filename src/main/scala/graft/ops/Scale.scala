@@ -357,6 +357,66 @@ object Scale {
            |  MIN(xb) AS xb_min, MAX(xb) AS xb_max,
            |  MIN(yb) AS yb_min, MAX(yb) AS yb_max
            |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
+    // Join-key skew diagnosis (✚, the report that DECIDES whether
+    // saltedJoin/saltedAgg above are needed): per candidate key, the
+    // group-size distribution — rows, keys, max, mean, exact p50/p99
+    // (via the OrderStats refinement path, never a sort of the counts
+    // table), the largest key's row share, and the implied salt factor
+    // ceil(max/p99) that would flatten the hottest key to a typical
+    // partition's load. Scale: each key costs one map-side-combined
+    // count aggregation; the quantiles refine over the PINNED counts
+    // table (keys-sized, not corpus-sized) with O(B) driver state.
+    QueryDef("q155_skew_report",
+      (s, d) => {
+        import s.implicits._
+        def report(name: String, df: DataFrame, key: Column) = {
+          val counts = df.groupBy(key.as("k")).agg(count(lit(1)).as("n"))
+            .localCheckpoint()
+          val r = counts.agg(sum("n").cast("long"), count(lit(1)), max("n")).first()
+          val (nRows, nKeys, maxN) = (r.getLong(0), r.getLong(1), r.getLong(2))
+          val p50 = OrderStats.selectKth(counts, col("n"),
+            math.ceil(0.5 * nKeys).toLong)
+          val p99 = OrderStats.selectKth(counts, col("n"),
+            math.ceil(0.99 * nKeys).toLong)
+          def r6(v: Double) = BigDecimal.valueOf(v)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (name, nRows, nKeys, maxN, r6(nRows.toDouble / nKeys), p50, p99,
+            r6(maxN.toDouble / nRows),
+            math.ceil(maxN / math.max(p99, 1.0)).toLong)
+        }
+        Seq(
+          report("events.user_id", Tables.events(s, d), col("user_id")),
+          report("lineitem.l_orderkey", Tables.lineitem(s, d), col("l_orderkey")),
+          report("orders.o_custkey", Tables.orders(s, d), col("o_custkey")))
+          .toDF("key", "n_rows", "n_keys", "max_n", "avg_n", "p50_n", "p99_n",
+            "top_share", "salt_factor")
+          .orderBy("key")
+      },
+      Some {
+        def arm(label: String, table: String, key: String) =
+          s"""SELECT '$label' AS key, n_rows, n_keys, max_n,
+             |  round(CAST(n_rows AS DOUBLE) / n_keys, 6) AS avg_n,
+             |  p50 AS p50_n, p99 AS p99_n,
+             |  round(CAST(max_n AS DOUBLE) / n_rows, 6) AS top_share,
+             |  CAST(ceil(CAST(max_n AS DOUBLE) / greatest(p99, 1.0)) AS BIGINT) AS salt_factor
+             |FROM (
+             |  SELECT CAST(sum(n) AS BIGINT) AS n_rows, count(*) AS n_keys,
+             |         CAST(max(n) AS BIGINT) AS max_n
+             |  FROM (SELECT count(*) AS n FROM $table GROUP BY $key)) agg,
+             |(
+             |  SELECT
+             |    CAST(max(CASE WHEN rn = CAST(ceil(0.5 * nk) AS BIGINT) THEN n END) AS DOUBLE) AS p50,
+             |    CAST(max(CASE WHEN rn = CAST(ceil(0.99 * nk) AS BIGINT) THEN n END) AS DOUBLE) AS p99
+             |  FROM (
+             |    SELECT n, ROW_NUMBER() OVER (ORDER BY n) AS rn,
+             |           COUNT(*) OVER () AS nk
+             |    FROM (SELECT count(*) AS n FROM $table GROUP BY $key))) q""".stripMargin
+        Seq(arm("events.user_id", "events", "user_id"),
+            arm("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+            arm("orders.o_custkey", "orders", "o_custkey"))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY key")
       })
   )
 }
