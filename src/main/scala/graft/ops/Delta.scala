@@ -155,6 +155,34 @@ object Delta {
              |FROM inc
              |LEFT JOIN idx ON idx.fp = inc.fp
              |JOIN fn ON fn.fp = inc.fp
-             |ORDER BY inc.doc_id, inc.fp""".stripMargin))
+             |ORDER BY inc.doc_id, inc.fp""".stripMargin)),
+
+    // Latest-wins CDC compaction (✚, the upsert-log → current-state
+    // collapse every change-capture pipeline runs): per logical key,
+    // keep the newest version by (ts, event_id) and count the versions
+    // compacted away. ONE struct-max partial aggregation — the
+    // ordering tuple rides inside the max, so map-side combine
+    // collapses versions before the shuffle and no per-key window or
+    // sort ever materializes the version history (the q119 election
+    // shape). The oracle pins the same order with an explicit
+    // ROW_NUMBER rank.
+    QueryDef("q156_latest_wins",
+      (s, d) => Tables.events(s, d)
+        .groupBy("user_id", "event_type")
+        .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"),
+             count(lit(1)).as("n_versions"))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("m.ts")).as("ts_us"), col("m.event_id").as("event_id"),
+          col("m.value").as("value"), col("n_versions"))
+        .orderBy("user_id", "event_type"),
+      Some("""SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+             |  value, n_versions
+             |FROM (
+             |  SELECT user_id, event_type, ts, event_id, value,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+             |      ORDER BY ts DESC, event_id DESC) AS rn,
+             |    COUNT(*) OVER (PARTITION BY user_id, event_type) AS n_versions
+             |  FROM events) t
+             |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin))
   )
 }
