@@ -558,6 +558,44 @@ object StreamOps {
              |  AND abs(round((value - mean) / sqrt(var), 6)) > 3
              |ORDER BY event_id""".stripMargin)),
 
+    // Latest-wins CDC compaction THROUGH the streaming engine (q156's
+    // twin): the version log arrives as micro-batches and the per-key
+    // struct-max + version count run as streaming state in complete
+    // mode. Struct-max is idempotent-commutative and count is
+    // order-insensitive, so arbitrary arrival order converges to the
+    // batch compaction — no arrivalOrder contract needed; state is one
+    // struct per live key (the materialized current-state table an
+    // upsert consumer maintains forever).
+    QueryDef("q157_stream_compaction",
+      (s, d) => {
+        val input = graft.Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts"),
+            col("event_id"), col("value"))
+        val compact = (df: org.apache.spark.sql.DataFrame) =>
+          df.groupBy("user_id", "event_type")
+            .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"),
+                 count(lit(1)).as("n_versions"))
+            .select(col("user_id"), col("event_type"),
+              unix_micros(col("m.ts")).as("ts_us"),
+              col("m.event_id").as("event_id"),
+              col("m.value").as("value"), col("n_versions"))
+        val rows = runBoundedFromPath(s, input, compact, chunks = 3)
+        s.createDataFrame(new java.util.ArrayList(java.util.Arrays.asList(rows: _*)),
+            compact(input).schema)
+          .orderBy("user_id", "event_type")
+      },
+      // identical to q156's oracle — the stream state must converge to
+      // the batch compaction
+      Some("""SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+             |  value, n_versions
+             |FROM (
+             |  SELECT user_id, event_type, ts, event_id, value,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+             |      ORDER BY ts DESC, event_id DESC) AS rn,
+             |    COUNT(*) OVER (PARTITION BY user_id, event_type) AS n_versions
+             |  FROM events) t
+             |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)),
+
     // HLL registers (q116's structure) maintained THROUGH the streaming
     // engine: lineitem arrives as parquet micro-batches, the per-(key,
     // register) MAX runs as streaming state in complete mode. Register
