@@ -39,7 +39,12 @@ class LayoutInvarianceSpec extends AnyFunSuite {
     "q140_token_drift",
     "q141_hist_quantile_merge",
     "q142_weighted_sample",
-    "q143_repeated_spans")
+    "q143_repeated_spans",
+    // round-9 widening: CC-labeled split assignment (iterate-
+    // materialize rounds + md5 buckets) and the skew report's
+    // refinement-path quantiles over a pinned counts table
+    "q147_split_leakage",
+    "q155_skew_report")
 
   private def contents(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf).collect()
