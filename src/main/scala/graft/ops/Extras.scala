@@ -972,6 +972,40 @@ object Extras {
            |  FROM lineitem)
            |$arms
            |ORDER BY col_a, col_b""".stripMargin
-      })
+      }),
+
+    // Time-RANGE window features (✚, the feature-store "trailing 1 h
+    // aggregate as of each event"): per user, the count and exact sum
+    // of values in the last hour BEFORE each event — a RANGE frame
+    // over event time, the frame type nothing else exercises (q149's
+    // ROWS frame counts rows; this bounds by TIME, so the frame
+    // adapts to burstiness and excludes same-instant peers via the
+    // 1-µs-preceding upper bound). Point-in-time correct by
+    // construction: the frame ends strictly before the row's own
+    // timestamp, so a feature can never see its own event.
+    //
+    // Determinism: frame membership depends only on VALUES (not row
+    // order), the sum is exact DECIMAL cast to double once (the q149
+    // discipline). Scale: one shuffle by user_id; the running frame is
+    // a two-pointer pass over each user's sorted slice.
+    QueryDef("q158_range_features",
+      (s, d) => {
+        val f = Window.partitionBy("user_id").orderBy(col("ts_us"))
+          .rangeBetween(-3600000000L, -1L)
+        Tables.events(s, d)
+          .withColumn("ts_us", unix_micros(col("ts")))
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            count(lit(1)).over(f).as("n_1h"),
+            coalesce(sum(col("value").cast("decimal(12,2)")).over(f)
+              .cast("double"), lit(0.0)).as("sum_1h"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             |  count(*) OVER f AS n_1h,
+             |  coalesce(CAST(sum(CAST(value AS DECIMAL(12,2))) OVER f AS DOUBLE), 0.0) AS sum_1h
+             |FROM events
+             |WINDOW f AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             |             RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
+             |ORDER BY event_id""".stripMargin))
   )
 }
