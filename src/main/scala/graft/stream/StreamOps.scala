@@ -14,6 +14,8 @@ final case class AnomEvent(event_id: Long, user_id: Long, event_type: String,
   value: Double, ts_us: Long)
 final case class AnomFlag(event_id: Long, user_id: Long, event_type: String,
   value: Double, z: Double)
+final case class RangeFeat(event_id: Long, user_id: Long, ts_us: Long,
+  n_1h: Long, sum_1h: Double)
 
 /** Event-time streaming operators (✚ extensions; the reference's push
   * pipelines are unbounded but have no event time, SURVEY.md §2.7).
@@ -359,6 +361,46 @@ object StreamOps {
       }.toDF()
   }
 
+  /** STREAMED trailing time-RANGE features — the stateful twin of
+    * batch q158, and the suite's one TIME-EVICTED state operator: the
+    * q151 anomaly state is bounded by COUNT (last 20 rows forever);
+    * this one is bounded by TIME — events older than the window behind
+    * the group's processing frontier can never enter a future frame
+    * and are dropped as the frontier advances, so state is one
+    * window's worth of per-key traffic regardless of retention.
+    *
+    * Frame semantics mirror the batch RANGE frame exactly: membership
+    * [ts−window, ts−1] by VALUE (same-instant peers excluded), sums
+    * exact BigDecimal scale-2 collapsed to double once, empty frames
+    * emit n=0/sum=0.0 — every event emits a row, as in batch. */
+  def rangeFeaturesStream(events: DataFrame,
+      windowUs: Long = 3600000000L): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.as[AnomEvent].groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[AnomEvent], state: GroupState[Seq[AnomEvent]]) =>
+          var hist = state.getOption.getOrElse(Seq.empty).toIndexedSeq
+          val out = Seq.newBuilder[RangeFeat]
+          it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            val frame = hist.filter(h =>
+              h.ts_us >= e.ts_us - windowUs && h.ts_us <= e.ts_us - 1)
+            val sum =
+              if (frame.isEmpty) 0.0
+              else frame.map(h => BigDecimal.valueOf(h.value)
+                .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+            out += RangeFeat(e.event_id, e.user_id, e.ts_us,
+              frame.length.toLong, sum)
+            // time eviction: h can only enter a future frame if some
+            // later event (ts' >= e.ts) has ts' - window <= h.ts
+            hist = (hist :+ e).filter(_.ts_us >= e.ts_us - windowUs)
+          }
+          state.update(hist)
+          out.result().iterator
+      }.toDF()
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // Native session_window. Boundary semantics measured, not assumed:
     // a pair exactly `gap` apart MERGES (merge iff diff <= gap) —
@@ -556,6 +598,32 @@ object StreamOps {
              |  round((value - mean) / sqrt(var), 6) AS z
              |FROM z WHERE var > 0
              |  AND abs(round((value - mean) / sqrt(var), 6)) > 3
+             |ORDER BY event_id""".stripMargin)),
+
+    // Trailing time-RANGE features THROUGH the streaming engine
+    // (q158's twin): same oracle as batch — the time-evicted per-user
+    // state must reproduce every frame, including frames straddling
+    // micro-batch edges (the carry under test) and empty frames (the
+    // row must still emit with n=0).
+    QueryDef("q159_stream_range_features",
+      (s, d) => {
+        val input = graft.Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), unix_micros(col("ts")).as("ts_us"))
+        val rows = runBoundedFromPath(s, input, rangeFeaturesStream(_),
+          chunks = 3, outputMode = "append",
+          arrivalOrder = Seq(col("ts_us"), col("event_id")))
+        s.createDataFrame(new java.util.ArrayList(java.util.Arrays.asList(rows: _*)),
+            org.apache.spark.sql.Encoders.product[RangeFeat].schema)
+          .orderBy("event_id")
+      },
+      // identical to q158's oracle
+      Some("""SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             |  count(*) OVER f AS n_1h,
+             |  coalesce(CAST(sum(CAST(value AS DECIMAL(12,2))) OVER f AS DOUBLE), 0.0) AS sum_1h
+             |FROM events
+             |WINDOW f AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             |             RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
              |ORDER BY event_id""".stripMargin)),
 
     // Latest-wins CDC compaction THROUGH the streaming engine (q156's
