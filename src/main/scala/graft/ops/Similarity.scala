@@ -273,6 +273,44 @@ object Similarity {
              |SELECT label, COUNT(*) AS n,
              |  round(CAST(SUM(rd2) AS DOUBLE) / COUNT(*), 5) AS avg_d2,
              |  round(CAST(MAX(rd2) AS DOUBLE), 5) AS max_d2
-             |FROM d GROUP BY label ORDER BY label""".stripMargin))
+             |FROM d GROUP BY label ORDER BY label""".stripMargin)),
+
+    // Per-dimension normalization statistics (✚, the feature-scaling
+    // pass a training pipeline fits BEFORE any embedding model sees
+    // the data — mean/sd per coordinate for standardization): each
+    // vector explodes to (dim, value) once, 6-dp-quantized values sum
+    // EXACTLY in DECIMAL per dimension (map-side combine collapses to
+    // 64 groups before the shuffle), and mean/sd derive from the exact
+    // sums in one double step each (the q149 discipline — no cross-
+    // engine float-summation-order drift, which raw double sums over
+    // shuffled partitions cannot avoid).
+    QueryDef("q160_embedding_norm_stats",
+      (s, d) => {
+        Tables.embeddings(s, d)
+          .select(posexplode(graft.functions.Vectors.asDouble(col("embedding")))
+            .as(Seq("pos", "x")))
+          .select(col("pos").cast("long").as("pos"),
+            round(col("x"), 6).cast("decimal(18,6)").as("rv"))
+          .groupBy("pos")
+          .agg(count(lit(1)).as("n"), sum(col("rv")).cast("double").as("sx"),
+               sum(col("rv") * col("rv")).cast("double").as("sx2"))
+          .select(col("pos"), col("n"),
+            round(col("sx") / col("n"), 6).as("mean"),
+            round(sqrt((col("sx2") - col("sx") * col("sx") / col("n"))
+              / (col("n") - 1)), 6).as("sd"))
+          .orderBy("pos")
+      },
+      Some("""WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+             |px AS (SELECT unnest(range(1, 65)) AS pos1, unnest(v) AS x FROM e),
+             |r AS (SELECT CAST(pos1 - 1 AS BIGINT) AS pos,
+             |             CAST(round(x, 6) AS DECIMAL(18,6)) AS rv
+             |      FROM px),
+             |g AS (SELECT pos, count(*) AS n,
+             |        CAST(sum(rv) AS DOUBLE) AS sx,
+             |        CAST(sum(rv * rv) AS DOUBLE) AS sx2
+             |      FROM r GROUP BY pos)
+             |SELECT pos, n, round(sx / n, 6) AS mean,
+             |  round(sqrt((sx2 - sx*sx/n) / (n - 1)), 6) AS sd
+             |FROM g ORDER BY pos""".stripMargin))
   )
 }
