@@ -672,6 +672,48 @@ object Relational {
              |  FROM slice GROUP BY 1)
              |SELECT fmt, l_returnflag, n, sum_qty, sum_price, max_ship
              |FROM a CROSS JOIN (SELECT unnest(['csv', 'json', 'orc']) AS fmt) f
-             |ORDER BY fmt, l_returnflag""".stripMargin))
+             |ORDER BY fmt, l_returnflag""".stripMargin)),
+
+    // Schema evolution + partition discovery (✚, the lakehouse read
+    // path q144's fixed-schema round-trip doesn't exercise): two
+    // generations of one table land as gen=N directories, the newer
+    // generation with an ADDED column; one mergeSchema read must
+    // discover the partition column from the directory names, union
+    // the file schemas, and null-fill the missing column in old files
+    // — the null surfaced as an explicit pre-schema label, never
+    // silently conflated with a real value. Same scratch-dir hygiene
+    // as q144 (localCheckpoint before cleanup).
+    QueryDef("q161_schema_evolution",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val dir = java.nio.file.Files.createTempDirectory("graft-evo").toString
+        try {
+          docs.where(col("doc_id") % 2 === 0).select("doc_id", "n_chars")
+            .write.parquet(s"$dir/gen=1")
+          docs.where(col("doc_id") % 2 === 1)
+            .select("doc_id", "n_chars", "lang")
+            .write.parquet(s"$dir/gen=2")
+          s.read.option("mergeSchema", "true").parquet(dir)
+            .groupBy(col("gen").cast("int").as("gen"),
+              coalesce(col("lang"), lit("(pre-schema)")).as("lang"))
+            .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+            .orderBy("gen", "lang")
+            .localCheckpoint()
+        } finally {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(new java.io.File(dir))
+        }
+      },
+      Some("""WITH m AS (
+             |  SELECT 1 AS gen, '(pre-schema)' AS lang, n_chars
+             |  FROM documents WHERE doc_id % 2 = 0
+             |  UNION ALL
+             |  SELECT 2 AS gen, lang, n_chars
+             |  FROM documents WHERE doc_id % 2 = 1)
+             |SELECT gen, lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+             |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }
