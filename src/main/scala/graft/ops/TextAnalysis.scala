@@ -124,6 +124,65 @@ object TextAnalysis {
     perPhrase.reduce(_.unionAll(_)).orderBy("phrase")
   }
 
+  /** q73's fixed retrieval query — shared with the RRF fusion gate. */
+  private val bm25Terms = Seq("vector", "stream", "customer")
+
+  /** BM25-scored documents (doc_id, score round@5) for [[bm25Terms]] —
+    * q73's scoring factored out so q162 ranks the SAME relation. */
+  private def bm25Scored(s: org.apache.spark.sql.SparkSession, d: String)
+      : DataFrame = {
+    val (k1, bb) = (1.2, 0.75)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val aggs =
+      Seq(count(lit(1)).cast("double").as("n"),
+          sum(size(col("w")).cast("long")).cast("double").as("sumdl")) ++
+        bm25Terms.map(t => sum(when(array_contains(col("w"), t), 1L).otherwise(0L))
+          .cast("double").as(s"df_$t"))
+    val stats = docs.agg(aggs.head, aggs.tail: _*)
+    val score = bm25Terms.map { t =>
+      // native single-term tf (terms contain no commas)
+      val tf = call_function("graft_count_tokens_in",
+        col("w"), lit(t)).cast("double")
+      val df = col(s"df_$t")
+      val idf = log(lit(1.0) + (col("n") - df + 0.5) / (df + 0.5))
+      idf * tf * (k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - bb) +
+          lit(bb) * (size(col("w")).cast("double") * col("n") / col("sumdl"))))
+    }.reduce(_ + _)
+    docs.crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(score, 5).as("score"))
+  }
+
+  /** The oracle CTE chain for [[bm25Scored]]: `d` (tokenized docs),
+    * `st` (corpus stats), `tfs` (per-doc tf/dl), `scored` (doc_id,
+    * score) — consumers append their own final SELECT. */
+  private val bm25CtesSql: String =
+    """d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |st AS (SELECT
+      |  CAST(COUNT(*) AS DOUBLE) AS n,
+      |  CAST(SUM(len(w)) AS DOUBLE) AS sumdl,
+      |  CAST(SUM(CASE WHEN list_contains(w, 'vector') THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+      |  CAST(SUM(CASE WHEN list_contains(w, 'stream') THEN 1 ELSE 0 END) AS DOUBLE) AS df2,
+      |  CAST(SUM(CASE WHEN list_contains(w, 'customer') THEN 1 ELSE 0 END) AS DOUBLE) AS df3
+      |  FROM d),
+      |tfs AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(w, x -> x = 'vector')) AS DOUBLE) AS tf1,
+      |    CAST(len(list_filter(w, x -> x = 'stream')) AS DOUBLE) AS tf2,
+      |    CAST(len(list_filter(w, x -> x = 'customer')) AS DOUBLE) AS tf3,
+      |    CAST(len(w) AS DOUBLE) AS dl
+      |  FROM d),
+      |scored AS (
+      |  SELECT doc_id, round(
+      |      ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2
+      |        / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * (dl * n / sumdl)))
+      |    + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2
+      |        / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * (dl * n / sumdl)))
+      |    + ln(1.0 + (n - df3 + 0.5) / (df3 + 0.5)) * tf3 * 2.2
+      |        / (tf3 + 1.2 * (1.0 - 0.75 + 0.75 * (dl * n / sumdl))), 5) AS score
+      |  FROM tfs CROSS JOIN st)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // Token counting: whitespace tokens + BPE-ish regex word pieces
@@ -534,57 +593,14 @@ object TextAnalysis {
     // exact integer, the formula has the IDENTICAL operator shape on
     // both engines (dl/avgdl written as dl*n/sumdl), and ln() — the
     // one libm call — feeds a score rounded to 5 dp BEFORE ranking.
+    // Scoring factored into bm25Scored/bm25CtesSql, shared verbatim
+    // with the RRF fusion gate (q162) so the two cannot drift.
     QueryDef("q73_bm25",
-      (s, d) => {
-        val terms = Seq("vector", "stream", "customer")
-        val (k1, bb) = (1.2, 0.75)
-        val docs = Tables.documents(s, d)
-          .select(col("doc_id"), split(col("text"), " ").as("w"))
-        val aggs =
-          Seq(count(lit(1)).cast("double").as("n"),
-              sum(size(col("w")).cast("long")).cast("double").as("sumdl")) ++
-            terms.map(t => sum(when(array_contains(col("w"), t), 1L).otherwise(0L))
-              .cast("double").as(s"df_$t"))
-        val stats = docs.agg(aggs.head, aggs.tail: _*)
-        val score = terms.map { t =>
-          // native single-term tf (terms contain no commas)
-          val tf = call_function("graft_count_tokens_in",
-            col("w"), lit(t)).cast("double")
-          val df = col(s"df_$t")
-          val idf = log(lit(1.0) + (col("n") - df + 0.5) / (df + 0.5))
-          idf * tf * (k1 + 1.0) /
-            (tf + lit(k1) * (lit(1.0 - bb) +
-              lit(bb) * (size(col("w")).cast("double") * col("n") / col("sumdl"))))
-        }.reduce(_ + _)
-        docs.crossJoin(broadcast(stats))
-          .select(col("doc_id"), round(score, 5).as("score"))
-          .where(col("score") > 0)
-          .orderBy(col("score").desc, col("doc_id").asc)
-          .limit(20)
-      },
-      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-             |st AS (SELECT
-             |  CAST(COUNT(*) AS DOUBLE) AS n,
-             |  CAST(SUM(len(w)) AS DOUBLE) AS sumdl,
-             |  CAST(SUM(CASE WHEN list_contains(w, 'vector') THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
-             |  CAST(SUM(CASE WHEN list_contains(w, 'stream') THEN 1 ELSE 0 END) AS DOUBLE) AS df2,
-             |  CAST(SUM(CASE WHEN list_contains(w, 'customer') THEN 1 ELSE 0 END) AS DOUBLE) AS df3
-             |  FROM d),
-             |scored AS (
-             |  SELECT doc_id, round(
-             |      ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2
-             |        / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * (dl * n / sumdl)))
-             |    + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2
-             |        / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * (dl * n / sumdl)))
-             |    + ln(1.0 + (n - df3 + 0.5) / (df3 + 0.5)) * tf3 * 2.2
-             |        / (tf3 + 1.2 * (1.0 - 0.75 + 0.75 * (dl * n / sumdl))), 5) AS score
-             |  FROM (
-             |    SELECT doc_id,
-             |      CAST(len(list_filter(w, x -> x = 'vector')) AS DOUBLE) AS tf1,
-             |      CAST(len(list_filter(w, x -> x = 'stream')) AS DOUBLE) AS tf2,
-             |      CAST(len(list_filter(w, x -> x = 'customer')) AS DOUBLE) AS tf3,
-             |      CAST(len(w) AS DOUBLE) AS dl
-             |    FROM d) t CROSS JOIN st)
+      (s, d) => bm25Scored(s, d)
+        .where(col("score") > 0)
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20),
+      Some(s"""WITH $bm25CtesSql
              |SELECT doc_id, score FROM scored WHERE score > 0
              |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin)),
 
@@ -1029,6 +1045,68 @@ object TextAnalysis {
              |  round(CAST(shared AS DOUBLE) / (na.nv + nb.nv - shared), 6) AS jaccard
              |FROM sh JOIN sz na ON sh.source_a = na.source
              |        JOIN sz nb ON sh.source_b = nb.source
-             |ORDER BY source_a, source_b""".stripMargin))
+             |ORDER BY source_a, source_b""".stripMargin)),
+
+    // Reciprocal-rank fusion (✚, the standard hybrid-retrieval merge:
+    // two rankers with incomparable score scales combine by RANK, not
+    // score — rrf = Σ 1/(60+rank)): q73's BM25 ranking fused with a
+    // query-likelihood ranking (Σtf/dl) of the SAME corpus for the
+    // same 3-term query. Each ranker takes its top-50 via the bounded
+    // k-cut FIRST and only then ranks the survivors (the q54
+    // discipline — the rank window never sees the corpus); a doc
+    // ranked by only one side contributes only that side's term
+    // (full-outer join, -1 rank sentinel). Rounds: each ranker's score
+    // rounds BEFORE ranking, rrf rounds before the final cut.
+    QueryDef("q162_rank_fusion",
+      (s, d) => {
+        def ranked(df: DataFrame, scoreCol: String, rankName: String) =
+          df.orderBy(col(scoreCol).desc, col("doc_id")).limit(50)
+            .withColumn(rankName, row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .orderBy(col(scoreCol).desc, col("doc_id"))).cast("long"))
+            .select(col("doc_id"), col(rankName))
+        val bm = ranked(bm25Scored(s, d).where(col("score") > 0),
+          "score", "rank_bm25")
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+        val tfSum = bm25Terms.map(t =>
+          call_function("graft_count_tokens_in", col("w"), lit(t))
+            .cast("double")).reduce(_ + _)
+        val ql = ranked(
+          docs.select(col("doc_id"),
+              round(tfSum / size(col("w")).cast("double"), 6).as("qscore"))
+            .where(col("qscore") > 0),
+          "qscore", "rank_ql")
+        bm.join(ql, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            coalesce(col("rank_bm25"), lit(-1L)).as("rank_bm25"),
+            coalesce(col("rank_ql"), lit(-1L)).as("rank_ql"),
+            round(coalesce(lit(1.0) / (lit(60.0) + col("rank_bm25").cast("double")),
+                lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60.0) + col("rank_ql").cast("double")),
+                lit(0.0)), 6).as("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+      },
+      Some(s"""WITH $bm25CtesSql,
+             |ra AS (
+             |  SELECT doc_id, rn AS rank_bm25 FROM (
+             |    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
+             |    FROM scored WHERE score > 0) t WHERE rn <= 50),
+             |qs AS (
+             |  SELECT doc_id, round((tf1 + tf2 + tf3) / dl, 6) AS qscore
+             |  FROM tfs),
+             |rb AS (
+             |  SELECT doc_id, rn AS rank_ql FROM (
+             |    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY qscore DESC, doc_id) AS rn
+             |    FROM qs WHERE qscore > 0) t WHERE rn <= 50),
+             |f AS (
+             |  SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+             |    coalesce(ra.rank_bm25, -1) AS rank_bm25,
+             |    coalesce(rb.rank_ql, -1) AS rank_ql,
+             |    round(coalesce(1.0 / (60.0 + ra.rank_bm25), 0.0) +
+             |          coalesce(1.0 / (60.0 + rb.rank_ql), 0.0), 6) AS rrf
+             |  FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id)
+             |SELECT doc_id, rank_bm25, rank_ql, rrf
+             |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin))
   )
 }
