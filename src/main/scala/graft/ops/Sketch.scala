@@ -549,6 +549,83 @@ object Sketch {
              |SELECT 'orders.o_custkey x events.user_id', exact_size, est_size,
              |  round(CAST(est_size - exact_size AS DOUBLE) / exact_size, 6)
              |FROM cross_exact, cross_est
-             |ORDER BY join_key""".stripMargin))
+             |ORDER BY join_key""".stripMargin)),
+
+    // HLL set intersection via inclusion–exclusion (✚, the audience-
+    // overlap question: how many users did BOTH actions?): HLL unions
+    // are exact over register max-merges (q137's gate), but sketches
+    // cannot intersect directly — |A∩B| = est(A)+est(B)−est(A∪B), the
+    // standard derived estimator whose error compounds from all three
+    // terms (visible against the exact overlap alongside). The union
+    // registers come from the SAME register pipeline fed the
+    // concatenated population — no new machinery, which is the point
+    // of mergeable sketch state. Scale: three 64-register sketches,
+    // one distinct-pair exact side (gate-only; the production path
+    // ships registers alone).
+    QueryDef("q164_hll_intersection",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .where(col("event_type").isin("click", "purchase") &&
+            col("value") > 150.0)
+          .select(col("event_type"), col("user_id").cast("string").as("item"))
+          .localCheckpoint()
+        def pop(t: String, k: String) = ev.where(col("event_type") === t)
+          .select(lit(k).as("key"), col("item"))
+        val keyed = pop("click", "a").unionAll(pop("purchase", "b"))
+          .unionAll(ev.select(lit("u").as("key"), col("item")))
+        val ests = hllEstimate(hllRegisters(keyed))
+          .agg(max(when(col("key") === "a", col("n_est"))).as("est_a"),
+               max(when(col("key") === "b", col("n_est"))).as("est_b"),
+               max(when(col("key") === "u", col("n_est"))).as("est_union"))
+        val exact = pop("click", "a").select("item").distinct()
+          .join(pop("purchase", "b").select("item").distinct(), "item")
+          .agg(count(lit(1)).as("n_inter_exact"))
+        exact.crossJoin(broadcast(ests))
+          .select(col("n_inter_exact"),
+            round(col("est_a") + col("est_b") - col("est_union"), 4)
+              .as("n_inter_est"),
+            col("est_a"), col("est_b"), col("est_union"))
+      },
+      Some(s"""WITH ev AS (
+             |  SELECT event_type, CAST(user_id AS VARCHAR) AS item
+             |  FROM events
+             |  WHERE event_type IN ('click', 'purchase') AND value > 150.0),
+             |it AS (
+             |  SELECT 'a' AS key, item FROM ev WHERE event_type = 'click'
+             |  UNION ALL
+             |  SELECT 'b', item FROM ev WHERE event_type = 'purchase'
+             |  UNION ALL
+             |  SELECT 'u', item FROM ev),
+             |h AS (SELECT key, ('0x' || substr(md5(item), 1, 8))::BIGINT AS h
+             |      FROM it),
+             |r AS (SELECT key, h % $hllM AS j,
+             |        27 - length(ltrim(bin(h // $hllM), '0')) AS rho
+             |      FROM h),
+             |regs AS (SELECT key, j, MAX(rho) AS mj FROM r GROUP BY key, j),
+             |est AS (
+             |  SELECT key,
+             |    SUM(power(2.0, -mj)) + ($hllM - COUNT(*)) AS s,
+             |    $hllM - COUNT(*) AS v
+             |  FROM regs GROUP BY key),
+             |fin AS (
+             |  SELECT key, CAST($hllAlpha AS DOUBLE) * $hllM * $hllM / s AS raw, v
+             |  FROM est),
+             |ests AS (
+             |  SELECT key, round(CASE WHEN raw <= 2.5 * $hllM AND v > 0
+             |               THEN $hllM * ln($hllM.0 / v) ELSE raw END, 4) AS n_est
+             |  FROM fin),
+             |x AS (SELECT
+             |    max(CASE WHEN key = 'a' THEN n_est END) AS est_a,
+             |    max(CASE WHEN key = 'b' THEN n_est END) AS est_b,
+             |    max(CASE WHEN key = 'u' THEN n_est END) AS est_union
+             |  FROM ests),
+             |exact AS (SELECT count(*) AS n_inter_exact FROM (
+             |  SELECT DISTINCT item FROM ev WHERE event_type = 'click'
+             |  INTERSECT
+             |  SELECT DISTINCT item FROM ev WHERE event_type = 'purchase') t)
+             |SELECT n_inter_exact,
+             |  round(est_a + est_b - est_union, 4) AS n_inter_est,
+             |  est_a, est_b, est_union
+             |FROM exact, x""".stripMargin))
   )
 }
