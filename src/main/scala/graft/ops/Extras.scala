@@ -1006,6 +1006,69 @@ object Extras {
              |FROM events
              |WINDOW f AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              |             RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // Population-stability index (✚, the ML-monitoring drift metric
+    // the q140 token-JSD doesn't cover — PSI compares a NUMERIC
+    // feature's distribution between two segments over fixed bins):
+    // 10 equal-width bins from a catalog-stats bounds pass (the q141
+    // discipline), per-bin (pa−pb)·ln(pa/pb) with the standard 1e-6
+    // floor against empty cells, contributions round@6 BEFORE the
+    // exact DECIMAL total (the q140 discipline). Scale: one bounds
+    // aggregate + one binned count aggregate (map-side partials to
+    // ≤10 groups); 1-row totals broadcast — nothing corpus-sized
+    // shuffles.
+    QueryDef("q165_psi_drift",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .where(col("event_type").isin("view", "click"))
+          .select(col("event_type").as("seg"), col("value").as("v"))
+          .localCheckpoint()
+        val bounds = ev.agg(min("v").as("lo"), max("v").as("hi"))
+        val counts = ev.crossJoin(broadcast(bounds))
+          .withColumn("bin", least(
+            floor((col("v") - col("lo")) / ((col("hi") - col("lo")) / 10.0)),
+            lit(9.0)).cast("long"))
+          .groupBy("bin").agg(
+            sum(when(col("seg") === "view", 1L).otherwise(0L)).as("na"),
+            sum(when(col("seg") === "click", 1L).otherwise(0L)).as("nb"))
+          .localCheckpoint()
+        val tot = counts.agg(sum("na").as("ta"), sum("nb").as("tb"))
+        val terms = counts.crossJoin(broadcast(tot))
+          .withColumn("pa",
+            greatest(col("na").cast("double") / col("ta"), lit(1e-6)))
+          .withColumn("pb",
+            greatest(col("nb").cast("double") / col("tb"), lit(1e-6)))
+          .withColumn("contrib",
+            round((col("pa") - col("pb")) * log(col("pa") / col("pb")), 6))
+          .localCheckpoint()
+        val total = terms.agg(
+          sum(col("contrib").cast("decimal(18,6)")).cast("double").as("psi_total"))
+        terms.select(col("bin"), col("na"), col("nb"), col("contrib"))
+          .crossJoin(broadcast(total))
+          .orderBy("bin")
+      },
+      Some("""WITH ev AS MATERIALIZED (
+             |  SELECT event_type AS seg, value AS v FROM events
+             |  WHERE event_type IN ('view', 'click')),
+             |bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM ev),
+             |counts AS MATERIALIZED (
+             |  SELECT least(floor((v - lo) / ((hi - lo) / 10.0)), 9.0)::BIGINT AS bin,
+             |    CAST(sum(CASE WHEN seg = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             |    CAST(sum(CASE WHEN seg = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+             |  FROM ev, bounds GROUP BY 1),
+             |tot AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+             |               CAST(sum(nb) AS BIGINT) AS tb FROM counts),
+             |terms AS MATERIALIZED (
+             |  SELECT bin, na, nb,
+             |    round((greatest(CAST(na AS DOUBLE) / ta, 1e-6) -
+             |           greatest(CAST(nb AS DOUBLE) / tb, 1e-6)) *
+             |          ln(greatest(CAST(na AS DOUBLE) / ta, 1e-6) /
+             |             greatest(CAST(nb AS DOUBLE) / tb, 1e-6)), 6) AS contrib
+             |  FROM counts, tot),
+             |t AS (SELECT CAST(sum(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE) AS psi_total
+             |      FROM terms)
+             |SELECT bin, na, nb, contrib, psi_total
+             |FROM terms, t ORDER BY bin""".stripMargin))
   )
 }
