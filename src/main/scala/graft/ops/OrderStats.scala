@@ -282,6 +282,60 @@ object OrderStats {
              |  MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.9::DOUBLE * n.n) AS BIGINT))
              |           THEN r.v END) AS p90
              |FROM r JOIN n USING (g) GROUP BY n.g, n.n
-             |ORDER BY n.g""".stripMargin))
+             |ORDER BY n.g""".stripMargin)),
+
+    // Robust outlier flags via MAD (✚, the data-quality screen that
+    // survives the very outliers it hunts — mean/stddev z-scores get
+    // dragged by the tail, the median/MAD pair doesn't): two exact
+    // selection passes through the bounded range-refinement machinery
+    // (median of value, then median of |value − med|), then one
+    // aggregation counting events whose modified z-score
+    // 0.6745·(v−med)/MAD exceeds the standard 3.5 cut, per event
+    // type. The oracle pins the identical rank definition (value at
+    // ROW_NUMBER = ceil(0.5·n)) rather than trusting either engine's
+    // median. Determinism: med is a corpus value, MAD an |a−b| of
+    // identical doubles, the z rounded@6 before the cut — every
+    // comparison sees bit-identical operands in both engines. Scale:
+    // selectKth is O(log_B n) scans with O(B) driver state; the flag
+    // pass is one map-side-combined aggregate to ≤ #event-types rows.
+    QueryDef("q168_mad_outliers",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), col("value").as("v"))
+        val n = ev.count()
+        val k = math.max(1L, math.ceil(0.5 * n).toLong)
+        val med = selectKth(ev, col("v"), k)
+        val mad = selectKth(
+          ev.select(abs(col("v") - lit(med)).as("dv")), col("dv"), k)
+        ev.groupBy("event_type").agg(
+            count(lit(1)).as("n"),
+            sum(when(round(abs(lit(0.6745) * (col("v") - lit(med)) / lit(mad)),
+              6) > 3.5, 1L).otherwise(0L)).as("n_out"))
+          .withColumn("med", lit(med))
+          .withColumn("mad", lit(mad))
+          .orderBy("event_type")
+      },
+      Some("""WITH v AS MATERIALIZED (
+             |  SELECT event_type, value AS v FROM events
+             |  WHERE value IS NOT NULL),
+             |n AS MATERIALIZED (SELECT count(*) AS n FROM v),
+             |med AS MATERIALIZED (
+             |  SELECT MAX(CASE WHEN rn =
+             |      GREATEST(1, CAST(CEIL(0.5::DOUBLE * n.n) AS BIGINT))
+             |    THEN r.v END) AS med
+             |  FROM (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM v) r, n),
+             |mad AS MATERIALIZED (
+             |  SELECT MAX(CASE WHEN rn =
+             |      GREATEST(1, CAST(CEIL(0.5::DOUBLE * n.n) AS BIGINT))
+             |    THEN r2.dv END) AS mad
+             |  FROM (SELECT abs(v.v - med.med) AS dv,
+             |          ROW_NUMBER() OVER (ORDER BY abs(v.v - med.med)) AS rn
+             |        FROM v, med) r2, n)
+             |SELECT event_type, count(*) AS n,
+             |  CAST(sum(CASE WHEN round(abs(0.6745 * (v - med) / mad), 6) > 3.5
+             |           THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
+             |  med, mad
+             |FROM v, med, mad
+             |GROUP BY event_type, med, mad ORDER BY event_type""".stripMargin))
   )
 }

@@ -1107,6 +1107,149 @@ object TextAnalysis {
              |          coalesce(1.0 / (60.0 + rb.rank_ql), 0.0), 6) AS rrf
              |  FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id)
              |SELECT doc_id, rank_bm25, rank_ql, rrf
-             |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin))
+             |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // Markup strip / main-text extraction (✚, the crawl-ingest step
+    // every web-scale training corpus starts with): script and comment
+    // blocks removed whole, tags dropped, entities decoded, whitespace
+    // collapsed. The corpus text carries no markup, so the gate is a
+    // ROUND-TRIP proof (the q135 WAV discipline): each document is
+    // deterministically wrapped in HTML — title, script, per-token
+    // <p> tags, a comment, an entity-bearing footer — then run through
+    // the strip chain, and the gate asserts clean == the expected
+    // plain text, per source, alongside the exact markup-overhead
+    // byte count. Scale: per-row regex chain, embarrassingly parallel
+    // (narrow until the ≤#sources-group aggregate); the regexes are
+    // shared Java/RE2 syntax (q109's parity envelope — no lookaround,
+    // no lazy-dot across newlines in content).
+    QueryDef("q166_markup_strip",
+      (s, d) => {
+        val html = concat(
+          lit("<html><head><title>doc"), col("doc_id"),
+          lit("</title><script>var x = 1 &lt; 2;</script></head><body><p>"),
+          regexp_replace(col("text"), " ", "</p>\n<p>"),
+          lit("</p><!-- src: "), col("source"),
+          lit(" --><div class=\"footer\">&amp; fin</div></body></html>"))
+        val clean = trim(regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(html, "<script>.*?</script>", " "),
+                "<!--.*?-->", " "),
+              "<[^>]*>", " "),
+            "&amp;", "&"),
+          "\\s+", " "))
+        Tables.documents(s, d)
+          .withColumn("html", html)
+          .withColumn("clean", clean)
+          .groupBy("source").agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("clean") ===
+                concat(lit("doc"), col("doc_id"), lit(" "), col("text"),
+                  lit(" & fin")), 1L).otherwise(0L)).as("n_ok"),
+            sum(length(col("html")) - length(col("clean")))
+              .cast("long").as("chars_removed"))
+          .orderBy("source")
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id, source, text,
+             |    '<html><head><title>doc' || CAST(doc_id AS VARCHAR) ||
+             |    '</title><script>var x = 1 &lt; 2;</script></head><body><p>' ||
+             |    replace(text, ' ', '</p>' || chr(10) || '<p>') ||
+             |    '</p><!-- src: ' || source ||
+             |    ' --><div class="footer">&amp; fin</div></body></html>' AS html
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, source, text, html,
+             |    trim(regexp_replace(
+             |      regexp_replace(
+             |        regexp_replace(
+             |          regexp_replace(
+             |            regexp_replace(html, '<script>.*?</script>', ' ', 'g'),
+             |            '<!--.*?-->', ' ', 'g'),
+             |          '<[^>]*>', ' ', 'g'),
+             |        '&amp;', '&', 'g'),
+             |      '\s+', ' ', 'g')) AS clean
+             |  FROM h)
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN clean = 'doc' || CAST(doc_id AS VARCHAR)
+             |                  || ' ' || text || ' & fin'
+             |           THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+             |  CAST(sum(length(html) - length(clean)) AS BIGINT) AS chars_removed
+             |FROM c GROUP BY source ORDER BY source""".stripMargin)),
+
+    // URL canonicalization (✚, the crawl-dedup key builder): scheme
+    // case-folded and collapsed to https, host lowercased with the
+    // www. prefix and default port stripped, trailing path slash
+    // dropped, utm_* tracking params removed, surviving query params
+    // SORTED, fragment discarded. The corpus carries no URL column, so
+    // the gate derives a deterministically-messy URL per document
+    // (scheme/port/slash/param-order variants keyed off doc_id
+    // residues — the q109 augmentation discipline) and proves the
+    // canonical form collapses them: per normalized URL, the raw
+    // variant count vs the deduped count. Scale: per-row regex
+    // normalization is narrow; the only shuffle is the groupBy on the
+    // canonical key (map-side combined, ≤ sources×paths groups). No
+    // lambda HOFs — utm removal is a regex, the param sort is
+    // sort_array (the PlanSpec lambda-above-scan rule stays clean).
+    QueryDef("q167_url_normalize",
+      (s, d) => {
+        val url = concat(
+          when(pmod(col("doc_id"), lit(2)) === 0, lit("HTTP")).otherwise(lit("https")),
+          lit("://WWW."), col("source"), lit(".Example.COM"),
+          when(pmod(col("doc_id"), lit(2)) === 0, lit(":80")).otherwise(lit(":443")),
+          lit("/P"), pmod(col("doc_id"), lit(7)),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit("/")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            lit("?b=2&a=1&utm_source=x")).otherwise(lit("?a=1&utm_campaign=z&b=2")),
+          lit("#sec"), pmod(col("doc_id"), lit(5)))
+        val hostport = regexp_extract(col("url"), "^[a-zA-Z]+://([^/?#]+)", 1)
+        val path = regexp_extract(col("url"), "^[a-zA-Z]+://[^/?#]+([^?#]*)", 1)
+        val query = regexp_extract(col("url"), "\\?([^#]*)", 1)
+        val hostN = regexp_replace(
+          regexp_replace(lower(hostport), ":[0-9]+$", ""), "^www\\.", "")
+        val pathN = regexp_replace(path, "/$", "")
+        val queryN = array_join(sort_array(split(
+          regexp_replace(regexp_replace(query, "utm_[^&]*&?", ""), "&$", ""),
+          "&")), "&")
+        Tables.documents(s, d)
+          .withColumn("url", url)
+          .withColumn("norm_url",
+            concat(lit("https://"), hostN, pathN, lit("?"), queryN))
+          .groupBy("norm_url").agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(col("url")).as("n_raw_variants"),
+            min(col("doc_id")).as("min_doc"))
+          .orderBy("norm_url")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id,
+             |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) ||
+             |    '://WWW.' || source || '.Example.COM' ||
+             |    (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END) ||
+             |    '/P' || CAST(doc_id % 7 AS VARCHAR) ||
+             |    (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+             |    (CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1&utm_source=x'
+             |          ELSE '?a=1&utm_campaign=z&b=2' END) ||
+             |    '#sec' || CAST(doc_id % 5 AS VARCHAR) AS url
+             |  FROM documents),
+             |p AS (
+             |  SELECT doc_id, url,
+             |    regexp_replace(regexp_replace(
+             |      lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)),
+             |      ':[0-9]+$', ''), '^www\.', '') AS host_n,
+             |    regexp_replace(
+             |      regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1),
+             |      '/$', '') AS path_n,
+             |    array_to_string(list_sort(string_split(
+             |      regexp_replace(regexp_replace(
+             |        regexp_extract(url, '\?([^#]*)', 1),
+             |        'utm_[^&]*&?', '', 'g'), '&$', ''), '&')), '&') AS query_n
+             |  FROM u)
+             |SELECT 'https://' || host_n || path_n || '?' || query_n AS norm_url,
+             |  count(*) AS n_docs,
+             |  CAST(count(DISTINCT url) AS BIGINT) AS n_raw_variants,
+             |  min(doc_id) AS min_doc
+             |FROM p GROUP BY 1 ORDER BY norm_url""".stripMargin))
   )
 }
