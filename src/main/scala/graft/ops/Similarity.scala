@@ -311,6 +311,68 @@ object Similarity {
              |      FROM r GROUP BY pos)
              |SELECT pos, n, round(sx / n, 6) AS mean,
              |  round(sqrt((sx2 - sx*sx/n) / (n - 1)), 6) AS sd
-             |FROM g ORDER BY pos""".stripMargin))
+             |FROM g ORDER BY pos""".stripMargin)),
+
+    // Int8 scalar quantization audit (✚, the 4× index-shrink knob every
+    // vector store offers alongside PQ — q95 compresses sub-vectors
+    // against a codebook, this quantizes each DIMENSION to a uint8 over
+    // its own [min,max]): a bounds pass, then per-dim reconstruction
+    // MSE and worst-case error of the round-trip. Scale: both passes
+    // are map-side-combined aggregates to 64 groups; the bounds table
+    // rejoins by broadcast — nothing corpus-sized shuffles.
+    // Determinism: lo/hi are corpus doubles (float→double cast is
+    // exact); the code is floor(z + 0.5) (identical in both engines —
+    // no round-half-to-even ambiguity); per-element squared errors are
+    // rounded@9 then summed in DECIMAL, so the MSE division sees exact
+    // identical operands. The hi==lo constant-dimension guard pins
+    // code 0 / zero error on both sides.
+    QueryDef("q169_scalar_quant",
+      (s, d) => {
+        val px = Tables.embeddings(s, d)
+          .select(posexplode(graft.functions.Vectors.asDouble(col("embedding")))
+            .as(Seq("pos", "x")))
+          .select(col("pos").cast("long").as("pos"), col("x"))
+        val bounds = px.groupBy("pos")
+          .agg(min("x").as("lo"), max("x").as("hi"))
+        val sc = (col("hi") - col("lo")) / 255.0
+        val code = when(col("hi") === col("lo"), lit(0.0))
+          .otherwise(least(lit(255.0), greatest(lit(0.0),
+            floor((col("x") - col("lo")) / sc + 0.5))))
+        val err = col("x") - (col("lo") + code * sc)
+        px.join(broadcast(bounds), "pos")
+          .select(col("pos"), col("lo"), col("hi"),
+            round(err * err, 9).cast("decimal(20,9)").as("e2"))
+          .groupBy("pos", "lo", "hi")
+          .agg(count(lit(1)).as("n"),
+            max(col("e2")).cast("double").as("max_e2"),
+            sum(col("e2")).cast("double").as("se2"))
+          .select(col("pos"), col("n"), col("lo"), col("hi"),
+            round(col("se2") / col("n"), 9).as("mse"),
+            col("max_e2"))
+          .orderBy("pos")
+      },
+      Some("""WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+             |px AS MATERIALIZED (
+             |  SELECT CAST(unnest(range(1, 65)) - 1 AS BIGINT) AS pos,
+             |         unnest(v) AS x
+             |  FROM e),
+             |b AS (SELECT pos, min(x) AS lo, max(x) AS hi
+             |      FROM px GROUP BY pos),
+             |q AS (
+             |  SELECT px.pos, lo, hi, x,
+             |    CASE WHEN hi = lo THEN 0.0
+             |         ELSE least(255.0, greatest(0.0,
+             |           floor((x - lo) / ((hi - lo) / 255.0) + 0.5))) END AS code
+             |  FROM px JOIN b USING (pos)),
+             |r AS (
+             |  SELECT pos, lo, hi,
+             |    CAST(round((x - (lo + code * ((hi - lo) / 255.0))) *
+             |               (x - (lo + code * ((hi - lo) / 255.0))), 9)
+             |      AS DECIMAL(20,9)) AS e2
+             |  FROM q)
+             |SELECT pos, count(*) AS n, lo, hi,
+             |  round(CAST(sum(e2) AS DOUBLE) / count(*), 9) AS mse,
+             |  CAST(max(e2) AS DOUBLE) AS max_e2
+             |FROM r GROUP BY pos, lo, hi ORDER BY pos""".stripMargin))
   )
 }

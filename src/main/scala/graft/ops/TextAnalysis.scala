@@ -1250,6 +1250,64 @@ object TextAnalysis {
              |  count(*) AS n_docs,
              |  CAST(count(DISTINCT url) AS BIGINT) AS n_raw_variants,
              |  min(doc_id) AS min_doc
-             |FROM p GROUP BY 1 ORDER BY norm_url""".stripMargin))
+             |FROM p GROUP BY 1 ORDER BY norm_url""".stripMargin)),
+
+    // Zipf heavy-tail fit (✚, the corpus-health diagnostic: natural
+    // text follows rank·freq^s ≈ const with s ≈ −1; a slope far off
+    // says machine-generated or truncated corpus): log-log OLS of
+    // frequency on rank over the vocabulary. Ranking is the two-phase
+    // [[graft.ops.Scale.globalRowNumber]] machinery (range partitions
+    // + broadcast prefix offsets) — at 100 TB the vocabulary is
+    // millions of rows and a single-task window would be the exact
+    // trap PlanSpec forbids. Determinism: each log term is rounded@9
+    // and summed in DECIMAL (the q118 discipline), so the OLS
+    // closed-form divides exact, identical operands; the rank order
+    // pins ties by token.
+    QueryDef("q171_zipf_fit",
+      (s, d) => {
+        val vocab = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("freq"))
+        val ranked = graft.ops.Scale.globalRowNumber(vocab,
+          Seq(col("freq").desc, col("tok")))
+        val dec9 = (c: org.apache.spark.sql.Column) =>
+          round(c, 9).cast("decimal(20,9)")
+        val sums = ranked.select(
+            dec9(log(col("rn"))).as("x"), dec9(log(col("freq"))).as("y"),
+            dec9(log(col("rn")) * log(col("freq"))).as("xy"),
+            dec9(log(col("rn")) * log(col("rn"))).as("xx"))
+          .agg(count(lit(1)).as("n"),
+            sum("x").cast("double").as("sx"), sum("y").cast("double").as("sy"),
+            sum("xy").cast("double").as("sxy"), sum("xx").cast("double").as("sxx"))
+        val nD = col("n").cast("double")
+        val slope = (nD * col("sxy") - col("sx") * col("sy")) /
+          (nD * col("sxx") - col("sx") * col("sx"))
+        sums.select(col("n").as("n_vocab"),
+            round(slope, 6).as("slope"),
+            round((col("sy") - slope * col("sx")) / nD, 6).as("intercept"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+             |v AS (SELECT tok, count(*) AS freq FROM toks GROUP BY tok),
+             |r AS (SELECT freq,
+             |        ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rn
+             |      FROM v),
+             |t AS (SELECT
+             |    CAST(round(ln(rn), 9) AS DECIMAL(20,9)) AS x,
+             |    CAST(round(ln(freq), 9) AS DECIMAL(20,9)) AS y,
+             |    CAST(round(ln(rn) * ln(freq), 9) AS DECIMAL(20,9)) AS xy,
+             |    CAST(round(ln(rn) * ln(rn), 9) AS DECIMAL(20,9)) AS xx
+             |  FROM r),
+             |s AS (SELECT count(*) AS n,
+             |        CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             |        CAST(sum(xy) AS DOUBLE) AS sxy, CAST(sum(xx) AS DOUBLE) AS sxx
+             |      FROM t)
+             |SELECT n AS n_vocab,
+             |  round((CAST(n AS DOUBLE)*sxy - sx*sy) /
+             |        (CAST(n AS DOUBLE)*sxx - sx*sx), 6) AS slope,
+             |  round((sy - ((CAST(n AS DOUBLE)*sxy - sx*sy) /
+             |               (CAST(n AS DOUBLE)*sxx - sx*sx)) * sx)
+             |        / CAST(n AS DOUBLE), 6) AS intercept
+             |FROM s""".stripMargin))
   )
 }

@@ -708,6 +708,39 @@ object StreamOps {
       },
       Some(s"""SELECT make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS w_start,
               |  event_type, COUNT(*) AS n, ${dsumSql("value")} AS sum_value
-              |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin))
+              |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin)),
+
+    // Stream-STATIC enrichment join (✚, the always-on dimension lookup
+    // every event pipeline runs — the one join flavor q123's
+    // stream-stream gate doesn't cover): events arrive as file-source
+    // micro-batches and join a STATIC broadcast dimension (customer)
+    // inside each batch; the enriched stream aggregates per market
+    // segment in complete mode. The engine behavior under test: the
+    // static side is planned ONCE and re-broadcast across micro-
+    // batches with no stream-side state for the join itself — state is
+    // only the ≤#segments aggregate rows. Arrival order is irrelevant
+    // by construction (counts and DECIMAL sums commute), so the replay
+    // needs no arrivalOrder pinning. Must hash-match the plain batch
+    // join+group oracle (stream/batch unification).
+    QueryDef("q172_stream_enrich",
+      (s, d) => {
+        val input = graft.Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("value"))
+        val dim = broadcast(graft.Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment")))
+        val enrich = (df: org.apache.spark.sql.DataFrame) =>
+          df.join(dim, df("user_id") === dim("c_custkey"))
+            .groupBy("c_mktsegment")
+            .agg(count(lit(1)).as("n_events"),
+              graft.QueryDef.dsum(col("value")).as("sum_value"))
+        val rows = runBoundedFromPath(s, input, enrich, chunks = 3)
+        s.createDataFrame(new java.util.ArrayList(java.util.Arrays.asList(rows: _*)),
+            enrich(input).schema)
+          .orderBy("c_mktsegment")
+      },
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS n_events,
+              |  ${dsumSql("value")} AS sum_value
+              |FROM events JOIN customer ON user_id = c_custkey
+              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
   )
 }
