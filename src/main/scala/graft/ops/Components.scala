@@ -315,6 +315,33 @@ object Components {
         col("community_size"))
   }
 
+  /** Multi-source BFS hop distance: synchronous rounds of edge
+    * relaxation from every node satisfying `seed` (a predicate over
+    * the renamed `node` column). Per round: one equi-join of the
+    * current distance table with the symmetrized edge list and one
+    * min-aggregate — 8-byte keys only, iterate-materialize pinned
+    * lineage (the CC/LPA discipline). `rounds` bounds the explored
+    * radius; unreached nodes keep the 999 sentinel. */
+  def bfsHops(nodes: DataFrame, pairs: DataFrame, seed: org.apache.spark.sql.Column,
+      rounds: Int = 4,
+      materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+    val edges = materialize(
+      pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+        .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+        .where(col("u") =!= col("v")).distinct())
+    var dist = materialize(nodes.select(col("id").as("node"))
+      .withColumn("dist", when(seed, lit(0L)).otherwise(lit(999L))))
+    for (_ <- 1 to rounds) {
+      val relax = dist.join(edges, dist("node") === edges("u"))
+        .groupBy(col("v").as("node2"))
+        .agg(min(col("dist") + lit(1L)).as("via"))
+      dist = materialize(dist.join(relax, dist("node") === col("node2"), "left")
+        .select(col("node"),
+          least(col("dist"), coalesce(col("via"), lit(999L))).as("dist")))
+    }
+    dist
+  }
+
   // The q112 oracle unrolls the same sync rounds (AS MATERIALIZED per
   // the q90 lesson); ROW_NUMBER (c DESC, lbl ASC) = min(struct(-c, lbl)).
   private def lpaOracleSql(iters: Int): String = {
@@ -669,6 +696,52 @@ object Components {
            |$rounds
            |SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS dg
            |FROM e4 GROUP BY u ORDER BY id""".stripMargin
+      }),
+
+    // Multi-source BFS hop distance (✚, the crawl-frontier / blast-
+    // radius kernel: how many near-dup hops separate each document
+    // from a trusted seed set — the graph analog of q75's exact-match
+    // decontamination, catching transitively-connected contamination
+    // that no pairwise check sees). Synchronous relaxation, 4 unrolled
+    // rounds over the SAME verified pair table as q90/q112/q130: each
+    // round one join (dist ⋈ edges) + one min-aggregate on 8-byte
+    // keys, iterate-materialize pinning lineage per round — the CC
+    // 3-shuffle discipline, O(diameter) rounds. The oracle unrolls the
+    // identical rounds (AS MATERIALIZED, the q90 lesson). Unreached
+    // nodes surface as -1, never NULL.
+    QueryDef("q176_bfs_hops",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        bfsHops(docs.select(col("doc_id").as("id")),
+            Dedup.dedupPipeline(docs).select("id_a", "id_b"),
+            pmod(col("node"), lit(29)) === 0)
+          .select(col("node").as("doc_id"),
+            when(col("dist") >= 999L, lit(-1L)).otherwise(col("dist")).as("hops"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val rounds = (1 to 4).map { k =>
+          s"""d$k AS MATERIALIZED (
+             |  SELECT c.node, LEAST(c.dist, COALESCE(MIN(p.dist + 1), 999)) AS dist
+             |  FROM d${k - 1} c
+             |  LEFT JOIN edges e ON e.v = c.node
+             |  LEFT JOIN d${k - 1} p ON p.node = e.u
+             |  GROUP BY c.node, c.dist)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ${Dedup.verifiedPairsCtes},
+           |edges AS MATERIALIZED (
+           |  SELECT DISTINCT u, v FROM (
+           |    SELECT id_a AS u, id_b AS v FROM vp
+           |    UNION ALL SELECT id_b, id_a FROM vp) s
+           |  WHERE u <> v),
+           |d0 AS MATERIALIZED (
+           |  SELECT doc_id AS node,
+           |    CASE WHEN doc_id % 29 = 0 THEN 0 ELSE 999 END AS dist
+           |  FROM documents),
+           |$rounds
+           |SELECT node AS doc_id,
+           |  CASE WHEN dist >= 999 THEN -1 ELSE dist END AS hops
+           |FROM d4 ORDER BY doc_id""".stripMargin
       })
   )
 }

@@ -1069,6 +1069,61 @@ object Extras {
              |t AS (SELECT CAST(sum(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE) AS psi_total
              |      FROM terms)
              |SELECT bin, na, nb, contrib, psi_total
-             |FROM terms, t ORDER BY bin""".stripMargin))
+             |FROM terms, t ORDER BY bin""".stripMargin)),
+
+    // Keyed pseudonymization with referential integrity (✚, the
+    // privacy step q109's in-text scrub doesn't cover — KEY columns:
+    // before a corpus leaves its trust boundary, user identifiers are
+    // replaced by salted deterministic tokens so the SAME user maps to
+    // the SAME token in EVERY table and downstream joins still work,
+    // while the raw id is unrecoverable without the salt). The gate
+    // tokenizes events.user_id and customer.c_custkey with one shared
+    // salt and proves (a) the segment-level enrichment join over
+    // tokens returns the exact row counts of the raw-key join, and
+    // (b) tokenization is injective on this corpus (distinct users ==
+    // distinct tokens — the collision audit). Scale: tokenization is
+    // per-row narrow hashing; both joins broadcast the dimension; the
+    // audit aggregates are map-side combined.
+    QueryDef("q173_pseudonymize",
+      (s, d) => {
+        def tok(c: org.apache.spark.sql.Column) =
+          substring(md5(concat(lit("gr-salt-1:"), c.cast("string"))), 1, 16)
+        val ev = Tables.events(s, d)
+        val cu = Tables.customer(s, d)
+        val raw = ev.join(broadcast(cu), col("user_id") === col("c_custkey"))
+          .groupBy("c_mktsegment").agg(count(lit(1)).as("n_raw"))
+        val evT = ev.select(tok(col("user_id")).as("ut"))
+        val cuT = cu.select(tok(col("c_custkey")).as("ct"), col("c_mktsegment"))
+        val tokJ = evT.join(broadcast(cuT), col("ut") === col("ct"))
+          .groupBy("c_mktsegment").agg(count(lit(1)).as("n_tok"))
+        val audit = ev.agg(
+          countDistinct(col("user_id")).as("n_users"),
+          countDistinct(tok(col("user_id"))).as("n_tokens"))
+        raw.join(tokJ, "c_mktsegment")
+          .crossJoin(broadcast(audit))
+          .select(col("c_mktsegment"), col("n_raw"), col("n_tok"),
+            col("n_users"), col("n_tokens"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""WITH raw AS (
+             |  SELECT c_mktsegment, count(*) AS n_raw
+             |  FROM events JOIN customer ON user_id = c_custkey
+             |  GROUP BY c_mktsegment),
+             |evt AS (SELECT substr(md5('gr-salt-1:' || CAST(user_id AS VARCHAR)), 1, 16) AS ut
+             |        FROM events),
+             |cut AS (SELECT substr(md5('gr-salt-1:' || CAST(c_custkey AS VARCHAR)), 1, 16) AS ct,
+             |               c_mktsegment
+             |        FROM customer),
+             |tokj AS (
+             |  SELECT c_mktsegment, count(*) AS n_tok
+             |  FROM evt JOIN cut ON ut = ct GROUP BY c_mktsegment),
+             |audit AS (
+             |  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             |    CAST(count(DISTINCT substr(md5('gr-salt-1:' || CAST(user_id AS VARCHAR)), 1, 16)) AS BIGINT)
+             |      AS n_tokens
+             |  FROM events)
+             |SELECT c_mktsegment, n_raw, n_tok, n_users, n_tokens
+             |FROM raw JOIN tokj USING (c_mktsegment), audit
+             |ORDER BY c_mktsegment""".stripMargin))
   )
 }

@@ -336,6 +336,60 @@ object OrderStats {
              |           THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
              |  med, mad
              |FROM v, med, mad
-             |GROUP BY event_type, med, mad ORDER BY event_type""".stripMargin))
+             |GROUP BY event_type, med, mad ORDER BY event_type""".stripMargin)),
+
+    // Per-group winsorized mean (✚, the robust feature aggregate:
+    // clamp each group's tail at its own exact p05/p95 before
+    // averaging, so a handful of extreme values can't move the
+    // statistic): both cut points come from the SIMULTANEOUS grouped
+    // refinement machinery (never a per-group buffer or sort), the
+    // clamp is a per-row CASE, and the means are exact DECIMAL sums
+    // divided once. The oracle pins the identical rank definition
+    // (value at ROW_NUMBER = ceil(p·n)) for both cuts. Scale: two
+    // grouped-quantile passes (O(B·groups) driver state) + one
+    // map-side-combined aggregate.
+    QueryDef("q174_winsorized_mean",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), col("value").as("v"))
+        val lo = quantileDiscByGroup(ev, col("event_type"), col("v"), 0.05)
+          .select(col("g").as("event_type"), col("n"), col("kth").as("lo"))
+        val hi = quantileDiscByGroup(ev, col("event_type"), col("v"), 0.95)
+          .select(col("g").as("event_type"), col("kth").as("hi"))
+        ev.join(broadcast(lo), "event_type").join(broadcast(hi), "event_type")
+          .withColumn("w",
+            when(col("v") < col("lo"), col("lo"))
+              .when(col("v") > col("hi"), col("hi")).otherwise(col("v")))
+          .groupBy("event_type", "n", "lo", "hi")
+          .agg(QueryDef.dsum(col("v")).as("sv"),
+               QueryDef.dsum(col("w")).as("sw"))
+          .select(col("event_type"), col("n"), col("lo"), col("hi"),
+            round(col("sv") / col("n"), 6).as("mean_raw"),
+            round(col("sw") / col("n"), 6).as("mean_winsor"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH v AS MATERIALIZED (
+             |  SELECT event_type, value AS v FROM events
+             |  WHERE value IS NOT NULL),
+             |n AS (SELECT event_type, count(*) AS n FROM v GROUP BY event_type),
+             |r AS (SELECT event_type, v,
+             |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn
+             |      FROM v),
+             |cuts AS MATERIALIZED (
+             |  SELECT n.event_type, n.n,
+             |    MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.05::DOUBLE * n.n) AS BIGINT))
+             |        THEN r.v END) AS lo,
+             |    MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.95::DOUBLE * n.n) AS BIGINT))
+             |        THEN r.v END) AS hi
+             |  FROM r JOIN n USING (event_type) GROUP BY n.event_type, n.n)
+             |SELECT v.event_type, n, lo, hi,
+             |  round(${QueryDef.dsumSql("v")} / n, 6) AS mean_raw,
+             |  round(CAST(SUM(CAST(CASE WHEN v < lo THEN lo
+             |                           WHEN v > hi THEN hi
+             |                           ELSE v END AS DECIMAL(12,2))) AS DOUBLE) / n, 6)
+             |    AS mean_winsor
+             |FROM v JOIN cuts ON v.event_type = cuts.event_type
+             |GROUP BY v.event_type, n, lo, hi
+             |ORDER BY v.event_type""".stripMargin))
   )
 }

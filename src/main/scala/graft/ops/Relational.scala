@@ -458,6 +458,51 @@ object Relational {
              |  FROM events) t
              |WHERE event_type = 'click' ORDER BY event_id""".stripMargin)),
 
+    // Point-in-time feature assembly (✚, the feature-store read path:
+    // for every label event, attach the latest value of SEVERAL
+    // trailing signals — here last click value, last view value and
+    // prior-click count per user — all strictly BEFORE the label's own
+    // timestamp, so no feature leaks the label). One pass over one
+    // partitioned window with a (unbounded, -1] ROWS frame serves all
+    // features: ignore-null `last` over type-masked values is the
+    // multi-signal as-of, where q42's single-signal form used a
+    // running max. Scale: one shuffle by user_id, bounded frame state,
+    // no self-joins — the union-window trick keeps N features at one
+    // shuffle instead of N as-of joins.
+    QueryDef("q175_feature_assembly",
+      (s, d) => {
+        val prevF = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.events(s, d)
+          .withColumn("last_click_value",
+            last(when(col("event_type") === "click", col("value")), true).over(prevF))
+          .withColumn("last_view_value",
+            last(when(col("event_type") === "view", col("value")), true).over(prevF))
+          .withColumn("n_prior_clicks",
+            count(when(col("event_type") === "click", lit(1))).over(prevF))
+          .where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            coalesce(col("last_click_value"), lit(-1.0)).as("last_click_value"),
+            coalesce(col("last_view_value"), lit(-1.0)).as("last_view_value"),
+            col("n_prior_clicks"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, ts_us, last_click_value,
+             |  last_view_value, n_prior_clicks
+             |FROM (
+             |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+             |    COALESCE(last_value(CASE WHEN event_type = 'click' THEN value END
+             |      IGNORE NULLS) OVER f, -1.0) AS last_click_value,
+             |    COALESCE(last_value(CASE WHEN event_type = 'view' THEN value END
+             |      IGNORE NULLS) OVER f, -1.0) AS last_view_value,
+             |    count(CASE WHEN event_type = 'click' THEN 1 END) OVER f
+             |      AS n_prior_clicks
+             |  FROM events
+             |  WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) t
+             |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)),
+
     // Left outer join with null-aware aggregates: order counts per
     // customer including customers with none (COALESCE over the null side).
     QueryDef("q43_join_left",
