@@ -607,6 +607,51 @@ object Dedup {
              |       - len(list_filter(da, x -> list_contains(db, x)))), 6) AS jac
              |  FROM sh)
              |SELECT id_a, id_b, jac FROM j WHERE jac >= 0.5
-             |ORDER BY id_a, id_b""".stripMargin))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Quantized-embedding exact dedup (✚, the vector-store intake
+    // screen: re-embedded copies of the same content differ by float
+    // noise, but quantizing each dimension to 1e-3 and hashing the
+    // code sequence catches byte-inexact exact duplicates in ONE
+    // groupBy — the embedding-space analog of q24's text digest; true
+    // NEAR-dup stays with q30/q69's cosine machinery). The corpus is
+    // augmented with deterministic re-inserts (%17 slice under offset
+    // ids — the q102 discipline) so the gate finds real groups.
+    // Determinism: float→double is exact, ×1000 + floor(+0.5) is
+    // identical IEEE arithmetic, and the digest hashes the BIGINT
+    // code strings — no float formatting anywhere. Scale: per-row
+    // quantize+hash is narrow (the lambda runs AFTER an explicit
+    // repartition — the q120 scan-layout rule, PlanSpec-enforced);
+    // the only shuffle is the digest groupBy; content (the 64-float
+    // vector) never shuffles — only the 32-char digest does.
+    QueryDef("q180_embed_dedup",
+      (s, d) => {
+        val base = Tables.embeddings(s, d).select("vec_id", "embedding")
+        val aug = base.unionByName(
+          base.where(pmod(col("vec_id"), lit(17)) === 0)
+            .withColumn("vec_id", col("vec_id") + 100000L))
+        aug.repartition(32)
+          .withColumn("digest", md5(concat_ws(",",
+            transform(graft.functions.Vectors.asDouble(col("embedding")),
+              x => floor(x * 1000.0 + 0.5).cast("long").cast("string")))))
+          .groupBy("digest")
+          .agg(count(lit(1)).as("n"), min("vec_id").as("keeper"))
+          .where(col("n") >= 2)
+          .orderBy("keeper")
+      },
+      Some("""WITH aug AS (
+             |  SELECT vec_id, embedding FROM embeddings
+             |  UNION ALL
+             |  SELECT vec_id + 100000, embedding FROM embeddings
+             |  WHERE vec_id % 17 = 0),
+             |q AS (
+             |  SELECT vec_id,
+             |    md5(array_to_string(list_transform(embedding::DOUBLE[],
+             |      x -> CAST(CAST(floor(x * 1000.0 + 0.5) AS BIGINT) AS VARCHAR)),
+             |      ',')) AS digest
+             |  FROM aug)
+             |SELECT digest, count(*) AS n, min(vec_id) AS keeper
+             |FROM q GROUP BY digest HAVING count(*) >= 2
+             |ORDER BY keeper""".stripMargin))
   )
 }

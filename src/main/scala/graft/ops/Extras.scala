@@ -1124,6 +1124,110 @@ object Extras {
              |  FROM events)
              |SELECT c_mktsegment, n_raw, n_tok, n_users, n_tokens
              |FROM raw JOIN tokj USING (c_mktsegment), audit
-             |ORDER BY c_mktsegment""".stripMargin))
+             |ORDER BY c_mktsegment""".stripMargin)),
+
+    // Interval union / coverage (✚, the sweep-line kernel behind
+    // dwell-time, uptime and SLA math: each event opens a 5-minute
+    // activity interval; overlapping intervals merge, and the answer
+    // is each user's TOTAL COVERED time — naive sum(duration) double-
+    // counts every overlap). Islands form with one ordered window pass
+    // (an interval starts a new island iff it begins after the running
+    // max end of everything before it — the q150 value-change-island
+    // discipline applied to time geometry), then two bounded
+    // aggregates roll islands up. All arithmetic is integer
+    // microseconds. Scale: windows and aggregates are all PARTITIONED
+    // by user_id — one shuffle, no global ordering anywhere.
+    QueryDef("q178_interval_union",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val span = 300000000L // 5 min in µs
+        val prevF = Window.partitionBy("user_id").orderBy("st", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val runF = Window.partitionBy("user_id").orderBy("st", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("st"),
+            (unix_micros(col("ts")) + span).as("en"))
+          .withColumn("prev_max_en", max("en").over(prevF))
+          .withColumn("new_island",
+            when(col("prev_max_en").isNull ||
+              col("st") > col("prev_max_en"), 1L).otherwise(0L))
+          .withColumn("island", sum("new_island").over(runF))
+          .groupBy("user_id", "island")
+          .agg(min("st").as("ist"), max("en").as("ien"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_islands"),
+            sum(col("ien") - col("ist")).as("covered_us"))
+          .orderBy("user_id")
+      },
+      Some("""WITH iv AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS st,
+             |    epoch_us(ts) + 300000000 AS en
+             |  FROM events),
+             |m AS (
+             |  SELECT user_id, event_id, st, en,
+             |    max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_en
+             |  FROM iv),
+             |f AS (
+             |  SELECT user_id, st, en,
+             |    sum(CASE WHEN prev_max_en IS NULL OR st > prev_max_en
+             |        THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY user_id ORDER BY st, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+             |  FROM m),
+             |isl AS (
+             |  SELECT user_id, island, min(st) AS ist, max(en) AS ien
+             |  FROM f GROUP BY user_id, island)
+             |SELECT user_id, count(*) AS n_islands,
+             |  CAST(sum(ien - ist) AS BIGINT) AS covered_us
+             |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Per-group OLS trend (✚, the segment-level drift line: value vs
+    // hour-of-day fitted independently inside every event type — the
+    // grouped twin of q171's corpus-level fit, and the shape behind
+    // "is this segment's metric drifting with time-of-day?"). The
+    // regressors are exact: x is an integer hour, y a DECIMAL(12,2)
+    // view of value, so every OLS sum (Σx, Σy, Σxy, Σx², n) is exact
+    // DECIMAL/integer arithmetic — no per-term rounding needed at
+    // all; the only doubles are the closed-form divisions of
+    // identical exact operands, rounded@6. Scale: ONE map-side-
+    // combined aggregate to ≤ #event-types rows; no window, no join.
+    QueryDef("q179_grouped_regression",
+      (s, d) => {
+        val x = hour(col("ts")).cast("long")
+        val y = QueryDef.dec(col("value"))
+        Tables.events(s, d)
+          .select(col("event_type"), x.as("x"), y.as("y"))
+          .groupBy("event_type").agg(
+            count(lit(1)).as("n"),
+            sum(col("x")).cast("double").as("sx"),
+            sum(col("y")).cast("double").as("sy"),
+            sum(col("y") * col("x")).cast("double").as("sxy"),
+            sum(col("x") * col("x")).cast("double").as("sxx"))
+          .select(col("event_type"), col("n"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+            round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+              col("n"), 6).as("intercept"))
+          .orderBy("event_type")
+      },
+      Some("""WITH t AS (
+             |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS x,
+             |    CAST(value AS DECIMAL(12,2)) AS y
+             |  FROM events),
+             |s AS (
+             |  SELECT event_type, count(*) AS n,
+             |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             |    CAST(sum(y * x) AS DOUBLE) AS sxy,
+             |    CAST(sum(x * x) AS DOUBLE) AS sxx
+             |  FROM t GROUP BY event_type)
+             |SELECT event_type, n,
+             |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+             |  round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 6)
+             |    AS intercept
+             |FROM s ORDER BY event_type""".stripMargin))
   )
 }

@@ -895,6 +895,49 @@ object TrainPrep {
              |SELECT split, n_clusters, n_docs, n_chars, leak_docs_cluster,
              |  n_docs_naive, leak_docs_naive
              |FROM ac FULL OUTER JOIN an USING (split)
-             |ORDER BY split""".stripMargin))
+             |ORDER BY split""".stripMargin)),
+
+    // Per-source nucleus (top-p) selection (✚, the within-domain twin
+    // of q121's global token budget: inside each source, keep the
+    // best-first prefix of documents holding 80% of the source's
+    // character mass — the "nucleus" curation rule that trims each
+    // domain's tail without touching its head). A row is kept iff the
+    // mass STRICTLY BEFORE it is under the threshold, so the crossing
+    // document is included and every source keeps ≥1 document. All
+    // arithmetic is integer (10·prior_mass < 8·total — no 0.8 double
+    // boundary). Scale: windows are PARTITIONED by source (never
+    // global — the q120 trap); one shuffle, map-side-combined final
+    // aggregate.
+    QueryDef("q177_nucleus_select",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("source")
+          .orderBy(col("n_chars").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val ws = Window.partitionBy("source")
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), col("n_chars"))
+          .withColumn("cum", sum("n_chars").over(w))
+          .withColumn("tot", sum("n_chars").over(ws))
+          .withColumn("n_all", count(lit(1)).over(ws))
+          .where((col("cum") - col("n_chars")) * 10 < col("tot") * 8)
+          .groupBy("source").agg(
+            count(lit(1)).as("n_kept"), max(col("n_all")).as("n_total"),
+            sum(col("n_chars")).as("kept_chars"), max(col("tot")).as("total_chars"))
+          .orderBy("source")
+      },
+      Some("""WITH w AS (
+             |  SELECT source, doc_id, n_chars,
+             |    sum(n_chars) OVER (PARTITION BY source
+             |      ORDER BY n_chars DESC, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    sum(n_chars) OVER (PARTITION BY source) AS tot,
+             |    count(*) OVER (PARTITION BY source) AS n_all
+             |  FROM documents)
+             |SELECT source, count(*) AS n_kept, max(n_all) AS n_total,
+             |  CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+             |  CAST(max(tot) AS BIGINT) AS total_chars
+             |FROM w WHERE (cum - n_chars) * 10 < tot * 8
+             |GROUP BY source ORDER BY source""".stripMargin))
   )
 }
