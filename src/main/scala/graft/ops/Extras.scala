@@ -1228,6 +1228,132 @@ object Extras {
              |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
              |  round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 6)
              |    AS intercept
-             |FROM s ORDER BY event_type""".stripMargin))
+             |FROM s ORDER BY event_type""".stripMargin)),
+
+    // SCD2 point-in-time lookup (✚, the read side of q150's build —
+    // the warehouse pattern "which version of the dimension was
+    // current when this fact happened": error events probe the state
+    // intervals the OTHER event types define for the same user).
+    // The join is equi-keyed on user_id with a half-open interval
+    // predicate on the probe timestamp — a hash join plus filter, not
+    // a range-only join, so it scales as an ordinary co-partitioned
+    // join; intervals partition each user's timeline, so every probe
+    // lands in ≤1 interval, and pre-first-state probes surface with
+    // -1 sentinels (left join, never dropped rows). One window pass
+    // builds the intervals (the q150 shape), one shuffle joins.
+    QueryDef("q182_scd2_lookup",
+      (s, d) => {
+        val stateTypes = Seq("view", "click", "purchase", "signup")
+        val byUser = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        val runs = Tables.events(s, d)
+          .where(col("event_type").isin(stateTypes: _*))
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("chg",
+            when(lag(col("event_type"), 1).over(byUser) === col("event_type"), 0L)
+              .otherwise(1L))
+          .withColumn("run_id", sum(col("chg")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val iv = runs.groupBy("user_id", "run_id")
+          .agg(min(col("event_type")).as("state"),
+            unix_micros(min(col("ts"))).as("from_us"))
+          .withColumn("to_us", coalesce(lead(col("from_us"), 1).over(
+            Window.partitionBy("user_id").orderBy("run_id")), lit(Long.MaxValue)))
+          .select(col("user_id").as("iv_user"), col("run_id").as("seq"),
+            col("state"), col("from_us"), col("to_us"))
+        Tables.events(s, d).where(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"))
+          .join(iv, col("user_id") === col("iv_user") &&
+            col("ts_us") >= col("from_us") && col("ts_us") < col("to_us"),
+            "left")
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            coalesce(col("state"), lit("none")).as("state"),
+            coalesce(col("seq"), lit(-1L)).as("state_seq"),
+            coalesce(col("from_us"), lit(-1L)).as("state_from_us"))
+          .orderBy("event_id")
+      },
+      Some("""WITH st AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    CASE WHEN lag(event_type) OVER w = event_type THEN 0 ELSE 1 END AS chg
+             |  FROM events
+             |  WHERE event_type IN ('view', 'click', 'purchase', 'signup')
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |r AS (
+             |  SELECT user_id, ts, event_type,
+             |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+             |  FROM st),
+             |iv AS (
+             |  SELECT user_id, CAST(run_id AS BIGINT) AS seq,
+             |    min(event_type) AS state,
+             |    epoch_us(min(ts)) AS from_us,
+             |    coalesce(lead(epoch_us(min(ts))) OVER
+             |      (PARTITION BY user_id ORDER BY run_id),
+             |      9223372036854775807) AS to_us
+             |  FROM r GROUP BY user_id, run_id),
+             |probe AS (
+             |  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+             |  FROM events WHERE event_type = 'error')
+             |SELECT p.event_id, p.user_id, p.ts_us,
+             |  coalesce(iv.state, 'none') AS state,
+             |  coalesce(iv.seq, -1) AS state_seq,
+             |  coalesce(iv.from_us, -1) AS state_from_us
+             |FROM probe p LEFT JOIN iv
+             |  ON iv.user_id = p.user_id
+             |  AND p.ts_us >= iv.from_us AND p.ts_us < iv.to_us
+             |ORDER BY p.event_id""".stripMargin)),
+
+    // Functional-dependency audit (✚, the schema-inference half of
+    // data profiling q110 doesn't cover: does A determine B in this
+    // corpus, and if not, how badly is the dependency violated?).
+    // Each candidate FD is one distinct-pair aggregation: a
+    // determinant value violates iff it maps to >1 dependent value;
+    // violation mass counts the rows outside each determinant's
+    // majority choice (the repair cost). Branches union into one
+    // result — adding a candidate FD adds one bounded aggregation,
+    // never a wider scan. Scale: per-FD, the heavy reduction is the
+    // map-side-combined (det, dep) count; everything after operates
+    // on distinct pairs.
+    QueryDef("q183_fd_audit",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        def fd(name: String, det: String, dep: String): org.apache.spark.sql.DataFrame = {
+          val pairs = docs.groupBy(col(det).as("dv"), col(dep).as("pv"))
+            .agg(count(lit(1)).as("c"))
+          val perDet = pairs.groupBy("dv").agg(
+            count(lit(1)).as("n_dep"), sum("c").as("rows"), max("c").as("keep"))
+          perDet.agg(
+            count(lit(1)).as("n_det"),
+            sum(when(col("n_dep") > 1, 1L).otherwise(0L)).as("n_violating"),
+            sum(when(col("n_dep") > 1, col("rows") - col("keep"))
+              .otherwise(0L)).as("repair_rows"))
+            .withColumn("fd", lit(name))
+        }
+        fd("lang->source", "lang", "source")
+          .unionByName(fd("source->lang", "source", "lang"))
+          .unionByName(fd("n_chars->lang", "n_chars", "lang"))
+          .select("fd", "n_det", "n_violating", "repair_rows")
+          .orderBy("fd")
+      },
+      Some {
+        def fdSql(name: String, det: String, dep: String) =
+          s"""SELECT '$name' AS fd, count(*) AS n_det,
+             |  CAST(sum(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_violating,
+             |  CAST(sum(CASE WHEN n_dep > 1 THEN rws - keep ELSE 0 END) AS BIGINT)
+             |    AS repair_rows
+             |FROM (
+             |  SELECT dv, count(*) AS n_dep, sum(c) AS rws, max(c) AS keep
+             |  FROM (SELECT $det AS dv, $dep AS pv, count(*) AS c
+             |        FROM documents GROUP BY 1, 2) p
+             |  GROUP BY dv) g""".stripMargin
+        s"""${fdSql("lang->source", "lang", "source")}
+           |UNION ALL
+           |${fdSql("source->lang", "source", "lang")}
+           |UNION ALL
+           |${fdSql("n_chars->lang", "n_chars", "lang")}
+           |ORDER BY fd""".stripMargin
+      })
   )
 }

@@ -741,6 +741,31 @@ object StreamOps {
       Some(s"""SELECT c_mktsegment, COUNT(*) AS n_events,
               |  ${dsumSql("value")} AS sum_value
               |FROM events JOIN customer ON user_id = c_custkey
-              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // Streamed top-k (✚, the live leaderboard: exact top-10 items by
+    // count maintained by the ENGINE — complete-mode aggregation
+    // followed by a streaming SORT + LIMIT, the one relational surface
+    // (ordering inside a streaming query, legal only in complete mode)
+    // nothing else in the suite exercises; q80's CMS answers the same
+    // question approximately when exact per-key state is too big).
+    // Ties break by item id on both sides, so the cut is
+    // deterministic. Arrival order is irrelevant (counts commute); at
+    // each commit the sink holds the exact current leaderboard, and
+    // the final one must equal the batch answer.
+    QueryDef("q181_stream_topk",
+      (s, d) => {
+        val input = graft.Tables.lineitem(s, d).select(col("l_partkey"))
+        val topk = (df: org.apache.spark.sql.DataFrame) =>
+          df.groupBy("l_partkey").agg(count(lit(1)).as("n"))
+            .orderBy(col("n").desc, col("l_partkey")).limit(10)
+        val rows = runBoundedFromPath(s, input, topk, chunks = 3)
+        s.createDataFrame(new java.util.ArrayList(java.util.Arrays.asList(rows: _*)),
+            topk(input).schema)
+          .orderBy(col("n").desc, col("l_partkey"))
+      },
+      Some("""SELECT l_partkey, COUNT(*) AS n
+             |FROM lineitem GROUP BY l_partkey
+             |ORDER BY n DESC, l_partkey LIMIT 10""".stripMargin))
   )
 }
