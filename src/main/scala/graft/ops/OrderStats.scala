@@ -390,6 +390,68 @@ object OrderStats {
              |    AS mean_winsor
              |FROM v JOIN cuts ON v.event_type = cuts.event_type
              |GROUP BY v.event_type, n, lo, hi
-             |ORDER BY v.event_type""".stripMargin))
+             |ORDER BY v.event_type""".stripMargin)),
+
+    // RFM quintile scoring (✚, the segmentation workhorse: each user's
+    // recency / frequency / monetary metrics scored 1–5 against the
+    // population's own exact quintile cuts). Metrics are exact
+    // (integer µs recency, counts, DECIMAL purchase sums); the twelve
+    // cut points come from the bounded refinement machinery over the
+    // per-user metric table (one row per user — the table a 100 TB
+    // event log reduces to before any ranking), and the score is
+    // 1 + #cuts-strictly-below, so ties at a cut score identically in
+    // both engines. The oracle pins every cut at ROW_NUMBER =
+    // ceil(p·n). One aggregation shuffle; scoring is a broadcast-free
+    // per-row CASE against 12 literals.
+    QueryDef("q185_rfm_scores",
+      (s, d) => {
+        val m = Tables.events(s, d).groupBy("user_id").agg(
+          max(unix_micros(col("ts"))).as("last_us"),
+          count(lit(1)).as("freq"),
+          coalesce(sum(when(col("event_type") === "purchase",
+            QueryDef.dec(col("value")))).cast("double"), lit(0.0)).as("monet"))
+          .localCheckpoint()
+        val n = m.count()
+        def cuts(c: String): Seq[Double] = Seq(0.2, 0.4, 0.6, 0.8).map { p =>
+          selectKth(m, col(c), math.max(1L, math.ceil(p * n).toLong))
+        }
+        def score(c: org.apache.spark.sql.Column, cs: Seq[Double]) =
+          cs.map(v => when(c > lit(v), 1L).otherwise(0L)).reduce(_ + _) + 1L
+        val (rc, fc, mc) =
+          (cuts("last_us"), cuts("freq"), cuts("monet"))
+        m.select(col("user_id"),
+            score(col("last_us"), rc).as("r_score"),
+            score(col("freq"), fc).as("f_score"),
+            score(col("monet"), mc).as("m_score"))
+          .withColumn("segment",
+            concat(col("r_score"), col("f_score"), col("m_score")))
+          .orderBy("user_id")
+      },
+      Some {
+        def cutSql(c: String, p: String) =
+          s"""(SELECT v FROM (SELECT $c AS v,
+             |  ROW_NUMBER() OVER (ORDER BY $c) AS rn FROM m) t, nn
+             |  WHERE rn = GREATEST(1, CAST(CEIL($p::DOUBLE * nn.n) AS BIGINT)))""".stripMargin
+        def scoreSql(c: String) =
+          Seq("0.2", "0.4", "0.6", "0.8").map(p =>
+            s"(CASE WHEN $c > ${cutSql(c, p)} THEN 1 ELSE 0 END)")
+            .mkString(" + ") + " + 1"
+        s"""WITH m AS MATERIALIZED (
+           |  SELECT user_id, max(epoch_us(ts)) AS last_us,
+           |    count(*) AS freq,
+           |    coalesce(CAST(sum(CASE WHEN event_type = 'purchase'
+           |      THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE), 0.0)
+           |      AS monet
+           |  FROM events GROUP BY user_id),
+           |nn AS MATERIALIZED (SELECT count(*) AS n FROM m)
+           |SELECT user_id,
+           |  CAST(${scoreSql("last_us")} AS BIGINT) AS r_score,
+           |  CAST(${scoreSql("freq")} AS BIGINT) AS f_score,
+           |  CAST(${scoreSql("monet")} AS BIGINT) AS m_score,
+           |  CAST(${scoreSql("last_us")} AS VARCHAR) ||
+           |  CAST(${scoreSql("freq")} AS VARCHAR) ||
+           |  CAST(${scoreSql("monet")} AS VARCHAR) AS segment
+           |FROM m ORDER BY user_id""".stripMargin
+      })
   )
 }

@@ -417,6 +417,63 @@ object Scale {
             arm("lineitem.l_orderkey", "lineitem", "l_orderkey"),
             arm("orders.o_custkey", "orders", "o_custkey"))
           .mkString("", "\nUNION ALL\n", "\nORDER BY key")
-      })
+      }),
+
+    // Cross-source quantile normalization (✚, score calibration before
+    // global filtering: a length/quality cut applied to RAW values
+    // keeps whole sources out — each source's distribution is mapped
+    // onto the GLOBAL distribution by rank, so "top half of src3"
+    // lands where "top half of the corpus" lands). Each document's
+    // within-source rank r (of n_src) maps to the global value at rank
+    // ceil(r·N / n_src) — pure integer arithmetic, (r·N + n_src −
+    // 1) div n_src, no float percentile boundaries. The global ranked
+    // table comes from the two-phase [[globalRowNumber]] machinery
+    // (range partitions + broadcast offsets — never a single-task
+    // window); within-source ranks are ordinarily partitioned windows.
+    // One shuffle joins the integer target rank against the global
+    // table's rank key.
+    QueryDef("q186_quantile_normalize",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val nGlob = docs.count()
+        val glob = globalRowNumber(
+          docs.select(col("n_chars").as("gv"), col("doc_id").as("gid")),
+          Seq(col("gv"), col("gid")))
+          .select(col("rn").as("grn"), col("gv"))
+        val bySrc = Window.partitionBy("source")
+          .orderBy(col("n_chars"), col("doc_id"))
+        val ranked = docs
+          .withColumn("r", row_number().over(bySrc).cast("long"))
+          .withColumn("n_src",
+            count(lit(1)).over(Window.partitionBy("source")))
+          .withColumn("grn",
+            expr(s"(r * ${nGlob}L + n_src - 1L) div n_src"))
+        ranked.join(glob, "grn")
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            col("gv").as("norm_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS MATERIALIZED (
+             |  SELECT doc_id, source, n_chars FROM documents),
+             |g AS MATERIALIZED (
+             |  SELECT n_chars AS gv,
+             |    ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS grn
+             |  FROM d),
+             |nn AS (SELECT count(*) AS n FROM d),
+             |r AS (
+             |  SELECT doc_id, source, n_chars,
+             |    ROW_NUMBER() OVER (PARTITION BY source
+             |      ORDER BY n_chars, doc_id) AS r,
+             |    COUNT(*) OVER (PARTITION BY source) AS n_src
+             |  FROM d),
+             |r2 AS (
+             |  SELECT doc_id, source, n_chars,
+             |    (r * nn.n + n_src - 1) // n_src AS grn
+             |  FROM r, nn)
+             |SELECT doc_id, source, n_chars, gv AS norm_chars
+             |FROM r2 JOIN g USING (grn)
+             |ORDER BY doc_id""".stripMargin))
   )
 }

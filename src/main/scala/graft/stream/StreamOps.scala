@@ -766,6 +766,43 @@ object StreamOps {
       },
       Some("""SELECT l_partkey, COUNT(*) AS n
              |FROM lineitem GROUP BY l_partkey
-             |ORDER BY n DESC, l_partkey LIMIT 10""".stripMargin))
+             |ORDER BY n DESC, l_partkey LIMIT 10""".stripMargin)),
+
+    // Streamed exact dedup with BOUNDED state (✚, q24's always-on twin
+    // done production-grade: `dropDuplicatesWithinWatermark` keeps
+    // per-key state only inside the watermark horizon, so an infinite
+    // stream doesn't accumulate infinite dedup state — the property
+    // plain streaming dropDuplicates lacks). The replay re-inserts the
+    // %13 slice ~2.8 h of event time later (the q102 re-crawl
+    // discipline); the 4 h watermark keeps those keys' state alive, so
+    // every re-insert is provably dropped: the emitted key set must
+    // equal the batch DISTINCT digest set. Event times derive from
+    // doc_id (integer seconds — exact), chunks replay in event-time
+    // order via pinned mtimes. Scale: state is one (digest,
+    // timestamp) pair per key per horizon — eviction, not growth.
+    QueryDef("q184_stream_dedup",
+      (s, d) => {
+        val docs = graft.Tables.documents(s, d)
+        val base = docs.select(md5(col("text")).as("fp"),
+          timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ts"))
+        // re-inserts land 10 000 s (~2.8 h) of event time after their
+        // original — inside the 4 h horizon, so dedup state is alive
+        val input = base.unionByName(
+          docs.where(pmod(col("doc_id"), lit(13)) === 0)
+            .select(md5(col("text")).as("fp"),
+              timestamp_seconds(lit(1700000000L) + col("doc_id") + 10000L)
+                .as("ts")))
+        val dedup = (df: org.apache.spark.sql.DataFrame) =>
+          df.withWatermark("ts", "4 hours")
+            .dropDuplicatesWithinWatermark("fp")
+            .select(col("fp"))
+        val rows = runBoundedFromPath(s, input, dedup, chunks = 3,
+          outputMode = "append", arrivalOrder = Seq(col("ts")))
+        s.createDataFrame(new java.util.ArrayList(java.util.Arrays.asList(rows: _*)),
+            dedup(input).schema)
+          .orderBy("fp")
+      },
+      Some("""SELECT DISTINCT md5(text) AS fp FROM documents
+             |ORDER BY fp""".stripMargin))
   )
 }
