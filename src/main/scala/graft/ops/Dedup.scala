@@ -652,6 +652,82 @@ object Dedup {
              |  FROM aug)
              |SELECT digest, count(*) AS n, min(vec_id) AS keeper
              |FROM q GROUP BY digest HAVING count(*) >= 2
-             |ORDER BY keeper""".stripMargin))
+             |ORDER BY keeper""".stripMargin)),
+
+    // Asymmetric containment detection (✚, the subsumption case every
+    // SYMMETRIC near-dup family misses: a 10-token quote inside a
+    // 60-token document has Jaccard ≈ 0.15 — invisible to q26/q49/
+    // q120 — but containment |A∩B|/|A| = 1.0; a curation run drops
+    // the subsumed copy, not both). Candidates block on the SHORT
+    // side's minimum shingle (order-independent anchor; for true
+    // containment every A-shingle is in B, so any single anchor has
+    // full recall — the one-anchor probe is the bounded candidate
+    // generator, df-cappable like the q26 buckets). The corpus is
+    // augmented with %31-slice prefix quotes under offset ids (the
+    // q102 discipline) so real subsumption exists to find; the gate
+    // reports containment next to Jaccard to show exactly what the
+    // symmetric score misses. Scale: one anchor-keyed equi-join;
+    // shingle arrays ride only on candidate rows (graft_ngrams —
+    // native, codegen'd).
+    QueryDef("q188_containment",
+      (s, d) => {
+        val base = Tables.documents(s, d).select("doc_id", "text")
+        val aug = base.unionByName(
+          base.where(pmod(col("doc_id"), lit(31)) === 0)
+            .select((col("doc_id") + 300000L).as("doc_id"),
+              array_join(slice(split(col("text"), " "), 1, 10), " ").as("text")))
+        val sh = aug.select(col("doc_id"),
+          org.apache.spark.sql.functions.size(split(col("text"), " ")).as("ntok"),
+          shingleArr(col("text")).as("s"))
+        val a = sh.where(col("ntok") <= 12)
+          .select(col("doc_id").as("a_id"), col("s").as("a_sh"),
+            array_min(col("s")).as("anchor"))
+        val b = sh.where(col("ntok") > 12)
+          .select(col("doc_id").as("b_id"), col("s").as("b_sh"),
+            explode(col("s")).as("shingle"))
+        val inter = org.apache.spark.sql.functions.size(
+          array_intersect(col("a_sh"), col("b_sh")))
+        a.join(b, col("anchor") === col("shingle"))
+          .select(col("a_id"), col("b_id"),
+            round(inter.cast("double") /
+              org.apache.spark.sql.functions.size(col("a_sh")), 6).as("containment"),
+            round(inter.cast("double") /
+              (org.apache.spark.sql.functions.size(col("a_sh")) +
+               org.apache.spark.sql.functions.size(col("b_sh")) - inter), 6)
+              .as("jaccard"))
+          .where(col("containment") >= 0.8)
+          .orderBy("a_id", "b_id")
+      },
+      Some("""WITH base AS (SELECT doc_id, text FROM documents),
+             |aug AS (
+             |  SELECT doc_id, text FROM base
+             |  UNION ALL
+             |  SELECT doc_id + 300000,
+             |    array_to_string(string_split(text, ' ')[1:10], ' ')
+             |  FROM base WHERE doc_id % 31 = 0),
+             |sh AS (
+             |  SELECT doc_id, len(string_split(text, ' ')) AS ntok,
+             |    list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
+             |      THEN list_transform(range(len(string_split(text, ' ')) - 2),
+             |        i -> string_split(text, ' ')[i+1] || ' ' ||
+             |             string_split(text, ' ')[i+2] || ' ' ||
+             |             string_split(text, ' ')[i+3])
+             |      ELSE [text] END) AS s
+             |  FROM aug),
+             |a AS (SELECT doc_id AS a_id, s AS a_sh,
+             |        list_aggregate(s, 'min') AS anchor
+             |      FROM sh WHERE ntok <= 12),
+             |b AS (SELECT doc_id AS b_id, s AS b_sh, unnest(s) AS shingle
+             |      FROM sh WHERE ntok > 12),
+             |p AS (
+             |  SELECT a_id, b_id,
+             |    len(list_filter(a_sh, x -> list_contains(b_sh, x))) AS inter,
+             |    len(a_sh) AS la, len(b_sh) AS lb
+             |  FROM a JOIN b ON anchor = shingle)
+             |SELECT a_id, b_id,
+             |  round(CAST(inter AS DOUBLE) / la, 6) AS containment,
+             |  round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) AS jaccard
+             |FROM p WHERE round(CAST(inter AS DOUBLE) / la, 6) >= 0.8
+             |ORDER BY a_id, b_id""".stripMargin))
   )
 }

@@ -16,6 +16,11 @@ final case class AnomFlag(event_id: Long, user_id: Long, event_type: String,
   value: Double, z: Double)
 final case class RangeFeat(event_id: Long, user_id: Long, ts_us: Long,
   n_1h: Long, sum_1h: Double)
+final case class IvEvent(user_id: Long, event_id: Long, st: Long, en: Long)
+final case class IvUpd(user_id: Long, k: Long, n_islands: Long,
+  covered_us: Long)
+final case class IvState(curSt: Long, curEn: Long, closedCov: Long,
+  nClosed: Long, k: Long)
 
 /** Event-time streaming operators (✚ extensions; the reference's push
   * pipelines are unbounded but have no event time, SURVEY.md §2.7).
@@ -803,6 +808,87 @@ object StreamOps {
           .orderBy("fp")
       },
       Some("""SELECT DISTINCT md5(text) AS fp FROM documents
-             |ORDER BY fp""".stripMargin))
+             |ORDER BY fp""".stripMargin)),
+
+    // Streamed interval union (✚, q178's always-on twin through
+    // ARBITRARY keyed state — flatMapGroupsWithState carrying each
+    // user's open island across micro-batch boundaries, the coverage
+    // accounting a live SLA/dwell-time monitor keeps; the island that
+    // STRADDLES a chunk edge is the thing under test). Each arrival
+    // emits the user's running totals INCLUDING the open island, so
+    // the user's last update (arg-max over the per-user arrival
+    // counter carried in state — a selection, not a recomputation)
+    // must equal the batch sweep-line answer. State per user is one
+    // open-island triple + two counters, constant forever; arrivals
+    // replay in event-time order (the arrivalOrder contract), and
+    // within a batch the operator sorts its own group slice.
+    QueryDef("q187_stream_interval_union",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+        val span = 300000000L
+        val input = graft.Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("st"),
+            (unix_micros(col("ts")) + span).as("en"))
+        val union = (df: org.apache.spark.sql.DataFrame) => {
+          val sp = df.sparkSession
+          import sp.implicits._
+          df.as[IvEvent].groupByKey(_.user_id)
+            .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+              (uid: Long, it: Iterator[IvEvent], state: GroupState[IvState]) =>
+                var st = state.getOption.getOrElse(IvState(-1L, -1L, 0L, 0L, 0L))
+                val out = Seq.newBuilder[IvUpd]
+                it.toSeq.sortBy(e => (e.st, e.event_id)).foreach { e =>
+                  st =
+                    if (st.curSt < 0)
+                      IvState(e.st, e.en, 0L, 0L, st.k + 1)
+                    else if (e.st > st.curEn)
+                      IvState(e.st, e.en,
+                        st.closedCov + (st.curEn - st.curSt),
+                        st.nClosed + 1, st.k + 1)
+                    else
+                      IvState(st.curSt, math.max(st.curEn, e.en),
+                        st.closedCov, st.nClosed, st.k + 1)
+                  out += IvUpd(uid, st.k, st.nClosed + 1,
+                    st.closedCov + (st.curEn - st.curSt))
+                }
+                state.update(st)
+                out.result().iterator
+            }.toDF()
+        }
+        val rows = runBoundedFromPath(s, input, union, chunks = 3,
+          outputMode = "append", arrivalOrder = Seq(col("st"), col("event_id")))
+        s.createDataFrame(new java.util.ArrayList(java.util.Arrays.asList(rows: _*)),
+            org.apache.spark.sql.Encoders.product[IvUpd].schema)
+          .groupBy("user_id")
+          .agg(max(struct(col("k"), col("n_islands"), col("covered_us"))).as("m"))
+          .select(col("user_id"), col("m.n_islands").as("n_islands"),
+            col("m.covered_us").as("covered_us"))
+          .orderBy("user_id")
+      },
+      // identical totals to batch q178's oracle — the carried state
+      // must reproduce the batch sweep-line exactly
+      Some("""WITH iv AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS st,
+             |    epoch_us(ts) + 300000000 AS en
+             |  FROM events),
+             |m AS (
+             |  SELECT user_id, event_id, st, en,
+             |    max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_en
+             |  FROM iv),
+             |f AS (
+             |  SELECT user_id, st, en,
+             |    sum(CASE WHEN prev_max_en IS NULL OR st > prev_max_en
+             |        THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY user_id ORDER BY st, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+             |  FROM m),
+             |isl AS (
+             |  SELECT user_id, island, min(st) AS ist, max(en) AS ien
+             |  FROM f GROUP BY user_id, island)
+             |SELECT user_id, count(*) AS n_islands,
+             |  CAST(sum(ien - ist) AS BIGINT) AS covered_us
+             |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }
