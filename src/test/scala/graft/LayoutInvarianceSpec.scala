@@ -44,7 +44,16 @@ class LayoutInvarianceSpec extends AnyFunSuite {
     // materialize rounds + md5 buckets) and the skew report's
     // refinement-path quantiles over a pinned counts table
     "q147_split_leakage",
-    "q155_skew_report")
+    "q155_skew_report",
+    // round-9 continuation: two-phase global ranks feeding OLS terms
+    // (q171) and a rank-keyed join (q186), multi-selection refinement
+    // cuts (q168 global, q185 ×12), and the post-repartition
+    // quantize-digest lambda (q180 — the q83/q143 shape)
+    "q168_mad_outliers",
+    "q171_zipf_fit",
+    "q180_embed_dedup",
+    "q185_rfm_scores",
+    "q186_quantile_normalize")
 
   private def contents(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf).collect()
