@@ -24,11 +24,22 @@ object Tables {
   def documents(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/documents.parquet")
   def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/embeddings.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it arrives as
-    * Long ns-since-epoch. Convert to a microsecond timestamp — exactly the
-    * coercion DuckDB applies when it reads the same file, so oracle SQL can
-    * use `ts` directly. */
-  def events(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) (arrives as Long
+    * ns-since-epoch under nanosAsLong) and as TIMESTAMP(MICROS)
+    * (arrives as TIMESTAMP_NTZ). Normalize either encoding to a
+    * microsecond TIMESTAMP — with the session pinned to UTC this is
+    * exactly the naive value DuckDB reads from the same file, so oracle
+    * SQL can use `ts` directly and every downstream query sees one type
+    * regardless of which corpus generation produced the file. */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        // TIMESTAMP_NTZ (or already-TZ) → session-UTC TIMESTAMP: the
+        // wall-clock digits are preserved, micros-since-epoch identical.
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
 }
