@@ -373,6 +373,56 @@ object Similarity {
              |SELECT pos, count(*) AS n, lo, hi,
              |  round(CAST(sum(e2) AS DOUBLE) / count(*), 9) AS mse,
              |  CAST(max(e2) AS DOUBLE) AS max_e2
-             |FROM r GROUP BY pos, lo, hi ORDER BY pos""".stripMargin))
+             |FROM r GROUP BY pos, lo, hi ORDER BY pos""".stripMargin)),
+
+    // 2-D grid-bucketed ε-neighbor join (✚, the spatial self-join every
+    // geo/layout pipeline needs — "all pairs within distance ε" without
+    // the O(n²) cross join): points land in ⌊x/ε⌋×⌊y/ε⌋ cells; the
+    // probe side explodes to its 3×3 cell neighborhood and the pair
+    // join becomes an EQUALITY join on the cell key. Any pair within ε
+    // differs by ≤1 cell per axis, so exactly one of the nine probes
+    // hits the build side's home cell — full recall, no dedup beyond
+    // the id order. Scale: one equi-shuffle on cell keys with a
+    // bounded 9× probe duplication (vs n²/2 candidate pairs); dense
+    // cells are an AQE-skew/salting case like any hot join key. The
+    // oracle is the brute-force all-pairs filter — feasible at sf0.01,
+    // exactly what the grid must reproduce. Coordinates are the first
+    // two embedding dims (float→double exact on both engines);
+    // distances rounded@6 with the identical expression shape.
+    QueryDef("q189_grid_epsilon_join",
+      (s, d) => {
+        val eps = 0.02
+        val pts = Tables.embeddings(s, d).select(col("vec_id"),
+          element_at(Vectors.asDouble(col("embedding")), 1).as("x"),
+          element_at(Vectors.asDouble(col("embedding")), 2).as("y"))
+        val cells = pts
+          .withColumn("cx", floor(col("x") / eps).cast("long"))
+          .withColumn("cy", floor(col("y") / eps).cast("long"))
+        val build = cells.select(col("vec_id").as("a_id"),
+          col("x").as("ax"), col("y").as("ay"), col("cx"), col("cy"))
+        val probe = cells.select(col("vec_id").as("b_id"),
+            col("x").as("bx"), col("y").as("by"),
+            col("cx").as("bcx"), col("cy").as("bcy"))
+          .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+          .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+          .select(col("b_id"), col("bx"), col("by"),
+            (col("bcx") + col("dx")).as("pcx"), (col("bcy") + col("dy")).as("pcy"))
+        val dist = round(sqrt((col("ax") - col("bx")) * (col("ax") - col("bx")) +
+          (col("ay") - col("by")) * (col("ay") - col("by"))), 6)
+        build.join(probe,
+            col("cx") === col("pcx") && col("cy") === col("pcy") &&
+              col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"), dist.as("dist"))
+          .where(col("dist") <= eps)
+          .orderBy("a_id", "b_id")
+      },
+      Some("""WITH p AS (
+             |  SELECT vec_id, embedding[1]::DOUBLE AS x, embedding[2]::DOUBLE AS y
+             |  FROM embeddings)
+             |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             |  round(sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)), 6) AS dist
+             |FROM p a JOIN p b ON a.vec_id < b.vec_id
+             |WHERE round(sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)), 6) <= 0.02
+             |ORDER BY a_id, b_id""".stripMargin))
   )
 }
