@@ -71,15 +71,23 @@ object Bench {
         i += 1
       }
       val err = runs.collectFirst { case (_, Some(e)) => e }
-      val times = runs.collect { case (t, None) => t }.sorted
-      if (times.isEmpty) (name, -1.0, 0.0, err)
-      else (name, times(times.size / 2), times.last - times.head, err)
+      val raw = runs.collect { case (t, None) => t }.toSeq // run order
+      val times = raw.sorted
+      if (times.isEmpty) (name, -1.0, 0.0, err, raw)
+      else (name, times(times.size / 2), times.last - times.head, err, raw)
     }
-    val qs = results.map { case (k, v, _, err) =>
+    val qs = results.map { case (k, v, _, err, _) =>
       "\"" + k + "\":" + (if (err.isDefined) "-1" else v.toString)
     }.mkString("{", ",", "}")
-    val spreads = results.map { case (k, _, sp, _) =>
+    val spreads = results.map { case (k, _, sp, _, _) =>
       "\"" + k + "\":" + sp.toString
+    }.mkString("{", ",", "}")
+    // Raw per-iteration times in RUN ORDER: medians hide storm windows
+    // (a 9.95 s median with a 14.2 s spread is unadjudicable from the
+    // record alone — VERDICT r9 "what's wrong" #3). With the raw array
+    // a one-off contended iteration is visible mechanically.
+    val itersRaw = results.map { case (k, _, _, _, raw) =>
+      "\"" + k + "\":" + raw.map(t => f"$t%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     // full JSON string escaping: Spark analysis errors routinely embed
     // newlines/plans in the first line of the message
@@ -92,15 +100,15 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
-    val errs = results.collect { case (k, _, _, Some(e)) =>
+    val errs = results.collect { case (k, _, _, Some(e), _) =>
       "\"" + k + "\":\"" + jsonEscape(e) + "\""
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v, _, None) => v }.sum
+    val total = results.collect { case (_, v, _, None, _) => v }.sum
     val nErr = results.count(_._4.isDefined)
     // the driver stores the TAIL of this line when it truncates — the
     // per-query map (large, alphabetical) goes FIRST so the summary
     // scalars (total/n_errors/sf) at the END survive any truncation
-    val line = s"""{"metric":"total","queries":$qs,"iters":$iters,"spread":$spreads,"errors":$errs,"unit":"sec","sf":"$sfDir","n_errors":$nErr,"value":$total}"""
+    val line = s"""{"metric":"total","queries":$qs,"iters":$iters,"spread":$spreads,"iters_raw":$itersRaw,"errors":$errs,"unit":"sec","sf":"$sfDir","n_errors":$nErr,"value":$total}"""
     println(line)
     // The driver's BENCH_rN.json keeps only a log tail (r7/r8 records
     // retained 51 of 134 per-query entries and no spreads — VERDICT r8

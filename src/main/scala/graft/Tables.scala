@@ -36,10 +36,18 @@ object Tables {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ =>
-        // TIMESTAMP_NTZ (or already-TZ) → session-UTC TIMESTAMP: the
-        // wall-clock digits are preserved, micros-since-epoch identical.
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // NTZ → session-UTC TIMESTAMP: the wall-clock digits are
+        // preserved, micros-since-epoch identical.
         raw.withColumn("ts", col("ts").cast("timestamp"))
+      case org.apache.spark.sql.types.TimestampType =>
+        raw
+      case other =>
+        // Fail fast on a new corpus encoding (string, INT96, …) instead
+        // of letting a blind cast surface as silent nulls downstream.
+        throw new IllegalStateException(
+          s"events.ts: unexpected parquet type $other; expected " +
+            "TIMESTAMP(NANOS)-as-Long, TIMESTAMP_NTZ, or TIMESTAMP")
     }
   }
 }

@@ -407,13 +407,18 @@ object Similarity {
           .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
           .select(col("b_id"), col("bx"), col("by"),
             (col("bcx") + col("dx")).as("pcx"), (col("bcy") + col("dy")).as("pcy"))
-        val dist = round(sqrt((col("ax") - col("bx")) * (col("ax") - col("bx")) +
-          (col("ay") - col("by")) * (col("ay") - col("by"))), 6)
+        // Filter on the UNROUNDED distance: the 3×3 neighborhood only
+        // guarantees candidates for true dist ≤ ε, so keeping pairs by a
+        // rounded value would admit a dist ∈ (ε, ε+5e-7] band the grid
+        // can miss — a latent data-dependent recall gap. Rounding is for
+        // the *output* column only, mirrored exactly in the oracle.
+        val rawDist = sqrt((col("ax") - col("bx")) * (col("ax") - col("bx")) +
+          (col("ay") - col("by")) * (col("ay") - col("by")))
         build.join(probe,
             col("cx") === col("pcx") && col("cy") === col("pcy") &&
               col("a_id") < col("b_id"))
-          .select(col("a_id"), col("b_id"), dist.as("dist"))
-          .where(col("dist") <= eps)
+          .where(rawDist <= eps)
+          .select(col("a_id"), col("b_id"), round(rawDist, 6).as("dist"))
           .orderBy("a_id", "b_id")
       },
       Some("""WITH p AS (
@@ -422,7 +427,7 @@ object Similarity {
              |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
              |  round(sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)), 6) AS dist
              |FROM p a JOIN p b ON a.vec_id < b.vec_id
-             |WHERE round(sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)), 6) <= 0.02
+             |WHERE sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) <= 0.02
              |ORDER BY a_id, b_id""".stripMargin))
   )
 }

@@ -112,4 +112,64 @@ object Push {
     def put(chunk: Seq[T]): Unit = { source.addData(chunk); query.processAllAvailable() }
     def close(): Unit = query.stop()
   }
+
+  /** Fan-out push pipeline (demux/multicast) — the push-mode face of
+    * flod's own roadmap item (README.md:46-47, "multiplexing and
+    * demultiplexing streams"): ONE MemoryStream source, ONE streaming
+    * query, TWO collector sinks with independent capacity limits and
+    * independent route transforms (overlapping routes multicast,
+    * disjoint ones demux). Each micro-batch is pinned (`persist`) so
+    * both routes observe identical rows.
+    *
+    * Backpressure: `put` returns the MINIMUM remaining room across the
+    * two sinks — flod's short-write halt contract (adapter.d:110-113)
+    * extended across a demux: the producer must stop as soon as ANY
+    * branch is full, else that branch drops data. 0 = stop. */
+  final class PushTee[T: Encoder] private[Push] (spark: SparkSession,
+      routeA: Dataset[T] => Dataset[T], limitA: Long,
+      routeB: Dataset[T] => Dataset[T], limitB: Long) {
+    private val source = MemoryStream[T](spark)
+    private val sinkA = ArrayBuffer.empty[T]
+    private val sinkB = ArrayBuffer.empty[T]
+
+    private val query: StreamingQuery =
+      source.toDS().writeStream.outputMode("append")
+        .foreachBatch { (batch: Dataset[T], _: Long) =>
+          batch.persist()
+          try {
+            val ra = routeA(batch).collect()
+            val rb = routeB(batch).collect()
+            sinkA.synchronized {
+              sinkA ++= ra.take((limitA - sinkA.length).max(0L).toInt) }
+            sinkB.synchronized {
+              sinkB ++= rb.take((limitB - sinkB.length).max(0L).toInt) }
+          } finally { batch.unpersist(); () }
+          ()
+        }
+        .start()
+
+    /** Push one chunk; returns min remaining room across both sinks. */
+    def put(chunk: Seq[T]): Long = {
+      source.addData(chunk)
+      query.processAllAvailable()
+      // int locals first: inlining the synchronized-block result into
+      // the long subtraction trips a scalac bytecode-verifier bug
+      val lenA: Int = sinkA.synchronized(sinkA.length)
+      val lenB: Int = sinkB.synchronized(sinkB.length)
+      val roomA = limitA - lenA.toLong
+      val roomB = limitB - lenB.toLong
+      math.max(0L, math.min(roomA, roomB))
+    }
+
+    def resultA: Seq[T] = sinkA.synchronized(sinkA.toVector)
+    def resultB: Seq[T] = sinkB.synchronized(sinkB.toVector)
+    def close(): Unit = query.stop()
+  }
+
+  /** Build a [[PushTee]]: two routed, capacity-limited sinks off one
+    * pushed stream. */
+  def tee[T: Encoder](spark: SparkSession,
+                      routeA: Dataset[T] => Dataset[T], limitA: Long,
+                      routeB: Dataset[T] => Dataset[T], limitB: Long): PushTee[T] =
+    new PushTee[T](spark, routeA, limitA, routeB, limitB)
 }

@@ -129,52 +129,129 @@ object StreamOps {
                          arrivalOrder: Seq[org.apache.spark.sql.Column] = Nil): Seq[org.apache.spark.sql.Row] = {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
     try {
-      // arrivalOrder simulates a source that honors the watermark's
-      // bounded-disorder contract: chunks are event-time ranges written
-      // oldest-first (strictly increasing mtimes), so the file source
-      // replays them in order and no row arrives behind the watermark.
-      // Watermark-free transforms (pure aggregations) can skip it —
-      // their arithmetic is arrival-order-independent by construction.
-      if (arrivalOrder.isEmpty)
-        input.repartition(chunks).write.mode("overwrite").parquet(dir)
-      else {
-        val ranged = input.repartitionByRange(chunks, arrivalOrder: _*)
-          .withColumn("_chunk", spark_partition_id()).localCheckpoint()
-        // FileStreamSource orders files by modification time; filesystem
-        // mtime granularity can be as coarse as 1 s, so write-order
-        // timestamps alone don't guarantee the replay order. Stamp each
-        // chunk's files EXPLICITLY with strictly increasing mtimes
-        // (distinct within a chunk too) and verify the stamp took.
-        // stamps are whole seconds (coarsest common granularity) counted
-        // back from now, strictly increasing across AND within chunks
-        var seq = 0L
-        val stamped = scala.collection.mutable.Set.empty[String]
-        val base = (System.currentTimeMillis() / 1000L) * 1000L - 60L * 1000L
-        (0 until chunks).foreach { i =>
-          ranged.where(col("_chunk") === i).drop("_chunk")
-            .write.mode(if (i == 0) "overwrite" else "append").parquet(dir)
-          val fresh = new java.io.File(dir).listFiles
-            .filter(f => f.getName.endsWith(".parquet") && !stamped(f.getName))
-            .sortBy(_.getName)
-          fresh.foreach { f =>
-            val t = base + seq * 1000L
-            seq += 1
-            require(f.setLastModified(t) && f.lastModified() == t,
-              s"cannot pin mtime of $f — arrival-ordered replay would be " +
-                "nondeterministic on this filesystem")
-            stamped += f.getName
-          }
-        }
-      }
+      writeChunkedOrdered(input, dir, chunks, arrivalOrder)
       val source = spark.readStream.schema(input.schema)
         .option("maxFilesPerTrigger", "1").parquet(dir)
       collectBounded(spark, source, transform, statePartitions, outputMode)(())
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+    } finally rmTree(new java.io.File(dir))
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(rmTree)); f.delete()
+  }
+
+  /** Write `input` into `dir` as `chunks` parquet file groups for
+    * file-source replay. With `arrivalOrder` set, simulates a source
+    * that honors the watermark's bounded-disorder contract: chunks are
+    * event-time ranges written oldest-first with strictly increasing,
+    * explicitly pinned mtimes, so the file source replays them in order
+    * and no row arrives behind the watermark. Watermark-free transforms
+    * (pure aggregations) can skip it — their arithmetic is
+    * arrival-order-independent by construction. */
+  private def writeChunkedOrdered(input: DataFrame, dir: String, chunks: Int,
+      arrivalOrder: Seq[org.apache.spark.sql.Column]): Unit = {
+    if (arrivalOrder.isEmpty)
+      input.repartition(chunks).write.mode("overwrite").parquet(dir)
+    else {
+      val ranged = input.repartitionByRange(chunks, arrivalOrder: _*)
+        .withColumn("_chunk", spark_partition_id()).localCheckpoint()
+      // FileStreamSource orders files by modification time; filesystem
+      // mtime granularity can be as coarse as 1 s, so write-order
+      // timestamps alone don't guarantee the replay order. Stamp each
+      // chunk's files EXPLICITLY with strictly increasing mtimes
+      // (distinct within a chunk too) and verify the stamp took.
+      // stamps are whole seconds (coarsest common granularity) counted
+      // back from now, strictly increasing across AND within chunks
+      var seq = 0L
+      val stamped = scala.collection.mutable.Set.empty[String]
+      val base = (System.currentTimeMillis() / 1000L) * 1000L - 60L * 1000L
+      (0 until chunks).foreach { i =>
+        ranged.where(col("_chunk") === i).drop("_chunk")
+          .write.mode(if (i == 0) "overwrite" else "append").parquet(dir)
+        val fresh = new java.io.File(dir).listFiles
+          .filter(f => f.getName.endsWith(".parquet") && !stamped(f.getName))
+          .sortBy(_.getName)
+        fresh.foreach { f =>
+          val t = base + seq * 1000L
+          seq += 1
+          require(f.setLastModified(t) && f.lastModified() == t,
+            s"cannot pin mtime of $f — arrival-ordered replay would be " +
+              "nondeterministic on this filesystem")
+          stamped += f.getName
+        }
       }
-      rm(new java.io.File(dir))
     }
+  }
+
+  /** Fan-in (mux): N bounded file-stream sources driven through ONE
+    * streaming query — the union side of the reference's own roadmap
+    * item (flod README.md:46-47, "multiplexing and demultiplexing
+    * streams", unchecked upstream). Each input replays from its own
+    * landing directory (independent mtime-pinned arrival order — real
+    * multi-feed ingestion has no global order); `transform` receives
+    * the raw per-source streams so it can place a watermark on EACH
+    * branch before the union — Spark then advances the query watermark
+    * as the MIN across sources, the only safe merge semantics (a fast
+    * feed must not expire state a slow feed still needs).
+    * Scale: the union is a no-shuffle plan node; state cost is the
+    * stateful op's own, unchanged by source count. */
+  def runBoundedFanIn(spark: SparkSession, inputs: Seq[DataFrame],
+                      transform: Seq[DataFrame] => DataFrame,
+                      chunks: Int = 2,
+                      statePartitions: Int = 8,
+                      outputMode: String = "complete",
+                      arrivalOrder: Seq[org.apache.spark.sql.Column] = Nil): Seq[org.apache.spark.sql.Row] = {
+    require(inputs.nonEmpty, "fan-in needs at least one source")
+    val dirs = inputs.map(_ =>
+      java.nio.file.Files.createTempDirectory("graft-fanin-src").toString)
+    try {
+      inputs.zip(dirs).foreach { case (in, dir) =>
+        writeChunkedOrdered(in, dir, chunks, arrivalOrder) }
+      val sources = inputs.zip(dirs).map { case (in, dir) =>
+        spark.readStream.schema(in.schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir) }
+      collectBounded(spark, sources.head, _ => transform(sources),
+        statePartitions, outputMode)(())
+    } finally dirs.foreach(d => rmTree(new java.io.File(d)))
+  }
+
+  /** Fan-out (demux/multicast): ONE streaming query feeding N sinks with
+    * per-batch-consistent writes — the demux side of flod's roadmap item
+    * (README.md:46-47). `foreachBatch` is Spark's multi-sink primitive:
+    * the micro-batch is pinned (`persist`) so every route observes the
+    * SAME rows — no per-sink recomputation divergence — then each
+    * route's transform is appended to its own parquet sink by the
+    * executors (nothing driver-side). `consume` reads the finished
+    * sinks back; the returned result is materialized BEFORE the sink
+    * directories are deleted. At production scale this is the standing
+    * pattern for one computed stream serving raw-retention + rollup
+    * sinks from a single pass over the source. */
+  def runBoundedFanOut(spark: SparkSession, input: DataFrame,
+                       routes: Seq[(String, DataFrame => DataFrame)],
+                       chunks: Int = 3)
+                      (consume: Map[String, DataFrame] => DataFrame): DataFrame = {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-fanout-src").toString
+    val sinkBase = java.nio.file.Files.createTempDirectory("graft-fanout-sink").toString
+    try {
+      writeChunkedOrdered(input, srcDir, chunks, Nil)
+      val source = spark.readStream.schema(input.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = source.writeStream.outputMode("append")
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.persist()
+          try routes.foreach { case (name, f) =>
+            f(batch.toDF()).write.mode("append").parquet(s"$sinkBase/$name")
+          } finally { batch.unpersist(); () }
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      val sinks = routes.map { case (name, _) =>
+        name -> spark.read.parquet(s"$sinkBase/$name") }.toMap
+      val out = consume(sinks)
+      val rows = out.collect()
+      spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), out.schema)
+    } finally { rmTree(new java.io.File(srcDir)); rmTree(new java.io.File(sinkBase)) }
   }
 
   /** Stream-stream interval join: purchases within 30 minutes after a
@@ -889,6 +966,94 @@ object StreamOps {
              |  FROM f GROUP BY user_id, island)
              |SELECT user_id, count(*) AS n_islands,
              |  CAST(sum(ien - ist) AS BIGINT) AS covered_us
-             |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin))
+             |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Stream fan-out (✚, demux + rollup multicast — the reference's OWN
+    // unchecked roadmap item, flod README.md:46-47 "multiplexing and
+    // demultiplexing streams", in its Spark form): ONE streaming query
+    // over the events feed serves TWO sinks per micro-batch via
+    // foreachBatch — (a) "hot": the raw click/purchase rows (the
+    // retention sink), (b) "digest": per-batch partial aggregates per
+    // event_type (the rollup sink). The batch is pinned (persist) so
+    // both routes observe identical rows, and writes are executor-side
+    // parquet appends. The gate is DUAL: the hot sink re-aggregated
+    // AND the digest sink's partials re-combined must each hash-match
+    // the batch oracle — a batch written to one sink but not the
+    // other, or recomputed between writes, breaks one half. Partials
+    // sum in DECIMAL so recombination is order-exact. Scale: one pass
+    // over the source regardless of sink count; each sink write is a
+    // partitioned append, no driver staging, no second scan.
+    QueryDef("q190_stream_fanout",
+      (s, d) => {
+        val input = graft.Tables.events(s, d)
+          .select(col("event_id"), col("event_type"), col("value"))
+        val routes = Seq[(String, DataFrame => DataFrame)](
+          "hot" -> (b => b.where(col("event_type").isin("click", "purchase"))),
+          "digest" -> (b => b.groupBy("event_type")
+            .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"),
+                 sum(graft.QueryDef.dec(col("value"))).as("v_sum"))))
+        runBoundedFanOut(s, input, routes, chunks = 3) { sinks =>
+          val hotAgg = sinks("hot").groupBy("event_type")
+            .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"),
+                 dsum(col("value")).as("sum_value"))
+            .withColumn("sink", lit("hot"))
+          val digAgg = sinks("digest").groupBy("event_type")
+            .agg(sum(col("n")).as("n"), sum(col("id_sum")).as("id_sum"),
+                 sum(col("v_sum")).cast("double").as("sum_value"))
+            .withColumn("sink", lit("digest"))
+          hotAgg.unionByName(digAgg)
+            .select(col("sink"), col("event_type"), col("n"),
+                    col("id_sum"), col("sum_value"))
+        }.orderBy("sink", "event_type")
+      },
+      Some("""SELECT 'hot' AS sink, event_type, count(*) AS n,
+             |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+             |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+             |FROM events WHERE event_type IN ('click','purchase')
+             |GROUP BY event_type
+             |UNION ALL
+             |SELECT 'digest' AS sink, event_type, count(*) AS n,
+             |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+             |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY event_type
+             |ORDER BY sink, event_type""".stripMargin)),
+
+    // Stream fan-in (✚, the mux side of flod README.md:46-47): TWO
+    // independent landing-directory feeds — documents split by doc_id
+    // parity — merged by union into ONE watermark-bounded streamed
+    // dedup (the q184 discipline). Each branch carries its OWN
+    // watermark, so the query watermark advances as the MIN across
+    // sources: a fast feed cannot expire dedup state a slow feed still
+    // needs. The adversarial bit: every 26th doc (an EVEN one, living
+    // on feed A) re-enters on feed B ~2.8 h of event time later — a
+    // CROSS-STREAM duplicate that only state shared across the union
+    // can suppress. Emitted keys must equal the batch DISTINCT set.
+    // Scale: union adds no shuffle and no state of its own; dedup
+    // state is one digest per key per watermark horizon, unchanged by
+    // source count.
+    QueryDef("q191_stream_fanin",
+      (s, d) => {
+        val docs = graft.Tables.documents(s, d)
+        def shaped(df: DataFrame, tsShift: Long): DataFrame =
+          df.select(md5(col("text")).as("fp"),
+            timestamp_seconds(lit(1700000000L) + col("doc_id") + tsShift).as("ts"))
+        val feedA = shaped(docs.where(pmod(col("doc_id"), lit(2)) === 0), 0L)
+        val feedB = shaped(docs.where(pmod(col("doc_id"), lit(2)) === 1), 0L)
+          .unionByName(shaped(docs.where(pmod(col("doc_id"), lit(26)) === 0), 10000L))
+        val dedup = (srcs: Seq[DataFrame]) =>
+          srcs.map(_.withWatermark("ts", "4 hours"))
+            .reduce(_.unionByName(_))
+            .dropDuplicatesWithinWatermark("fp")
+            .select(col("fp"))
+        val rows = runBoundedFanIn(s, Seq(feedA, feedB), dedup, chunks = 3,
+          outputMode = "append", arrivalOrder = Seq(col("ts")))
+        s.createDataFrame(new java.util.ArrayList(java.util.Arrays.asList(rows: _*)),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("fp",
+                org.apache.spark.sql.types.StringType, nullable = true))))
+          .orderBy("fp")
+      },
+      Some("""SELECT DISTINCT md5(text) AS fp FROM documents
+             |ORDER BY fp""".stripMargin))
   )
 }

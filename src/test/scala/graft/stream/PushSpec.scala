@@ -54,6 +54,31 @@ class PushSpec extends AnyFunSuite {
     assert(got == Seq(0L, 1L, 2L) && stops == 1)
   }
 
+  test("tee fan-out: most-constrained sink drives backpressure across the demux") {
+    // route A multicasts everything (cap 8); route B keeps evens only
+    // (cap 2). put must report the MIN remaining room: once B fills,
+    // the producer halts even though A still has space — the flod
+    // short-write contract (adapter.d:110-113) across a fan-out.
+    val p = Push.tee[Long](spark, identity, 8L, _.filter(_ % 2 == 0), 2L)
+    try {
+      assert(p.put(Seq(1L, 2L, 3L)) == 1)       // A: 3/8 → 5; B: {2} 1/2 → 1
+      assert(p.put(Seq(4L, 5L)) == 0)           // B full ({2,4}): stop signal
+      assert(p.resultA == Seq(1L, 2L, 3L, 4L, 5L))
+      assert(p.resultB == Seq(2L, 4L))
+    } finally p.close()
+  }
+
+  test("tee fan-out: disjoint routes partition one pushed stream consistently") {
+    val p = Push.tee[Long](spark, _.filter(_ % 2 == 0), 100L,
+                                  _.filter(_ % 2 == 1), 100L)
+    try {
+      p.put(Seq(1L, 2L, 3L, 4L)); p.put(Seq(5L, 6L))
+      assert(p.resultA == Seq(2L, 4L, 6L))
+      assert(p.resultB == Seq(1L, 3L, 5L))
+      assert((p.resultA ++ p.resultB).sorted == (1L to 6L)) // demux loses nothing
+    } finally p.close()
+  }
+
   test("toPath sink writes micro-batches distributed, nothing at the driver") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pushsink").toString + "/out"
     val sink = Push.toPath[Long, Long](spark, dir)(_.map(_ * 2))
