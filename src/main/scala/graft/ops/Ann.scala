@@ -243,6 +243,67 @@ object Ann {
       .orderBy("cell")
   }
 
+  /** Incremental IVF index update — the lifecycle operator the
+    * q96/q102/q136/q137/q138 loop audits around but never performs:
+    * absorb a corpus DELTA into a standing IVF index without touching
+    * the prior corpus. Under PINNED centroids, cell assignment is
+    * per-vector — so the upsert is exactly: assign the delta (one
+    * narrow codegen'd argmin pass over the delta ONLY), append to the
+    * posting lists, bump per-cell counts. The prior corpus is never
+    * re-scanned; that is the entire point at 100 TB (a daily 0.1%
+    * delta costs 0.1% of an index rebuild).
+    *
+    * Gate (the q137/q138 merge-gate pattern): prior⊎delta must equal
+    * the full rebuild's assignment table — per cell AND per vector
+    * (`mismatch` counts vec_ids whose cell differs between the merged
+    * and rebuilt tables; it must be 0 under unchanged centroids).
+    * The rebuild side exists only to gate the arithmetic; the
+    * production artifact is the delta-only path.
+    *
+    * Re-fit signal: `delta_bp` (basis points of each cell's merged
+    * population that arrived via deltas, integer division — the
+    * q136 shift_bp discipline) with `refit` raised at ≥ `refitBp`.
+    * A pipeline owner chains a raised flag into the q136 drift audit
+    * and, if that confirms, re-ships the quantizer. */
+  def ivfUpsert(prior: DataFrame, delta: DataFrame,
+                cents: Array[Array[Double]], refitBp: Long = 2000L): DataFrame = {
+    val priorA = prior.withColumn("cell", cellCol(col("v"), cents))
+      .select(col("vec_id"), col("cell"), lit("prior").as("src"))
+    val deltaA = delta.withColumn("cell", cellCol(col("v"), cents))
+      .select(col("vec_id"), col("cell"), lit("delta").as("src"))
+    val merged = priorA.unionByName(deltaA)
+    val rebuilt = prior.unionByName(delta)
+      .withColumn("cell_full", cellCol(col("v"), cents))
+      .select(col("vec_id"), col("cell_full"))
+    // per-vector equality audit: full outer so a LOST or EXTRA id
+    // surfaces as a mismatch, not a silently smaller count
+    val mm = merged.select(col("vec_id"), col("cell"))
+      .join(rebuilt, Seq("vec_id"), "full_outer")
+      .where(col("cell").isNull || col("cell_full").isNull ||
+        col("cell") =!= col("cell_full"))
+      .groupBy(coalesce(col("cell_full"), col("cell")).as("cell"))
+      .agg(count(lit(1)).as("mismatch"))
+    val mCounts = merged.groupBy("cell")
+      .agg(sum(when(col("src") === "prior", 1L).otherwise(0L)).as("n_prior"),
+        sum(when(col("src") === "delta", 1L).otherwise(0L)).as("n_delta"),
+        count(lit(1)).as("n_merged"))
+    val fCounts = rebuilt.groupBy(col("cell_full").as("cell"))
+      .agg(count(lit(1)).as("n_full"))
+    // every relation below is ≤ k rows post-aggregation
+    mCounts.join(fCounts, Seq("cell"), "full_outer")
+      .join(mm, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_prior"), lit(0L)).as("n_prior"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+        coalesce(col("n_merged"), lit(0L)).as("n_merged"),
+        coalesce(col("n_full"), lit(0L)).as("n_full"),
+        coalesce(col("mismatch"), lit(0L)).as("mismatch"))
+      .withColumn("delta_bp",
+        expr("10000 * n_delta div greatest(1, n_merged)"))
+      .withColumn("refit", col("delta_bp") >= refitBp)
+      .orderBy("cell")
+  }
+
   /** The centroid constants as a SQL CTE body (one row per centroid) —
     * the SAME doubles as the Spark plan's literals, so both engines
     * assign cells from identical inputs. */
@@ -377,6 +438,50 @@ object Ann {
               |FROM disp LEFT JOIN o ON o.cell = disp.cell
               |LEFT JOIN nn ON nn.cell = disp.cell
               |ORDER BY disp.cell""".stripMargin)),
+
+    // Incremental IVF upsert over the q102 re-crawl delta (the %5
+    // slice re-landing under new ids): delta-only assignment merged
+    // into the prior index, gated cell-by-cell AND vector-by-vector
+    // against a full rebuild under the same pinned centroids. The
+    // oracle assigns the union once (merged ≡ rebuilt is an identity
+    // in SQL — which is precisely the property the Spark incremental
+    // path must reproduce, so its oracle mismatch is literal 0) and
+    // derives the same integer-division delta share + refit flag.
+    QueryDef("q193_ivf_upsert",
+      (s, d) => {
+        val e0 = Tables.embeddings(s, d)
+          .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v"))
+        val delta = e0.where(col("vec_id") % 5 === 0)
+          .withColumn("vec_id", col("vec_id") + 100000L)
+        ivfUpsert(e0, delta, AnnCentroids.fitted)
+      },
+      Some(s"""WITH cents AS (
+              |${centroidsSqlCte(AnnCentroids.fitted)}),
+              |e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |al AS (SELECT vec_id, v, 'prior' AS src FROM e0
+              |       UNION ALL
+              |       SELECT vec_id + 100000, v, 'delta' FROM e0 WHERE vec_id % 5 = 0),
+              |dd AS (
+              |  SELECT al.vec_id, al.src, cents.i,
+              |    list_sum(list_transform(range(1, 65),
+              |      j -> (al.v[j] - cents.c[j]) * (al.v[j] - cents.c[j]))) AS d2
+              |  FROM al CROSS JOIN cents),
+              |a AS (
+              |  SELECT vec_id, src, i AS cell FROM (
+              |    SELECT vec_id, src, i,
+              |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, i ASC) AS rn
+              |    FROM dd) t WHERE rn = 1),
+              |g AS (
+              |  SELECT cell,
+              |    CAST(SUM(CASE WHEN src = 'prior' THEN 1 ELSE 0 END) AS BIGINT) AS n_prior,
+              |    CAST(SUM(CASE WHEN src = 'delta' THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+              |    COUNT(*) AS n_merged, COUNT(*) AS n_full
+              |  FROM a GROUP BY cell)
+              |SELECT cell, n_prior, n_delta, n_merged, n_full,
+              |  CAST(0 AS BIGINT) AS mismatch,
+              |  10000 * n_delta // GREATEST(1, n_merged) AS delta_bp,
+              |  (10000 * n_delta // GREATEST(1, n_merged)) >= 2000 AS refit
+              |FROM g ORDER BY cell""".stripMargin)),
 
     // Multi-probe hyperplane LSH — the OTHER learned-free ANN scale
     // path: bucket = sign bits of 8 seeded ±1-plane projections, search

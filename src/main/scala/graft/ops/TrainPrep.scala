@@ -758,6 +758,126 @@ object TrainPrep {
              |GROUP BY sp.doc_id
              |ORDER BY sp.doc_id""".stripMargin)),
 
+    // Long-span EXACT-substring dedup (✚ — the unbounded-span operator
+    // q143's stride-16 screen stands in for; the suffix-array task of
+    // the train-data dedup literature in two-phase shuffle-friendly
+    // form). Three passes, all exact:
+    //   1. ANCHORS — winnowing fingerprints (Schleimer et al.: per
+    //      window of WIN consecutive 8-token-gram hashes keep the
+    //      rightmost minimum). Selection is CONTENT-defined, so two
+    //      occurrences of the same span select the same anchor at the
+    //      same relative offset regardless of alignment — the
+    //      guarantee q143's fixed stride lacks — and any common span
+    //      of ≥ WIN+K-1 = 25 tokens shares an anchor with a
+    //      consistent offset delta.
+    //   2. CANDIDATES — anchors self-join on the 8-byte hash (a<b),
+    //      distinct (a, b, delta) DIAGONALS. Hash collisions only add
+    //      candidates; pass 3 verifies tokens, so the result is exact.
+    //   3. EXTENSION — for each diagonal, join the two docs' token
+    //      streams POSITION-keyed ((doc, pos) equi-join, token
+    //      equality as a residual — never keyed by token text),
+    //      gaps-and-islands the matching positions into MAXIMAL runs,
+    //      keep runs ≥ 25, and sweep-line-union each doc's run
+    //      intervals (a position can be covered by many partners).
+    // Oracle: brute-force stride-1 25-token windows — sound because a
+    // position is inside a maximal common run of length ≥ L iff it is
+    // inside some repeated window of length exactly L.
+    // Scale: only (hash, doc, pos) anchors and candidate docs' tokens
+    // shuffle, never span text; per-diagonal state is the overlap
+    // length; production adds the family's df-cap on anchors shared by
+    // >cap docs (boilerplate) with the non-silent fallback report.
+    QueryDef("q192_longspan_dedup",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val L = 25; val K = 8; val WIN = L - K + 1 // 18
+        val w = split(col("text"), " ")
+        // k-gram hash array, bound ONCE as a lambda variable (transform
+        // over a 1-element array) so the winnowing pass references it
+        // without CollapseProject re-inlining the whole hash pipeline
+        val hArr = transform(sequence(lit(0), size(w) - K),
+          i => xxhash64(array_join(slice(w, i + 1, lit(K)), " ")))
+        val anchorArr = flatten(transform(array(hArr), ha =>
+          array_distinct(transform(sequence(lit(0), size(ha) - WIN), t => {
+            val wnd = slice(ha, t + 1, lit(WIN))
+            val m = array_min(wnd)
+            struct((t + lit(WIN) - array_position(reverse(wnd), m))
+              .cast("int").as("apos"), m.as("h"))
+          }))))
+        val base = Tables.documents(s, d).where(size(w) >= L)
+          // heavy array pipeline after an exchange, not in the scan's
+          // one-task-per-file layout (q83/q120 lesson)
+          .repartition(col("doc_id"))
+        val anchors = base
+          .select(col("doc_id"), explode(anchorArr).as("an"))
+          .select(col("doc_id"), col("an.apos").as("apos"), col("an.h").as("h"))
+          .localCheckpoint() // consumed twice (both sides of the self-join)
+        val cand = anchors.select(col("doc_id").as("a"), col("apos").as("pa"), col("h"))
+          .join(anchors.select(col("doc_id").as("b"), col("apos").as("pb"), col("h")), "h")
+          .where(col("a") < col("b"))
+          .select(col("a"), col("b"), (col("pa") - col("pb")).as("delta"))
+          .distinct()
+        val candDocs = cand.select(col("a").as("doc_id"))
+          .union(cand.select(col("b"))).distinct()
+        val toks = base
+          .select(col("doc_id"), posexplode(w).as(Seq("pos", "tok")))
+          .join(candDocs, Seq("doc_id"), "left_semi")
+          .localCheckpoint() // consumed twice (A and B sides)
+        val matches = cand
+          .join(toks.select(col("doc_id").as("a"), col("pos").as("i"), col("tok").as("tok_a")),
+            Seq("a"))
+          .join(toks.select(col("doc_id").as("b2"), col("pos").as("j"), col("tok").as("tok_b")),
+            col("b") === col("b2") && col("j") === col("i") - col("delta"))
+          .where(col("tok_a") === col("tok_b"))
+          .select(col("a"), col("b"), col("delta"), col("i"))
+        val byDiag = Window.partitionBy("a", "b", "delta").orderBy("i")
+        val runs = matches
+          .withColumn("grp", col("i") - row_number().over(byDiag))
+          .groupBy("a", "b", "delta", "grp")
+          .agg(min("i").as("sa"), count(lit(1)).cast("int").as("len"))
+          .where(col("len") >= L)
+        val iv = runs.select(col("a").as("doc_id"), col("sa").as("st"),
+            (col("sa") + col("len")).as("en"))
+          .unionAll(runs.select(col("b"), (col("sa") - col("delta")).as("st"),
+            (col("sa") - col("delta") + col("len")).as("en")))
+        val byDoc = Window.partitionBy("doc_id").orderBy("st", "en")
+        iv.withColumn("pmax",
+            max("en").over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("is_new",
+            when(col("pmax").isNull || col("st") > col("pmax"), 1L).otherwise(0L))
+          .withColumn("isl",
+            sum("is_new").over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("doc_id", "isl")
+          .agg(min("st").as("ist"), max("en").as("ien"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_runs"),
+            sum(col("ien") - col("ist")).cast("long").as("covered_tok"),
+            max(col("ien") - col("ist")).cast("long").as("max_run"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+             |  WHERE len(string_split(text, ' ')) >= 25),
+             |win AS (
+             |  SELECT doc_id, p, array_to_string(w[p+1 : p+25], ' ') AS s
+             |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 24)) AS p FROM w) t),
+             |g AS (SELECT s FROM win GROUP BY s HAVING count(DISTINCT doc_id) > 1),
+             |iv AS (SELECT doc_id, p AS st, p + 25 AS en FROM win JOIN g USING (s)),
+             |m AS (SELECT doc_id, st, en,
+             |        max(en) OVER (PARTITION BY doc_id ORDER BY st, en
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+             |      FROM iv),
+             |f AS (SELECT doc_id, st, en,
+             |        sum(CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END)
+             |          OVER (PARTITION BY doc_id ORDER BY st, en
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+             |      FROM m),
+             |isl AS (SELECT doc_id, isl, min(st) AS ist, max(en) AS ien
+             |        FROM f GROUP BY doc_id, isl)
+             |SELECT doc_id, count(*) AS n_runs,
+             |  CAST(sum(ien - ist) AS BIGINT) AS covered_tok,
+             |  CAST(max(ien - ist) AS BIGINT) AS max_run
+             |FROM isl GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Weighted sample without replacement, k=100 biased by n_chars —
     // the A-ES key ranking with the md5-slice uniform; oracle derives
     // identical keys and takes the same rounded-key/doc_id top-k.
