@@ -24,4 +24,43 @@ object Sql {
     registerTables(spark, dir)
     spark.sql(query)
   }
+
+  /** SQL-TEXT lifecycle gates: the ONE SQL string is both the Spark
+    * plan (via [[sql]] → temp views → `spark.sql(text)`) and the
+    * DuckDB oracle — the strongest possible parity statement for the
+    * third entry point (SURVEY §3): identical text, two independent
+    * engines, hash-equal results. The three texts are dialect-portable
+    * ANSI twins of existing gates (q04 grouped decimal aggregates, q07
+    * join+revenue, q10 window rank), so the SQL surface is proven on
+    * aggregation, join, and window machinery — not just a scan. */
+  private def textTwin(name: String, text: String): QueryDef =
+    QueryDef(name, (s, d) => sql(s, d, text), Some(text))
+
+  val defs: Seq[QueryDef] = Seq(
+    textTwin("q195_sqltext_agg_group",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+    textTwin("q196_sqltext_join_revenue",
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+    textTwin("q197_sqltext_window_rank",
+      // CAST(rn AS BIGINT): Spark's ROW_NUMBER is 32-bit, DuckDB's is
+      // 64-bit — the shared text pins the wider type on both engines
+      """SELECT s_nationkey, CAST(rn AS BIGINT) AS rn, s_suppkey, s_acctbal FROM (
+        |  SELECT s_nationkey, s_suppkey, s_acctbal,
+        |    ROW_NUMBER() OVER (PARTITION BY s_nationkey
+        |      ORDER BY s_acctbal DESC, s_suppkey ASC) AS rn
+        |  FROM supplier) t
+        |WHERE rn <= 3 ORDER BY s_nationkey, rn""".stripMargin))
 }

@@ -26,6 +26,8 @@ final case class DecodedRow(media_id: Long, content: Array[Byte], meta: MediaMet
 final case class FeatureRow(media_id: Long, feature: Array[Float])
 final case class FrameRow(media_id: Long, format: String,
                           n_frames: Long, frame_bytes: Long)
+final case class VideoMetaRow(doc_id: Long, format: String, width: Int,
+                              height: Int, n_frames: Long, total_delay_cs: Long)
 
 /** REAL PNG codec — `javax.imageio` ships in the JDK, so the image leg
   * of the multimodal pipeline needs no external library: genuine PNG
@@ -137,18 +139,118 @@ object WavCodec {
   }
 }
 
+/** REAL (animated) GIF codec — the video leg, JDK-only like PNG/WAV:
+  * `javax.imageio` ships a genuine GIF reader AND writer, so
+  * multi-frame video-like payloads can be really encoded and really
+  * parsed (frame count, dimensions, per-frame delays from the
+  * GraphicControlExtension blocks) without native codecs. This
+  * replaces the former video stub arm: the pipeline decodes actual
+  * GIF89a bytes, not a byte heuristic. */
+object GifCodec {
+  import java.awt.image.BufferedImage
+  import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+  import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
+  import javax.imageio.metadata.IIOMetadataNode
+  import javax.imageio.stream.{MemoryCacheImageInputStream, MemoryCacheImageOutputStream}
+
+  /** GIF87a / GIF89a signature. */
+  def isGif(b: Array[Byte]): Boolean =
+    b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+      (b(4) == '7' || b(4) == '9') && b(5) == 'a'
+
+  private val GifMetaFormat = "javax_imageio_gif_image_1.0"
+
+  /** Full real parse: dimensions, frame count, and the summed
+    * per-frame delay (centiseconds) read from each frame's
+    * GraphicControlExtension. O(structure), pixels stay undecoded. */
+  def frameInfo(b: Array[Byte]): (Int, Int, Int, Long) = {
+    val in = new MemoryCacheImageInputStream(new ByteArrayInputStream(b))
+    try {
+      val readers = ImageIO.getImageReadersByFormatName("gif")
+      require(readers.hasNext, "no ImageIO GIF reader in this JVM")
+      val r = readers.next()
+      try {
+        r.setInput(in)
+        val n = r.getNumImages(true)
+        var totalDelay = 0L
+        var i = 0
+        while (i < n) {
+          val tree = r.getImageMetadata(i).getAsTree(GifMetaFormat)
+            .asInstanceOf[IIOMetadataNode]
+          val gce = tree.getElementsByTagName("GraphicControlExtension")
+          if (gce.getLength > 0)
+            totalDelay += gce.item(0).asInstanceOf[IIOMetadataNode]
+              .getAttribute("delayTime").toLong
+          i += 1
+        }
+        (r.getWidth(0), r.getHeight(0), n, totalDelay)
+      } finally r.dispose()
+    } finally in.close()
+  }
+
+  def decodeMeta(b: Array[Byte]): MediaMeta = {
+    val (w, h, n, _) = frameInfo(b)
+    MediaMeta("video/gif", width = w, height = h, nFrames = n,
+      bytes = b.length.toLong)
+  }
+
+  /** Deterministic genuine ANIMATED GIF (for fixtures): `nFrames`
+    * frames whose pixels are a pure function of (x, y, frame, seed),
+    * each carrying `delayCs` in its GraphicControlExtension, written
+    * frame-by-frame by the JDK's real GIF writer (writeToSequence). */
+  def encode(width: Int, height: Int, nFrames: Int, delayCs: Int,
+             seed: Int = 0): Array[Byte] = {
+    require(width > 0 && height > 0 && nFrames > 0, "positive dims/frames")
+    val out = new ByteArrayOutputStream()
+    val ios = new MemoryCacheImageOutputStream(out)
+    val writers = ImageIO.getImageWritersByFormatName("gif")
+    require(writers.hasNext, "no ImageIO GIF writer in this JVM")
+    val w = writers.next()
+    try {
+      w.setOutput(ios)
+      w.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until height; x <- 0 until width)
+          img.setRGB(x, y, (x * 31 + y * 17 + f * 53 + seed * 101) & 0xffffff)
+        val meta = w.getDefaultImageMetadata(
+          ImageTypeSpecifier.createFromRenderedImage(img), w.getDefaultWriteParam)
+        val tree = meta.getAsTree(GifMetaFormat).asInstanceOf[IIOMetadataNode]
+        val gce = {
+          val existing = tree.getElementsByTagName("GraphicControlExtension")
+          if (existing.getLength > 0) existing.item(0).asInstanceOf[IIOMetadataNode]
+          else { val n = new IIOMetadataNode("GraphicControlExtension")
+                 tree.appendChild(n); n }
+        }
+        gce.setAttribute("disposalMethod", "none")
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("transparentColorIndex", "0")
+        gce.setAttribute("delayTime", delayCs.toString)
+        meta.setFromTree(GifMetaFormat, tree)
+        w.writeToSequence(new IIOImage(img, null, meta), null)
+        f += 1
+      }
+      w.endWriteSequence()
+    } finally { w.dispose(); ios.close() }
+    out.toByteArray
+  }
+}
+
 object Multimodal {
 
   implicit val mediaEnc: Encoder[MediaRow] = Encoders.product[MediaRow]
   implicit val decodedEnc: Encoder[DecodedRow] = Encoders.product[DecodedRow]
   implicit val featureEnc: Encoder[FeatureRow] = Encoders.product[FeatureRow]
 
-  /** Format dispatch: REAL decode for genuine PNG and (PCM) WAV
-    * payloads, stub for the formats whose codecs don't ship in this
-    * container (compressed audio, video). The gate corpus (UTF-8 text
-    * bytes) never carries either magic, so q33/q55 keep their
-    * stub-mirroring oracles; real rows take the real paths
-    * (MultimodalSpec drives all three through the same pipeline).
+  /** Format dispatch: REAL decode for genuine PNG, (PCM) WAV, and
+    * (animated) GIF payloads — all three JDK-only; the stub now covers
+    * only formats whose codecs genuinely don't ship in this container
+    * (compressed audio, real video containers). The gate corpus (UTF-8
+    * text bytes) never carries any of the three magics, so q33/q55
+    * keep their stub-mirroring oracles; real rows take the real paths
+    * (MultimodalSpec drives all of them through the same pipeline).
     *
     * TOTAL functions by contract: a corrupt payload (right magic,
     * broken body) is quarantined with a marker format instead of
@@ -163,6 +265,10 @@ object Multimodal {
       try WavCodec.decodeMeta(b)
       catch { case scala.util.control.NonFatal(_) =>
         MediaMeta("audio/wav-corrupt", 0, 0, 0, b.length.toLong) }
+    else if (GifCodec.isGif(b))
+      try GifCodec.decodeMeta(b)
+      catch { case scala.util.control.NonFatal(_) =>
+        MediaMeta("video/gif-corrupt", 0, 0, 0, b.length.toLong) }
     else StubCodec.decodeMeta(b)
 
   /** Corrupt images pass through UNCHANGED (quarantine semantics: never
@@ -258,6 +364,24 @@ object Multimodal {
       })
   }
 
+  /** Deterministic VIDEO fixture derived from `documents` ids: each doc
+    * gets a genuine animated GIF written executor-side by the JDK's
+    * real GIF writer, with frame count / dims / per-frame delay pure
+    * functions of the id — the same determinism that makes q135's WAV
+    * decode gateable by an arithmetic oracle. Encode runs per
+    * partition in the documents scan's layout; payloads never
+    * shuffle. */
+  def videoTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    graft.Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        MediaRow(id, GifCodec.encode(
+          width = 8 + (id % 16).toInt, height = 8 + ((id / 2) % 12).toInt,
+          nFrames = 2 + (id % 7).toInt, delayCs = 1 + (id % 5).toInt,
+          seed = id.toInt))
+      })
+  }
+
   /** Decode metadata per partition — one codec instantiation per batch,
     * not per row (the shape that matters when decode state is heavy). */
   def decode(media: Dataset[MediaRow]): Dataset[DecodedRow] =
@@ -307,6 +431,7 @@ object Multimodal {
       .orderBy("format")
 
   implicit val frameEnc: Encoder[FrameRow] = Encoders.product[FrameRow]
+  implicit val videoMetaEnc: Encoder[VideoMetaRow] = Encoders.product[VideoMetaRow]
 
   /** Frame-sampling stats: runs the REAL sampleFrames path per partition
     * (every 3rd 64-byte block) and aggregates per sniffed format. The
@@ -359,6 +484,29 @@ object Multimodal {
              |  n_frames * 1000 // sample_rate AS duration_ms,
              |  44 + 2 * n_frames AS bytes
              |FROM p ORDER BY doc_id""".stripMargin)),
+    // REAL video decode gate: genuine animated GIFs (JDK writer, one
+    // per doc, frame count/dims/delay pure functions of the id) →
+    // genuine GIF89a structure parse (frame count via getNumImages,
+    // per-frame delayTime summed from the GraphicControlExtension
+    // blocks). The oracle re-derives every field arithmetically from
+    // the encode params, so any slip anywhere in the multi-frame
+    // write→parse round trip (a dropped frame, a delay not honored, a
+    // dimension off) breaks the row hash — the video twin of q135.
+    graft.QueryDef("q194_video_meta",
+      (s, d) => {
+        import s.implicits._
+        videoTable(s, d).mapPartitions(_.map { r =>
+          val (w, h, n, delay) = GifCodec.frameInfo(r.content)
+          VideoMetaRow(r.media_id, "video/gif", w, h, n.toLong, delay)
+        }).toDF().orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, 'video/gif' AS format,
+             |  CAST(8 + doc_id % 16 AS INT) AS width,
+             |  CAST(8 + (doc_id // 2) % 12 AS INT) AS height,
+             |  CAST(2 + doc_id % 7 AS BIGINT) AS n_frames,
+             |  CAST((2 + doc_id % 7) * (1 + doc_id % 5) AS BIGINT) AS total_delay_cs
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     graft.QueryDef("q55_frame_sample", (s, d) => frameStats(s, d),
       Some("""WITH b AS (
              |  SELECT hex(encode(text)) AS hx, octet_length(encode(text)) AS len

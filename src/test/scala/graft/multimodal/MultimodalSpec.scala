@@ -177,4 +177,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(resizePayload(good, 2, 2).toSeq == good.toSeq,
       "resize is a pixel op; audio passes through intact")
   }
+
+  test("REAL GIF decode: animated frames, dims, summed delays, distributed") {
+    // the JDK ships a genuine GIF writer/reader pair: the fixture is a
+    // real GIF89a stream with 4 frames and a per-frame delay, and the
+    // parse reads the true frame count + GraphicControlExtension
+    // delays back out — through the same pipeline as PNG/WAV rows.
+    val gif = GifCodec.encode(width = 10, height = 7, nFrames = 4, delayCs = 3, seed = 9)
+    assert(GifCodec.isGif(gif))
+    assert(!GifCodec.isGif("GIF is a format".getBytes("UTF-8")))
+    assert(GifCodec.encode(10, 7, 4, 3, seed = 9).toSeq == gif.toSeq, "deterministic fixture")
+    assert(GifCodec.frameInfo(gif) == ((10, 7, 4, 12L)))
+
+    import spark.implicits._
+    val media = spark.createDataset(Seq(
+      MediaRow(1L, gif), MediaRow(2L, GifCodec.encode(5, 5, 1, 2)),
+      MediaRow(3L, PngCodec.encode(5, 4)))).repartition(2)
+    val metas = decode(media).collect().map(r => r.media_id -> r.meta).toMap
+    assert(metas(1L) == MediaMeta("video/gif", 10, 7, 4, gif.length.toLong))
+    assert(metas(2L).nFrames == 1 && metas(2L).format == "video/gif")
+    assert(metas(3L).format == "image/png", "PNG dispatch unaffected")
+  }
+
+  test("corrupt GIF payloads are quarantined, not thrown") {
+    val corrupt = "GIF89a".getBytes("UTF-8") ++ Array.fill[Byte](10)(0x7f)
+    assert(GifCodec.isGif(corrupt))
+    val m = decodeMeta(corrupt)
+    assert(m.format == "video/gif-corrupt" && m.bytes == corrupt.length.toLong)
+  }
 }
