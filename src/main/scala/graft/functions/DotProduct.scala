@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expres
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Native Catalyst dot product over two `array<double>` columns.
@@ -169,6 +169,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         checkArgs("graft_count_tokens_in", exprs, 2, foldableFrom = 1)
         CountTokensIn(exprs(0), litStr("graft_count_tokens_in", exprs(1)))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("graft_sorted_inter"),
+      new ExpressionInfo(classOf[SortedInterCount].getName, "graft_sorted_inter"),
+      (exprs: Seq[Expression]) => {
+        checkArgs("graft_sorted_inter", exprs, 2, foldableFrom = 2)
+        SortedInterCount(
+          Cast(exprs(0), ArrayType(LongType)), Cast(exprs(1), ArrayType(LongType)))
       }))
     e.injectFunction((
       new FunctionIdentifier("graft_adc"),

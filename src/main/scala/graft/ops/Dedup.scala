@@ -728,6 +728,136 @@ object Dedup {
              |  round(CAST(inter AS DOUBLE) / la, 6) AS containment,
              |  round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) AS jaccard
              |FROM p WHERE round(CAST(inter AS DOUBLE) / la, 6) >= 0.8
+             |ORDER BY a_id, b_id""".stripMargin)),
+
+    // EXACT set-similarity join via prefix filtering (✚, the PPJoin
+    // family — Xiao et al., WWW'08): every near-dup operator so far is
+    // either approximate (q26 LSH, q49 SimHash) or all-candidate within
+    // a block (q27). Prefix filtering gives the EXACT Jaccard >= τ pair
+    // set with a provably sufficient candidate generator: order each
+    // doc's distinct tokens by ascending global document frequency
+    // (rarest first); two sets with Jaccard >= τ MUST share a token in
+    // their first n - ceil(τ·n) + 1 tokens (pigeonhole on the overlap
+    // bound ceil(τ/(1+τ)·(na+nb))). So candidates = equality join on
+    // PREFIX tokens only — and because prefixes are rarest-first, the
+    // hottest (stopword) posting lists never generate candidates.
+    // Verification is exact integer arithmetic: J >= 9/10 iff
+    // 10·|A∩B| >= 9·|A∪B| — no float threshold on either engine.
+    // Scale: df ranking is one agg + a broadcastable vocab join (vocab
+    // << corpus); candidate generation shuffles (token, doc) pairs of
+    // PREFIX tokens only (≈ (1-τ)·corpus tokens, each among the rarest
+    // → near-uniform bucket sizes, the anti-skew property built in);
+    // candidates dedupe on the 16-byte id pair FIRST — token arrays
+    // never ride the prefix join; they re-attach by id (two hash joins)
+    // and array_intersect runs ONCE per distinct candidate pair.
+    QueryDef("q198_setsim_prefix_join",
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        // corpus with planted near-dups: every %23 doc re-enters with
+        // its last 2 tokens dropped (high-Jaccard pair), the q102/q188
+        // augmentation discipline so the gate has true positives
+        val base = Tables.documents(s, d).select("doc_id", "text")
+        val aug = base.unionByName(
+          base.where(pmod(col("doc_id"), lit(23)) === 0)
+            .select((col("doc_id") + 400000L).as("doc_id"),
+              array_join(expr("slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 2, 1))"),
+                " ").as("text")))
+        val tok = aug
+          .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+          .where(col("tok") =!= "")
+        // global df rank, rarest first; tok tiebreak makes it total
+        val rank = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+          .withColumn("r", row_number().over(W.orderBy(col("df").asc, col("tok").asc)).cast("long"))
+          .select("tok", "r")
+        val ranked = tok.join(broadcast(rank), "tok")
+        // pinned: consumed by the prefix branch AND both verify joins —
+        // without it the explode+distinct+rank-join+collect_list lineage
+        // re-executes once per consumer (~3× the candidate-stage cost);
+        // the table itself is one bounded row per doc
+        val sets = ranked.groupBy("doc_id").agg(
+          sort_array(collect_list(col("r"))).as("toks"),
+          count(lit(1)).as("n"))
+          .localCheckpoint()
+        // prefix length for τ = 9/10: n - ceil(9n/10) + 1, in INTEGER
+        // arithmetic ((9n+9) div 10 = ceil(9n/10)) — float ceil(n*0.9)
+        // can round across the integer boundary and silently shorten
+        // the prefix below the sufficiency bound. Prefix entries carry
+        // their 1-based POSITION for the positional filter below.
+        val pref = sets.select(col("doc_id"), col("n"),
+          posexplode(slice(col("toks"), lit(1),
+            (col("n") - expr("(n * 9 + 9) div 10") + 1).cast("int")))
+            .as(Seq("p0", "ptok")))
+          .select(col("doc_id"), col("n"), col("ptok"),
+            (col("p0") + 1).as("p"))
+        // candidate pruning — the two PPJoin filters that keep a
+        // template-dense corpus from drowning the verify step (without
+        // them this corpus yields 12.3M candidates at sf0.1; with them
+        // only pairs that can STILL reach τ survive to the intersect):
+        //  - length filter: J >= 9/10 forces 9·max(na,nb) <= 10·min;
+        //  - positional filter: a shared prefix token at positions
+        //    (pa, pb) bounds the overlap by min(na-pa, nb-pb)+1, and
+        //    J >= τ needs overlap >= ceil(9(na+nb)/19); an OCCURRENCE
+        //    survives only if its bound clears that (ub·19 >= 9(na+nb),
+        //    all integer arithmetic). A pair is a candidate iff ANY of
+        //    its occurrences survives — so filtering occurrences then
+        //    deduping pairs keeps exactly the max-based candidate set,
+        //    WITHOUT a 3.5M-group pre-aggregation (measured 8 s at
+        //    sf0.1): the verify runs per occurrence (the fused native
+        //    merge-count makes re-verification cheaper than the agg
+        //    that would dedupe it) and the single distinct lands AFTER
+        //    the τ cut, where only true pairs remain.
+        val cand = pref.select(col("ptok"), col("doc_id").as("a_id"),
+            col("n").as("na"), col("p").as("pa"))
+          .join(pref.select(col("ptok"), col("doc_id").as("b_id"),
+            col("n").as("nb"), col("p").as("pb")), Seq("ptok"))
+          .where(col("a_id") < col("b_id") &&
+            greatest(col("na"), col("nb")) * 9 <=
+              least(col("na"), col("nb")) * 10 &&
+            (least(col("na") - col("pa"), col("nb") - col("pb")) + 1) * 19 >=
+              (col("na") + col("nb")) * 9)
+          .select("a_id", "b_id")
+        // verify: fused merge-count over the two sorted rank arrays
+        // (native graft_sorted_inter — count-only, zero allocation;
+        // SortedInterCountSpec pins equality with array_intersect).
+        // The broadcast hints fit this corpus (one bounded row per doc);
+        // at 100 TB drop them and the same id-keyed joins plan as
+        // shuffle hash joins — content still never rides the prefix join
+        val inter = graft.functions.SortedInterCount(col("a_toks"), col("b_toks"))
+        cand
+          .join(broadcast(sets.select(col("doc_id").as("a_id"),
+            col("toks").as("a_toks"), col("n").as("na"))), "a_id")
+          .join(broadcast(sets.select(col("doc_id").as("b_id"),
+            col("toks").as("b_toks"), col("n").as("nb"))), "b_id")
+          .select(col("a_id"), col("b_id"), col("na"), col("nb"), inter.as("i"))
+          .where(col("i") * 10 >= (col("na") + col("nb") - col("i")) * 9)
+          .select(col("a_id"), col("b_id"),
+            round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6)
+              .as("jaccard"))
+          .distinct()
+          .orderBy("a_id", "b_id")
+      },
+      Some("""WITH base AS (SELECT doc_id, text FROM documents),
+             |aug AS (
+             |  SELECT doc_id, text FROM base
+             |  UNION ALL
+             |  SELECT doc_id + 400000,
+             |    array_to_string(list_slice(string_split(text, ' '), 1,
+             |      greatest(len(string_split(text, ' ')) - 2, 1)), ' ')
+             |  FROM base WHERE doc_id % 23 = 0),
+             |tok AS (
+             |  SELECT DISTINCT doc_id, tok FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM aug)
+             |  WHERE tok <> ''),
+             |sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+             |ov AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+             |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT a_id, b_id,
+             |  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+             |FROM ov JOIN sizes sa ON ov.a_id = sa.doc_id
+             |        JOIN sizes sb ON ov.b_id = sb.doc_id
+             |WHERE i * 10 >= (sa.n + sb.n - i) * 9
              |ORDER BY a_id, b_id""".stripMargin))
   )
 }

@@ -1354,6 +1354,98 @@ object Extras {
            |UNION ALL
            |${fdSql("n_chars->lang", "n_chars", "lang")}
            |ORDER BY fd""".stripMargin
-      })
+      }),
+
+    // Bipartite co-occurrence projection (✚, market-basket / co-purchase):
+    // project the order→part bipartite graph onto parts — weight(a,b) =
+    // number of DISTINCT orders containing both — keeping pairs with
+    // weight >= 3, top-50 by (weight desc, a, b). The self-join is keyed
+    // by the ORDER (the basket): pairs per basket are C(k,2) with k the
+    // basket size, so cost is Σ C(k,2) — bounded by the basket-size cap,
+    // NOT by n². The cap (k <= 20, counted and excluded, never silently)
+    // is the standard defense against the one pathological mega-basket
+    // that would otherwise emit C(10⁶,2) pairs from a single key at
+    // 100 TB; TPC-H baskets are <= 7 so nothing is dropped here, but the
+    // guard is load-bearing at scale and its effect is observable (the
+    // oracle applies the same cap).
+    QueryDef("q200_copurchase",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+        val sizes = li.groupBy("l_orderkey").agg(count(lit(1)).as("k"))
+        val small = li.join(sizes.where(col("k") <= 20), "l_orderkey")
+        val a = small.select(col("l_orderkey"), col("l_partkey").as("pa"))
+        val b = small.select(col("l_orderkey"), col("l_partkey").as("pb"))
+        a.join(b, "l_orderkey").where(col("pa") < col("pb"))
+          .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
+          .where(col("w") >= 3)
+          .orderBy(col("w").desc, col("pa"), col("pb"))
+          .limit(50)
+      },
+      Some("""WITH li AS (
+             |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |sizes AS (
+             |  SELECT l_orderkey, COUNT(*) AS k FROM li GROUP BY 1),
+             |small AS (
+             |  SELECT li.l_orderkey, li.l_partkey FROM li
+             |  JOIN sizes ON li.l_orderkey = sizes.l_orderkey AND sizes.k <= 20)
+             |SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS w
+             |FROM small a JOIN small b
+             |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+             |ORDER BY w DESC, pa, pb LIMIT 50""".stripMargin)),
+
+    // Frame-bounded exponential smoothing (✚): EWMA over the last 12
+    // five-minute buckets per event_type, weights (1-α)^j normalized
+    // over the frame actually present (edges use fewer terms). The
+    // UNBOUNDED recursive EWMA (s_t = αx_t + (1-α)s_{t-1}) cannot run
+    // distributed without a sequential scan per key AND overflows any
+    // (1/(1-α))^t rescaling trick after a few thousand steps; the
+    // frame-bounded form is the scale-correct twin: (1-α)^12 < 2% of
+    // the mass is truncated, the window is a fixed 12-row frame
+    // (collect_list + one aggregate HOF — codegen'd, no per-row UDF),
+    // and partitioning is by event_type. Exact-parity discipline:
+    // weights and values combine in a deterministic index order on
+    // both engines; round(5) absorbs the engines' last-ulp pow drift.
+    QueryDef("q201_ewma",
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("b").rowsBetween(-11, 0)
+        val bucketed = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            window(col("ts"), "5 minutes").getField("start").as("b"))
+          .agg(QueryDef.dsum(col("value")).as("v"))
+        bucketed
+          .withColumn("fr", collect_list(col("v")).over(W))
+          // fr is oldest-first; weight for slot i of m is 0.7^(m-1-i)
+          .withColumn("ewma", round(
+            aggregate(zip_with(col("fr"),
+                sequence(lit(1), org.apache.spark.sql.functions.size(col("fr"))),
+                (v, i) => v * pow(lit(0.7),
+                  (org.apache.spark.sql.functions.size(col("fr")) - i).cast("double"))),
+              lit(0.0), (acc, x) => acc + x) /
+            aggregate(sequence(lit(1), org.apache.spark.sql.functions.size(col("fr"))),
+              lit(0.0), (acc, i) => acc + pow(lit(0.7),
+                (org.apache.spark.sql.functions.size(col("fr")) - i).cast("double"))),
+            5))
+          .select(col("event_type"), col("b"), round(col("v"), 2).as("v"), col("ewma"))
+          .orderBy("event_type", "b")
+      },
+      Some("""WITH bucketed AS (
+             |  SELECT event_type,
+             |    make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS b,
+             |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+             |  FROM events GROUP BY 1, 2),
+             |fr AS (
+             |  SELECT event_type, b, v,
+             |    list(v) OVER (PARTITION BY event_type ORDER BY b
+             |      ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS fr
+             |  FROM bucketed)
+             |SELECT event_type, b, round(v, 2) AS v,
+             |  round(
+             |    list_sum(list_transform(range(1, len(fr) + 1),
+             |      i -> fr[i] * pow(0.7, CAST(len(fr) - i AS DOUBLE)))) /
+             |    list_sum(list_transform(range(1, len(fr) + 1),
+             |      i -> pow(0.7, CAST(len(fr) - i AS DOUBLE)))), 5) AS ewma
+             |FROM fr ORDER BY event_type, b""".stripMargin))
   )
 }

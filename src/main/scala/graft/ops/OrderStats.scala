@@ -452,6 +452,42 @@ object OrderStats {
            |  CAST(${scoreSql("freq")} AS VARCHAR) ||
            |  CAST(${scoreSql("monet")} AS VARCHAR) AS segment
            |FROM m ORDER BY user_id""".stripMargin
-      })
+      }),
+
+    // Equi-depth range-partition boundary planner (✚): the 15 exact
+    // cut values that split lineitem.l_extendedprice into 16 balanced
+    // ranges — what a physical-layout planner needs before a range
+    // repartition / range-bucketed write (Spark's own RangePartitioner
+    // SAMPLES and accepts imbalance; a layout that persists for years
+    // of scans is worth exact boundaries). Rank_j = ceil(j·N/16) in
+    // integer arithmetic ((jN+15) div 16 — no float boundary fuzz),
+    // each resolved by selectKth's bounded refinement: ~log_B(N) scans
+    // of one pruned column per cut, O(B) driver state, NO global sort
+    // — the point of the operator at 100 TB, where sort-based quantile
+    // of the layout key is exactly the shuffle the layout is trying to
+    // avoid. Boundary values are corpus doubles — compared unrounded.
+    QueryDef("q202_range_boundaries",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+        val n = li.where(col("l_extendedprice").isNotNull).count()
+        val parts = 16
+        val bounds = (1 until parts).map { j =>
+          val rk = (j.toLong * n + parts - 1) / parts
+          (j.toLong, rk, selectKth(li, col("l_extendedprice"), rk))
+        }
+        bounds.toDF("bnd", "rk", "v").orderBy("bnd")
+      },
+      Some("""WITH v AS (
+             |  SELECT l_extendedprice AS v FROM lineitem
+             |  WHERE l_extendedprice IS NOT NULL),
+             |n AS (SELECT COUNT(*) AS n FROM v),
+             |r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM v),
+             |cuts AS (
+             |  SELECT j AS bnd, (j * n.n + 15) // 16 AS rk
+             |  FROM (SELECT unnest(range(1, 16)) AS j) js, n)
+             |SELECT cuts.bnd, cuts.rk, r.v
+             |FROM cuts JOIN r ON r.rn = cuts.rk
+             |ORDER BY bnd""".stripMargin))
   )
 }

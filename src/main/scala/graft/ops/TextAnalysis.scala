@@ -1308,6 +1308,58 @@ object TextAnalysis {
              |  round((sy - ((CAST(n AS DOUBLE)*sxy - sx*sy) /
              |               (CAST(n AS DOUBLE)*sxx - sx*sx)) * sx)
              |        / CAST(n AS DOUBLE), 6) AS intercept
-             |FROM s""".stripMargin))
+             |FROM s""".stripMargin)),
+
+    // TF-IDF keyword extraction (✚): top-3 terms per document by
+    // tf·idf — the per-doc salient-term primitive behind tag clouds,
+    // BM25 feature prep (q73 ranks docs for a QUERY; this summarizes
+    // each doc), and topic seeding. idf = ln(N/df) with df over
+    // DISTINCT docs; deterministic total order (rounded score desc,
+    // token asc) so the top-3 cut is stable on both engines.
+    // Scale: tf is one map-side-combinable agg over (doc, tok); df is
+    // an agg over the DISTINCT (doc, tok) pairs of the same exploded
+    // lineage; N rides in as a 1-row broadcast; the per-doc top-3 is
+    // a bounded rank window keyed BY doc (thousands of independent
+    // groups — no global sort, no hot partition).
+    QueryDef("q199_tfidf_keywords",
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .where(col("tok") =!= "")
+        val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val n = tok.select(countDistinct(col("doc_id")).as("n_docs"))
+        val scored = tf.join(broadcast(df), "tok")
+          .crossJoin(broadcast(n))
+          .withColumn("score",
+            round(col("tf") * log(col("n_docs").cast("double") / col("df")), 5))
+        scored
+          .withColumn("rk", row_number().over(
+            W.partitionBy("doc_id").orderBy(col("score").desc, col("tok").asc)))
+          .where(col("rk") <= 3)
+          .select(col("doc_id"), col("rk").cast("long").as("rk"),
+            col("tok"), col("score"))
+          .orderBy("doc_id", "rk")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |tf AS (
+             |  SELECT doc_id, tok, COUNT(*) AS tf FROM tok
+             |  WHERE tok <> '' GROUP BY 1, 2),
+             |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+             |scored AS (
+             |  SELECT tf.doc_id, tf.tok,
+             |    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 5) AS score
+             |  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n),
+             |rk AS (
+             |  SELECT doc_id, tok, score,
+             |    ROW_NUMBER() OVER (PARTITION BY doc_id
+             |      ORDER BY score DESC, tok ASC) AS rk
+             |  FROM scored)
+             |SELECT doc_id, CAST(rk AS BIGINT) AS rk, tok, score
+             |FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin))
   )
 }
