@@ -454,7 +454,107 @@ object Multimodal {
       .orderBy("format")
   }
 
+  /** Deterministic pattern-image fixture + REAL average-hash (aHash)
+    * perceptual fingerprint — the embedding-free image near-dup
+    * primitive: downscale to an 8×8 grid of cell means, threshold each
+    * cell against the global mean, pack 64 bits. Identical images hash
+    * identically; a small perturbation (one flipped pixel) moves one
+    * cell's mean by ≤ 255/64 — far from the black/white threshold
+    * margins — so near-copies land in the same bucket BY CONSTRUCTION
+    * of the metric, not by luck. Fixture images are 64×64 PNGs of 8×8
+    * blocks whose on/off pattern is the md5 of (doc_id % 40): 40
+    * distinct patterns, genuinely encoded and re-decoded through
+    * javax.imageio like q135/q194's fixtures. */
+  object AHash {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    private def patternBits(seed: Int): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ahash-pattern-$seed".getBytes("UTF-8"))
+      (0 until 8).foldLeft(0L)((acc, i) => (acc << 8) | (d(i) & 0xffL))
+    }
+
+    /** 64×64 black/white block-pattern PNG for (doc_id % 40); perturbed
+      * variants flip one pixel — a change aHash must absorb. */
+    def encodePattern(seed: Int, perturb: Boolean): Array[Byte] = {
+      val bits = patternBits(seed)
+      val img = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val bit = (y / 8) * 8 + (x / 8)
+        val on = ((bits >>> bit) & 1L) == 1L
+        img.setRGB(x, y, if (on) 0xffffff else 0x000000)
+      }
+      if (perturb) {
+        val rgb = img.getRGB(0, 0)
+        img.setRGB(0, 0, ~rgb & 0xffffff)
+      }
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    /** REAL decode → 8×8 cell means → mean threshold → 64-bit hash. */
+    def ahash64(png: Array[Byte]): Long = {
+      val img = ImageIO.read(new ByteArrayInputStream(png))
+      require(img != null, "payload is not a decodable image")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val cells = new Array[Double](64)
+      for (cy <- 0 until 8; cx <- 0 until 8) {
+        val (x0, x1) = (cx * w / 8, (cx + 1) * w / 8)
+        val (y0, y1) = (cy * h / 8, (cy + 1) * h / 8)
+        var s = 0.0
+        for (y <- y0 until y1; x <- x0 until x1) {
+          val rgb = img.getRGB(x, y)
+          s += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+        }
+        cells(cy * 8 + cx) = s / ((x1 - x0) * (y1 - y0))
+      }
+      val mean = cells.sum / 64.0
+      cells.zipWithIndex.foldLeft(0L) { case (acc, (c, i)) =>
+        if (c > mean) acc | (1L << i) else acc
+      }
+    }
+  }
+
   val defs: Seq[graft.QueryDef] = Seq(
+    // REAL perceptual-hash near-dup gate: genuine PNG encode →
+    // javax.imageio decode → aHash per row (per-partition, the q135
+    // decode shape), then exact grouping ON THE 64-BIT HASH. The
+    // oracle knows the pattern classes arithmetically (doc_id % 40,
+    // plus the %31 perturbed copies that must collapse into their
+    // source's class) but NOT the hashes — so the row hash-compare
+    // proves, per class: (a) the encode→decode→downsample→threshold
+    // round trip is deterministic, (b) aHash is constant across exact
+    // copies AND the flipped-pixel near-copies, and (c) distinct
+    // patterns never collide. Scale: decode is embarrassingly
+    // parallel; the only shuffle is 8-byte hash keys — content
+    // (pixels) never shuffles, the dedup-family discipline.
+    graft.QueryDef("q207_image_ahash",
+      (s, d) => {
+        import s.implicits._
+        val ids = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+        val aug = ids.map(id => (id, (id % 40).toInt, false))
+          .union(ids.filter(_ % 31 == 0)
+            .map(id => (id + 500000L, (id % 40).toInt, true)))
+          .toDF("media_id", "seed", "perturb")
+          .as[(Long, Int, Boolean)]
+        aug.mapPartitions(_.map { case (id, seed, perturb) =>
+          (id, AHash.ahash64(AHash.encodePattern(seed, perturb)))
+        }).toDF("media_id", "hash")
+          .groupBy("hash")
+          .agg(count(lit(1)).as("n"), min("media_id").as("keeper"))
+          .select("keeper", "n")
+          .orderBy("keeper")
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id, doc_id % 40 AS g FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 500000, doc_id % 40 FROM documents
+             |  WHERE doc_id % 31 = 0)
+             |SELECT MIN(doc_id) AS keeper, COUNT(*) AS n
+             |FROM a GROUP BY g ORDER BY keeper""".stripMargin)),
     // REAL audio decode gate: genuine WAVs (JDK writer) → genuine RIFF
     // header parse (javax.sound.sampled) per row; the oracle re-derives
     // every field arithmetically from the id-determined encode params,

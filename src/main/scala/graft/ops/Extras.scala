@@ -1446,6 +1446,287 @@ object Extras {
              |      i -> fr[i] * pow(0.7, CAST(len(fr) - i AS DOUBLE)))) /
              |    list_sum(list_transform(range(1, len(fr) + 1),
              |      i -> pow(0.7, CAST(len(fr) - i AS DOUBLE)))), 5) AS ewma
-             |FROM fr ORDER BY event_type, b""".stripMargin))
+             |FROM fr ORDER BY event_type, b""".stripMargin)),
+
+    // Histogram join-cardinality estimation (✚, the optimizer-side twin
+    // of q163's CMS estimator): predict the size of the lineitem ⋈
+    // lineitem self-join on l_suppkey from a 64-bucket equi-width
+    // histogram — est = Σ_b n_b²/d_b (uniformity within bucket) — and
+    // report it against the exact Σ_s f(s)², WITHOUT materializing the
+    // 360M-row join either way. This is the arithmetic a planner runs
+    // before choosing broadcast vs shuffle vs skew-salting; the audit
+    // shape (estimate next to ground truth) is how its error gets
+    // monitored in production. Scale: two aggregations over one pruned
+    // column; the histogram is 64 rows; nothing joins.
+    QueryDef("q203_hist_join_estimate",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select("l_suppkey")
+        val bounds = li.agg(min("l_suppkey").as("lo"),
+          (max("l_suppkey") + 1).as("hi"))
+        // floor() explicitly: Spark's double→int cast truncates while
+        // DuckDB's ROUNDS — floor on both sides is the only portable form
+        val b = li.crossJoin(broadcast(bounds))
+          .withColumn("b", floor((col("l_suppkey") - col("lo")) * 64 /
+            (col("hi") - col("lo"))).cast("int"))
+        val hist = b.groupBy("b").agg(count(lit(1)).as("n"),
+          countDistinct(col("l_suppkey")).as("dv"))
+        val est = hist.agg(
+          sum((col("n") * col("n") / col("dv")).cast("long")).as("est_rows"))
+        val actual = li.groupBy("l_suppkey").agg(count(lit(1)).as("f"))
+          .agg(sum(col("f") * col("f")).as("actual_rows"))
+        est.crossJoin(actual)
+          .select(col("est_rows"), col("actual_rows"),
+            round(abs(col("est_rows") - col("actual_rows")).cast("double") /
+              col("actual_rows"), 6).as("rel_err"))
+      },
+      Some("""WITH li AS (SELECT l_suppkey FROM lineitem),
+             |bounds AS (SELECT MIN(l_suppkey) AS lo, MAX(l_suppkey) + 1 AS hi FROM li),
+             |hist AS (
+             |  SELECT CAST(floor((l_suppkey - lo) * 64 / (hi - lo)) AS INT) AS b,
+             |    COUNT(*) AS n, COUNT(DISTINCT l_suppkey) AS dv
+             |  FROM li, bounds GROUP BY 1),
+             |est AS (SELECT SUM(CAST(n * n / dv AS BIGINT)) AS est_rows FROM hist),
+             |act AS (
+             |  SELECT SUM(f * f) AS actual_rows FROM (
+             |    SELECT COUNT(*) AS f FROM li GROUP BY l_suppkey) t)
+             |SELECT est.est_rows, act.actual_rows,
+             |  round(CAST(abs(est.est_rows - act.actual_rows) AS DOUBLE)
+             |    / act.actual_rows, 6) AS rel_err
+             |FROM est, act""".stripMargin)),
+
+    // Zone-map pruning audit (✚, the data-skipping effectiveness
+    // measure behind every lake layout decision — q117 WRITES a z-order
+    // layout; this measures what a layout buys): lay lineitem into 64
+    // shipdate-ordered files via the two-phase global rank (never a
+    // single-task sort), compute each file's (min, max) shipdate zone
+    // map, and report how many files a Q1-1996 range predicate skips
+    // and how much of the scanned data actually matches. files_skipped/
+    // n_files is the fraction of a 100 TB scan the layout eliminates
+    // BEFORE any I/O; rows_matching/rows_scanned is the residual filter
+    // selectivity inside surviving files. Scale: the zone-map table is
+    // 64 rows; the audit aggregates once over the ranked lineage.
+    QueryDef("q204_zonemap_audit",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        val ranked = Scale.globalRowNumber(li,
+          Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")))
+        val n = ranked.agg(count(lit(1)).as("nn"))
+        val filed = ranked.crossJoin(broadcast(n))
+          .withColumn("file",
+            floor((col("rn") - 1) * 64 / col("nn")).cast("int"))
+        val lo = lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+        val hi = lit(java.sql.Timestamp.valueOf("1996-03-31 23:59:59"))
+        val zones = filed.groupBy("file").agg(
+          min("l_shipdate").as("zmin"), max("l_shipdate").as("zmax"),
+          count(lit(1)).as("rows"),
+          sum(when(col("l_shipdate").between(lo, hi), 1L).otherwise(0L))
+            .as("match_rows"))
+        zones.agg(
+          count(lit(1)).as("n_files"),
+          sum(when(col("zmax") < lo || col("zmin") > hi, 1L).otherwise(0L))
+            .as("files_skipped"),
+          sum(when(col("zmax") >= lo && col("zmin") <= hi, col("rows"))
+            .otherwise(0L)).as("rows_scanned"),
+          sum(col("match_rows")).as("rows_matching"))
+          .select(col("n_files"), col("files_skipped"), col("rows_scanned"),
+            col("rows_matching"),
+            round(col("files_skipped").cast("double") / col("n_files"), 6)
+              .as("skip_ratio"))
+      },
+      Some("""WITH ranked AS (
+             |  SELECT l_shipdate,
+             |    ROW_NUMBER() OVER (ORDER BY l_shipdate, l_orderkey,
+             |      l_linenumber) AS rn
+             |  FROM lineitem),
+             |nn AS (SELECT COUNT(*) AS nn FROM ranked),
+             |filed AS (
+             |  SELECT l_shipdate, CAST(((rn - 1) * 64) // nn.nn AS INT) AS file
+             |  FROM ranked, nn),
+             |zones AS (
+             |  SELECT file, MIN(l_shipdate) AS zmin, MAX(l_shipdate) AS zmax,
+             |    COUNT(*) AS rows_,
+             |    SUM(CASE WHEN l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+             |      AND TIMESTAMP '1996-03-31 23:59:59' THEN 1 ELSE 0 END)
+             |      AS match_rows
+             |  FROM filed GROUP BY file)
+             |SELECT COUNT(*) AS n_files,
+             |  SUM(CASE WHEN zmax < TIMESTAMP '1996-01-01 00:00:00'
+             |    OR zmin > TIMESTAMP '1996-03-31 23:59:59' THEN 1 ELSE 0 END)
+             |    AS files_skipped,
+             |  SUM(CASE WHEN zmax >= TIMESTAMP '1996-01-01 00:00:00'
+             |    AND zmin <= TIMESTAMP '1996-03-31 23:59:59' THEN rows_
+             |    ELSE 0 END) AS rows_scanned,
+             |  SUM(match_rows) AS rows_matching,
+             |  round(CAST(SUM(CASE WHEN zmax < TIMESTAMP '1996-01-01 00:00:00'
+             |    OR zmin > TIMESTAMP '1996-03-31 23:59:59' THEN 1 ELSE 0 END)
+             |    AS DOUBLE) / COUNT(*), 6) AS skip_ratio
+             |FROM zones""".stripMargin)),
+
+    // Delete-group jackknife confidence intervals (✚, sampling-error
+    // bars for any corpus statistic without distributional assumptions
+    // — the "how sure are we" column a 100 TB profiling report needs
+    // next to every mean): 10 deterministic md5 folds, leave-one-out
+    // means, SE = sqrt((g-1)/g · Σ(mean_i − mean̄)²). One aggregation
+    // to (group × fold) partials — g·groups rows — then driver-scale
+    // arithmetic; the corpus is scanned ONCE. Decimal partial sums keep
+    // both engines' summation order-independent; round(6) guards the
+    // final float formatting.
+    QueryDef("q205_jackknife_ci",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .withColumn("fold",
+            (conv(substring(md5(col("o_orderkey").cast("string")), 1, 8), 16, 10)
+              .cast("long") % 10).cast("int"))
+        val parts = o.groupBy("o_orderpriority", "fold").agg(
+          sum(QueryDef.dec(col("o_totalprice"))).as("s"),
+          count(lit(1)).as("c"))
+        val tot = parts.groupBy("o_orderpriority").agg(
+          sum("s").as("st"), sum("c").as("ct"))
+        // q171's determinism pattern: per-fold doubles are bit-identical
+        // on both engines (decimal arithmetic → one cast), so round@9 →
+        // DECIMAL partial sums make the aggregation order-independent;
+        // the SE then computes in one fixed scalar expression.
+        val dec9 = (c: org.apache.spark.sql.Column) =>
+          round(c, 9).cast("decimal(30,9)")
+        // double/double division (numerator decimal→double is correctly
+        // rounded on both engines): DECIMAL division scale rules differ
+        // between Spark and DuckDB and can disagree inside round@6
+        val loo = parts.join(tot, "o_orderpriority")
+          .select(col("o_orderpriority"), col("st"), col("ct"),
+            ((col("st") - col("s")).cast("double") /
+              (col("ct") - col("c")).cast("double")).as("m_i"))
+        val sums = loo.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("g"),
+            first(col("st").cast("double") / col("ct").cast("double"))
+              .as("mean_all"),
+            sum(dec9(col("m_i"))).cast("double").as("sx"),
+            sum(dec9(col("m_i") * col("m_i"))).cast("double").as("sxx"))
+        val gD = col("g").cast("double")
+        sums.select(col("o_orderpriority"),
+            round(col("mean_all"), 6).as("mean_price"),
+            round(sqrt(((gD - 1) / gD) *
+              (col("sxx") - col("sx") * col("sx") / gD)), 6).as("jack_se"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderpriority, o_totalprice,
+             |    CAST(CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+             |      AS BIGINT) % 10 AS INT) AS fold
+             |  FROM orders),
+             |parts AS (
+             |  SELECT o_orderpriority, fold,
+             |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS s, COUNT(*) AS c
+             |  FROM o GROUP BY 1, 2),
+             |tot AS (
+             |  SELECT o_orderpriority, SUM(s) AS st, SUM(c) AS ct
+             |  FROM parts GROUP BY 1),
+             |loo AS (
+             |  SELECT p.o_orderpriority, t.st, t.ct,
+             |    CAST(t.st - p.s AS DOUBLE) / CAST(t.ct - p.c AS DOUBLE) AS m_i
+             |  FROM parts p JOIN tot t USING (o_orderpriority)),
+             |sums AS (
+             |  SELECT o_orderpriority, COUNT(*) AS g,
+             |    MAX(CAST(st AS DOUBLE) / CAST(ct AS DOUBLE)) AS mean_all,
+             |    CAST(SUM(CAST(round(m_i, 9) AS DECIMAL(30,9))) AS DOUBLE) AS sx,
+             |    CAST(SUM(CAST(round(m_i * m_i, 9) AS DECIMAL(30,9))) AS DOUBLE)
+             |      AS sxx
+             |  FROM loo GROUP BY o_orderpriority)
+             |SELECT o_orderpriority,
+             |  round(mean_all, 6) AS mean_price,
+             |  round(sqrt(((CAST(g AS DOUBLE) - 1) / CAST(g AS DOUBLE)) *
+             |    (sxx - sx * sx / CAST(g AS DOUBLE))), 6) AS jack_se
+             |FROM sums ORDER BY o_orderpriority""".stripMargin)),
+
+    // Gap interpolation (✚, q59's gap-fill upgraded from zero-fill to
+    // LINEAR interpolation with edge LOCF/NOCB — the resample step a
+    // metrics pipeline actually wants: zeros fabricate collapses where
+    // data was merely missing): dense 5-minute grid per event_type;
+    // interior gaps interpolate between the bracketing known buckets,
+    // leading/trailing gaps carry the nearest known value. The
+    // prev/next carriers are IGNORE NULLS window lookups over the grid
+    // — per-type time-ordered partitions, no joins, no grid-squared
+    // anything; at 100 TB the grid stays bounded by span·types while
+    // events partial-aggregate before touching it.
+    QueryDef("q206_interpolate",
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, d)
+          .select(col("event_type"),
+            window(col("ts"), "5 minutes").getField("start").as("b"),
+            col("value"))
+        val known = ev.groupBy("event_type", "b")
+          .agg(QueryDef.dsum(col("value")).as("v"))
+        val bounds = ev.agg(min(col("b")).as("lo"), max(col("b")).as("hi"))
+        val grid = bounds
+          .crossJoin(ev.select("event_type").distinct())
+          .select(col("event_type"),
+            explode(sequence(col("lo"), col("hi"), expr("INTERVAL 5 MINUTES"))).as("b"))
+        val joined = grid.join(known, Seq("event_type", "b"), "left")
+          .withColumn("t", unix_micros(col("b")))
+        val wPrev = W.partitionBy("event_type").orderBy("t")
+          .rowsBetween(W.unboundedPreceding, W.currentRow)
+        val wNext = W.partitionBy("event_type").orderBy("t")
+          .rowsBetween(W.currentRow, W.unboundedFollowing)
+        val kn = when(col("v").isNotNull, struct(col("t").as("kt"), col("v").as("kv")))
+        joined
+          .withColumn("pv", last(kn, ignoreNulls = true).over(wPrev))
+          .withColumn("nv", first(kn, ignoreNulls = true).over(wNext))
+          .withColumn("filled", when(col("v").isNotNull, col("v"))
+            .when(col("pv").isNull, col("nv.kv"))
+            .when(col("nv").isNull, col("pv.kv"))
+            .otherwise(col("pv.kv") + (col("nv.kv") - col("pv.kv")) *
+              (col("t") - col("pv.kt")) / (col("nv.kt") - col("pv.kt"))))
+          .select(col("event_type"), col("b"),
+            col("v").isNotNull.as("observed"),
+            // floor-based 5-dp rounding, NOT round(): interpolating 2-dp
+            // sums at small-rational time fractions lands on .5 digit-6
+            // boundaries constantly, where Spark's BigDecimal HALF_UP
+            // (decimal-string) and DuckDB's multiply-based round diverge;
+            // floor(x·1e5 + 0.5)/1e5 is the same IEEE ops on both engines
+            (floor(col("filled") * 100000.0 + 0.5) / 100000.0).as("filled"))
+          .orderBy("event_type", "b")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type,
+             |    make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS b,
+             |    value
+             |  FROM events),
+             |known AS (
+             |  SELECT event_type, b,
+             |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+             |  FROM ev GROUP BY 1, 2),
+             |bounds AS (SELECT MIN(b) AS lo, MAX(b) AS hi FROM ev),
+             |grid AS (
+             |  SELECT t.event_type, g.b
+             |  FROM (SELECT DISTINCT event_type FROM ev) t,
+             |       (SELECT unnest(generate_series(lo, hi, INTERVAL 5 MINUTE)) AS b
+             |        FROM bounds) g),
+             |j AS (
+             |  SELECT grid.event_type, grid.b, known.v, epoch_us(grid.b) AS t
+             |  FROM grid LEFT JOIN known
+             |    ON grid.event_type = known.event_type AND grid.b = known.b),
+             |c AS (
+             |  SELECT event_type, b, v, t,
+             |    last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+             |      OVER (PARTITION BY event_type ORDER BY t
+             |            ROWS UNBOUNDED PRECEDING) AS pt,
+             |    last_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+             |      OVER (PARTITION BY event_type ORDER BY t
+             |            ROWS UNBOUNDED PRECEDING) AS pv,
+             |    first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+             |      OVER (PARTITION BY event_type ORDER BY t
+             |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt,
+             |    first_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+             |      OVER (PARTITION BY event_type ORDER BY t
+             |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+             |  FROM j)
+             |SELECT event_type, b, v IS NOT NULL AS observed,
+             |  floor((CASE WHEN v IS NOT NULL THEN v
+             |    WHEN pt IS NULL THEN nv
+             |    WHEN nt IS NULL THEN pv
+             |    ELSE pv + (nv - pv) * (t - pt) / (nt - pt) END) * 100000.0
+             |    + 0.5) / 100000.0 AS filled
+             |FROM c ORDER BY event_type, b""".stripMargin))
   )
 }

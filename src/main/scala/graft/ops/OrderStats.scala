@@ -488,6 +488,59 @@ object OrderStats {
              |  FROM (SELECT unnest(range(1, 16)) AS j) js, n)
              |SELECT cuts.bnd, cuts.rk, r.v
              |FROM cuts JOIN r ON r.rn = cuts.rk
-             |ORDER BY bnd""".stripMargin))
+             |ORDER BY bnd""".stripMargin)),
+
+    // Sample-vs-exact quantile error audit (✚): the 100 TB reality is
+    // that most quantiles come from a SAMPLE (Spark's own
+    // RangePartitioner, approx dashboards); this gate measures what
+    // that costs, exactly — a deterministic 5% md5 sample's p50/p90
+    // against the full corpus's, both resolved by the same
+    // rank-refinement machinery (value at rank ceil(p·n), q133
+    // semantics, never a sort). The audit shape is the production
+    // artifact: sampled estimate next to measured error, so a layout/
+    // SLA decision is made on evidence. All compared values are corpus
+    // doubles — no float arithmetic to round.
+    QueryDef("q208_sample_quantile_audit",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+        val keyed = li.withColumn("h",
+          conv(substring(md5(concat_ws("-", col("l_orderkey"),
+            col("l_linenumber"))), 1, 8), 16, 10).cast("long") % 100)
+        val samp = keyed.where(col("h") < 5)
+        val n = li.count()
+        val ns = samp.count()
+        val out = Seq(0.5, 0.9).map { p =>
+          val sv = selectKth(samp, col("l_extendedprice"),
+            math.max(1L, math.ceil(p * ns).toLong))
+          val ev = selectKth(li, col("l_extendedprice"),
+            math.max(1L, math.ceil(p * n).toLong))
+          (p, sv, ev, math.abs(sv - ev))
+        }
+        out.toDF("p", "sample_v", "exact_v", "abs_err").orderBy("p")
+      },
+      Some("""WITH li AS (
+             |  SELECT l_extendedprice AS v,
+             |    CAST(CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
+             |      || CAST(l_linenumber AS VARCHAR)), 1, 8) AS BIGINT) % 100
+             |      AS BIGINT) AS h
+             |  FROM lineitem),
+             |full_r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM li),
+             |fn AS (SELECT COUNT(*) AS n FROM li),
+             |samp AS (SELECT v FROM li WHERE h < 5),
+             |samp_r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM samp),
+             |sn AS (SELECT COUNT(*) AS n FROM samp),
+             |ps AS (SELECT unnest([0.5, 0.9]) AS p),
+             |got AS (
+             |  SELECT ps.p,
+             |    (SELECT v FROM samp_r, sn
+             |     WHERE rn = GREATEST(1, CAST(CEIL(ps.p::DOUBLE * sn.n) AS BIGINT)))
+             |      AS sample_v,
+             |    (SELECT v FROM full_r, fn
+             |     WHERE rn = GREATEST(1, CAST(CEIL(ps.p::DOUBLE * fn.n) AS BIGINT)))
+             |      AS exact_v
+             |  FROM ps)
+             |SELECT p, sample_v, exact_v, abs(sample_v - exact_v) AS abs_err
+             |FROM got ORDER BY p""".stripMargin))
   )
 }
