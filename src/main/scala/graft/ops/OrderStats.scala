@@ -98,6 +98,126 @@ object OrderStats {
       .orderBy(col("v").desc).limit(1).first().getDouble(0)
   }
 
+  /** MULTI-rank exact selection: the values at EVERY rank in `ks`, in
+    * ~log_B(N) rounds TOTAL — not per rank. One call replaces k
+    * sequential [[selectKth]] series (q202's 15 boundary cuts ran 60
+    * bucket-count jobs; this runs ~4): each round broadcasts one
+    * (rank, lo, hi) bounds table, tags every value with the ranks
+    * whose CURRENT slice contains it (explode over a broadcast — a row
+    * matches at most |ks| slices, and after round 1 the slices are
+    * near-disjoint, so the fan-out is ~1), counts per (rank, bucket)
+    * in one aggregation, and descends every rank at once. Driver state
+    * is O(|ks|·B); identical per-rank arithmetic to [[selectKth]]
+    * (same clamped-floor bucketing, same degenerate-range exact
+    * fallback, same bounded final TakeOrderedAndProject per rank —
+    * still resolved jointly in one pass).
+    *
+    * Returns rank → value. */
+  def selectKths(df: DataFrame, c: Column, ks: Seq[Long],
+                 buckets: Int = 256, exactThreshold: Long = 65536): Map[Long, Double] = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"ranks must be >= 1: $ks")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(c.cast("double").as("v")).where(col("v").isNotNull)
+      .localCheckpoint() // scanned every round — pin the lineage
+    val bounds0 = vals.agg(min(col("v")), max(col("v")), count(lit(1))).first()
+    require(!bounds0.isNullAt(0), "selectKths over an empty or all-null column")
+    val total = bounds0.getLong(2)
+    require(ks.forall(_ <= total), s"ranks $ks exceed the $total non-null rows")
+    // per-rank state. Rank bookkeeping is RECOMPUTED each round from
+    // the strict below-count (the quantileDiscByGroup discipline): the
+    // target is located by VALUE RANGE, so a float-fuzz boundary row
+    // shows up in the next below-count instead of silently corrupting
+    // a carried remainder; if fuzz ever displaces the target itself
+    // out of the refined slice, the rank falls back to a solo
+    // [[selectKth]] over the full column — never a fabricated value.
+    final class St(var lo: Double, var hi: Double, var n: Long,
+                   var fallback: Boolean, var done: Option[Double])
+    val st = scala.collection.mutable.LinkedHashMap(ks.distinct.map(k =>
+      k -> new St(bounds0.getDouble(0), bounds0.getDouble(1), total,
+        false, None)): _*)
+    var rounds = 0
+    while (rounds < 12 && st.values.exists(s =>
+        s.done.isEmpty && !s.fallback && s.n > exactThreshold)) {
+      rounds += 1
+      val active = st.filter { case (_, s) =>
+        s.done.isEmpty && !s.fallback && s.n > exactThreshold }
+      active.foreach { case (_, s) =>
+        // degenerate slice: ≤ ~buckets distinct doubles survive; the
+        // shared final pass resolves among them exactly
+        if (s.lo == s.hi || (s.hi - s.lo) / buckets == 0.0) s.n = 0 }
+      val act = active.filter { case (_, s) => s.n > exactThreshold }
+      if (act.nonEmpty) {
+        val bt = broadcast(act.toSeq.map { case (k, s) => (k, s.lo, s.hi) }
+          .toDF("k", "_lo", "_hi"))
+        val width = (col("_hi") - col("_lo")) / buckets
+        // bucket -1 = strictly below the slice (feeds the rank
+        // recompute); rows above _hi are pruned by the join condition
+        val b = when(col("v") < col("_lo"), lit(-1))
+          .otherwise(greatest(least(
+            floor((col("v") - col("_lo")) / width), lit(buckets - 1)), lit(0))
+            .cast("int"))
+        val counts = vals.join(bt, col("v") <= col("_hi"))
+          .groupBy(col("k"), b.as("b"))
+          .agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+          .groupBy(_._1).map { case (k, rs) =>
+            k -> rs.map(t => t._2 -> t._3).toMap }
+        act.foreach { case (k, s) =>
+          val cm = counts.getOrElse(k, Map.empty[Int, Long])
+          val need = k - cm.getOrElse(-1, 0L)
+          if (need <= 0L) s.fallback = true
+          else {
+            var acc = 0L; var chosen = -1; var i = 0
+            while (chosen < 0 && i < buckets) {
+              val cn = cm.getOrElse(i, 0L)
+              if (acc + cn >= need) chosen = i else acc += cn
+              i += 1
+            }
+            if (chosen < 0) s.fallback = true
+            else {
+              val w0 = (s.hi - s.lo) / buckets
+              val newLo = s.lo + chosen * w0
+              s.hi = if (chosen == buckets - 1) s.hi else s.lo + (chosen + 1) * w0
+              s.lo = newLo
+              s.n = cm.getOrElse(chosen, 0L)
+              if (s.n == 0L) s.fallback = true
+            }
+          }
+        }
+      }
+    }
+    // shared final pass, all refined ranks in TWO jobs: one strict
+    // below-count per rank, then per-slice in-range rank via a window
+    // keyed by the rank id (slices are bounded, never a whole-column
+    // window). Ranks the pass misses (fuzz-displaced) fall back solo.
+    val open = st.toSeq.collect {
+      case (k, s) if s.done.isEmpty && !s.fallback => (k, s) }
+    if (open.nonEmpty) {
+      val bt = broadcast(open.map { case (k, s) => (k, s.lo) }.toDF("k", "_lo"))
+      val below = vals.join(bt, col("v") < col("_lo"))
+        .groupBy("k").agg(count(lit(1)).as("nb")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val withNeed = open.map { case (k, s) =>
+        (k, s, k - below.getOrElse(k, 0L)) }
+      val fin = broadcast(withNeed.collect { case (k, s, need) if need > 0 =>
+        (k, s.lo, s.hi, need) }.toDF("k", "_lo", "_hi", "_need"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy("v")
+      val got = vals.join(fin,
+          col("v") >= col("_lo") && col("v") <= col("_hi"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === col("_need"))
+        .select("k", "v").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      open.foreach { case (k, s) =>
+        if (got.contains(k)) s.done = Some(got(k)) else s.fallback = true }
+    }
+    st.collect { case (k, s) if s.done.isEmpty =>
+      s.done = Some(selectKth(vals, col("v"), k)) }
+    ks.distinct.map(k => k -> st(k).done.get).toMap
+  }
+
   /** GROUPED exact discrete quantile (value at rank ceil(p·n) within
     * each group) by the same refinement idea as [[selectKth]], all
     * groups descending SIMULTANEOUSLY: each round joins a broadcast
@@ -412,8 +532,13 @@ object OrderStats {
             QueryDef.dec(col("value")))).cast("double"), lit(0.0)).as("monet"))
           .localCheckpoint()
         val n = m.count()
-        def cuts(c: String): Seq[Double] = Seq(0.2, 0.4, 0.6, 0.8).map { p =>
-          selectKth(m, col(c), math.max(1L, math.ceil(p * n).toLong))
+        // one selectKths refinement per metric column (4 cuts each in
+        // ~4 shared jobs) instead of 12 sequential selectKth series
+        def cuts(c: String): Seq[Double] = {
+          val ranks = Seq(0.2, 0.4, 0.6, 0.8)
+            .map(p => math.max(1L, math.ceil(p * n).toLong))
+          val kth = selectKths(m, col(c), ranks)
+          ranks.map(kth)
         }
         def score(c: org.apache.spark.sql.Column, cs: Seq[Double]) =
           cs.map(v => when(c > lit(v), 1L).otherwise(0L)).reduce(_ + _) + 1L
@@ -472,11 +597,13 @@ object OrderStats {
         val li = Tables.lineitem(s, d)
         val n = li.where(col("l_extendedprice").isNotNull).count()
         val parts = 16
-        val bounds = (1 until parts).map { j =>
-          val rk = (j.toLong * n + parts - 1) / parts
-          (j.toLong, rk, selectKth(li, col("l_extendedprice"), rk))
-        }
-        bounds.toDF("bnd", "rk", "v").orderBy("bnd")
+        val ranks = (1 until parts).map(j => (j.toLong * n + parts - 1) / parts)
+        // all 15 cuts in ONE refinement (selectKths): ~4 bucket-count
+        // jobs total, vs 15 sequential selectKth series (~60 jobs)
+        val kth = selectKths(li, col("l_extendedprice"), ranks)
+        (1 until parts).map { j =>
+          val rk = ranks(j - 1); (j.toLong, rk, kth(rk))
+        }.toDF("bnd", "rk", "v").orderBy("bnd")
       },
       Some("""WITH v AS (
              |  SELECT l_extendedprice AS v FROM lineitem
@@ -510,11 +637,14 @@ object OrderStats {
         val samp = keyed.where(col("h") < 5)
         val n = li.count()
         val ns = samp.count()
-        val out = Seq(0.5, 0.9).map { p =>
-          val sv = selectKth(samp, col("l_extendedprice"),
-            math.max(1L, math.ceil(p * ns).toLong))
-          val ev = selectKth(li, col("l_extendedprice"),
-            math.max(1L, math.ceil(p * n).toLong))
+        val ps = Seq(0.5, 0.9)
+        val sk = selectKths(samp, col("l_extendedprice"),
+          ps.map(p => math.max(1L, math.ceil(p * ns).toLong)))
+        val ek = selectKths(li, col("l_extendedprice"),
+          ps.map(p => math.max(1L, math.ceil(p * n).toLong)))
+        val out = ps.map { p =>
+          val sv = sk(math.max(1L, math.ceil(p * ns).toLong))
+          val ev = ek(math.max(1L, math.ceil(p * n).toLong))
           (p, sv, ev, math.abs(sv - ev))
         }
         out.toDF("p", "sample_v", "exact_v", "abs_err").orderBy("p")

@@ -143,4 +143,36 @@ class OrderStatsSpec extends AnyFunSuite {
       assert(got == truth, s"p=$p")
     }
   }
+
+  test("selectKths equals selectKth rank-for-rank (random, dups, edge ranks)") {
+    val rnd = new scala.util.Random(202)
+    for (round <- 1 to 3) {
+      val n = 800 + rnd.nextInt(400)
+      val data = Seq.fill(n)(math.rint(rnd.nextGaussian() * 100) / 4.0 - 50)
+      val df = data.toDF("x")
+      val sorted = data.sorted
+      val ks = Seq(1L, n / 7L max 1L, n / 3L, n / 2L, n - 1L, n.toLong,
+        n / 2L) // duplicate rank on purpose
+      val got = OrderStats.selectKths(df, col("x"), ks,
+        buckets = 16, exactThreshold = 8)
+      ks.distinct.foreach { k =>
+        assert(got(k) == sorted(k.toInt - 1), s"round $round k=$k")
+      }
+    }
+  }
+
+  test("selectKths survives constant columns and boundary-heavy data") {
+    val const = Seq.fill(300)(7.25).toDF("x")
+    val gotC = OrderStats.selectKths(const, col("x"), Seq(1L, 150L, 300L),
+      buckets = 8, exactThreshold = 4)
+    assert(gotC.values.forall(_ == 7.25))
+    // values exactly on bucket boundaries of [0, 16] with 16 buckets
+    val data = (0 to 16).flatMap(i => Seq.fill(20)(i.toDouble))
+    val df = data.toDF("x")
+    val sorted = data.sorted
+    val ks = Seq(1L, 100L, 170L, 340L)
+    val got = OrderStats.selectKths(df, col("x"), ks,
+      buckets = 16, exactThreshold = 8)
+    ks.foreach(k => assert(got(k) == sorted(k.toInt - 1), s"k=$k"))
+  }
 }
