@@ -742,6 +742,78 @@ object Components {
            |SELECT node AS doc_id,
            |  CASE WHEN dist >= 999 THEN -1 ELSE dist END AS hops
            |FROM d4 ORDER BY doc_id""".stripMargin
+      }),
+
+    // Per-seed eccentricity / diameter lower bound (✚, the graph-shape
+    // audit q176's single frontier can't give: how DEEP are the near-dup
+    // components, not just who is reachable): the 3 smallest edge
+    // endpoints seed 3 INDEPENDENT BFS frontiers, run simultaneously by
+    // keying distance on (seed, node) — the multi-rank selectKths idea
+    // applied to graphs: one relax join + one (seed, v) min-aggregate
+    // per round for ALL seeds, 4 unrolled rounds over the shared
+    // verified pair table. Eccentricity = max finite hop distance per
+    // seed (bounded by the round budget — the documented audit window);
+    // max over seeds is a diameter lower bound. Scale: state is
+    // seeds×nodes 8-byte-key rows; the seed dimension multiplies the
+    // relax join's output, not the edge table.
+    QueryDef("q209_eccentricity",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.dedupPipeline(docs).select("id_a", "id_b")
+        val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+          .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+          .where(col("u") =!= col("v")).distinct().localCheckpoint()
+        val seeds = broadcast(edges.select(col("u").as("seed"))
+          .distinct().orderBy("seed").limit(3))
+        var dist = docs.select(col("doc_id").as("node"))
+          .crossJoin(seeds)
+          .withColumn("dist",
+            when(col("node") === col("seed"), lit(0L)).otherwise(lit(999L)))
+          .localCheckpoint()
+        for (_ <- 1 to 4) {
+          val relax = dist.join(edges, dist("node") === edges("u"))
+            .groupBy(col("seed").as("seed2"), col("v").as("node2"))
+            .agg(min(col("dist") + lit(1L)).as("via"))
+          dist = dist.join(relax,
+              dist("seed") === col("seed2") && dist("node") === col("node2"),
+              "left")
+            .select(col("seed"), col("node"),
+              least(col("dist"), coalesce(col("via"), lit(999L))).as("dist"))
+            .localCheckpoint()
+        }
+        dist.where(col("dist") < 999L)
+          .groupBy(col("seed").as("seed_id"))
+          .agg(count(lit(1)).as("n_reached"), max(col("dist")).as("ecc"))
+          .orderBy("seed_id")
+      },
+      Some {
+        val rounds = (1 to 4).map { k =>
+          s"""d$k AS MATERIALIZED (
+             |  SELECT c.seed, c.node,
+             |    LEAST(c.dist, COALESCE(MIN(p.dist + 1), 999)) AS dist
+             |  FROM d${k - 1} c
+             |  LEFT JOIN edges e ON e.v = c.node
+             |  LEFT JOIN d${k - 1} p ON p.seed = c.seed AND p.node = e.u
+             |  GROUP BY c.seed, c.node, c.dist)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ${Dedup.verifiedPairsCtes},
+           |edges AS MATERIALIZED (
+           |  SELECT DISTINCT u, v FROM (
+           |    SELECT id_a AS u, id_b AS v FROM vp
+           |    UNION ALL SELECT id_b, id_a FROM vp) s
+           |  WHERE u <> v),
+           |seeds AS MATERIALIZED (
+           |  SELECT DISTINCT u AS seed FROM edges ORDER BY u LIMIT 3),
+           |d0 AS MATERIALIZED (
+           |  SELECT s.seed, d.doc_id AS node,
+           |    CASE WHEN d.doc_id = s.seed THEN 0 ELSE 999 END AS dist
+           |  FROM documents d, seeds s),
+           |$rounds
+           |SELECT seed AS seed_id,
+           |  CAST(COUNT(*) AS BIGINT) AS n_reached,
+           |  CAST(MAX(dist) AS BIGINT) AS ecc
+           |FROM d4 WHERE dist < 999
+           |GROUP BY seed ORDER BY seed_id""".stripMargin
       })
   )
 }

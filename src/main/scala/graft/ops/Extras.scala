@@ -1727,6 +1727,153 @@ object Extras {
              |    WHEN nt IS NULL THEN pv
              |    ELSE pv + (nv - pv) * (t - pt) / (nt - pt) END) * 100000.0
              |    + 0.5) / 100000.0 AS filled
-             |FROM c ORDER BY event_type, b""".stripMargin))
+             |FROM c ORDER BY event_type, b""".stripMargin)),
+
+    // Deadline funnel (✚, q100's funnel with CONVERSION WINDOWS — the
+    // form product analytics actually ships: a click eight days after
+    // the view is not a conversion): each step must land within 1 hour
+    // of the previous step's time; per step, the surviving user count
+    // and the exact integer average gap (micros, decimal sum → floor
+    // division — no float anywhere). Same scale shape as q100: one
+    // min-aggregate per step keyed by user, each joined to the
+    // previous step's bounded survivor table.
+    QueryDef("q210_timed_funnel",
+      (s, d) => {
+        val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+        val hourUs = 3600L * 1000000L
+        val v = ev.where(col("event_type") === "view")
+          .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("t1"))
+        val c = ev.where(col("event_type") === "click")
+          .join(v, "user_id")
+          .where(unix_micros(col("ts")) > col("t1") &&
+            unix_micros(col("ts")) <= col("t1") + hourUs)
+          .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("t2"),
+            first(col("t1")).as("t1c"))
+        val p = ev.where(col("event_type") === "purchase")
+          .join(c, "user_id")
+          .where(unix_micros(col("ts")) > col("t2") &&
+            unix_micros(col("ts")) <= col("t2") + hourUs)
+          .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("t3"),
+            first(col("t2")).as("t2c"))
+        val s1 = v.agg(count(lit(1)).as("n_users"), lit(0L).as("sum_gap"))
+          .withColumn("step", lit("1_view"))
+        val s2 = c.agg(count(lit(1)).as("n_users"),
+            sum(col("t2") - col("t1c")).as("sum_gap"))
+          .withColumn("step", lit("2_click_1h"))
+        val s3 = p.agg(count(lit(1)).as("n_users"),
+            sum(col("t3") - col("t2c")).as("sum_gap"))
+          .withColumn("step", lit("3_purchase_1h"))
+        s1.unionByName(s2).unionByName(s3)
+          .select(col("step"), col("n_users"),
+            when(col("n_users") > 0,
+              expr("sum_gap div n_users")).otherwise(lit(0L)).as("avg_gap_us"))
+          .orderBy("step")
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+             |  WHERE event_type = 'view' GROUP BY user_id),
+             |c AS (
+             |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2, MIN(v.t1) AS t1c
+             |  FROM events e JOIN v ON v.user_id = e.user_id
+             |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1
+             |    AND epoch_us(e.ts) <= v.t1 + 3600000000
+             |  GROUP BY e.user_id),
+             |p AS (
+             |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3, MIN(c.t2) AS t2c
+             |  FROM events e JOIN c ON c.user_id = e.user_id
+             |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2
+             |    AND epoch_us(e.ts) <= c.t2 + 3600000000
+             |  GROUP BY e.user_id)
+             |SELECT step, n_users,
+             |  CASE WHEN n_users > 0 THEN sum_gap // n_users ELSE 0 END
+             |    AS avg_gap_us
+             |FROM (
+             |  SELECT '1_view' AS step, COUNT(*) AS n_users, 0 AS sum_gap FROM v
+             |  UNION ALL
+             |  SELECT '2_click_1h', COUNT(*), COALESCE(SUM(t2 - t1c), 0) FROM c
+             |  UNION ALL
+             |  SELECT '3_purchase_1h', COUNT(*), COALESCE(SUM(t3 - t2c), 0) FROM p)
+             |ORDER BY step""".stripMargin)),
+
+    // Inverse-transform sampling from an empirical distribution (✚, the
+    // synthetic-data primitive behind ScaleGen-style corpus growth:
+    // draw new rows whose column DISTRIBUTION matches the corpus):
+    // build the exact CDF of l_quantity, then map 1000 deterministic
+    // md5 uniforms through F⁻¹(u) = min{v : F(v) > u} — entirely in
+    // INTEGER arithmetic (cum·10⁶ > u·total), so both engines pick
+    // identical values with no float threshold anywhere. Scale: the
+    // CDF is one aggregation (distinct-value-bounded, broadcastable);
+    // the draw is a broadcast join + per-draw min — the corpus itself
+    // is never re-scanned per sample.
+    QueryDef("q211_empirical_sample",
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val li = Tables.lineitem(s, d).select(col("l_quantity").as("v"))
+        val n = li.count()
+        val cdf = li.groupBy("v").agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum("c").over(
+            W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)))
+          .select("v", "cum")
+        val draws = s.range(1000).select(col("id").as("i"),
+          (conv(substring(md5(concat(lit("draw-"), col("id").cast("string"))),
+            1, 8), 16, 10).cast("long") % 1000000L).as("u"))
+        draws.join(broadcast(cdf),
+            col("cum") * 1000000L > col("u") * lit(n))
+          .groupBy("i").agg(min("v").as("v"))
+          .groupBy("v").agg(count(lit(1)).as("n_sampled"))
+          .orderBy("v")
+      },
+      Some("""WITH li AS (SELECT l_quantity AS v FROM lineitem),
+             |nn AS (SELECT COUNT(*) AS n FROM li),
+             |cdf AS (
+             |  SELECT v, SUM(c) OVER (ORDER BY v
+             |    ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM (SELECT v, COUNT(*) AS c FROM li GROUP BY v) t),
+             |draws AS (
+             |  SELECT i,
+             |    CAST('0x' || substr(md5('draw-' || CAST(i AS VARCHAR)), 1, 8)
+             |      AS BIGINT) % 1000000 AS u
+             |  FROM (SELECT unnest(range(0, 1000)) AS i)),
+             |picked AS (
+             |  SELECT d.i, MIN(cdf.v) AS v
+             |  FROM draws d JOIN cdf ON cdf.cum * 1000000 > d.u * (SELECT n FROM nn)
+             |  GROUP BY d.i)
+             |SELECT v, COUNT(*) AS n_sampled FROM picked
+             |GROUP BY v ORDER BY v""".stripMargin)),
+
+    // Session path mining (✚, the "what do users DO" sequence view no
+    // per-event aggregate gives): consecutive event-type TRIGRAMS per
+    // user under the total (ts, event_id) order, global top-20 by
+    // count — the navigation-pattern primitive behind funnel DESIGN
+    // (q100/q210 check a hypothesized path; this surfaces the paths
+    // worth checking). Scale: lead() windows partition BY USER
+    // (millions of small independent partitions), the trigram count
+    // partial-aggregates map-side, and the top-20 is
+    // TakeOrderedAndProject — no global sort of the path space.
+    QueryDef("q212_path_ngrams",
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("e2", lead(col("event_type"), 1).over(W))
+          .withColumn("e3", lead(col("event_type"), 2).over(W))
+          .where(col("e2").isNotNull && col("e3").isNotNull)
+          .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+            .as("path"))
+          .groupBy("path").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("path").asc)
+          .limit(20)
+      },
+      Some("""WITH seq AS (
+             |  SELECT event_type,
+             |    LEAD(event_type, 1) OVER w AS e2,
+             |    LEAD(event_type, 2) OVER w AS e3
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+             |SELECT event_type || '>' || e2 || '>' || e3 AS path,
+             |  COUNT(*) AS n
+             |FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+             |GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 20""".stripMargin))
   )
 }

@@ -671,6 +671,44 @@ object OrderStats {
              |      AS exact_v
              |  FROM ps)
              |SELECT p, sample_v, exact_v, abs(sample_v - exact_v) AS abs_err
-             |FROM got ORDER BY p""".stripMargin))
+             |FROM got ORDER BY p""".stripMargin)),
+
+    // Inter-arrival time median per event type (✚, the traffic-shape
+    // statistic behind capacity planning and anomaly baselines — mean
+    // inter-arrival is dragged by idle gaps, the median isn't): gaps
+    // between CONSECUTIVE events of a type under the total (ts,
+    // event_id) order, resolved by the grouped refinement machinery
+    // (value at rank ceil(0.5·n), q133 semantics — never a per-group
+    // sort buffer). The lag window partitions by type; gaps are exact
+    // micros longs end to end.
+    QueryDef("q213_interarrival",
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("ts", "event_id")
+        val gaps = Tables.events(s, d)
+          .select(col("event_type"), col("ts"), col("event_id"))
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(W))
+          .where(col("prev_us").isNotNull)
+          .select(col("event_type"),
+            (unix_micros(col("ts")) - col("prev_us")).as("gap_us"))
+        quantileDiscByGroup(gaps, col("event_type"), col("gap_us"), 0.5)
+          .select(col("g"), col("n"), col("kth").cast("long").as("p50_us"))
+          .orderBy("g")
+      },
+      Some("""WITH gaps AS (
+             |  SELECT event_type AS g,
+             |    epoch_us(ts) - LAG(epoch_us(ts), 1) OVER
+             |      (PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+             |  FROM events),
+             |v AS (SELECT g, gap_us FROM gaps WHERE gap_us IS NOT NULL),
+             |n AS (SELECT g, COUNT(*) AS n FROM v GROUP BY g),
+             |r AS (SELECT g, gap_us, ROW_NUMBER() OVER (PARTITION BY g
+             |        ORDER BY gap_us) AS rn FROM v)
+             |SELECT n.g, n.n,
+             |  CAST(MAX(CASE WHEN rn = GREATEST(1,
+             |    CAST(CEIL(0.5::DOUBLE * n.n) AS BIGINT))
+             |    THEN r.gap_us END) AS BIGINT) AS p50_us
+             |FROM r JOIN n USING (g) GROUP BY n.g, n.n
+             |ORDER BY n.g""".stripMargin))
   )
 }
