@@ -171,6 +171,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CountTokensIn(exprs(0), litStr("graft_count_tokens_in", exprs(1)))
       }))
     e.injectFunction((
+      new FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerSim].getName, "graft_jaro_winkler"),
+      (exprs: Seq[Expression]) => {
+        checkArgs("graft_jaro_winkler", exprs, 2, foldableFrom = 2)
+        JaroWinklerSim(exprs(0), exprs(1))
+      }))
+    e.injectFunction((
       new FunctionIdentifier("graft_sorted_inter"),
       new ExpressionInfo(classOf[SortedInterCount].getName, "graft_sorted_inter"),
       (exprs: Seq[Expression]) => {

@@ -1401,32 +1401,32 @@ object Extras {
     // distributed without a sequential scan per key AND overflows any
     // (1/(1-α))^t rescaling trick after a few thousand steps; the
     // frame-bounded form is the scale-correct twin: (1-α)^12 < 2% of
-    // the mass is truncated, the window is a fixed 12-row frame
-    // (collect_list + one aggregate HOF — codegen'd, no per-row UDF),
-    // and partitioning is by event_type. Exact-parity discipline:
-    // weights and values combine in a deterministic index order on
-    // both engines; round(5) absorbs the engines' last-ulp pow drift.
+    // the mass is truncated, and partitioning is by event_type. The
+    // frame is a 12-term lag() chain, NOT collect_list-over-frame —
+    // the plan materializes no per-group array (PlanSpec's suite-wide
+    // collect_list ban), and the chain folds oldest→newest with
+    // literal 0.7^j weights so the float op order matches the oracle's
+    // oldest-first list fold exactly (missing lags contribute +0.0 —
+    // an IEEE identity); round(5) absorbs the engines' pow drift.
     QueryDef("q201_ewma",
       (s, d) => {
         val W = org.apache.spark.sql.expressions.Window
-          .partitionBy("event_type").orderBy("b").rowsBetween(-11, 0)
+          .partitionBy("event_type").orderBy("b")
         val bucketed = Tables.events(s, d)
           .groupBy(col("event_type"),
             window(col("ts"), "5 minutes").getField("start").as("b"))
           .agg(QueryDef.dsum(col("value")).as("v"))
+        // oldest term first (j = 11 … 0), exactly the oracle's order
+        val num = (11 to 0 by -1).map { j =>
+          coalesce(lag(col("v"), j).over(W) * pow(lit(0.7), lit(j.toDouble)),
+            lit(0.0))
+        }.reduce(_ + _)
+        val den = (11 to 0 by -1).map { j =>
+          when(lag(col("v"), j).over(W).isNotNull,
+            pow(lit(0.7), lit(j.toDouble))).otherwise(lit(0.0))
+        }.reduce(_ + _)
         bucketed
-          .withColumn("fr", collect_list(col("v")).over(W))
-          // fr is oldest-first; weight for slot i of m is 0.7^(m-1-i)
-          .withColumn("ewma", round(
-            aggregate(zip_with(col("fr"),
-                sequence(lit(1), org.apache.spark.sql.functions.size(col("fr"))),
-                (v, i) => v * pow(lit(0.7),
-                  (org.apache.spark.sql.functions.size(col("fr")) - i).cast("double"))),
-              lit(0.0), (acc, x) => acc + x) /
-            aggregate(sequence(lit(1), org.apache.spark.sql.functions.size(col("fr"))),
-              lit(0.0), (acc, i) => acc + pow(lit(0.7),
-                (org.apache.spark.sql.functions.size(col("fr")) - i).cast("double"))),
-            5))
+          .withColumn("ewma", round(num / den, 5))
           .select(col("event_type"), col("b"), round(col("v"), 2).as("v"), col("ewma"))
           .orderBy("event_type", "b")
       },
@@ -1874,6 +1874,109 @@ object Extras {
              |SELECT event_type || '>' || e2 || '>' || e3 AS path,
              |  COUNT(*) AS n
              |FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
-             |GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 20""".stripMargin))
+             |GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 20""".stripMargin)),
+
+    // Jaro-Winkler fuzzy match (✚, the record-linkage scorer q58's
+    // levenshtein can't give: JW rewards shared prefixes and tolerates
+    // transpositions, the structure of real name/title variants —
+    // Winkler built it for Census deduplication): same blocked
+    // discipline as q58 ((p_brand, p_size) equality join bounds the
+    // candidates), scored by the native graft_jaro_winkler Expression
+    // — a static-call codegen scorer, no UDF boxing per pair; DuckDB's
+    // jaro_winkler_similarity is the oracle, semantics probed and
+    // pinned (boost only when jaro > 0.7, prefix cap 4). The cut
+    // compares the ROUNDED score on both engines (the engines' float
+    // op order inside jaro may differ in the last ulp).
+    QueryDef("q214_jw_match",
+      (s, d) => {
+        val p = Tables.part(s, d).select(
+          col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
+        val a = p.select(col("p_brand"), col("p_size"),
+          col("p_partkey").as("id_a"), col("p_name").as("name_a"))
+        val b = p.select(col("p_brand"), col("p_size"),
+          col("p_partkey").as("id_b"), col("p_name").as("name_b"))
+        a.join(b, Seq("p_brand", "p_size")).where(col("id_a") < col("id_b"))
+          .withColumn("jw",
+            round(graft.functions.JaroWinkler(col("name_a"), col("name_b")), 6))
+          .where(col("jw") >= 0.94)
+          .select("id_a", "id_b", "jw")
+          .orderBy("id_a", "id_b")
+      },
+      Some("""SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+             |  round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+             |FROM part a JOIN part b
+             |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+             |  AND a.p_partkey < b.p_partkey
+             |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.94
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // FD-violation REPAIR (✚, q183's audit closed into an action: the
+    // audit counts rows where source does not determine lang; this
+    // emits the repair — set each violating row's lang to its source's
+    // majority lang, deterministic ties by lang asc). The majority
+    // table is one (source, lang) count + a rank window over ≤
+    // |sources|×|langs| rows — broadcastable at any corpus size; the
+    // repair join is keyed by source. Emitted rows are only the CHANGED
+    // ones (the delta a curation run writes back).
+    QueryDef("q215_fd_repair",
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d).select("doc_id", "source", "lang")
+        val maj = docs.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+          .withColumn("rk", row_number().over(
+            W.partitionBy("source").orderBy(col("c").desc, col("lang").asc)))
+          .where(col("rk") === 1)
+          .select(col("source"), col("lang").as("lang_maj"))
+        docs.join(broadcast(maj), "source")
+          .where(col("lang") =!= col("lang_maj"))
+          .select(col("doc_id"), col("lang").as("old_lang"),
+            col("lang_maj").as("new_lang"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH maj AS (
+             |  SELECT source, lang AS lang_maj FROM (
+             |    SELECT source, lang, COUNT(*) AS c,
+             |      ROW_NUMBER() OVER (PARTITION BY source
+             |        ORDER BY COUNT(*) DESC, lang ASC) AS rk
+             |    FROM documents GROUP BY source, lang) t
+             |  WHERE rk = 1)
+             |SELECT d.doc_id, d.lang AS old_lang, maj.lang_maj AS new_lang
+             |FROM documents d JOIN maj ON d.source = maj.source
+             |WHERE d.lang <> maj.lang_maj
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // Debounce (✚, the noise filter in front of every event pipeline:
+    // collapse rapid-fire repeats of the same (user, type) within 5
+    // seconds). This is the LAG-based form — each event compares to its
+    // immediate predecessor — which runs as embarrassingly parallel
+    // per-key windows; the chained form (compare to the last KEPT
+    // event) is inherently sequential per key and buys almost nothing
+    // on real traffic. Output is the audit view: kept vs total per
+    // type, the retention a tuning pass watches while choosing the
+    // debounce horizon.
+    QueryDef("q216_debounce",
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(W))
+          .withColumn("keep", col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 5000000L)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_total"),
+            sum(col("keep").cast("long")).as("n_kept"))
+          .orderBy("event_type")
+      },
+      Some("""WITH k AS (
+             |  SELECT event_type,
+             |    (LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id, event_type
+             |       ORDER BY ts, event_id)) AS prev_us,
+             |    epoch_us(ts) AS t
+             |  FROM events)
+             |SELECT event_type, COUNT(*) AS n_total,
+             |  SUM(CASE WHEN prev_us IS NULL OR t - prev_us > 5000000
+             |      THEN 1 ELSE 0 END) AS n_kept
+             |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }
