@@ -62,5 +62,28 @@ object Sql {
         |    ROW_NUMBER() OVER (PARTITION BY s_nationkey
         |      ORDER BY s_acctbal DESC, s_suppkey ASC) AS rn
         |  FROM supplier) t
-        |WHERE rn <= 3 ORDER BY s_nationkey, rn""".stripMargin))
+        |WHERE rn <= 3 ORDER BY s_nationkey, rn""".stripMargin),
+
+    // Native-function-in-SQL-text gate: the one surface q195-q197's
+    // dialect-portable twins can't cover — graft's INJECTED functions
+    // reached through `spark.sql(text)` (GraftExtensions wires them
+    // into the session's FunctionRegistry; this proves a SQL-text user
+    // gets the same native codegen scorer the DataFrame surface gets).
+    // The texts differ only in the scorer's name (graft_jaro_winkler
+    // vs DuckDB's jaro_winkler_similarity) — same blocks, same rounded
+    // cut, hash-equal pair counts.
+    QueryDef("q218_sqltext_native_fn",
+      (s, dir) => sql(s, dir,
+        """SELECT a.p_brand, COUNT(*) AS n_pairs
+          |FROM part a JOIN part b
+          |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+          |  AND a.p_partkey < b.p_partkey
+          |WHERE round(graft_jaro_winkler(a.p_name, b.p_name), 6) >= 0.94
+          |GROUP BY a.p_brand ORDER BY a.p_brand""".stripMargin),
+      Some("""SELECT a.p_brand, COUNT(*) AS n_pairs
+             |FROM part a JOIN part b
+             |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+             |  AND a.p_partkey < b.p_partkey
+             |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.94
+             |GROUP BY a.p_brand ORDER BY a.p_brand""".stripMargin)))
 }

@@ -21,6 +21,10 @@ final case class IvUpd(user_id: Long, k: Long, n_islands: Long,
   covered_us: Long)
 final case class IvState(curSt: Long, curEn: Long, closedCov: Long,
   nClosed: Long, k: Long)
+final case class EwmaOut(event_type: String, b_us: Long, v: Double,
+  ewma: Double)
+final case class EwmaState(openB: Long, openCents: Long,
+  ring: Seq[(Long, Double)])
 
 /** Event-time streaming operators (✚ extensions; the reference's push
   * pipelines are unbounded but have no event time, SURVEY.md §2.7).
@@ -483,7 +487,101 @@ object StreamOps {
       }.toDF()
   }
 
+  /** Frame-bounded EWMA THROUGH the streaming engine (q201's twin):
+    * per event_type, 5-minute bucket sums close when a LATER bucket's
+    * first event arrives (the watermark-style closure a streaming
+    * resampler actually has — the final, still-open bucket never
+    * emits), and each closed bucket's EWMA folds the last ≤12 closed
+    * values carried in state ACROSS micro-batch edges. Exact-parity
+    * discipline: bucket sums accumulate in integer cents (the decimal
+    * cast's HALF_UP rounding mirrored per event), v = cents/100.0 is
+    * the same correctly-rounded double as the batch decimal→double
+    * cast, and the EWMA folds oldest→newest with Math.pow(0.7, j)
+    * weights — the identical float op order as q201's lag chain. */
+  def ewmaStream(events: DataFrame, bucketUs: Long = 300000000L): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    def ewma(vs: IndexedSeq[Double]): Double = {
+      val m = vs.length
+      var num = 0.0; var den = 0.0; var i = 0
+      while (i < m) { // oldest first — q201's fold order
+        val w = Math.pow(0.7, (m - 1 - i).toDouble)
+        num += vs(i) * w; den += w; i += 1
+      }
+      num / den
+    }
+    events.as[AnomEvent].groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[AnomEvent], state: GroupState[EwmaState]) =>
+          var st = state.getOption.getOrElse(EwmaState(Long.MinValue, 0L, Nil))
+          val out = Seq.newBuilder[EwmaOut]
+          it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            val b = e.ts_us - java.lang.Math.floorMod(e.ts_us, bucketUs)
+            val cents = BigDecimal.valueOf(e.value)
+              .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+              .*(BigDecimal(100)).toLongExact
+            if (st.openB == Long.MinValue) st = EwmaState(b, cents, st.ring)
+            else if (b == st.openB) st = st.copy(openCents = st.openCents + cents)
+            else {
+              // arrival-order contract: the replay writes event-time-
+              // ranged chunks oldest-first, so a bucket older than the
+              // open one cannot arrive — fail loudly, never mis-merge
+              require(b > st.openB,
+                s"$key: bucket $b arrived behind open ${st.openB}")
+              val v = st.openCents / 100.0
+              val frame = (st.ring.map(_._2) :+ v).toIndexedSeq
+              out += EwmaOut(key, st.openB, v, ewma(frame))
+              st = EwmaState(b, cents,
+                (st.ring :+ (st.openB, v)).takeRight(11))
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }.toDF()
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    // q201's EWMA THROUGH the streaming engine: same bucket sums, same
+    // 12-value frame, same float fold — but the frame state lives in
+    // the state store and survives micro-batch edges (the carry under
+    // test), and bucket closure is arrival-driven. The oracle is
+    // q201's minus each type's final bucket (never closed by a later
+    // arrival — the honest streaming semantics, asserted not papered
+    // over). round() applies in the DataFrame so both engines' outputs
+    // go through the identical rounding path as batch q201.
+    QueryDef("q217_stream_ewma",
+      (s, d) => {
+        val input = graft.Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), unix_micros(col("ts")).as("ts_us"))
+        val rows = runBoundedFromPath(s, input, ewmaStream(_),
+          chunks = 3, outputMode = "append",
+          arrivalOrder = Seq(col("ts_us"), col("event_id")))
+        s.createDataFrame(new java.util.ArrayList(java.util.Arrays.asList(rows: _*)),
+            org.apache.spark.sql.Encoders.product[EwmaOut].schema)
+          .select(col("event_type"), col("b_us"),
+            round(col("v"), 2).as("v"), round(col("ewma"), 5).as("ewma"))
+          .orderBy("event_type", "b_us")
+      },
+      Some("""WITH bucketed AS (
+             |  SELECT event_type,
+             |    make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS b,
+             |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+             |  FROM events GROUP BY 1, 2),
+             |fr AS (
+             |  SELECT event_type, b, v,
+             |    list(v) OVER (PARTITION BY event_type ORDER BY b
+             |      ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS fr,
+             |    MAX(b) OVER (PARTITION BY event_type) AS mb
+             |  FROM bucketed)
+             |SELECT event_type, epoch_us(b) AS b_us, round(v, 2) AS v,
+             |  round(
+             |    list_sum(list_transform(range(1, len(fr) + 1),
+             |      i -> fr[i] * pow(0.7, CAST(len(fr) - i AS DOUBLE)))) /
+             |    list_sum(list_transform(range(1, len(fr) + 1),
+             |      i -> pow(0.7, CAST(len(fr) - i AS DOUBLE)))), 5) AS ewma
+             |FROM fr WHERE b < mb ORDER BY event_type, b_us""".stripMargin)),
     // Native session_window. Boundary semantics measured, not assumed:
     // a pair exactly `gap` apart MERGES (merge iff diff <= gap) —
     // pinned by StreamingSpec's exactly-at-gap fixture. The oracle
