@@ -814,6 +814,62 @@ object Components {
            |  CAST(MAX(dist) AS BIGINT) AS ecc
            |FROM d4 WHERE dist < 999
            |GROUP BY seed ORDER BY seed_id""".stripMargin
-      })
+      }),
+
+    // Fuzzy entity resolution end-to-end (✚, the composition the JW
+    // scorer exists FOR — q58/q214 emit pairs, a resolver needs
+    // ENTITIES): blocked Jaro-Winkler >= 0.94 pairs over part names →
+    // connected components (pointer-jumping min-label, the q74
+    // machinery) → one canonical record per multi-member cluster
+    // (deterministic: the minimum member id names the cluster). The
+    // oracle rebuilds the identical clusters with a recursive CTE over
+    // DuckDB's own jaro_winkler_similarity pairs — two engines, two
+    // closure algorithms, hash-equal entity tables. Scale: pairs are
+    // block-bounded, CC shuffles 8-byte labels in O(log diameter)
+    // rounds, the canonical join is keyed by cluster id.
+    QueryDef("q219_er_pipeline",
+      (s, d) => {
+        val p = Tables.part(s, d).select(
+          col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
+        val a = p.select(col("p_brand"), col("p_size"),
+          col("p_partkey").as("id_a"), col("p_name").as("name_a"))
+        val b = p.select(col("p_brand"), col("p_size"),
+          col("p_partkey").as("id_b"), col("p_name").as("name_b"))
+        val pairs = a.join(b, Seq("p_brand", "p_size"))
+          .where(col("id_a") < col("id_b"))
+          .where(round(graft.functions.JaroWinkler(col("name_a"), col("name_b")), 6)
+            >= 0.94)
+          .select("id_a", "id_b")
+        val labels = connectedComponents(
+          p.select(col("p_partkey").as("id")), pairs)
+        val clusters = labels.groupBy(col("lbl").as("canonical_id"))
+          .agg(count(lit(1)).as("cluster_size"))
+          .where(col("cluster_size") >= 2)
+        clusters.join(p.select(col("p_partkey").as("canonical_id"),
+            col("p_name").as("canonical_name")), "canonical_id")
+          .select("canonical_id", "cluster_size", "canonical_name")
+          .orderBy("canonical_id")
+      },
+      Some("""WITH RECURSIVE vp2 AS (
+             |  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+             |  FROM part a JOIN part b
+             |    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+             |    AND a.p_partkey < b.p_partkey
+             |  WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6)
+             |    >= 0.94),
+             |edges AS (SELECT id_a AS u, id_b AS v FROM vp2
+             |          UNION ALL SELECT id_b, id_a FROM vp2),
+             |reach(node, lbl) AS (
+             |  SELECT p_partkey, p_partkey FROM part
+             |  UNION
+             |  SELECT e.v AS node, r.lbl FROM reach r JOIN edges e ON e.u = r.node),
+             |lab AS (SELECT node, MIN(lbl) AS canonical_id
+             |        FROM reach GROUP BY node),
+             |cs AS (SELECT canonical_id, COUNT(*) AS cluster_size
+             |       FROM lab GROUP BY canonical_id HAVING COUNT(*) >= 2)
+             |SELECT cs.canonical_id, cs.cluster_size,
+             |  part.p_name AS canonical_name
+             |FROM cs JOIN part ON part.p_partkey = cs.canonical_id
+             |ORDER BY cs.canonical_id""".stripMargin))
   )
 }

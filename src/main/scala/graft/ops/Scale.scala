@@ -474,6 +474,57 @@ object Scale {
              |  FROM r, nn)
              |SELECT doc_id, source, n_chars, gv AS norm_chars
              |FROM r2 JOIN g USING (grn)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Dictionary-encoding advisor (✚, the layout decision q117/q204
+    // leave open: WHICH string columns earn dictionary encoding in the
+    // written files): per column, exact plain bytes (Σ value lengths)
+    // vs dictionary bytes (Σ distinct-value lengths + n·code width),
+    // with the code width in EXACT integer arithmetic — bits =
+    // len(bin(n_distinct − 1)), never a float log2 that rounds wrong
+    // at powers of two. Scale: one stacked scan feeding two
+    // aggregations (per-column totals; per-column distinct totals) —
+    // column count × distinct values, never row-count state.
+    QueryDef("q220_encoding_advisor",
+      (s, d) => {
+        val st = Tables.part(s, d).selectExpr(
+          "stack(3, 'p_brand', p_brand, 'p_name', p_name, 'p_type', p_type) AS (c, v)")
+        val base = st.groupBy("c").agg(count(lit(1)).as("n"),
+          sum(length(col("v"))).as("plain_bytes"),
+          countDistinct(col("v")).as("n_distinct"))
+        val dist = st.distinct().groupBy("c")
+          .agg(sum(length(col("v"))).as("dict_value_bytes"))
+        base.join(dist, "c")
+          .withColumn("code_bytes", expr("(length(bin(n_distinct - 1)) + 7) div 8"))
+          .withColumn("dict_bytes",
+            col("dict_value_bytes") + col("n") * col("code_bytes"))
+          .select(col("c"), col("n"), col("n_distinct"),
+            col("plain_bytes"), col("dict_bytes"),
+            (col("dict_bytes") < col("plain_bytes")).as("dict_wins"),
+            round(col("dict_bytes").cast("double") / col("plain_bytes"), 6)
+              .as("ratio"))
+          .orderBy("c")
+      },
+      Some("""WITH st AS (
+             |  SELECT 'p_brand' AS c, p_brand AS v FROM part
+             |  UNION ALL SELECT 'p_name', p_name FROM part
+             |  UNION ALL SELECT 'p_type', p_type FROM part),
+             |base AS (
+             |  SELECT c, COUNT(*) AS n, SUM(length(v)) AS plain_bytes,
+             |    COUNT(DISTINCT v) AS n_distinct
+             |  FROM st GROUP BY c),
+             |dist AS (
+             |  SELECT c, SUM(length(v)) AS dict_value_bytes
+             |  FROM (SELECT DISTINCT c, v FROM st) t GROUP BY c),
+             |j AS (
+             |  SELECT base.c, n, n_distinct, plain_bytes, dict_value_bytes,
+             |    (length(bin(n_distinct - 1)) + 7) // 8 AS code_bytes
+             |  FROM base JOIN dist ON base.c = dist.c)
+             |SELECT c, n, n_distinct, plain_bytes,
+             |  dict_value_bytes + n * code_bytes AS dict_bytes,
+             |  dict_value_bytes + n * code_bytes < plain_bytes AS dict_wins,
+             |  round(CAST(dict_value_bytes + n * code_bytes AS DOUBLE)
+             |    / plain_bytes, 6) AS ratio
+             |FROM j ORDER BY c""".stripMargin))
   )
 }
