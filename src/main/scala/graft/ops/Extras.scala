@@ -1977,6 +1977,65 @@ object Extras {
              |SELECT event_type, COUNT(*) AS n_total,
              |  SUM(CASE WHEN prev_us IS NULL OR t - prev_us > 5000000
              |      THEN 1 ELSE 0 END) AS n_kept
-             |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Seasonal-baseline anomaly detection (✚, the complement of
+    // q149/q151's ROLLING window: a rolling baseline absorbs a slow
+    // drift but chases daily rhythm; the seasonal profile compares each
+    // hourly bucket against ITS OWN hour-of-day across the corpus, so
+    // "3am traffic at noon levels" flags even when the preceding hours
+    // drifted with it). Two aggregations: hourly bucket sums, then the
+    // per-(type, hour-of-day) profile with exact DECIMAL moment sums;
+    // z computed in one fixed double expression, flagged at |z| > 3.
+    // The seasonal profile is types×24 rows — broadcast-size at any
+    // corpus scale.
+    QueryDef("q221_seasonal_anomaly",
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            window(col("ts"), "1 hour").getField("start").as("b"))
+          .agg(QueryDef.dsum(col("value")).as("v"))
+          .withColumn("hod", hour(col("b")))
+        val prof = hourly.groupBy("event_type", "hod")
+          .agg(count(lit(1)).as("m"),
+            sum(QueryDef.dec(col("v"))).cast("double").as("sv"),
+            sum(QueryDef.dec(col("v")) * QueryDef.dec(col("v")))
+              .cast("double").as("svv"))
+          .withColumn("mu", col("sv") / col("m"))
+          .withColumn("sd", sqrt(greatest(
+            col("svv") / col("m") - (col("sv") / col("m")) * (col("sv") / col("m")),
+            lit(0.0))))
+        hourly.join(broadcast(prof.select("event_type", "hod", "mu", "sd")),
+            Seq("event_type", "hod"))
+          .where(col("sd") > 0.0)
+          .withColumn("z", round((col("v") - col("mu")) / col("sd"), 6))
+          .where(abs(col("z")) > 3.0)
+          .select(col("event_type"), col("b"), round(col("v"), 2).as("v"),
+            col("z"))
+          .orderBy("event_type", "b")
+      },
+      Some("""WITH hourly AS (
+             |  SELECT event_type,
+             |    make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS b,
+             |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+             |  FROM events GROUP BY 1, 2),
+             |h2 AS (SELECT event_type, b, v, EXTRACT(hour FROM b) AS hod
+             |       FROM hourly),
+             |prof AS (
+             |  SELECT event_type, hod, COUNT(*) AS m,
+             |    CAST(SUM(CAST(v AS DECIMAL(12,2))) AS DOUBLE) AS sv,
+             |    CAST(SUM(CAST(v AS DECIMAL(12,2)) * CAST(v AS DECIMAL(12,2)))
+             |      AS DOUBLE) AS svv
+             |  FROM h2 GROUP BY 1, 2),
+             |pz AS (
+             |  SELECT event_type, hod, sv / m AS mu,
+             |    sqrt(greatest(svv / m - (sv / m) * (sv / m), 0.0)) AS sd
+             |  FROM prof)
+             |SELECT h2.event_type, h2.b, round(h2.v, 2) AS v,
+             |  round((h2.v - pz.mu) / pz.sd, 6) AS z
+             |FROM h2 JOIN pz ON h2.event_type = pz.event_type
+             |  AND h2.hod = pz.hod
+             |WHERE pz.sd > 0.0 AND abs(round((h2.v - pz.mu) / pz.sd, 6)) > 3.0
+             |ORDER BY h2.event_type, h2.b""".stripMargin))
   )
 }

@@ -709,6 +709,55 @@ object OrderStats {
              |    CAST(CEIL(0.5::DOUBLE * n.n) AS BIGINT))
              |    THEN r.gap_us END) AS BIGINT) AS p50_us
              |FROM r JOIN n USING (g) GROUP BY n.g, n.n
-             |ORDER BY n.g""".stripMargin))
+             |ORDER BY n.g""".stripMargin)),
+
+    // Imputation quality audit (✚, the missing-data decision measured
+    // instead of assumed: mask a deterministic 1-in-13 slice of event
+    // values, impute each from its type's median of the SURVIVING
+    // rows — grouped rank refinement, never a per-group sort — and
+    // score the imputation against the held-out truth). MAE folds
+    // |median − truth| through round@9 DECIMAL sums (order-independent
+    // aggregation), ÷ count in one double op. The audit shape is the
+    // production artifact: impute policy next to its measured error,
+    // per group.
+    QueryDef("q222_impute_audit",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), col("event_id"), col("value"))
+        val kept = ev.where(pmod(col("event_id"), lit(13)) =!= 0)
+        val med = quantileDiscByGroup(kept, col("event_type"), col("value"), 0.5)
+          .select(col("g").as("event_type"), col("kth").as("med"))
+        val masked = ev.where(pmod(col("event_id"), lit(13)) === 0)
+        masked.join(broadcast(med), "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_masked"),
+            first(col("med")).as("med0"),
+            sum(round(abs(col("med") - col("value")), 9)
+              .cast("decimal(30,9)")).cast("double").as("sae"))
+          .select(col("event_type"), col("n_masked"),
+            round(col("med0"), 2).as("med"),
+            round(col("sae") / col("n_masked"), 6).as("mae"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, event_id, value FROM events),
+             |kept AS (SELECT event_type AS g, value AS v FROM ev
+             |         WHERE event_id % 13 <> 0),
+             |n AS (SELECT g, COUNT(*) AS n FROM kept WHERE v IS NOT NULL
+             |      GROUP BY g),
+             |r AS (SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v)
+             |        AS rn FROM kept WHERE v IS NOT NULL),
+             |med AS (
+             |  SELECT n.g AS event_type,
+             |    MAX(CASE WHEN rn = GREATEST(1,
+             |      CAST(CEIL(0.5::DOUBLE * n.n) AS BIGINT)) THEN r.v END) AS med
+             |  FROM r JOIN n USING (g) GROUP BY n.g, n.n),
+             |masked AS (SELECT event_type, value FROM ev WHERE event_id % 13 = 0)
+             |SELECT m.event_type, COUNT(*) AS n_masked,
+             |  round(MAX(med.med), 2) AS med,
+             |  round(CAST(SUM(CAST(round(abs(med.med - m.value), 9)
+             |    AS DECIMAL(30,9))) AS DOUBLE) / COUNT(*), 6) AS mae
+             |FROM masked m JOIN med ON m.event_type = med.event_type
+             |GROUP BY m.event_type ORDER BY m.event_type""".stripMargin))
   )
 }
