@@ -78,12 +78,16 @@ object Sql {
           |FROM part a JOIN part b
           |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
           |  AND a.p_partkey < b.p_partkey
+          |  AND 10 * least(length(a.p_name), length(b.p_name))
+          |      >= 7 * greatest(length(a.p_name), length(b.p_name))
           |WHERE round(graft_jaro_winkler(a.p_name, b.p_name), 6) >= 0.94
           |GROUP BY a.p_brand ORDER BY a.p_brand""".stripMargin),
       Some("""SELECT a.p_brand, COUNT(*) AS n_pairs
              |FROM part a JOIN part b
              |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
              |  AND a.p_partkey < b.p_partkey
+             |  AND 10 * least(length(a.p_name), length(b.p_name))
+             |      >= 7 * greatest(length(a.p_name), length(b.p_name))
              |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.94
              |GROUP BY a.p_brand ORDER BY a.p_brand""".stripMargin)))
 }

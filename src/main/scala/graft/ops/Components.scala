@@ -836,7 +836,10 @@ object Components {
         val b = p.select(col("p_brand"), col("p_size"),
           col("p_partkey").as("id_b"), col("p_name").as("name_b"))
         val pairs = a.join(b, Seq("p_brand", "p_size"))
-          .where(col("id_a") < col("id_b"))
+          .where(col("id_a") < col("id_b") &&
+            // q214's provable length prefilter (jw>=0.94 ⟹ 10·min>=7·max)
+            least(length(col("name_a")), length(col("name_b"))) * 10 >=
+              greatest(length(col("name_a")), length(col("name_b"))) * 7)
           .where(round(graft.functions.JaroWinkler(col("name_a"), col("name_b")), 6)
             >= 0.94)
           .select("id_a", "id_b")

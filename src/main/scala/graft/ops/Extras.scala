@@ -1895,7 +1895,16 @@ object Extras {
           col("p_partkey").as("id_a"), col("p_name").as("name_a"))
         val b = p.select(col("p_brand"), col("p_size"),
           col("p_partkey").as("id_b"), col("p_name").as("name_b"))
-        a.join(b, Seq("p_brand", "p_size")).where(col("id_a") < col("id_b"))
+        // provable length prefilter BEFORE the scorer: jw >= 0.94 forces
+        // jaro >= 0.9 (max boost is jw = 0.6·jaro + 0.4), and jaro <=
+        // (1 + min/max + 1)/3, so min/max >= 0.7 — i.e. 10·min_len >=
+        // 7·max_len. Integer arithmetic, zero false negatives; prunes
+        // the quadratic block-pair stream before any O(len²) scoring
+        // (the sf1 study showed block populations growing 10× → pairs
+        // 100× — the filter is what keeps the scorer off most of them)
+        a.join(b, Seq("p_brand", "p_size")).where(col("id_a") < col("id_b") &&
+            least(length(col("name_a")), length(col("name_b"))) * 10 >=
+              greatest(length(col("name_a")), length(col("name_b"))) * 7)
           .withColumn("jw",
             round(graft.functions.JaroWinkler(col("name_a"), col("name_b")), 6))
           .where(col("jw") >= 0.94)

@@ -683,14 +683,18 @@ object OrderStats {
     // micros longs end to end.
     QueryDef("q213_interarrival",
       (s, d) => {
-        val W = org.apache.spark.sql.expressions.Window
-          .partitionBy("event_type").orderBy("ts", "event_id")
-        val gaps = Tables.events(s, d)
-          .select(col("event_type"), col("ts"), col("event_id"))
-          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(W))
-          .where(col("prev_us").isNotNull)
-          .select(col("event_type"),
-            (unix_micros(col("ts")) - col("prev_us")).as("gap_us"))
+        // Scale.distributedLag, NOT Window.partitionBy(event_type): a
+        // handful of types would cap the lag at |types| tasks — the
+        // round-10 sf1 study measured that shape at 11.8× for 10× data
+        // (the one super-linear query it caught); the two-phase lag
+        // with boundary carry restores partitions×types parallelism
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), unix_micros(col("ts")).as("ts_us"),
+            col("event_id"))
+        val gaps = Scale.distributedLag(ev, col("event_type"),
+            col("ts_us"), col("event_id"))
+          .where(col("prev").isNotNull)
+          .select(col("event_type"), (col("ts_us") - col("prev")).as("gap_us"))
         quantileDiscByGroup(gaps, col("event_type"), col("gap_us"), 0.5)
           .select(col("g"), col("n"), col("kth").cast("long").as("p50_us"))
           .orderBy("g")

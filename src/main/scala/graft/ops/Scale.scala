@@ -221,6 +221,54 @@ object Scale {
                    partitions: Int = 32): DataFrame =
     zOrderKey(df, x, y).repartitionByRange(partitions, col("z"))
 
+  /** Distributed per-key lag for LOW-CARDINALITY keys — the shape the
+    * round-10 scaling study caught super-linear (q213 at 11.8× for 10×
+    * data): `Window.partitionBy(key)` caps parallelism at |keys| tasks,
+    * so per-key sequence ops over a handful of event types serialize
+    * the corpus. Two-phase instead (the DistributedSplit boundary-repair
+    * discipline): range-partition on (key, ts, tie) — each partition
+    * holds a contiguous slice of one-or-two keys' timelines — lag
+    * WITHIN (key, partition) slices (partitions × keys bounded windows),
+    * and repair each slice's first row from a driver-assembled carry
+    * table (≤ partitions × keys rows — the documented-small collect,
+    * like globalRunningSum's subtotals). Exactly equals the global
+    * per-key lag (ScaleSpec pins it on adversarial splits).
+    *
+    * Returns the input columns + `prev` (the previous ts within the
+    * row's key, null for each key's first row). */
+  def distributedLag(df: DataFrame, key: Column, ts: Column, tie: Column,
+      partitions: Int = 32,
+      materialize: graft.Materialize.Strategy = graft.Materialize.local): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranged = materialize(df
+      .withColumn("_k", key).withColumn("_ts", ts).withColumn("_tie", tie)
+      .repartitionByRange(partitions, col("_k"), col("_ts"), col("_tie"))
+      .withColumn("_pid", spark_partition_id()))
+    // carry table: for each (pid, key), the latest ts of the SAME key in
+    // the nearest earlier partition that contains it
+    val last = ranged.groupBy("_pid", "_k").agg(max(col("_ts")).as("_last"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .sortBy(r => (r._2, r._1))
+    val carry = last.zip(last.drop(1)).collect {
+      case ((pPrev, kPrev, lastTs), (pNext, kNext, _))
+          if kPrev == kNext && pPrev < pNext => (pNext, kNext, lastTs)
+    }.toSeq
+    val carryDf = broadcast(
+      if (carry.isEmpty) Seq.empty[(Int, String, Long)].toDF("_pid", "_k", "_carry")
+      else carry.toDF("_pid", "_k", "_carry"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_k", "_pid").orderBy("_ts", "_tie")
+    ranged
+      .withColumn("_prev_in", lag(col("_ts"), 1).over(w))
+      .withColumn("_rn", row_number().over(w))
+      .join(carryDf, Seq("_pid", "_k"), "left")
+      .withColumn("prev",
+        when(col("_prev_in").isNotNull, col("_prev_in"))
+          .when(col("_rn") === 1, col("_carry")))
+      .drop("_k", "_ts", "_tie", "_pid", "_prev_in", "_rn", "_carry")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q65_bucketed_join",
       (s, d) => {
@@ -525,6 +573,98 @@ object Scale {
              |  dict_value_bytes + n * code_bytes < plain_bytes AS dict_wins,
              |  round(CAST(dict_value_bytes + n * code_bytes AS DOUBLE)
              |    / plain_bytes, 6) AS ratio
-             |FROM j ORDER BY c""".stripMargin))
+             |FROM j ORDER BY c""".stripMargin)),
+
+    // Layout A/B under a 2-predicate scan (✚, the measurement that
+    // justifies q117's z-order machinery: q204 audits ONE layout; real
+    // layout decisions compare candidates): the same lineitem laid into
+    // 64 files two ways — linear shipdate order vs z-order on
+    // (suppkey, shipdate) — and the same predicate (Q1-1996 AND
+    // suppkey 100–199) priced against both layouts' per-file min/max
+    // zone maps on BOTH columns. Linear order gives perfect shipdate
+    // zones and useless suppkey zones; the z-order run trades a little
+    // of each dimension for selectivity on both — the report shows
+    // exactly what that trade buys in skipped files and residual scan.
+    // Scale: both ranks are two-phase globalRowNumber (never a
+    // single-task sort); zone tables are 64 rows each.
+    QueryDef("q224_layout_compare",
+      (s, d) => {
+        val lo = 820454400000000L  // 1996-01-01 00:00:00 UTC in micros
+        val hi = 828316799000000L  // 1996-03-31 23:59:59 UTC
+        val li = Tables.lineitem(s, d)
+          .select(unix_micros(col("l_shipdate").cast("timestamp")).as("sd_us"),
+            col("l_suppkey").as("sk"), col("l_orderkey"), col("l_linenumber"))
+        def audit(label: String, ranked: DataFrame): DataFrame = {
+          val n = ranked.agg(count(lit(1)).as("nn"))
+          val filed = ranked.crossJoin(broadcast(n))
+            .withColumn("file", floor((col("rn") - 1) * 64 / col("nn")).cast("int"))
+          val zones = filed.groupBy("file").agg(
+            min("sd_us").as("sd_min"), max("sd_us").as("sd_max"),
+            min("sk").as("sk_min"), max("sk").as("sk_max"),
+            count(lit(1)).as("rows"),
+            sum(when(col("sd_us").between(lo, hi) &&
+              col("sk").between(100L, 199L), 1L).otherwise(0L)).as("match_rows"))
+          val skip = col("sd_max") < lo || col("sd_min") > hi ||
+            col("sk_max") < 100L || col("sk_min") > 199L
+          zones.agg(count(lit(1)).as("n_files"),
+              sum(skip.cast("long")).as("files_skipped"),
+              sum(when(!skip, col("rows")).otherwise(0L)).as("rows_scanned"),
+              sum(col("match_rows")).as("rows_matching"))
+            .withColumn("layout", lit(label))
+        }
+        val linear = audit("a_linear_shipdate", globalRowNumber(li,
+          Seq(col("sd_us"), col("l_orderkey"), col("l_linenumber"))))
+        val zed = audit("b_zorder_sk_sd", globalRowNumber(
+          zOrderKey(li, col("sk"), col("sd_us")),
+          Seq(col("z"), col("l_orderkey"), col("l_linenumber"))))
+        linear.unionByName(zed)
+          .select("layout", "n_files", "files_skipped", "rows_scanned",
+            "rows_matching")
+          .orderBy("layout")
+      },
+      Some {
+        val zterms = (0 until 8).map { i =>
+          s"((xb // ${1L << i}) % 2) * ${1L << (2 * i)}" +
+          s" + ((yb // ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
+        }.mkString(" + ")
+        def arm(label: String, rankedCte: String) =
+          s"""SELECT '$label' AS layout, COUNT(*) AS n_files,
+             |  SUM(CASE WHEN skip THEN 1 ELSE 0 END) AS files_skipped,
+             |  SUM(CASE WHEN skip THEN 0 ELSE rows_ END) AS rows_scanned,
+             |  SUM(match_rows) AS rows_matching
+             |FROM (
+             |  SELECT file,
+             |    MAX(sd_us) < 820454400000000 OR MIN(sd_us) > 828316799000000
+             |      OR MAX(sk) < 100 OR MIN(sk) > 199 AS skip,
+             |    COUNT(*) AS rows_,
+             |    SUM(CASE WHEN sd_us BETWEEN 820454400000000 AND 828316799000000
+             |        AND sk BETWEEN 100 AND 199 THEN 1 ELSE 0 END) AS match_rows
+             |  FROM (
+             |    SELECT sd_us, sk, ((rn - 1) * 64) // nn AS file
+             |    FROM ($rankedCte) rr, (SELECT COUNT(*) AS nn FROM src) n)
+             |  GROUP BY file) zones""".stripMargin
+        s"""WITH src AS (
+           |  SELECT epoch_us(l_shipdate) AS sd_us, l_suppkey AS sk,
+           |    l_orderkey, l_linenumber
+           |  FROM lineitem),
+           |b AS (
+           |  SELECT MIN(sk) AS minx, MAX(sk) AS maxx,
+           |         MIN(sd_us) AS miny, MAX(sd_us) AS maxy
+           |  FROM src),
+           |zsrc AS (
+           |  SELECT sd_us, sk, l_orderkey, l_linenumber, xb, yb,
+           |    $zterms AS z
+           |  FROM (
+           |    SELECT src.*,
+           |      ((sk - minx) * 256) // (maxx - minx + 1) AS xb,
+           |      ((sd_us - miny) * 256) // (maxy - miny + 1) AS yb
+           |    FROM src, b) c)
+           |${arm("a_linear_shipdate",
+             "SELECT sd_us, sk, ROW_NUMBER() OVER (ORDER BY sd_us, l_orderkey, l_linenumber) AS rn FROM src")}
+           |UNION ALL
+           |${arm("b_zorder_sk_sd",
+             "SELECT sd_us, sk, ROW_NUMBER() OVER (ORDER BY z, l_orderkey, l_linenumber) AS rn FROM zsrc")}
+           |ORDER BY layout""".stripMargin
+      })
   )
 }

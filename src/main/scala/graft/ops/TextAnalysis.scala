@@ -1360,6 +1360,68 @@ object TextAnalysis {
              |      ORDER BY score DESC, tok ASC) AS rk
              |  FROM scored)
              |SELECT doc_id, CAST(rk AS BIGINT) AS rk, tok, score
-             |FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin))
+             |FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)),
+
+    // Bigram cross-entropy (✚, q118's unigram surprise upgraded to a
+    // CONTEXT model — the standard perplexity filter for corpus
+    // curation: a doc whose bigrams fight the corpus's own transition
+    // statistics is boilerplate, shuffled text, or contamination):
+    // add-one-smoothed P(w|prev) = (c(prev,w)+1)/(c(prev)+V), per-doc
+    // mean -ln P over its bigrams, top-20 most surprising among docs
+    // with ≥ 20 bigrams (count desc ties broken by doc). Determinism:
+    // each bigram's log term rounds@9 into exact DECIMAL sums (the
+    // q118/q171 playbook). Scale: the bigram model is one count over
+    // the (prev, w) stream; doc bigrams join it hash-keyed; windows
+    // partition BY DOC.
+    QueryDef("q223_bigram_surprise",
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos")
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        val bi = toks
+          .withColumn("nxt", lead(col("tok"), 1).over(W))
+          .where(col("nxt").isNotNull)
+        val biC = bi.groupBy(col("tok"), col("nxt")).agg(count(lit(1)).as("cb"))
+        val uniC = bi.groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+        val vocab = toks.agg(countDistinct(col("tok")).as("v"))
+        val term = round(log((col("cb") + 1).cast("double") /
+            (col("cu") + col("v")).cast("double")), 9)
+          .cast("decimal(28,9)")
+        bi.join(biC, Seq("tok", "nxt"))
+          .join(uniC, Seq("tok"))
+          .crossJoin(broadcast(vocab))
+          .groupBy("doc_id")
+          .agg(sum(term).as("slp"), count(lit(1)).as("n_bi"))
+          .where(col("n_bi") >= 20)
+          .select(col("doc_id"), col("n_bi"),
+            round(-col("slp").cast("double") / col("n_bi"), 5).as("ce"))
+          .orderBy(col("ce").desc, col("doc_id").asc)
+          .limit(20)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, tok, pos FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             |      generate_subscripts(string_split(text, ' '), 1) AS pos
+             |    FROM documents) t),
+             |bi AS (
+             |  SELECT doc_id, tok, LEAD(tok, 1) OVER
+             |    (PARTITION BY doc_id ORDER BY pos) AS nxt
+             |  FROM toks QUALIFY nxt IS NOT NULL),
+             |bic AS (SELECT tok, nxt, COUNT(*) AS cb FROM bi GROUP BY 1, 2),
+             |unic AS (SELECT tok, COUNT(*) AS cu FROM bi GROUP BY 1),
+             |vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM toks),
+             |terms AS (
+             |  SELECT bi.doc_id,
+             |    CAST(round(ln(CAST(cb + 1 AS DOUBLE) / CAST(cu + v AS DOUBLE)), 9)
+             |      AS DECIMAL(28,9)) AS lp
+             |  FROM bi JOIN bic USING (tok, nxt) JOIN unic USING (tok), vocab),
+             |pd AS (
+             |  SELECT doc_id, SUM(lp) AS slp, COUNT(*) AS n_bi
+             |  FROM terms GROUP BY 1 HAVING COUNT(*) >= 20)
+             |SELECT doc_id, n_bi,
+             |  round(-CAST(slp AS DOUBLE) / n_bi, 5) AS ce
+             |FROM pd ORDER BY ce DESC, doc_id ASC LIMIT 20""".stripMargin))
   )
 }

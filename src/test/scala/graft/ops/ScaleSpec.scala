@@ -212,4 +212,29 @@ class ScaleSpec extends AnyFunSuite {
       assert(got == want, s"parts=$parts")
     }
   }
+
+  test("distributedLag equals the global per-key lag on adversarial splits") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(213)
+    // few keys (the pathological Window.partitionBy(key) shape), dense
+    // duplicate timestamps, and partition counts that force key
+    // timelines to straddle range-partition boundaries
+    val rows = (1 to 3000).map { i =>
+      (s"k${rnd.nextInt(4)}", (rnd.nextInt(50) * 10).toLong, i.toLong)
+    }
+    val df = rows.toDF("k", "ts", "id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy("ts", "id")
+    val want = df.withColumn("prev", lag(col("ts"), 1).over(w))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3))).toSet
+    for (parts <- Seq(2, 5, 32)) {
+      val got = Scale.distributedLag(df, col("k"), col("ts"), col("id"),
+          partitions = parts)
+        .select("k", "ts", "id", "prev")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) null else r.getLong(3))).toSet
+      assert(got == want, s"parts=$parts")
+    }
+  }
 }
