@@ -762,6 +762,107 @@ object OrderStats {
              |  round(CAST(SUM(CAST(round(abs(med.med - m.value), 9)
              |    AS DECIMAL(30,9))) AS DOUBLE) / COUNT(*), 6) AS mae
              |FROM masked m JOIN med ON m.event_type = med.event_type
-             |GROUP BY m.event_type ORDER BY m.event_type""".stripMargin))
+             |GROUP BY m.event_type ORDER BY m.event_type""".stripMargin)),
+
+    // Per-entity p90 profile (✚, the latency-SLO view: "what does the
+    // TYPICICAL user's bad case look like" — distribution OF per-user
+    // tail statistics, not the global tail). Two order-statistics
+    // regimes composed by their cardinality: per-user p90 runs as
+    // embarrassingly-parallel user-partitioned windows (millions of
+    // SMALL independent groups — the HIGH-cardinality complement of
+    // quantileDiscByGroup, whose O(groups) driver state is for few
+    // heavy keys), then the five summary cuts over the per-user table
+    // resolve in ONE selectKths refinement. Ranks pinned as
+    // ceil(p·n) on both engines throughout.
+    QueryDef("q225_latency_profile",
+      (s, d) => {
+        import s.implicits._
+        val W = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("value", "event_id")
+        val per = Tables.events(s, d)
+          .select(col("user_id"), col("value"), col("event_id"))
+          .withColumn("rn", row_number().over(W))
+          .withColumn("n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
+          .where(col("rn") === greatest(lit(1L),
+            ceil(col("n").cast("double") * 0.9).cast("long")))
+          .select(col("user_id"), col("value").as("p90"))
+          .localCheckpoint()
+        val nu = per.count()
+        val ps = Seq(0.05, 0.25, 0.5, 0.75, 0.95)
+        val ranks = ps.map(p => math.max(1L, math.ceil(p * nu).toLong))
+        val kth = selectKths(per, col("p90"), ranks)
+        ps.zip(ranks).map { case (p, rk) => (p, kth(rk)) }
+          .toDF("p", "p90_at").orderBy("p")
+      },
+      Some("""WITH per AS (
+             |  SELECT user_id, value AS p90 FROM (
+             |    SELECT user_id, value,
+             |      ROW_NUMBER() OVER (PARTITION BY user_id
+             |        ORDER BY value, event_id) AS rn,
+             |      COUNT(*) OVER (PARTITION BY user_id) AS n
+             |    FROM events) t
+             |  WHERE rn = GREATEST(1, CAST(CEIL(0.9::DOUBLE * n) AS BIGINT))),
+             |nn AS (SELECT COUNT(*) AS nu FROM per),
+             |r AS (SELECT p90, ROW_NUMBER() OVER (ORDER BY p90) AS rn FROM per),
+             |ps AS (SELECT unnest([0.05, 0.25, 0.5, 0.75, 0.95]) AS p)
+             |SELECT ps.p,
+             |  (SELECT p90 FROM r, nn
+             |   WHERE rn = GREATEST(1, CAST(CEIL(ps.p::DOUBLE * nn.nu) AS BIGINT)))
+             |    AS p90_at
+             |FROM ps ORDER BY p""".stripMargin)),
+
+    // Exact two-sample Kolmogorov–Smirnov statistic (✚, the unbinned
+    // drift test beside q165's binned PSI: KS = max |F₁ − F₂| over the
+    // MERGED sample, sensitive to any distributional change, no bin
+    // tuning to get wrong). The merged CDF walk is the two-phase
+    // globalRunningSum — range partitions on (value, side, id),
+    // bounded per-partition windows — never a single-task global
+    // window; D computes per row in exact integer cross-products
+    // (|cum1·n2 − cum2·n1| over n1·n2) and only the max aggregates.
+    // Ties walk in a pinned (v, side, id) order on BOTH engines; on
+    // tied data the walk's max upper-bounds the textbook KS (which
+    // evaluates only at complete tie groups) — fine for a drift
+    // monitor, and bit-identical cross-engine by the shared order.
+    QueryDef("q226_ks_test",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_extendedprice").as("v"),
+            pmod(col("l_orderkey"), lit(2)).as("side"),
+            col("l_orderkey"), col("l_linenumber"))
+        val counts = li.groupBy("side").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val (n1, n2) = (counts(0L), counts(1L))
+        val cum1 = Scale.globalRunningSum(li,
+            Seq(col("v"), col("side"), col("l_orderkey"), col("l_linenumber")),
+            when(col("side") === 0, 1L).otherwise(0L))
+          .withColumnRenamed("cum", "c1")
+        val cum2 = Scale.globalRowNumber(cum1,
+            Seq(col("v"), col("side"), col("l_orderkey"), col("l_linenumber")))
+          .withColumn("c2", col("rn") - col("c1"))
+        cum2.select((abs(col("c1") * n2 - col("c2") * n1)).as("dnum"))
+          .agg(max("dnum").as("dmax"))
+          .select(lit(n1).as("n1"), lit(n2).as("n2"),
+            round(col("dmax").cast("double") / (n1.toDouble * n2), 6).as("ks"))
+      },
+      Some("""WITH li AS (
+             |  SELECT l_extendedprice AS v, l_orderkey % 2 AS side,
+             |    l_orderkey, l_linenumber
+             |  FROM lineitem),
+             |n AS (
+             |  SELECT SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS n1,
+             |    SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS n2
+             |  FROM li),
+             |c AS (
+             |  SELECT
+             |    SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) OVER w AS c1,
+             |    ROW_NUMBER() OVER w AS rn
+             |  FROM li
+             |  WINDOW w AS (ORDER BY v, side, l_orderkey, l_linenumber
+             |    ROWS UNBOUNDED PRECEDING))
+             |SELECT n.n1, n.n2,
+             |  round(CAST(MAX(abs(c1 * n.n2 - (rn - c1) * n.n1)) AS DOUBLE)
+             |    / (CAST(n.n1 AS DOUBLE) * n.n2), 6) AS ks
+             |FROM c, n GROUP BY n.n1, n.n2""".stripMargin))
   )
 }
