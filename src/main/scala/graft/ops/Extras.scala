@@ -2045,6 +2045,76 @@ object Extras {
              |FROM h2 JOIN pz ON h2.event_type = pz.event_type
              |  AND h2.hod = pz.hod
              |WHERE pz.sd > 0.0 AND abs(round((h2.v - pz.mu) / pz.sd, 6)) > 3.0
-             |ORDER BY h2.event_type, h2.b""".stripMargin))
+             |ORDER BY h2.event_type, h2.b""".stripMargin)),
+
+    // Benford first-digit audit (✚, the fabricated-numbers screen
+    // auditors run on financial columns: naturally-grown magnitudes
+    // follow P(d) = log10(1 + 1/d); synthetic or tampered values
+    // don't). First digit extracted through the STRING of the integer
+    // part — never floor(x/10^floor(log10 x)), whose float log10
+    // misassigns exactly at powers of ten. Per digit: observed share
+    // vs Benford expectation and the chi-square term, log terms
+    // round@9 (cross-engine ln drift) — one aggregation, nine rows.
+    QueryDef("q228_benford",
+      (s, d) => {
+        val o = Tables.orders(s, d).where(col("o_totalprice") >= 1.0)
+          .withColumn("digit",
+            substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+              .cast("int"))
+        val n = o.count()
+        val obs = o.groupBy("digit").agg(count(lit(1)).as("n_obs"))
+        obs
+          .withColumn("share", round(col("n_obs").cast("double") / n, 6))
+          .withColumn("exp_share",
+            round(log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)), 9))
+          .withColumn("chi_term", round(
+            (col("n_obs") - lit(n.toDouble) * col("exp_share")) *
+              (col("n_obs") - lit(n.toDouble) * col("exp_share")) /
+              (lit(n.toDouble) * col("exp_share")), 6))
+          .select(col("digit"), col("n_obs"), col("share"),
+            round(col("exp_share"), 6).as("exp_share"), col("chi_term"))
+          .orderBy("digit")
+      },
+      Some("""WITH o AS (
+             |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+             |      AS VARCHAR), 1, 1) AS INT) AS digit
+             |  FROM orders WHERE o_totalprice >= 1.0),
+             |nn AS (SELECT COUNT(*) AS n FROM o),
+             |obs AS (SELECT digit, COUNT(*) AS n_obs FROM o GROUP BY digit),
+             |e AS (
+             |  SELECT digit, n_obs,
+             |    round(CAST(n_obs AS DOUBLE) / nn.n, 6) AS share,
+             |    round(ln(1.0 + 1.0 / digit) / ln(10.0), 9) AS exp_share,
+             |    CAST(nn.n AS DOUBLE) AS nd
+             |  FROM obs, nn)
+             |SELECT digit, n_obs, share,
+             |  round(exp_share, 6) AS exp_share,
+             |  round((n_obs - nd * exp_share) * (n_obs - nd * exp_share)
+             |    / (nd * exp_share), 6) AS chi_term
+             |FROM e ORDER BY digit""".stripMargin)),
+
+    // Sliding-window distinct users (✚, the overlap-window cardinality
+    // q32 counts ROWS for: reach/liveness wants DISTINCT entities per
+    // 10-minute window sliding by 5). Spark's window() assigns each
+    // event to its two covering windows and the distinct aggregates
+    // inside each — partial aggregation dedupes (window, user) pairs
+    // map-side, so the shuffle carries pairs, not events. The oracle
+    // derives the same two covering starts arithmetically.
+    QueryDef("q229_sliding_distinct",
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes")
+          .getField("start").as("w_start"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("w_start"),
+      Some("""WITH ev AS (
+             |  SELECT user_id,
+             |    (epoch_us(ts) // 300000000) * 300000000 AS s1
+             |  FROM events),
+             |assigned AS (
+             |  SELECT user_id, unnest([s1, s1 - 300000000]) AS ws FROM ev)
+             |SELECT make_timestamp(ws) AS w_start,
+             |  COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+             |FROM assigned GROUP BY ws ORDER BY w_start""".stripMargin))
   )
 }

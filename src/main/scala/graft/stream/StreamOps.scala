@@ -258,6 +258,35 @@ object StreamOps {
     } finally { rmTree(new java.io.File(srcDir)); rmTree(new java.io.File(sinkBase)) }
   }
 
+  /** Key-routed DEMUX: one streaming query writes every micro-batch
+    * `partitionBy(key)` under a single sink root — the per-key landing
+    * layout independent downstream consumers tail (the true demux
+    * shape, vs [[runBoundedFanOut]]'s different-transform multicast).
+    * `consume` receives a reader for ONE key's partition directory, so
+    * the gate proves PHYSICAL routing: each key's rows are readable
+    * without touching any other key's files. */
+  def runBoundedDemux(spark: SparkSession, input: DataFrame, key: String,
+                      chunks: Int = 3)
+                     (consume: (String => DataFrame) => DataFrame): DataFrame = {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-demux-src").toString
+    val sinkRoot = java.nio.file.Files.createTempDirectory("graft-demux-sink").toString
+    try {
+      writeChunkedOrdered(input, srcDir, chunks, Nil)
+      val source = spark.readStream.schema(input.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = source.writeStream.outputMode("append")
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.write.mode("append").partitionBy(key).parquet(sinkRoot)
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      val out = consume(part => spark.read.parquet(s"$sinkRoot/$key=$part"))
+      val rows = out.collect()
+      spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), out.schema)
+    } finally { rmTree(new java.io.File(srcDir)); rmTree(new java.io.File(sinkRoot)) }
+  }
+
   /** Stream-stream interval join: purchases within 30 minutes after a
     * click by the same user. Watermarks on BOTH sides bound the join
     * state; the time-range predicate lets Spark drop expired state. The
@@ -1065,6 +1094,37 @@ object StreamOps {
              |SELECT user_id, count(*) AS n_islands,
              |  CAST(sum(ien - ist) AS BIGINT) AS covered_us
              |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Key-routed stream DEMUX (✚, completing the reference's roadmap
+    // item alongside q190/q191: q190 multicasts DIFFERENT transforms to
+    // sinks; this routes ONE stream's rows to per-key outputs — the
+    // partitioned landing layout independent per-key consumers tail):
+    // every micro-batch appends partitionBy(event_type) under one sink
+    // root, and the gate reads each key's partition DIRECTORY in
+    // isolation (physical routing, not a post-hoc filter) — per-key
+    // counts, id-sums and DECIMAL value-sums must hash-match the batch
+    // aggregation. Scale: the write is an executor-side partitioned
+    // append per batch; no driver staging, no extra pass per key.
+    QueryDef("q227_stream_demux",
+      (s, d) => {
+        val input = graft.Tables.events(s, d)
+          .select(col("event_id"), col("event_type"), col("value"))
+        val keys = Seq("click", "error", "purchase", "signup", "view")
+        runBoundedDemux(s, input, "event_type", chunks = 3) { readPart =>
+          keys.map { k =>
+            readPart(k).agg(count(lit(1)).as("n"),
+                sum(col("event_id")).as("id_sum"),
+                dsum(col("value")).as("sum_value"))
+              .withColumn("event_type", lit(k))
+          }.reduce(_ unionByName _)
+            .select("event_type", "n", "id_sum", "sum_value")
+            .orderBy("event_type")
+        }
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // Stream fan-out (✚, demux + rollup multicast — the reference's OWN
     // unchecked roadmap item, flod README.md:46-47 "multiplexing and
