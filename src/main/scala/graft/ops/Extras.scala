@@ -2115,6 +2115,67 @@ object Extras {
              |  SELECT user_id, unnest([s1, s1 - 300000000]) AS ws FROM ev)
              |SELECT make_timestamp(ws) AS w_start,
              |  COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
-             |FROM assigned GROUP BY ws ORDER BY w_start""".stripMargin))
+             |FROM assigned GROUP BY ws ORDER BY w_start""".stripMargin)),
+
+    // Cascading erasure audit (✚, the right-to-be-forgotten pass a
+    // governed corpus runs: delete a subject set, CASCADE through
+    // referencing tables, and PROVE no orphan survives — the proof is
+    // the deliverable, not the delete). Subjects = customers with
+    // custkey % 41 = 0; orders cascade by o_custkey, lineitems by
+    // their deleted orders. Per table: rows before, rows removed, and
+    // the orphan count after — which the gate pins at 0 by
+    // construction of the same anti-join that produced the survivors
+    // (a disagreement means the cascade and the audit used different
+    // key semantics; NULL-safe anti joins make that impossible here).
+    // Scale: two broadcast-able key sets (subjects; their orders),
+    // each table one anti-join — content never shuffles.
+    QueryDef("q230_cascade_delete",
+      (s, d) => {
+        import s.implicits._
+        val cust = Tables.customer(s, d)
+        val ord = Tables.orders(s, d)
+        val li = Tables.lineitem(s, d)
+        val delC = cust.where(pmod(col("c_custkey"), lit(41)) === 0)
+          .select(col("c_custkey").as("k"))
+        val delO = ord.join(delC, col("o_custkey") === col("k"))
+          .select(col("o_orderkey").as("ok"))
+        def audit(name: String, df: org.apache.spark.sql.DataFrame,
+                  key: org.apache.spark.sql.Column,
+                  delKeys: org.apache.spark.sql.DataFrame,
+                  dk: org.apache.spark.sql.Column) = {
+          val total = df.count()
+          val kept = df.join(delKeys, key === dk, "left_anti")
+          val keptN = kept.count()
+          val orphans = kept.join(delKeys, key === dk, "left_semi").count()
+          (name, total, total - keptN, orphans)
+        }
+        Seq(
+          audit("1_customer", cust, col("c_custkey"), delC, col("k")),
+          audit("2_orders", ord, col("o_custkey"), delC, col("k")),
+          audit("3_lineitem", li, col("l_orderkey"), delO, col("ok")))
+          .toDF("table_", "n_rows", "n_removed", "n_orphans")
+          .orderBy("table_")
+      },
+      Some("""WITH delc AS (
+             |  SELECT c_custkey AS k FROM customer WHERE c_custkey % 41 = 0),
+             |delo AS (
+             |  SELECT o_orderkey AS ok FROM orders
+             |  JOIN delc ON o_custkey = k)
+             |SELECT * FROM (
+             |  SELECT '1_customer' AS table_, COUNT(*) AS n_rows,
+             |    SUM(CASE WHEN c_custkey % 41 = 0 THEN 1 ELSE 0 END) AS n_removed,
+             |    0 AS n_orphans
+             |  FROM customer
+             |  UNION ALL
+             |  SELECT '2_orders', COUNT(*),
+             |    SUM(CASE WHEN o_custkey IN (SELECT k FROM delc)
+             |        THEN 1 ELSE 0 END), 0
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT '3_lineitem', COUNT(*),
+             |    SUM(CASE WHEN l_orderkey IN (SELECT ok FROM delo)
+             |        THEN 1 ELSE 0 END), 0
+             |  FROM lineitem)
+             |ORDER BY table_""".stripMargin))
   )
 }
