@@ -873,6 +873,88 @@ object Components {
              |SELECT cs.canonical_id, cs.cluster_size,
              |  part.p_name AS canonical_name
              |FROM cs JOIN part ON part.p_partkey = cs.canonical_id
-             |ORDER BY cs.canonical_id""".stripMargin))
+             |ORDER BY cs.canonical_id""".stripMargin)),
+
+    // Bounded-hop cheapest path — Bellman–Ford, 4 synchronous
+    // relaxation rounds (✚, the WEIGHTED upgrade of q176's BFS: "how
+    // strongly is each part tied to the seed assortment", where a hop
+    // through a frequently-co-bought pair is cheaper than through a
+    // rare one). Graph: q200's basket-capped co-purchase pairs
+    // (k ≤ 20, so pair-gen cost is Σ C(k,2), never n²), edge cost the
+    // INTEGER 1000000 div w — min-plus arithmetic stays exact BIGINT
+    // end-to-end, so the iterated min over engine-different reduction
+    // orders is still bit-identical (doubles never enter). Per round:
+    // one equality join (dist ⋈ edges on 8-byte keys) + one min-
+    // aggregate + iterate-materialize — the q176/q209 discipline,
+    // O(#rounds) shuffles of O(nodes) rows. INF = 10^15 sentinel:
+    // big enough that INF + 4·10^6 can't wrap or undercut a real
+    // 4-hop cost, small enough to stay in BIGINT; unreached parts
+    // report -1, never NULL.
+    QueryDef("q233_bounded_path",
+      (s, d) => {
+        val INF = 1000000000000000L
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+        val sizes = li.groupBy("l_orderkey").agg(count(lit(1)).as("k"))
+        val small = li.join(sizes.where(col("k") <= 20), "l_orderkey")
+        val a = small.select(col("l_orderkey"), col("l_partkey").as("pa"))
+        val b = small.select(col("l_orderkey"), col("l_partkey").as("pb"))
+        val pairs = a.join(b, "l_orderkey").where(col("pa") < col("pb"))
+          .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
+          .where(col("w") >= 2)
+          .withColumn("cost", expr("1000000 div w"))
+        val edges = pairs.select(col("pa").as("u"), col("pb").as("v"), col("cost"))
+          .unionByName(pairs.select(col("pb").as("u"), col("pa").as("v"), col("cost")))
+          .localCheckpoint()
+        var dist = Tables.part(s, d).select(col("p_partkey").as("node"))
+          .withColumn("dist",
+            when(pmod(col("node"), lit(37)) === 0, lit(0L)).otherwise(lit(INF)))
+          .localCheckpoint()
+        for (_ <- 1 to 4) {
+          val relax = dist.join(edges, dist("node") === edges("u"))
+            .groupBy(col("v").as("node2"))
+            .agg(min(col("dist") + col("cost")).as("via"))
+          dist = dist.join(relax, dist("node") === col("node2"), "left")
+            .select(col("node"),
+              least(col("dist"), coalesce(col("via"), lit(INF))).as("dist"))
+            .localCheckpoint()
+        }
+        dist.select(col("node").as("p_partkey"),
+            when(col("dist") >= INF, lit(-1L)).otherwise(col("dist")).as("cost4"))
+          .orderBy("p_partkey")
+      },
+      Some {
+        val rounds = (1 to 4).map { k =>
+          s"""d$k AS MATERIALIZED (
+             |  SELECT c.node,
+             |    LEAST(c.dist, COALESCE(MIN(p.dist + e.cost), 1000000000000000))
+             |      AS dist
+             |  FROM d${k - 1} c
+             |  LEFT JOIN edges e ON e.v = c.node
+             |  LEFT JOIN d${k - 1} p ON p.node = e.u
+             |  GROUP BY c.node, c.dist)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+           |sizes AS (SELECT l_orderkey, COUNT(*) AS k FROM li GROUP BY 1),
+           |small AS (SELECT li.l_orderkey, li.l_partkey FROM li
+           |  JOIN sizes ON li.l_orderkey = sizes.l_orderkey AND sizes.k <= 20),
+           |pairs AS (
+           |  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+           |    1000000 // COUNT(*) AS cost
+           |  FROM small a JOIN small b
+           |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+           |edges AS MATERIALIZED (
+           |  SELECT pa AS u, pb AS v, cost FROM pairs
+           |  UNION ALL SELECT pb, pa, cost FROM pairs),
+           |d0 AS MATERIALIZED (
+           |  SELECT p_partkey AS node,
+           |    CASE WHEN p_partkey % 37 = 0 THEN 0
+           |         ELSE 1000000000000000 END AS dist
+           |  FROM part),
+           |$rounds
+           |SELECT node AS p_partkey,
+           |  CASE WHEN dist >= 1000000000000000 THEN -1 ELSE dist END AS cost4
+           |FROM d4 ORDER BY p_partkey""".stripMargin
+      })
   )
 }

@@ -2176,6 +2176,52 @@ object Extras {
              |    SUM(CASE WHEN l_orderkey IN (SELECT ok FROM delo)
              |        THEN 1 ELSE 0 END), 0
              |  FROM lineitem)
-             |ORDER BY table_""".stripMargin))
+             |ORDER BY table_""".stripMargin)),
+
+    // Per-user time-weighted average (✚, the TWAP/hold-last mean: a
+    // metric sampled at irregular instants is averaged by HOW LONG each
+    // reading held, not how often it was sampled — the standard fix for
+    // "the average is dominated by the chattiest interval"). Each row's
+    // contribution is prev_value·(ts − prev_ts): one lag window
+    // partitioned by user_id — embarrassingly parallel at 100 TB
+    // because users are the high-cardinality axis (q225's regime;
+    // the |keys|-ceiling fix q213 needs applies when the partition key
+    // is LOW-cardinality, not here). Weighted sums follow the q215
+    // discipline: the double product is rounded@9 then summed as
+    // DECIMAL(38,9) — exact, order-independent — so Spark's and
+    // DuckDB's reduction orders cannot diverge; doubles reappear only
+    // in the final division, round@6, identical expression shape.
+    QueryDef("q234_twap",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+        val ev = Tables.events(s, d).select(col("user_id"),
+            unix_micros(col("ts")).as("tsu"), col("event_id"), col("value"))
+          .withColumn("ptsu", lag("tsu", 1).over(w))
+          .withColumn("pv", lag("value", 1).over(w))
+        ev.where(col("ptsu").isNotNull)
+          .groupBy("user_id")
+          .agg((count(lit(1)) + lit(1L)).as("n_events"),
+            round((max(col("tsu")) - min(col("ptsu"))).cast("double") / 1e6, 6)
+              .as("span_s"),
+            round(sum(round(col("pv") *
+                ((col("tsu") - col("ptsu")).cast("double") / 1e6), 9)
+                .cast("decimal(38,9)")).cast("double") /
+              ((max(col("tsu")) - min(col("ptsu"))).cast("double") / 1e6), 6)
+              .as("twap"))
+          .orderBy("user_id")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, epoch_us(ts) AS tsu, event_id, value,
+             |    LAG(epoch_us(ts)) OVER w AS ptsu,
+             |    LAG(value) OVER w AS pv
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+             |SELECT user_id, COUNT(*) + 1 AS n_events,
+             |  round(CAST(MAX(tsu) - MIN(ptsu) AS DOUBLE) / 1e6, 6) AS span_s,
+             |  round(CAST(SUM(CAST(round(pv * (CAST(tsu - ptsu AS DOUBLE) / 1e6),
+             |      9) AS DECIMAL(38,9))) AS DOUBLE) /
+             |    (CAST(MAX(tsu) - MIN(ptsu) AS DOUBLE) / 1e6), 6) AS twap
+             |FROM ev WHERE ptsu IS NOT NULL
+             |GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }

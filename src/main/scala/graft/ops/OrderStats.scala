@@ -863,6 +863,78 @@ object OrderStats {
              |SELECT n.n1, n.n2,
              |  round(CAST(MAX(abs(c1 * n.n2 - (rn - c1) * n.n1)) AS DOUBLE)
              |    / (CAST(n.n1 AS DOUBLE) * n.n2), 6) AS ks
-             |FROM c, n GROUP BY n.n1, n.n2""".stripMargin))
+             |FROM c, n GROUP BY n.n1, n.n2""".stripMargin)),
+
+    // Tie-corrected Mann–Whitney U (✚, the rank-based two-sample test
+    // beside q226's KS: U asks "does one population stochastically
+    // dominate", robust to outliers, the standard nonparametric gate
+    // on an A/B value metric). No global sort ever happens: the rank
+    // sum needs only, per DISTINCT value, the tie-group size t and the
+    // count of strictly-smaller items C — so the plan aggregates to
+    // the distinct-value table first (map-side combined) and runs the
+    // two-phase globalRunningSum over THAT (range partitions + bounded
+    // per-partition windows, q226's discipline; at 100 TB the distinct
+    // table is the shuffle, never the corpus). All rank arithmetic is
+    // exact BIGINT on doubled ranks (2·avgrank = 2C + t + 1 is always
+    // an integer), the tie correction Σ(t³−t) likewise; doubles appear
+    // only in the final z, with the expression shape mirrored
+    // token-for-token in the oracle and round@6 on top.
+    QueryDef("q231_mann_whitney",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .where(col("event_type").isin("click", "error"))
+          .select(col("value").as("v"),
+            when(col("event_type") === "click", 0L).otherwise(1L).as("side"))
+        val byVal = ev.groupBy("v").agg(
+          sum(when(col("side") === 0L, 1L).otherwise(0L)).as("ca"),
+          count(lit(1)).as("t"))
+        val cum = Scale.globalRunningSum(byVal, Seq(col("v")), col("t"))
+        val agg = cum.agg(
+          sum(col("ca")).as("na"),
+          sum(col("t") - col("ca")).as("nb"),
+          // inclusive cum − t = C(v), strictly-smaller count
+          sum(col("ca") * (lit(2L) * (col("cum") - col("t")) + col("t") + lit(1L)))
+            .as("r2a"),
+          sum(col("t") * col("t") * col("t") - col("t")).as("tiesum"))
+        agg.select(col("na"), col("nb"),
+            (col("r2a") - col("na") * (col("na") + lit(1L))).as("u2"),
+            col("tiesum"))
+          .select(col("na"), col("nb"),
+            (col("u2").cast("double") / 2.0).as("u"),
+            round((col("u2") - col("na") * col("nb")).cast("double") /
+              (lit(2.0) * sqrt(col("na").cast("double") * col("nb") *
+                ((col("na") + col("nb") + lit(1L)).cast("double") -
+                  col("tiesum").cast("double") /
+                    ((col("na") + col("nb")).cast("double") *
+                      (col("na") + col("nb") - lit(1L)))) / lit(12.0))),
+              6).as("z"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT value AS v,
+             |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side
+             |  FROM events WHERE event_type IN ('click', 'error')),
+             |byval AS (
+             |  SELECT v, SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS ca,
+             |    COUNT(*) AS t
+             |  FROM ev GROUP BY v),
+             |cum AS (
+             |  SELECT ca, t,
+             |    SUM(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM byval),
+             |agg AS (
+             |  SELECT CAST(SUM(ca) AS BIGINT) AS na,
+             |    CAST(SUM(t - ca) AS BIGINT) AS nb,
+             |    CAST(SUM(ca * (2 * (cum - t) + t + 1)) AS BIGINT) AS r2a,
+             |    CAST(SUM(t * t * t - t) AS BIGINT) AS tiesum
+             |  FROM cum),
+             |u AS (SELECT na, nb, r2a - na * (na + 1) AS u2, tiesum FROM agg)
+             |SELECT na, nb, CAST(u2 AS DOUBLE) / 2.0 AS u,
+             |  round(CAST(u2 - na * nb AS DOUBLE) /
+             |    (2.0 * sqrt(CAST(na AS DOUBLE) * nb *
+             |      (CAST(na + nb + 1 AS DOUBLE) -
+             |        CAST(tiesum AS DOUBLE) /
+             |          (CAST(na + nb AS DOUBLE) * (na + nb - 1))) / 12.0)),
+             |    6) AS z
+             |FROM u""".stripMargin))
   )
 }

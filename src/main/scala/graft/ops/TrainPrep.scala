@@ -1058,6 +1058,74 @@ object TrainPrep {
              |  CAST(sum(n_chars) AS BIGINT) AS kept_chars,
              |  CAST(max(tot) AS BIGINT) AS total_chars
              |FROM w WHERE (cum - n_chars) * 10 < tot * 8
-             |GROUP BY source ORDER BY source""".stripMargin))
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Out-of-fold target encoding (✚, the leakage-free categorical
+    // feature: replace category c for a row in fold f by the target
+    // mean over c's rows in the OTHER folds — encoding a row with a
+    // statistic that saw its own target is the classic train-time
+    // leak). The whole computation is two map-side-combined groupBys
+    // over (cat) and (cat, fold) — sums in exact DECIMAL, the corpus
+    // itself is scanned once and never reshuffled — and the emitted
+    // artifact is the |cat|·k-row encoding table a 100 TB apply joins
+    // BROADCAST (each row looks up (its cat, its fold); the target
+    // column never travels). Sparse-category fallback: when a category
+    // lives entirely inside one fold the OOF denominator is 0 — the
+    // encoder backs off to the global OOF mean (same exclusion, all
+    // categories), never null, and the oracle applies the identical
+    // COALESCE so the backoff is gated, not decorative.
+    QueryDef("q232_target_encoding",
+      (s, d) => {
+        val enc = Tables.orders(s, d)
+          .join(broadcast(Tables.customer(s, d)),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("segment"),
+            pmod(col("o_orderkey"), lit(5)).cast("int").as("fold"),
+            QueryDef.dec(col("o_totalprice")).as("t"))
+        val byCat = enc.groupBy("segment")
+          .agg(sum(col("t")).as("cs"), count(lit(1)).as("cn"))
+        val byCatFold = enc.groupBy("segment", "fold")
+          .agg(sum(col("t")).as("fs"), count(lit(1)).as("fn"))
+        val glob = enc.groupBy("fold")
+          .agg(sum(col("t")).as("gfs"), count(lit(1)).as("gfn"))
+          .crossJoin(enc.agg(sum(col("t")).as("gs"), count(lit(1)).as("gn")))
+        byCatFold.join(byCat, "segment").join(glob, "fold")
+          .select(col("segment"), col("fold"),
+            (col("cn") - col("fn")).as("n_oof"),
+            // numerator exact in DECIMAL, THEN one cast-to-double and one
+            // IEEE division — identical bit pattern on both engines
+            // (decimal division result scales are engine-specific; this
+            // shape isn't)
+            round(coalesce(
+              when(col("cn") =!= col("fn"),
+                (col("cs") - col("fs")).cast("double") /
+                  (col("cn") - col("fn")).cast("double")),
+              (col("gs") - col("gfs")).cast("double") /
+                (col("gn") - col("gfn")).cast("double")),
+              6).as("enc"))
+          .orderBy("segment", "fold")
+      },
+      Some("""WITH e AS (
+             |  SELECT c_mktsegment AS segment, o_orderkey % 5 AS fold,
+             |    CAST(o_totalprice AS DECIMAL(12,2)) AS t
+             |  FROM orders JOIN customer ON o_custkey = c_custkey),
+             |bycat AS (SELECT segment, SUM(t) AS cs, COUNT(*) AS cn
+             |          FROM e GROUP BY segment),
+             |byfold AS (SELECT segment, fold, SUM(t) AS fs, COUNT(*) AS fn
+             |           FROM e GROUP BY segment, fold),
+             |gfold AS (SELECT fold, SUM(t) AS gfs, COUNT(*) AS gfn
+             |          FROM e GROUP BY fold),
+             |gall AS (SELECT SUM(t) AS gs, COUNT(*) AS gn FROM e)
+             |SELECT f.segment, CAST(f.fold AS INT) AS fold,
+             |  c.cn - f.fn AS n_oof,
+             |  round(COALESCE(
+             |    CASE WHEN c.cn <> f.fn THEN
+             |      CAST(c.cs - f.fs AS DOUBLE) / CAST(c.cn - f.fn AS DOUBLE)
+             |    END,
+             |    CAST(gall.gs - g.gfs AS DOUBLE) / CAST(gall.gn - g.gfn AS DOUBLE)
+             |    ), 6) AS enc
+             |FROM byfold f JOIN bycat c ON f.segment = c.segment
+             |JOIN gfold g ON f.fold = g.fold CROSS JOIN gall
+             |ORDER BY f.segment, f.fold""".stripMargin))
   )
 }
