@@ -686,6 +686,61 @@ object Extras {
              |  round(CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS DOUBLE) / sum(n), 6) AS suppression_rate
              |FROM g GROUP BY lvl ORDER BY lvl""".stripMargin)),
 
+    // l-diversity audit (✚, privacy — the attack q145's k-anonymity
+    // can't see: a QI class of 50 rows is 50-anonymous yet fully
+    // disclosive if all 50 share ONE sensitive value). Per QI class
+    // (nation, segment): distinct-l (how many sensitive values appear)
+    // and entropy-l (exp of the Shannon entropy of the sensitive
+    // distribution — the effective number of values, robust to one
+    // value dominating). Scale: ONE map-side-combined groupBy over
+    // (QI, sensitive) — |classes|·|values| rows out, the corpus never
+    // reshuffles — then class stats over that bounded table. Entropy
+    // terms follow the q118/q223 log discipline: each −p·ln p is
+    // rounded@9 and summed as DECIMAL(38,9) (exact, order-independent;
+    // round@9 also absorbs cross-engine libm ulp drift in ln), doubles
+    // reappear only in the final exp, round@6.
+    QueryDef("q235_l_diversity",
+      (s, d) => {
+        val cells = Tables.customer(s, d)
+          .select(col("c_nationkey").as("nation"),
+            col("c_mktsegment").as("segment"),
+            floor(col("c_acctbal") / 1000.0).cast("long").as("sens"))
+          .groupBy("nation", "segment", "sens")
+          .agg(count(lit(1)).as("c"))
+        // class total n via a window over the CELL table (|classes|·|values|
+        // rows — bounded), so the entropy term is a plain per-row expression
+        // before the final per-class fold
+        val wc = cells.withColumn("n",
+          sum(col("c")).over(Window.partitionBy("nation", "segment")))
+        wc.groupBy("nation", "segment")
+          .agg(max(col("n")).as("n"),
+            count(lit(1)).as("l_distinct"),
+            sum(round(-(col("c").cast("double") / col("n")) *
+              log(col("c").cast("double") / col("n")), 9)
+              .cast("decimal(38,9)")).as("hdec"))
+          .select(col("nation"), col("segment"), col("n"), col("l_distinct"),
+            round(exp(col("hdec").cast("double")), 6).as("entropy_l"),
+            (col("l_distinct") < 3).as("viol"))
+          .orderBy("nation", "segment")
+      },
+      Some("""WITH cells AS (
+             |  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+             |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS sens,
+             |    COUNT(*) AS c
+             |  FROM customer GROUP BY 1, 2, 3),
+             |wc AS (
+             |  SELECT nation, segment, c,
+             |    SUM(c) OVER (PARTITION BY nation, segment) AS n
+             |  FROM cells)
+             |SELECT nation, segment, CAST(MAX(n) AS BIGINT) AS n,
+             |  COUNT(*) AS l_distinct,
+             |  round(exp(CAST(SUM(CAST(round(
+             |    -(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n), 9)
+             |    AS DECIMAL(38,9))) AS DOUBLE)), 6) AS entropy_l,
+             |  COUNT(*) < 3 AS viol
+             |FROM wc GROUP BY nation, segment
+             |ORDER BY nation, segment""".stripMargin)),
+
     // Rolling-window anomaly flags (✚, time-series monitoring): per
     // user, each event's value is z-scored against its own trailing
     // history — a bounded 20-row frame ENDING BEFORE the current row
@@ -1393,6 +1448,67 @@ object Extras {
              |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
              |GROUP BY 1, 2 HAVING COUNT(*) >= 3
              |ORDER BY w DESC, pa, pb LIMIT 50""".stripMargin)),
+
+    // Association rules over q200's co-occurrence pairs (✚, the
+    // market-basket DIRECTED upgrade: a pair weight says a and b
+    // co-occur; the rule a→b adds how predictive a is of b —
+    // confidence w/n_a — and whether that beats chance — lift
+    // w·N/(n_a·n_b)). Everything upstream of the final two divisions
+    // is exact BIGINT counting: basket-capped pair counts (Σ C(k,2)
+    // cost bound, k ≤ 20), per-item basket counts, the global basket
+    // count attached as a 1-row broadcast stat. At sf the integer
+    // products w·N and n_a·n_b sit far inside BIGINT; a 100 TB run
+    // with trillions of baskets promotes the two products to
+    // DECIMAL(38,0) — same plan shape, noted here so the cast isn't
+    // rediscovered in an overflow incident. Output: top-50 rules by
+    // (lift desc, a, b), both directions of each pair considered.
+    QueryDef("q238_assoc_rules",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+        val sizes = li.groupBy("l_orderkey").agg(count(lit(1)).as("k"))
+        val small = li.join(sizes.where(col("k") <= 20), "l_orderkey")
+          .localCheckpoint()
+        val nb = small.select("l_orderkey").distinct().count()
+        val ic = small.groupBy(col("l_partkey")).agg(count(lit(1)).as("ni"))
+        val a = small.select(col("l_orderkey"), col("l_partkey").as("pa"))
+        val b = small.select(col("l_orderkey"), col("l_partkey").as("pb"))
+        val pairs = a.join(b, "l_orderkey").where(col("pa") < col("pb"))
+          .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
+          .where(col("w") >= 3)
+        val rules = pairs.select(col("pa").as("ante"), col("pb").as("cons"), col("w"))
+          .unionByName(pairs.select(col("pb").as("ante"), col("pa").as("cons"), col("w")))
+        rules
+          .join(ic.select(col("l_partkey").as("ante"), col("ni").as("na")), "ante")
+          .join(ic.select(col("l_partkey").as("cons"), col("ni").as("nc")), "cons")
+          .select(col("ante"), col("cons"), col("w"),
+            round(col("w").cast("double") / col("na"), 6).as("conf"),
+            round((col("w") * nb).cast("double") / (col("na") * col("nc")), 6)
+              .as("lift"))
+          .orderBy(col("lift").desc, col("ante"), col("cons"))
+          .limit(50)
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |sizes AS (SELECT l_orderkey, COUNT(*) AS k FROM li GROUP BY 1),
+             |small AS (SELECT li.l_orderkey, li.l_partkey FROM li
+             |  JOIN sizes ON li.l_orderkey = sizes.l_orderkey AND sizes.k <= 20),
+             |nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM small),
+             |ic AS (SELECT l_partkey, COUNT(*) AS ni FROM small GROUP BY 1),
+             |pairs AS (
+             |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS w
+             |  FROM small a JOIN small b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+             |rules AS (
+             |  SELECT pa AS ante, pb AS cons, w FROM pairs
+             |  UNION ALL SELECT pb, pa, w FROM pairs)
+             |SELECT r.ante, r.cons, r.w,
+             |  round(CAST(r.w AS DOUBLE) / x.ni, 6) AS conf,
+             |  round(CAST(r.w * nb.n AS DOUBLE) / (x.ni * y.ni), 6) AS lift
+             |FROM rules r
+             |JOIN ic x ON x.l_partkey = r.ante
+             |JOIN ic y ON y.l_partkey = r.cons
+             |CROSS JOIN nb
+             |ORDER BY lift DESC, ante, cons LIMIT 50""".stripMargin)),
 
     // Frame-bounded exponential smoothing (✚): EWMA over the last 12
     // five-minute buckets per event_type, weights (1-α)^j normalized

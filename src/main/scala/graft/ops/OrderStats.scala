@@ -935,6 +935,83 @@ object OrderStats {
              |        CAST(tiesum AS DOUBLE) /
              |          (CAST(na + nb AS DOUBLE) * (na + nb - 1))) / 12.0)),
              |    6) AS z
-             |FROM u""".stripMargin))
+             |FROM u""".stripMargin)),
+
+    // Tie-corrected Spearman rank correlation (✚, the monotone-
+    // association companion of q231: Pearson on AVERAGE ranks, the
+    // right "does y rise with x" for heavy-tailed metrics where raw
+    // Pearson chases outliers). Rank assignment never sorts the
+    // corpus: each column aggregates to its distinct-value table,
+    // q231's doubled-avg-rank 2C+t+1 comes from the two-phase
+    // globalRunningSum over THAT, and rows pick up their two ranks by
+    // equality join on value (shuffles keyed by an 8-byte value, not
+    // by row order). Moments are exact end-to-end in DECIMAL(38,0) —
+    // BIGINT would already overflow n·Σr² around 10⁹ rows, so the
+    // decimal lift is load-bearing at scale, not decoration. Doubles
+    // enter only in the final ρ, identical expression shape both
+    // engines, round@6. Doubling ranks leaves ρ unchanged (scale
+    // invariance), which is what keeps every intermediate integral.
+    QueryDef("q236_spearman",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+        def ranks(c: String): DataFrame = {
+          val byVal = li.groupBy(col(c).as("v")).agg(count(lit(1)).as("t"))
+          Scale.globalRunningSum(byVal, Seq(col("v")), col("t"))
+            .select(col("v"),
+              (lit(2L) * (col("cum") - col("t")) + col("t") + lit(1L)).as("r"))
+        }
+        val joint = li
+          .join(ranks("x").select(col("v").as("x"), col("r").as("rx")), "x")
+          .join(ranks("y").select(col("v").as("y"), col("r").as("ry")), "y")
+        def d19(c: Column) = c.cast("decimal(19,0)")
+        val m = joint.agg(
+          count(lit(1)).cast("decimal(19,0)").as("n"),
+          sum(d19(col("rx"))).as("sx"), sum(d19(col("ry"))).as("sy"),
+          sum(d19(col("rx")) * d19(col("rx"))).as("sxx"),
+          sum(d19(col("ry")) * d19(col("ry"))).as("syy"),
+          sum(d19(col("rx")) * d19(col("ry"))).as("sxy"))
+        // the cross-moment combination n·Sxy − Sx·Sy would need ~57
+        // decimal digits — past DECIMAL(38) on either engine — so the
+        // SUMS stay exact decimal and the combination runs in double:
+        // each exact sum casts to its nearest double identically on
+        // both engines, then the expression shape is token-identical,
+        // so the IEEE results match bit-for-bit (round@6 on top).
+        def dd(c: String) = col(c).cast("double")
+        m.select(col("n").cast("long").as("n"),
+          round((dd("n") * dd("sxy") - dd("sx") * dd("sy")) /
+            (sqrt(dd("n") * dd("sxx") - dd("sx") * dd("sx")) *
+              sqrt(dd("n") * dd("syy") - dd("sy") * dd("sy"))),
+            6).as("rho"))
+      },
+      Some("""WITH li AS (
+             |  SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem),
+             |rx AS (
+             |  SELECT v, 2 * (SUM(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+             |    - t) + t + 1 AS r
+             |  FROM (SELECT x AS v, COUNT(*) AS t FROM li GROUP BY x) q),
+             |ry AS (
+             |  SELECT v, 2 * (SUM(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+             |    - t) + t + 1 AS r
+             |  FROM (SELECT y AS v, COUNT(*) AS t FROM li GROUP BY y) q),
+             |joint AS (
+             |  SELECT rx.r AS jrx, ry.r AS jry FROM li
+             |  JOIN rx ON rx.v = li.x JOIN ry ON ry.v = li.y),
+             |m AS (
+             |  SELECT CAST(COUNT(*) AS DECIMAL(19,0)) AS n,
+             |    SUM(CAST(jrx AS DECIMAL(19,0))) AS sx,
+             |    SUM(CAST(jry AS DECIMAL(19,0))) AS sy,
+             |    SUM(CAST(jrx AS DECIMAL(19,0)) * CAST(jrx AS DECIMAL(19,0))) AS sxx,
+             |    SUM(CAST(jry AS DECIMAL(19,0)) * CAST(jry AS DECIMAL(19,0))) AS syy,
+             |    SUM(CAST(jrx AS DECIMAL(19,0)) * CAST(jry AS DECIMAL(19,0))) AS sxy
+             |  FROM joint)
+             |SELECT CAST(n AS BIGINT) AS n,
+             |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+             |      sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+             |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS rho
+             |FROM m""".stripMargin))
   )
 }

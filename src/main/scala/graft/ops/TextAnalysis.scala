@@ -1422,6 +1422,78 @@ object TextAnalysis {
              |  FROM terms GROUP BY 1 HAVING COUNT(*) >= 20)
              |SELECT doc_id, n_bi,
              |  round(-CAST(slp AS DOUBLE) / n_bi, 5) AS ce
-             |FROM pd ORDER BY ce DESC, doc_id ASC LIMIT 20""".stripMargin))
+             |FROM pd ORDER BY ce DESC, doc_id ASC LIMIT 20""".stripMargin)),
+
+    // Information gain of metadata attributes on the language label
+    // (✚, feature selection for corpus routing: q152's chi-square says
+    // "dependent or not", IG says HOW MANY BITS of the label each
+    // attribute resolves — the quantity a router/splitter actually
+    // ranks by). IG(lang; A) = H(lang) − H(lang|A), with H(lang|A) =
+    // −Σ_{a,l} (c_al/N)·ln(c_al/n_a). Both attributes (source, and a
+    // 500-char length band) audit from ONE pass each: a
+    // map-side-combined count over (attribute, lang) — |A|·|langs|
+    // cells, the corpus never reshuffles — then entropy terms per cell
+    // under the q118/q223 log discipline (term rounded@9, summed
+    // DECIMAL(38,9), exact and order-independent; round@9 absorbs
+    // cross-engine libm ulp drift in ln). Output in nats, round@6.
+    QueryDef("q237_info_gain",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val n = docs.count()
+        def hCond(attr: org.apache.spark.sql.Column, name: String): DataFrame = {
+          val cells = docs.select(attr.as("a"), col("lang"))
+            .groupBy("a", "lang").agg(count(lit(1)).as("c"))
+            .withColumn("na", sum(col("c")).over(
+              org.apache.spark.sql.expressions.Window.partitionBy("a")))
+          cells.agg(
+            sum(round(-(col("c").cast("double") / n) *
+                log(col("c").cast("double") / col("na")), 9)
+              .cast("decimal(38,9)")).cast("double").as("h_cond"))
+            .select(lit(name).as("attribute"), col("h_cond"))
+        }
+        val hLabel = docs.groupBy("lang").agg(count(lit(1)).as("c"))
+          .agg(sum(round(-(col("c").cast("double") / n) *
+              log(col("c").cast("double") / n), 9)
+            .cast("decimal(38,9)")).cast("double").as("h_label"))
+        hCond(col("source"), "source")
+          .unionByName(hCond(floor(col("n_chars") / 500.0).cast("long")
+            .cast("string"), "len_band"))
+          .crossJoin(broadcast(hLabel))
+          .select(col("attribute"), round(col("h_label"), 6).as("h_label"),
+            round(col("h_cond"), 6).as("h_cond"),
+            round(col("h_label") - col("h_cond"), 6).as("ig"))
+          .orderBy("attribute")
+      },
+      Some("""WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+             |hl AS (
+             |  SELECT CAST(SUM(CAST(round(
+             |      -(CAST(c AS DOUBLE) / n.n) * ln(CAST(c AS DOUBLE) / n.n), 9)
+             |    AS DECIMAL(38,9))) AS DOUBLE) AS h_label
+             |  FROM (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang) g,
+             |    n),
+             |cells AS (
+             |  SELECT a, c, SUM(c) OVER (PARTITION BY a) AS na FROM (
+             |    SELECT source AS a, lang, COUNT(*) AS c
+             |    FROM documents GROUP BY 1, 2) g),
+             |hs AS (
+             |  SELECT 'source' AS attribute, CAST(SUM(CAST(round(
+             |      -(CAST(c AS DOUBLE) / n.n) * ln(CAST(c AS DOUBLE) / na), 9)
+             |    AS DECIMAL(38,9))) AS DOUBLE) AS h_cond
+             |  FROM cells, n),
+             |cellb AS (
+             |  SELECT a, c, SUM(c) OVER (PARTITION BY a) AS na FROM (
+             |    SELECT CAST(CAST(floor(n_chars / 500.0) AS BIGINT) AS VARCHAR)
+             |      AS a, lang, COUNT(*) AS c
+             |    FROM documents GROUP BY 1, 2) g),
+             |hb AS (
+             |  SELECT 'len_band' AS attribute, CAST(SUM(CAST(round(
+             |      -(CAST(c AS DOUBLE) / n.n) * ln(CAST(c AS DOUBLE) / na), 9)
+             |    AS DECIMAL(38,9))) AS DOUBLE) AS h_cond
+             |  FROM cellb, n),
+             |u AS (SELECT * FROM hs UNION ALL SELECT * FROM hb)
+             |SELECT attribute, round(hl.h_label, 6) AS h_label,
+             |  round(h_cond, 6) AS h_cond,
+             |  round(hl.h_label - h_cond, 6) AS ig
+             |FROM u CROSS JOIN hl ORDER BY attribute""".stripMargin))
   )
 }
