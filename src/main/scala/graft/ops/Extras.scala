@@ -2294,6 +2294,56 @@ object Extras {
              |  FROM lineitem)
              |ORDER BY table_""".stripMargin)),
 
+    // Sequential-pattern support (✚, the PrefixSpan support count over
+    // q212's contiguous path n-grams: how many users' event streams
+    // contain the SUBSEQUENCE t1 → t2 → t3 — gaps allowed, order
+    // strict — the pattern definition funnels and curricula actually
+    // use). Existence-of-subsequence is decided by the GREEDY chain
+    // (earliest t1, then earliest t2 strictly after it, then earliest
+    // t3 after that): greedy is sound and complete for existence, and
+    // each link is one equality join on user_id + one min-aggregate —
+    // the per-link blowup is |types|·corpus rows, never corpus², and
+    // every shuffle keys on user_id. Strictness is on the raw
+    // timestamp (same-instant events cannot chain) — pinned
+    // identically in the oracle. Output: all type triples with
+    // support ≥ 1, top-20 by (support desc, t1, t2, t3).
+    QueryDef("q240_seq_patterns",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("tsu"))
+        val t1 = ev.groupBy(col("user_id"), col("event_type").as("t1"))
+          .agg(min(col("tsu")).as("ta"))
+        val t2 = t1.join(ev, "user_id")
+          .where(col("tsu") > col("ta"))
+          .groupBy(col("user_id"), col("t1"), col("event_type").as("t2"))
+          .agg(min(col("tsu")).as("tb"))
+        val t3 = t2.join(ev, "user_id")
+          .where(col("tsu") > col("tb"))
+          .groupBy(col("user_id"), col("t1"), col("t2"),
+            col("event_type").as("t3"))
+          .agg(min(col("tsu")).as("tc"))
+        t3.groupBy("t1", "t2", "t3").agg(count(lit(1)).as("support"))
+          .orderBy(col("support").desc, col("t1"), col("t2"), col("t3"))
+          .limit(20)
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+             |s1 AS (
+             |  SELECT user_id, event_type AS t1, MIN(tsu) AS ta
+             |  FROM ev GROUP BY 1, 2),
+             |s2 AS (
+             |  SELECT s1.user_id, s1.t1, ev.event_type AS t2, MIN(ev.tsu) AS tb
+             |  FROM s1 JOIN ev ON ev.user_id = s1.user_id AND ev.tsu > s1.ta
+             |  GROUP BY 1, 2, 3),
+             |s3 AS (
+             |  SELECT s2.user_id, s2.t1, s2.t2, ev.event_type AS t3
+             |  FROM s2 JOIN ev ON ev.user_id = s2.user_id AND ev.tsu > s2.tb
+             |  GROUP BY 1, 2, 3, 4)
+             |SELECT t1, t2, t3, COUNT(*) AS support
+             |FROM s3 GROUP BY 1, 2, 3
+             |ORDER BY support DESC, t1, t2, t3 LIMIT 20""".stripMargin)),
+
     // Per-user time-weighted average (✚, the TWAP/hold-last mean: a
     // metric sampled at irregular instants is averaged by HOW LONG each
     // reading held, not how often it was sampled — the standard fix for

@@ -428,6 +428,61 @@ object Similarity {
              |  round(sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)), 6) AS dist
              |FROM p a JOIN p b ON a.vec_id < b.vec_id
              |WHERE sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) <= 0.02
-             |ORDER BY a_id, b_id""".stripMargin))
+             |ORDER BY a_id, b_id""".stripMargin)),
+
+    // Embedding covariance audit over the leading 8 dims (✚, the
+    // representation-health check an ANN/quantization pipeline runs
+    // before q63's IVF or q95's PQ: strongly covarying dims mean the
+    // codebook's axis-aligned subspaces waste bits — and a dim whose
+    // variance collapsed flags an encoder regression). The plan is ONE
+    // scan with 45 map-side-combined aggregates (n, 8 dim sums, 36
+    // upper-triangle product sums) — no explode, no self-join, nothing
+    // keyed per row leaves the scan; at 100 TB this is the ideal shape
+    // (a full 64-dim Gram wants the same single-pass trick over 2080
+    // cells, a typed Aggregator — noted, not needed for the audit).
+    // Determinism: float×float is EXACT in double, each term rounds@9
+    // into a DECIMAL(38,9) sum (order-independent), and the covariance
+    // combination runs in token-identical double shape both engines,
+    // round@6.
+    QueryDef("q239_embed_covariance",
+      (s, d) => {
+        val D = 8
+        val e = Tables.embeddings(s, d)
+          .select(Vectors.asDouble(col("embedding")).as("v"))
+        def x(i: Int) = element_at(col("v"), i)
+        def dsum9(c: org.apache.spark.sql.Column) =
+          sum(round(c, 9).cast("decimal(38,9)"))
+        val aggs =
+          Seq(count(lit(1)).as("n")) ++
+          (1 to D).map(i => dsum9(x(i)).as(s"s_$i")) ++
+          (for (i <- 1 to D; j <- i to D)
+            yield dsum9(x(i) * x(j)).as(s"s_${i}_$j"))
+        val a = e.agg(aggs.head, aggs.tail: _*)
+        val cells = (for (i <- 1 to D; j <- i to D) yield
+          s"$i, $j, round((CAST(s_${i}_$j AS DOUBLE) - " +
+            s"CAST(s_$i AS DOUBLE) * CAST(s_$j AS DOUBLE) / n) / n, 6)")
+          .mkString(", ")
+        a.selectExpr(s"stack(${D * (D + 1) / 2}, $cells) AS (i, j, cov)")
+          .selectExpr("CAST(i AS INT) AS i", "CAST(j AS INT) AS j", "cov")
+          .orderBy("i", "j")
+      },
+      Some {
+        val D = 8
+        val sums =
+          (1 to D).map(i =>
+            s"SUM(CAST(round(embedding[$i]::DOUBLE, 9) AS DECIMAL(38,9))) AS s_$i") ++
+          (for (i <- 1 to D; j <- i to D) yield
+            s"SUM(CAST(round(embedding[$i]::DOUBLE * embedding[$j]::DOUBLE, 9) " +
+              s"AS DECIMAL(38,9))) AS s_${i}_$j")
+        val rows = (for (i <- 1 to D; j <- i to D) yield
+          s"SELECT $i AS i, $j AS j, round((CAST(s_${i}_$j AS DOUBLE) - " +
+            s"CAST(s_$i AS DOUBLE) * CAST(s_$j AS DOUBLE) / n) / n, 6) AS cov FROM a")
+          .mkString("\nUNION ALL ")
+        s"""WITH a AS (
+           |  SELECT COUNT(*) AS n, ${sums.mkString(",\n    ")}
+           |  FROM embeddings)
+           |$rows
+           |ORDER BY i, j""".stripMargin
+      })
   )
 }

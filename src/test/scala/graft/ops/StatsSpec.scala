@@ -1,0 +1,237 @@
+package graft.ops
+
+import graft.{SparkEntry, Tables, TestSpark}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Brute-force cross-checks for the statistics / pattern gates
+  * (q231–q240) at sf0.001 — an INDEPENDENT driver-side reimplementation
+  * per gate (plain Scala over collected rows), so the distributed
+  * two-phase forms are validated against something other than the
+  * DuckDB oracle and on a different scale factor than the driver gate.
+  */
+class StatsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q231 Mann-Whitney matches a sort-based reference (ties, exact U)") {
+    val rows = Tables.events(spark, sf)
+      .where(col("event_type").isin("click", "error"))
+      .select(col("value"), col("event_type")).collect()
+      .map(r => (r.getDouble(0), r.getString(1)))
+    // reference: sort-and-walk average ranks
+    val sorted = rows.sortBy(_._1)
+    val n = sorted.length
+    val avgRank = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      var j = i
+      while (j < n && sorted(j)._1 == sorted(i)._1) j += 1
+      val r = (i + 1 + j).toDouble / 2.0 // mean of ranks i+1..j
+      (i until j).foreach(k => avgRank(k) = r)
+      i = j
+    }
+    val na = rows.count(_._2 == "click")
+    val nb = n - na
+    val ra = sorted.zipWithIndex.collect {
+      case ((_, "click"), k) => avgRank(k)
+    }.sum
+    val uRef = ra - na.toDouble * (na + 1) / 2.0
+    val ties = sorted.groupBy(_._1).values.map(_.length.toLong)
+      .map(t => t * t * t - t).sum
+    val sigma = math.sqrt(na.toDouble * nb *
+      ((n + 1).toDouble - ties.toDouble / (n.toLong * (n - 1))) / 12.0)
+    val zRef = (uRef - na.toDouble * nb / 2.0) / sigma
+    val got = run("q231_mann_whitney").collect().head
+    assert(got.getLong(0) == na && got.getLong(1) == nb)
+    assert(got.getDouble(2) == uRef, "U is exact arithmetic, must match exactly")
+    assert(math.abs(got.getDouble(3) - zRef) < 1e-6)
+  }
+
+  test("q236 Spearman matches a sort-based reference within 1e-6") {
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_quantity").cast("double"), col("l_extendedprice"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    def avgRanks(xs: Array[Double]): Array[Double] = {
+      val idx = xs.zipWithIndex.sortBy(_._1)
+      val out = new Array[Double](xs.length)
+      var i = 0
+      while (i < idx.length) {
+        var j = i
+        while (j < idx.length && idx(j)._1 == idx(i)._1) j += 1
+        val r = (i + 1 + j).toDouble / 2.0
+        (i until j).foreach(k => out(idx(k)._2) = r)
+        i = j
+      }
+      out
+    }
+    val rx = avgRanks(rows.map(_._1))
+    val ry = avgRanks(rows.map(_._2))
+    val n = rows.length.toDouble
+    val mx = rx.sum / n
+    val my = ry.sum / n
+    val num = rx.zip(ry).map { case (a, b) => (a - mx) * (b - my) }.sum
+    val den = math.sqrt(rx.map(a => (a - mx) * (a - mx)).sum) *
+      math.sqrt(ry.map(b => (b - my) * (b - my)).sum)
+    val rhoRef = num / den
+    val got = run("q236_spearman").collect().head
+    assert(got.getLong(0) == rows.length.toLong)
+    assert(math.abs(got.getDouble(1) - rhoRef) < 1e-6)
+  }
+
+  test("q234 TWAP matches a sequential per-user reference") {
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val ref = evs.groupBy(_._1).collect {
+      case (u, es) if es.length >= 2 =>
+        val s = es.sortBy(e => (e._2, e._3))
+        val span = (s.last._2 - s.head._2).toDouble / 1e6
+        val area = s.sliding(2).map { case Array(p, c) =>
+          // mirror the gate's round@9-then-exact-sum discipline
+          BigDecimal(p._4 * ((c._2 - p._2).toDouble / 1e6))
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        }.sum
+        u -> (es.length.toLong, span, area.toDouble / span)
+    }
+    val got = run("q234_twap").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.keySet == ref.keySet)
+    ref.foreach { case (u, (nRef, spanRef, twapRef)) =>
+      val (n, span, twap) = got(u)
+      assert(n == nRef, s"user $u n")
+      assert(math.abs(span - spanRef) < 1e-5, s"user $u span")
+      assert(math.abs(twap - twapRef) < 1e-5, s"user $u twap")
+    }
+  }
+
+  test("q233 Bellman-Ford matches a dense 4-round reference relaxation") {
+    val INF = 1000000000000000L
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val baskets = li.groupBy(_._1).values.filter(_.length <= 20)
+    val w = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    baskets.foreach { b =>
+      val ps = b.map(_._2).sorted
+      for (x <- ps.indices; y <- x + 1 until ps.length if ps(x) != ps(y))
+        w((ps(x), ps(y))) = w.getOrElse((ps(x), ps(y)), 0L) + 1L
+    }
+    val edges = w.toSeq.filter(_._2 >= 2).flatMap { case ((a, b), c) =>
+      val cost = 1000000L / c
+      Seq((a, b, cost), (b, a, cost))
+    }
+    val parts = Tables.part(spark, sf).select("p_partkey").collect().map(_.getLong(0))
+    var dist = parts.map(p => p -> (if (p % 37 == 0) 0L else INF)).toMap
+    for (_ <- 1 to 4) {
+      val relaxed = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(e => dist(e._1) + e._3).min
+      }
+      dist = dist.map { case (p, d0) =>
+        p -> math.min(d0, relaxed.getOrElse(p, INF))
+      }
+    }
+    val ref = dist.map { case (p, c) => p -> (if (c >= INF) -1L else c) }
+    val got = run("q233_bounded_path").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ref)
+  }
+
+  test("q240 greedy chain equals true subsequence existence per user") {
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = evs.groupBy(_._1).map { case (u, es) =>
+      u -> es.sortBy(_._3).map(e => (e._2, e._3))
+    }
+    val types = evs.map(_._2).distinct.sorted
+    // reference: direct subsequence search with STRICT ts increase
+    def contains(seq: Array[(String, Long)], pat: Seq[String]): Boolean = {
+      var lastTs = Long.MinValue
+      var pi = 0
+      seq.foreach { case (t, ts) =>
+        if (pi < pat.length && t == pat(pi) && ts > lastTs) {
+          // greedy over (type, strictly-later ts); equivalent to existence
+          lastTs = ts; pi += 1
+        }
+      }
+      pi == pat.length
+    }
+    val ref = (for (a <- types; b <- types; c <- types) yield {
+      val sup = byUser.values.count(seq => contains(seq, Seq(a, b, c)))
+      ((a, b, c), sup.toLong)
+    }).filter(_._2 > 0).toMap
+    val expected = ref.toSeq
+      .sortBy { case ((a, b, c), s) => (-s, a, b, c) }.take(20)
+    val got = run("q240_seq_patterns").collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)), r.getLong(3)))
+    assert(got.toSeq == expected)
+  }
+
+  test("q240 greedy reference helper is itself sound on a crafted trap") {
+    // a-b-a-c: greedy earliest-first must still find (a, b, c) and
+    // must NOT find (b, a, b)
+    val seq = Array(("a", 1L), ("b", 2L), ("a", 3L), ("c", 4L))
+    def greedy(pat: Seq[String]): Boolean = {
+      var last = Long.MinValue
+      pat.forall { p =>
+        seq.find { case (t, ts) => t == p && ts > last } match {
+          case Some((_, ts)) => last = ts; true
+          case None => false
+        }
+      }
+    }
+    assert(greedy(Seq("a", "b", "c")))
+    assert(greedy(Seq("b", "a", "c")))
+    assert(!greedy(Seq("c", "a", "b")))
+  }
+
+  test("q239 covariance matches a driver-side reference") {
+    val vs = Tables.embeddings(spark, sf)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = vs.length.toDouble
+    val got = run("q239_embed_covariance").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    for (i <- 1 to 8; j <- i to 8) {
+      val xs = vs.map(_(i - 1))
+      val ys = vs.map(_(j - 1))
+      val ref = (xs.zip(ys).map { case (a, b) => a * b }.sum -
+        xs.sum * ys.sum / n) / n
+      assert(math.abs(got((i, j)) - ref) < 1e-5, s"cov($i,$j)")
+    }
+  }
+
+  test("q232 OOF encoding excludes its own fold (leakage check)") {
+    val rows = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), pmod(col("o_orderkey"), lit(5)).cast("int"),
+        col("o_totalprice"))
+      .collect().map(r => (r.getString(0), r.getInt(1),
+        BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    val got = run("q232_target_encoding").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    got.foreach { case ((seg, fold), (nOof, enc)) =>
+      val oof = rows.filter(r => r._1 == seg && r._2 != fold)
+      assert(oof.length.toLong == nOof, s"($seg,$fold) n_oof")
+      val ref = (oof.map(_._3).sum / oof.length).toDouble
+      assert(math.abs(enc - ref) < 1e-5, s"($seg,$fold) enc")
+    }
+  }
+
+  test("q235 entropy-l never exceeds distinct-l and both bound 1") {
+    val rows = run("q235_l_diversity").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val l = r.getLong(3)
+      val el = r.getDouble(4)
+      assert(l >= 1L && el >= 1.0 - 1e-9)
+      assert(el <= l.toDouble + 1e-6, "exp(H) <= #distinct values")
+      assert(r.getBoolean(5) == (l < 3))
+    }
+  }
+}
