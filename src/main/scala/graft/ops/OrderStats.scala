@@ -1012,6 +1012,51 @@ object OrderStats {
              |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
              |      sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
              |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS rho
-             |FROM m""".stripMargin))
+             |FROM m""".stripMargin)),
+
+    // Exact grouped WEIGHTED median (✚, the quantity-weighted center:
+    // "the price at which half the VOLUME trades", the token-weighted
+    // median document length — the unweighted q113 answers a different
+    // question when weights are skewed). Never sorts the corpus: per
+    // (group, value) weights aggregate first (map-side combined), the
+    // global prefix runs once over THAT table via the two-phase
+    // globalRunningSum on the (group, value) total order, and each
+    // group's interior cumulative is recovered by subtracting the
+    // group's start offset (an O(|groups|) broadcast join) — so ONE
+    // range-partitioned pass serves every group simultaneously with no
+    // per-group single-task window. The lower weighted
+    // median (smallest v with 2·cum ≥ W) is pure integer arithmetic —
+    // no doubles anywhere, bit-exact by construction.
+    QueryDef("q242_weighted_median",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_returnflag").as("g"),
+            col("l_extendedprice").as("v"),
+            col("l_quantity").cast("long").as("wq"))
+        val byVal = li.groupBy("g", "v").agg(sum(col("wq")).as("w"))
+        val cum = Scale.globalRunningSum(byVal, Seq(col("g"), col("v")), col("w"))
+        val offs = cum.groupBy("g")
+          .agg(min(col("cum") - col("w")).as("off"), sum(col("w")).as("wtot"))
+        cum.join(broadcast(offs), "g")
+          .where(lit(2L) * (col("cum") - col("off")) >= col("wtot"))
+          .groupBy("g")
+          .agg(min(col("v")).as("wmedian"), max(col("wtot")).as("w_total"))
+          .select(col("g"), col("w_total"), col("wmedian"))
+          .orderBy("g")
+      },
+      Some("""WITH byval AS (
+             |  SELECT l_returnflag AS g, l_extendedprice AS v,
+             |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+             |  FROM lineitem GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT g, v, w,
+             |    SUM(w) OVER (PARTITION BY g ORDER BY v
+             |      ROWS UNBOUNDED PRECEDING) AS cw,
+             |    SUM(w) OVER (PARTITION BY g) AS wtot
+             |  FROM byval)
+             |SELECT g, CAST(MAX(wtot) AS BIGINT) AS w_total,
+             |  MIN(v) AS wmedian
+             |FROM cum WHERE 2 * cw >= wtot
+             |GROUP BY g ORDER BY g""".stripMargin))
   )
 }

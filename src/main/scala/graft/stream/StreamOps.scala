@@ -25,6 +25,13 @@ final case class EwmaOut(event_type: String, b_us: Long, v: Double,
   ewma: Double)
 final case class EwmaState(openB: Long, openCents: Long,
   ring: Seq[(Long, Double)])
+final case class TwapOut(user_id: Long, tsu: Long, n_so_far: Long,
+  twap_run: Double)
+// area9 is the EXACT scale-9 decimal accumulator serialized as a string
+// — a double here would drift from the batch oracle's DECIMAL(38,9) sum
+// (ulp(1e11) ≈ 1.5e-5 per term) and can flip round@6 at the boundary
+final case class TwapState(firstTs: Long, lastTs: Long, lastV: Double,
+  n: Long, area9: String)
 
 /** Event-time streaming operators (✚ extensions; the reference's push
   * pipelines are unbounded but have no event time, SURVEY.md §2.7).
@@ -566,6 +573,54 @@ object StreamOps {
             }
           }
           state.update(st)
+          out.result().iterator
+      }.toDF()
+  }
+
+  /** q234's hold-last time-weighted mean THROUGH the streaming engine:
+    * per user, keyed state carries (first ts, last ts, last value, the
+    * exact scale-9 area accumulator) across micro-batch edges, and
+    * every event after a user's first emits the RUNNING TWAP at that
+    * instant — the live SLO/price monitor view of the batch metric.
+    * Exact-parity discipline: each held-value contribution
+    * lastV·(ts−prev_ts) rounds@9 into a BigDecimal accumulator
+    * (bit-equal to the oracle's DECIMAL(38,9) running sum, any fold
+    * order), and the emitted double is area/span with the identical
+    * expression shape. Arrival contract: event-time-ranged chunks
+    * oldest-first (same-key, same-instant rows may co-arrive; a ts
+    * strictly behind the carried last is a replay violation and fails
+    * loudly). Scale: state is O(1) per user — five fields — and the
+    * shuffle keys on user_id only. */
+  def twapStream(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.as[AnomEvent].groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[AnomEvent], state: GroupState[TwapState]) =>
+          val out = Seq.newBuilder[TwapOut]
+          var st = state.getOption.orNull
+          it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            if (st == null)
+              st = TwapState(e.ts_us, e.ts_us, e.value, 1L, "0.000000000")
+            else {
+              require(e.ts_us >= st.lastTs,
+                s"user $key: ts ${e.ts_us} arrived behind ${st.lastTs}")
+              val term = BigDecimal.valueOf(
+                  st.lastV * ((e.ts_us - st.lastTs).toDouble / 1e6))
+                .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+              val area = BigDecimal(st.area9) + term
+              val span = (e.ts_us - st.firstTs).toDouble / 1e6
+              // zero span (event at the user's first instant) has no
+              // defined mean yet — skip emission, keep accumulating;
+              // the oracle's tsu > fts filter is the same cut
+              if (span > 0)
+                out += TwapOut(key, e.ts_us, st.n + 1L, area.toDouble / span)
+              st = TwapState(st.firstTs, e.ts_us, e.value, st.n + 1L,
+                area.toString)
+            }
+          }
+          if (st != null) state.update(st)
           out.result().iterator
       }.toDF()
   }
@@ -1212,6 +1267,46 @@ object StreamOps {
           .orderBy("fp")
       },
       Some("""SELECT DISTINCT md5(text) AS fp FROM documents
-             |ORDER BY fp""".stripMargin))
+             |ORDER BY fp""".stripMargin)),
+
+    // q234's TWAP through the streaming engine (see twapStream): the
+    // RUNNING per-user time-weighted mean at every event, state
+    // carried across micro-batch edges, hash-equal to the batch
+    // window-oracle on the same corpus. The final per-user value of
+    // this stream IS q234's twap — the twin relationship a monitor
+    // relies on when it swaps the nightly batch for the live view.
+    QueryDef("q241_stream_twap",
+      (s, d) => {
+        val input = graft.Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), unix_micros(col("ts")).as("ts_us"))
+        val rows = runBoundedFromPath(s, input, twapStream(_),
+          chunks = 3, outputMode = "append",
+          arrivalOrder = Seq(col("ts_us"), col("event_id")))
+        s.createDataFrame(new java.util.ArrayList(java.util.Arrays.asList(rows: _*)),
+            org.apache.spark.sql.Encoders.product[TwapOut].schema)
+          .select(col("user_id"), col("tsu"), col("n_so_far"),
+            round(col("twap_run"), 6).as("twap_run"))
+          .orderBy("user_id", "n_so_far")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, epoch_us(ts) AS tsu, event_id, value,
+             |    LAG(epoch_us(ts)) OVER w AS ptsu,
+             |    LAG(value) OVER w AS pv,
+             |    MIN(epoch_us(ts)) OVER (PARTITION BY user_id) AS fts,
+             |    ROW_NUMBER() OVER w AS n_so_far
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+             |c AS (
+             |  SELECT user_id, tsu, event_id, n_so_far, fts, ptsu,
+             |    SUM(CAST(round(pv * (CAST(tsu - ptsu AS DOUBLE) / 1e6), 9)
+             |      AS DECIMAL(38,9))) OVER (PARTITION BY user_id
+             |      ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM ev)
+             |SELECT user_id, tsu, n_so_far,
+             |  round(CAST(cum AS DOUBLE) /
+             |    (CAST(tsu - fts AS DOUBLE) / 1e6), 6) AS twap_run
+             |FROM c WHERE ptsu IS NOT NULL AND tsu > fts
+             |ORDER BY user_id, n_so_far""".stripMargin))
   )
 }

@@ -223,6 +223,36 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q241 streamed TWAP's final row per user equals batch q234") {
+    val stream = run("q241_stream_twap").collect()
+      .groupBy(_.getLong(0)).map { case (u, rows) =>
+        u -> rows.maxBy(_.getLong(2)).getDouble(3)
+      }
+    val batch = run("q234_twap").collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(stream.keySet == batch.keySet)
+    stream.foreach { case (u, t) =>
+      assert(t == batch(u), s"user $u: stream-final $t vs batch ${batch(u)}")
+    }
+  }
+
+  test("q242 weighted median matches a sort-and-walk reference") {
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_quantity").cast("long"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val ref = rows.groupBy(_._1).map { case (g, es) =>
+      val sorted = es.sortBy(_._2)
+      val wtot = sorted.map(_._3).sum
+      var cum = 0L
+      val med = sorted.find { e => cum += e._3; 2 * cum >= wtot }.get._2
+      g -> (wtot, med)
+    }
+    val got = run("q242_weighted_median").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == ref)
+  }
+
   test("q235 entropy-l never exceeds distinct-l and both bound 1") {
     val rows = run("q235_l_diversity").collect()
     assert(rows.nonEmpty)
