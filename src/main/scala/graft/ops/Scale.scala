@@ -665,6 +665,70 @@ object Scale {
            |${arm("b_zorder_sk_sd",
              "SELECT sd_us, sk, ROW_NUMBER() OVER (ORDER BY z, l_orderkey, l_linenumber) AS rn FROM zsrc")}
            |ORDER BY layout""".stripMargin
-      })
+      }),
+
+    // Gini concentration of customer spend per segment (✚, the
+    // inequality summary q155's skew report doesn't give: max/p99 say
+    // "one key is hot"; Gini says how concentrated the WHOLE
+    // distribution is — the number a capacity planner or a
+    // mixture-balance audit quotes). Exact rank formula
+    // G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) with i the ascending
+    // within-segment rank: ranks come from ONE two-phase
+    // globalRowNumber over the (segment, spend, cust) total order
+    // (per-customer aggregates, never raw orders), segment interiors
+    // recovered by subtracting the segment's start offset (the q242
+    // trick — |segments| broadcast rows, no per-segment single-task
+    // window). Σ i·xᵢ multiplies DECIMAL spend by the integer rank —
+    // exact at any n — and doubles appear only in the final G with
+    // token-identical shape, round@6.
+    QueryDef("q244_gini_concentration",
+      (s, d) => {
+        val spend = Tables.orders(s, d)
+          .join(broadcast(Tables.customer(s, d)),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment").as("segment"),
+            col("c_custkey").as("cust"))
+          .agg(sum(QueryDef.dec(col("o_totalprice"))).as("x"))
+        val rn = globalRowNumber(spend,
+          Seq(col("segment"), col("x"), col("cust")))
+        val offs = rn.groupBy(col("segment").as("seg2"))
+          .agg(min(col("rn")).as("minrn"))
+        val ranked = rn.join(broadcast(offs),
+            col("segment") === col("seg2"))
+          .withColumn("i", col("rn") - col("minrn") + lit(1L))
+        ranked.groupBy("segment")
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("x")).as("s0"),
+            // (18,2)×(19,0) → DECIMAL(38,2): inside width on BOTH
+            // engines (DuckDB hard-errors past 38; Spark silently
+            // down-scales) — per-customer spend fits 16 digits at any SF
+            sum(col("x").cast("decimal(18,2)") *
+              col("i").cast("decimal(19,0)")).as("s1"))
+          .select(col("segment"), col("n_customers"),
+            col("s0").cast("double").as("total_spend"),
+            round((lit(2.0) * col("s1").cast("double") -
+              (col("n_customers") + lit(1L)).cast("double") *
+                col("s0").cast("double")) /
+              (col("n_customers").cast("double") * col("s0").cast("double")),
+              6).as("gini"))
+          .orderBy("segment")
+      },
+      Some("""WITH spend AS (
+             |  SELECT c_mktsegment AS segment, c_custkey AS cust,
+             |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS x
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |  GROUP BY 1, 2),
+             |ranked AS (
+             |  SELECT segment, x,
+             |    ROW_NUMBER() OVER (PARTITION BY segment
+             |      ORDER BY x, cust) AS i
+             |  FROM spend)
+             |SELECT segment, COUNT(*) AS n_customers,
+             |  CAST(SUM(x) AS DOUBLE) AS total_spend,
+             |  round((2.0 * CAST(SUM(CAST(x AS DECIMAL(18,2))
+             |      * CAST(i AS DECIMAL(19,0))) AS DOUBLE) -
+             |    CAST(COUNT(*) + 1 AS DOUBLE) * CAST(SUM(x) AS DOUBLE)) /
+             |    (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)), 6) AS gini
+             |FROM ranked GROUP BY segment ORDER BY segment""".stripMargin))
   )
 }

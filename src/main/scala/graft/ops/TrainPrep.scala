@@ -1126,6 +1126,39 @@ object TrainPrep {
              |    ), 6) AS enc
              |FROM byfold f JOIN bycat c ON f.segment = c.segment
              |JOIN gfold g ON f.fold = g.fold CROSS JOIN gall
-             |ORDER BY f.segment, f.fold""".stripMargin))
+             |ORDER BY f.segment, f.fold""".stripMargin)),
+
+    // Weighted sample without replacement — the exponential-race /
+    // A-ES construction (✚, the curation sampler q78's uniform draw
+    // can't give: pick 100 documents with inclusion odds ∝ length, in
+    // ONE distributed pass). Each doc gets priority −ln(u)/w with u a
+    // deterministic md5-derived uniform (the q56/q79 hash idiom, so
+    // both engines derive the identical u); the sample is the 100
+    // SMALLEST priorities — a TakeOrderedAndProject (per-partition
+    // bounded heaps, no sort, no shuffle of the corpus; the classic
+    // distributed weighted-reservoir equivalence). Determinism across
+    // engines: u is exact integer arithmetic, the priority is
+    // scaled ×10⁶ and rounded@9 BEFORE ranking (absorbing libm ulp
+    // drift in ln — a flip would need two priorities within 1e-9 of
+    // the same boundary AND the doc_id tiebreak to disagree, which the
+    // tiebreak makes impossible), and the (key, doc_id) order is
+    // total.
+    QueryDef("q243_weighted_sample",
+      (s, d) => {
+        val u = (conv(substring(md5(concat(lit("ws-"),
+            col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+          .cast("double") + 0.5) / 4294967296.0
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars").as("w"),
+            round(-log(u) / col("n_chars") * 1e6, 9).as("k"))
+          .orderBy(col("k"), col("doc_id"))
+          .limit(100)
+      },
+      Some("""SELECT doc_id, n_chars AS w,
+             |  round(-ln((CAST(('0x' || substr(md5('ws-' || CAST(doc_id AS VARCHAR)),
+             |      1, 8))::BIGINT AS DOUBLE) + 0.5) / 4294967296.0)
+             |    / n_chars * 1e6, 9) AS k
+             |FROM documents
+             |ORDER BY k, doc_id LIMIT 100""".stripMargin))
   )
 }

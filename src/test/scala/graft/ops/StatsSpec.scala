@@ -253,6 +253,43 @@ class StatsSpec extends AnyFunSuite {
     assert(got == ref)
   }
 
+  test("q243 weighted sample is deterministic and length-biased") {
+    val a = run("q243_weighted_sample").collect().map(_.getLong(0)).toSeq
+    val b = run("q243_weighted_sample").collect().map(_.getLong(0)).toSeq
+    assert(a == b, "same corpus, same sample")
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val meanAll = docs.values.sum.toDouble / docs.size
+    val meanSampled = a.map(docs).sum.toDouble / a.size
+    assert(meanSampled > meanAll,
+      s"inclusion odds ∝ length: sampled mean $meanSampled vs corpus $meanAll")
+  }
+
+  test("q244 Gini matches a sort-based reference and sits in [0,1)") {
+    val rows = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("c_custkey"), col("o_totalprice"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    val ref = rows.groupBy(_._1).map { case (seg, es) =>
+      val spend = es.groupBy(_._2).map { case (c, xs) => c -> xs.map(_._3).sum }
+        .toSeq.sortBy { case (c, x) => (x, c) }
+      val n = spend.length
+      val s0 = spend.map(_._2).sum.toDouble
+      val s1 = spend.zipWithIndex.map { case ((_, x), i) =>
+        x.toDouble * (i + 1) }.sum
+      seg -> (2.0 * s1 - (n + 1) * s0) / (n * s0)
+    }
+    val got = run("q244_gini_concentration").collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (seg, g) =>
+      assert(math.abs(g - ref(seg)) < 1e-6, s"$seg gini")
+      assert(g >= 0.0 && g < 1.0)
+    }
+  }
+
   test("q235 entropy-l never exceeds distinct-l and both bound 1") {
     val rows = run("q235_l_diversity").collect()
     assert(rows.nonEmpty)
