@@ -2294,6 +2294,65 @@ object Extras {
              |  FROM lineitem)
              |ORDER BY table_""".stripMargin)),
 
+    // Referential-integrity audit across the star schema's FK edges
+    // (✚, the standing data-quality gate q230's erasure proof runs
+    // once: EVERY load of a 100 TB warehouse should emit this table —
+    // per FK edge, child rows and orphans). Each edge is one LEFT ANTI
+    // join: the orphan side streams the child once, the parent key set
+    // broadcasts when dimension-sized (customer/part/supplier/nation/
+    // region) and shuffles as a plain 8-byte-key join for fact→fact
+    // (lineitem→orders); counts are the only output. The oracle is the
+    // NOT IN form over the same edges — synthetic data should audit
+    // clean, and the gate exists to prove the zeros are computed, not
+    // assumed.
+    QueryDef("q245_ri_audit",
+      (s, d) => {
+        import s.implicits._
+        def edge(name: String, child: org.apache.spark.sql.DataFrame, ck: String,
+                 parent: org.apache.spark.sql.DataFrame, pk: String,
+                 bcast: Boolean) = {
+          val par = parent.select(col(pk)).distinct()
+          val p = if (bcast) broadcast(par) else par
+          val nChild = child.count()
+          val nOrphan = child.join(p, child(ck) === p(pk), "left_anti").count()
+          (name, nChild, nOrphan)
+        }
+        Seq(
+          edge("customer->nation", Tables.customer(s, d), "c_nationkey",
+            Tables.nation(s, d), "n_nationkey", bcast = true),
+          edge("lineitem->orders", Tables.lineitem(s, d), "l_orderkey",
+            Tables.orders(s, d), "o_orderkey", bcast = false),
+          edge("lineitem->part", Tables.lineitem(s, d), "l_partkey",
+            Tables.part(s, d), "p_partkey", bcast = true),
+          edge("lineitem->supplier", Tables.lineitem(s, d), "l_suppkey",
+            Tables.supplier(s, d), "s_suppkey", bcast = true),
+          edge("nation->region", Tables.nation(s, d), "n_regionkey",
+            Tables.region(s, d), "r_regionkey", bcast = true),
+          edge("orders->customer", Tables.orders(s, d), "o_custkey",
+            Tables.customer(s, d), "c_custkey", bcast = true),
+          edge("supplier->nation", Tables.supplier(s, d), "s_nationkey",
+            Tables.nation(s, d), "n_nationkey", bcast = true))
+          .toDF("fk_edge", "n_child", "n_orphan")
+          .orderBy("fk_edge")
+      },
+      Some {
+        def arm(name: String, child: String, ck: String,
+                parent: String, pk: String) =
+          s"""SELECT '$name' AS fk_edge, COUNT(*) AS n_child,
+             |  CAST(SUM(CASE WHEN $ck NOT IN (SELECT $pk FROM $parent)
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan
+             |FROM $child""".stripMargin
+        Seq(
+          arm("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+          arm("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+          arm("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+          arm("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+          arm("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+          arm("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+          arm("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY fk_edge")
+      }),
+
     // Sequential-pattern support (✚, the PrefixSpan support count over
     // q212's contiguous path n-grams: how many users' event streams
     // contain the SUBSEQUENCE t1 → t2 → t3 — gaps allowed, order
@@ -2343,6 +2402,76 @@ object Extras {
              |SELECT t1, t2, t3, COUNT(*) AS support
              |FROM s3 GROUP BY 1, 2, 3
              |ORDER BY support DESC, t1, t2, t3 LIMIT 20""".stripMargin)),
+
+    // Markov stationary distribution of the event-type transition
+    // chain (✚, "where does user behavior converge": q212 counts the
+    // observed paths; the stationary π says where the chain SPENDS its
+    // time in the long run — the equilibrium a capacity model loads
+    // against). Transition counts come from one lag pass on the
+    // high-cardinality user axis (q234's window regime) and collapse
+    // to a |types|² matrix — the ONLY thing that leaves the corpus, so
+    // at 100 TB the iteration cost is independent of data size. Eight
+    // power-iteration rounds run on that bounded matrix (driver-side
+    // here, literally the kmeansCentroids class of bounded state), and
+    // parity with the oracle's unrolled SQL rounds is exact: each
+    // round's fold term v[a]·P[a][b] is rounded@9 and summed as a
+    // scale-9 decimal — both engines compute the identical vector at
+    // every round, so 8 rounds compound zero drift; round@6 on output.
+    QueryDef("q246_markov_stationary",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+        val trans = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("tsu"), col("event_id"))
+          .withColumn("prev", lag("event_type", 1).over(w))
+          .where(col("prev").isNotNull)
+          .groupBy(col("prev").as("a"), col("event_type").as("b"))
+          .agg(count(lit(1)).as("c"))
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        val rowSum = trans.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+        val p = trans.map { case (a, b, c) => (a, b, c.toDouble / rowSum(a)) }
+        val srcs = p.map(_._1).distinct.sorted
+        var v: Map[String, Double] = srcs.map(_ -> 1.0 / srcs.length).toMap
+        for (_ <- 1 to 8) {
+          v = p.filter(e => v.contains(e._1))
+            .groupBy(_._2).view.mapValues { es =>
+              es.map { case (a, _, pp) =>
+                BigDecimal.valueOf(v(a) * pp)
+                  .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+              }.sum.toDouble
+            }.toMap
+        }
+        v.toSeq.toDF("event_type", "pi")
+          .select(col("event_type"), round(col("pi"), 6).as("pi"))
+          .orderBy("event_type")
+      },
+      Some {
+        val rounds = (1 to 8).map { k =>
+          s"""v$k AS (
+             |  SELECT p.b AS t,
+             |    CAST(SUM(CAST(round(v.v * p.p, 9) AS DECIMAL(38,9)))
+             |      AS DOUBLE) AS v
+             |  FROM v${k - 1} v JOIN pm p ON p.a = v.t GROUP BY p.b)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH tr AS (
+           |  SELECT prev AS a, event_type AS b, COUNT(*) AS c FROM (
+           |    SELECT event_type,
+           |      LAG(event_type) OVER (PARTITION BY user_id
+           |        ORDER BY epoch_us(ts), event_id) AS prev
+           |    FROM events) q
+           |  WHERE prev IS NOT NULL GROUP BY 1, 2),
+           |pm AS (
+           |  SELECT a, b, CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY a) AS p
+           |  FROM tr),
+           |v0 AS (
+           |  SELECT a AS t,
+           |    CAST(1.0 AS DOUBLE) / (SELECT COUNT(DISTINCT a) FROM pm) AS v
+           |  FROM (SELECT DISTINCT a FROM pm) s),
+           |$rounds
+           |SELECT t AS event_type, round(v, 6) AS pi
+           |FROM v8 ORDER BY event_type""".stripMargin
+      }),
 
     // Per-user time-weighted average (✚, the TWAP/hold-last mean: a
     // metric sampled at irregular instants is averaged by HOW LONG each

@@ -370,4 +370,39 @@ class PlanSpec extends AnyFunSuite {
       s"interpreted lambda projections in scan task layout (repartition first " +
         s"or write a native Expression):\n${bad.mkString("\n")}")
   }
+
+  test("q243 weighted sample is TakeOrderedAndProject, never a corpus sort") {
+    val p = plan("q243_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the exponential-race sampler must rank with bounded heaps")
+  }
+
+  test("q239 covariance scan reads only the embedding column") {
+    val p = plan("q239_embed_covariance")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("vec_id"), "unprojected vec_id must not be read")
+    assert(!p.contains("label"), "unprojected label must not be read")
+    // single-scan contract: ONE FileScan; the stack() unpivot plans as
+    // a Generate, but it must sit ABOVE the aggregate (one input row),
+    // never over the corpus
+    val scans = "FileScan".r.findAllMatchIn(p).length
+    assert(scans == 1, s"expected ONE scan, saw $scans")
+    val gen = p.indexOf("Generate")
+    val agg = p.indexOf("HashAggregate")
+    assert(gen >= 0 && agg >= 0 && gen < agg,
+      "stack()'s Generate must be downstream (printed above) the aggregate")
+  }
+
+  test("q245 RI audit's dimension anti-join broadcasts, never nested-loops") {
+    // the fact→fact edge (lineitem→orders) may shuffle; dimension edges
+    // must broadcast; nothing may plan a nested loop
+    val cust = Tables.customer(spark, sf)
+    val nat = Tables.nation(spark, sf).select("n_nationkey").distinct()
+    val p = cust
+      .join(org.apache.spark.sql.functions.broadcast(nat),
+        cust("c_nationkey") === nat("n_nationkey"), "left_anti")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"anti-join must broadcast the dim:\n$p")
+    assert(!p.contains("NestedLoop"))
+  }
 }
