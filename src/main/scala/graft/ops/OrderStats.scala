@@ -1057,6 +1057,101 @@ object OrderStats {
              |SELECT g, CAST(MAX(wtot) AS BIGINT) AS w_total,
              |  MIN(v) AS wmedian
              |FROM cum WHERE 2 * cw >= wtot
-             |GROUP BY g ORDER BY g""".stripMargin))
+             |GROUP BY g ORDER BY g""".stripMargin)),
+
+    // Kaplan–Meier survival estimator (✚, censored time-to-event — the
+    // family nothing else in the suite covers: "how long from first
+    // view to first purchase", where users who never purchased are
+    // RIGHT-CENSORED at corpus end, not dropped — dropping them is the
+    // classic conversion-time bias). Spells build with q240's greedy
+    // min-chain (one user-keyed join + min-agg); the KM walk runs on
+    // the DISTINCT-duration table: at-risk counts n_i = N − (leavers
+    // before t_i) from one two-phase prefix, and the survival product
+    // Π(1 − dᵢ/nᵢ) as a prefix of ln terms carried as EXACT scale-9
+    // integers (round@9 → ×10⁹ → round@0 → BIGINT, so the running sum
+    // is integer arithmetic and cross-engine ln ulp drift is absorbed
+    // before accumulation, not after). d = n (everyone at risk dies)
+    // would be ln 0: floored at −30 (e⁻³⁰ rounds to 0 at 6 dp) on both
+    // engines. Scale: the corpus collapses to per-user spells, spells
+    // to distinct durations; both prefixes are the q226 discipline.
+    QueryDef("q247_kaplan_meier",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("tsu"))
+        val tmax = ev.agg(max("tsu")).first().getLong(0)
+        val t0 = ev.where(col("event_type") === "view")
+          .groupBy("user_id").agg(min("tsu").as("t0"))
+        val tp = t0.join(ev.where(col("event_type") === "purchase"), "user_id")
+          .where(col("tsu") > col("t0"))
+          .groupBy("user_id").agg(min("tsu").as("tp"))
+        val spells = t0.join(tp, Seq("user_id"), "left")
+          .select(col("user_id"),
+            when(col("tp").isNotNull, (col("tp") - col("t0")).cast("long"))
+              .otherwise(lit(tmax) - col("t0")).as("dur_us"),
+            when(col("tp").isNotNull, 1L).otherwise(0L).as("death"))
+          .select(col("user_id"), expr("dur_us div 1000000").as("dur_s"),
+            col("death"))
+        val n = spells.count()
+        val byDur = spells.groupBy("dur_s")
+          .agg(sum(col("death")).as("dd"), count(lit(1)).as("leave"))
+        val cumLeave = Scale.globalRunningSum(byDur, Seq(col("dur_s")),
+            col("leave"))
+          .withColumnRenamed("cum", "cumleave")
+          .withColumn("n_risk", lit(n) - (col("cumleave") - col("leave")))
+        val terms = cumLeave.withColumn("ln9",
+          when(col("dd") === 0L, lit(0L)).otherwise(
+            when(col("dd") === col("n_risk"), lit(-30000000000L)).otherwise(
+              round(round(log(lit(1.0) -
+                col("dd").cast("double") / col("n_risk")), 9) * 1e9, 0)
+                .cast("long"))))
+        Scale.globalRunningSum(terms, Seq(col("dur_s")), col("ln9"))
+          .withColumnRenamed("cum", "cumln9")
+          .where(col("dd") > 0L)
+          .select(col("dur_s"), col("dd").as("n_deaths"),
+            (col("leave") - col("dd")).as("n_censored"),
+            col("n_risk"),
+            round(exp(col("cumln9").cast("double") / 1e9), 6).as("surv"))
+          .orderBy("dur_s")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+             |tmax AS (SELECT MAX(tsu) AS tm FROM ev),
+             |t0 AS (SELECT user_id, MIN(tsu) AS t0 FROM ev
+             |       WHERE event_type = 'view' GROUP BY 1),
+             |tp AS (SELECT t0.user_id, MIN(ev.tsu) AS tp
+             |       FROM t0 JOIN ev ON ev.user_id = t0.user_id
+             |         AND ev.event_type = 'purchase' AND ev.tsu > t0.t0
+             |       GROUP BY 1),
+             |spells AS (
+             |  SELECT t0.user_id,
+             |    (CASE WHEN tp.tp IS NOT NULL THEN tp.tp - t0.t0
+             |          ELSE tmax.tm - t0.t0 END) // 1000000 AS dur_s,
+             |    CASE WHEN tp.tp IS NOT NULL THEN 1 ELSE 0 END AS death
+             |  FROM t0 LEFT JOIN tp ON t0.user_id = tp.user_id
+             |  CROSS JOIN tmax),
+             |n AS (SELECT COUNT(*) AS n FROM spells),
+             |bydur AS (
+             |  SELECT dur_s, CAST(SUM(death) AS BIGINT) AS dd,
+             |    COUNT(*) AS leave
+             |  FROM spells GROUP BY 1),
+             |walk AS (
+             |  SELECT dur_s, dd, leave,
+             |    n.n - (SUM(leave) OVER (ORDER BY dur_s
+             |      ROWS UNBOUNDED PRECEDING) - leave) AS n_risk
+             |  FROM bydur, n),
+             |terms AS (
+             |  SELECT dur_s, dd, leave, n_risk,
+             |    CASE WHEN dd = 0 THEN 0
+             |         WHEN dd = n_risk THEN -30000000000
+             |         ELSE CAST(round(round(ln(1.0 -
+             |           CAST(dd AS DOUBLE) / n_risk), 9) * 1e9, 0) AS BIGINT)
+             |    END AS ln9
+             |  FROM walk)
+             |SELECT dur_s, dd AS n_deaths, leave - dd AS n_censored,
+             |  CAST(n_risk AS BIGINT) AS n_risk,
+             |  round(exp(CAST(SUM(ln9) OVER (ORDER BY dur_s
+             |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1e9), 6) AS surv
+             |FROM terms WHERE dd > 0 ORDER BY dur_s""".stripMargin))
   )
 }

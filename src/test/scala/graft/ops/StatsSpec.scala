@@ -290,6 +290,48 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q247 Kaplan-Meier matches a sequential product-limit reference") {
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val tmax = evs.map(_._3).max
+    val spells = evs.groupBy(_._1).flatMap { case (_, es) =>
+      val views = es.filter(_._2 == "view").map(_._3)
+      if (views.isEmpty) None
+      else {
+        val t0 = views.min
+        val purch = es.filter(e => e._2 == "purchase" && e._3 > t0).map(_._3)
+        if (purch.isEmpty) Some(((tmax - t0) / 1000000L, 0))
+        else Some(((purch.min - t0) / 1000000L, 1))
+      }
+    }.toSeq
+    val n = spells.size
+    val byDur = spells.groupBy(_._1).toSeq.sortBy(_._1)
+    var atRisk = n.toLong
+    var s = 1.0
+    val ref = byDur.flatMap { case (dur, es) =>
+      val d = es.count(_._2 == 1).toLong
+      val out = if (d > 0) {
+        s *= 1.0 - d.toDouble / atRisk
+        Some(dur -> (d, es.size.toLong - d, atRisk, s))
+      } else None
+      atRisk -= es.size
+      out
+    }.toMap
+    val got = run("q247_kaplan_meier").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    assert(got.keySet == ref.keySet)
+    var prev = 1.0
+    got.toSeq.sortBy(_._1).foreach { case (dur, (d, c, nr, surv)) =>
+      val (dRef, cRef, nrRef, sRef) = ref(dur)
+      assert(d == dRef && c == cRef && nr == nrRef, s"counts at $dur")
+      assert(math.abs(surv - sRef) < 1e-5, s"surv at $dur: $surv vs $sRef")
+      assert(surv <= prev + 1e-9, "survival is non-increasing")
+      prev = surv
+    }
+  }
+
   test("q235 entropy-l never exceeds distinct-l and both bound 1") {
     val rows = run("q235_l_diversity").collect()
     assert(rows.nonEmpty)
