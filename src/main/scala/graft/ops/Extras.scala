@@ -2403,6 +2403,75 @@ object Extras {
              |FROM s3 GROUP BY 1, 2, 3
              |ORDER BY support DESC, t1, t2, t3 LIMIT 20""".stripMargin)),
 
+    // Clamped (floor-at-zero) running balance (✚, the inventory /
+    // credit-ledger op naive cumsum gets WRONG: stock cannot go
+    // negative, and a clamp is not associative so no partial-agg
+    // composes it. The rescue is the prefix-min identity
+    // bₜ = Sₜ − min(0, min_{j≤t} Sⱼ) — exact floor-at-zero-with-
+    // lost-sales semantics, turning the sequential clamp into TWO
+    // associative prefixes (sum and min) that any window/two-phase
+    // machinery computes). Ledgers are per-supplier (the
+    // high-cardinality axis: per-key windows, embarrassingly
+    // parallel); deltas are signed integer quantities so everything is
+    // exact BIGINT. Output: end balance, peak, and the lost-demand
+    // row count (clamp bound while delta < 0) per audited supplier.
+    QueryDef("q249_clamped_balance",
+      (s, d) => {
+        val w = Window.partitionBy("sk")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val led = Tables.lineitem(s, d)
+          .select(col("l_suppkey").as("sk"), col("l_shipdate"),
+            col("l_orderkey"), col("l_linenumber"),
+            when(pmod(col("l_orderkey"), lit(2)) === 0,
+              col("l_quantity").cast("long"))
+              .otherwise(-col("l_quantity").cast("long")).as("delta"))
+          .withColumn("s", sum(col("delta")).over(w))
+        val wRev = Window.partitionBy("sk")
+          .orderBy(col("l_shipdate").desc, col("l_orderkey").desc,
+            col("l_linenumber").desc)
+        val walked = led
+          .withColumn("b", col("s") - least(lit(0L), min(col("s")).over(w)))
+          .withColumn("rev", row_number().over(wRev))
+        walked.groupBy("sk")
+          .agg(count(lit(1)).as("n_moves"),
+            max(col("b")).as("peak"),
+            sum(when(col("b") === 0L && col("delta") < 0L, 1L).otherwise(0L))
+              .as("n_lost"),
+            max(when(col("rev") === 1, col("b"))).as("end_balance"))
+          .select(col("sk"), col("n_moves"), col("peak"), col("n_lost"),
+            col("end_balance"))
+          .orderBy("sk")
+      },
+      Some("""WITH led AS (
+             |  SELECT l_suppkey AS sk, l_shipdate, l_orderkey, l_linenumber,
+             |    CASE WHEN l_orderkey % 2 = 0 THEN CAST(l_quantity AS BIGINT)
+             |         ELSE -CAST(l_quantity AS BIGINT) END AS delta
+             |  FROM lineitem),
+             |sums AS (
+             |  SELECT sk, delta, l_shipdate, l_orderkey, l_linenumber,
+             |    SUM(delta) OVER (PARTITION BY sk
+             |      ORDER BY l_shipdate, l_orderkey, l_linenumber
+             |      ROWS UNBOUNDED PRECEDING) AS s
+             |  FROM led),
+             |walk AS (
+             |  SELECT sk, delta,
+             |    s - LEAST(0, MIN(s) OVER w) AS b,
+             |    ROW_NUMBER() OVER (PARTITION BY sk
+             |      ORDER BY l_shipdate DESC, l_orderkey DESC,
+             |        l_linenumber DESC) AS rev
+             |  FROM sums
+             |  WINDOW w AS (PARTITION BY sk
+             |      ORDER BY l_shipdate, l_orderkey, l_linenumber
+             |      ROWS UNBOUNDED PRECEDING))
+             |SELECT sk, COUNT(*) AS n_moves,
+             |  CAST(MAX(b) AS BIGINT) AS peak,
+             |  CAST(SUM(CASE WHEN b = 0 AND delta < 0 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_lost,
+             |  CAST(MAX(CASE WHEN rev = 1 THEN b END) AS BIGINT)
+             |    AS end_balance
+             |FROM walk GROUP BY sk ORDER BY sk""".stripMargin)),
+
     // Markov stationary distribution of the event-type transition
     // chain (✚, "where does user behavior converge": q212 counts the
     // observed paths; the stationary π says where the chain SPENDS its

@@ -1152,6 +1152,111 @@ object OrderStats {
              |  CAST(n_risk AS BIGINT) AS n_risk,
              |  round(exp(CAST(SUM(ln9) OVER (ORDER BY dur_s
              |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1e9), 6) AS surv
-             |FROM terms WHERE dd > 0 ORDER BY dur_s""".stripMargin))
+             |FROM terms WHERE dd > 0 ORDER BY dur_s""".stripMargin)),
+
+    // Log-rank test (✚, q247's hypothesis-test companion: are two
+    // groups' conversion-time curves the SAME curve? — the standard
+    // two-sample censored comparison, not answerable by t-tests on
+    // durations because censoring biases every moment). Groups split
+    // users by id parity; spells are q247's. Per distinct death time:
+    // observed group-1 deaths o1, expected e1 = d·n1/n under the null,
+    // hypergeometric variance v = d·(n1/n)·(1−n1/n)·(n−d)/(n−1); the
+    // statistic is (Σ(o1−e1))²/Σv ~ χ²(1). At-risk counts per group
+    // come from TWO values carried through ONE two-phase prefix pass
+    // (leavers and group-1 leavers — globalRunningSum runs twice over
+    // the same bounded distinct-duration table, never the corpus).
+    // Per-time e/v terms are rounded@9 into DECIMAL(38,9) sums —
+    // order-independent, ulp-stable — and only the final χ² is a
+    // plain double expression, shape-identical, round@6.
+    QueryDef("q248_logrank",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("tsu"))
+        val tmax = ev.agg(max("tsu")).first().getLong(0)
+        val t0 = ev.where(col("event_type") === "view")
+          .groupBy("user_id").agg(min("tsu").as("t0"))
+        val tp = t0.join(ev.where(col("event_type") === "purchase"), "user_id")
+          .where(col("tsu") > col("t0"))
+          .groupBy("user_id").agg(min("tsu").as("tp"))
+        val spells = t0.join(tp, Seq("user_id"), "left")
+          .select(
+            expr("(CASE WHEN tp IS NOT NULL THEN tp - t0 ELSE " +
+              s"${tmax}L - t0 END) div 1000000").as("dur_s"),
+            when(col("tp").isNotNull, 1L).otherwise(0L).as("death"),
+            pmod(col("user_id"), lit(2)).as("g1"))
+        val tot = spells.agg(count(lit(1)).as("nn"),
+          sum(col("g1")).as("n1t")).first()
+        val (nAll, n1All) = (tot.getLong(0), tot.getLong(1))
+        val byDur = spells.groupBy("dur_s").agg(
+          sum(col("death")).as("dd"),
+          sum(col("death") * col("g1")).as("o1"),
+          count(lit(1)).as("leave"),
+          sum(col("g1")).as("leave1"))
+        val cum = Scale.globalRunningSum(byDur, Seq(col("dur_s")), col("leave"))
+          .withColumnRenamed("cum", "cl")
+        val cum2 = Scale.globalRunningSum(cum, Seq(col("dur_s")), col("leave1"))
+          .withColumnRenamed("cum", "cl1")
+          .withColumn("nr", lit(nAll) - (col("cl") - col("leave")))
+          .withColumn("nr1", lit(n1All) - (col("cl1") - col("leave1")))
+        val agg = cum2.where(col("dd") > 0L).agg(
+          sum(col("o1")).as("o1t"),
+          sum(round(col("dd").cast("double") * col("nr1") / col("nr"), 9)
+            .cast("decimal(38,9)")).cast("double").as("e1t"),
+          sum(round(
+            when(col("nr") > 1L,
+              col("dd").cast("double") * (col("nr1").cast("double") / col("nr")) *
+                (lit(1.0) - col("nr1").cast("double") / col("nr")) *
+                ((col("nr") - col("dd")).cast("double") / (col("nr") - lit(1L))))
+              .otherwise(lit(0.0)), 9)
+            .cast("decimal(38,9)")).cast("double").as("vt"))
+        agg.select(col("o1t"), round(col("e1t"), 6).as("e1t"),
+          round((col("o1t").cast("double") - col("e1t")) *
+            (col("o1t").cast("double") - col("e1t")) / col("vt"), 6)
+            .as("chi2"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+             |tmax AS (SELECT MAX(tsu) AS tm FROM ev),
+             |t0 AS (SELECT user_id, MIN(tsu) AS t0 FROM ev
+             |       WHERE event_type = 'view' GROUP BY 1),
+             |tp AS (SELECT t0.user_id, MIN(ev.tsu) AS tp
+             |       FROM t0 JOIN ev ON ev.user_id = t0.user_id
+             |         AND ev.event_type = 'purchase' AND ev.tsu > t0.t0
+             |       GROUP BY 1),
+             |spells AS (
+             |  SELECT (CASE WHEN tp.tp IS NOT NULL THEN tp.tp - t0.t0
+             |               ELSE tmax.tm - t0.t0 END) // 1000000 AS dur_s,
+             |    CASE WHEN tp.tp IS NOT NULL THEN 1 ELSE 0 END AS death,
+             |    t0.user_id % 2 AS g1
+             |  FROM t0 LEFT JOIN tp ON t0.user_id = tp.user_id
+             |  CROSS JOIN tmax),
+             |tot AS (SELECT COUNT(*) AS nn, CAST(SUM(g1) AS BIGINT) AS n1t
+             |        FROM spells),
+             |bydur AS (
+             |  SELECT dur_s, CAST(SUM(death) AS BIGINT) AS dd,
+             |    CAST(SUM(death * g1) AS BIGINT) AS o1,
+             |    COUNT(*) AS leave, CAST(SUM(g1) AS BIGINT) AS leave1
+             |  FROM spells GROUP BY 1),
+             |walk AS (
+             |  SELECT dur_s, dd, o1,
+             |    tot.nn - (SUM(leave) OVER w - leave) AS nr,
+             |    tot.n1t - (SUM(leave1) OVER w - leave1) AS nr1
+             |  FROM bydur, tot
+             |  WINDOW w AS (ORDER BY dur_s ROWS UNBOUNDED PRECEDING)),
+             |agg AS (
+             |  SELECT CAST(SUM(o1) AS BIGINT) AS o1t,
+             |    CAST(SUM(CAST(round(CAST(dd AS DOUBLE) * nr1 / nr, 9)
+             |      AS DECIMAL(38,9))) AS DOUBLE) AS e1t,
+             |    CAST(SUM(CAST(round(CASE WHEN nr > 1 THEN
+             |        CAST(dd AS DOUBLE) * (CAST(nr1 AS DOUBLE) / nr) *
+             |        (1.0 - CAST(nr1 AS DOUBLE) / nr) *
+             |        (CAST(nr - dd AS DOUBLE) / (nr - 1))
+             |      ELSE 0.0 END, 9) AS DECIMAL(38,9))) AS DOUBLE) AS vt
+             |  FROM walk WHERE dd > 0)
+             |SELECT o1t, round(e1t, 6) AS e1t,
+             |  round((CAST(o1t AS DOUBLE) - e1t) * (CAST(o1t AS DOUBLE) - e1t)
+             |    / vt, 6) AS chi2
+             |FROM agg""".stripMargin))
   )
 }

@@ -332,6 +332,68 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q249 prefix-min identity equals a literal sequential clamp loop") {
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity").cast("long"))
+      .collect().map(r => (r.getLong(0), r.get(1).toString, r.getLong(2),
+        r.getInt(3).toLong, r.getLong(4)))
+    val ref = rows.groupBy(_._1).map { case (sk, es) =>
+      val sorted = es.sortBy(e => (e._2, e._3, e._4))
+      var b = 0L; var peak = 0L; var lost = 0L
+      sorted.foreach { e =>
+        val delta = if (e._3 % 2 == 0) e._5 else -e._5
+        b = math.max(0L, b + delta) // the literal sequential clamp
+        if (b == 0L && delta < 0L) lost += 1
+        peak = math.max(peak, b)
+      }
+      sk -> (sorted.length.toLong, peak, lost, b)
+    }
+    val got = run("q249_clamped_balance").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got == ref)
+  }
+
+  test("q248 log-rank matches a sequential reference walk") {
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val tmax = evs.map(_._3).max
+    val spells = evs.groupBy(_._1).flatMap { case (u, es) =>
+      val views = es.filter(_._2 == "view").map(_._3)
+      if (views.isEmpty) None
+      else {
+        val t0 = views.min
+        val purch = es.filter(e => e._2 == "purchase" && e._3 > t0).map(_._3)
+        val (dur, death) =
+          if (purch.isEmpty) ((tmax - t0) / 1000000L, 0L)
+          else ((purch.min - t0) / 1000000L, 1L)
+        Some((dur, death, u % 2))
+      }
+    }.toSeq
+    var nr = spells.size.toLong
+    var nr1 = spells.map(_._3).sum
+    var o1 = 0L; var e1 = 0.0; var v = 0.0
+    spells.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, es) =>
+      val d = es.map(_._2).sum
+      if (d > 0) {
+        o1 += es.filter(_._2 == 1L).map(_._3).sum
+        e1 += d.toDouble * nr1 / nr
+        if (nr > 1)
+          v += d.toDouble * (nr1.toDouble / nr) * (1.0 - nr1.toDouble / nr) *
+            ((nr - d).toDouble / (nr - 1))
+      }
+      nr -= es.size
+      nr1 -= es.map(_._3).sum
+    }
+    val chi2 = (o1 - e1) * (o1 - e1) / v
+    val got = run("q248_logrank").collect().head
+    assert(got.getLong(0) == o1)
+    assert(math.abs(got.getDouble(1) - e1) < 1e-5)
+    assert(math.abs(got.getDouble(2) - chi2) < 1e-4)
+  }
+
   test("q235 entropy-l never exceeds distinct-l and both bound 1") {
     val rows = run("q235_l_diversity").collect()
     assert(rows.nonEmpty)
