@@ -729,6 +729,60 @@ object Scale {
              |      * CAST(i AS DECIMAL(19,0))) AS DOUBLE) -
              |    CAST(COUNT(*) + 1 AS DOUBLE) * CAST(SUM(x) AS DOUBLE)) /
              |    (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)), 6) AS gini
-             |FROM ranked GROUP BY segment ORDER BY segment""".stripMargin))
+             |FROM ranked GROUP BY segment ORDER BY segment""".stripMargin)),
+
+    // Period-over-period rank movers (✚, the leaderboard-churn report:
+    // which parts' REVENUE RANK moved most between the pre-1998 and
+    // 1998+ halves — absolute revenue deltas chase inflation and
+    // volume; rank deltas surface genuine reshuffling). Revenue per
+    // (period, part) is exact integer CENTS (2-dp money ×100 — the
+    // decimal-sum discipline in BIGINT form, order-independent);
+    // ranking never sorts the corpus: ONE two-phase globalRowNumber
+    // over (period, −revenue, part) covers both periods in the same
+    // pass, per-period interiors recovered by the q242/q244 offset
+    // subtraction. The final join is part-keyed (8-byte), the movers
+    // cut is TakeOrderedAndProject.
+    QueryDef("q250_rank_movers",
+      (s, d) => {
+        val rev = Tables.lineitem(s, d)
+          .select(col("l_partkey").as("pk"),
+            when(year(col("l_shipdate")) < 1998, "a").otherwise("b")
+              .as("period"),
+            round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+          .groupBy("period", "pk").agg(sum(col("cents")).as("rc"))
+        val rn = globalRowNumber(rev,
+          Seq(col("period"), (-col("rc")).as("nrc"), col("pk")))
+        val offs = rn.groupBy(col("period").as("p2"))
+          .agg(min(col("rn")).as("minrn"))
+        val ranked = rn.join(broadcast(offs), col("period") === col("p2"))
+          .select(col("period"), col("pk"),
+            (col("rn") - col("minrn") + lit(1L)).as("r"))
+        val a = ranked.where(col("period") === "a")
+          .select(col("pk"), col("r").as("rank_a"))
+        val b = ranked.where(col("period") === "b")
+          .select(col("pk"), col("r").as("rank_b"))
+        a.join(b, "pk")
+          .select(col("pk"), col("rank_a"), col("rank_b"),
+            (col("rank_a") - col("rank_b")).as("delta"))
+          .orderBy(abs(col("delta")).desc, col("pk"))
+          .limit(20)
+      },
+      Some("""WITH rev AS (
+             |  SELECT l_partkey AS pk,
+             |    CASE WHEN year(l_shipdate) < 1998 THEN 'a' ELSE 'b' END
+             |      AS period,
+             |    CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+             |      AS BIGINT) AS rc
+             |  FROM lineitem GROUP BY 2, 1),
+             |ranked AS (
+             |  SELECT period, pk,
+             |    ROW_NUMBER() OVER (PARTITION BY period
+             |      ORDER BY rc DESC, pk) AS r
+             |  FROM rev)
+             |SELECT a.pk, a.r AS rank_a, b.r AS rank_b,
+             |  a.r - b.r AS delta
+             |FROM ranked a JOIN ranked b
+             |  ON a.pk = b.pk AND a.period = 'a' AND b.period = 'b'
+             |ORDER BY abs(a.r - b.r) DESC, a.pk LIMIT 20""".stripMargin))
   )
 }

@@ -1494,6 +1494,135 @@ object TextAnalysis {
              |SELECT attribute, round(hl.h_label, 6) AS h_label,
              |  round(h_cond, 6) AS h_cond,
              |  round(hl.h_label - h_cond, 6) AS ig
-             |FROM u CROSS JOIN hl ORDER BY attribute""".stripMargin))
+             |FROM u CROSS JOIN hl ORDER BY attribute""".stripMargin)),
+
+    // Heaps'-law vocabulary growth fit (✚, q171's Zipf companion on
+    // the other axis: Zipf says how token FREQUENCY decays, Heaps says
+    // how VOCABULARY grows with corpus size — V(N) ≈ K·N^β — the
+    // number that sizes a tokenizer vocab or predicts novel-phrase
+    // rate at 100 TB from a 1 TB sample). The unit is the WORD TRIGRAM
+    // (this corpus's unigram vocabulary is closed — 31 words, V flat
+    // before the first checkpoint — so the single-word curve is a
+    // constant; trigram phrases keep minting, which is also the unit a
+    // dedup/novelty monitor actually tracks). The curve needs only
+    // each gram's FIRST document: one min-aggregate per gram, so V(c)
+    // at every checkpoint is a prefix over the bounded
+    // (first-position → new-grams) table and N(c) a prefix over
+    // per-doc gram counts — both via the two-phase globalRunningSum;
+    // the corpus is scanned once for the native graft_ngrams explode,
+    // once for counts. Checkpoints are a FIXED geometric ladder
+    // (data-independent, filtered to ≤ ndocs); the log-log OLS runs
+    // over the ≤ ~20 curve points with round@9 DECIMAL term sums and a
+    // token-identical double combination, round@6.
+    QueryDef("q251_heaps_law",
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .where(size(split(col("text"), " ")) >= 3)
+        val docs = base
+          .select(col("doc_id"),
+            (size(split(col("text"), " ")) - 2).cast("long").as("ntok"))
+        val ndocs = docs.count()
+        val cs = Iterator.iterate(50L)(_ * 2).takeWhile(_ <= ndocs).toSeq
+        require(cs.size >= 2,
+          s"Heaps fit needs >= 2 checkpoints; corpus has only $ndocs docs")
+        val pos = Scale.globalRowNumber(docs, Seq(col("doc_id")))
+          .withColumnRenamed("rn", "pos")
+        val cumN = Scale.globalRunningSum(pos, Seq(col("pos")), col("ntok"))
+          .withColumnRenamed("cum", "cumtok")
+        val firstPos = base
+          .select(col("doc_id"),
+            explode(call_function("graft_ngrams", col("text"), lit(3),
+              lit(false))).as("tok"))
+          .groupBy("tok").agg(min(col("doc_id")).as("fdoc"))
+          .join(pos.select(col("doc_id").as("fdoc"), col("pos").as("fpos")),
+            "fdoc")
+          .groupBy("fpos").agg(count(lit(1)).as("nnew"))
+        val cumV = Scale.globalRunningSum(firstPos, Seq(col("fpos")),
+            col("nnew"))
+          .withColumnRenamed("cum", "cumv")
+        import s.implicits._
+        val ck = broadcast(cs.toDF("c"))
+        val vAt = cumV.join(ck, col("fpos") <= col("c"))
+          .groupBy("c").agg(max(col("cumv")).as("v"))
+        val nAt = cumN.join(ck, col("pos") === col("c"))
+          .select(col("c"), col("cumtok").as("n"))
+        val curve = nAt.join(vAt, "c")
+          .select(round(log(col("n").cast("double")), 9).as("x"),
+            round(log(col("v").cast("double")), 9).as("y"))
+        val m = curve.agg(count(lit(1)).as("np"),
+          sum(col("x").cast("decimal(38,9)")).as("sx"),
+          sum(col("y").cast("decimal(38,9)")).as("sy"),
+          sum(round(col("x") * col("y"), 9).cast("decimal(38,9)")).as("sxy"),
+          sum(round(col("x") * col("x"), 9).cast("decimal(38,9)")).as("sxx"))
+        def dd(c: String) = col(c).cast("double")
+        m.select(col("np").as("n_points"),
+            round((dd("np") * dd("sxy") - dd("sx") * dd("sy")) /
+              (dd("np") * dd("sxx") - dd("sx") * dd("sx")), 6).as("beta"),
+            round(dd("sy") / dd("np") -
+              ((dd("np") * dd("sxy") - dd("sx") * dd("sy")) /
+                (dd("np") * dd("sxx") - dd("sx") * dd("sx"))) *
+                (dd("sx") / dd("np")), 6).as("ln_k"))
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+             |  WHERE len(string_split(text, ' ')) >= 3),
+             |docs AS (
+             |  SELECT doc_id, CAST(len(w) - 2 AS BIGINT) AS ntok FROM base),
+             |nd AS (SELECT COUNT(*) AS ndocs FROM docs),
+             |pos AS (
+             |  SELECT doc_id, ntok,
+             |    ROW_NUMBER() OVER (ORDER BY doc_id) AS pos
+             |  FROM docs),
+             |cumn AS (
+             |  SELECT pos, SUM(ntok) OVER (ORDER BY pos
+             |    ROWS UNBOUNDED PRECEDING) AS cumtok
+             |  FROM pos),
+             |fp AS (
+             |  SELECT p.pos AS fpos, COUNT(*) AS nnew FROM (
+             |    SELECT tok, MIN(doc_id) AS fdoc FROM (
+             |      SELECT doc_id, unnest(list_transform(range(len(w) - 2),
+             |        i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS tok
+             |      FROM base) t
+             |    GROUP BY tok) f
+             |  JOIN pos p ON p.doc_id = f.fdoc
+             |  GROUP BY 1),
+             |cumv AS (
+             |  SELECT fpos, SUM(nnew) OVER (ORDER BY fpos
+             |    ROWS UNBOUNDED PRECEDING) AS cumv
+             |  FROM fp),
+             |ck AS (
+             |  SELECT c FROM (SELECT unnest([50, 100, 200, 400, 800, 1600,
+             |    3200, 6400, 12800, 25600, 51200, 102400, 204800, 409600,
+             |    819200]) AS c) s, nd
+             |  WHERE c <= nd.ndocs),
+             |vat AS (
+             |  SELECT ck.c, MAX(cumv.cumv) AS v FROM cumv JOIN ck
+             |    ON cumv.fpos <= ck.c GROUP BY 1),
+             |nat AS (
+             |  SELECT ck.c, cumn.cumtok AS n FROM cumn JOIN ck
+             |    ON cumn.pos = ck.c),
+             |curve AS (
+             |  SELECT round(ln(CAST(n.n AS DOUBLE)), 9) AS x,
+             |    round(ln(CAST(v.v AS DOUBLE)), 9) AS y
+             |  FROM nat n JOIN vat v ON n.c = v.c),
+             |m AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS np,
+             |    SUM(CAST(x AS DECIMAL(38,9))) AS sx,
+             |    SUM(CAST(y AS DECIMAL(38,9))) AS sy,
+             |    SUM(CAST(round(x * y, 9) AS DECIMAL(38,9))) AS sxy,
+             |    SUM(CAST(round(x * x, 9) AS DECIMAL(38,9))) AS sxx
+             |  FROM curve)
+             |SELECT np AS n_points,
+             |  round((CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             |    (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS beta,
+             |  round(CAST(sy AS DOUBLE) / CAST(np AS DOUBLE) -
+             |    ((CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             |     (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) *
+             |    (CAST(sx AS DOUBLE) / CAST(np AS DOUBLE)), 6) AS ln_k
+             |FROM m""".stripMargin))
   )
 }

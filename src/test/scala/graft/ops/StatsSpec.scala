@@ -394,6 +394,54 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(got.getDouble(2) - chi2) < 1e-4)
   }
 
+  test("q250 rank movers match a sort-based two-period reference") {
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), year(col("l_shipdate")), col("l_extendedprice"))
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        math.round(r.getDouble(2) * 100)))
+    def rankOf(period: Boolean): Map[Long, Long] = {
+      val rev = rows.filter(r => (r._2 < 1998) == period)
+        .groupBy(_._1).map { case (pk, es) => pk -> es.map(_._3).sum }
+      rev.toSeq.sortBy { case (pk, rc) => (-rc, pk) }
+        .zipWithIndex.map { case ((pk, _), i) => pk -> (i + 1).toLong }.toMap
+    }
+    val (ra, rb) = (rankOf(true), rankOf(false))
+    val expected = (ra.keySet & rb.keySet).toSeq
+      .map(pk => (pk, ra(pk), rb(pk), ra(pk) - rb(pk)))
+      .sortBy { case (pk, _, _, dl) => (-math.abs(dl), pk) }.take(20)
+    val got = run("q250_rank_movers").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+  }
+
+  test("q251 Heaps fit matches a driver-side log-log OLS on the same curve") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val cs = Iterator.iterate(50)(_ * 2).takeWhile(_ <= docs.length).toSeq
+    def grams(t: String): Seq[String] =
+      t.split(" ", -1).toSeq.sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toSeq
+    val curve = cs.map { c =>
+      val head = docs.take(c)
+      val n = head.map(d => grams(d._2).size).sum.toDouble
+      val v = head.flatMap(d => grams(d._2)).distinct.size.toDouble
+      (math.log(n), math.log(v))
+    }
+    val np = curve.length.toDouble
+    val sx = curve.map(_._1).sum; val sy = curve.map(_._2).sum
+    val sxy = curve.map(p => p._1 * p._2).sum
+    val sxx = curve.map(p => p._1 * p._1).sum
+    val beta = (np * sxy - sx * sy) / (np * sxx - sx * sx)
+    val lnk = sy / np - beta * (sx / np)
+    val got = run("q251_heaps_law").collect().head
+    assert(got.getLong(0) == cs.length.toLong)
+    assert(math.abs(got.getDouble(1) - beta) < 1e-4, s"beta ${got.getDouble(1)} vs $beta")
+    assert(math.abs(got.getDouble(2) - lnk) < 1e-3)
+    assert(got.getDouble(1) > 0.0 && got.getDouble(1) < 1.0,
+      "Heaps exponent lives in (0,1)")
+  }
+
   test("q235 entropy-l never exceeds distinct-l and both bound 1") {
     val rows = run("q235_l_diversity").collect()
     assert(rows.nonEmpty)
