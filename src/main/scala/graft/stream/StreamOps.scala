@@ -32,6 +32,11 @@ final case class TwapOut(user_id: Long, tsu: Long, n_so_far: Long,
 // (ulp(1e11) ≈ 1.5e-5 per term) and can flip round@6 at the boundary
 final case class TwapState(firstTs: Long, lastTs: Long, lastV: Double,
   n: Long, area9: String)
+final case class LedgerMove(sk: Long, shipUs: Long, okey: Long, lnum: Long,
+  delta: Long)
+final case class BalanceOut(sk: Long, move_idx: Long, b: Long)
+final case class BalanceState(b: Long, n: Long, lastShip: Long,
+  lastOkey: Long, lastLnum: Long)
 
 /** Event-time streaming operators (✚ extensions; the reference's push
   * pipelines are unbounded but have no event time, SURVEY.md §2.7).
@@ -621,6 +626,39 @@ object StreamOps {
             }
           }
           if (st != null) state.update(st)
+          out.result().iterator
+      }.toDF()
+  }
+
+  /** q249's clamped ledger THROUGH the streaming engine — and the twin
+    * is the PROOF of q249's algebra: the stream runs the literal
+    * sequential clamp b ← max(0, b + δ) in O(1) per-key state (the
+    * only thing a streaming consumer CAN run), the batch oracle
+    * evaluates the prefix-min identity bₜ = Sₜ − min(0, min_{j≤t} Sⱼ)
+    * in pure windows — hash equality of every intermediate balance is
+    * exactly the identity's correctness, checked row-for-row by the
+    * driver. All arithmetic is BIGINT; arrival is (shipdate, order,
+    * line)-ranged chunks, per-key order violations fail loudly. */
+  def balanceStream(moves: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = moves.sparkSession
+    import spark.implicits._
+    moves.as[LedgerMove].groupByKey(_.sk)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[LedgerMove], state: GroupState[BalanceState]) =>
+          var st = state.getOption.getOrElse(
+            BalanceState(0L, 0L, Long.MinValue, Long.MinValue, Long.MinValue))
+          val out = Seq.newBuilder[BalanceOut]
+          it.toSeq.sortBy(m => (m.shipUs, m.okey, m.lnum)).foreach { m =>
+            val ord = (m.shipUs, m.okey, m.lnum)
+            require(Ordering[(Long, Long, Long)]
+                .gt(ord, (st.lastShip, st.lastOkey, st.lastLnum)),
+              s"supplier $key: move $ord arrived behind state cursor")
+            st = BalanceState(math.max(0L, st.b + m.delta), st.n + 1L,
+              m.shipUs, m.okey, m.lnum)
+            out += BalanceOut(key, st.n, st.b)
+          }
+          state.update(st)
           out.result().iterator
       }.toDF()
   }
@@ -1307,6 +1345,48 @@ object StreamOps {
              |  round(CAST(cum AS DOUBLE) /
              |    (CAST(tsu - fts AS DOUBLE) / 1e6), 6) AS twap_run
              |FROM c WHERE ptsu IS NOT NULL AND tsu > fts
-             |ORDER BY user_id, n_so_far""".stripMargin))
+             |ORDER BY user_id, n_so_far""".stripMargin)),
+
+    // q249's ledger through the streaming engine (see balanceStream):
+    // the stream is the LITERAL sequential clamp, the oracle the
+    // prefix-min identity — row-level hash equality between them is a
+    // machine-checked proof of the identity on this corpus, and the
+    // production story is the same state running against an unbounded
+    // movement feed.
+    QueryDef("q252_stream_balance",
+      (s, d) => {
+        val moves = graft.Tables.lineitem(s, d)
+          .select(col("l_suppkey").as("sk"),
+            unix_micros(col("l_shipdate").cast("timestamp")).as("shipUs"),
+            col("l_orderkey").as("okey"),
+            col("l_linenumber").cast("long").as("lnum"),
+            when(pmod(col("l_orderkey"), lit(2)) === 0,
+              col("l_quantity").cast("long"))
+              .otherwise(-col("l_quantity").cast("long")).as("delta"))
+        val rows = runBoundedFromPath(s, moves, balanceStream(_),
+          chunks = 3, outputMode = "append",
+          arrivalOrder = Seq(col("shipUs"), col("okey"), col("lnum")))
+        s.createDataFrame(new java.util.ArrayList(java.util.Arrays.asList(rows: _*)),
+            org.apache.spark.sql.Encoders.product[BalanceOut].schema)
+          .orderBy("sk", "move_idx")
+      },
+      Some("""WITH led AS (
+             |  SELECT l_suppkey AS sk, epoch_us(l_shipdate) AS su,
+             |    l_orderkey AS okey, l_linenumber AS lnum,
+             |    CASE WHEN l_orderkey % 2 = 0 THEN CAST(l_quantity AS BIGINT)
+             |         ELSE -CAST(l_quantity AS BIGINT) END AS delta
+             |  FROM lineitem),
+             |sums AS (
+             |  SELECT sk, su, okey, lnum,
+             |    SUM(delta) OVER w AS s,
+             |    ROW_NUMBER() OVER w AS move_idx
+             |  FROM led
+             |  WINDOW w AS (PARTITION BY sk ORDER BY su, okey, lnum
+             |    ROWS UNBOUNDED PRECEDING))
+             |SELECT sk, move_idx,
+             |  CAST(s - LEAST(0, MIN(s) OVER (PARTITION BY sk
+             |    ORDER BY su, okey, lnum ROWS UNBOUNDED PRECEDING))
+             |    AS BIGINT) AS b
+             |FROM sums ORDER BY sk, move_idx""".stripMargin))
   )
 }
