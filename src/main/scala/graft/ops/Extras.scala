@@ -2417,19 +2417,26 @@ object Extras {
     // row count (clamp bound while delta < 0) per audited supplier.
     QueryDef("q249_clamped_balance",
       (s, d) => {
+        // (shipdate, order, line) is NOT unique in this corpus (~20% of
+        // rows share a key with another); extend the order with partkey
+        // and the delta itself — remaining ties are full-tuple-identical
+        // moves, and a clamp walk is invariant under permuting identical
+        // deltas, so the walk is deterministic on BOTH engines
         val w = Window.partitionBy("sk")
-          .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_partkey",
+            "delta")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val led = Tables.lineitem(s, d)
           .select(col("l_suppkey").as("sk"), col("l_shipdate"),
-            col("l_orderkey"), col("l_linenumber"),
+            col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
             when(pmod(col("l_orderkey"), lit(2)) === 0,
               col("l_quantity").cast("long"))
               .otherwise(-col("l_quantity").cast("long")).as("delta"))
           .withColumn("s", sum(col("delta")).over(w))
         val wRev = Window.partitionBy("sk")
           .orderBy(col("l_shipdate").desc, col("l_orderkey").desc,
-            col("l_linenumber").desc)
+            col("l_linenumber").desc, col("l_partkey").desc,
+            col("delta").desc)
         val walked = led
           .withColumn("b", col("s") - least(lit(0L), min(col("s")).over(w)))
           .withColumn("rev", row_number().over(wRev))
@@ -2445,13 +2452,16 @@ object Extras {
       },
       Some("""WITH led AS (
              |  SELECT l_suppkey AS sk, l_shipdate, l_orderkey, l_linenumber,
+             |    l_partkey,
              |    CASE WHEN l_orderkey % 2 = 0 THEN CAST(l_quantity AS BIGINT)
              |         ELSE -CAST(l_quantity AS BIGINT) END AS delta
              |  FROM lineitem),
              |sums AS (
              |  SELECT sk, delta, l_shipdate, l_orderkey, l_linenumber,
+             |    l_partkey,
              |    SUM(delta) OVER (PARTITION BY sk
-             |      ORDER BY l_shipdate, l_orderkey, l_linenumber
+             |      ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey,
+             |        delta
              |      ROWS UNBOUNDED PRECEDING) AS s
              |  FROM led),
              |walk AS (
@@ -2459,10 +2469,11 @@ object Extras {
              |    s - LEAST(0, MIN(s) OVER w) AS b,
              |    ROW_NUMBER() OVER (PARTITION BY sk
              |      ORDER BY l_shipdate DESC, l_orderkey DESC,
-             |        l_linenumber DESC) AS rev
+             |        l_linenumber DESC, l_partkey DESC, delta DESC) AS rev
              |  FROM sums
              |  WINDOW w AS (PARTITION BY sk
-             |      ORDER BY l_shipdate, l_orderkey, l_linenumber
+             |      ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey,
+             |        delta
              |      ROWS UNBOUNDED PRECEDING))
              |SELECT sk, COUNT(*) AS n_moves,
              |  CAST(MAX(b) AS BIGINT) AS peak,

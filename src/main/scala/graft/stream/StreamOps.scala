@@ -33,10 +33,13 @@ final case class TwapOut(user_id: Long, tsu: Long, n_so_far: Long,
 final case class TwapState(firstTs: Long, lastTs: Long, lastV: Double,
   n: Long, area9: String)
 final case class LedgerMove(sk: Long, shipUs: Long, okey: Long, lnum: Long,
-  delta: Long)
+  pkey: Long, delta: Long)
 final case class BalanceOut(sk: Long, move_idx: Long, b: Long)
+// cursor = the full move tuple: (ship, order, line) is not unique in the
+// corpus, so the order extends with partkey and delta; remaining ties are
+// identical moves, order-invariant under the clamp
 final case class BalanceState(b: Long, n: Long, lastShip: Long,
-  lastOkey: Long, lastLnum: Long)
+  lastOkey: Long, lastLnum: Long, lastPk: Long, lastDelta: Long)
 
 /** Event-time streaming operators (✚ extensions; the reference's push
   * pipelines are unbounded but have no event time, SURVEY.md §2.7).
@@ -647,15 +650,19 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: Long, it: Iterator[LedgerMove], state: GroupState[BalanceState]) =>
           var st = state.getOption.getOrElse(
-            BalanceState(0L, 0L, Long.MinValue, Long.MinValue, Long.MinValue))
+            BalanceState(0L, 0L, Long.MinValue, Long.MinValue, Long.MinValue,
+              Long.MinValue, Long.MinValue))
           val out = Seq.newBuilder[BalanceOut]
-          it.toSeq.sortBy(m => (m.shipUs, m.okey, m.lnum)).foreach { m =>
-            val ord = (m.shipUs, m.okey, m.lnum)
-            require(Ordering[(Long, Long, Long)]
-                .gt(ord, (st.lastShip, st.lastOkey, st.lastLnum)),
+          it.toSeq.sortBy(m => (m.shipUs, m.okey, m.lnum, m.pkey, m.delta))
+            .foreach { m =>
+            val ord = (m.shipUs, m.okey, m.lnum, m.pkey, m.delta)
+            // >= not >: full-tuple-identical moves legitimately repeat
+            require(Ordering[(Long, Long, Long, Long, Long)].gteq(ord,
+                (st.lastShip, st.lastOkey, st.lastLnum, st.lastPk,
+                  st.lastDelta)),
               s"supplier $key: move $ord arrived behind state cursor")
             st = BalanceState(math.max(0L, st.b + m.delta), st.n + 1L,
-              m.shipUs, m.okey, m.lnum)
+              m.shipUs, m.okey, m.lnum, m.pkey, m.delta)
             out += BalanceOut(key, st.n, st.b)
           }
           state.update(st)
@@ -1360,12 +1367,14 @@ object StreamOps {
             unix_micros(col("l_shipdate").cast("timestamp")).as("shipUs"),
             col("l_orderkey").as("okey"),
             col("l_linenumber").cast("long").as("lnum"),
+            col("l_partkey").as("pkey"),
             when(pmod(col("l_orderkey"), lit(2)) === 0,
               col("l_quantity").cast("long"))
               .otherwise(-col("l_quantity").cast("long")).as("delta"))
         val rows = runBoundedFromPath(s, moves, balanceStream(_),
           chunks = 3, outputMode = "append",
-          arrivalOrder = Seq(col("shipUs"), col("okey"), col("lnum")))
+          arrivalOrder = Seq(col("shipUs"), col("okey"), col("lnum"),
+            col("pkey"), col("delta")))
         s.createDataFrame(new java.util.ArrayList(java.util.Arrays.asList(rows: _*)),
             org.apache.spark.sql.Encoders.product[BalanceOut].schema)
           .orderBy("sk", "move_idx")
@@ -1373,20 +1382,21 @@ object StreamOps {
       Some("""WITH led AS (
              |  SELECT l_suppkey AS sk, epoch_us(l_shipdate) AS su,
              |    l_orderkey AS okey, l_linenumber AS lnum,
+             |    l_partkey AS pkey,
              |    CASE WHEN l_orderkey % 2 = 0 THEN CAST(l_quantity AS BIGINT)
              |         ELSE -CAST(l_quantity AS BIGINT) END AS delta
              |  FROM lineitem),
              |sums AS (
-             |  SELECT sk, su, okey, lnum,
+             |  SELECT sk, su, okey, lnum, pkey, delta,
              |    SUM(delta) OVER w AS s,
              |    ROW_NUMBER() OVER w AS move_idx
              |  FROM led
-             |  WINDOW w AS (PARTITION BY sk ORDER BY su, okey, lnum
-             |    ROWS UNBOUNDED PRECEDING))
+             |  WINDOW w AS (PARTITION BY sk ORDER BY su, okey, lnum, pkey,
+             |    delta ROWS UNBOUNDED PRECEDING))
              |SELECT sk, move_idx,
              |  CAST(s - LEAST(0, MIN(s) OVER (PARTITION BY sk
-             |    ORDER BY su, okey, lnum ROWS UNBOUNDED PRECEDING))
-             |    AS BIGINT) AS b
+             |    ORDER BY su, okey, lnum, pkey, delta
+             |    ROWS UNBOUNDED PRECEDING)) AS BIGINT) AS b
              |FROM sums ORDER BY sk, move_idx""".stripMargin))
   )
 }

@@ -335,14 +335,16 @@ class StatsSpec extends AnyFunSuite {
   test("q249 prefix-min identity equals a literal sequential clamp loop") {
     val rows = Tables.lineitem(spark, sf)
       .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
-        col("l_linenumber"), col("l_quantity").cast("long"))
+        col("l_linenumber"), col("l_partkey"), col("l_quantity").cast("long"))
       .collect().map(r => (r.getLong(0), r.get(1).toString, r.getLong(2),
-        r.getInt(3).toLong, r.getLong(4)))
+        r.getInt(3).toLong, r.getLong(4),
+        if (r.getLong(2) % 2 == 0) r.getLong(5) else -r.getLong(5)))
     val ref = rows.groupBy(_._1).map { case (sk, es) =>
-      val sorted = es.sortBy(e => (e._2, e._3, e._4))
+      // the gate's total pre-order: ties are full-tuple-identical moves
+      val sorted = es.sortBy(e => (e._2, e._3, e._4, e._5, e._6))
       var b = 0L; var peak = 0L; var lost = 0L
       sorted.foreach { e =>
-        val delta = if (e._3 % 2 == 0) e._5 else -e._5
+        val delta = e._6
         b = math.max(0L, b + delta) // the literal sequential clamp
         if (b == 0L && delta < 0L) lost += 1
         peak = math.max(peak, b)
