@@ -2403,6 +2403,149 @@ object Extras {
              |FROM s3 GROUP BY 1, 2, 3
              |ORDER BY support DESC, t1, t2, t3 LIMIT 20""".stripMargin)),
 
+    // Autocorrelation function of hourly traffic (✚, the time-series
+    // diagnostic q221's seasonal profile assumes: ACF at lags 1–6
+    // hours SHOWS the periodicity/stickiness instead of positing it —
+    // the first thing a forecaster plots). The series is the hourly
+    // event count (exact BIGINT, one map-side-combined aggregation —
+    // at 100 TB the series is |hours| rows, not the corpus); each lag
+    // is one equality self-join on bucket+k over that bounded series.
+    // Centered products follow the round@9 DECIMAL discipline (the
+    // mean is a double, so (x−m)(y−m) terms would otherwise be
+    // reduction-order-dependent); denominator likewise; round@6.
+    QueryDef("q255_acf",
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .select(expr("unix_micros(ts) div 3600000000").as("h"))
+          .groupBy("h").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint()
+        val st = hourly.agg(count(lit(1)), sum("cnt")).first()
+        val m = st.getLong(1).toDouble / st.getLong(0)
+        val dec9 = (c: org.apache.spark.sql.Column) =>
+          round(c, 9).cast("decimal(38,9)")
+        val den = hourly.agg(
+          sum(dec9((col("cnt").cast("double") - m) *
+            (col("cnt").cast("double") - m))).cast("double").as("den"))
+        import s.implicits._
+        val lags = broadcast(Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("k"))
+        val b = hourly.select(col("h").as("h2"), col("cnt").as("cnt2"))
+        hourly.crossJoin(lags)
+          .join(b, col("h") + col("k") === col("h2"))
+          .groupBy("k")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(dec9((col("cnt").cast("double") - m) *
+              (col("cnt2").cast("double") - m))).cast("double").as("num"))
+          .crossJoin(broadcast(den))
+          .select(col("k"), col("n_pairs"),
+            round(col("num") / col("den"), 6).as("acf"))
+          .orderBy("k")
+      },
+      Some("""WITH hourly AS (
+             |  SELECT epoch_us(ts) // 3600000000 AS h, COUNT(*) AS cnt
+             |  FROM events GROUP BY 1),
+             |st AS (
+             |  SELECT CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS m FROM hourly),
+             |den AS (
+             |  SELECT CAST(SUM(CAST(round((CAST(cnt AS DOUBLE) - st.m) *
+             |    (CAST(cnt AS DOUBLE) - st.m), 9) AS DECIMAL(38,9)))
+             |    AS DOUBLE) AS den
+             |  FROM hourly, st),
+             |lags AS (SELECT CAST(unnest([1, 2, 3, 4, 5, 6]) AS BIGINT) AS k)
+             |SELECT lags.k, COUNT(*) AS n_pairs,
+             |  round(CAST(SUM(CAST(round((CAST(a.cnt AS DOUBLE) - st.m) *
+             |    (CAST(b.cnt AS DOUBLE) - st.m), 9) AS DECIMAL(38,9)))
+             |    AS DOUBLE) / MAX(den.den), 6) AS acf
+             |FROM hourly a
+             |CROSS JOIN lags
+             |JOIN hourly b ON a.h + lags.k = b.h
+             |CROSS JOIN st CROSS JOIN den
+             |GROUP BY lags.k ORDER BY lags.k""".stripMargin)),
+
+    // Little's-law audit L = λ·W over q19's sessions (✚, the queueing
+    // sanity check an ops review quotes: time-average concurrency must
+    // equal arrival rate × mean dwell — and the audit computes the two
+    // sides by INDEPENDENT routes, so a bug in either surfaces as
+    // inequality). Left side: the event SWEEP — every session start is
+    // +1, every end −1, concurrency is the prefix sum over the global
+    // (ts, +1-before-−1, id) order, and L·span = Σ concurrencyᵢ·dtᵢ,
+    // the area under the staircase, in exact BIGINT micros. Right
+    // side: Σ durations directly. Fubini says the integers must be
+    // EQUAL — the gate emits both so the driver hash forces it. The
+    // sweep is two-phase (globalRowNumber + globalRunningSum over
+    // 2·sessions rows, dt via an rn-keyed self-join — no single-task
+    // window); peak concurrency rides the same prefix for free.
+    QueryDef("q253_littles_law",
+      (s, d) => {
+        val sess = Relational.withSessionIds(Tables.events(s, d))
+          .groupBy("user_id", "session_id")
+          .agg(min(unix_micros(col("ts"))).as("st"),
+            max(unix_micros(col("ts"))).as("en"))
+          .localCheckpoint()
+        val pts = sess.select(col("user_id"), col("session_id"),
+            col("st").as("tsu"), lit(1L).as("delta"))
+          .unionByName(sess.select(col("user_id"), col("session_id"),
+            col("en").as("tsu"), lit(-1L).as("delta")))
+          .withColumn("nd", -col("delta"))
+        val sorted = Scale.globalRowNumber(pts,
+          Seq(col("tsu"), col("nd"), col("user_id"), col("session_id")))
+        val cum = Scale.globalRunningSum(sorted,
+            Seq(col("tsu"), col("nd"), col("user_id"), col("session_id")),
+            col("delta"))
+          .localCheckpoint()
+        val area = cum.join(
+            cum.select((col("rn") - 1L).as("rn0"), col("tsu").as("nxt")),
+            col("rn") === col("rn0"))
+          .agg(sum(col("cum") * (col("nxt") - col("tsu"))).as("area_us"),
+            max(col("cum")).as("peak")).first()
+        val stats = sess.agg(count(lit(1)), sum(col("en") - col("st")),
+          min("st"), max("en")).first()
+        val (nSess, sumDur) = (stats.getLong(0), stats.getLong(1))
+        val span = stats.getLong(3) - stats.getLong(2)
+        import s.implicits._
+        Seq((nSess, area.getLong(1), span / 1000000L,
+            sumDur / 1000000L, area.getLong(0) / 1000000L))
+          .toDF("n_sessions", "peak_concurrency", "span_s", "sum_dur_s",
+            "sweep_area_s")
+          .select(col("*"),
+            round(col("sweep_area_s").cast("double") / (span / 1000000L), 6)
+              .as("l_avg"),
+            round(col("sum_dur_s").cast("double") / (span / 1000000L), 6)
+              .as("lambda_w"))
+      },
+      Some(s"""WITH sess AS (
+             |  SELECT user_id, session_id, MIN(epoch_us(ts)) AS st,
+             |    MAX(epoch_us(ts)) AS en
+             |  FROM (${Relational.sessionIdsSql}) si
+             |  GROUP BY 1, 2),
+             |pts AS (
+             |  SELECT user_id, session_id, st AS tsu, 1 AS delta FROM sess
+             |  UNION ALL
+             |  SELECT user_id, session_id, en, -1 FROM sess),
+             |walk AS (
+             |  SELECT tsu, SUM(delta) OVER w AS cum,
+             |    LEAD(tsu) OVER w AS nxt
+             |  FROM pts
+             |  WINDOW w AS (ORDER BY tsu, -delta, user_id, session_id
+             |    ROWS UNBOUNDED PRECEDING)),
+             |sweep AS (
+             |  SELECT CAST(SUM(cum * (nxt - tsu)) AS BIGINT) AS area_us,
+             |    CAST(MAX(cum) AS BIGINT) AS peak
+             |  FROM walk WHERE nxt IS NOT NULL),
+             |st AS (
+             |  SELECT COUNT(*) AS n_sessions,
+             |    CAST(SUM(en - st) AS BIGINT) AS sum_dur_us,
+             |    MAX(en) - MIN(st) AS span_us
+             |  FROM sess)
+             |SELECT st.n_sessions, sweep.peak AS peak_concurrency,
+             |  st.span_us // 1000000 AS span_s,
+             |  st.sum_dur_us // 1000000 AS sum_dur_s,
+             |  sweep.area_us // 1000000 AS sweep_area_s,
+             |  round(CAST(sweep.area_us // 1000000 AS DOUBLE)
+             |    / (st.span_us // 1000000), 6) AS l_avg,
+             |  round(CAST(st.sum_dur_us // 1000000 AS DOUBLE)
+             |    / (st.span_us // 1000000), 6) AS lambda_w
+             |FROM st CROSS JOIN sweep""".stripMargin)),
+
     // Clamped (floor-at-zero) running balance (✚, the inventory /
     // credit-ledger op naive cumsum gets WRONG: stock cannot go
     // negative, and a clamp is not associative so no partial-agg

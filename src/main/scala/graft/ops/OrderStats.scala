@@ -1257,6 +1257,121 @@ object OrderStats {
              |SELECT o1t, round(e1t, 6) AS e1t,
              |  round((CAST(o1t AS DOUBLE) - e1t) * (CAST(o1t AS DOUBLE) - e1t)
              |    / vt, 6) AS chi2
-             |FROM agg""".stripMargin))
+             |FROM agg""".stripMargin)),
+
+    // Welch's t-test (✚, the parametric companion of q231: unequal
+    // variances, unequal sizes — the default two-sample mean test; the
+    // Satterthwaite df is the part everyone gets wrong by assuming
+    // pooled variance). One map-side-combined aggregation per group:
+    // n, Σv, Σv² with each term rounded@9 into DECIMAL(38,9) (exact,
+    // order-independent — a float Σv² would make the variance depend
+    // on reduction order), then mean/variance/t/df are derived in
+    // token-identical double shape on both engines, round@6.
+    QueryDef("q254_welch_t",
+      (s, d) => {
+        val g = Tables.events(s, d)
+          .where(col("event_type").isin("click", "error"))
+          .groupBy(col("event_type").as("g"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value"), 9).cast("decimal(38,9)"))
+              .cast("double").as("sv"),
+            sum(round(col("value") * col("value"), 9).cast("decimal(38,9)"))
+              .cast("double").as("sq"))
+          .withColumn("m", col("sv") / col("n"))
+          .withColumn("va", (col("sq") - col("sv") * col("sv") / col("n")) /
+            (col("n") - lit(1L)))
+          .withColumn("se2", col("va") / col("n"))
+        val a = g.where(col("g") === "click")
+          .select(col("n").as("n1"), col("m").as("m1"), col("se2").as("s1"))
+        val b = g.where(col("g") === "error")
+          .select(col("n").as("n2"), col("m").as("m2"), col("se2").as("s2"))
+        a.crossJoin(b).select(
+          col("n1"), col("n2"),
+          round(col("m1") - col("m2"), 6).as("mean_diff"),
+          round((col("m1") - col("m2")) / sqrt(col("s1") + col("s2")), 6)
+            .as("t"),
+          round((col("s1") + col("s2")) * (col("s1") + col("s2")) /
+            (col("s1") * col("s1") / (col("n1") - lit(1L)) +
+              col("s2") * col("s2") / (col("n2") - lit(1L))), 6).as("df"))
+      },
+      Some("""WITH g AS (
+             |  SELECT event_type AS g, COUNT(*) AS n,
+             |    CAST(SUM(CAST(round(value, 9) AS DECIMAL(38,9)))
+             |      AS DOUBLE) AS sv,
+             |    CAST(SUM(CAST(round(value * value, 9) AS DECIMAL(38,9)))
+             |      AS DOUBLE) AS sq
+             |  FROM events WHERE event_type IN ('click', 'error')
+             |  GROUP BY 1),
+             |e AS (
+             |  SELECT g, n, sv / n AS m,
+             |    ((sq - sv * sv / n) / (n - 1)) / n AS se2
+             |  FROM g)
+             |SELECT a.n AS n1, b.n AS n2,
+             |  round(a.m - b.m, 6) AS mean_diff,
+             |  round((a.m - b.m) / sqrt(a.se2 + b.se2), 6) AS t,
+             |  round((a.se2 + b.se2) * (a.se2 + b.se2) /
+             |    (a.se2 * a.se2 / (a.n - 1) + b.se2 * b.se2 / (b.n - 1)), 6)
+             |    AS df
+             |FROM e a CROSS JOIN e b
+             |WHERE a.g = 'click' AND b.g = 'error'""".stripMargin)),
+
+    // One-way ANOVA F + effect size (✚, the k-group generalization of
+    // q254: does the value metric differ across ALL event types at
+    // once, and HOW MUCH of its variance the grouping explains — η²
+    // is the practical-significance number the F alone hides). All
+    // moments from ONE aggregation over (group): exact decimal Σv/Σv²
+    // per group, combined driver-free in a second tiny aggregate;
+    // SSB/SSW derive from the group sums (no second corpus pass),
+    // doubles only in the final F/η² with identical shape, round@6.
+    QueryDef("q256_anova_f",
+      (s, d) => {
+        val g = Tables.events(s, d)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value"), 9).cast("decimal(38,9)")).as("sv"),
+            sum(round(col("value") * col("value"), 9).cast("decimal(38,9)"))
+              .as("sq"))
+        val tot = g.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
+          sum(col("sv")).as("gs"), sum(col("sq")).as("gq"),
+          // Σ (group sum)²/n — per-group term rounds@9 into a DECIMAL
+          // sum (k doubles summed raw would be reduction-order-dependent)
+          sum(round(col("sv").cast("double") * col("sv").cast("double") /
+            col("n"), 9).cast("decimal(38,9)")).cast("double").as("sbraw"))
+        tot.select(col("k"), col("nn").as("n"),
+            round((col("sbraw") -
+              col("gs").cast("double") * col("gs").cast("double") / col("nn")) /
+              (col("k") - lit(1L)), 6).as("msb"),
+            round((col("gq").cast("double") - col("sbraw")) /
+              (col("nn") - col("k")), 6).as("msw"))
+          .select(col("k"), col("n"),
+            col("msb"), col("msw"),
+            round(col("msb") / col("msw"), 6).as("f"),
+            round(col("msb") * (col("k") - lit(1L)).cast("double") /
+              (col("msb") * (col("k") - lit(1L)).cast("double") +
+                col("msw") * (col("n") - col("k")).cast("double")), 6)
+              .as("eta2"))
+      },
+      Some("""WITH g AS (
+             |  SELECT event_type, COUNT(*) AS n,
+             |    SUM(CAST(round(value, 9) AS DECIMAL(38,9))) AS sv,
+             |    SUM(CAST(round(value * value, 9) AS DECIMAL(38,9))) AS sq
+             |  FROM events GROUP BY 1),
+             |tot AS (
+             |  SELECT COUNT(*) AS k, CAST(SUM(n) AS BIGINT) AS nn,
+             |    CAST(SUM(sv) AS DOUBLE) AS gs, CAST(SUM(sq) AS DOUBLE) AS gq,
+             |    CAST(SUM(CAST(round(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+             |      / n, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sbraw
+             |  FROM g),
+             |ms AS (
+             |  SELECT k, nn AS n,
+             |    round((sbraw - gs * gs / nn) / (k - 1), 6) AS msb,
+             |    round((gq - sbraw) / (nn - k), 6) AS msw
+             |  FROM tot)
+             |SELECT k, n, msb, msw,
+             |  round(msb / msw, 6) AS f,
+             |  round(msb * CAST(k - 1 AS DOUBLE) /
+             |    (msb * CAST(k - 1 AS DOUBLE) + msw * CAST(n - k AS DOUBLE)),
+             |    6) AS eta2
+             |FROM ms""".stripMargin))
   )
 }

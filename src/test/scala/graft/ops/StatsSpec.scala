@@ -444,6 +444,85 @@ class StatsSpec extends AnyFunSuite {
       "Heaps exponent lives in (0,1)")
   }
 
+  test("q253 sweep area equals direct duration sum and peak matches brute force") {
+    val r = run("q253_littles_law").collect().head
+    assert(r.getLong(3) == r.getLong(4), "Fubini: sum_dur_s == sweep_area_s")
+    assert(r.getDouble(5) == r.getDouble(6), "L == lambda*W")
+    // brute-force peak concurrency from the same session definition
+    val sess = Relational.withSessionIds(Tables.events(spark, sf))
+      .groupBy("user_id", "session_id")
+      .agg(min(unix_micros(col("ts"))).as("st"),
+        max(unix_micros(col("ts"))).as("en"))
+      .collect().map(x => (x.getLong(2), x.getLong(3)))
+    val pts = sess.flatMap { case (st, en) => Seq((st, 1), (en, -1)) }
+      .sortBy { case (t, dl) => (t, -dl) }
+    var c = 0; var peak = 0
+    pts.foreach { p => c += p._2; peak = math.max(peak, c) }
+    assert(r.getLong(1) == peak.toLong, s"peak ${r.getLong(1)} vs $peak")
+  }
+
+  test("q254 Welch t matches a driver-side reference") {
+    val rows = Tables.events(spark, sf)
+      .where(col("event_type").isin("click", "error"))
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    def stats(g: String) = {
+      val vs = rows.filter(_._1 == g).map(_._2)
+      val n = vs.length
+      val m = vs.sum / n
+      val va = vs.map(v => (v - m) * (v - m)).sum / (n - 1)
+      (n, m, va / n)
+    }
+    val (n1, m1, s1) = stats("click")
+    val (n2, m2, s2) = stats("error")
+    val tRef = (m1 - m2) / math.sqrt(s1 + s2)
+    val dfRef = (s1 + s2) * (s1 + s2) /
+      (s1 * s1 / (n1 - 1) + s2 * s2 / (n2 - 1))
+    val got = run("q254_welch_t").collect().head
+    assert(got.getLong(0) == n1.toLong && got.getLong(1) == n2.toLong)
+    assert(math.abs(got.getDouble(3) - tRef) < 1e-5)
+    assert(math.abs(got.getDouble(4) - dfRef) < 1e-2)
+  }
+
+  test("q256 ANOVA F matches a driver-side reference") {
+    val rows = Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val groups = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val n = rows.length
+    val k = groups.size
+    val gm = rows.map(_._2).sum / n
+    val ssb = groups.values.map { vs =>
+      val m = vs.sum / vs.length; vs.length * (m - gm) * (m - gm) }.sum
+    val ssw = groups.values.flatMap { vs =>
+      val m = vs.sum / vs.length; vs.map(v => (v - m) * (v - m)) }.sum
+    val fRef = (ssb / (k - 1)) / (ssw / (n - k))
+    val got = run("q256_anova_f").collect().head
+    assert(got.getLong(0) == k.toLong && got.getLong(1) == n.toLong)
+    assert(math.abs(got.getDouble(4) - fRef) < 1e-3, s"F ${got.getDouble(4)} vs $fRef")
+    val eta2Ref = ssb / (ssb + ssw)
+    assert(math.abs(got.getDouble(5) - eta2Ref) < 1e-4)
+  }
+
+  test("q255 ACF matches a driver-side reference and lag-0 normalization") {
+    val hourly = Tables.events(spark, sf)
+      .select(expr("unix_micros(ts) div 3600000000").as("h"))
+      .groupBy("h").agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m = hourly.values.sum.toDouble / hourly.size
+    val den = hourly.values.map(c => (c - m) * (c - m)).sum
+    val got = run("q255_acf").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    (1L to 6L).foreach { k =>
+      val pairs = hourly.keys.toSeq.filter(h => hourly.contains(h + k))
+      val num = pairs.map(h => (hourly(h) - m) * (hourly(h + k) - m)).sum
+      val (np, acf) = got(k)
+      assert(np == pairs.size.toLong, s"lag $k pairs")
+      assert(math.abs(acf - num / den) < 1e-5, s"lag $k acf")
+      assert(acf.abs <= 1.0 + 1e-9)
+    }
+  }
+
   test("q235 entropy-l never exceeds distinct-l and both bound 1") {
     val rows = run("q235_l_diversity").collect()
     assert(rows.nonEmpty)
