@@ -875,6 +875,70 @@ object Components {
              |FROM cs JOIN part ON part.p_partkey = cs.canonical_id
              |ORDER BY cs.canonical_id""".stripMargin)),
 
+    // Dedup-threshold sensitivity curve (✚, the knob-tuning report a
+    // curator reads before committing a similarity cutoff: how do
+    // cluster count, clustered-document mass, and the largest cluster
+    // move as the Jaccard threshold sweeps 0.5 → 0.7 → 0.9? A cliff
+    // between two thresholds means the corpus has a near-dup plateau
+    // there — exactly what the single-threshold gates can't show).
+    // The expensive part — candidate generation + verification — runs
+    // ONCE (the shared q51 pair pipeline, jaccard kept); each
+    // threshold then only filters the verified pair set and reruns
+    // the pointer-doubling CC over it, O(log diameter) rounds on
+    // 8-byte keys per threshold. The oracle mirrors with one
+    // recursive-CTE closure per threshold over the SAME vp CTE chain.
+    QueryDef("q259_threshold_curve",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val ids = docs.select(col("doc_id").as("id"))
+        val pairs = Dedup.dedupPipeline(docs).localCheckpoint()
+        val rows = Seq(0.5, 0.7, 0.9).map { t =>
+          val edges = pairs.where(col("jaccard") >= t).select("id_a", "id_b")
+          val nPairs = edges.count()
+          val clusters = connectedComponents(ids, edges)
+            .groupBy("lbl").agg(count(lit(1)).as("sz"))
+            .where(col("sz") >= 2)
+            .agg(coalesce(count(lit(1)), lit(0L)),
+              coalesce(sum(col("sz")), lit(0L)),
+              coalesce(max(col("sz")), lit(0L))).first()
+          (t, nPairs, clusters.getLong(0), clusters.getLong(1),
+            clusters.getLong(2))
+        }
+        rows.toDF("threshold", "n_pairs", "n_clusters", "n_clustered_docs",
+          "largest_cluster").orderBy("threshold")
+      },
+      Some {
+        // one recursive closure per threshold, all hoisted into the ONE
+        // top-level WITH RECURSIVE (the q219 pattern — DuckDB allows
+        // recursive and plain CTEs mixed there)
+        def ctes(i: Int, t: String) =
+          s"""e$i AS (
+             |  SELECT id_a AS u, id_b AS v FROM vp WHERE jaccard >= $t
+             |  UNION ALL
+             |  SELECT id_b, id_a FROM vp WHERE jaccard >= $t),
+             |reach$i(node, lbl) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT e$i.v, r.lbl FROM reach$i r JOIN e$i ON e$i.u = r.node),
+             |cl$i AS (
+             |  SELECT lbl, COUNT(*) AS sz FROM (
+             |    SELECT node, MIN(lbl) AS lbl FROM reach$i GROUP BY node) lab
+             |  GROUP BY lbl HAVING COUNT(*) >= 2)""".stripMargin
+        def arm(i: Int, t: String) =
+          s"""SELECT CAST($t AS DOUBLE) AS threshold,
+             |  (SELECT COUNT(*) FROM vp WHERE jaccard >= $t) AS n_pairs,
+             |  COUNT(*) AS n_clusters,
+             |  COALESCE(CAST(SUM(sz) AS BIGINT), 0) AS n_clustered_docs,
+             |  COALESCE(CAST(MAX(sz) AS BIGINT), 0) AS largest_cluster
+             |FROM cl$i""".stripMargin
+        val ts = Seq("0.5", "0.7", "0.9")
+        s"""WITH RECURSIVE ${Dedup.verifiedPairsCtes},
+           |${ts.zipWithIndex.map { case (t, i) => ctes(i, t) }.mkString(",\n")}
+           |${ts.zipWithIndex.map { case (t, i) => arm(i, t) }.mkString("\nUNION ALL\n")}
+           |ORDER BY threshold""".stripMargin
+      }),
+
     // Bounded-hop cheapest path — Bellman–Ford, 4 synchronous
     // relaxation rounds (✚, the WEIGHTED upgrade of q176's BFS: "how
     // strongly is each part tied to the seed assortment", where a hop

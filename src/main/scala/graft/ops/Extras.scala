@@ -2403,6 +2403,134 @@ object Extras {
              |FROM s3 GROUP BY 1, 2, 3
              |ORDER BY support DESC, t1, t2, t3 LIMIT 20""".stripMargin)),
 
+    // STL-lite seasonal decomposition of hourly traffic (✚, the
+    // decomposition q221 assumes and q255 diagnoses: split the series
+    // into trend (centered 25-hour moving average), a 24-slot seasonal
+    // profile (mean detrended value per hour-of-day), and residual —
+    // plus the STL "seasonal strength" 1 − var(resid)/var(detrended),
+    // the one number that says whether the profile is signal). The
+    // corpus collapses to the |hours| series first (one aggregation);
+    // every window after that runs on the bounded series — the q201
+    // regime, where a single-task window over |hours| rows is the
+    // RIGHT plan because the series is small by construction at any
+    // corpus size. Full-window trend only (edges emit no trend — the
+    // honest centered-MA boundary); variances via round@9 DECIMAL
+    // sums; round@6 outputs.
+    QueryDef("q257_stl_decompose",
+      (s, d) => {
+        val wMa = Window.orderBy("h").rowsBetween(-12, 12)
+        val hourly = Tables.events(s, d)
+          .select(expr("unix_micros(ts) div 3600000000").as("h"))
+          .groupBy("h").agg(count(lit(1)).as("cnt"))
+        val tr = hourly
+          .withColumn("nw", count(lit(1)).over(wMa))
+          .withColumn("trend",
+            when(col("nw") === 25, sum(col("cnt")).over(wMa).cast("double") / 25.0))
+          .where(col("trend").isNotNull)
+          .withColumn("det", col("cnt").cast("double") - col("trend"))
+          .localCheckpoint()
+        val seas = tr.groupBy(pmod(col("h"), lit(24)).as("hod"))
+          .agg(count(lit(1)).as("n_obs"),
+            (sum(round(col("det"), 9).cast("decimal(38,9)")).cast("double") /
+              count(lit(1))).as("seasonal"))
+        val joined = tr.join(broadcast(seas),
+            pmod(col("h"), lit(24)) === col("hod"))
+          .withColumn("resid", col("det") - col("seasonal"))
+        val nAll = joined.count()
+        val strength = joined.agg(
+            (sum(round(col("det") * col("det"), 9).cast("decimal(38,9)"))
+              .cast("double") / nAll).as("vdet"),
+            (sum(round(col("resid") * col("resid"), 9).cast("decimal(38,9)"))
+              .cast("double") / nAll).as("vres"))
+          .select(round(greatest(lit(0.0),
+            lit(1.0) - col("vres") / col("vdet")), 6).as("strength"))
+        seas.crossJoin(broadcast(strength))
+          .select(col("hod"), col("n_obs"), round(col("seasonal"), 6)
+            .as("seasonal"), col("strength"))
+          .orderBy("hod")
+      },
+      Some("""WITH hourly AS (
+             |  SELECT epoch_us(ts) // 3600000000 AS h, COUNT(*) AS cnt
+             |  FROM events GROUP BY 1),
+             |tr AS (
+             |  SELECT h, cnt,
+             |    CAST(cnt AS DOUBLE) -
+             |      CAST(SUM(cnt) OVER w AS DOUBLE) / 25.0 AS det
+             |  FROM hourly
+             |  WINDOW w AS (ORDER BY h ROWS BETWEEN 12 PRECEDING
+             |    AND 12 FOLLOWING)
+             |  QUALIFY COUNT(*) OVER w = 25),
+             |seas AS (
+             |  SELECT h % 24 AS hod, COUNT(*) AS n_obs,
+             |    CAST(SUM(CAST(round(det, 9) AS DECIMAL(38,9))) AS DOUBLE)
+             |      / COUNT(*) AS seasonal
+             |  FROM tr GROUP BY 1),
+             |j AS (
+             |  SELECT tr.det, tr.det - seas.seasonal AS resid
+             |  FROM tr JOIN seas ON tr.h % 24 = seas.hod),
+             |st AS (
+             |  SELECT
+             |    CAST(SUM(CAST(round(det * det, 9) AS DECIMAL(38,9)))
+             |      AS DOUBLE) / COUNT(*) AS vdet,
+             |    CAST(SUM(CAST(round(resid * resid, 9) AS DECIMAL(38,9)))
+             |      AS DOUBLE) / COUNT(*) AS vres
+             |  FROM j)
+             |SELECT seas.hod, seas.n_obs, round(seas.seasonal, 6) AS seasonal,
+             |  round(GREATEST(0.0, 1.0 - st.vres / st.vdet), 6) AS strength
+             |FROM seas CROSS JOIN st ORDER BY hod""".stripMargin)),
+
+    // Multi-window SLO burn-rate alerting (✚, the SRE alert rule
+    // evaluated as a batch audit: a 5-minute error-rate spike alone is
+    // noisy, a 1-hour breach alone is slow — the standard multiwindow
+    // rule fires only when BOTH the fast and the enclosing slow window
+    // burn the error budget faster than threshold). All rate
+    // comparisons are exact INTEGER cross-products (errs·budget_den·
+    // 10 > total·budget_num·thr10 — no float thresholds to disagree
+    // on); the emitted burn rates are display-only doubles, round@6.
+    // Scale: two tumbling-bucket aggregations (map-side combined) and
+    // one equality join of 5-min buckets onto their enclosing hour.
+    QueryDef("q258_burn_rate",
+      (s, d) => {
+        // budget = 25% errors allowed (synthetic corpus runs ~20%);
+        // thresholds ×10: fast window 1.1×, slow 1.05× — integers only
+        val ev = Tables.events(s, d)
+          .select(expr("unix_micros(ts) div 300000000").as("b5"),
+            when(col("event_type") === "error", 1L).otherwise(0L).as("err"))
+        val fast = ev.groupBy("b5")
+          .agg(count(lit(1)).as("t5"), sum(col("err")).as("e5"))
+        val slow = ev.select((col("b5") * 300000000L).as("us"), col("err"))
+          .select(expr("us div 3600000000").as("b60"), col("err"))
+          .groupBy("b60")
+          .agg(count(lit(1)).as("t60"), sum(col("err")).as("e60"))
+        fast.withColumn("b60", expr("(b5 * 300000000) div 3600000000"))
+          .join(slow, "b60")
+          .where(col("e5") * 4L * 10L > col("t5") * 11L &&
+            col("e60") * 4L * 100L > col("t60") * 105L)
+          .select(col("b5"), col("t5"), col("e5"),
+            round(col("e5").cast("double") * 4.0 / col("t5"), 6).as("burn5"),
+            round(col("e60").cast("double") * 4.0 / col("t60"), 6).as("burn60"))
+          .orderBy("b5")
+      },
+      Some("""WITH ev AS (
+             |  SELECT epoch_us(ts) // 300000000 AS b5,
+             |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS err
+             |  FROM events),
+             |fast AS (
+             |  SELECT b5, COUNT(*) AS t5, CAST(SUM(err) AS BIGINT) AS e5
+             |  FROM ev GROUP BY 1),
+             |slow AS (
+             |  SELECT (b5 * 300000000) // 3600000000 AS b60,
+             |    COUNT(*) AS t60, CAST(SUM(err) AS BIGINT) AS e60
+             |  FROM ev GROUP BY 1)
+             |SELECT f.b5, f.t5, f.e5,
+             |  round(CAST(f.e5 AS DOUBLE) * 4.0 / f.t5, 6) AS burn5,
+             |  round(CAST(s.e60 AS DOUBLE) * 4.0 / s.t60, 6) AS burn60
+             |FROM fast f JOIN slow s
+             |  ON (f.b5 * 300000000) // 3600000000 = s.b60
+             |WHERE f.e5 * 4 * 10 > f.t5 * 11
+             |  AND s.e60 * 4 * 100 > s.t60 * 105
+             |ORDER BY f.b5""".stripMargin)),
+
     // Autocorrelation function of hourly traffic (✚, the time-series
     // diagnostic q221's seasonal profile assumes: ACF at lags 1–6
     // hours SHOWS the periodicity/stickiness instead of positing it —
