@@ -53,7 +53,21 @@ class LayoutInvarianceSpec extends AnyFunSuite {
     "q171_zipf_fit",
     "q180_embed_dedup",
     "q185_rfm_scores",
-    "q186_quantile_normalize")
+    "q186_quantile_normalize",
+    // round-10 continuation: the new rank/prefix family — doubled-avg-
+    // rank statistics (q231/q236), weighted-median and Gini group
+    // offsets (q242/q244), the KM/log-rank distinct-duration walks
+    // (q247/q248), the two-period rank join (q250), and the session
+    // sweep whose rn-keyed self-join must see identical range
+    // boundaries on both passes (q253)
+    "q231_mann_whitney",
+    "q236_spearman",
+    "q242_weighted_median",
+    "q244_gini_concentration",
+    "q247_kaplan_meier",
+    "q248_logrank",
+    "q250_rank_movers",
+    "q253_littles_law")
 
   private def contents(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf).collect()
