@@ -2403,6 +2403,52 @@ object Extras {
              |FROM s3 GROUP BY 1, 2, 3
              |ORDER BY support DESC, t1, t2, t3 LIMIT 20""".stripMargin)),
 
+    // Capture–recapture population estimate (✚, the "how many users
+    // exist that we've never counted" number: two observation windows
+    // are two CAPTURES, overlap is the RECAPTURE, and Chapman's
+    // estimator N̂ = (n₁+1)(n₂+1)/(m+1) − 1 estimates the total
+    // population — the ecology trick a platform uses to size its true
+    // audience from partial telemetry, and a dedup pipeline uses to
+    // estimate total distinct documents from two crawls). The windows
+    // split at the exact integer midpoint of the observed span; the
+    // three cardinalities are two distinct-aggregations and one
+    // semi-join — all map-side-combinable. The gate also emits the
+    // directly-observed distinct count, so the estimator's bias is on
+    // display next to its estimate.
+    QueryDef("q260_capture_recapture",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("tsu"))
+          .localCheckpoint()
+        val mm = ev.agg(min("tsu"), max("tsu")).first()
+        val mid = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+        val w1 = ev.where(col("tsu") < mid).select("user_id").distinct()
+        val w2 = ev.where(col("tsu") >= mid).select("user_id").distinct()
+        val n1 = w1.count(); val n2 = w2.count()
+        val m = w1.join(w2, "user_id").count()
+        val obs = ev.select("user_id").distinct().count()
+        import s.implicits._
+        Seq((n1, n2, m, obs)).toDF("n1", "n2", "m", "n_observed")
+          .select(col("*"),
+            round((col("n1") + 1L).cast("double") * (col("n2") + 1L) /
+              (col("m") + 1L) - 1.0, 6).as("chapman_nhat"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, epoch_us(ts) AS tsu FROM events),
+             |mm AS (SELECT MIN(tsu) AS lo,
+             |  MIN(tsu) + (MAX(tsu) - MIN(tsu)) // 2 AS mid FROM ev),
+             |w1 AS (SELECT DISTINCT user_id FROM ev, mm WHERE tsu < mid),
+             |w2 AS (SELECT DISTINCT user_id FROM ev, mm WHERE tsu >= mid),
+             |st AS (
+             |  SELECT (SELECT COUNT(*) FROM w1) AS n1,
+             |    (SELECT COUNT(*) FROM w2) AS n2,
+             |    (SELECT COUNT(*) FROM w1 JOIN w2 USING (user_id)) AS m,
+             |    (SELECT COUNT(DISTINCT user_id) FROM ev) AS n_observed)
+             |SELECT n1, n2, m, n_observed,
+             |  round(CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (m + 1) - 1.0, 6)
+             |    AS chapman_nhat
+             |FROM st""".stripMargin)),
+
     // STL-lite seasonal decomposition of hourly traffic (✚, the
     // decomposition q221 assumes and q255 diagnoses: split the series
     // into trend (centered 25-hour moving average), a 24-slot seasonal

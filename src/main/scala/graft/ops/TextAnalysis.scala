@@ -1496,6 +1496,125 @@ object TextAnalysis {
              |  round(hl.h_label - h_cond, 6) AS ig
              |FROM u CROSS JOIN hl ORDER BY attribute""".stripMargin)),
 
+    // Pairwise KS distance matrix across sources (✚, the multi-group
+    // generalization of q226: which SOURCES differ most in their
+    // document-length distribution — the triage view a curator reads
+    // before q165/q140's deeper per-pair drill-down). All CDFs
+    // evaluate on one shared grid: the corpus aggregates to
+    // (source, n_chars) counts, the grid is |values|×|sources| rows
+    // (cross join of two BOUNDED sets — the corpus never re-enters),
+    // per-source cumulative counts are windows over that grid, and
+    // every pair statistic is the exact integer max of
+    // |cumA·n_b − cumB·n_a| — the q226 cross-product trick, so ten
+    // pair distances cost one grid pass + one self-join, and no
+    // float enters before the final division, round@6.
+    QueryDef("q262_ks_matrix",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val cnt = Tables.documents(s, d)
+          .groupBy(col("source"), col("n_chars").as("v"))
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint()
+        val vals = cnt.select("v").distinct()
+        val srcs = cnt.groupBy("source").agg(sum(col("c")).as("n"))
+        val grid = vals.crossJoin(broadcast(srcs))
+          .join(cnt, Seq("source", "v"), "left")
+          .withColumn("c", coalesce(col("c"), lit(0L)))
+          .withColumn("cum", sum(col("c")).over(
+            Window.partitionBy("source").orderBy("v")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val a = grid.select(col("v"), col("source").as("sa"),
+          col("n").as("na"), col("cum").as("ca"))
+        val b = grid.select(col("v").as("v2"), col("source").as("sb"),
+          col("n").as("nb"), col("cum").as("cb"))
+        a.join(b, col("v") === col("v2") && col("sa") < col("sb"))
+          .groupBy("sa", "sb")
+          .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+            max(abs(col("ca") * col("nb") - col("cb") * col("na")))
+              .as("dmax"))
+          .select(col("sa"), col("sb"), col("n_a"), col("n_b"),
+            round(col("dmax").cast("double") /
+              (col("n_a").cast("double") * col("n_b")), 6).as("ks"))
+          .orderBy("sa", "sb")
+      },
+      Some("""WITH cnt AS (
+             |  SELECT source, n_chars AS v, COUNT(*) AS c
+             |  FROM documents GROUP BY 1, 2),
+             |vals AS (SELECT DISTINCT v FROM cnt),
+             |srcs AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+             |         FROM cnt GROUP BY 1),
+             |grid AS (
+             |  SELECT vals.v, srcs.source, srcs.n,
+             |    CAST(SUM(COALESCE(cnt.c, 0)) OVER (
+             |      PARTITION BY srcs.source ORDER BY vals.v
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             |  FROM vals CROSS JOIN srcs
+             |  LEFT JOIN cnt ON cnt.source = srcs.source AND cnt.v = vals.v)
+             |SELECT a.source AS sa, b.source AS sb,
+             |  MAX(a.n) AS n_a, MAX(b.n) AS n_b,
+             |  round(CAST(MAX(abs(a.cum * b.n - b.cum * a.n)) AS DOUBLE) /
+             |    (CAST(MAX(a.n) AS DOUBLE) * MAX(b.n)), 6) AS ks
+             |FROM grid a JOIN grid b
+             |  ON a.v = b.v AND a.source < b.source
+             |GROUP BY 1, 2 ORDER BY sa, sb""".stripMargin)),
+
+    // Good–Turing frequency smoothing (✚, the third leg of the
+    // vocabulary triptych with q171's Zipf and q251's Heaps: what
+    // probability mass belongs to tokens NEVER SEEN — S(1)/N, the
+    // missing-mass estimate — and the smoothed count r* =
+    // (r+1)·S(r+1)/S(r) that a language model backs low counts off
+    // to). The unit is q251's word trigram — this corpus's unigram
+    // vocabulary is closed (31 words, min count 26: S(1..5) is empty),
+    // while trigram phrases have the proper count-of-counts tail; the
+    // native graft_ngrams Expression feeds both gates. The whole
+    // computation is count-of-counts: one gram aggregation, one
+    // count-by-count aggregation (|distinct counts| rows — tiny), a
+    // self-join on r+1. Everything up to the final two divisions is
+    // exact BIGINT; round@6.
+    QueryDef("q261_good_turing",
+      (s, d) => {
+        val tc = Tables.documents(s, d)
+          .where(size(split(col("text"), " ")) >= 3)
+          .select(explode(call_function("graft_ngrams", col("text"), lit(3),
+            lit(false))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("r"))
+        val sr = tc.groupBy("r").agg(count(lit(1)).as("s_r"))
+          .localCheckpoint()
+        val n = tc.agg(sum("r")).first().getLong(0)
+        val s1 = sr.where(col("r") === 1L).select("s_r")
+          .collect().headOption.map(_.getLong(0)).getOrElse(0L)
+        sr.join(sr.select((col("r") - 1L).as("r0"), col("s_r").as("s_r1")),
+            col("r") === col("r0"), "left")
+          .where(col("r") <= 5L)
+          .select(col("r"), col("s_r"),
+            coalesce(col("s_r1"), lit(0L)).as("s_r_next"),
+            round((col("r") + 1L).cast("double") *
+              coalesce(col("s_r1"), lit(0L)) / col("s_r"), 6).as("r_star"),
+            round(lit(s1).cast("double") / n, 6).as("p_unseen"))
+          .orderBy("r")
+      },
+      Some("""WITH base AS (
+             |  SELECT string_split(text, ' ') AS w FROM documents
+             |  WHERE len(string_split(text, ' ')) >= 3),
+             |tc AS (
+             |  SELECT tok, COUNT(*) AS r FROM (
+             |    SELECT unnest(list_transform(range(len(w) - 2),
+             |      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS tok
+             |    FROM base) t
+             |  GROUP BY tok),
+             |sr AS (SELECT r, COUNT(*) AS s_r FROM tc GROUP BY r),
+             |n AS (SELECT CAST(SUM(r) AS BIGINT) AS n FROM tc),
+             |s1 AS (SELECT COALESCE(CAST(MAX(s_r) AS BIGINT), 0) AS s1
+             |       FROM sr WHERE r = 1)
+             |SELECT a.r, a.s_r,
+             |  COALESCE(b.s_r, 0) AS s_r_next,
+             |  round(CAST(a.r + 1 AS DOUBLE) * COALESCE(b.s_r, 0) / a.s_r, 6)
+             |    AS r_star,
+             |  round(CAST(s1.s1 AS DOUBLE) / n.n, 6) AS p_unseen
+             |FROM sr a LEFT JOIN sr b ON b.r = a.r + 1
+             |CROSS JOIN n CROSS JOIN s1
+             |WHERE a.r <= 5 ORDER BY a.r""".stripMargin)),
+
     // Heaps'-law vocabulary growth fit (✚, q171's Zipf companion on
     // the other axis: Zipf says how token FREQUENCY decays, Heaps says
     // how VOCABULARY grows with corpus size — V(N) ≈ K·N^β — the
