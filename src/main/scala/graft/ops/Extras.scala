@@ -2403,6 +2403,167 @@ object Extras {
              |FROM s3 GROUP BY 1, 2, 3
              |ORDER BY support DESC, t1, t2, t3 LIMIT 20""".stripMargin)),
 
+    // Consistent-hash ring balance audit (✚, the partition-design
+    // study behind every sharded sink this engine writes to: how
+    // uneven is key placement on a hash ring at 1 virtual node per
+    // shard vs 16 — the classic result is ~Θ(log S) imbalance at V=1
+    // tightening toward uniform as V grows, and this gate MEASURES it
+    // on the corpus's own keys). Wrap-around is handled without a
+    // special case: the successor of key k is the ring point
+    // minimizing (h − k) mod 2³², an exact-integer argmin via
+    // min(struct) over a BROADCAST ring (≤ 136 literal points — the
+    // corpus crosses only against that, map-side, no shuffle of
+    // anything but the final per-shard counts).
+    QueryDef("q263_hash_ring",
+      (s, d) => {
+        import s.implicits._
+        val M = 4294967296L
+        val ring = (for (v <- Seq(1, 16); shard <- 0 until 8; i <- 0 until v)
+          yield (v.toLong, shard.toLong, s"ring-$shard-$i"))
+          .toDF("vnodes", "shard", "tag")
+          .withColumn("rh", conv(substring(md5(col("tag")), 1, 8), 16, 10)
+            .cast("long"))
+        val keys = Tables.documents(s, d)
+          .select(conv(substring(md5(concat(lit("k-"),
+            col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+            .as("kh"))
+        val assigned = keys.crossJoin(broadcast(ring))
+          .groupBy("kh", "vnodes")
+          .agg(min(struct(pmod(col("rh") - col("kh"), lit(M)).as("dist"),
+            col("shard"))).getField("shard").as("shard"))
+        val nKeys = keys.count()
+        assigned.groupBy("vnodes", "shard")
+          .agg(count(lit(1)).as("n_keys"))
+          .select(col("vnodes"), col("shard"), col("n_keys"),
+            round(col("n_keys").cast("double") / nKeys, 6).as("share"))
+          .orderBy("vnodes", "shard")
+      },
+      Some {
+        val ring = (for (v <- Seq(1, 16); shard <- 0 until 8; i <- 0 until v)
+          yield s"($v, $shard, 'ring-$shard-$i')").mkString(", ")
+        s"""WITH ring AS (
+           |  SELECT vnodes, shard,
+           |    ('0x' || substr(md5(tag), 1, 8))::BIGINT AS rh
+           |  FROM (VALUES $ring) t(vnodes, shard, tag)),
+           |keys AS (
+           |  SELECT ('0x' || substr(md5('k-' || CAST(doc_id AS VARCHAR)),
+           |    1, 8))::BIGINT AS kh
+           |  FROM documents),
+           |nk AS (SELECT COUNT(*) AS n FROM keys),
+           |assigned AS (
+           |  SELECT kh, vnodes,
+           |    arg_min(shard, ((rh - kh) % 4294967296 + 4294967296)
+           |      % 4294967296) AS shard
+           |  FROM keys CROSS JOIN ring
+           |  GROUP BY kh, vnodes)
+           |SELECT CAST(vnodes AS BIGINT) AS vnodes,
+           |  CAST(shard AS BIGINT) AS shard,
+           |  COUNT(*) AS n_keys,
+           |  round(CAST(COUNT(*) AS DOUBLE) / MAX(nk.n), 6) AS share
+           |FROM assigned CROSS JOIN nk
+           |GROUP BY vnodes, shard ORDER BY vnodes, shard""".stripMargin
+      }),
+
+    // Per-user behavioral entropy (✚, the engagement-diversity
+    // feature: a user doing one thing 100 times and a user spread
+    // across five event types both have 100 events — H separates
+    // them; the aggregate view feeds segmentation and bot screens).
+    // One (user, type) count pass; per-user H from the bounded cell
+    // table under the round@9 DECIMAL log discipline; the output
+    // aggregates users BY their type-breadth, so the report is
+    // |types| rows at any corpus size.
+    QueryDef("q264_user_entropy",
+      (s, d) => {
+        val cells = Tables.events(s, d)
+          .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+          .withColumn("n", sum(col("c")).over(
+            Window.partitionBy("user_id")))
+        val perUser = cells.groupBy("user_id")
+          .agg(count(lit(1)).as("n_types"),
+            sum(round(-(col("c").cast("double") / col("n")) *
+              log(col("c").cast("double") / col("n")), 9)
+              .cast("decimal(38,9)")).as("hdec"))
+        // band by 0.2-nat entropy slices (breadth alone is degenerate
+        // when every user touches every type, as on this corpus)
+        perUser
+          .withColumn("band", floor(col("hdec").cast("double") * 5.0)
+            .cast("long"))
+          .groupBy("n_types", "band")
+          .agg(count(lit(1)).as("n_users"),
+            round(sum(col("hdec")).cast("double") / count(lit(1)), 6)
+              .as("mean_entropy"))
+          .orderBy("n_types", "band")
+      },
+      Some("""WITH cells AS (
+             |  SELECT user_id, event_type, COUNT(*) AS c,
+             |    SUM(COUNT(*)) OVER (PARTITION BY user_id) AS n
+             |  FROM events GROUP BY user_id, event_type),
+             |pu AS (
+             |  SELECT user_id, COUNT(*) AS n_types,
+             |    SUM(CAST(round(-(CAST(c AS DOUBLE) / n) *
+             |      ln(CAST(c AS DOUBLE) / n), 9) AS DECIMAL(38,9))) AS hdec
+             |  FROM cells GROUP BY user_id)
+             |SELECT n_types,
+             |  CAST(floor(CAST(hdec AS DOUBLE) * 5.0) AS BIGINT) AS band,
+             |  COUNT(*) AS n_users,
+             |  round(CAST(SUM(hdec) AS DOUBLE) / COUNT(*), 6) AS mean_entropy
+             |FROM pu GROUP BY 1, 2 ORDER BY n_types, band""".stripMargin)),
+
+    // Near-duplicate transaction screen (✚, entity dedup OUTSIDE
+    // text: two orders by the same customer for nearly the same
+    // amount within a month are double-charge / retry suspects — the
+    // fraud/ops screen every billing pipeline runs). Candidates come
+    // from an EQUALITY join on the customer — per-customer order
+    // counts are bounded (≤ ~25 here; a q200-style k ≤ 100 cap
+    // guards the one pathological account at 100 TB, counted, never
+    // silent) — so pair cost is Σ C(k,2), and the amount/time
+    // tolerances are RESIDUAL predicates in exact integer arithmetic:
+    // |Δcents|·100 ≤ 2·min(cents) (a 2% relative band with no float
+    // division) and |Δt| ≤ 30 days in micros.
+    QueryDef("q265_dup_transactions",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+            unix_micros(col("o_orderdate").cast("timestamp")).as("du"))
+        val sizes = o.groupBy("o_custkey").agg(count(lit(1)).as("k"))
+        val small = o.join(sizes.where(col("k") <= 100), "o_custkey")
+        val a = small.select(col("o_custkey").as("cust"),
+          col("cents").as("ct_a"), col("o_orderkey").as("ok_a"),
+          col("du").as("du_a"))
+        val b = small.select(col("o_custkey").as("cust"),
+          col("cents").as("ct_b"), col("o_orderkey").as("ok_b"),
+          col("du").as("du_b"))
+        a.join(b, "cust")
+          .where(col("ok_a") < col("ok_b") &&
+            abs(col("ct_a") - col("ct_b")) * 100L <=
+              lit(2L) * least(col("ct_a"), col("ct_b")) &&
+            abs(col("du_a") - col("du_b")) <= 2592000000000L)
+          .select(col("cust"), col("ok_a"), col("ok_b"),
+            (col("ct_a").cast("double") / 100.0).as("amount_a"),
+            (col("ct_b").cast("double") / 100.0).as("amount_b"),
+            expr("abs(du_a - du_b) div 86400000000").as("day_gap"))
+          .orderBy("cust", "ok_a", "ok_b")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey, o_custkey,
+             |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+             |    epoch_us(o_orderdate) AS du
+             |  FROM orders),
+             |sizes AS (SELECT o_custkey, COUNT(*) AS k FROM o GROUP BY 1),
+             |small AS (SELECT o.* FROM o JOIN sizes
+             |  ON o.o_custkey = sizes.o_custkey AND sizes.k <= 100)
+             |SELECT a.o_custkey AS cust, a.o_orderkey AS ok_a,
+             |  b.o_orderkey AS ok_b,
+             |  CAST(a.cents AS DOUBLE) / 100.0 AS amount_a,
+             |  CAST(b.cents AS DOUBLE) / 100.0 AS amount_b,
+             |  abs(a.du - b.du) // 86400000000 AS day_gap
+             |FROM small a JOIN small b
+             |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+             |WHERE abs(a.cents - b.cents) * 100 <= 2 * LEAST(a.cents, b.cents)
+             |  AND abs(a.du - b.du) <= 2592000000000
+             |ORDER BY cust, ok_a, ok_b""".stripMargin)),
+
     // Capture–recapture population estimate (✚, the "how many users
     // exist that we've never counted" number: two observation windows
     // are two CAPTURES, overlap is the RECAPTURE, and Chapman's
