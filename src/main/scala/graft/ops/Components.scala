@@ -939,6 +939,74 @@ object Components {
            |ORDER BY threshold""".stripMargin
       }),
 
+    // Degree assortativity of the near-dup graph (✚, the graph-SHAPE
+    // number q129/q130's local metrics don't give: do high-degree
+    // documents link to other high-degree documents (r > 0, hub
+    // cores — boilerplate families) or to leaves (r < 0, star
+    // topology — one template spawning variants)? The answer decides
+    // whether cluster canonicalization will produce a few giant
+    // clusters or many small ones). r is the Pearson correlation of
+    // endpoint degrees over the symmetrized edge list: degrees from
+    // one count, two 8-byte-key joins to attach them, and the five
+    // moment sums in exact DECIMAL(38) (the q236 lift — degree
+    // products overflow BIGINT sums near 10⁹ edges); the combination
+    // runs in token-identical double shape, round@6.
+    QueryDef("q266_assortativity",
+      (s, d) => {
+        val pairs = Dedup.dedupPipeline(Tables.documents(s, d))
+          .select("id_a", "id_b")
+        val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+          .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+          .where(col("u") =!= col("v")).distinct().localCheckpoint()
+        val deg = edges.groupBy(col("u").as("node"))
+          .agg(count(lit(1)).as("dg"))
+        val withDeg = edges
+          .join(deg.select(col("node").as("u"), col("dg").as("du")), "u")
+          .join(deg.select(col("node").as("v"), col("dg").as("dv")), "v")
+        def d19(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+        val m = withDeg.agg(count(lit(1)).cast("decimal(19,0)").as("m"),
+          sum(d19(col("du"))).as("sx"), sum(d19(col("dv"))).as("sy"),
+          sum(d19(col("du")) * d19(col("dv"))).as("sxy"),
+          sum(d19(col("du")) * d19(col("du"))).as("sxx"),
+          sum(d19(col("dv")) * d19(col("dv"))).as("syy"))
+        def dd(c: String) = col(c).cast("double")
+        m.select(col("m").cast("long").as("m_edges"),
+          round((dd("m") * dd("sxy") - dd("sx") * dd("sy")) /
+            (sqrt(dd("m") * dd("sxx") - dd("sx") * dd("sx")) *
+              sqrt(dd("m") * dd("syy") - dd("sy") * dd("sy"))),
+            6).as("assortativity"))
+      },
+      Some(s"""WITH ${Dedup.verifiedPairsCtes},
+             |edges AS MATERIALIZED (
+             |  SELECT DISTINCT u, v FROM (
+             |    SELECT id_a AS u, id_b AS v FROM vp
+             |    UNION ALL SELECT id_b, id_a FROM vp) s
+             |  WHERE u <> v),
+             |deg AS (SELECT u AS node, COUNT(*) AS dg FROM edges GROUP BY 1),
+             |wd AS (
+             |  SELECT da.dg AS du, db.dg AS dv FROM edges e
+             |  JOIN deg da ON da.node = e.u JOIN deg db ON db.node = e.v),
+             |m AS (
+             |  SELECT CAST(COUNT(*) AS DECIMAL(19,0)) AS m,
+             |    SUM(CAST(du AS DECIMAL(19,0))) AS sx,
+             |    SUM(CAST(dv AS DECIMAL(19,0))) AS sy,
+             |    SUM(CAST(du AS DECIMAL(19,0)) * CAST(dv AS DECIMAL(19,0)))
+             |      AS sxy,
+             |    SUM(CAST(du AS DECIMAL(19,0)) * CAST(du AS DECIMAL(19,0)))
+             |      AS sxx,
+             |    SUM(CAST(dv AS DECIMAL(19,0)) * CAST(dv AS DECIMAL(19,0)))
+             |      AS syy
+             |  FROM wd)
+             |SELECT CAST(m AS BIGINT) AS m_edges,
+             |  round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             |    (sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+             |     sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+             |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             |    AS assortativity
+             |FROM m""".stripMargin)),
+
     // Bounded-hop cheapest path — Bellman–Ford, 4 synchronous
     // relaxation rounds (✚, the WEIGHTED upgrade of q176's BFS: "how
     // strongly is each part tied to the seed assortment", where a hop

@@ -1315,6 +1315,132 @@ object OrderStats {
              |FROM e a CROSS JOIN e b
              |WHERE a.g = 'click' AND b.g = 'error'""".stripMargin)),
 
+    // Exponential fit + one-sample KS (✚, the distributional CLAIM
+    // test the two-sample gates can't do: are inter-arrival gaps
+    // actually memoryless? λ is the exact MLE n/Σt, and the KS
+    // distance to 1 − e^(−λt) is evaluated at BOTH sides of every
+    // empirical step — the one-sample discipline q226's two-sample
+    // walk doesn't need). Gaps per user from one lag window
+    // (high-cardinality axis); the CDF walk runs on the DISTINCT-gap
+    // table via the two-phase prefix; each |F_emp − F_model| rounds@9
+    // BEFORE the max so libm exp ulp drift cannot reorder the argmax;
+    // integers everywhere else.
+    QueryDef("q267_exp_fit",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+        val gaps = Tables.events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+            col("event_id"))
+          .withColumn("dt", col("tsu") - lag("tsu", 1).over(w))
+          .where(col("dt").isNotNull && col("dt") > 0L)
+          .select(col("dt"))
+        val st = gaps.agg(count(lit(1)), sum("dt")).first()
+        val (n, sdt) = (st.getLong(0), st.getLong(1))
+        val byDt = gaps.groupBy("dt").agg(count(lit(1)).as("cnt"))
+        val cum = Scale.globalRunningSum(byDt, Seq(col("dt")), col("cnt"))
+        val f = lit(1.0) - exp(-(col("dt").cast("double") * n / sdt))
+        cum.select(greatest(
+            round(abs(col("cum").cast("double") / n - f), 9),
+            round(abs((col("cum") - col("cnt")).cast("double") / n - f), 9))
+            .as("dev"))
+          .agg(max(col("dev")).as("dmax"))
+          .select(lit(n).as("n_gaps"),
+            round(lit(n).cast("double") / sdt * 3600000000.0, 6)
+              .as("lambda_per_hr"),
+            round(col("dmax"), 6).as("ks"))
+      },
+      Some("""WITH gaps AS (
+             |  SELECT tsu - LAG(tsu) OVER (PARTITION BY user_id
+             |    ORDER BY tsu, event_id) AS dt
+             |  FROM (SELECT user_id, epoch_us(ts) AS tsu, event_id
+             |        FROM events) e
+             |  QUALIFY dt IS NOT NULL AND dt > 0),
+             |st AS (SELECT COUNT(*) AS n, CAST(SUM(dt) AS BIGINT) AS sdt
+             |       FROM gaps),
+             |bydt AS (SELECT dt, COUNT(*) AS cnt FROM gaps GROUP BY 1),
+             |cum AS (
+             |  SELECT dt, cnt, SUM(cnt) OVER (ORDER BY dt
+             |    ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM bydt),
+             |dev AS (
+             |  SELECT GREATEST(
+             |    round(abs(CAST(cum AS DOUBLE) / st.n -
+             |      (1.0 - exp(-(CAST(dt AS DOUBLE) * st.n / st.sdt)))), 9),
+             |    round(abs(CAST(cum - cnt AS DOUBLE) / st.n -
+             |      (1.0 - exp(-(CAST(dt AS DOUBLE) * st.n / st.sdt)))), 9))
+             |    AS dev
+             |  FROM cum CROSS JOIN st)
+             |SELECT st.n AS n_gaps,
+             |  round(CAST(st.n AS DOUBLE) / st.sdt * 3600000000.0, 6)
+             |    AS lambda_per_hr,
+             |  round(MAX(dev.dev), 6) AS ks
+             |FROM dev CROSS JOIN st GROUP BY st.n, st.sdt""".stripMargin)),
+
+    // Distribution-moment profile of log document length (✚, the
+    // lognormality check behind every "length filter" curation
+    // decision: if ln(n_chars) is near-Gaussian, z-score cuts are
+    // principled; heavy skew/kurtosis says use the quantile machinery
+    // instead). Four raw-moment sums in one map-side-combined pass
+    // (each ln^k term rounded@9 into DECIMAL(38,9) — order-
+    // independent), central moments and the standardized g₁/excess-g₂
+    // derived in token-identical double shape, round@6.
+    QueryDef("q269_log_moments",
+      (s, d) => {
+        def p9(c: org.apache.spark.sql.Column) =
+          sum(round(c, 9).cast("decimal(38,9)")).cast("double")
+        val x = log(col("n_chars").cast("double"))
+        val m = Tables.documents(s, d).agg(
+          count(lit(1)).as("n"), p9(x).as("s1"), p9(x * x).as("s2"),
+          p9(x * x * x).as("s3"), p9(x * x * x * x).as("s4"))
+        val stats = m
+          .withColumn("mean", col("s1") / col("n"))
+          .withColumn("m2", col("s2") / col("n") - col("mean") * col("mean"))
+          .withColumn("m3", col("s3") / col("n") -
+            lit(3.0) * col("mean") * (col("s2") / col("n")) +
+            lit(2.0) * col("mean") * col("mean") * col("mean"))
+          .withColumn("m4", col("s4") / col("n") -
+            lit(4.0) * col("mean") * (col("s3") / col("n")) +
+            lit(6.0) * col("mean") * col("mean") * (col("s2") / col("n")) -
+            lit(3.0) * col("mean") * col("mean") * col("mean") * col("mean"))
+        stats.select(col("n"),
+          round(col("mean"), 6).as("mean_ln"),
+          round(sqrt(col("m2")), 6).as("sd_ln"),
+          round(col("m3") / (sqrt(col("m2")) * sqrt(col("m2")) *
+            sqrt(col("m2"))), 6).as("skew"),
+          round(col("m4") / (col("m2") * col("m2")) - 3.0, 6)
+            .as("excess_kurtosis"))
+      },
+      Some("""WITH m AS (
+             |  SELECT COUNT(*) AS n,
+             |    CAST(SUM(CAST(round(ln(CAST(n_chars AS DOUBLE)), 9)
+             |      AS DECIMAL(38,9))) AS DOUBLE) AS s1,
+             |    CAST(SUM(CAST(round(ln(CAST(n_chars AS DOUBLE)) *
+             |      ln(CAST(n_chars AS DOUBLE)), 9)
+             |      AS DECIMAL(38,9))) AS DOUBLE) AS s2,
+             |    CAST(SUM(CAST(round(ln(CAST(n_chars AS DOUBLE)) *
+             |      ln(CAST(n_chars AS DOUBLE)) * ln(CAST(n_chars AS DOUBLE)),
+             |      9) AS DECIMAL(38,9))) AS DOUBLE) AS s3,
+             |    CAST(SUM(CAST(round(ln(CAST(n_chars AS DOUBLE)) *
+             |      ln(CAST(n_chars AS DOUBLE)) * ln(CAST(n_chars AS DOUBLE)) *
+             |      ln(CAST(n_chars AS DOUBLE)), 9)
+             |      AS DECIMAL(38,9))) AS DOUBLE) AS s4
+             |  FROM documents),
+             |st AS (
+             |  SELECT n, s1 / n AS mean,
+             |    s2 / n - (s1 / n) * (s1 / n) AS m2,
+             |    s3 / n - 3.0 * (s1 / n) * (s2 / n) +
+             |      2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+             |    s4 / n - 4.0 * (s1 / n) * (s3 / n) +
+             |      6.0 * (s1 / n) * (s1 / n) * (s2 / n) -
+             |      3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+             |  FROM m)
+             |SELECT n, round(mean, 6) AS mean_ln,
+             |  round(sqrt(m2), 6) AS sd_ln,
+             |  round(m3 / (sqrt(m2) * sqrt(m2) * sqrt(m2)), 6) AS skew,
+             |  round(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis
+             |FROM st""".stripMargin)),
+
     // One-way ANOVA F + effect size (✚, the k-group generalization of
     // q254: does the value metric differ across ALL event types at
     // once, and HOW MUCH of its variance the grouping explains — η²

@@ -1496,6 +1496,56 @@ object TextAnalysis {
              |  round(hl.h_label - h_cond, 6) AS ig
              |FROM u CROSS JOIN hl ORDER BY attribute""".stripMargin)),
 
+    // Token burstiness — Church–Gale variance-to-mean (✚, the
+    // function-word/topic-word separator: a token whose per-document
+    // counts are Poisson-like (Fano ≈ 1) is grammatical filler; one
+    // that BURSTS (Fano ≫ 1) is topical — the signal behind stopword
+    // induction and q199's keyword weighting). Zeros never
+    // materialize: Fano needs only Σc and Σc² over documents, and
+    // absent documents contribute 0 to both, so the per-(token, doc)
+    // cell table restricted to the top-10 tokens (broadcast semi-join
+    // after one total-count pass) carries everything. Exact integer
+    // sums; one division shape, round@6.
+    QueryDef("q268_token_burstiness",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        val ndocs = Tables.documents(s, d).count()
+        val top = toks.groupBy("tok").agg(count(lit(1)).as("total"))
+          .orderBy(col("total").desc, col("tok")).limit(10)
+        val cells = toks.join(broadcast(top), "tok")
+          .groupBy("tok", "doc_id").agg(count(lit(1)).as("c"))
+        cells.groupBy("tok")
+          .agg(sum(col("c")).as("sc"),
+            sum(col("c") * col("c")).as("sc2"),
+            count(lit(1)).as("n_docs_with"))
+          .select(col("tok"), col("sc").as("total"), col("n_docs_with"),
+            round((col("sc2").cast("double") / ndocs -
+              (col("sc").cast("double") / ndocs) *
+                (col("sc").cast("double") / ndocs)) /
+              (col("sc").cast("double") / ndocs), 6).as("fano"))
+          .orderBy("tok")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |nd AS (SELECT COUNT(*) AS ndocs FROM documents),
+             |top AS (
+             |  SELECT tok, COUNT(*) AS total FROM toks GROUP BY 1
+             |  ORDER BY total DESC, tok LIMIT 10),
+             |cells AS (
+             |  SELECT t.tok, t.doc_id, COUNT(*) AS c
+             |  FROM toks t JOIN top ON t.tok = top.tok
+             |  GROUP BY 1, 2)
+             |SELECT tok, CAST(SUM(c) AS BIGINT) AS total,
+             |  COUNT(*) AS n_docs_with,
+             |  round((CAST(SUM(c * c) AS DOUBLE) / MAX(nd.ndocs) -
+             |    (CAST(SUM(c) AS DOUBLE) / MAX(nd.ndocs)) *
+             |      (CAST(SUM(c) AS DOUBLE) / MAX(nd.ndocs))) /
+             |    (CAST(SUM(c) AS DOUBLE) / MAX(nd.ndocs)), 6) AS fano
+             |FROM cells CROSS JOIN nd
+             |GROUP BY tok ORDER BY tok""".stripMargin)),
+
     // Pairwise KS distance matrix across sources (✚, the multi-group
     // generalization of q226: which SOURCES differ most in their
     // document-length distribution — the triage view a curator reads
