@@ -731,6 +731,78 @@ object Scale {
              |    (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)), 6) AS gini
              |FROM ranked GROUP BY segment ORDER BY segment""".stripMargin)),
 
+    // Hill tail-index estimator of user activity (✚, the heavy-tail
+    // diagnostic on the ENTITY axis — q171's Zipf fits token
+    // frequencies by regression over all ranks; Hill estimates the
+    // tail exponent α from only the top-k order statistics, the
+    // estimator of record for "how pathological are the heaviest
+    // users", which sizes the q42-44 salting decisions). Per-user
+    // counts aggregate map-side; the top-50 order statistics come
+    // from TakeOrderedAndProject (bounded heaps, no sort); the ln
+    // ratio terms follow the round@9 DECIMAL discipline. Ties at the
+    // k-th value don't matter: tied users carry the same count, so
+    // the top-k MULTISET of counts — all Hill needs — is unique.
+    QueryDef("q270_hill_tail",
+      (s, d) => {
+        val k = 50
+        val act = Tables.events(s, d)
+          .groupBy("user_id").agg(count(lit(1)).as("x"))
+        val top = act.orderBy(col("x").desc, col("user_id")).limit(k)
+          .localCheckpoint()
+        val xk = top.agg(min("x")).first().getLong(0)
+        top.agg(sum(round(log(col("x").cast("double") / xk), 9)
+            .cast("decimal(38,9)")).cast("double").as("slog"))
+          .select(lit(k).as("k"), lit(xk).as("x_k"),
+            round(lit(k - 1).cast("double") / col("slog"), 6).as("alpha"))
+      },
+      Some("""WITH act AS (
+             |  SELECT user_id, COUNT(*) AS x FROM events GROUP BY 1),
+             |top AS (
+             |  SELECT x FROM act ORDER BY x DESC, user_id LIMIT 50),
+             |xk AS (SELECT CAST(MIN(x) AS BIGINT) AS xk FROM top)
+             |SELECT 50 AS k, xk.xk AS x_k,
+             |  round(CAST(49 AS DOUBLE) /
+             |    CAST(SUM(CAST(round(ln(CAST(x AS DOUBLE) / xk.xk), 9)
+             |      AS DECIMAL(38,9))) AS DOUBLE), 6) AS alpha
+             |FROM top CROSS JOIN xk GROUP BY xk.xk""".stripMargin)),
+
+    // Diversity-constrained top-k (✚, the retrieval post-processor:
+    // a raw top-20 by length is dominated by whichever source mints
+    // long documents; capping each source at 2 slots yields the
+    // result page a search/curation surface actually shows). The cap
+    // is the bounded per-group TopK FOLD (q86's typed Aggregator —
+    // partial heaps merge map-side; NO per-source window, so a
+    // low-cardinality source axis imposes no |sources|-task ceiling),
+    // and the global cut is TakeOrderedAndProject over the ≤ 2·|src|
+    // survivors. Integer score (n_chars), doc_id tiebreak — total
+    // order, no floats.
+    QueryDef("q271_diverse_topk",
+      (s, d) => {
+        import s.implicits._
+        val topk = new graft.functions.Folds.TopK(2)
+        Tables.documents(s, d)
+          .select(col("source"), col("n_chars").cast("double").as("score"),
+            col("doc_id"))
+          .as[(String, Double, Long)]
+          .groupByKey(_._1)
+          .mapValues(t => (t._2, t._3))
+          .agg(topk.toColumn.name("top"))
+          .flatMap { case (src, top) => top.map(t => (src, t._1, t._2)) }
+          .toDF("source", "score", "doc_id")
+          .select(col("source"), col("score").cast("long").as("n_chars"),
+            col("doc_id"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH ranked AS (
+             |  SELECT source, n_chars, doc_id,
+             |    ROW_NUMBER() OVER (PARTITION BY source
+             |      ORDER BY n_chars DESC, doc_id) AS rs
+             |  FROM documents)
+             |SELECT source, n_chars, doc_id
+             |FROM ranked WHERE rs <= 2
+             |ORDER BY n_chars DESC, doc_id LIMIT 20""".stripMargin)),
+
     // Period-over-period rank movers (✚, the leaderboard-churn report:
     // which parts' REVENUE RANK moved most between the pre-1998 and
     // 1998+ halves — absolute revenue deltas chase inflation and
