@@ -2403,6 +2403,191 @@ object Extras {
              |FROM s3 GROUP BY 1, 2, 3
              |ORDER BY support DESC, t1, t2, t3 LIMIT 20""".stripMargin)),
 
+    // Wilson score intervals per source (✚, the proportion-reporting
+    // fix for the naive ±z√(p̂q̂/n) interval that collapses at p̂ near
+    // 0/1 or small n — Wilson is what a dashboard should draw around
+    // every per-segment rate). Proportion audited: share of English
+    // documents per source. One grouped count pass; the interval
+    // arithmetic is a fixed double expression evaluated identically
+    // on 20 rows, round@6.
+    QueryDef("q272_wilson_ci",
+      (s, d) => {
+        val z = 1.959964 // 95% two-sided
+        val g = Tables.documents(s, d).groupBy("source")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("k"))
+          .withColumn("p", col("k").cast("double") / col("n"))
+          .withColumn("den", lit(1.0) + lit(z) * lit(z) / col("n"))
+          .withColumn("ctr",
+            (col("p") + lit(z) * lit(z) / (lit(2.0) * col("n"))) / col("den"))
+          .withColumn("half",
+            lit(z) * sqrt(col("p") * (lit(1.0) - col("p")) / col("n") +
+              lit(z) * lit(z) / (lit(4.0) * col("n") * col("n"))) / col("den"))
+        g.select(col("source"), col("n"), col("k"),
+            round(col("p"), 6).as("p_hat"),
+            round(col("ctr") - col("half"), 6).as("wilson_lo"),
+            round(col("ctr") + col("half"), 6).as("wilson_hi"))
+          .orderBy("source")
+      },
+      Some("""WITH g AS (
+             |  SELECT source, COUNT(*) AS n,
+             |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS k
+             |  FROM documents GROUP BY 1),
+             |e AS (
+             |  SELECT source, n, k,
+             |    CAST(k AS DOUBLE) / n AS p,
+             |    1.0 + 1.959964 * 1.959964 / n AS den,
+             |    (CAST(k AS DOUBLE) / n + 1.959964 * 1.959964 / (2.0 * n)) /
+             |      (1.0 + 1.959964 * 1.959964 / n) AS ctr,
+             |    1.959964 * sqrt((CAST(k AS DOUBLE) / n) *
+             |        (1.0 - CAST(k AS DOUBLE) / n) / n +
+             |        1.959964 * 1.959964 / (4.0 * n * n)) /
+             |      (1.0 + 1.959964 * 1.959964 / n) AS half
+             |  FROM g)
+             |SELECT source, n, k, round(p, 6) AS p_hat,
+             |  round(ctr - half, 6) AS wilson_lo,
+             |  round(ctr + half, 6) AS wilson_hi
+             |FROM e ORDER BY source""".stripMargin)),
+
+    // Neyman-allocation sampling plan (✚, the survey-statistics answer
+    // to "spread 1000 audit samples across sources": proportional
+    // allocation oversamples homogeneous strata; Neyman weights by
+    // N_h·S_h so variable strata get the budget. The integerization is
+    // largest-remainder (floor every share, hand the leftovers to the
+    // largest fractional parts, source tiebreak) — Σ alloc == budget
+    // EXACTLY, no float accumulation). Per-stratum moments are exact
+    // BIGINT sums of integer lengths (a 100 TB corpus lifts Σx² to
+    // DECIMAL(38) — noted); the ranking runs on the |sources|-row
+    // plan table.
+    QueryDef("q273_neyman_allocation",
+      (s, d) => {
+        val B = 1000L
+        val g = Tables.documents(s, d).groupBy("source")
+          .agg(count(lit(1)).as("nh"),
+            sum(col("n_chars")).as("sx"),
+            sum(col("n_chars") * col("n_chars")).as("sx2"))
+          .withColumn("sd", sqrt((col("sx2").cast("double") -
+            col("sx").cast("double") * col("sx") / col("nh")) /
+            (col("nh") - lit(1L))))
+          .withColumn("w", col("nh").cast("double") * col("sd"))
+          .localCheckpoint()
+        val wtot = g.agg(sum(round(col("w"), 9).cast("decimal(38,9)"))
+          .cast("double")).first().getDouble(0)
+        val shares = g.withColumn("share", col("w") * B / wtot)
+          .withColumn("base", floor(col("share")).cast("long"))
+          .withColumn("frac", col("share") - floor(col("share")))
+        val rem = B - shares.agg(sum("base")).first().getLong(0)
+        val w = Window.orderBy(col("frac").desc, col("source"))
+        shares.withColumn("rk", row_number().over(w))
+          .select(col("source"), col("nh").as("n_docs"),
+            round(col("sd"), 6).as("sd_len"),
+            (col("base") + when(col("rk") <= rem, 1L).otherwise(0L))
+              .as("alloc"))
+          .orderBy("source")
+      },
+      Some("""WITH g AS (
+             |  SELECT source, COUNT(*) AS nh,
+             |    CAST(SUM(n_chars) AS BIGINT) AS sx,
+             |    CAST(SUM(n_chars * n_chars) AS BIGINT) AS sx2
+             |  FROM documents GROUP BY 1),
+             |e AS (
+             |  SELECT source, nh,
+             |    sqrt((CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * sx / nh)
+             |      / (nh - 1)) AS sd,
+             |    CAST(nh AS DOUBLE) *
+             |      sqrt((CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * sx / nh)
+             |        / (nh - 1)) AS w
+             |  FROM g),
+             |wt AS (SELECT CAST(SUM(CAST(round(w, 9) AS DECIMAL(38,9)))
+             |         AS DOUBLE) AS wtot FROM e),
+             |sh AS (
+             |  SELECT source, nh, sd, w * 1000 / wt.wtot AS share
+             |  FROM e CROSS JOIN wt),
+             |fl AS (
+             |  SELECT source, nh, sd,
+             |    CAST(floor(share) AS BIGINT) AS base,
+             |    share - floor(share) AS frac
+             |  FROM sh),
+             |rem AS (SELECT 1000 - CAST(SUM(base) AS BIGINT) AS r FROM fl),
+             |rk AS (
+             |  SELECT source, nh, sd, base,
+             |    ROW_NUMBER() OVER (ORDER BY frac DESC, source) AS rk
+             |  FROM fl)
+             |SELECT rk.source, rk.nh AS n_docs, round(rk.sd, 6) AS sd_len,
+             |  rk.base + CASE WHEN rk.rk <= rem.r THEN 1 ELSE 0 END AS alloc
+             |FROM rk CROSS JOIN rem ORDER BY source""".stripMargin)),
+
+    // Simpson's-paradox audit (✚, the aggregation trap detector: does
+    // the discount→quantity association REVERSE when conditioned on
+    // return status? Aggregate correlations quoted without this check
+    // are the textbook analytics failure). Covariance numerators stay
+    // EXACT: n·Σxy − Σx·Σy in DECIMAL over 2-dp discounts × integer
+    // quantities, so the association SIGN — the thing the audit is
+    // about — cannot be a float artifact; the displayed covariance is
+    // one double division, round@6. One grouped pass + one global
+    // pass; the reversal flag attaches the global sign via a 1-row
+    // broadcast.
+    QueryDef("q275_simpson_audit",
+      (s, d) => {
+        def cells(dfg: org.apache.spark.sql.RelationalGroupedDataset) =
+          dfg.agg(count(lit(1)).cast("decimal(19,0)").as("n"),
+            sum(QueryDef.dec(col("l_discount"))).as("sx"),
+            sum(col("l_quantity").cast("decimal(19,0)")).as("sy"),
+            sum(QueryDef.dec(col("l_discount")) *
+              col("l_quantity").cast("decimal(19,0)")).as("sxy"))
+        val li = Tables.lineitem(s, d)
+        // width-bounded casts keep every product inside DECIMAL(38,2)
+        // on BOTH engines (DuckDB hard-errors past 38); magnitudes fit
+        // with room through sf1 and the 100 TB lift is widening these
+        // casts, not changing the plan
+        val numCol = col("n").cast("decimal(12,0)") *
+          col("sxy").cast("decimal(25,2)") -
+          col("sx").cast("decimal(18,2)") * col("sy").cast("decimal(19,0)")
+        val strat = cells(li.groupBy(col("l_returnflag").as("stratum")))
+          .withColumn("num", numCol)
+        val all = cells(li.groupBy(lit("ALL").as("stratum")))
+          .withColumn("num", numCol)
+        val gsign = broadcast(all.select(
+          signum(col("num").cast("double")).as("gsign")))
+        strat.unionByName(all)
+          .crossJoin(gsign)
+          .select(col("stratum"), col("n").cast("long").as("n"),
+            round(col("num").cast("double") /
+              (col("n").cast("double") * col("n").cast("double")), 6)
+              .as("cov"),
+            signum(col("num").cast("double")).as("sign"),
+            (signum(col("num").cast("double")) =!= col("gsign"))
+              .as("reversed"))
+          .orderBy("stratum")
+      },
+      Some("""WITH li AS (
+             |  SELECT l_returnflag AS stratum,
+             |    CAST(l_discount AS DECIMAL(12,2)) AS x,
+             |    CAST(l_quantity AS DECIMAL(19,0)) AS y
+             |  FROM lineitem),
+             |cells AS (
+             |  SELECT stratum, CAST(COUNT(*) AS DECIMAL(19,0)) AS n,
+             |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy
+             |  FROM li GROUP BY stratum
+             |  UNION ALL
+             |  SELECT 'ALL', CAST(COUNT(*) AS DECIMAL(19,0)),
+             |    SUM(x), SUM(y), SUM(x * y)
+             |  FROM li),
+             |nums AS (
+             |  SELECT stratum, n,
+             |    CAST(n AS DECIMAL(12,0)) * CAST(sxy AS DECIMAL(25,2)) -
+             |    CAST(sx AS DECIMAL(18,2)) * CAST(sy AS DECIMAL(19,0)) AS num
+             |  FROM cells),
+             |g AS (SELECT CAST(sign(CAST(num AS DOUBLE)) AS DOUBLE) AS gsign FROM nums
+             |      WHERE stratum = 'ALL')
+             |SELECT stratum, CAST(n AS BIGINT) AS n,
+             |  round(CAST(num AS DOUBLE) /
+             |    (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS cov,
+             |  CAST(sign(CAST(num AS DOUBLE)) AS DOUBLE) AS sign,
+             |  CAST(sign(CAST(num AS DOUBLE)) AS DOUBLE) <> g.gsign AS reversed
+             |FROM nums CROSS JOIN g ORDER BY stratum""".stripMargin)),
+
     // Consistent-hash ring balance audit (✚, the partition-design
     // study behind every sharded sink this engine writes to: how
     // uneven is key placement on a hash ring at 1 virtual node per

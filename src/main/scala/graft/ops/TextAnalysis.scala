@@ -183,6 +183,65 @@ object TextAnalysis {
       |        / (tf3 + 1.2 * (1.0 - 0.75 + 0.75 * (dl * n / sumdl))), 5) AS score
       |  FROM tfs CROSS JOIN st)""".stripMargin
 
+  /** All source-pair KS distances over the document-length
+    * distribution on ONE shared value grid (q262's plan): columns
+    * (sa, sb, n_a, n_b, ks). Shared by q262 (the raw matrix) and q274
+    * (the multiple-testing significance screen) so the two gates can
+    * never drift on what the distance is. */
+  private[ops] def ksMatrix(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = docs
+      .groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val vals = cnt.select("v").distinct()
+    val srcs = cnt.groupBy("source").agg(sum(col("c")).as("n"))
+    val grid = vals.crossJoin(broadcast(srcs))
+      .join(cnt, Seq("source", "v"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy("source").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val a = grid.select(col("v"), col("source").as("sa"),
+      col("n").as("na"), col("cum").as("ca"))
+    val b = grid.select(col("v").as("v2"), col("source").as("sb"),
+      col("n").as("nb"), col("cum").as("cb"))
+    a.join(b, col("v") === col("v2") && col("sa") < col("sb"))
+      .groupBy("sa", "sb")
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        max(abs(col("ca") * col("nb") - col("cb") * col("na")))
+          .as("dmax"))
+      .select(col("sa"), col("sb"), col("n_a"), col("n_b"),
+        round(col("dmax").cast("double") /
+          (col("n_a").cast("double") * col("n_b")), 6).as("ks"))
+  }
+
+  /** SQL twin of [[ksMatrix]] as a CTE chain ending in `ksm`
+    * (sa, sb, n_a, n_b, ks) — shared verbatim by the q262 and q274
+    * oracles. */
+  private[ops] val ksMatrixCtes: String =
+    """cnt AS (
+      |  SELECT source, n_chars AS v, COUNT(*) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |vals AS (SELECT DISTINCT v FROM cnt),
+      |srcs AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+      |         FROM cnt GROUP BY 1),
+      |grid AS (
+      |  SELECT vals.v, srcs.source, srcs.n,
+      |    CAST(SUM(COALESCE(cnt.c, 0)) OVER (
+      |      PARTITION BY srcs.source ORDER BY vals.v
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM vals CROSS JOIN srcs
+      |  LEFT JOIN cnt ON cnt.source = srcs.source AND cnt.v = vals.v),
+      |ksm AS (
+      |  SELECT a.source AS sa, b.source AS sb,
+      |    MAX(a.n) AS n_a, MAX(b.n) AS n_b,
+      |    round(CAST(MAX(abs(a.cum * b.n - b.cum * a.n)) AS DOUBLE) /
+      |      (CAST(MAX(a.n) AS DOUBLE) * MAX(b.n)), 6) AS ks
+      |  FROM grid a JOIN grid b
+      |    ON a.v = b.v AND a.source < b.source
+      |  GROUP BY 1, 2)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // Token counting: whitespace tokens + BPE-ish regex word pieces
@@ -1559,54 +1618,54 @@ object TextAnalysis {
     // pair distances cost one grid pass + one self-join, and no
     // float enters before the final division, round@6.
     QueryDef("q262_ks_matrix",
+      (s, d) => ksMatrix(Tables.documents(s, d)).orderBy("sa", "sb"),
+      Some(s"""WITH $ksMatrixCtes
+             |SELECT sa, sb, n_a, n_b, ks FROM ksm
+             |ORDER BY sa, sb""".stripMargin)),
+
+    // Multiple-testing screen over the KS matrix (✚, the statistical
+    // hygiene q262 raw distances invite skipping: with 190 pairwise
+    // tests, ~10 will clear a naive α = 0.05 by chance alone. Each
+    // pair gets the asymptotic one-term KS p-value
+    // p ≈ min(1, 2·e^(−2·n_eff·D²)) and TWO flags — naive α and the
+    // Šidák-corrected α' = 1 − (1−α)^(1/m) — so the report shows
+    // exactly which "drifted" pairs survive correction). Everything
+    // heavy is the shared ksMatrix plan; the screen adds one
+    // projection over 190 rows. m and α' are driver-side scalars
+    // mirrored as literals; all flag comparisons are on round@6
+    // values both engines computed identically.
+    QueryDef("q274_ks_significance",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val cnt = Tables.documents(s, d)
-          .groupBy(col("source"), col("n_chars").as("v"))
-          .agg(count(lit(1)).as("c"))
-          .localCheckpoint()
-        val vals = cnt.select("v").distinct()
-        val srcs = cnt.groupBy("source").agg(sum(col("c")).as("n"))
-        val grid = vals.crossJoin(broadcast(srcs))
-          .join(cnt, Seq("source", "v"), "left")
-          .withColumn("c", coalesce(col("c"), lit(0L)))
-          .withColumn("cum", sum(col("c")).over(
-            Window.partitionBy("source").orderBy("v")
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        val a = grid.select(col("v"), col("source").as("sa"),
-          col("n").as("na"), col("cum").as("ca"))
-        val b = grid.select(col("v").as("v2"), col("source").as("sb"),
-          col("n").as("nb"), col("cum").as("cb"))
-        a.join(b, col("v") === col("v2") && col("sa") < col("sb"))
-          .groupBy("sa", "sb")
-          .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
-            max(abs(col("ca") * col("nb") - col("cb") * col("na")))
-              .as("dmax"))
-          .select(col("sa"), col("sb"), col("n_a"), col("n_b"),
-            round(col("dmax").cast("double") /
-              (col("n_a").cast("double") * col("n_b")), 6).as("ks"))
+        val m = ksMatrix(Tables.documents(s, d)).localCheckpoint()
+        val nPairs = m.count()
+        val alphaSidak = 1.0 - math.pow(0.95, 1.0 / nPairs)
+        m.withColumn("n_eff",
+            round(col("n_a").cast("double") * col("n_b") /
+              (col("n_a") + col("n_b")), 6))
+          .withColumn("p_approx",
+            round(least(lit(1.0),
+              lit(2.0) * exp(lit(-2.0) * (col("n_a").cast("double") *
+                col("n_b") / (col("n_a") + col("n_b"))) *
+                col("ks") * col("ks"))), 6))
+          .select(col("sa"), col("sb"), col("ks"), col("n_eff"),
+            col("p_approx"),
+            (col("p_approx") < 0.05).as("sig_naive"),
+            (col("p_approx") < round(lit(alphaSidak), 9)).as("sig_sidak"))
           .orderBy("sa", "sb")
       },
-      Some("""WITH cnt AS (
-             |  SELECT source, n_chars AS v, COUNT(*) AS c
-             |  FROM documents GROUP BY 1, 2),
-             |vals AS (SELECT DISTINCT v FROM cnt),
-             |srcs AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
-             |         FROM cnt GROUP BY 1),
-             |grid AS (
-             |  SELECT vals.v, srcs.source, srcs.n,
-             |    CAST(SUM(COALESCE(cnt.c, 0)) OVER (
-             |      PARTITION BY srcs.source ORDER BY vals.v
-             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
-             |  FROM vals CROSS JOIN srcs
-             |  LEFT JOIN cnt ON cnt.source = srcs.source AND cnt.v = vals.v)
-             |SELECT a.source AS sa, b.source AS sb,
-             |  MAX(a.n) AS n_a, MAX(b.n) AS n_b,
-             |  round(CAST(MAX(abs(a.cum * b.n - b.cum * a.n)) AS DOUBLE) /
-             |    (CAST(MAX(a.n) AS DOUBLE) * MAX(b.n)), 6) AS ks
-             |FROM grid a JOIN grid b
-             |  ON a.v = b.v AND a.source < b.source
-             |GROUP BY 1, 2 ORDER BY sa, sb""".stripMargin)),
+      Some(s"""WITH $ksMatrixCtes,
+             |m AS (SELECT COUNT(*) AS m FROM ksm),
+             |scr AS (
+             |  SELECT sa, sb, ks,
+             |    round(CAST(n_a AS DOUBLE) * n_b / (n_a + n_b), 6) AS n_eff,
+             |    round(LEAST(1.0, 2.0 * exp(-2.0 *
+             |      (CAST(n_a AS DOUBLE) * n_b / (n_a + n_b)) * ks * ks)),
+             |      6) AS p_approx
+             |  FROM ksm)
+             |SELECT sa, sb, ks, n_eff, p_approx,
+             |  p_approx < 0.05 AS sig_naive,
+             |  p_approx < round(1.0 - pow(0.95, 1.0 / m.m), 9) AS sig_sidak
+             |FROM scr CROSS JOIN m ORDER BY sa, sb""".stripMargin)),
 
     // Good–Turing frequency smoothing (✚, the third leg of the
     // vocabulary triptych with q171's Zipf and q251's Heaps: what

@@ -523,6 +523,35 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q272 Wilson interval brackets p-hat inside [0,1]") {
+    run("q272_wilson_ci").collect().foreach { r =>
+      val (p, lo, hi) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(lo <= p + 1e-9 && p <= hi + 1e-9, s"interval [$lo,$hi] vs $p")
+      assert(lo >= -1e-9 && hi <= 1.0 + 1e-9)
+      assert(hi - lo < 1.0)
+    }
+  }
+
+  test("q273 Neyman allocation sums exactly to the budget") {
+    val rows = run("q273_neyman_allocation").collect()
+    assert(rows.map(_.getLong(3)).sum == 1000L)
+    assert(rows.forall(_.getLong(3) >= 0L))
+  }
+
+  test("q275 the ALL stratum is by definition not reversed") {
+    val rows = run("q275_simpson_audit").collect()
+    val all = rows.find(_.getString(0) == "ALL").get
+    assert(!all.getBoolean(4))
+  }
+
+  test("q274 Sidak flags are a subset of naive flags") {
+    val rows = run("q274_ks_significance").collect()
+    rows.foreach { r =>
+      if (r.getBoolean(6)) assert(r.getBoolean(5), "sidak implies naive")
+    }
+    assert(rows.length == 190)
+  }
+
   test("q235 entropy-l never exceeds distinct-l and both bound 1") {
     val rows = run("q235_l_diversity").collect()
     assert(rows.nonEmpty)
