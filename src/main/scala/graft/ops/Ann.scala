@@ -567,6 +567,62 @@ object Ann {
               |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 5) AS cos
               |  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
               |SELECT id_a, id_b, cos FROM scored WHERE cos > 0.4
-              |ORDER BY id_a, id_b""".stripMargin))
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Centroid-silhouette quality report for the pinned IVF quantizer
+    // (✚, the "is k=8 even a good clustering" number next to q136's
+    // drift audit: s = (b − a)/b per point with a/b the nearest and
+    // second-nearest CENTROID distances — the O(n·k) centroid
+    // approximation of the O(n²) exact silhouette, the only form that
+    // exists at 100 TB). One narrow pass: the same codegen'd
+    // graft_l2sq entries array as q63's assignment, array_sort for
+    // (a, b), argmin for the cell — no shuffle before the per-cell
+    // aggregation. Mean s per cell under the round@9 DECIMAL
+    // discipline; a degenerate b = 0 (duplicate point ON a centroid)
+    // scores 0 by the same rule on both engines.
+    QueryDef("q277_silhouette",
+      (s, d) => {
+        val cents = AnnCentroids.fitted
+        val e = graft.Tables.embeddings(s, d)
+          .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v"))
+        val entries = centroidEntries(col("v"), cents)
+        val sorted = array_sort(entries)
+        val scored = e
+          .withColumn("cell", array_min(entries).getField("i"))
+          .withColumn("a", sqrt(element_at(sorted, 1).getField("d")))
+          .withColumn("b", sqrt(element_at(sorted, 2).getField("d")))
+          .withColumn("sil",
+            when(col("b") > 0.0, (col("b") - col("a")) / col("b"))
+              .otherwise(lit(0.0)))
+        scored.groupBy("cell")
+          .agg(count(lit(1)).as("n"),
+            round(sum(round(col("sil"), 9).cast("decimal(38,9)"))
+              .cast("double") / count(lit(1)), 6).as("mean_sil"))
+          .orderBy("cell")
+      },
+      Some(s"""WITH cents AS (
+              |${centroidsSqlCte(AnnCentroids.fitted)}),
+              |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |dist AS (
+              |  SELECT e.vec_id, cents.i,
+              |    list_sum(list_transform(range(1, ${AnnCentroids.fitted.head.length + 1}),
+              |      j -> (e.v[j] - cents.c[j]) * (e.v[j] - cents.c[j]))) AS d2
+              |  FROM e CROSS JOIN cents),
+              |rnk AS (
+              |  SELECT vec_id, i, d2,
+              |    ROW_NUMBER() OVER (PARTITION BY vec_id
+              |      ORDER BY d2 ASC, i ASC) AS rn
+              |  FROM dist),
+              |scored AS (
+              |  SELECT a.vec_id, a.i AS cell,
+              |    CASE WHEN sqrt(b.d2) > 0
+              |         THEN (sqrt(b.d2) - sqrt(a.d2)) / sqrt(b.d2)
+              |         ELSE 0.0 END AS sil
+              |  FROM rnk a JOIN rnk b
+              |    ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2)
+              |SELECT cell, COUNT(*) AS n,
+              |  round(CAST(SUM(CAST(round(sil, 9) AS DECIMAL(38,9)))
+              |    AS DOUBLE) / COUNT(*), 6) AS mean_sil
+              |FROM scored GROUP BY cell ORDER BY cell""".stripMargin))
   )
 }

@@ -2795,6 +2795,206 @@ object Extras {
              |    AS chapman_nhat
              |FROM st""".stripMargin)),
 
+    // Cohort LTV curve (✚, the cumulative-revenue view q100's
+    // retention counts can't give: for each acquisition cohort (month
+    // of first order), how much revenue has the AVERAGE cohort member
+    // produced by month offset 0, 1, 2, … — the curve a payback-period
+    // decision reads). Cohorts from one min-aggregate per customer;
+    // the matrix is |cohorts|×|offsets| cells (bounded — the corpus
+    // collapses before any window), cumulative per cohort over that
+    // grid; revenue exact DECIMAL throughout, one division at the
+    // edge, round@6. Offsets via integer month keys (y·12+m) — no
+    // date arithmetic to disagree on.
+    QueryDef("q278_ltv_cohort",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .select(col("o_custkey").as("cust"),
+            (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+              .cast("long").as("mk"),
+            QueryDef.dec(col("o_totalprice")).as("rev"))
+          .localCheckpoint()
+        val cohort = o.groupBy("cust").agg(min("mk").as("c0"))
+        val sizes = cohort.groupBy("c0").agg(count(lit(1)).as("n_cust"))
+        val cells = o.join(cohort, "cust")
+          .groupBy(col("c0"), (col("mk") - col("c0")).as("moff"))
+          .agg(sum(col("rev")).as("rev"))
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("c0").orderBy("moff")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cells.withColumn("cumrev", sum(col("rev")).over(w))
+          .join(broadcast(sizes), "c0")
+          .where(col("moff") <= 6L)
+          .select(col("c0").as("cohort_month"), col("moff").as("month_offset"),
+            col("n_cust"),
+            round(col("cumrev").cast("double") / col("n_cust"), 6)
+              .as("ltv_per_cust"))
+          .orderBy("cohort_month", "month_offset")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_custkey AS cust,
+             |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+             |      AS mk,
+             |    CAST(o_totalprice AS DECIMAL(12,2)) AS rev
+             |  FROM orders),
+             |cohort AS (SELECT cust, MIN(mk) AS c0 FROM o GROUP BY 1),
+             |sizes AS (SELECT c0, COUNT(*) AS n_cust FROM cohort GROUP BY 1),
+             |cells AS (
+             |  SELECT cohort.c0, o.mk - cohort.c0 AS moff,
+             |    SUM(o.rev) AS rev
+             |  FROM o JOIN cohort ON o.cust = cohort.cust
+             |  GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT c0, moff,
+             |    SUM(rev) OVER (PARTITION BY c0 ORDER BY moff
+             |      ROWS UNBOUNDED PRECEDING) AS cumrev
+             |  FROM cells)
+             |SELECT cum.c0 AS cohort_month, cum.moff AS month_offset,
+             |  sizes.n_cust,
+             |  round(CAST(cum.cumrev AS DOUBLE) / sizes.n_cust, 6)
+             |    AS ltv_per_cust
+             |FROM cum JOIN sizes ON cum.c0 = sizes.c0
+             |WHERE cum.moff <= 6
+             |ORDER BY cohort_month, month_offset""".stripMargin)),
+
+    // ABC (Pareto) classification of parts by revenue (✚, the
+    // inventory-policy report: class A = the head that carries 80% of
+    // revenue, B = the next 15, C = the long tail — the 100 TB point
+    // is that the CLASS BOUNDARY is a global-prefix question, answered
+    // by the same two-phase rank/prefix machinery as q242/q244, never
+    // a sort). Revenue in exact integer cents; class cuts as integer
+    // cross-products (cum·5 ≤ tot·4 for 80%, cum·20 ≤ tot·19 for 95%)
+    // — no float thresholds; per-class rollup is three rows.
+    QueryDef("q279_abc_classes",
+      (s, d) => {
+        val rev = Tables.lineitem(s, d)
+          .groupBy(col("l_partkey").as("pk"))
+          .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+            .as("rc"))
+        val tot = rev.agg(sum("rc")).first().getLong(0)
+        val cum = Scale.globalRunningSum(rev,
+          Seq((-col("rc")).as("nrc"), col("pk")), col("rc"))
+        cum.withColumn("cls",
+            when(col("cum") * 5L <= tot * 4L, "A")
+              .otherwise(when(col("cum") * 20L <= tot * 19L, "B")
+                .otherwise("C")))
+          .groupBy("cls")
+          .agg(count(lit(1)).as("n_parts"),
+            (sum(col("rc")).cast("double") / 100.0).as("revenue"),
+            round(sum(col("rc")).cast("double") / tot, 6).as("rev_share"))
+          .orderBy("cls")
+      },
+      Some("""WITH rev AS (
+             |  SELECT l_partkey AS pk,
+             |    CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+             |      AS BIGINT) AS rc
+             |  FROM lineitem GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(rc) AS BIGINT) AS t FROM rev),
+             |cum AS (
+             |  SELECT rc, SUM(rc) OVER (ORDER BY rc DESC, pk
+             |    ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM rev),
+             |cls AS (
+             |  SELECT rc,
+             |    CASE WHEN cum * 5 <= tot.t * 4 THEN 'A'
+             |         WHEN cum * 20 <= tot.t * 19 THEN 'B'
+             |         ELSE 'C' END AS cls
+             |  FROM cum CROSS JOIN tot)
+             |SELECT cls, COUNT(*) AS n_parts,
+             |  CAST(SUM(rc) AS DOUBLE) / 100.0 AS revenue,
+             |  round(CAST(SUM(rc) AS DOUBLE) / MAX(tot.t), 6) AS rev_share
+             |FROM cls CROSS JOIN tot GROUP BY cls ORDER BY cls""".stripMargin)),
+
+    // CUSUM change detection on hourly traffic (✚, the control-chart
+    // family: q149/q221 flag LEVELS; CUSUM accumulates small
+    // persistent shifts that no single bucket trips — S⁺ₜ =
+    // max(0, S⁺ₜ₋₁ + x−μ−kσ), alarm at hσ — the standard tabular
+    // two-sided scheme with k=½, h=4). The sequential clamp recursion
+    // is q249's prefix-min identity again on a DIFFERENT domain —
+    // change detection, not ledgers — so the non-associative control
+    // chart runs as two associative prefixes over the bounded hourly
+    // series. Everything is EXACT ×10⁶-scaled integers: μ+kσ and hσ
+    // round@6 once into BIGINT references (absorbing sqrt ulp drift
+    // BEFORE any accumulation), then the walk is pure integer min/max
+    // arithmetic — zero per-step float drift by construction.
+    QueryDef("q276_cusum",
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .select(expr("unix_micros(ts) div 3600000000").as("h"))
+          .groupBy("h").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint()
+        val st = hourly.agg(count(lit(1)), sum("cnt"),
+          sum(col("cnt") * col("cnt"))).first()
+        val n = st.getLong(0)
+        val mean = st.getLong(1).toDouble / n
+        val sd = math.sqrt((st.getLong(2).toDouble -
+          st.getLong(1).toDouble * st.getLong(1) / n) / (n - 1))
+        // ×1e6 integer references, rounded once — the walk never sees
+        // a double again
+        val refHi = math.round((mean + 0.5 * sd) * 1e6)
+        val refLo = math.round((mean - 0.5 * sd) * 1e6)
+        val alarm = math.round(4.0 * sd * 1e6)
+        val cum = Scale.globalRunningSum(
+            hourly.withColumn("dHi", col("cnt") * 1000000L - refHi),
+            Seq(col("h")), col("dHi"))
+          .withColumnRenamed("cum", "cHi")
+        val cum2 = Scale.globalRunningSum(
+            cum.withColumn("dLo", lit(refLo) - col("cnt") * 1000000L),
+            Seq(col("h")), col("dLo"))
+          .withColumnRenamed("cum", "cLo")
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // bounded series: the running-min windows over |hours| rows
+        cum2
+          .withColumn("sHi", col("cHi") - least(lit(0L), min(col("cHi")).over(w)))
+          .withColumn("sLo", col("cLo") - least(lit(0L), min(col("cLo")).over(w)))
+          .where(col("sHi") > alarm || col("sLo") > alarm)
+          .select(col("h"), col("cnt"),
+            round(col("sHi").cast("double") / 1e6, 6).as("cusum_hi"),
+            round(col("sLo").cast("double") / 1e6, 6).as("cusum_lo"),
+            (col("sHi") > alarm).as("alarm_hi"),
+            (col("sLo") > alarm).as("alarm_lo"))
+          .orderBy("h")
+      },
+      Some("""WITH hourly AS (
+             |  SELECT epoch_us(ts) // 3600000000 AS h, COUNT(*) AS cnt
+             |  FROM events GROUP BY 1),
+             |st AS (
+             |  SELECT COUNT(*) AS n, CAST(SUM(cnt) AS BIGINT) AS s1,
+             |    CAST(SUM(cnt * cnt) AS BIGINT) AS s2
+             |  FROM hourly),
+             |refs AS (
+             |  SELECT
+             |    CAST(round((CAST(s1 AS DOUBLE) / n + 0.5 *
+             |      sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+             |        / (n - 1))) * 1e6, 0) AS BIGINT) AS refhi,
+             |    CAST(round((CAST(s1 AS DOUBLE) / n - 0.5 *
+             |      sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+             |        / (n - 1))) * 1e6, 0) AS BIGINT) AS reflo,
+             |    CAST(round(4.0 *
+             |      sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+             |        / (n - 1)) * 1e6, 0) AS BIGINT) AS alarm
+             |  FROM st),
+             |cums AS (
+             |  SELECT h, cnt, refs.alarm,
+             |    SUM(cnt * 1000000 - refs.refhi) OVER w AS chi,
+             |    SUM(refs.reflo - cnt * 1000000) OVER w AS clo
+             |  FROM hourly CROSS JOIN refs
+             |  WINDOW w AS (ORDER BY h ROWS UNBOUNDED PRECEDING)),
+             |walk AS (
+             |  SELECT h, cnt, alarm,
+             |    chi - LEAST(0, MIN(chi) OVER w) AS shi,
+             |    clo - LEAST(0, MIN(clo) OVER w) AS slo
+             |  FROM cums
+             |  WINDOW w AS (ORDER BY h ROWS UNBOUNDED PRECEDING))
+             |SELECT h, cnt,
+             |  round(CAST(shi AS DOUBLE) / 1e6, 6) AS cusum_hi,
+             |  round(CAST(slo AS DOUBLE) / 1e6, 6) AS cusum_lo,
+             |  shi > alarm AS alarm_hi,
+             |  slo > alarm AS alarm_lo
+             |FROM walk WHERE shi > alarm OR slo > alarm
+             |ORDER BY h""".stripMargin)),
+
     // STL-lite seasonal decomposition of hourly traffic (✚, the
     // decomposition q221 assumes and q255 diagnoses: split the series
     // into trend (centered 25-hour moving average), a 24-slot seasonal
