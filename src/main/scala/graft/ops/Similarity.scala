@@ -430,6 +430,91 @@ object Similarity {
              |WHERE sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) <= 0.02
              |ORDER BY a_id, b_id""".stripMargin)),
 
+    // Weiszfeld geometric median of the 2-D embedding projection (✚,
+    // the ROBUST center q189's grid and q136's centroids sit around:
+    // the mean chases outliers, the geometric median doesn't — it's
+    // the location estimate a contamination-tolerant monitor tracks).
+    // Three Weiszfeld iterations z ← Σ(pᵢ/dᵢ)/Σ(1/dᵢ) from the
+    // centroid start: each round is ONE map-side-combined aggregation
+    // of three round@9-DECIMAL sums (x/d, y/d, 1/d) — O(B) driver
+    // state per round, the kmeansCentroids class — and z re-rounds@9
+    // between rounds so both engines iterate on identical coordinates
+    // (the oracle unrolls the same three rounds). Coincident points
+    // (d = 0) are excluded from the round's sums by the textbook rule,
+    // identically on both sides.
+    QueryDef("q281_geometric_median",
+      (s, d) => {
+        val pts = Tables.embeddings(s, d).select(
+            element_at(Vectors.asDouble(col("embedding")), 1).as("x"),
+            element_at(Vectors.asDouble(col("embedding")), 2).as("y"))
+          .localCheckpoint()
+        def r9(x: Double) = BigDecimal.valueOf(x)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val c0 = pts.agg(
+          sum(round(col("x"), 9).cast("decimal(38,9)")).cast("double"),
+          sum(round(col("y"), 9).cast("decimal(38,9)")).cast("double"),
+          count(lit(1))).first()
+        var zx = r9(c0.getDouble(0) / c0.getLong(2))
+        var zy = r9(c0.getDouble(1) / c0.getLong(2))
+        for (_ <- 1 to 3) {
+          val dcol = sqrt((col("x") - zx) * (col("x") - zx) +
+            (col("y") - zy) * (col("y") - zy))
+          val r = pts.where(dcol > 0.0).agg(
+            sum(round(col("x") / dcol, 9).cast("decimal(38,9)"))
+              .cast("double"),
+            sum(round(col("y") / dcol, 9).cast("decimal(38,9)"))
+              .cast("double"),
+            sum(round(lit(1.0) / dcol, 9).cast("decimal(38,9)"))
+              .cast("double")).first()
+          zx = r9(r.getDouble(0) / r.getDouble(2))
+          zy = r9(r.getDouble(1) / r.getDouble(2))
+        }
+        val dFin = sqrt((col("x") - zx) * (col("x") - zx) +
+          (col("y") - zy) * (col("y") - zy))
+        pts.agg(count(lit(1)).as("n"),
+            sum(round(dFin, 9).cast("decimal(38,9)")).cast("double")
+              .as("sd"))
+          .select(col("n"), lit(zx).as("gm_x"), lit(zy).as("gm_y"),
+            round(col("sd") / col("n"), 6).as("mean_dist"))
+      },
+      Some {
+        val rounds = (1 to 3).map { k =>
+          s"""z$k AS (
+             |  SELECT
+             |    round(CAST(SUM(CAST(round(p.x / sqrt((p.x - z.zx) * (p.x - z.zx)
+             |        + (p.y - z.zy) * (p.y - z.zy)), 9) AS DECIMAL(38,9)))
+             |      AS DOUBLE) /
+             |      CAST(SUM(CAST(round(1.0 / sqrt((p.x - z.zx) * (p.x - z.zx)
+             |        + (p.y - z.zy) * (p.y - z.zy)), 9) AS DECIMAL(38,9)))
+             |      AS DOUBLE), 9) AS zx,
+             |    round(CAST(SUM(CAST(round(p.y / sqrt((p.x - z.zx) * (p.x - z.zx)
+             |        + (p.y - z.zy) * (p.y - z.zy)), 9) AS DECIMAL(38,9)))
+             |      AS DOUBLE) /
+             |      CAST(SUM(CAST(round(1.0 / sqrt((p.x - z.zx) * (p.x - z.zx)
+             |        + (p.y - z.zy) * (p.y - z.zy)), 9) AS DECIMAL(38,9)))
+             |      AS DOUBLE), 9) AS zy
+             |  FROM p CROSS JOIN z${k - 1} z
+             |  WHERE sqrt((p.x - z.zx) * (p.x - z.zx)
+             |    + (p.y - z.zy) * (p.y - z.zy)) > 0)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH p AS (
+           |  SELECT embedding[1]::DOUBLE AS x, embedding[2]::DOUBLE AS y
+           |  FROM embeddings),
+           |z0 AS (
+           |  SELECT
+           |    round(CAST(SUM(CAST(round(x, 9) AS DECIMAL(38,9))) AS DOUBLE)
+           |      / COUNT(*), 9) AS zx,
+           |    round(CAST(SUM(CAST(round(y, 9) AS DECIMAL(38,9))) AS DOUBLE)
+           |      / COUNT(*), 9) AS zy
+           |  FROM p),
+           |$rounds
+           |SELECT COUNT(*) AS n, z.zx AS gm_x, z.zy AS gm_y,
+           |  round(CAST(SUM(CAST(round(sqrt((p.x - z.zx) * (p.x - z.zx)
+           |    + (p.y - z.zy) * (p.y - z.zy)), 9) AS DECIMAL(38,9)))
+           |    AS DOUBLE) / COUNT(*), 6) AS mean_dist
+           |FROM p CROSS JOIN z3 z GROUP BY z.zx, z.zy""".stripMargin
+      }),
+
     // Embedding covariance audit over the leading 8 dims (✚, the
     // representation-health check an ANN/quantization pipeline runs
     // before q63's IVF or q95's PQ: strongly covarying dims mean the

@@ -1159,6 +1159,93 @@ object TrainPrep {
              |      1, 8))::BIGINT AS DOUBLE) + 0.5) / 4294967296.0)
              |    / n_chars * 1e6, 9) AS k
              |FROM documents
-             |ORDER BY k, doc_id LIMIT 100""".stripMargin))
+             |ORDER BY k, doc_id LIMIT 100""".stripMargin)),
+
+    // Raking / iterative proportional fitting (✚, the survey-
+    // calibration step a mixture pipeline runs when the corpus's
+    // (source × lang) composition must match target marginals without
+    // per-cell targets: weights start at 1 and alternately scale to
+    // hit each margin — 3 double-rounds here, the standard fast-
+    // converging schedule). The decisive scale fact: IPF weights are
+    // CELL-CONSTANT, so the whole iteration runs on the |S|×|L|
+    // contingency table — the corpus collapses in one aggregation and
+    // never re-enters (kmeansCentroids-class bounded driver state).
+    // Each scaled weight rounds@9 BEFORE the next round on both
+    // engines, so the iterations compound zero cross-engine drift;
+    // targets are uniform margins (1/|S|, 1/|L|) — the "balance the
+    // mixture" default.
+    QueryDef("q280_raking",
+      (s, d) => {
+        val cells0 = Tables.documents(s, d)
+          .groupBy("source", "lang").agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        val nTot = cells0.map(_._3).sum
+        val srcs = cells0.map(_._1).distinct.sorted
+        val langs = cells0.map(_._2).distinct.sorted
+        def r9(x: Double) = BigDecimal.valueOf(x)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        var w = cells0.map { case (src, lg, _) => (src, lg) -> 1.0 }.toMap
+        for (_ <- 1 to 3) {
+          // margin sums as exact scale-9 decimals — a raw double fold
+          // would be iteration-order-dependent
+          val bySrc = cells0.groupBy(_._1).map { case (src, cs) =>
+            src -> cs.map(c => BigDecimal.valueOf(w((c._1, c._2)) * c._3)
+              .setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+          }
+          w = cells0.map { case (src, lg, _) =>
+            (src, lg) -> r9(w((src, lg)) *
+              (nTot.toDouble / srcs.length / bySrc(src)))
+          }.toMap
+          val byLang = cells0.groupBy(_._2).map { case (lg, cs) =>
+            lg -> cs.map(c => BigDecimal.valueOf(w((c._1, c._2)) * c._3)
+              .setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+          }
+          w = cells0.map { case (src, lg, _) =>
+            (src, lg) -> r9(w((src, lg)) *
+              (nTot.toDouble / langs.length / byLang(lg)))
+          }.toMap
+        }
+        import s.implicits._
+        cells0.map { case (src, lg, n) => (src, lg, n, w((src, lg)))
+        }.toSeq.toDF("source", "lang", "n", "weight")
+          .select(col("source"), col("lang"), col("n"),
+            round(col("weight"), 6).as("weight"))
+          .orderBy("source", "lang")
+      },
+      Some {
+        // one unrolled (source-scale, lang-scale) pair per round;
+        // round@9 after each scale mirrors the Spark driver loop
+        val rounds = (1 to 3).map { k =>
+          s"""s$k AS (
+             |  SELECT source, CAST(SUM(CAST(round(w * n, 9)
+             |    AS DECIMAL(38,9))) AS DOUBLE) AS m
+             |  FROM c${2 * k - 2} GROUP BY source),
+             |c${2 * k - 1} AS (
+             |  SELECT c.source, c.lang, c.n,
+             |    round(c.w * (nt.t / ns.s / s$k.m), 9) AS w
+             |  FROM c${2 * k - 2} c JOIN s$k ON c.source = s$k.source
+             |  CROSS JOIN nt CROSS JOIN ns),
+             |l$k AS (
+             |  SELECT lang, CAST(SUM(CAST(round(w * n, 9)
+             |    AS DECIMAL(38,9))) AS DOUBLE) AS m
+             |  FROM c${2 * k - 1} GROUP BY lang),
+             |c${2 * k} AS (
+             |  SELECT c.source, c.lang, c.n,
+             |    round(c.w * (nt.t / nl.l / l$k.m), 9) AS w
+             |  FROM c${2 * k - 1} c JOIN l$k ON c.lang = l$k.lang
+             |  CROSS JOIN nt CROSS JOIN nl)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH c0 AS (
+           |  SELECT source, lang, COUNT(*) AS n, 1.0::DOUBLE AS w
+           |  FROM documents GROUP BY 1, 2),
+           |nt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM documents),
+           |ns AS (SELECT CAST(COUNT(DISTINCT source) AS DOUBLE) AS s
+           |       FROM documents),
+           |nl AS (SELECT CAST(COUNT(DISTINCT lang) AS DOUBLE) AS l
+           |       FROM documents),
+           |$rounds
+           |SELECT source, lang, n, round(w, 6) AS weight
+           |FROM c6 ORDER BY source, lang""".stripMargin
+      })
   )
 }
