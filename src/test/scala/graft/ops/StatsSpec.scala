@@ -552,6 +552,42 @@ class StatsSpec extends AnyFunSuite {
     assert(rows.length == 190)
   }
 
+  test("q280 raked weights drive source margins toward uniform") {
+    val rows = run("q280_raking").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val nTot = rows.map(_._3).sum.toDouble
+    val nSrc = rows.map(_._1).distinct.length
+    val raw = rows.groupBy(_._1).map { case (_, cs) =>
+      math.abs(cs.map(_._3).sum / nTot - 1.0 / nSrc) }.max
+    val raked = rows.groupBy(_._1).map { case (_, cs) =>
+      math.abs(cs.map(c => c._4 * c._3).sum / nTot - 1.0 / nSrc) }.max
+    // this corpus's raw source margin may already be exactly uniform —
+    // require strict tightening only when there is slack to tighten
+    if (raw > 0.01)
+      assert(raked < raw, s"raking must tighten the source margin: $raked vs $raw")
+    assert(raked < 0.01, s"3 rounds should land near uniform, off by $raked")
+    val nLang = rows.map(_._2).distinct.length
+    val rakedLang = rows.groupBy(_._2).map { case (_, cs) =>
+      math.abs(cs.map(c => c._4 * c._3).sum / nTot - 1.0 / nLang) }.max
+    assert(rakedLang < 1e-6, "the last scaling step hits the lang margin exactly")
+    assert(rows.forall(_._4 > 0.0))
+  }
+
+  test("q281 geometric median beats the mean on total distance") {
+    val pts = Tables.embeddings(spark, sf)
+      .select(col("embedding")).collect()
+      .map { r => val e = r.getSeq[Float](0); (e(0).toDouble, e(1).toDouble) }
+    val r = run("q281_geometric_median").collect().head
+    val (gx, gy) = (r.getDouble(1), r.getDouble(2))
+    def totalDist(cx: Double, cy: Double) = pts.map { case (x, y) =>
+      math.hypot(x - cx, y - cy) }.sum
+    val mx = pts.map(_._1).sum / pts.length
+    val my = pts.map(_._2).sum / pts.length
+    assert(totalDist(gx, gy) <= totalDist(mx, my) + 1e-9,
+      "Weiszfeld iterate must not be worse than the mean start")
+    assert(math.abs(r.getDouble(3) - totalDist(gx, gy) / pts.length) < 1e-4)
+  }
+
   test("q235 entropy-l never exceeds distinct-l and both bound 1") {
     val rows = run("q235_l_diversity").collect()
     assert(rows.nonEmpty)
