@@ -3416,6 +3416,94 @@ object Extras {
            |FROM v8 ORDER BY event_type""".stripMargin
       }),
 
+    // Absorption probabilities of the event-type chain (✚, q246's
+    // equilibrium asks where the chain SPENDS time; this asks how it
+    // ENDS: with 'purchase' and 'error' made absorbing, what is each
+    // transient state's probability of converting before failing —
+    // the funnel-prognosis number per current state). Same bounded
+    // |types|² matrix as q246 (the corpus collapses once); 16
+    // value-iteration rounds p ← P·p with p(purchase)=1, p(error)=0,
+    // each fold term rounded@9 into a scale-9 decimal sum — both
+    // engines iterate on identical vectors, zero compounded drift;
+    // round@6 out.
+    QueryDef("q282_absorption",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+        val trans = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("tsu"), col("event_id"))
+          .withColumn("prev", lag("event_type", 1).over(w))
+          .where(col("prev").isNotNull)
+          .groupBy(col("prev").as("a"), col("event_type").as("b"))
+          .agg(count(lit(1)).as("c"))
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        val rowSum = trans.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+        val p = trans.map { case (a, b, c) => (a, b, c.toDouble / rowSum(a)) }
+        val states = (trans.map(_._1) ++ trans.map(_._2)).distinct.sorted
+        def base(st: String) = st match {
+          case "purchase" => 1.0
+          case "error" => 0.0
+          case _ => 0.0
+        }
+        var v: Map[String, Double] = states.map(st => st -> base(st)).toMap
+        for (_ <- 1 to 16) {
+          val next = p.filter(e =>
+              e._1 != "purchase" && e._1 != "error" && v.contains(e._2))
+            .groupBy(_._1).view.mapValues { es =>
+              es.map { case (_, b, pp) =>
+                BigDecimal.valueOf(pp * v(b))
+                  .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+              }.sum.toDouble
+            }.toMap
+          v = states.map { st =>
+            st -> (if (st == "purchase") 1.0 else if (st == "error") 0.0
+                   else next.getOrElse(st, 0.0))
+          }.toMap
+        }
+        states.filter(st => st != "purchase" && st != "error")
+          .map(st => (st, v(st))).toSeq.toDF("state", "p_convert")
+          .select(col("state"), round(col("p_convert"), 6).as("p_convert"))
+          .orderBy("state")
+      },
+      Some {
+        val rounds = (1 to 16).map { k =>
+          s"""v$k AS (
+             |  SELECT s.st,
+             |    CASE WHEN s.st = 'purchase' THEN CAST(1.0 AS DOUBLE)
+             |         WHEN s.st = 'error' THEN CAST(0.0 AS DOUBLE)
+             |         ELSE COALESCE((
+             |           SELECT CAST(SUM(CAST(round(pm.p * v.v, 9)
+             |             AS DECIMAL(38,9))) AS DOUBLE)
+             |           FROM pm JOIN v${k - 1} v ON pm.b = v.st
+             |           WHERE pm.a = s.st), CAST(0.0 AS DOUBLE))
+             |    END AS v
+             |  FROM states s)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH tr AS (
+           |  SELECT prev AS a, event_type AS b, COUNT(*) AS c FROM (
+           |    SELECT event_type,
+           |      LAG(event_type) OVER (PARTITION BY user_id
+           |        ORDER BY epoch_us(ts), event_id) AS prev
+           |    FROM events) q
+           |  WHERE prev IS NOT NULL GROUP BY 1, 2),
+           |pm AS (
+           |  SELECT a, b, CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY a)
+           |    AS p
+           |  FROM tr),
+           |states AS (
+           |  SELECT DISTINCT a AS st FROM tr
+           |  UNION SELECT DISTINCT b FROM tr),
+           |v0 AS (
+           |  SELECT st, CASE WHEN st = 'purchase' THEN CAST(1.0 AS DOUBLE)
+           |                  ELSE CAST(0.0 AS DOUBLE) END AS v
+           |  FROM states),
+           |$rounds
+           |SELECT st AS state, round(v, 6) AS p_convert
+           |FROM v16 WHERE st NOT IN ('purchase', 'error')
+           |ORDER BY state""".stripMargin
+      }),
+
     // Per-user time-weighted average (✚, the TWAP/hold-last mean: a
     // metric sampled at irregular instants is averaged by HOW LONG each
     // reading held, not how often it was sampled — the standard fix for
