@@ -586,11 +586,17 @@ object Ann {
         val e = graft.Tables.embeddings(s, d)
           .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v"))
         val entries = centroidEntries(col("v"), cents)
-        val sorted = array_sort(entries)
+        // nearest + second-nearest WITHOUT array_sort: its comparator is
+        // an interpreted LambdaFunction (PlanSpec's scan-layout walker
+        // rightly flags it); array_min/array_remove are lambda-free and
+        // the (d, i) struct ordering makes them equivalent here because
+        // the i components are distinct (exactly one element removed)
+        val nearest = array_min(entries)
+        val second = array_min(array_remove(entries, nearest))
         val scored = e
-          .withColumn("cell", array_min(entries).getField("i"))
-          .withColumn("a", sqrt(element_at(sorted, 1).getField("d")))
-          .withColumn("b", sqrt(element_at(sorted, 2).getField("d")))
+          .withColumn("cell", nearest.getField("i"))
+          .withColumn("a", sqrt(nearest.getField("d")))
+          .withColumn("b", sqrt(second.getField("d")))
           .withColumn("sil",
             when(col("b") > 0.0, (col("b") - col("a")) / col("b"))
               .otherwise(lit(0.0)))

@@ -3548,6 +3548,255 @@ object Extras {
              |      9) AS DECIMAL(38,9))) AS DOUBLE) /
              |    (CAST(MAX(tsu) - MIN(ptsu) AS DOUBLE) / 1e6), 6) AS twap
              |FROM ev WHERE ptsu IS NOT NULL
-             |GROUP BY user_id ORDER BY user_id""".stripMargin))
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Co-purchase item-item recommendations (✚, the classic
+    // "customers who bought X also bought Y": cosine over the binary
+    // order×part incidence — n_ab/√(n_a·n_b) — top-3 neighbors per
+    // part). Pair generation is q238's basket discipline: a self-join
+    // keyed by l_orderkey, so the blowup is Σ C(basket,2) — bounded
+    // by basket size, never |parts|². Part frequencies join back on
+    // the 8-byte part key; the per-part cut is the bounded TopK FOLD
+    // (q86/q271's typed Aggregator — partial 3-row heaps merge
+    // map-side, no window over the doubled pair table). Determinism:
+    // integer counts, cosine round@6, neighbor-id tiebreak inside
+    // the fold's (−score, id) cap — a total order both engines see.
+    QueryDef("q284_copurchase_recs",
+      (s, d) => {
+        import s.implicits._
+        val b = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct().localCheckpoint()
+        val cnt = b.groupBy("pk").agg(count(lit(1)).as("np"))
+        val pr = b.select(col("ok"), col("pk").as("pa"))
+          .join(b.select(col("ok"), col("pk").as("pb")), "ok")
+          .where(col("pa") < col("pb"))
+          .groupBy("pa", "pb").agg(count(lit(1)).as("nab"))
+          .where(col("nab") >= 2)
+        val sym = pr.unionAll(pr.select(col("pb").as("pa"),
+          col("pa").as("pb"), col("nab")))
+        val sc = sym
+          .join(cnt.select(col("pk").as("pa"), col("np").as("na")), "pa")
+          .join(cnt.select(col("pk").as("pb"), col("np").as("nb")), "pb")
+          .select(col("pa").as("pk"), col("pb").as("rec"),
+            round(col("nab").cast("double") /
+              sqrt(col("na").cast("double") * col("nb").cast("double")), 6)
+              .as("cos"))
+        val topk = new graft.functions.Folds.TopK(3)
+        sc.as[(Long, Long, Double)]
+          .groupByKey(_._1)
+          .mapValues(t => (t._3, t._2))
+          .agg(topk.toColumn.name("top"))
+          .flatMap { case (pk, top) =>
+            top.zipWithIndex.map { case ((cos, rec), i) =>
+              (pk, (i + 1).toLong, rec, cos) }
+          }
+          .toDF("pk", "rank", "rec", "cos")
+          .orderBy("pk", "rank")
+      },
+      Some("""WITH b AS (
+             |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             |  FROM lineitem),
+             |cnt AS (SELECT pk, COUNT(*) AS np FROM b GROUP BY pk),
+             |pr AS (
+             |  SELECT x.pk AS pa, y.pk AS pb, COUNT(*) AS nab
+             |  FROM b x JOIN b y ON x.ok = y.ok AND x.pk < y.pk
+             |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |sym AS (
+             |  SELECT pa, pb, nab FROM pr
+             |  UNION ALL SELECT pb AS pa, pa AS pb, nab FROM pr),
+             |sc AS (
+             |  SELECT s.pa AS pk, s.pb AS rec,
+             |    round(CAST(s.nab AS DOUBLE) /
+             |      sqrt(CAST(ca.np AS DOUBLE) * CAST(cb.np AS DOUBLE)), 6)
+             |      AS cos
+             |  FROM sym s
+             |  JOIN cnt ca ON s.pa = ca.pk
+             |  JOIN cnt cb ON s.pb = cb.pk),
+             |r AS (
+             |  SELECT pk, rec, cos,
+             |    ROW_NUMBER() OVER (PARTITION BY pk
+             |      ORDER BY cos DESC, rec) AS rank
+             |  FROM sc)
+             |SELECT pk, rank, rec, cos FROM r WHERE rank <= 3
+             |ORDER BY pk, rank""".stripMargin)),
+
+    // Benford first-digit audit (✚, the forensic data-quality screen:
+    // organically-generated amounts follow log10(1+1/d); fabricated or
+    // truncated feeds don't — the chi-square contributions say WHICH
+    // digit bucket deviates). The first digit is extracted from the
+    // exact integer CENTS via string head (no float log on data — a
+    // power-of-10 boundary value can round log10 across the digit
+    // fence; the string head cannot), so the digit histogram is ONE
+    // map-side-combined 9-cell aggregation — nothing else leaves the
+    // corpus at 100 TB. Benford expectations are log10 on the 9
+    // CONSTANTS, round@9 on both engines (the q267 ln discipline);
+    // chi-square terms combine in identical double shape, round@6.
+    QueryDef("q285_benford",
+      (s, d) => {
+        val dig = substring(
+          round(col("o_totalprice") * 100, 0).cast("long").cast("string"),
+          1, 1).cast("int")
+        val hist = Tables.orders(s, d)
+          .select(dig.as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n_d"))
+        val tot = hist.agg(sum(col("n_d")).as("n")).select(col("n"))
+        val p = round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 9)
+        hist.crossJoin(broadcast(tot))
+          .select(col("digit"), col("n_d"),
+            round(col("n_d").cast("double") / col("n"), 6).as("share"),
+            round(p, 6).as("p_exp"),
+            round(
+              (col("n_d").cast("double") - col("n") * p) *
+                (col("n_d").cast("double") - col("n") * p) /
+                (col("n") * p), 6).as("chi2_term"))
+          .orderBy("digit")
+      },
+      Some("""WITH h AS (
+             |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0)
+             |      AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+             |    COUNT(*) AS n_d
+             |  FROM orders GROUP BY 1),
+             |n AS (SELECT CAST(SUM(n_d) AS BIGINT) AS n FROM h)
+             |SELECT digit, n_d,
+             |  round(CAST(n_d AS DOUBLE) / n.n, 6) AS share,
+             |  round(round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 9), 6)
+             |    AS p_exp,
+             |  round((CAST(n_d AS DOUBLE) - n.n *
+             |      round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 9)) *
+             |    (CAST(n_d AS DOUBLE) - n.n *
+             |      round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 9)) /
+             |    (n.n * round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 9)),
+             |    6) AS chi2_term
+             |FROM h CROSS JOIN n ORDER BY digit""".stripMargin)),
+
+    // Theil–Sen robust trend of weekly revenue (✚, the slope estimate
+    // an outlier week cannot drag: the MEDIAN of all pairwise slopes,
+    // reported against the OLS slope whose gap flags contamination).
+    // The corpus collapses to the calendar-bounded weekly series
+    // first (epoch-week integer key, cents-exact BIGINT revenue —
+    // one map-side-combined aggregation; at 100 TB the series is
+    // still ~360 rows, so the C(n,2) pair table is ~65k rows of two
+    // doubles — data-size-INDEPENDENT from there). Slopes are exact
+    // IEEE divisions of integers (identical both engines); the median
+    // ranks resolve via bounded TakeOrderedAndProject heaps, never a
+    // corpus sort; OLS moments are exact DECIMAL sums combined in
+    // identical double shape (the Spearman discipline), round@6.
+    QueryDef("q286_theil_sen",
+      (s, d) => {
+        val wkly = Tables.lineitem(s, d)
+          // l_shipdate ships as TIMESTAMP_NTZ; session-UTC cast keeps
+          // micros-since-epoch identical to DuckDB's naive epoch_us
+          .select(expr("CAST(unix_micros(CAST(l_shipdate AS TIMESTAMP)) " +
+              "div 604800000000 AS BIGINT)").as("wk"),
+            round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+          .groupBy("wk").agg(sum(col("cents")).as("rc"))
+          .localCheckpoint()
+        val nW = wkly.count()
+        val nP = nW * (nW - 1) / 2
+        val slopes = wkly.select(col("wk").as("wa"), col("rc").as("ra"))
+          .join(wkly.select(col("wk").as("wb"), col("rc").as("rb")),
+            col("wa") < col("wb"))
+          .select(((col("rb") - col("ra")).cast("double") /
+            (col("wb") - col("wa")).cast("double")).as("s"))
+        def kth(k: Long): Double = slopes
+          .orderBy(col("s")).limit(k.toInt)
+          .orderBy(col("s").desc).limit(1).first().getDouble(0)
+        val med = (kth((nP + 1) / 2) + kth(nP / 2 + 1)) / 2
+        wkly.agg(
+            sum(col("wk").cast("decimal(38,0)")).cast("double").as("sx"),
+            sum(col("rc").cast("decimal(38,0)")).cast("double").as("sy"),
+            sum((col("wk") * col("rc")).cast("decimal(38,0)")).cast("double")
+              .as("sxy"),
+            sum((col("wk") * col("wk")).cast("decimal(38,0)")).cast("double")
+              .as("sxx"))
+          .select(lit(nW).as("n_weeks"), lit(nP).as("n_pairs"),
+            round(lit(med), 6).as("ts_slope"),
+            round((lit(nW.toDouble) * col("sxy") - col("sx") * col("sy")) /
+              (lit(nW.toDouble) * col("sxx") - col("sx") * col("sx")), 6)
+              .as("ols_slope"))
+      },
+      Some("""WITH wkly AS (
+             |  SELECT epoch_us(l_shipdate) // 604800000000 AS wk,
+             |    CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+             |      AS BIGINT) AS rc
+             |  FROM lineitem GROUP BY 1),
+             |sl AS (
+             |  SELECT CAST(b.rc - a.rc AS DOUBLE) /
+             |    CAST(b.wk - a.wk AS DOUBLE) AS s
+             |  FROM wkly a JOIN wkly b ON a.wk < b.wk),
+             |n AS (
+             |  SELECT COUNT(*) AS nw,
+             |    (COUNT(*) * (COUNT(*) - 1)) // 2 AS np
+             |  FROM wkly),
+             |r AS (SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS rn FROM sl),
+             |med AS (
+             |  SELECT ((SELECT s FROM r, n WHERE rn = (n.np + 1) // 2) +
+             |          (SELECT s FROM r, n WHERE rn = n.np // 2 + 1)) / 2
+             |    AS m),
+             |ols AS (
+             |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             |    CAST(SUM(CAST(wk AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             |    CAST(SUM(CAST(rc AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             |    CAST(SUM(CAST(wk * rc AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+             |    CAST(SUM(CAST(wk * wk AS DECIMAL(38,0))) AS DOUBLE) AS sxx
+             |  FROM wkly)
+             |SELECT n.nw AS n_weeks, n.np AS n_pairs,
+             |  round(med.m, 6) AS ts_slope,
+             |  round((o.n * o.sxy - o.sx * o.sy) /
+             |        (o.n * o.sxx - o.sx * o.sx), 6) AS ols_slope
+             |FROM n, med, ols o""".stripMargin)),
+
+    // Seasonal-naive forecast backtest (✚, the forecasting floor every
+    // model must beat: predict each hour's event value by the value
+    // 24 hours earlier, score MAE against the same-series 1-hour-lag
+    // naive — skill < 1 means daily seasonality is real and a
+    // capacity forecast should use it). The corpus collapses to the
+    // calendar-bounded hourly series (epoch-hour integer key,
+    // cents-exact sums) in ONE map-side-combined pass; both forecast
+    // joins are then equality joins on the bounded series — at 100 TB
+    // nothing after the first aggregation scales with data. Absolute
+    // errors stay exact BIGINTs until the final divisions, round@6.
+    QueryDef("q288_seasonal_naive",
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .select(expr("CAST(unix_micros(ts) div 3600000000 AS BIGINT)")
+              .as("hr"),
+            round(col("value") * 100, 0).cast("long").as("cents"))
+          .groupBy("hr").agg(sum(col("cents")).as("vc"))
+          .localCheckpoint()
+        val j = hourly
+          .join(hourly.select((col("hr") + 24).as("hr"),
+            col("vc").as("v24")), "hr")
+          .join(hourly.select((col("hr") + 1).as("hr"),
+            col("vc").as("v1")), "hr")
+        j.agg(count(lit(1)).as("n_hours"),
+            sum(abs(col("vc") - col("v24"))).as("se"),
+            sum(abs(col("vc") - col("v1"))).as("ne"))
+          .select(col("n_hours"),
+            round(col("se").cast("double") / col("n_hours") / 100, 6)
+              .as("mae_seasonal"),
+            round(col("ne").cast("double") / col("n_hours") / 100, 6)
+              .as("mae_naive"),
+            round(col("se").cast("double") / col("ne"), 6).as("skill"))
+      },
+      Some("""WITH hourly AS (
+             |  SELECT epoch_us(ts) // 3600000000 AS hr,
+             |    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+             |      AS vc
+             |  FROM events GROUP BY 1),
+             |j AS (
+             |  SELECT h.hr, h.vc, s24.vc AS v24, s1.vc AS v1
+             |  FROM hourly h
+             |  JOIN hourly s24 ON h.hr = s24.hr + 24
+             |  JOIN hourly s1 ON h.hr = s1.hr + 1)
+             |SELECT COUNT(*) AS n_hours,
+             |  round(CAST(SUM(abs(vc - v24)) AS DOUBLE) / COUNT(*) / 100, 6)
+             |    AS mae_seasonal,
+             |  round(CAST(SUM(abs(vc - v1)) AS DOUBLE) / COUNT(*) / 100, 6)
+             |    AS mae_naive,
+             |  round(CAST(SUM(abs(vc - v24)) AS DOUBLE) / SUM(abs(vc - v1)),
+             |    6) AS skill
+             |FROM j""".stripMargin))
   )
 }

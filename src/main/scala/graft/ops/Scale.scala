@@ -855,6 +855,59 @@ object Scale {
              |  a.r - b.r AS delta
              |FROM ranked a JOIN ranked b
              |  ON a.pk = b.pk AND a.period = 'a' AND b.period = 'b'
-             |ORDER BY abs(a.r - b.r) DESC, a.pk LIMIT 20""".stripMargin))
+             |ORDER BY abs(a.r - b.r) DESC, a.pk LIMIT 20""".stripMargin)),
+
+    // Join-key skew diagnostic (✚, the pre-flight report THIS file's
+    // own machinery keys off: before a 100 TB fact-fact join, is the
+    // key skewed enough to need saltedJoin/AQE skew splitting? The
+    // report is the evidence — max/mean frequency ratio, p50/p99
+    // frequency, and the mass share of the 10 heaviest keys). The
+    // frequency table is ONE map-side-combined count keyed by the
+    // 8-byte join key; p50/p99 resolve through selectKths' bounded
+    // refinement (one shared round series for both ranks — never a
+    // sort of the key table); the heavy-hitter mass is a bounded
+    // TakeOrderedAndProject heap. Integer ranks use exact integer
+    // ceil arithmetic ((n+1)/2, (99n+99)/100) on BOTH engines; the
+    // two ratios combine in identical double shape, round@6.
+    QueryDef("q287_skew_audit",
+      (s, d) => {
+        val freq = Tables.lineitem(s, d)
+          .groupBy(col("l_partkey").as("pk"))
+          .agg(count(lit(1)).as("cnt"))
+          .localCheckpoint()
+        val nk = freq.count()
+        val k50 = (nk + 1) / 2
+        val k99 = (99 * nk + 99) / 100
+        val qs = OrderStats.selectKths(freq, col("cnt"), Seq(k50, k99))
+        val t10 = freq.orderBy(col("cnt").desc, col("pk")).limit(10)
+          .agg(sum(col("cnt"))).first().getLong(0)
+        freq.agg(sum(col("cnt")).as("tot"), max(col("cnt")).as("mx"))
+          .select(lit(nk).as("n_keys"), col("mx").as("max_cnt"),
+            lit(qs(k50).toLong).as("p50"), lit(qs(k99).toLong).as("p99"),
+            round(col("mx").cast("double") * lit(nk) / col("tot"), 6)
+              .as("skew_ratio"),
+            round(lit(t10).cast("double") / col("tot"), 6)
+              .as("top10_share"))
+      },
+      Some("""WITH freq AS (
+             |  SELECT l_partkey AS pk, COUNT(*) AS cnt
+             |  FROM lineitem GROUP BY 1),
+             |n AS (
+             |  SELECT COUNT(*) AS nk, CAST(SUM(cnt) AS BIGINT) AS tot,
+             |    MAX(cnt) AS mx
+             |  FROM freq),
+             |r AS (
+             |  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt, pk) AS rn
+             |  FROM freq),
+             |t10 AS (
+             |  SELECT CAST(SUM(cnt) AS BIGINT) AS s FROM (
+             |    SELECT cnt FROM freq ORDER BY cnt DESC, pk LIMIT 10))
+             |SELECT n.nk AS n_keys, n.mx AS max_cnt,
+             |  (SELECT cnt FROM r, n WHERE rn = (n.nk + 1) // 2) AS p50,
+             |  (SELECT cnt FROM r, n WHERE rn = (99 * n.nk + 99) // 100)
+             |    AS p99,
+             |  round(CAST(n.mx AS DOUBLE) * n.nk / n.tot, 6) AS skew_ratio,
+             |  round(CAST(t10.s AS DOUBLE) / n.tot, 6) AS top10_share
+             |FROM n, t10""".stripMargin))
   )
 }

@@ -568,6 +568,126 @@ object Similarity {
            |  FROM embeddings)
            |$rows
            |ORDER BY i, j""".stripMargin
+      }),
+
+    // Top principal component by power iteration (✚, the step AFTER
+    // q239's covariance audit: the leading eigenvector says which
+    // single direction carries the representation's variance — the
+    // number a dimensionality-reduction or whitening decision reads
+    // first, and a var_share near 1.0 flags a collapsed encoder).
+    // The corpus collapses in the SAME single 45-cell scan as q239
+    // (one map-side-combined aggregation, nothing per-row leaves the
+    // scan — at 100 TB the iteration input is one cached row); 8
+    // power rounds w ← C·v run on the bounded 8×8 matrix driver-side
+    // (the kmeansCentroids/q246 class of bounded state). Parity is
+    // the q246 discipline: covariance cells round@9, every matvec
+    // term round@9 into an exact DECIMAL(38,9) sum, the vector
+    // re-normalized by its max-|·| component (sign kept, tie → lowest
+    // dim) and re-rounded@9 each round — both engines iterate on
+    // IDENTICAL vectors, so 8 rounds compound zero drift; λ is the
+    // Rayleigh quotient of the final vector, var_share = λ/trace(C),
+    // round@6 out.
+    QueryDef("q283_pca_power",
+      (s, d) => {
+        import s.implicits._
+        val D = 8
+        val e = Tables.embeddings(s, d)
+          .select(Vectors.asDouble(col("embedding")).as("v"))
+        def x(i: Int) = element_at(col("v"), i)
+        def dsum9(c: org.apache.spark.sql.Column) =
+          sum(round(c, 9).cast("decimal(38,9)")).cast("double")
+        val aggs =
+          Seq(count(lit(1)).cast("double").as("n")) ++
+          (1 to D).map(i => dsum9(x(i)).as(s"s_$i")) ++
+          (for (i <- 1 to D; j <- i to D)
+            yield dsum9(x(i) * x(j)).as(s"s_${i}_$j"))
+        val row = e.agg(aggs.head, aggs.tail: _*).first()
+        val n = row.getDouble(0)
+        def g(name: String) = row.getDouble(row.fieldIndex(name))
+        def r9(v: Double) = BigDecimal.valueOf(v)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        def r9bd(v: Double) = BigDecimal.valueOf(v)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        // symmetric covariance matrix, cells round@9 (oracle-identical)
+        val c = Array.tabulate(D, D) { (i0, j0) =>
+          val (i, j) = (math.min(i0, j0) + 1, math.max(i0, j0) + 1)
+          r9((g(s"s_${i}_$j") - g(s"s_$i") * g(s"s_$j") / n) / n)
+        }
+        var v = Array.fill(D)(1.0)
+        def matvec(u: Array[Double]): Array[Double] =
+          Array.tabulate(D) { i =>
+            (0 until D).map(j => r9bd(c(i)(j) * u(j))).sum.toDouble
+          }
+        for (_ <- 1 to 8) {
+          val w = matvec(v)
+          val ref = w.zipWithIndex
+            .maxBy { case (wv, i) => (math.abs(wv), -i) }._1
+          v = w.map(wv => r9(wv / ref))
+        }
+        val w9 = matvec(v)
+        val num = (0 until D).map(i => r9bd(v(i) * w9(i))).sum.toDouble
+        val den = (0 until D).map(i => r9bd(v(i) * v(i))).sum.toDouble
+        val trace = (0 until D).map(i => r9bd(c(i)(i))).sum.toDouble
+        (1 to D).map(i => (i, v(i - 1))).toDF("dim", "loading")
+          .select(col("dim").cast("int").as("dim"),
+            round(col("loading"), 6).as("loading"),
+            round(lit(num / den), 6).as("lam"),
+            round(lit(num / den / trace), 6).as("var_share"))
+          .orderBy("dim")
+      },
+      Some {
+        val D = 8
+        val sums =
+          (1 to D).map(i =>
+            s"SUM(CAST(round(embedding[$i]::DOUBLE, 9) AS DECIMAL(38,9))) AS s_$i") ++
+          (for (i <- 1 to D; j <- i to D) yield
+            s"SUM(CAST(round(embedding[$i]::DOUBLE * embedding[$j]::DOUBLE, 9) " +
+              s"AS DECIMAL(38,9))) AS s_${i}_$j")
+        val cellRows = (for (i <- 1 to D; j <- i to D) yield
+          s"SELECT $i AS i, $j AS j, round((CAST(s_${i}_$j AS DOUBLE) - " +
+            s"CAST(s_$i AS DOUBLE) * CAST(s_$j AS DOUBLE) / n) / n, 9) AS cov FROM a")
+          .mkString("\nUNION ALL ")
+        val rounds = (1 to 8).map { k =>
+          s"""w$k AS MATERIALIZED (
+             |  SELECT cm.i AS d,
+             |    CAST(SUM(CAST(round(cm.cov * v.v, 9) AS DECIMAL(38,9)))
+             |      AS DOUBLE) AS w
+             |  FROM cm JOIN v${k - 1} v ON cm.j = v.d GROUP BY cm.i),
+             |v$k AS MATERIALIZED (
+             |  SELECT d, round(w / (SELECT w FROM w$k
+             |    ORDER BY abs(w) DESC, d LIMIT 1), 9) AS v
+             |  FROM w$k)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH a AS MATERIALIZED (
+           |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, ${sums.mkString(",\n    ")}
+           |  FROM embeddings),
+           |cells AS MATERIALIZED (
+           |$cellRows),
+           |cm AS MATERIALIZED (
+           |  SELECT i, j, cov FROM cells
+           |  UNION ALL SELECT j AS i, i AS j, cov FROM cells WHERE i <> j),
+           |v0 AS (
+           |  SELECT DISTINCT i AS d, CAST(1.0 AS DOUBLE) AS v FROM cells),
+           |$rounds,
+           |w9 AS MATERIALIZED (
+           |  SELECT cm.i AS d,
+           |    CAST(SUM(CAST(round(cm.cov * v.v, 9) AS DECIMAL(38,9)))
+           |      AS DOUBLE) AS w
+           |  FROM cm JOIN v8 v ON cm.j = v.d GROUP BY cm.i),
+           |fin AS (
+           |  SELECT
+           |    CAST(SUM(CAST(round(v.v * w.w, 9) AS DECIMAL(38,9)))
+           |      AS DOUBLE) AS num,
+           |    CAST(SUM(CAST(round(v.v * v.v, 9) AS DECIMAL(38,9)))
+           |      AS DOUBLE) AS den
+           |  FROM v8 v JOIN w9 w ON v.d = w.d),
+           |tr AS (
+           |  SELECT CAST(SUM(CAST(cov AS DECIMAL(38,9))) AS DOUBLE) AS t
+           |  FROM cells WHERE i = j)
+           |SELECT CAST(v.d AS INT) AS dim, round(v.v, 6) AS loading,
+           |  round(fin.num / fin.den, 6) AS lam,
+           |  round(fin.num / fin.den / tr.t, 6) AS var_share
+           |FROM v8 v CROSS JOIN fin CROSS JOIN tr ORDER BY dim""".stripMargin
       })
   )
 }
