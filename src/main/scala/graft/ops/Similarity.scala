@@ -29,6 +29,40 @@ object Similarity {
       .select(col("vec_id"), col("label"), Vectors.asDouble(col("embedding")).as("v"))
       .withColumn("nrm", Vectors.norm2(col("v")))
 
+  /** q283's bounded-state power iteration: `rounds` rounds of w ← C·v
+    * from the all-ones start, each matvec term round@9 into an exact
+    * decimal sum and the vector renormalized by its max-|·| component
+    * (sign kept, tie → lowest index) and re-rounded@9 — the EXACT
+    * arithmetic the unrolled SQL oracle replays, so both engines
+    * iterate on identical vectors. Returns (vector, Rayleigh λ).
+    * Convergence is spectrum-dependent (near-isotropic input ⇒ the
+    * 8-round iterate is an honest partial estimate; a dominant
+    * direction — the case the audit exists to flag — converges fast;
+    * SimilaritySpec pins both behaviors). */
+  private[ops] def powerIterate(c: Array[Array[Double]], rounds: Int)
+      : (Array[Double], Double) = {
+    val d = c.length
+    def r9(v: Double) = BigDecimal.valueOf(v)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r9bd(v: Double) = BigDecimal.valueOf(v)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def matvec(u: Array[Double]): Array[Double] =
+      Array.tabulate(d) { i =>
+        (0 until d).map(j => r9bd(c(i)(j) * u(j))).sum.toDouble
+      }
+    var v = Array.fill(d)(1.0)
+    for (_ <- 1 to rounds) {
+      val w = matvec(v)
+      val ref = w.zipWithIndex
+        .maxBy { case (wv, i) => (math.abs(wv), -i) }._1
+      v = w.map(wv => r9(wv / ref))
+    }
+    val w = matvec(v)
+    val num = (0 until d).map(i => r9bd(v(i) * w(i))).sum.toDouble
+    val den = (0 until d).map(i => r9bd(v(i) * v(i))).sum.toDouble
+    (v, num / den)
+  }
+
   private val cosSql =
     """round(
       |    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
@@ -606,33 +640,21 @@ object Similarity {
         def g(name: String) = row.getDouble(row.fieldIndex(name))
         def r9(v: Double) = BigDecimal.valueOf(v)
           .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
-        def r9bd(v: Double) = BigDecimal.valueOf(v)
-          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
         // symmetric covariance matrix, cells round@9 (oracle-identical)
         val c = Array.tabulate(D, D) { (i0, j0) =>
           val (i, j) = (math.min(i0, j0) + 1, math.max(i0, j0) + 1)
           r9((g(s"s_${i}_$j") - g(s"s_$i") * g(s"s_$j") / n) / n)
         }
-        var v = Array.fill(D)(1.0)
-        def matvec(u: Array[Double]): Array[Double] =
-          Array.tabulate(D) { i =>
-            (0 until D).map(j => r9bd(c(i)(j) * u(j))).sum.toDouble
-          }
-        for (_ <- 1 to 8) {
-          val w = matvec(v)
-          val ref = w.zipWithIndex
-            .maxBy { case (wv, i) => (math.abs(wv), -i) }._1
-          v = w.map(wv => r9(wv / ref))
-        }
-        val w9 = matvec(v)
-        val num = (0 until D).map(i => r9bd(v(i) * w9(i))).sum.toDouble
-        val den = (0 until D).map(i => r9bd(v(i) * v(i))).sum.toDouble
-        val trace = (0 until D).map(i => r9bd(c(i)(i))).sum.toDouble
+        val (v, lam) = powerIterate(c, 8)
+        val trace = (0 until D).map { i =>
+          BigDecimal.valueOf(c(i)(i))
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        }.sum.toDouble
         (1 to D).map(i => (i, v(i - 1))).toDF("dim", "loading")
           .select(col("dim").cast("int").as("dim"),
             round(col("loading"), 6).as("loading"),
-            round(lit(num / den), 6).as("lam"),
-            round(lit(num / den / trace), 6).as("var_share"))
+            round(lit(lam), 6).as("lam"),
+            round(lit(lam / trace), 6).as("var_share"))
           .orderBy("dim")
       },
       Some {
