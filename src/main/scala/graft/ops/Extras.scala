@@ -3582,16 +3582,17 @@ object Extras {
             round(col("nab").cast("double") /
               sqrt(col("na").cast("double") * col("nb").cast("double")), 6)
               .as("cos"))
-        val topk = new graft.functions.Folds.TopK(3)
-        sc.as[(Long, Long, Double)]
-          .groupByKey(_._1)
-          .mapValues(t => (t._3, t._2))
-          .agg(topk.toColumn.name("top"))
-          .flatMap { case (pk, top) =>
-            top.zipWithIndex.map { case ((cos, rec), i) =>
-              (pk, (i + 1).toLong, rec, cos) }
-          }
-          .toDF("pk", "rank", "rec", "cos")
+        // per-part cut: pk is the HIGH-cardinality axis, so a rank
+        // window is scale-safe here (the q29/q34 regime — the fold is
+        // for low-cardinality group axes like q86/q271's source) and
+        // skips the typed fold's encoder round-trip; measured at 10x
+        // the two forms are within box noise of each other, and the
+        // stage profile puts the cost in pair generation (the
+        // inherent part), not the cut
+        val w = Window.partitionBy("pk").orderBy(col("cos").desc, col("rec"))
+        sc.withColumn("rank", row_number().over(w).cast("long"))
+          .where(col("rank") <= 3)
+          .select("pk", "rank", "rec", "cos")
           .orderBy("pk", "rank")
       },
       Some("""WITH b AS (
