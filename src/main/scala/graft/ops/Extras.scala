@@ -3798,6 +3798,295 @@ object Extras {
              |    AS mae_naive,
              |  round(CAST(SUM(abs(vc - v24)) AS DOUBLE) / SUM(abs(vc - v1)),
              |    6) AS skill
-             |FROM j""".stripMargin))
+             |FROM j""".stripMargin)),
+
+    // Lead–lag cross-correlation between event-type series (✚, the
+    // "does signup activity LEAD purchases, and by how many hours"
+    // question — q255's autocorrelation asks it of one series; this
+    // screens every ordered type pair at lags 0–6 and reports the
+    // best lag). The corpus collapses to the calendar-bounded
+    // (type, hour) series in ONE map-side pass; everything after —
+    // the 7-row lag attach, the shifted equality self-join, the
+    // per-(pair, lag) Pearson moments — works on |types|×|hours|
+    // rows, data-size-INDEPENDENT at 100 TB. Moments are exact
+    // DECIMAL sums of integer cents products, combined in identical
+    // double shape (the Spearman discipline), round@6; the best-lag
+    // cut is a bounded 7-row window per pair (corr desc, lag asc).
+    QueryDef("q289_lead_lag",
+      (s, d) => {
+        import s.implicits._
+        val ser = Tables.events(s, d)
+          .select(col("event_type").as("t"),
+            expr("CAST(unix_micros(ts) div 3600000000 AS BIGINT)").as("hr"),
+            round(col("value") * 100, 0).cast("long").as("c"))
+          .groupBy("t", "hr").agg(sum(col("c")).as("v"))
+          .localCheckpoint()
+        val lags = (0 to 6).toDF("lag")
+        val a = ser.select(col("t").as("ta"), col("hr"), col("v").as("x"))
+          .crossJoin(broadcast(lags))
+        val b = ser.crossJoin(broadcast(lags))
+          .select(col("t").as("tb"), (col("hr") - col("lag")).as("hr"),
+            col("v").as("y"), col("lag"))
+        // b's hr is shifted by the SAME lag value, so the equality join
+        // on (hr, lag) aligns x[t] with y[t+lag]
+        val j = a.join(b.as("bb"), Seq("hr", "lag"))
+          .where(col("ta") =!= col("tb"))
+        val m = j.groupBy("ta", "tb", "lag")
+          .agg(count(lit(1)).as("n"),
+            sum(col("x").cast("decimal(38,0)")).cast("double").as("sx"),
+            sum(col("y").cast("decimal(38,0)")).cast("double").as("sy"),
+            sum((col("x") * col("y")).cast("decimal(38,0)")).cast("double")
+              .as("sxy"),
+            sum((col("x") * col("x")).cast("decimal(38,0)")).cast("double")
+              .as("sxx"),
+            sum((col("y") * col("y")).cast("decimal(38,0)")).cast("double")
+              .as("syy"))
+          .select(col("ta"), col("tb"), col("lag"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+               sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+              .as("corr"))
+        val w = Window.partitionBy("ta", "tb")
+          .orderBy(col("corr").desc, col("lag"))
+        m.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("ta"), col("tb"), col("lag").cast("long").as("best_lag"),
+            col("corr").as("best_corr"))
+          .orderBy("ta", "tb")
+      },
+      Some("""WITH ser AS (
+             |  SELECT event_type AS t, epoch_us(ts) // 3600000000 AS hr,
+             |    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+             |      AS v
+             |  FROM events GROUP BY 1, 2),
+             |lags AS (SELECT UNNEST(range(0, 7)) AS lag),
+             |j AS (
+             |  SELECT a.t AS ta, b.t AS tb, l.lag, a.v AS x, b.v AS y
+             |  FROM ser a CROSS JOIN lags l
+             |  JOIN ser b ON b.hr = a.hr + l.lag AND a.t <> b.t),
+             |m AS (
+             |  SELECT ta, tb, lag, CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             |    CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             |    CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+             |    CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             |    CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+             |  FROM j GROUP BY 1, 2, 3),
+             |sc AS (
+             |  SELECT ta, tb, lag,
+             |    round((n * sxy - sx * sy) /
+             |      (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+             |      AS corr
+             |  FROM m),
+             |r AS (
+             |  SELECT ta, tb, lag, corr,
+             |    ROW_NUMBER() OVER (PARTITION BY ta, tb
+             |      ORDER BY corr DESC, lag) AS rn
+             |  FROM sc)
+             |SELECT ta, tb, lag AS best_lag, corr AS best_corr
+             |FROM r WHERE rn = 1 ORDER BY ta, tb""".stripMargin)),
+
+    // Funnel time-to-convert percentiles (✚, q100 counts WHO converts;
+    // this says HOW FAST: per user, latency from first 'view' to the
+    // first 'purchase' after it, with p25/p50/p90 resolved through
+    // selectKths' bounded refinement — one shared round series for all
+    // three ranks, never a sort of the latency table). First-view is
+    // one map-side-combined min per user; the qualifying purchase min
+    // re-keys by the 8-byte user id only. Integer-exact ranks
+    // (ceil(q·n) = (q·n+99)//100 both engines); latencies are integer
+    // micros so the selected values are exact, surfaced in seconds
+    // round@6.
+    QueryDef("q290_time_to_convert",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("tsu"))
+        val tv = ev.where(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("tsu")).as("tv"))
+        val lat = ev.where(col("event_type") === "purchase")
+          .join(tv, "user_id")
+          .where(col("tsu") > col("tv"))
+          .groupBy("user_id").agg((min(col("tsu")) - min(col("tv")))
+            .as("lat"))
+          .localCheckpoint()
+        val n = lat.count()
+        def k(q: Long) = (q * n + 99) / 100
+        val qs = OrderStats.selectKths(lat, col("lat"),
+          Seq(k(25), k(50), k(90)))
+        lat.agg(count(lit(1)).as("n_users"))
+          .select(col("n_users"),
+            round(lit(qs(k(25))) / 1e6, 6).as("p25_s"),
+            round(lit(qs(k(50))) / 1e6, 6).as("p50_s"),
+            round(lit(qs(k(90))) / 1e6, 6).as("p90_s"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+             |tv AS (
+             |  SELECT user_id, MIN(tsu) AS tv FROM ev
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |lat AS (
+             |  SELECT ev.user_id, MIN(ev.tsu) - MIN(tv.tv) AS lat
+             |  FROM ev JOIN tv ON ev.user_id = tv.user_id
+             |  WHERE ev.event_type = 'purchase' AND ev.tsu > tv.tv
+             |  GROUP BY 1),
+             |r AS (
+             |  SELECT lat, ROW_NUMBER() OVER (ORDER BY lat) AS rn FROM lat),
+             |n AS (SELECT COUNT(*) AS n FROM lat)
+             |SELECT n.n AS n_users,
+             |  round((SELECT lat FROM r, n WHERE rn = (25 * n.n + 99) // 100)
+             |    / 1e6, 6) AS p25_s,
+             |  round((SELECT lat FROM r, n WHERE rn = (50 * n.n + 99) // 100)
+             |    / 1e6, 6) AS p50_s,
+             |  round((SELECT lat FROM r, n WHERE rn = (90 * n.n + 99) // 100)
+             |    / 1e6, 6) AS p90_s
+             |FROM n""".stripMargin)),
+
+    // Haar wavelet energy decomposition (✚, the poor-man's spectrum
+    // that needs no FFT and no floats: which time scales carry the
+    // hourly revenue signal's variation — hour-to-hour jitter, daily
+    // structure, or week-scale drift. Unnormalized Haar keeps EVERY
+    // number an exact integer: level k pairs adjacent values into
+    // sum and difference, energy_k = Σ diff², all in DECIMAL(38,0)).
+    // The corpus collapses to the dense 512-hour cents series in one
+    // map-side pass (missing hours are exact zeros); the 9-level
+    // cascade runs on that bounded vector driver-side (the q246
+    // class), and the oracle replays it as 9 unrolled grouped CTEs —
+    // integer arithmetic end to end, so parity is exact, not
+    // rounded. Energies surface as DOUBLE (< 2^53 at any tested SF)
+    // with the per-level share round@6.
+    QueryDef("q291_haar_energy",
+      (s, d) => {
+        import s.implicits._
+        val N = 512
+        val hourly = Tables.events(s, d)
+          .select(expr("CAST(unix_micros(ts) div 3600000000 AS BIGINT)")
+              .as("hr"),
+            round(col("value") * 100, 0).cast("long").as("c"))
+          .groupBy("hr").agg(sum(col("c")).as("v"))
+        val h0 = hourly.agg(min(col("hr"))).first().getLong(0)
+        val vals = hourly.select((col("hr") - h0).as("idx"), col("v"))
+          .where(col("idx") < N)
+          .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+        var series = Array.tabulate(N)(i => BigInt(vals.getOrElse(i, 0L)))
+        val levels = Seq.newBuilder[(Int, Long, BigInt)]
+        var level = 1
+        while (series.length > 1) {
+          val n = series.length / 2
+          val sums = Array.tabulate(n)(i => series(2 * i) + series(2 * i + 1))
+          val diffs = Array.tabulate(n)(i => series(2 * i) - series(2 * i + 1))
+          levels += ((level, n.toLong, diffs.map(x => x * x).sum))
+          series = sums
+          level += 1
+        }
+        val rows = levels.result()
+        val total = rows.map(_._3).sum.toDouble
+        rows.map { case (l, n, e) => (l, n, e.toDouble) }
+          .toDF("level", "n_pairs", "energy")
+          .select(col("level").cast("int").as("level"), col("n_pairs"),
+            col("energy"),
+            round(col("energy") / lit(total), 6).as("share"))
+          .orderBy("level")
+      },
+      Some {
+        val levels = (1 to 9).map { k =>
+          s"""l$k AS MATERIALIZED (
+             |  SELECT idx // 2 AS idx, SUM(v) AS v,
+             |    SUM(CASE WHEN idx % 2 = 0 THEN v ELSE -v END) AS d
+             |  FROM l${k - 1} GROUP BY 1)""".stripMargin
+        }.mkString(",\n")
+        val arms = (1 to 9).map { k =>
+          s"SELECT $k AS level, CAST(COUNT(*) AS BIGINT) AS n_pairs, " +
+            s"SUM(CAST(d * d AS DECIMAL(38,0))) AS energy_d FROM l$k"
+        }.mkString("\nUNION ALL ")
+        s"""WITH hourly AS (
+           |  SELECT epoch_us(ts) // 3600000000 AS hr,
+           |    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+           |  FROM events GROUP BY 1),
+           |h0 AS (SELECT MIN(hr) AS h0 FROM hourly),
+           |l0 AS MATERIALIZED (
+           |  SELECT g.i AS idx, COALESCE(h.v, 0) AS v
+           |  FROM (SELECT UNNEST(range(0, 512)) AS i) g
+           |  LEFT JOIN (SELECT hr - h0.h0 AS idx, v FROM hourly, h0) h
+           |    ON h.idx = g.i),
+           |$levels,
+           |e AS MATERIALIZED (
+           |$arms),
+           |tot AS (SELECT CAST(SUM(energy_d) AS DOUBLE) AS t FROM e)
+           |SELECT level, n_pairs, CAST(energy_d AS DOUBLE) AS energy,
+           |  round(CAST(energy_d AS DOUBLE) / tot.t, 6) AS share
+           |FROM e CROSS JOIN tot ORDER BY level""".stripMargin
+      }),
+
+    // Two-proportion uplift screen (✚, the comparative follow-up to
+    // q272's per-source Wilson CIs: on days a user hit an 'error', do
+    // they convert less? Reports both cohorts' conversion, the risk
+    // ratio, and the pooled two-proportion z — the first number an
+    // incident review asks for). The analysis unit is (user, day) —
+    // the user axis alone is too coarse on this corpus (every user
+    // hits an error eventually; day cells make exposure an actual
+    // split). One map-side-combined boolean aggregation per unit, one
+    // 4-cell contingency collapse — nothing corpus-sized after the
+    // first groupBy at 100 TB. Counts stay exact integers; the z and
+    // ratio combine in identical double shape, round@6.
+    QueryDef("q292_uplift_screen",
+      (s, d) => {
+        val u = Tables.events(s, d)
+          .groupBy(col("user_id"),
+            expr("CAST(unix_micros(ts) div 86400000000 AS BIGINT)")
+              .as("day"))
+          .agg(max(when(col("event_type") === "error", 1).otherwise(0))
+              .as("exposed"),
+            max(when(col("event_type") === "purchase", 1).otherwise(0))
+              .as("converted"))
+        val wide = u.agg(
+          sum(when(col("exposed") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("exposed") === 1, col("converted").cast("long"))
+            .otherwise(0L)).as("k1"),
+          sum(when(col("exposed") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("exposed") === 0, col("converted").cast("long"))
+            .otherwise(0L)).as("k0"))
+        wide.select(col("n1"), col("k1"), col("n0"), col("k0"),
+            round(col("k1").cast("double") / col("n1"), 6).as("p1"),
+            round(col("k0").cast("double") / col("n0"), 6).as("p0"),
+            round((col("k1").cast("double") / col("n1")) /
+              (col("k0").cast("double") / col("n0")), 6).as("risk_ratio"),
+            round(
+              (col("k1").cast("double") / col("n1") -
+               col("k0").cast("double") / col("n0")) /
+              sqrt(((col("k1") + col("k0")).cast("double") /
+                    (col("n1") + col("n0"))) *
+                   (lit(1.0) - (col("k1") + col("k0")).cast("double") /
+                    (col("n1") + col("n0"))) *
+                   (lit(1.0) / col("n1") + lit(1.0) / col("n0"))), 6)
+              .as("z"))
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+             |    MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             |      AS exposed,
+             |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |      AS converted
+             |  FROM events GROUP BY 1, 2),
+             |w AS (
+             |  SELECT
+             |    CAST(SUM(CASE WHEN exposed = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n1,
+             |    CAST(SUM(CASE WHEN exposed = 1 THEN converted ELSE 0 END)
+             |      AS BIGINT) AS k1,
+             |    CAST(SUM(CASE WHEN exposed = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n0,
+             |    CAST(SUM(CASE WHEN exposed = 0 THEN converted ELSE 0 END)
+             |      AS BIGINT) AS k0
+             |  FROM u)
+             |SELECT n1, k1, n0, k0,
+             |  round(CAST(k1 AS DOUBLE) / n1, 6) AS p1,
+             |  round(CAST(k0 AS DOUBLE) / n0, 6) AS p0,
+             |  round((CAST(k1 AS DOUBLE) / n1) / (CAST(k0 AS DOUBLE) / n0), 6)
+             |    AS risk_ratio,
+             |  round((CAST(k1 AS DOUBLE) / n1 - CAST(k0 AS DOUBLE) / n0) /
+             |    sqrt((CAST(k1 + k0 AS DOUBLE) / (n1 + n0)) *
+             |         (1.0 - CAST(k1 + k0 AS DOUBLE) / (n1 + n0)) *
+             |         (1.0 / n1 + 1.0 / n0)), 6) AS z
+             |FROM w""".stripMargin))
   )
 }
