@@ -119,6 +119,95 @@ object WavCodec {
     } finally in.close()
   }
 
+  /** Deterministic pure-tone WAV: 16-bit LE mono PCM sine at `freqHz`,
+    * amplitude 8191, samples via StrictMath (bit-identical across
+    * platforms), written by [[writePcm16]] — our own RIFF container
+    * writer, byte-validated against the JDK reader in Batch10Spec.
+    * The planted tone is what q294's Goertzel detector must recover.
+    *
+    * Why not AudioSystem.write on this path: every AudioSystem entry
+    * point re-walks the provider registry under a lock, which
+    * SERIALIZES executor threads — measured on q294, 32 tasks ran no
+    * faster than 1. The fidelity gate for the JDK codec itself is
+    * q135 (metadata path, one registry hit per row is its measured
+    * class cost); the bulk DSP path owns its container bytes. */
+  def encodeTone(nSamples: Int, freqHz: Double, sampleRate: Int = 8000): Array[Byte] = {
+    val data = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val s = math.round(8191.0 *
+        StrictMath.sin(2.0 * math.Pi * freqHz * i / sampleRate)).toShort
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    writePcm16(data, sampleRate)
+  }
+
+  /** Canonical 44-byte-header RIFF/WAVE/fmt/data container around raw
+    * 16-bit LE mono PCM bytes — the exact layout the JDK writer emits
+    * for this format (asserted byte-for-byte in Batch10Spec). */
+  def writePcm16(data: Array[Byte], sampleRate: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream(44 + data.length)
+    def w32(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff) }
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("RIFF".getBytes, 0, 4); w32(36 + data.length)
+    out.write("WAVE".getBytes, 0, 4)
+    out.write("fmt ".getBytes, 0, 4); w32(16)
+    w16(1); w16(1); w32(sampleRate); w32(sampleRate * 2); w16(2); w16(16)
+    out.write("data".getBytes, 0, 4); w32(data.length)
+    out.write(data, 0, data.length)
+    out.toByteArray
+  }
+
+  /** Full REAL PCM decode via a strict RIFF chunk walk: validates the
+    * RIFF/WAVE signature, requires a PCM/mono/16-bit fmt chunk, finds
+    * the data chunk wherever it sits, and fails loudly on truncation
+    * or malformed structure — unlike [[decodeMeta]] this reads the
+    * data chunk, so a byte-shifted payload surfaces here. Lock-free
+    * (see [[encodeTone]]), so executor threads actually parallelize. */
+  def decodeSamples(b: Array[Byte]): Array[Short] = {
+    require(isWav(b), "not a RIFF/WAVE payload")
+    def u16(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def u32(o: Int) = (b(o) & 0xff).toLong | ((b(o + 1) & 0xff).toLong << 8) |
+      ((b(o + 2) & 0xff).toLong << 16) | ((b(o + 3) & 0xff).toLong << 24)
+    var off = 12
+    var fmtOk = false
+    while (off + 8 <= b.length) {
+      val id = new String(b, off, 4, "US-ASCII")
+      val len = u32(off + 4).toInt
+      require(off + 8 + len <= b.length, s"truncated $id chunk")
+      if (id == "fmt ") {
+        require(u16(off + 8) == 1 && u16(off + 10) == 1 &&
+          u16(off + 22) == 16, "expected PCM mono 16-bit")
+        fmtOk = true
+      } else if (id == "data") {
+        require(fmtOk, "data chunk before fmt")
+        require(len % 2 == 0, "odd data-chunk length for 16-bit PCM")
+        val base = off + 8
+        return Array.tabulate(len / 2)(i =>
+          ((b(base + 2 * i) & 0xff) | (b(base + 2 * i + 1) << 8)).toShort)
+      }
+      off += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    throw new IllegalArgumentException("no data chunk found")
+  }
+
+  /** Goertzel power of `x` at `freqHz` — the O(N) single-bin DFT probe
+    * (no FFT library needed), the textbook recurrence. */
+  def goertzel(x: Array[Short], freqHz: Double, sampleRate: Int): Double = {
+    val coeff = 2.0 * StrictMath.cos(2.0 * math.Pi * freqHz / sampleRate)
+    var s1 = 0.0
+    var s2 = 0.0
+    var i = 0
+    while (i < x.length) {
+      val s0 = x(i) + coeff * s1 - s2
+      s2 = s1; s1 = s0; i += 1
+    }
+    s1 * s1 + s2 * s2 - coeff * s1 * s2
+  }
+
   /** Deterministic genuine WAV (for fixtures): 16-bit little-endian mono
     * PCM whose samples are a pure function of (index, seed), written by
     * the JDK's real WAV writer. */
@@ -655,5 +744,49 @@ object Multimodal {
              |  FROM b)
              |SELECT format, COUNT(*) AS n, CAST(SUM(bytes) AS BIGINT) AS total_bytes,
              |  MAX(width) AS max_width, MAX(height) AS max_height
-             |FROM m GROUP BY format ORDER BY format""".stripMargin)))
+             |FROM m GROUP BY format ORDER BY format""".stripMargin)),
+
+    // REAL audio FINGERPRINT gate — q135 proves the header round-trip;
+    // this proves the DATA path end to end: a genuine sine WAV is
+    // written per doc (tone = pure function of the id from a 4-probe
+    // bank), the PCM data chunk is REALLY decoded back to samples, and
+    // a Goertzel detector (the O(N) single-bin DFT — actual DSP, no
+    // stub) classifies the dominant band. The oracle knows the planted
+    // tone arithmetically, so ANY slip in encode→decode→detect — a
+    // truncated data chunk, a byte-order flip, a broken recurrence —
+    // flips rows. Runs per partition in the documents scan's layout
+    // (payloads never shuffle; the q135 decode shape); probes are
+    // ≥ 500 Hz apart with ≥ 1600-sample windows, so spectral leakage
+    // sits orders of magnitude under the planted bin and the argmax
+    // is noise-proof.
+    graft.QueryDef("q294_audio_fingerprint",
+      (s, d) => {
+        import s.implicits._
+        val probes = Array(500.0, 1000.0, 2000.0, 3000.0)
+        // the per-doc work here (sample synthesis + 4 O(N) probes) is
+        // HEAVY, and the documents scan is one task per file — so the
+        // 8-byte id stream repartitions BEFORE the encode/decode (the
+        // round-8 scan-layout lesson; payloads are created after the
+        // exchange and still never shuffle). Measured at sf0.1:
+        // 1.35 s (single-file scan layout) → 0.23 s.
+        graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .repartition(s.sparkContext.defaultParallelism)
+          .mapPartitions(_.map { id =>
+            val n = 1600 + (id % 800).toInt
+            val bytes = WavCodec.encodeTone(n, probes((id % 4).toInt), 8000)
+            val xs = WavCodec.decodeSamples(bytes)
+            val powers = probes.map(f => WavCodec.goertzel(xs, f, 8000))
+            val det = powers.indices.maxBy(i => powers(i))
+            (id, det, probes(det).toInt, xs.length.toLong)
+          })
+          .toDF("doc_id", "band", "freq_hz", "n_samples")
+          .select(col("doc_id"), col("band").cast("int").as("band"),
+            col("freq_hz").cast("int").as("freq_hz"), col("n_samples"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CAST(doc_id % 4 AS INT) AS band,
+             |  CAST(CASE doc_id % 4 WHEN 0 THEN 500 WHEN 1 THEN 1000
+             |       WHEN 2 THEN 2000 ELSE 3000 END AS INT) AS freq_hz,
+             |  CAST(1600 + doc_id % 800 AS BIGINT) AS n_samples
+             |FROM documents ORDER BY doc_id""".stripMargin)))
 }

@@ -1851,6 +1851,57 @@ object TextAnalysis {
              |     (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
              |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) *
              |    (CAST(sx AS DOUBLE) / CAST(np AS DOUBLE)), 6) AS ln_k
-             |FROM m""".stripMargin))
+             |FROM m""".stripMargin)),
+
+    // Per-document TF-IDF keyword extraction (✚, the "what is this
+    // document ABOUT" primitive a curation/labeling pipeline runs per
+    // doc — q125's BM25 scores documents against a QUERY; this ranks
+    // each document's own top-3 salient terms). One explode pass →
+    // (doc, token) tf counts (shuffle keyed by the pair — map-side
+    // combined); document frequency regroups the TF TABLE (vocab-sized,
+    // never the corpus again); idf attaches via a token-keyed join AQE
+    // broadcasts at dimension scale. The per-doc cut is a rank window
+    // on the HIGH-cardinality doc axis (the q29 regime). Determinism:
+    // idf = ln(n_docs/df) round@9 (the q267 ln discipline), score
+    // tf·idf round@6, token-asc tiebreak — tokens with identical
+    // (tf, df) tie exactly and order lexically on both engines.
+    QueryDef("q293_keyword_extract",
+      (s, d) => {
+        val tf = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+          .localCheckpoint()
+        val nDocs = Tables.documents(s, d).count()
+        val dfr = tf.groupBy("token").agg(count(lit(1)).as("dfreq"))
+        val scored = tf.join(dfr, "token")
+          .select(col("doc_id"), col("token"),
+            round(col("tf") *
+              round(log(lit(nDocs.toDouble) / col("dfreq")), 9), 6)
+              .as("tfidf"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .where(col("rank") <= 3)
+          .select("doc_id", "rank", "token", "tfidf")
+          .orderBy("doc_id", "rank")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             |  FROM documents),
+             |tf AS (
+             |  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+             |dfr AS (SELECT token, COUNT(*) AS dfreq FROM tf GROUP BY 1),
+             |nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+             |sc AS (
+             |  SELECT tf.doc_id, tf.token,
+             |    round(tf.tf * round(ln(nd.n / dfreq), 9), 6) AS tfidf
+             |  FROM tf JOIN dfr ON tf.token = dfr.token CROSS JOIN nd),
+             |r AS (
+             |  SELECT doc_id, token, tfidf,
+             |    ROW_NUMBER() OVER (PARTITION BY doc_id
+             |      ORDER BY tfidf DESC, token) AS rank
+             |  FROM sc)
+             |SELECT doc_id, rank, token, tfidf FROM r WHERE rank <= 3
+             |ORDER BY doc_id, rank""".stripMargin))
   )
 }
