@@ -4087,6 +4087,82 @@ object Extras {
              |    sqrt((CAST(k1 + k0 AS DOUBLE) / (n1 + n0)) *
              |         (1.0 - CAST(k1 + k0 AS DOUBLE) / (n1 + n0)) *
              |         (1.0 / n1 + 1.0 / n0)), 6) AS z
-             |FROM w""".stripMargin))
+             |FROM w""".stripMargin)),
+
+    // Price/volume/mix revenue decomposition (✚, the BI question
+    // behind every period-over-period revenue delta: did we charge
+    // MORE (price), sell MORE (volume), or sell a DIFFERENT BASKET
+    // (mix)? The three-factor split per part type: price effect
+    // (p_b−p_a)·v_b, volume effect p_a·v_a·(G−1) with G the TOTAL
+    // volume growth, mix effect p_a·(v_b−v_a·G) — the three sum to
+    // the segment's revenue delta EXACTLY by construction, and
+    // Batch11Spec asserts that identity). The corpus collapses to
+    // |types|×2 cells in ONE aggregation (cents-exact revenue,
+    // integral quantities as BIGINT); the part-type attach is a
+    // broadcast dimension join; effects combine in identical double
+    // shape from the exact sums, round@2 (money output).
+    QueryDef("q296_price_volume_mix",
+      (s, d) => {
+        val per = Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d)
+            .select(col("p_partkey").as("l_partkey"), col("p_type"))),
+            "l_partkey")
+          .groupBy(col("p_type"),
+            when(year(col("l_shipdate")) < 1998, "a").otherwise("b")
+              .as("period"))
+          .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+              .as("rc"),
+            sum(round(col("l_quantity"), 0).cast("long")).as("v"))
+          .localCheckpoint()
+        val a = per.where(col("period") === "a")
+          .select(col("p_type"), col("rc").as("rc_a"), col("v").as("v_a"))
+        val b = per.where(col("period") === "b")
+          .select(col("p_type"), col("rc").as("rc_b"), col("v").as("v_b"))
+        val tot = per.groupBy("period").agg(sum(col("v")).as("tv"))
+        val g = tot.agg(
+          (sum(when(col("period") === "b", col("tv"))).cast("double") /
+           sum(when(col("period") === "a", col("tv"))).cast("double"))
+            .as("g"))
+        val pa = col("rc_a").cast("double") / col("v_a")
+        val pb = col("rc_b").cast("double") / col("v_b")
+        a.join(b, "p_type").crossJoin(broadcast(g))
+          .select(col("p_type"),
+            round(col("rc_a").cast("double") / 100, 2).as("rev_a"),
+            round(col("rc_b").cast("double") / 100, 2).as("rev_b"),
+            round((pb - pa) * col("v_b") / 100, 2).as("price_effect"),
+            round(pa * col("v_a") * (col("g") - 1) / 100, 2)
+              .as("volume_effect"),
+            round(pa * (col("v_b") - col("v_a") * col("g")) / 100, 2)
+              .as("mix_effect"))
+          .orderBy("p_type")
+      },
+      Some("""WITH per AS (
+             |  SELECT p.p_type,
+             |    CASE WHEN year(l.l_shipdate) < 1998 THEN 'a' ELSE 'b' END
+             |      AS period,
+             |    CAST(SUM(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+             |      AS BIGINT) AS rc,
+             |    CAST(SUM(CAST(round(l.l_quantity, 0) AS BIGINT)) AS BIGINT)
+             |      AS v
+             |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+             |  GROUP BY 1, 2),
+             |g AS (
+             |  SELECT
+             |    CAST(SUM(CASE WHEN period = 'b' THEN v END) AS DOUBLE) /
+             |    CAST(SUM(CASE WHEN period = 'a' THEN v END) AS DOUBLE) AS g
+             |  FROM (SELECT period, SUM(v) AS v FROM per GROUP BY 1) t)
+             |SELECT a.p_type,
+             |  round(CAST(a.rc AS DOUBLE) / 100, 2) AS rev_a,
+             |  round(CAST(b.rc AS DOUBLE) / 100, 2) AS rev_b,
+             |  round((CAST(b.rc AS DOUBLE) / b.v - CAST(a.rc AS DOUBLE) / a.v)
+             |    * b.v / 100, 2) AS price_effect,
+             |  round(CAST(a.rc AS DOUBLE) / a.v * a.v * (g.g - 1) / 100, 2)
+             |    AS volume_effect,
+             |  round(CAST(a.rc AS DOUBLE) / a.v * (b.v - a.v * g.g) / 100, 2)
+             |    AS mix_effect
+             |FROM per a JOIN per b
+             |  ON a.p_type = b.p_type AND a.period = 'a' AND b.period = 'b'
+             |CROSS JOIN g
+             |ORDER BY a.p_type""".stripMargin))
   )
 }

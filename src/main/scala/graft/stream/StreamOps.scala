@@ -1397,6 +1397,33 @@ object StreamOps {
              |  CAST(s - LEAST(0, MIN(s) OVER (PARTITION BY sk
              |    ORDER BY su, okey, lnum, pkey, delta
              |    ROWS UNBOUNDED PRECEDING)) AS BIGINT) AS b
-             |FROM sums ORDER BY sk, move_idx""".stripMargin))
+             |FROM sums ORDER BY sk, move_idx""".stripMargin)),
+
+    // Streamed Benford monitor — q285's digit histogram THROUGH the
+    // streaming engine (the q122/q128 mergeability class: a pure
+    // counting aggregation whose state converges under ANY arrival
+    // order, which is exactly the claim a streamed forensic monitor
+    // needs — amounts arrive as they post, and the digit distribution
+    // must equal the batch audit's at every point of completeness).
+    // Three file-source micro-batches in complete mode; the final
+    // state must hash-equal the batch histogram. Digit extraction is
+    // the same no-float string head over exact integer cents.
+    QueryDef("q295_stream_benford",
+      (s, d) => {
+        val input = graft.Tables.orders(s, d).select(col("o_totalprice"))
+        val hist = (df: org.apache.spark.sql.DataFrame) =>
+          df.select(substring(
+              round(col("o_totalprice") * 100, 0).cast("long").cast("string"),
+              1, 1).cast("int").as("digit"))
+            .groupBy("digit").agg(count(lit(1)).as("n_d"))
+        val rows = runBoundedFromPath(s, input, hist, chunks = 3)
+        s.createDataFrame(new java.util.ArrayList(java.util.Arrays.asList(rows: _*)),
+            hist(input).schema)
+          .orderBy("digit")
+      },
+      Some("""SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0)
+             |    AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+             |  COUNT(*) AS n_d
+             |FROM orders GROUP BY 1 ORDER BY digit""".stripMargin))
   )
 }
