@@ -4163,6 +4163,109 @@ object Extras {
              |FROM per a JOIN per b
              |  ON a.p_type = b.p_type AND a.period = 'a' AND b.period = 'b'
              |CROSS JOIN g
-             |ORDER BY a.p_type""".stripMargin))
+             |ORDER BY a.p_type""".stripMargin)),
+
+    // Trailing-window distinct users (✚, the DAU/WAU curve: per day,
+    // how many distinct users were active that day and across the
+    // trailing 7 days — the sliding-DISTINCT that naive windowing
+    // cannot partial-aggregate, because distinct does not decompose
+    // over overlapping windows). Scale shape: collapse to the
+    // (user, day) DISTINCT pair table first (shuffle keyed by the
+    // pair), then each pair fans out to the ≤7 target days it serves
+    // (`sequence` + explode — a fixed 7× expansion of the PAIR table,
+    // never the event stream) and one two-phase COUNT(DISTINCT) per
+    // target day finishes it. Calendar-bounded output; exact integers
+    // end to end.
+    QueryDef("q297_sliding_distinct",
+      (s, d) => {
+        val pairs = Tables.events(s, d)
+          .select(col("user_id"),
+            expr("CAST(unix_micros(ts) div 86400000000 AS BIGINT)")
+              .as("day"))
+          .distinct().localCheckpoint()
+        val days = pairs.select(col("day").as("d")).distinct()
+        val daily = pairs.groupBy(col("day").as("d"))
+          .agg(countDistinct(col("user_id")).as("u1"))
+        val trailing = pairs
+          .select(col("user_id"),
+            explode(sequence(col("day"), col("day") + 6)).as("d"))
+          .join(days, "d")
+          .groupBy("d").agg(countDistinct(col("user_id")).as("u7"))
+        daily.join(trailing, "d")
+          .select(col("d").as("day"), col("u1"), col("u7"))
+          .orderBy("day")
+      },
+      Some("""WITH pairs AS (
+             |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+             |  FROM events),
+             |days AS (SELECT DISTINCT day AS d FROM pairs),
+             |daily AS (
+             |  SELECT day AS d, COUNT(DISTINCT user_id) AS u1
+             |  FROM pairs GROUP BY 1),
+             |tw AS (
+             |  SELECT p.day + t.i AS d, p.user_id
+             |  FROM pairs p, (SELECT UNNEST(range(7)) AS i) t),
+             |t7 AS (
+             |  SELECT tw.d, COUNT(DISTINCT tw.user_id) AS u7
+             |  FROM tw JOIN days ON days.d = tw.d
+             |  GROUP BY 1)
+             |SELECT daily.d AS day, daily.u1, t7.u7
+             |FROM daily JOIN t7 ON daily.d = t7.d
+             |ORDER BY day""".stripMargin)),
+
+    // Robust daily-revenue anomaly screen (✚, the point-outlier twin
+    // of q276's CUSUM mean-shift detector: which DAYS are anomalous
+    // by the modified z-score — 0.6745·(x−median)/MAD, the
+    // Iglewicz–Hoaglin rule at |z| > 3.5 — where mean/stddev screens
+    // are dragged by the very outliers they hunt). The corpus
+    // collapses to the calendar-bounded daily cents series in one
+    // map-side pass; the median and the MAD each resolve through
+    // selectKth's bounded refinement (never a sort), and both are
+    // exact INTEGERS (cents), so the z arithmetic is identical-shape
+    // double on both engines, round@6; the flag filters on the
+    // rounded value.
+    QueryDef("q298_daily_anomaly",
+      (s, d) => {
+        val daily = Tables.lineitem(s, d)
+          .select(expr("CAST(unix_micros(CAST(l_shipdate AS TIMESTAMP)) " +
+              "div 86400000000 AS BIGINT)").as("day"),
+            round(col("l_extendedprice") * 100, 0).cast("long").as("c"))
+          .groupBy("day").agg(sum(col("c")).as("v"))
+          .localCheckpoint()
+        val n = daily.count()
+        val med = OrderStats.selectKth(daily, col("v"), (n + 1) / 2).toLong
+        val dev = daily.select(abs(col("v") - med).as("dv"))
+        val mad = OrderStats.selectKth(dev, col("dv"), (n + 1) / 2).toLong
+        daily
+          .select(col("day"), round(col("v").cast("double") / 100, 2)
+              .as("revenue"),
+            round(lit(0.6745) * (col("v") - med).cast("double") / mad, 6)
+              .as("z"))
+          .where(abs(col("z")) > 3.5)
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (
+             |  SELECT epoch_us(l_shipdate) // 86400000000 AS day,
+             |    CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+             |      AS BIGINT) AS v
+             |  FROM lineitem GROUP BY 1),
+             |n AS (SELECT COUNT(*) AS n FROM daily),
+             |r AS (
+             |  SELECT v, ROW_NUMBER() OVER (ORDER BY v, day) AS rn
+             |  FROM daily),
+             |med AS (
+             |  SELECT v AS m FROM r, n WHERE rn = (n.n + 1) // 2),
+             |rd AS (
+             |  SELECT abs(daily.v - med.m) AS dv FROM daily, med),
+             |r2 AS (
+             |  SELECT dv, ROW_NUMBER() OVER (ORDER BY dv) AS rn FROM rd),
+             |mad AS (
+             |  SELECT dv AS m FROM r2, n WHERE rn = (n.n + 1) // 2)
+             |SELECT day, round(CAST(v AS DOUBLE) / 100, 2) AS revenue,
+             |  round(0.6745 * CAST(v - med.m AS DOUBLE) / mad.m, 6) AS z
+             |FROM daily, med, mad
+             |WHERE abs(round(0.6745 * CAST(v - med.m AS DOUBLE) / mad.m, 6))
+             |  > 3.5
+             |ORDER BY day""".stripMargin))
   )
 }
