@@ -4266,6 +4266,74 @@ object Extras {
              |FROM daily, med, mad
              |WHERE abs(round(0.6745 * CAST(v - med.m AS DOUBLE) / mad.m, 6))
              |  > 3.5
-             |ORDER BY day""".stripMargin))
+             |ORDER BY day""".stripMargin)),
+
+    // Percent-of-parent hierarchy shares (✚, the drill-down number a
+    // BI surface puts next to every node: each nation's share of its
+    // REGION's revenue and each region's share of the total — plain
+    // rollup gives the levels; the parent RATIO needs each level
+    // joined to its parent's aggregate). One fact aggregation at the
+    // leaf (region, nation) grain — cents-exact, map-side combined —
+    // then region and global totals REGROUP that bounded table (the
+    // corpus is scanned once; dimension attaches broadcast). Shares
+    // are exact-integer ratios in identical double shape, round@6.
+    QueryDef("q300_pct_of_parent",
+      (s, d) => {
+        // aggregate BELOW the fact-fact join (the rewrite Catalyst
+        // won't do): lineitem collapses to one cents row per order
+        // before meeting orders, so the shuffle join moves |orders|
+        // rows, not |lineitem| — measured 7.9 → 2.8 s (min-of-3) at sf1
+        val perOrder = Tables.lineitem(s, d)
+          .groupBy("l_orderkey")
+          .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+            .as("oc"))
+        val leaf = perOrder
+          .join(Tables.orders(s, d).select(col("o_orderkey")
+            .as("l_orderkey"), col("o_custkey")), "l_orderkey")
+          .join(broadcast(Tables.customer(s, d)
+            .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))),
+            "o_custkey")
+          .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey").as("c_nationkey"),
+              col("n_name"), col("n_regionkey"))), "c_nationkey")
+          .join(broadcast(Tables.region(s, d)
+            .select(col("r_regionkey").as("n_regionkey"), col("r_name"))),
+            "n_regionkey")
+          .groupBy("r_name", "n_name")
+          .agg(sum(col("oc")).as("rc"))
+          .localCheckpoint()
+        val reg = leaf.groupBy(col("r_name").as("r2"))
+          .agg(sum(col("rc")).as("rrc"))
+        val tot = leaf.agg(sum(col("rc")).as("trc"))
+        leaf.join(reg, col("r_name") === col("r2"))
+          .crossJoin(broadcast(tot))
+          .select(col("r_name"), col("n_name"),
+            round(col("rc").cast("double") / 100, 2).as("revenue"),
+            round(col("rc").cast("double") / col("rrc"), 6)
+              .as("share_of_region"),
+            round(col("rrc").cast("double") / col("trc"), 6)
+              .as("region_share_of_total"))
+          .orderBy("r_name", "n_name")
+      },
+      Some("""WITH leaf AS (
+             |  SELECT r.r_name, n.n_name,
+             |    CAST(SUM(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+             |      AS BIGINT) AS rc
+             |  FROM lineitem l
+             |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |  JOIN customer c ON o.o_custkey = c.c_custkey
+             |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |  JOIN region r ON n.n_regionkey = r.r_regionkey
+             |  GROUP BY 1, 2),
+             |reg AS (
+             |  SELECT r_name AS r2, CAST(SUM(rc) AS BIGINT) AS rrc
+             |  FROM leaf GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(rc) AS BIGINT) AS trc FROM leaf)
+             |SELECT leaf.r_name, leaf.n_name,
+             |  round(CAST(rc AS DOUBLE) / 100, 2) AS revenue,
+             |  round(CAST(rc AS DOUBLE) / rrc, 6) AS share_of_region,
+             |  round(CAST(rrc AS DOUBLE) / trc, 6) AS region_share_of_total
+             |FROM leaf JOIN reg ON leaf.r_name = reg.r2 CROSS JOIN tot
+             |ORDER BY r_name, n_name""".stripMargin))
   )
 }

@@ -1424,6 +1424,46 @@ object StreamOps {
       Some("""SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0)
              |    AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
              |  COUNT(*) AS n_d
-             |FROM orders GROUP BY 1 ORDER BY digit""".stripMargin))
+             |FROM orders GROUP BY 1 ORDER BY digit""".stripMargin)),
+
+    // Streamed latest-wins compaction — q156's upsert-log →
+    // current-state collapse THROUGH the streaming engine: the change
+    // log arrives in micro-batches and the keyed state must hold
+    // exactly the newest version per key at completion, hash-equal to
+    // the batch compaction (same oracle modulo version counts). The
+    // version-ordering tuple rides inside a struct-MAX, so the state
+    // is ONE row per key and the aggregation is mergeable under ANY
+    // arrival order — the property that lets a real CDC consumer run
+    // unordered partitioned sources. Complete mode over 3 file-source
+    // chunks.
+    QueryDef("q299_stream_latest_wins",
+      (s, d) => {
+        val input = graft.Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts"),
+            col("event_id"), col("value"))
+        val compact = (df: org.apache.spark.sql.DataFrame) =>
+          df.groupBy("user_id", "event_type")
+            .agg(max(struct(col("ts"), col("event_id"), col("value")))
+                .as("m"),
+              count(lit(1)).as("n_versions"))
+            .select(col("user_id"), col("event_type"),
+              unix_micros(col("m.ts")).as("ts_us"),
+              col("m.event_id").as("event_id"),
+              col("m.value").as("value"), col("n_versions"))
+        val rows = runBoundedFromPath(s, input, compact, chunks = 3)
+        s.createDataFrame(new java.util.ArrayList(java.util.Arrays.asList(rows: _*)),
+            compact(input).schema)
+          .orderBy("user_id", "event_type")
+      },
+      Some("""SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+             |  value, n_versions
+             |FROM (
+             |  SELECT user_id, event_type, ts, event_id, value,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+             |      ORDER BY ts DESC, event_id DESC) AS rn,
+             |    COUNT(*) OVER (PARTITION BY user_id, event_type)
+             |      AS n_versions
+             |  FROM events) t
+             |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin))
   )
 }
