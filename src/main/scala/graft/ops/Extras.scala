@@ -4334,6 +4334,161 @@ object Extras {
              |  round(CAST(rc AS DOUBLE) / rrc, 6) AS share_of_region,
              |  round(CAST(rrc AS DOUBLE) / trc, 6) AS region_share_of_total
              |FROM leaf JOIN reg ON leaf.r_name = reg.r2 CROSS JOIN tot
-             |ORDER BY r_name, n_name""".stripMargin))
+             |ORDER BY r_name, n_name""".stripMargin)),
+
+    // Cross-table schema matching by value-set overlap (✚, the data-
+    // discovery primitive: which categorical columns across the lake
+    // draw from the same domain — the signal that finds undeclared
+    // join keys and copy-pasted enums). Each column collapses to its
+    // DISTINCT value set AT THE SOURCE (one two-phase aggregation per
+    // column — the only corpus-touching work; the sets themselves are
+    // domain-bounded), then one value-keyed self-join over the tiny
+    // union table counts intersections and exact Jaccard =
+    // |∩|/(|A|+|B|−|∩|) scores every sharing pair. Integer counts,
+    // identical double shape, round@6.
+    QueryDef("q301_schema_match",
+      (s, d) => {
+        val cols = Seq(
+            "customer.c_mktsegment" -> Tables.customer(s, d).select(col("c_mktsegment")),
+            "orders.o_orderstatus" -> Tables.orders(s, d).select(col("o_orderstatus")),
+            "orders.o_orderpriority" -> Tables.orders(s, d).select(col("o_orderpriority")),
+            "lineitem.l_returnflag" -> Tables.lineitem(s, d).select(col("l_returnflag")),
+            "lineitem.l_linestatus" -> Tables.lineitem(s, d).select(col("l_linestatus")),
+            "part.p_brand" -> Tables.part(s, d).select(col("p_brand")),
+            "part.p_type" -> Tables.part(s, d).select(col("p_type")),
+            "documents.lang" -> Tables.documents(s, d).select(col("lang")),
+            "documents.source" -> Tables.documents(s, d).select(col("source")),
+            "events.event_type" -> Tables.events(s, d).select(col("event_type")))
+        val sets = cols.map { case (n, df) =>
+          df.select(lit(n).as("cname"),
+            df.columns.headOption.map(c => col(c)).get.cast("string").as("v"))
+            .where(col("v").isNotNull).distinct()
+        }.reduce(_.unionAll(_)).localCheckpoint()
+        val sizes = sets.groupBy("cname").agg(count(lit(1)).as("sz"))
+        val inter = sets.select(col("cname").as("ca"), col("v"))
+          .join(sets.select(col("cname").as("cb"), col("v")), "v")
+          .where(col("ca") < col("cb"))
+          .groupBy("ca", "cb").agg(count(lit(1)).as("i"))
+        inter
+          .join(sizes.select(col("cname").as("ca"), col("sz").as("na")), "ca")
+          .join(sizes.select(col("cname").as("cb"), col("sz").as("nb")), "cb")
+          .select(col("ca"), col("cb"), col("i").as("n_shared"),
+            round(col("i").cast("double") /
+              (col("na") + col("nb") - col("i")), 6).as("jaccard"))
+          .orderBy("ca", "cb")
+      },
+      Some("""WITH sets AS (
+             |  SELECT DISTINCT 'customer.c_mktsegment' AS cname,
+             |    c_mktsegment AS v FROM customer WHERE c_mktsegment IS NOT NULL
+             |  UNION ALL SELECT DISTINCT 'orders.o_orderstatus', o_orderstatus
+             |    FROM orders WHERE o_orderstatus IS NOT NULL
+             |  UNION ALL SELECT DISTINCT 'orders.o_orderpriority', o_orderpriority
+             |    FROM orders WHERE o_orderpriority IS NOT NULL
+             |  UNION ALL SELECT DISTINCT 'lineitem.l_returnflag', l_returnflag
+             |    FROM lineitem WHERE l_returnflag IS NOT NULL
+             |  UNION ALL SELECT DISTINCT 'lineitem.l_linestatus', l_linestatus
+             |    FROM lineitem WHERE l_linestatus IS NOT NULL
+             |  UNION ALL SELECT DISTINCT 'part.p_brand', p_brand
+             |    FROM part WHERE p_brand IS NOT NULL
+             |  UNION ALL SELECT DISTINCT 'part.p_type', p_type
+             |    FROM part WHERE p_type IS NOT NULL
+             |  UNION ALL SELECT DISTINCT 'documents.lang', lang
+             |    FROM documents WHERE lang IS NOT NULL
+             |  UNION ALL SELECT DISTINCT 'documents.source', source
+             |    FROM documents WHERE source IS NOT NULL
+             |  UNION ALL SELECT DISTINCT 'events.event_type', event_type
+             |    FROM events WHERE event_type IS NOT NULL),
+             |sizes AS (SELECT cname, COUNT(*) AS sz FROM sets GROUP BY 1),
+             |inter AS (
+             |  SELECT a.cname AS ca, b.cname AS cb, COUNT(*) AS i
+             |  FROM sets a JOIN sets b ON a.v = b.v AND a.cname < b.cname
+             |  GROUP BY 1, 2)
+             |SELECT ca, cb, i AS n_shared,
+             |  round(CAST(i AS DOUBLE) / (na.sz + nb.sz - i), 6) AS jaccard
+             |FROM inter
+             |JOIN sizes na ON na.cname = ca
+             |JOIN sizes nb ON nb.cname = cb
+             |ORDER BY ca, cb""".stripMargin)),
+
+    // Decile gain chart (✚, the lift table every scoring rule is
+    // judged by: rank customers by PAST revenue, split into deciles,
+    // and ask what share of FUTURE revenue each decile captures — a
+    // top decile far above 10% means the score ranks). Periods are
+    // q250's pre/post-1998 split; both period revenues are cents-
+    // exact per customer (aggregate-below-join: lineitem collapses
+    // per order before meeting orders — the q300 rewrite). The
+    // global rank is Scale.globalRowNumber — two-phase, never one
+    // task — and deciles are exact integer arithmetic ((rn−1)·10//n).
+    // The cumulative pass runs over the 10 surviving decile rows.
+    QueryDef("q302_gain_chart",
+      (s, d) => {
+        val perOrder = Tables.lineitem(s, d)
+          .select(col("l_orderkey"),
+            when(year(col("l_shipdate")) < 1998, "a").otherwise("b")
+              .as("period"),
+            round(col("l_extendedprice") * 100, 0).cast("long").as("c"))
+          .groupBy("l_orderkey", "period").agg(sum(col("c")).as("oc"))
+        val perCust = perOrder
+          .join(Tables.orders(s, d).select(col("o_orderkey")
+            .as("l_orderkey"), col("o_custkey").as("ck")), "l_orderkey")
+          .groupBy("ck", "period").agg(sum(col("oc")).as("rc"))
+        val a = perCust.where(col("period") === "a")
+          .select(col("ck"), col("rc").as("sa"))
+        val b = perCust.where(col("period") === "b")
+          .select(col("ck"), col("rc").as("rb"))
+        val scored = a.join(b, Seq("ck"), "left")
+          .select(col("ck"), col("sa"), coalesce(col("rb"), lit(0L)).as("rb"))
+          .localCheckpoint()
+        val n = scored.count()
+        val rn = graft.ops.Scale.globalRowNumber(scored,
+          Seq((-col("sa")).as("nsa"), col("ck")))
+        val dec = rn.select(
+            expr(s"CAST(((rn - 1) * 10) div $n AS BIGINT)").as("d10"),
+            col("rb"))
+          .groupBy("d10").agg(count(lit(1)).as("n_cust"),
+            sum(col("rb")).as("rbs"))
+        val tot = dec.agg(sum(col("rbs"))).first().getLong(0)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy("d10").rowsBetween(Window.unboundedPreceding, 0)
+        dec.select((col("d10") + 1).as("decile"), col("n_cust"),
+            round(col("rbs").cast("double") / 100, 2).as("rev_b"),
+            round(col("rbs").cast("double") / tot, 6).as("capture"),
+            round(sum(col("rbs")).over(w).cast("double") / tot, 6)
+              .as("cum_capture"))
+          .orderBy("decile")
+      },
+      Some("""WITH po AS (
+             |  SELECT l_orderkey,
+             |    CASE WHEN year(l_shipdate) < 1998 THEN 'a' ELSE 'b' END
+             |      AS period,
+             |    CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+             |      AS BIGINT) AS oc
+             |  FROM lineitem GROUP BY 1, 2),
+             |pc AS (
+             |  SELECT o.o_custkey AS ck, po.period,
+             |    CAST(SUM(po.oc) AS BIGINT) AS rc
+             |  FROM po JOIN orders o ON po.l_orderkey = o.o_orderkey
+             |  GROUP BY 1, 2),
+             |sc AS (
+             |  SELECT a.ck, a.rc AS sa, COALESCE(b.rc, 0) AS rb
+             |  FROM pc a LEFT JOIN pc b
+             |    ON a.ck = b.ck AND b.period = 'b'
+             |  WHERE a.period = 'a'),
+             |n AS (SELECT COUNT(*) AS n FROM sc),
+             |r AS (
+             |  SELECT rb, ROW_NUMBER() OVER (ORDER BY sa DESC, ck) AS rn
+             |  FROM sc),
+             |dec AS (
+             |  SELECT ((rn - 1) * 10) // n.n AS d10, COUNT(*) AS n_cust,
+             |    CAST(SUM(rb) AS BIGINT) AS rbs
+             |  FROM r CROSS JOIN n GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(rbs) AS BIGINT) AS t FROM dec)
+             |SELECT d10 + 1 AS decile, n_cust,
+             |  round(CAST(rbs AS DOUBLE) / 100, 2) AS rev_b,
+             |  round(CAST(rbs AS DOUBLE) / tot.t, 6) AS capture,
+             |  round(CAST(SUM(rbs) OVER (ORDER BY d10
+             |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / tot.t, 6)
+             |    AS cum_capture
+             |FROM dec CROSS JOIN tot ORDER BY decile""".stripMargin))
   )
 }
