@@ -4489,6 +4489,195 @@ object Extras {
              |  round(CAST(SUM(rbs) OVER (ORDER BY d10
              |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / tot.t, 6)
              |    AS cum_capture
-             |FROM dec CROSS JOIN tot ORDER BY decile""".stripMargin))
+             |FROM dec CROSS JOIN tot ORDER BY decile""".stripMargin)),
+
+    // Multi-model attribution comparison (✚, the report that settles
+    // the "which channel gets credit" argument with all three answers
+    // side by side: first-touch, last-touch, and linear credit per
+    // touch type over each purchase's trailing-24 h journey — q114
+    // answers ONE model for one channel; marketing mix decisions read
+    // the disagreement BETWEEN models). One event-time RANGE window
+    // per user (the q158 frame regime — a single shuffle on the
+    // high-cardinality user axis): per purchase, the frame yields the
+    // touch count, per-type counts, and the first/last touch via
+    // MIN/MAX over a zero-padded "tsu|event_id|type" encoding — a
+    // string total order both engines share exactly. Linear credits
+    // are per-purchase rationals rounded@9 into DECIMAL sums
+    // (order-independent); the 9-cell model×type collapse unpivots on
+    // the 1-row aggregate.
+    QueryDef("q303_attribution_models",
+      (s, d) => {
+        val touchTypes = Seq("view", "click", "signup")
+        val isTouch = col("event_type").isin(touchTypes.map(x => x: Any): _*)
+        val enc = format_string("%020d|%020d|%s", col("tsu"),
+          col("event_id"), col("event_type"))
+        val w = Window.partitionBy("user_id").orderBy("tsu")
+          .rangeBetween(-86400000000L, -1L)
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("tsu"), col("event_id"))
+        val journeys = touchTypes.foldLeft(
+            ev.withColumn("k", sum(when(isTouch, 1L).otherwise(0L)).over(w))) {
+            (df, t) => df.withColumn(s"c_$t",
+              sum(when(col("event_type") === t, 1L).otherwise(0L)).over(w))
+          }
+          .withColumn("f", min(when(isTouch, enc)).over(w))
+          .withColumn("l", max(when(isTouch, enc)).over(w))
+          .where(col("event_type") === "purchase" && col("k") > 0)
+          .withColumn("f_type", element_at(split(col("f"), "\\|"), 3))
+          .withColumn("l_type", element_at(split(col("l"), "\\|"), 3))
+        val aggs = touchTypes.flatMap { t =>
+          Seq(
+            sum(when(col("f_type") === t, 1L).otherwise(0L)).as(s"nf_$t"),
+            sum(when(col("l_type") === t, 1L).otherwise(0L)).as(s"nl_$t"),
+            sum(round(col(s"c_$t").cast("double") / col("k"), 9)
+              .cast("decimal(38,9)")).cast("double").as(s"lin_$t"))
+        } :+ count(lit(1)).as("n_purch")
+        val wide = journeys.agg(aggs.head, aggs.tail: _*)
+        val cells = touchTypes.map(t =>
+          s"'$t', nf_$t, nl_$t, round(lin_$t, 6)").mkString(", ")
+        wide.selectExpr(
+            s"stack(${touchTypes.size}, $cells) AS (touch, n_first, n_last, linear)",
+            "n_purch")
+          .select(col("touch"), col("n_first"), col("n_last"),
+            col("linear"), col("n_purch"))
+          .orderBy("touch")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id
+             |  FROM events),
+             |j AS (
+             |  SELECT user_id, event_type,
+             |    SUM(CASE WHEN event_type IN ('view','click','signup')
+             |        THEN 1 ELSE 0 END) OVER w AS k,
+             |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             |      OVER w AS c_view,
+             |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             |      OVER w AS c_click,
+             |    SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+             |      OVER w AS c_signup,
+             |    MIN(CASE WHEN event_type IN ('view','click','signup')
+             |        THEN printf('%020d|%020d|%s', tsu, event_id, event_type)
+             |        END) OVER w AS f,
+             |    MAX(CASE WHEN event_type IN ('view','click','signup')
+             |        THEN printf('%020d|%020d|%s', tsu, event_id, event_type)
+             |        END) OVER w AS l
+             |  FROM ev
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY tsu
+             |    RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING)),
+             |p AS (
+             |  SELECT split_part(f, '|', 3) AS f_type,
+             |    split_part(l, '|', 3) AS l_type,
+             |    c_view, c_click, c_signup, k
+             |  FROM j WHERE event_type = 'purchase' AND k > 0),
+             |wide AS (
+             |  SELECT COUNT(*) AS n_purch,
+             |    CAST(SUM(CASE WHEN f_type = 'view' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS nf_view,
+             |    CAST(SUM(CASE WHEN l_type = 'view' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS nl_view,
+             |    CAST(SUM(CAST(round(CAST(c_view AS DOUBLE) / k, 9)
+             |      AS DECIMAL(38,9))) AS DOUBLE) AS lin_view,
+             |    CAST(SUM(CASE WHEN f_type = 'click' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS nf_click,
+             |    CAST(SUM(CASE WHEN l_type = 'click' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS nl_click,
+             |    CAST(SUM(CAST(round(CAST(c_click AS DOUBLE) / k, 9)
+             |      AS DECIMAL(38,9))) AS DOUBLE) AS lin_click,
+             |    CAST(SUM(CASE WHEN f_type = 'signup' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS nf_signup,
+             |    CAST(SUM(CASE WHEN l_type = 'signup' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS nl_signup,
+             |    CAST(SUM(CAST(round(CAST(c_signup AS DOUBLE) / k, 9)
+             |      AS DECIMAL(38,9))) AS DOUBLE) AS lin_signup
+             |  FROM p)
+             |SELECT t.touch,
+             |  CASE t.touch WHEN 'view' THEN nf_view
+             |    WHEN 'click' THEN nf_click ELSE nf_signup END AS n_first,
+             |  CASE t.touch WHEN 'view' THEN nl_view
+             |    WHEN 'click' THEN nl_click ELSE nl_signup END AS n_last,
+             |  round(CASE t.touch WHEN 'view' THEN lin_view
+             |    WHEN 'click' THEN lin_click ELSE lin_signup END, 6)
+             |    AS linear,
+             |  n_purch
+             |FROM wide CROSS JOIN
+             |  (SELECT UNNEST(['click','signup','view']) AS touch) t
+             |ORDER BY touch""".stripMargin)),
+
+    // Session entry/exit & bounce report (✚, the web-analytics
+    // staple: sessionize by 30-minute inactivity gap, then report per
+    // ENTRY event type how many sessions start there, their bounce
+    // rate — single-event sessions — and mean session length; the
+    // "which front door loses people" number). Sessionization is one
+    // lag window + a running start-count per user (the q19 gap
+    // discipline, shuffle keyed by the high-cardinality user axis);
+    // entry/exit resolve via MIN/MAX over the same zero-padded
+    // encoding as q303 — no per-session sort materializes. Exact
+    // integer counts; the two ratios round@6.
+    QueryDef("q304_session_bounce",
+      (s, d) => {
+        val wo = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+        val enc = format_string("%020d|%020d|%s", col("tsu"),
+          col("event_id"), col("event_type"))
+        val sess = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("tsu"), col("event_id"))
+          .withColumn("prev", lag("tsu", 1).over(wo))
+          .withColumn("new_s",
+            when(col("prev").isNull ||
+              col("tsu") - col("prev") > 1800000000L, 1L).otherwise(0L))
+          .withColumn("sid", sum(col("new_s"))
+            .over(wo.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "sid")
+          .agg(count(lit(1)).as("n_events"),
+            min(enc).as("f"), max(enc).as("l"))
+          .select(element_at(split(col("f"), "\\|"), 3).as("entry_type"),
+            element_at(split(col("l"), "\\|"), 3).as("exit_type"),
+            col("n_events"))
+        sess.groupBy("entry_type")
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounce"),
+            sum(col("n_events")).as("tot_events"),
+            sum(when(col("entry_type") === col("exit_type"), 1L)
+              .otherwise(0L)).as("n_same_exit"))
+          .select(col("entry_type"), col("n_sessions"),
+            round(col("n_bounce").cast("double") / col("n_sessions"), 6)
+              .as("bounce_rate"),
+            round(col("tot_events").cast("double") / col("n_sessions"), 6)
+              .as("mean_len"),
+            col("n_same_exit"))
+          .orderBy("entry_type")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id
+             |  FROM events),
+             |g AS (
+             |  SELECT user_id, event_type, tsu, event_id,
+             |    CASE WHEN LAG(tsu) OVER w IS NULL
+             |         OR tsu - LAG(tsu) OVER w > 1800000000
+             |      THEN 1 ELSE 0 END AS new_s
+             |  FROM ev
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+             |sid AS (
+             |  SELECT user_id, event_type, tsu, event_id,
+             |    SUM(new_s) OVER (PARTITION BY user_id
+             |      ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM g),
+             |sess AS (
+             |  SELECT
+             |    split_part(MIN(printf('%020d|%020d|%s', tsu, event_id,
+             |      event_type)), '|', 3) AS entry_type,
+             |    split_part(MAX(printf('%020d|%020d|%s', tsu, event_id,
+             |      event_type)), '|', 3) AS exit_type,
+             |    COUNT(*) AS n_events
+             |  FROM sid GROUP BY user_id, sid.sid)
+             |SELECT entry_type, COUNT(*) AS n_sessions,
+             |  round(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+             |    AS DOUBLE) / COUNT(*), 6) AS bounce_rate,
+             |  round(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 6)
+             |    AS mean_len,
+             |  CAST(SUM(CASE WHEN entry_type = exit_type THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_same_exit
+             |FROM sess GROUP BY entry_type ORDER BY entry_type""".stripMargin))
   )
 }
