@@ -4678,6 +4678,163 @@ object Extras {
              |    AS mean_len,
              |  CAST(SUM(CASE WHEN entry_type = exit_type THEN 1 ELSE 0 END)
              |    AS BIGINT) AS n_same_exit
-             |FROM sess GROUP BY entry_type ORDER BY entry_type""".stripMargin))
+             |FROM sess GROUP BY entry_type ORDER BY entry_type""".stripMargin)),
+
+    // Window funnel — max ordered step within a time window (✚, the
+    // view→click→purchase ladder with a 1-hour completion clock: for
+    // each user, the deepest step k such that events of types
+    // 1..k occur IN ORDER with the whole chain inside the window —
+    // the per-user number a growth team histograms). For the 3-step
+    // ladder this is two time-bounded equality joins, each keyed by
+    // the 8-byte user id with per-user-type fanout (never a cross
+    // join): view⋈click pairs within the window, then ⋈purchase
+    // closing the chain from the SAME view anchor. Per user the
+    // deepest step is a max over exact integer flags; output is the
+    // |steps|-row histogram. At 100 TB the fanout is bounded by
+    // per-user activity inside one window span — the same bound every
+    // funnel engine's windowFunnel carries.
+    QueryDef("q305_window_funnel",
+      (s, d) => {
+        val W = 3600000000L // 1 h in micros
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("tsu"))
+          .localCheckpoint()
+        def typed(t: String, a: String) = ev
+          .where(col("event_type") === t)
+          .select(col("user_id"), col("tsu").as(a))
+        val v = typed("view", "tv")
+        val c = typed("click", "tc")
+        val p = typed("purchase", "tp")
+        val s2 = v.join(c, "user_id")
+          .where(col("tc") > col("tv") && col("tc") <= col("tv") + W)
+          .select(col("user_id"), col("tv"), col("tc")).distinct()
+        val s3 = s2.join(p, "user_id")
+          .where(col("tp") > col("tc") && col("tp") <= col("tv") + W)
+          .select(col("user_id")).distinct()
+        val steps = v.select(col("user_id")).distinct()
+          .withColumn("s", lit(1))
+          .unionAll(s2.select(col("user_id")).distinct()
+            .withColumn("s", lit(2)))
+          .unionAll(s3.withColumn("s", lit(3)))
+          .groupBy("user_id").agg(max(col("s")).as("max_step"))
+        val everyone = Tables.events(s, d).select("user_id").distinct()
+        everyone.join(steps, Seq("user_id"), "left")
+          .select(coalesce(col("max_step"), lit(0)).as("max_step"))
+          .groupBy("max_step").agg(count(lit(1)).as("n_users"))
+          .orderBy("max_step")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+             |v AS (SELECT user_id, tsu AS tv FROM ev
+             |      WHERE event_type = 'view'),
+             |c AS (SELECT user_id, tsu AS tc FROM ev
+             |      WHERE event_type = 'click'),
+             |p AS (SELECT user_id, tsu AS tp FROM ev
+             |      WHERE event_type = 'purchase'),
+             |s2 AS (
+             |  SELECT DISTINCT v.user_id, v.tv, c.tc
+             |  FROM v JOIN c ON v.user_id = c.user_id
+             |    AND c.tc > v.tv AND c.tc <= v.tv + 3600000000),
+             |s3 AS (
+             |  SELECT DISTINCT s2.user_id
+             |  FROM s2 JOIN p ON s2.user_id = p.user_id
+             |    AND p.tp > s2.tc AND p.tp <= s2.tv + 3600000000),
+             |steps AS (
+             |  SELECT user_id, MAX(s) AS max_step FROM (
+             |    SELECT DISTINCT user_id, 1 AS s FROM v
+             |    UNION ALL SELECT DISTINCT user_id, 2 FROM s2
+             |    UNION ALL SELECT user_id, 3 FROM s3) t
+             |  GROUP BY 1)
+             |SELECT COALESCE(steps.max_step, 0) AS max_step,
+             |  COUNT(*) AS n_users
+             |FROM (SELECT DISTINCT user_id FROM ev) u
+             |LEFT JOIN steps ON u.user_id = steps.user_id
+             |GROUP BY 1 ORDER BY max_step""".stripMargin)),
+
+    // Wasserstein-1 distribution drift (✚, the Earth-Mover's distance
+    // between two sources' value distributions — q262/q274's KS reads
+    // only the WORST point of CDF disagreement; W₁ integrates ALL of
+    // it, the drift metric modern monitoring stacks prefer. For
+    // sample distributions, W₁ = Σ over the merged support of
+    // |F_a − F_b|·Δx, and with integer cents and cross-multiplied
+    // CDFs every term is an exact BIGINT product: |cumA·n_b −
+    // cumB·n_a|·Δx, one division at the very end). The corpus
+    // collapses to per-(value) counts (map-side, value domain
+    // bounded); cumulative counts come from ONE two-phase
+    // globalRunningSum over the merged support — never a single-task
+    // window; the Δx pairing is a lead over the same bounded support
+    // table. Output: one exact W₁ per screened source pair.
+    QueryDef("q306_wasserstein",
+      (s, d) => {
+        import s.implicits._
+        val pairsToScreen = Seq(("click", "error"), ("click", "view"),
+          ("purchase", "signup"))
+        val ev = Tables.events(s, d)
+          .select(col("event_type").as("t"),
+            round(col("value") * 100, 0).cast("long").as("x"))
+          .where(col("t").isin(pairsToScreen.flatMap(p =>
+            Seq(p._1, p._2)).distinct.map(x => x: Any): _*))
+          .groupBy("t", "x").agg(count(lit(1)).as("c"))
+          .localCheckpoint()
+        val counts = ev.groupBy("t").agg(sum(col("c")).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val out = pairsToScreen.map { case (ta, tb) =>
+          val na = counts(ta); val nb = counts(tb)
+          val sup = ev.where(col("t").isin(ta, tb))
+            .groupBy("x").agg(
+              sum(when(col("t") === ta, col("c")).otherwise(0L)).as("ca"),
+              sum(when(col("t") === tb, col("c")).otherwise(0L)).as("cb"))
+          val cum = graft.ops.Scale.globalRunningSum(
+              graft.ops.Scale.globalRunningSum(sup, Seq(col("x")), col("ca"))
+                .withColumnRenamed("cum", "cuma"),
+              Seq(col("x")), col("cb"))
+            .withColumnRenamed("cum", "cumb")
+          val w = Window.orderBy("x")
+          val terms = cum
+            .withColumn("nx", lead(col("x"), 1).over(w))
+            .where(col("nx").isNotNull)
+            .select((abs(col("cuma") * nb - col("cumb") * na) *
+              (col("nx") - col("x"))).as("term"))
+          val num = terms.agg(sum(col("term"))).first().getLong(0)
+          // division chain mirrors the oracle's double shape exactly:
+          // CAST(num AS DOUBLE) / n_a / n_b / 100
+          (ta, tb, na, nb, num.toDouble / na / nb / 100)
+        }
+        out.toDF("t_a", "t_b", "n_a", "n_b", "w1")
+          .select(col("t_a"), col("t_b"), col("n_a"), col("n_b"),
+            round(col("w1"), 6).as("w1"))
+          .orderBy("t_a", "t_b")
+      },
+      Some {
+        val pairs = Seq(("click", "error"), ("click", "view"),
+          ("purchase", "signup"))
+        val arms = pairs.map { case (ta, tb) =>
+          s"""SELECT '$ta' AS t_a, '$tb' AS t_b,
+             |  (SELECT COUNT(*) FROM ev WHERE t = '$ta') AS n_a,
+             |  (SELECT COUNT(*) FROM ev WHERE t = '$tb') AS n_b,
+             |  round(CAST((
+             |    SELECT SUM(abs(cuma * (SELECT COUNT(*) FROM ev WHERE t = '$tb')
+             |      - cumb * (SELECT COUNT(*) FROM ev WHERE t = '$ta'))
+             |      * dx) FROM (
+             |      SELECT
+             |        SUM(CASE WHEN t = '$ta' THEN 1 ELSE 0 END)
+             |          OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cuma,
+             |        SUM(CASE WHEN t = '$tb' THEN 1 ELSE 0 END)
+             |          OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cumb,
+             |        LEAD(x) OVER (ORDER BY x) - x AS dx
+             |      FROM ev WHERE t IN ('$ta', '$tb')) q
+             |    WHERE dx IS NOT NULL) AS DOUBLE) /
+             |    (SELECT COUNT(*) FROM ev WHERE t = '$ta') /
+             |    (SELECT COUNT(*) FROM ev WHERE t = '$tb') / 100, 6) AS w1""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH ev AS (
+           |  SELECT event_type AS t,
+           |    CAST(round(value * 100, 0) AS BIGINT) AS x
+           |  FROM events
+           |  WHERE event_type IN ('click','error','view','purchase','signup'))
+           |$arms
+           |ORDER BY t_a, t_b""".stripMargin
+      })
   )
 }
