@@ -4835,6 +4835,114 @@ object Extras {
            |  WHERE event_type IN ('click','error','view','purchase','signup'))
            |$arms
            |ORDER BY t_a, t_b""".stripMargin
-      })
+      }),
+
+    // Cohort activity retention triangle (✚, the product-analytics
+    // staple q278 prices in revenue: per first-seen-week cohort, the
+    // SHARE of users still active k weeks later — the triangle a
+    // retention review reads row by row). Three bounded collapses:
+    // first-seen week per user (one min-agg), the DISTINCT
+    // (user, week) activity pairs, and the (cohort, offset) distinct-
+    // user count over their join — every shuffle keyed by the 8-byte
+    // user id or the bounded (cohort, offset) cell; nothing
+    // corpus-sized survives the first pass at 100 TB. Exact integer
+    // counts; the share divides cohort size, round@6.
+    QueryDef("q307_retention_triangle",
+      (s, d) => {
+        val wk = expr("CAST(unix_micros(ts) div 604800000000 AS BIGINT)")
+        val pairs = Tables.events(s, d)
+          .select(col("user_id"), wk.as("w"))
+          .distinct().localCheckpoint()
+        val cohort = pairs.groupBy("user_id").agg(min(col("w")).as("c0"))
+        val sizes = cohort.groupBy(col("c0")).agg(count(lit(1)).as("n0"))
+        pairs.join(cohort, "user_id")
+          .select(col("c0"), (col("w") - col("c0")).as("offset"),
+            col("user_id"))
+          .groupBy("c0", "offset")
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .join(sizes, "c0")
+          .select(col("c0").as("cohort_week"), col("offset"),
+            col("n_active"), col("n0").as("cohort_size"),
+            round(col("n_active").cast("double") / col("n0"), 6)
+              .as("retention"))
+          .orderBy("cohort_week", "offset")
+      },
+      Some("""WITH pairs AS (
+             |  SELECT DISTINCT user_id,
+             |    epoch_us(ts) // 604800000000 AS w
+             |  FROM events),
+             |cohort AS (
+             |  SELECT user_id, MIN(w) AS c0 FROM pairs GROUP BY 1),
+             |sizes AS (SELECT c0, COUNT(*) AS n0 FROM cohort GROUP BY 1),
+             |cells AS (
+             |  SELECT c.c0, p.w - c.c0 AS "offset",
+             |    COUNT(DISTINCT p.user_id) AS n_active
+             |  FROM pairs p JOIN cohort c ON p.user_id = c.user_id
+             |  GROUP BY 1, 2)
+             |SELECT cells.c0 AS cohort_week, "offset", n_active,
+             |  sizes.n0 AS cohort_size,
+             |  round(CAST(n_active AS DOUBLE) / sizes.n0, 6) AS retention
+             |FROM cells JOIN sizes ON cells.c0 = sizes.c0
+             |ORDER BY cohort_week, "offset"""".stripMargin)),
+
+    // Distribution-free median confidence interval (✚, the error bar
+    // an order statistic actually supports: the exact-rank 95% CI
+    // from the binomial order-statistic bound — ranks ⌊(n −
+    // z√n)/2⌋ and ⌈1 + (n + z√n)/2⌉ — no bootstrap, no normality
+    // assumption on the DATA, just on the rank counts). Applied to
+    // the per-order revenue distribution: ranks are computed with
+    // the same z = 1.959964 literal and floor/ceil INTEGER arithmetic
+    // on both engines, then all three order statistics (lo, median,
+    // hi) resolve through ONE selectKths round series — never a sort
+    // of the distribution. Cents-exact values out, dollars round@2.
+    QueryDef("q308_median_ci",
+      (s, d) => {
+        val perOrder = Tables.lineitem(s, d)
+          .groupBy("l_orderkey")
+          .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+            .as("oc"))
+          .localCheckpoint()
+        val n = perOrder.count()
+        val z = 1.959964
+        val lo = math.max(1L,
+          math.floor((n - z * math.sqrt(n.toDouble)) / 2.0).toLong)
+        val hi = math.min(n,
+          math.ceil(1.0 + (n + z * math.sqrt(n.toDouble)) / 2.0).toLong)
+        val md = (n + 1) / 2
+        val qs = OrderStats.selectKths(perOrder, col("oc"),
+          Seq(lo, md, hi).distinct)
+        perOrder.agg(count(lit(1)).as("n"))
+          .select(col("n"),
+            round(lit(qs(md)) / 100, 2).as("median"),
+            round(lit(qs(lo)) / 100, 2).as("ci_lo"),
+            round(lit(qs(hi)) / 100, 2).as("ci_hi"),
+            lit(lo).as("rank_lo"), lit(hi).as("rank_hi"))
+      },
+      Some("""WITH po AS (
+             |  SELECT l_orderkey,
+             |    CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+             |      AS BIGINT) AS oc
+             |  FROM lineitem GROUP BY 1),
+             |n AS (SELECT COUNT(*) AS n FROM po),
+             |ranks AS (
+             |  SELECT n.n,
+             |    GREATEST(1, CAST(floor((n.n - 1.959964 * sqrt(n.n)) / 2.0)
+             |      AS BIGINT)) AS lo,
+             |    LEAST(n.n, CAST(ceil(1.0 + (n.n + 1.959964 * sqrt(n.n))
+             |      / 2.0) AS BIGINT)) AS hi,
+             |    (n.n + 1) // 2 AS md
+             |  FROM n),
+             |r AS (
+             |  SELECT oc, ROW_NUMBER() OVER (ORDER BY oc, l_orderkey) AS rn
+             |  FROM po)
+             |SELECT ranks.n,
+             |  round(CAST((SELECT oc FROM r WHERE rn = ranks.md) AS DOUBLE)
+             |    / 100, 2) AS median,
+             |  round(CAST((SELECT oc FROM r WHERE rn = ranks.lo) AS DOUBLE)
+             |    / 100, 2) AS ci_lo,
+             |  round(CAST((SELECT oc FROM r WHERE rn = ranks.hi) AS DOUBLE)
+             |    / 100, 2) AS ci_hi,
+             |  ranks.lo AS rank_lo, ranks.hi AS rank_hi
+             |FROM ranks""".stripMargin))
   )
 }
