@@ -89,5 +89,23 @@ object Sql {
              |  AND 10 * least(length(a.p_name), length(b.p_name))
              |      >= 7 * greatest(length(a.p_name), length(b.p_name))
              |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.94
-             |GROUP BY a.p_brand ORDER BY a.p_brand""".stripMargin)))
+             |GROUP BY a.p_brand ORDER BY a.p_brand""".stripMargin)),
+
+    // Dialect-portable text twin #4: correlated EXISTS / NOT EXISTS +
+    // INTERSECT — the subquery/set-op machinery q195–q197 don't touch,
+    // through the same one-text-two-engines parity statement
+    // (customers holding an urgent order but never a failed-status
+    // order, intersected with above-median-balance holders).
+    textTwin("q309_sqltext_exists_setop",
+      """SELECT c_custkey FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |INTERSECT
+        |SELECT c_custkey FROM customer
+        |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS
+        |  DECIMAL(12,2))) AS DOUBLE) / COUNT(*) FROM customer)
+        |ORDER BY c_custkey""".stripMargin))
 }

@@ -908,6 +908,100 @@ object Scale {
              |    AS p99,
              |  round(CAST(n.mx AS DOUBLE) * n.nk / n.tot, 6) AS skew_ratio,
              |  round(CAST(t10.s AS DOUBLE) / n.tot, 6) AS top10_share
-             |FROM n, t10""".stripMargin))
+             |FROM n, t10""".stripMargin)),
+
+    // Run-length layout audit (✚, q224 priced two layouts by zone-map
+    // pruning; this prices them by RLE compressibility — the number
+    // of VALUE RUNS each column exhibits under a candidate sort
+    // order, which is what run-length/dictionary encoders actually
+    // pay for). Run counting under a total order is the q76/q120
+    // two-phase discipline: range-partition on the sort key, count
+    // within-partition boundaries under a _pid-keyed window (bounded
+    // tasks, never one), and repair the ≤ partitions−1 cross-edge
+    // boundaries from an O(partitions) driver collect of each
+    // partition's first/last values. Exact integers; mean run length
+    // = rows/runs, round@2.
+    QueryDef("q310_rle_audit",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+        // (l_orderkey, l_linenumber) is NOT unique in this corpus (the
+        // q249/q252 lesson), so each layout's sort EXTENDS to a total
+        // pre-order whose remaining ties are identical in every audited
+        // column — run counts are then invariant under tie permutation
+        // and well-defined on both engines
+        val tiebreak = Seq("l_partkey", "l_suppkey", "l_returnflag",
+          "l_linestatus")
+        val layouts = Seq(
+          "ship_date" -> (Seq("l_shipdate", "l_orderkey", "l_linenumber")
+            ++ tiebreak).map(col),
+          "supplier" -> (Seq("l_suppkey", "l_orderkey", "l_linenumber")
+            ++ tiebreak).distinct.map(col))
+        val audited = Seq("l_returnflag", "l_linestatus", "l_suppkey")
+        val needed = (audited ++ Seq("l_shipdate", "l_orderkey",
+          "l_linenumber", "l_suppkey", "l_partkey")).distinct
+        val base = li.select(needed.map(col): _*)
+        val rows = layouts.flatMap { case (lname, sort) =>
+          val ranged = base
+            .repartitionByRange(32, sort: _*)
+            .withColumn("_pid", spark_partition_id())
+            .localCheckpoint()
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("_pid").orderBy(sort: _*)
+          val within = ranged
+            .select(col("_pid") +: audited.map { c =>
+              when(lag(col(c), 1).over(w).isNotNull &&
+                lag(col(c), 1).over(w) =!= col(c), 1L).otherwise(0L)
+                .as(s"b_$c") }: _*)
+            .groupBy().sum(audited.map(c => s"b_$c"): _*)
+            .first()
+          val edges = ranged
+            .groupBy("_pid")
+            .agg(count(lit(1)).as("n"),
+              min(struct(sort :+ struct(audited.map(col): _*): _*))
+                .as("f"),
+              max(struct(sort :+ struct(audited.map(col): _*): _*))
+                .as("l"))
+            .collect()
+            .map(r => (r.getInt(0), r.getLong(1),
+              r.getStruct(2).getStruct(sort.length),
+              r.getStruct(3).getStruct(sort.length)))
+            .sortBy(_._1)
+          val totalRows = edges.map(_._2).sum
+          audited.zipWithIndex.map { case (c, i) =>
+            val cross = edges.zip(edges.drop(1)).count { case (p, q) =>
+              p._4.get(i) != q._3.get(i) }
+            val runs = 1L + within.getLong(i) + cross
+            (lname, c, totalRows, runs)
+          }
+        }
+        rows.toDF("layout", "column", "n_rows", "n_runs")
+          .select(col("layout"), col("column"), col("n_rows"), col("n_runs"),
+            round(col("n_rows").cast("double") / col("n_runs"), 2)
+              .as("mean_run_len"))
+          .orderBy("layout", "column")
+      },
+      Some {
+        val audited = Seq("l_returnflag", "l_linestatus", "l_suppkey")
+        val layouts = Seq(
+          "ship_date" -> ("l_shipdate, l_orderkey, l_linenumber, " +
+            "l_partkey, l_suppkey, l_returnflag, l_linestatus"),
+          "supplier" -> ("l_suppkey, l_orderkey, l_linenumber, " +
+            "l_partkey, l_returnflag, l_linestatus"))
+        val arms = for ((ln, sort) <- layouts; c <- audited) yield
+          s"""SELECT '$ln' AS layout, '$c' AS "column",
+             |  (SELECT COUNT(*) FROM lineitem) AS n_rows,
+             |  (SELECT 1 + CAST(SUM(CASE WHEN prev IS NOT NULL
+             |       AND prev <> v THEN 1 ELSE 0 END) AS BIGINT)
+             |   FROM (SELECT $c AS v,
+             |           LAG($c) OVER (ORDER BY $sort) AS prev
+             |         FROM lineitem) t) AS n_runs""".stripMargin
+        val body = arms.mkString("\nUNION ALL ")
+        s"""SELECT layout, "column", n_rows, n_runs,
+           |  round(CAST(n_rows AS DOUBLE) / n_runs, 2) AS mean_run_len
+           |FROM (
+           |$body) u
+           |ORDER BY layout, "column"""".stripMargin
+      })
   )
 }
