@@ -4943,6 +4943,96 @@ object Extras {
              |  round(CAST((SELECT oc FROM r WHERE rn = ranks.hi) AS DOUBLE)
              |    / 100, 2) AS ci_hi,
              |  ranks.lo AS rank_lo, ranks.hi AS rank_hi
-             |FROM ranks""".stripMargin))
+             |FROM ranks""".stripMargin)),
+
+    // COUNT(DISTINCT) under ROLLUP, the scale-correct way (✚: feeding
+    // a rollup/grouping-sets plan a COUNT(DISTINCT) makes Catalyst
+    // Expand the CORPUS once per grouping set before a SortAggregate —
+    // the q110 lesson multiplied by the rollup arity. The shape that
+    // survives 100 TB collapses to the DISTINCT (region, nation,
+    // customer) triple table FIRST — one shuffle of slim keys — and
+    // re-aggregates THAT bounded-ish table once per level, because a
+    // distinct count does not roll up by addition). Three level
+    // aggregations + '(all)' labels mirror the oracle's ROLLUP
+    // exactly; exact integer counts.
+    QueryDef("q311_distinct_rollup",
+      (s, d) => {
+        val triples = Tables.orders(s, d).select(col("o_custkey"))
+          .join(broadcast(Tables.customer(s, d)
+            .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))),
+            "o_custkey")
+          .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey").as("c_nationkey"), col("n_name"),
+              col("n_regionkey"))), "c_nationkey")
+          .join(broadcast(Tables.region(s, d)
+            .select(col("r_regionkey").as("n_regionkey"), col("r_name"))),
+            "n_regionkey")
+          .select(col("r_name"), col("n_name"), col("o_custkey"))
+          .distinct().localCheckpoint()
+        val leaf = triples.groupBy("r_name", "n_name")
+          .agg(countDistinct(col("o_custkey")).as("n_customers"))
+        val regionLvl = triples.groupBy("r_name")
+          .agg(countDistinct(col("o_custkey")).as("n_customers"))
+          .withColumn("n_name", lit("(all)"))
+        val grand = triples.agg(countDistinct(col("o_custkey"))
+            .as("n_customers"))
+          .withColumn("r_name", lit("(all)"))
+          .withColumn("n_name", lit("(all)"))
+        leaf.select(col("r_name"), col("n_name"), col("n_customers"))
+          .unionByName(regionLvl.select(col("r_name"), col("n_name"),
+            col("n_customers")))
+          .unionByName(grand.select(col("r_name"), col("n_name"),
+            col("n_customers")))
+          .orderBy("r_name", "n_name")
+      },
+      Some("""WITH t AS (
+             |  SELECT DISTINCT r.r_name, n.n_name, o.o_custkey
+             |  FROM orders o
+             |  JOIN customer c ON o.o_custkey = c.c_custkey
+             |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |  JOIN region r ON n.n_regionkey = r.r_regionkey)
+             |SELECT COALESCE(r_name, '(all)') AS r_name,
+             |  COALESCE(n_name, '(all)') AS n_name,
+             |  COUNT(DISTINCT o_custkey) AS n_customers
+             |FROM t GROUP BY ROLLUP(r_name, n_name)
+             |ORDER BY r_name, n_name""".stripMargin)),
+
+    // Conditional quantile profile (✚, the "how does the DISTRIBUTION
+    // of quantity shift with discount" question a mean-per-bin plot
+    // hides: exact p50/p90 of quantity per discount level). Discount
+    // levels are exact integer percents (11 groups); both quantiles
+    // resolve through quantileDiscByGroup's bounded refinement — the
+    // per-group no-sort machinery — with the oracle pinning the
+    // identical rank-ceil definition rather than trusting either
+    // engine's percentile function.
+    QueryDef("q312_conditional_quantiles",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .withColumn("bin", round(col("l_discount") * 100, 0).cast("int"))
+        OrderStats.quantileDiscByGroup(li, col("bin"), col("l_quantity"), 0.5)
+          .select(col("g"), col("n"), col("kth").as("p50_qty"))
+          .join(OrderStats.quantileDiscByGroup(li, col("bin"),
+              col("l_quantity"), 0.9)
+            .select(col("g"), col("kth").as("p90_qty")), "g")
+          .select(col("g").cast("int").as("discount_pct"), col("n"),
+            col("p50_qty"), col("p90_qty"))
+          .orderBy("discount_pct")
+      },
+      Some("""WITH v AS (
+             |  SELECT CAST(round(l_discount * 100, 0) AS INT) AS g,
+             |    l_quantity AS v
+             |  FROM lineitem WHERE l_quantity IS NOT NULL),
+             |n AS (SELECT g, COUNT(*) AS n FROM v GROUP BY g),
+             |r AS (SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v)
+             |        AS rn FROM v)
+             |SELECT n.g AS discount_pct, n.n,
+             |  MAX(CASE WHEN rn = GREATEST(1,
+             |      CAST(CEIL(0.5::DOUBLE * n.n) AS BIGINT))
+             |    THEN r.v END) AS p50_qty,
+             |  MAX(CASE WHEN rn = GREATEST(1,
+             |      CAST(CEIL(0.9::DOUBLE * n.n) AS BIGINT))
+             |    THEN r.v END) AS p90_qty
+             |FROM r JOIN n USING (g) GROUP BY n.g, n.n
+             |ORDER BY discount_pct""".stripMargin))
   )
 }
