@@ -1087,6 +1087,91 @@ object Components {
            |SELECT node AS p_partkey,
            |  CASE WHEN dist >= 1000000000000000 THEN -1 ELSE dist END AS cost4
            |FROM d4 ORDER BY p_partkey""".stripMargin
+      }),
+
+    // Personalized PageRank from a seed set (✚, the "similar to THESE
+    // documents" centrality behind graph-based retrieval and
+    // recommend-from-examples: q90 ranks globally; PPR teleports to
+    // the seed set, so scores measure proximity TO THE SEEDS through
+    // the near-dup graph). Same per-round physical shape as q90 —
+    // one equality join on symmetrized 8-byte edges, one map-side-
+    // combined contribution sum, dangling mass via a 1-row broadcast —
+    // with the restart vector 1/|seeds| on seeds (doc_id % 100 == 0)
+    // and 0 elsewhere; dangling mass also teleports to seeds (the
+    // standard PPR formulation). Same accepted float-drift trade as
+    // q90/q111 (round@6 out, drift ~1e-13 at gate degrees).
+    QueryDef("q313_personalized_pagerank",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.dedupPipeline(docs).select("id_a", "id_b")
+        val m = Materialize.local
+        val edges = m(
+          pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+            .unionByName(pairs.select(col("id_b").as("u"),
+              col("id_a").as("v"))))
+        val deg = m(edges.groupBy("u")
+          .agg(count(lit(1)).cast("double").as("deg")))
+        val base = m(docs.select(col("doc_id").as("node"),
+          (col("doc_id") % 100 === 0).as("seed")))
+        val ns = base.where(col("seed")).count().toDouble
+        val restart = when(col("seed"), lit(1.0 / ns)).otherwise(lit(0.0))
+        var scores = m(base.withColumn("score", restart))
+        for (_ <- 1 to 5) {
+          val contrib = scores
+            .join(edges, scores("node") === edges("u"))
+            .join(deg, "u")
+            .select(col("v").as("node"), (col("score") / col("deg")).as("c"))
+            .groupBy("node").agg(sum(col("c")).as("inc"))
+          val dangling = scores
+            .join(deg.select(col("u").as("node")), Seq("node"), "left_anti")
+            .agg(coalesce(sum(col("score")), lit(0.0)).as("dm"))
+          scores = m(base
+            .join(contrib, Seq("node"), "left")
+            .crossJoin(broadcast(dangling))
+            .select(col("node"), col("seed"),
+              (lit(0.85) * (coalesce(col("inc"), lit(0.0)) +
+                col("dm") * restart) + lit(0.15) * restart).as("score")))
+        }
+        scores.select(col("node").as("doc_id"),
+            round(col("score"), 6).as("score"))
+          .where(col("score") > 0.0)
+          .orderBy("doc_id")
+      },
+      Some {
+        val levels = (0 until 5).map { k =>
+          s"""d$k AS MATERIALIZED (
+             |  SELECT COALESCE(SUM(score), 0) AS dm FROM p$k
+             |  WHERE node NOT IN (SELECT u FROM deg)),
+             |p${k + 1} AS MATERIALIZED (
+             |  SELECT n.node, n.r,
+             |    0.85 * (COALESCE(i.s, 0) + (SELECT dm FROM d$k) * n.r)
+             |      + 0.15 * n.r AS score
+             |  FROM nodes n LEFT JOIN (
+             |    SELECT e.v AS node, SUM(p.score / g.deg) AS s
+             |    FROM p$k p JOIN edges e ON e.u = p.node
+             |    JOIN deg g ON g.u = p.node
+             |    GROUP BY e.v) i ON i.node = n.node)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ${Dedup.verifiedPairsCtes},
+           |ns AS MATERIALIZED (
+           |  SELECT CAST(COUNT(*) AS DOUBLE) AS ns FROM documents
+           |  WHERE doc_id % 100 = 0),
+           |nodes AS MATERIALIZED (
+           |  SELECT doc_id AS node,
+           |    CASE WHEN doc_id % 100 = 0
+           |      THEN 1.0 / (SELECT ns FROM ns) ELSE 0.0 END AS r
+           |  FROM documents),
+           |edges AS MATERIALIZED (
+           |  SELECT id_a AS u, id_b AS v FROM vp
+           |  UNION ALL SELECT id_b, id_a FROM vp),
+           |deg AS MATERIALIZED (
+           |  SELECT u, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges
+           |  GROUP BY u),
+           |p0 AS MATERIALIZED (SELECT node, r, r AS score FROM nodes),
+           |$levels
+           |SELECT node AS doc_id, ROUND(score, 6) AS score FROM p5
+           |WHERE ROUND(score, 6) > 0.0
+           |ORDER BY doc_id""".stripMargin
       })
   )
 }

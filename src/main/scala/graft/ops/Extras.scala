@@ -5033,6 +5033,53 @@ object Extras {
              |      CAST(CEIL(0.9::DOUBLE * n.n) AS BIGINT))
              |    THEN r.v END) AS p90_qty
              |FROM r JOIN n USING (g) GROUP BY n.g, n.n
-             |ORDER BY discount_pct""".stripMargin))
+             |ORDER BY discount_pct""".stripMargin)),
+
+    // Hourly OHLC bars (✚, the candlestick collapse every time-series
+    // store ships: open/high/low/close of the event value per hour —
+    // open and close are the FIRST and LAST values in event order,
+    // which the q156 struct-extreme discipline resolves without a
+    // per-hour sort: the (tsu, event_id, cents) ordering tuple rides
+    // inside MIN/MAX, so the whole bar is ONE map-side-combined
+    // aggregation keyed by the hour — at 100 TB the only thing that
+    // moves is |hours| bars). Cents-exact integers; dollars round@2.
+    QueryDef("q315_ohlc",
+      (s, d) => {
+        val bars = Tables.events(s, d)
+          .select(expr("CAST(unix_micros(ts) div 3600000000 AS BIGINT)")
+              .as("hr"),
+            unix_micros(col("ts")).as("tsu"), col("event_id"),
+            round(col("value") * 100, 0).cast("long").as("c"))
+          .groupBy("hr")
+          .agg(count(lit(1)).as("n"),
+            min(struct(col("tsu"), col("event_id"), col("c"))).as("o"),
+            max(struct(col("tsu"), col("event_id"), col("c"))).as("cl"),
+            max(col("c")).as("hi"), min(col("c")).as("lo"))
+        bars.select(col("hr"), col("n"),
+            round(col("o.c").cast("double") / 100, 2).as("open"),
+            round(col("hi").cast("double") / 100, 2).as("high"),
+            round(col("lo").cast("double") / 100, 2).as("low"),
+            round(col("cl.c").cast("double") / 100, 2).as("close"))
+          .orderBy("hr")
+      },
+      Some("""WITH ev AS (
+             |  SELECT epoch_us(ts) // 3600000000 AS hr, epoch_us(ts) AS tsu,
+             |    event_id, CAST(round(value * 100, 0) AS BIGINT) AS c
+             |  FROM events),
+             |r AS (
+             |  SELECT hr, c,
+             |    ROW_NUMBER() OVER (PARTITION BY hr
+             |      ORDER BY tsu, event_id) AS rf,
+             |    ROW_NUMBER() OVER (PARTITION BY hr
+             |      ORDER BY tsu DESC, event_id DESC) AS rl
+             |  FROM ev)
+             |SELECT hr, COUNT(*) AS n,
+             |  round(CAST(MAX(CASE WHEN rf = 1 THEN c END) AS DOUBLE) / 100,
+             |    2) AS open,
+             |  round(CAST(MAX(c) AS DOUBLE) / 100, 2) AS high,
+             |  round(CAST(MIN(c) AS DOUBLE) / 100, 2) AS low,
+             |  round(CAST(MAX(CASE WHEN rl = 1 THEN c END) AS DOUBLE) / 100,
+             |    2) AS close
+             |FROM r GROUP BY hr ORDER BY hr""".stripMargin))
   )
 }

@@ -710,6 +710,86 @@ object Similarity {
            |  round(fin.num / fin.den, 6) AS lam,
            |  round(fin.num / fin.den / tr.t, 6) AS var_share
            |FROM v8 v CROSS JOIN fin CROSS JOIN tr ORDER BY dim""".stripMargin
+      }),
+
+    // Matryoshka prefix-dimension recall audit (✚, the question every
+    // MRL-style embedding deployment asks before truncating vectors to
+    // save index bytes: how much of the FULL-dimension top-k does the
+    // 16-dim PREFIX ranking keep? recall@5 per query, measured
+    // exactly). Both rankings are the q29 brute-force shape — tiny
+    // query side broadcast, one corpus stream each, cosine round@5
+    // with id tiebreak — and the overlap join is on the 8-byte
+    // (q_id, n_id) pair. At 100 TB this audit runs on a sample of
+    // queries; the per-candidate cost of the prefix pass is the whole
+    // point (16 mults vs 64).
+    QueryDef("q314_matryoshka_recall",
+      (s, d) => {
+        val D = 16
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v"))
+          .withColumn("p", slice(col("v"), 1, D))
+          .withColumn("nrm", Vectors.norm2(col("v")))
+          .withColumn("pnrm", Vectors.norm2(col("p")))
+        def topk(vecCol: String, nrmCol: String) = {
+          val queries = e.where(col("vec_id") < 5)
+            .select(col("vec_id").as("q_id"), col(vecCol).as("qv"),
+              col(nrmCol).as("qn"))
+          val scored = e.join(broadcast(queries),
+              col("vec_id") =!= col("q_id"))
+            .select(col("q_id"), col("vec_id").as("n_id"),
+              round(Vectors.dot(col("qv"), col(vecCol)) /
+                (col("qn") * col(nrmCol)), 5).as("cos"))
+          val w = Window.partitionBy("q_id")
+            .orderBy(col("cos").desc, col("n_id").asc)
+          scored.withColumn("rank", row_number().over(w))
+            .where(col("rank") <= 5)
+            .select(col("q_id"), col("n_id"))
+        }
+        val full = topk("v", "nrm")
+        val prefix = topk("p", "pnrm")
+          .select(col("q_id"), col("n_id").as("p_id"))
+        full.join(prefix,
+            full("q_id") === prefix("q_id") && col("n_id") === col("p_id"),
+            "left")
+          .groupBy(full("q_id").as("q_id"))
+          .agg(sum(when(col("p_id").isNotNull, 1L).otherwise(0L))
+            .as("n_overlap"))
+          .select(col("q_id"), col("n_overlap"),
+            round(col("n_overlap").cast("double") / 5, 6).as("recall"))
+          .orderBy("q_id")
+      },
+      Some {
+        val ap = "[" + (1 to 16).map(i => s"a.embedding[$i]::DOUBLE")
+          .mkString(", ") + "]"
+        val bp = "[" + (1 to 16).map(i => s"b.embedding[$i]::DOUBLE")
+          .mkString(", ") + "]"
+        val pcos = s"round(list_dot_product($ap, $bp) / " +
+          s"(sqrt(list_dot_product($ap, $ap)) * " +
+          s"sqrt(list_dot_product($bp, $bp))), 5)"
+        s"""WITH full_rank AS (
+           |  SELECT q_id, n_id FROM (
+           |    SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+           |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+           |        ORDER BY $cosSql DESC, b.vec_id ASC) AS rank
+           |    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+           |    WHERE a.vec_id < 5) t
+           |  WHERE rank <= 5),
+           |prefix_rank AS (
+           |  SELECT q_id, n_id FROM (
+           |    SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+           |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+           |        ORDER BY $pcos DESC, b.vec_id ASC) AS rank
+           |    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+           |    WHERE a.vec_id < 5) t
+           |  WHERE rank <= 5)
+           |SELECT f.q_id,
+           |  CAST(SUM(CASE WHEN p.n_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_overlap,
+           |  round(CAST(SUM(CASE WHEN p.n_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS DOUBLE) / 5, 6) AS recall
+           |FROM full_rank f LEFT JOIN prefix_rank p
+           |  ON f.q_id = p.q_id AND f.n_id = p.n_id
+           |GROUP BY f.q_id ORDER BY f.q_id""".stripMargin
       })
   )
 }
