@@ -1464,6 +1464,122 @@ object StreamOps {
              |    COUNT(*) OVER (PARTITION BY user_id, event_type)
              |      AS n_versions
              |  FROM events) t
-             |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin))
+             |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)),
+
+    // Streamed OHLC — q315's candlestick collapse as live state: the
+    // struct-extreme open/close and min/max high/low are all
+    // MERGEABLE aggregations (struct MIN/MAX merge associatively), so
+    // the hourly bars converge under ANY arrival order — exactly the
+    // claim a live candlestick feed needs, proven hash-equal to the
+    // batch bars in complete mode over 3 micro-batches. State is one
+    // bar per hour.
+    QueryDef("q316_stream_ohlc",
+      (s, d) => {
+        val input = graft.Tables.events(s, d)
+          .select(col("ts"), col("event_id"), col("value"))
+        val bars = (df: org.apache.spark.sql.DataFrame) =>
+          df.select(expr("CAST(unix_micros(ts) div 3600000000 AS BIGINT)")
+              .as("hr"),
+              unix_micros(col("ts")).as("tsu"), col("event_id"),
+              round(col("value") * 100, 0).cast("long").as("c"))
+            .groupBy("hr")
+            .agg(count(lit(1)).as("n"),
+              min(struct(col("tsu"), col("event_id"), col("c"))).as("o"),
+              max(struct(col("tsu"), col("event_id"), col("c"))).as("cl"),
+              max(col("c")).as("hi"), min(col("c")).as("lo"))
+            .select(col("hr"), col("n"),
+              round(col("o.c").cast("double") / 100, 2).as("open"),
+              round(col("hi").cast("double") / 100, 2).as("high"),
+              round(col("lo").cast("double") / 100, 2).as("low"),
+              round(col("cl.c").cast("double") / 100, 2).as("close"))
+        val rows = runBoundedFromPath(s, input, bars, chunks = 3)
+        s.createDataFrame(new java.util.ArrayList(java.util.Arrays.asList(rows: _*)),
+            bars(input).schema)
+          .orderBy("hr")
+      },
+      Some("""WITH ev AS (
+             |  SELECT epoch_us(ts) // 3600000000 AS hr, epoch_us(ts) AS tsu,
+             |    event_id, CAST(round(value * 100, 0) AS BIGINT) AS c
+             |  FROM events),
+             |r AS (
+             |  SELECT hr, c,
+             |    ROW_NUMBER() OVER (PARTITION BY hr
+             |      ORDER BY tsu, event_id) AS rf,
+             |    ROW_NUMBER() OVER (PARTITION BY hr
+             |      ORDER BY tsu DESC, event_id DESC) AS rl
+             |  FROM ev)
+             |SELECT hr, COUNT(*) AS n,
+             |  round(CAST(MAX(CASE WHEN rf = 1 THEN c END) AS DOUBLE) / 100,
+             |    2) AS open,
+             |  round(CAST(MAX(c) AS DOUBLE) / 100, 2) AS high,
+             |  round(CAST(MIN(c) AS DOUBLE) / 100, 2) AS low,
+             |  round(CAST(MAX(CASE WHEN rl = 1 THEN c END) AS DOUBLE) / 100,
+             |    2) AS close
+             |FROM r GROUP BY hr ORDER BY hr""".stripMargin)),
+
+    // Stream-stream LEFT OUTER interval join — q123's click→purchase
+    // join with the semantics a funnel monitor actually needs: clicks
+    // that NEVER convert inside the window must still emit (with
+    // nulls), and in streaming that emission can only happen once the
+    // watermark PASSES the click's window — the state-expiry contract
+    // this gate proves end to end. The replay appends one far-future
+    // sentinel click (filtered from the output by its negative user
+    // id): its micro-batch advances the watermark beyond every real
+    // click's window and the engine's no-data batch flushes the
+    // unmatched rows — the exact mechanism a live deployment relies
+    // on between arrivals. Hash-equal to the batch LEFT JOIN.
+    QueryDef("q317_stream_outer_join",
+      (s, d) => {
+        import s.implicits._
+        val real = graft.Tables.events(s, d)
+          .select("user_id", "ts", "event_type", "value")
+        val maxTs = real.agg(max(unix_micros(col("ts")))).first().getLong(0)
+        // +6 h: outer-join state eviction trails the watermark by the
+        // compounded delay+condition span on both sides (measured ~2 h
+        // at 30 min/30 min) — the sentinel must clear that margin past
+        // every real click's window, not just the nominal watermark
+        val sentinel = Seq((-1L, maxTs + 21600000000L, "click", 0.0))
+          .toDF("user_id", "tsu", "event_type", "value")
+          .select(col("user_id"), timestamp_micros(col("tsu")).as("ts"),
+            col("event_type"), col("value"))
+        val input = real.unionByName(sentinel)
+        val toPairs = (df: org.apache.spark.sql.DataFrame) => {
+          val e = wm(df, "30 minutes")
+          // bounded-replay HORIZON contract: a live stream never ends,
+          // so a replay must declare which clicks' windows it is
+          // responsible for. Clicks inside max_ts − 1 h provably flush
+          // (their state expiry is driven by the sentinel's watermark
+          // advance); the engine legitimately holds rows at the very
+          // horizon edge, so both engines exclude them explicitly.
+          val clicks = e.where(col("event_type") === "click" &&
+              col("ts") <= timestamp_micros(lit(maxTs - 3600000000L)))
+            .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+          val purchases = e.where(col("event_type") === "purchase")
+            .select(col("user_id").as("p_user"),
+              col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+          clicks.join(purchases,
+              col("c_user") === col("p_user") &&
+              col("purchase_ts") >= col("click_ts") &&
+              col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+              "left_outer")
+            .where(col("c_user") >= 0)
+            .select(col("c_user").as("user_id"), col("click_ts"),
+              col("purchase_ts"), col("purchase_value"))
+        }
+        val rows = runBoundedFromPath(s, input, toPairs,
+          chunks = 3, outputMode = "append", arrivalOrder = Seq(col("ts")))
+        s.createDataFrame(new java.util.ArrayList(java.util.Arrays.asList(rows: _*)),
+            toPairs(input).schema)
+          .orderBy("user_id", "click_ts", "purchase_ts", "purchase_value")
+      },
+      Some("""SELECT c.user_id, c.ts AS click_ts, p.ts AS purchase_ts,
+             |  p.value AS purchase_value
+             |FROM events c LEFT JOIN events p
+             |  ON p.user_id = c.user_id
+             | AND c.event_type = 'click' AND p.event_type = 'purchase'
+             | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+             |WHERE c.event_type = 'click'
+             |  AND c.ts <= (SELECT MAX(ts) - INTERVAL 1 HOUR FROM events)
+             |ORDER BY c.user_id, click_ts, purchase_ts, purchase_value""".stripMargin))
   )
 }
