@@ -1002,6 +1002,105 @@ object Scale {
            |FROM (
            |$body) u
            |ORDER BY layout, "column"""".stripMargin
-      })
+      }),
+
+    // Partition-pruned layout gate (✚, q65 buys repeated JOINS a
+    // zero-exchange plan via bucketing; this buys repeated FILTERED
+    // SCANS a zero-read plan via hive partitioning — the daily-job
+    // layout every event lake uses. The gate's measured cost
+    // deliberately INCLUDES the partitioned write, the honest
+    // amortization decision, and the read back filters ONE day —
+    // PartitionFilters prune to a single directory (plan-asserted in
+    // SourcesSpec; at 100 TB this is reading 1/30th vs 30/30ths).
+    // The oracle computes the same day's aggregate from the raw
+    // table, so a pruning bug that drops or duplicates rows breaks
+    // the hash.
+    QueryDef("q318_partition_pruned",
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-partitioned").toString
+        val ev = Tables.events(s, d)
+          .withColumn("day",
+            expr("CAST(unix_micros(ts) div 86400000000 AS BIGINT)"))
+        ev.write.partitionBy("day").mode("overwrite").parquet(dir)
+        val day0 = ev.agg(min(col("day"))).first().getLong(0)
+        // the partition column comes back with the INFERRED directory
+        // type (int here) — compare with a literal of that type so the
+        // predicate stays a PartitionFilter instead of a cast-wrapped
+        // data filter
+        s.read.parquet(dir)
+          .where(col("day") === lit(day0.toInt))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+          .select(col("event_type"), col("n"),
+            round(col("cents").cast("double") / 100, 2).as("total_value"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, value,
+             |    epoch_us(ts) // 86400000000 AS day
+             |  FROM events),
+             |d0 AS (SELECT MIN(day) AS d FROM ev)
+             |SELECT event_type, COUNT(*) AS n,
+             |  round(CAST(SUM(CAST(round(value * 100, 0) AS BIGINT))
+             |    AS DOUBLE) / 100, 2) AS total_value
+             |FROM ev, d0 WHERE ev.day = d0.d
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Deterministic-sample accuracy audit (✚, the "can we estimate
+    // this from 5%" decision, measured instead of assumed: the exact
+    // corpus median vs the median of a 5% HASH sample — the sample is
+    // a pure md5 function of the row key, so it is reproducible on
+    // any executor, stable across runs, and IDENTICAL on both engines
+    // — no rand(), the q53 split discipline). Both medians resolve
+    // through selectKth's bounded refinement; the report carries the
+    // absolute and relative error, which is the evidence a
+    // sample-based pipeline needs before trusting the shortcut at
+    // 100 TB (where the sample is what makes quantiles interactive).
+    QueryDef("q319_sample_accuracy",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(round(col("l_extendedprice") * 100, 0).cast("long")
+              .as("c"),
+            (conv(substring(md5(concat_ws("|",
+              col("l_orderkey"), col("l_linenumber"), col("l_partkey"))),
+              1, 8), 16, 10).cast("long") % 20).as("h"))
+          .localCheckpoint()
+        val n = li.count()
+        val exact = OrderStats.selectKth(li, col("c"), (n + 1) / 2).toLong
+        val samp = li.where(col("h") === 0)
+        val nS = samp.count()
+        val approx = OrderStats.selectKth(samp, col("c"), (nS + 1) / 2).toLong
+        li.agg(count(lit(1)).as("n_rows"))
+          .select(col("n_rows"), lit(nS).as("n_sample"),
+            round(lit(exact.toDouble) / 100, 2).as("exact_median"),
+            round(lit(approx.toDouble) / 100, 2).as("sample_median"),
+            round(abs(lit(approx - exact).cast("double")) / 100, 2)
+              .as("abs_err"),
+            round(abs(lit(approx - exact).cast("double")) / lit(exact), 6)
+              .as("rel_err"))
+      },
+      Some("""WITH li AS (
+             |  SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c,
+             |    ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|' ||
+             |      CAST(l_linenumber AS VARCHAR) || '|' ||
+             |      CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT % 20 AS h
+             |  FROM lineitem),
+             |n AS (SELECT COUNT(*) AS n FROM li),
+             |r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn FROM li),
+             |ex AS (
+             |  SELECT c AS v FROM r, n WHERE rn = (n.n + 1) // 2),
+             |sm AS (SELECT c FROM li WHERE h = 0),
+             |ns AS (SELECT COUNT(*) AS n FROM sm),
+             |rs AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn FROM sm),
+             |ap AS (
+             |  SELECT c AS v FROM rs, ns WHERE rn = (ns.n + 1) // 2)
+             |SELECT n.n AS n_rows, ns.n AS n_sample,
+             |  round(CAST(ex.v AS DOUBLE) / 100, 2) AS exact_median,
+             |  round(CAST(ap.v AS DOUBLE) / 100, 2) AS sample_median,
+             |  round(abs(CAST(ap.v - ex.v AS DOUBLE)) / 100, 2) AS abs_err,
+             |  round(abs(CAST(ap.v - ex.v AS DOUBLE)) / ex.v, 6) AS rel_err
+             |FROM n, ns, ex, ap""".stripMargin))
   )
 }
