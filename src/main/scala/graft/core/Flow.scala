@@ -62,6 +62,29 @@ final class Flow[T](val ds: Dataset[T]) {
   def byChunk(n: Int)(implicit e: Encoder[Seq[T]]): Flow[Seq[T]] =
     new Flow(ds.mapPartitions(_.grouped(n).map(_.toSeq)))
 
+  // ---- compression (flod-zlib inflate/deflate, README.md:10-13) ----
+
+  /** Decompress a byte-chunk stream — flod-zlib `inflate(Format.gzip)`.
+    * Per-partition incremental: a partition's chunks form one (possibly
+    * multi-member) compressed stream — a single-file Flow is a single
+    * partition, the reference's single-ordered-stream case — and output
+    * re-chunks at `chunkSize`. `cat a.gz b.gz` inputs decode fully. */
+  def inflate(format: Codec.Format = Codec.Gzip, chunkSize: Int = 1 << 16)
+             (implicit ev: T =:= Array[Byte], e: Encoder[Array[Byte]]): Flow[Array[Byte]] =
+    new Flow(ds.asInstanceOf[Dataset[Array[Byte]]]
+      .mapPartitions(Codec.inflateStream(_, format, chunkSize)))
+
+  /** Compress a byte-chunk stream — flod-zlib `deflate(Format.gzip)`.
+    * Each chunk becomes an independent member (members concatenate into
+    * a valid stream), so the stage is a pure per-element map:
+    * embarrassingly parallel, order-preserving, O(chunk) memory — the
+    * Spark-first shape, vs the reference's single sequential zlib
+    * context. `inflate` (and standard gunzip) round-trips the result. */
+  def deflate(format: Codec.Format = Codec.Gzip)
+             (implicit ev: T =:= Array[Byte], e: Encoder[Array[Byte]]): Flow[Array[Byte]] =
+    new Flow(ds.asInstanceOf[Dataset[Array[Byte]]]
+      .map(Codec.deflateChunk(_, format)))
+
   // ---- text (flod K7/T2 Splitter) ----
 
   /** Split a chunked char stream into separator-delimited segments — flod

@@ -752,7 +752,6 @@ object Dedup {
     // and array_intersect runs ONCE per distinct candidate pair.
     QueryDef("q198_setsim_prefix_join",
       (s, d) => {
-        val W = org.apache.spark.sql.expressions.Window
         // corpus with planted near-dups: every %23 doc re-enters with
         // its last 2 tokens dropped (high-Jaccard pair), the q102/q188
         // augmentation discipline so the gate has true positives
@@ -765,11 +764,18 @@ object Dedup {
         val tok = aug
           .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
           .where(col("tok") =!= "")
-        // global df rank, rarest first; tok tiebreak makes it total
-        val rank = tok.groupBy("tok").agg(count(lit(1)).as("df"))
-          .withColumn("r", row_number().over(W.orderBy(col("df").asc, col("tok").asc)).cast("long"))
-          .select("tok", "r")
-        val ranked = tok.join(broadcast(rank), "tok")
+        // global df rank, rarest first; tok tiebreak makes it total.
+        // Two-phase globalRowNumber (range partitions + bounded
+        // per-partition windows) — a million-row vocab never meets a
+        // single-task window (q171's rule). No broadcast hint: the
+        // vocab is corpus-dependent, so AQE picks broadcast-vs-shuffle
+        // for the rank join from the runtime size of the aggregated
+        // vocab, which is the guard a fixed hint can't provide.
+        val rank = Scale.globalRowNumber(
+            tok.groupBy("tok").agg(count(lit(1)).as("df")),
+            Seq(col("df"), col("tok")))
+          .select(col("tok"), col("rn").as("r"))
+        val ranked = tok.join(rank, "tok")
         // pinned: consumed by the prefix branch AND both verify joins —
         // without it the explode+distinct+rank-join+collect_list lineage
         // re-executes once per consumer (~3× the candidate-stage cost);

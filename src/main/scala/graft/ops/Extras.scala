@@ -1601,9 +1601,9 @@ object Extras {
              |  SELECT CAST(floor((l_suppkey - lo) * 64 / (hi - lo)) AS INT) AS b,
              |    COUNT(*) AS n, COUNT(DISTINCT l_suppkey) AS dv
              |  FROM li, bounds GROUP BY 1),
-             |est AS (SELECT SUM(CAST(n * n / dv AS BIGINT)) AS est_rows FROM hist),
+             |est AS (SELECT CAST(SUM(CAST(n * n / dv AS BIGINT)) AS BIGINT) AS est_rows FROM hist),
              |act AS (
-             |  SELECT SUM(f * f) AS actual_rows FROM (
+             |  SELECT CAST(SUM(f * f) AS BIGINT) AS actual_rows FROM (
              |    SELECT COUNT(*) AS f FROM li GROUP BY l_suppkey) t)
              |SELECT est.est_rows, act.actual_rows,
              |  round(CAST(abs(est.est_rows - act.actual_rows) AS DOUBLE)
@@ -1667,13 +1667,13 @@ object Extras {
              |      AS match_rows
              |  FROM filed GROUP BY file)
              |SELECT COUNT(*) AS n_files,
-             |  SUM(CASE WHEN zmax < TIMESTAMP '1996-01-01 00:00:00'
+             |  CAST(SUM(CASE WHEN zmax < TIMESTAMP '1996-01-01 00:00:00'
              |    OR zmin > TIMESTAMP '1996-03-31 23:59:59' THEN 1 ELSE 0 END)
-             |    AS files_skipped,
-             |  SUM(CASE WHEN zmax >= TIMESTAMP '1996-01-01 00:00:00'
+             |    AS BIGINT) AS files_skipped,
+             |  CAST(SUM(CASE WHEN zmax >= TIMESTAMP '1996-01-01 00:00:00'
              |    AND zmin <= TIMESTAMP '1996-03-31 23:59:59' THEN rows_
-             |    ELSE 0 END) AS rows_scanned,
-             |  SUM(match_rows) AS rows_matching,
+             |    ELSE 0 END) AS BIGINT) AS rows_scanned,
+             |  CAST(SUM(match_rows) AS BIGINT) AS rows_matching,
              |  round(CAST(SUM(CASE WHEN zmax < TIMESTAMP '1996-01-01 00:00:00'
              |    OR zmin > TIMESTAMP '1996-03-31 23:59:59' THEN 1 ELSE 0 END)
              |    AS DOUBLE) / COUNT(*), 6) AS skip_ratio
@@ -1901,8 +1901,8 @@ object Extras {
              |    AND epoch_us(e.ts) <= c.t2 + 3600000000
              |  GROUP BY e.user_id)
              |SELECT step, n_users,
-             |  CASE WHEN n_users > 0 THEN sum_gap // n_users ELSE 0 END
-             |    AS avg_gap_us
+             |  CAST(CASE WHEN n_users > 0 THEN sum_gap // n_users ELSE 0 END
+             |    AS BIGINT) AS avg_gap_us
              |FROM (
              |  SELECT '1_view' AS step, COUNT(*) AS n_users, 0 AS sum_gap FROM v
              |  UNION ALL
@@ -1923,12 +1923,14 @@ object Extras {
     // is never re-scanned per sample.
     QueryDef("q211_empirical_sample",
       (s, d) => {
-        val W = org.apache.spark.sql.expressions.Window
         val li = Tables.lineitem(s, d).select(col("l_quantity").as("v"))
         val n = li.count()
-        val cdf = li.groupBy("v").agg(count(lit(1)).as("c"))
-          .withColumn("cum", sum("c").over(
-            W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)))
+        // CDF walk is the two-phase globalRunningSum — the distinct-value
+        // table is domain-bounded, but no builder gets a partition-less
+        // window (the PlanSpec walker bans the construct outright)
+        val cdf = Scale.globalRunningSum(
+            li.groupBy("v").agg(count(lit(1)).as("c")),
+            Seq(col("v")), col("c"))
           .select("v", "cum")
         val draws = s.range(1000).select(col("id").as("i"),
           (conv(substring(md5(concat(lit("draw-"), col("id").cast("string"))),
@@ -2100,8 +2102,8 @@ object Extras {
              |    epoch_us(ts) AS t
              |  FROM events)
              |SELECT event_type, COUNT(*) AS n_total,
-             |  SUM(CASE WHEN prev_us IS NULL OR t - prev_us > 5000000
-             |      THEN 1 ELSE 0 END) AS n_kept
+             |  CAST(SUM(CASE WHEN prev_us IS NULL OR t - prev_us > 5000000
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
              |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // Seasonal-baseline anomaly detection (✚, the complement of
@@ -2255,21 +2257,33 @@ object Extras {
           .select(col("c_custkey").as("k"))
         val delO = ord.join(delC, col("o_custkey") === col("k"))
           .select(col("o_orderkey").as("ok"))
+        // One pass per table: a single LEFT join against the (distinct,
+        // PK-derived) delete-key set classifies every row as removed
+        // (key matched) or kept (no match) in the same scan, and the
+        // orphan count is the identity  count(*) − kept − removed  from
+        // that same classification — a nonzero value would mean the
+        // join tagged a row as both or neither, i.e. the cascade and
+        // the audit disagreed on key semantics. The three per-table
+        // aggregates union into ONE plan, so the whole audit is one
+        // Spark job (previously 3 eager jobs per table = 9).
         def audit(name: String, df: org.apache.spark.sql.DataFrame,
                   key: org.apache.spark.sql.Column,
                   delKeys: org.apache.spark.sql.DataFrame,
                   dk: org.apache.spark.sql.Column) = {
-          val total = df.count()
-          val kept = df.join(delKeys, key === dk, "left_anti")
-          val keptN = kept.count()
-          val orphans = kept.join(delKeys, key === dk, "left_semi").count()
-          (name, total, total - keptN, orphans)
+          df.join(delKeys.select(dk.as("_dk")), key === col("_dk"), "left")
+            .agg(
+              count(lit(1)).as("n_rows"),
+              sum(when(col("_dk").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+              (count(lit(1))
+                - sum(when(col("_dk").isNull, 1L).otherwise(0L))
+                - sum(when(col("_dk").isNotNull, 1L).otherwise(0L)))
+                .as("n_orphans"))
+            .select(lit(name).as("table_"), col("n_rows"),
+              col("n_removed"), col("n_orphans"))
         }
-        Seq(
-          audit("1_customer", cust, col("c_custkey"), delC, col("k")),
-          audit("2_orders", ord, col("o_custkey"), delC, col("k")),
-          audit("3_lineitem", li, col("l_orderkey"), delO, col("ok")))
-          .toDF("table_", "n_rows", "n_removed", "n_orphans")
+        audit("1_customer", cust, col("c_custkey"), delC, col("k"))
+          .unionByName(audit("2_orders", ord, col("o_custkey"), delC, col("k")))
+          .unionByName(audit("3_lineitem", li, col("l_orderkey"), delO, col("ok")))
           .orderBy("table_")
       },
       Some("""WITH delc AS (
@@ -2279,18 +2293,19 @@ object Extras {
              |  JOIN delc ON o_custkey = k)
              |SELECT * FROM (
              |  SELECT '1_customer' AS table_, COUNT(*) AS n_rows,
-             |    SUM(CASE WHEN c_custkey % 41 = 0 THEN 1 ELSE 0 END) AS n_removed,
-             |    0 AS n_orphans
+             |    CAST(SUM(CASE WHEN c_custkey % 41 = 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_removed,
+             |    CAST(0 AS BIGINT) AS n_orphans
              |  FROM customer
              |  UNION ALL
              |  SELECT '2_orders', COUNT(*),
-             |    SUM(CASE WHEN o_custkey IN (SELECT k FROM delc)
-             |        THEN 1 ELSE 0 END), 0
+             |    CAST(SUM(CASE WHEN o_custkey IN (SELECT k FROM delc)
+             |        THEN 1 ELSE 0 END) AS BIGINT), CAST(0 AS BIGINT)
              |  FROM orders
              |  UNION ALL
              |  SELECT '3_lineitem', COUNT(*),
-             |    SUM(CASE WHEN l_orderkey IN (SELECT ok FROM delo)
-             |        THEN 1 ELSE 0 END), 0
+             |    CAST(SUM(CASE WHEN l_orderkey IN (SELECT ok FROM delo)
+             |        THEN 1 ELSE 0 END) AS BIGINT), CAST(0 AS BIGINT)
              |  FROM lineitem)
              |ORDER BY table_""".stripMargin)),
 
@@ -2307,33 +2322,51 @@ object Extras {
     // assumed.
     QueryDef("q245_ri_audit",
       (s, d) => {
-        import s.implicits._
-        def edge(name: String, child: org.apache.spark.sql.DataFrame, ck: String,
-                 parent: org.apache.spark.sql.DataFrame, pk: String,
-                 bcast: Boolean) = {
-          val par = parent.select(col(pk)).distinct()
-          val p = if (bcast) broadcast(par) else par
-          val nChild = child.count()
-          val nOrphan = child.join(p, child(ck) === p(pk), "left_anti").count()
-          (name, nChild, nOrphan)
+        // q148's discipline: adding an FK edge never adds a scan of the
+        // same child. Every child table is scanned ONCE — all of its
+        // parent key sets LEFT-join onto that one scan (each parent key
+        // set is distinct, so the joins never multiply rows), a single
+        // aggregate computes one orphan sum per edge, and stack()
+        // unpivots the 1-row result into per-edge rows. The 7 edges
+        // union into one plan → ONE Spark job (previously 2 eager jobs
+        // × 7 edges = 14, with lineitem scanned 6 times).
+        def keys(df: org.apache.spark.sql.DataFrame, pk: String,
+                 as: String, bcast: Boolean) = {
+          val k = df.select(col(pk).as(as)).distinct()
+          if (bcast) broadcast(k) else k
         }
-        Seq(
-          edge("customer->nation", Tables.customer(s, d), "c_nationkey",
-            Tables.nation(s, d), "n_nationkey", bcast = true),
-          edge("lineitem->orders", Tables.lineitem(s, d), "l_orderkey",
-            Tables.orders(s, d), "o_orderkey", bcast = false),
-          edge("lineitem->part", Tables.lineitem(s, d), "l_partkey",
-            Tables.part(s, d), "p_partkey", bcast = true),
-          edge("lineitem->supplier", Tables.lineitem(s, d), "l_suppkey",
-            Tables.supplier(s, d), "s_suppkey", bcast = true),
-          edge("nation->region", Tables.nation(s, d), "n_regionkey",
-            Tables.region(s, d), "r_regionkey", bcast = true),
-          edge("orders->customer", Tables.orders(s, d), "o_custkey",
-            Tables.customer(s, d), "c_custkey", bcast = true),
-          edge("supplier->nation", Tables.supplier(s, d), "s_nationkey",
-            Tables.nation(s, d), "n_nationkey", bcast = true))
-          .toDF("fk_edge", "n_child", "n_orphan")
-          .orderBy("fk_edge")
+        def audit(child: org.apache.spark.sql.DataFrame,
+                  edges: Seq[(String, String, org.apache.spark.sql.DataFrame)]) = {
+          val joined = edges.zipWithIndex.foldLeft(child) {
+            case (acc, ((_, ck, par), i)) =>
+              acc.join(par, col(ck) === col(s"_pk$i"), "left")
+          }
+          val aggs = count(lit(1)).as("n") +: edges.indices.map(i =>
+            sum(when(col(s"_pk$i").isNull, 1L).otherwise(0L)).as(s"o$i"))
+          val one = joined.agg(aggs.head, aggs.tail: _*)
+          val stackArgs = edges.zipWithIndex.map { case ((name, _, _), i) =>
+            s"'$name', n, o$i"
+          }.mkString(", ")
+          one.selectExpr(s"stack(${edges.size}, $stackArgs)" +
+            " AS (fk_edge, n_child, n_orphan)")
+        }
+        val liEdges = audit(Tables.lineitem(s, d), Seq(
+          ("lineitem->orders", "l_orderkey",
+            keys(Tables.orders(s, d), "o_orderkey", "_pk0", bcast = false)),
+          ("lineitem->part", "l_partkey",
+            keys(Tables.part(s, d), "p_partkey", "_pk1", bcast = true)),
+          ("lineitem->supplier", "l_suppkey",
+            keys(Tables.supplier(s, d), "s_suppkey", "_pk2", bcast = true))))
+        val rest = Seq(
+          audit(Tables.customer(s, d), Seq(("customer->nation", "c_nationkey",
+            keys(Tables.nation(s, d), "n_nationkey", "_pk0", bcast = true)))),
+          audit(Tables.nation(s, d), Seq(("nation->region", "n_regionkey",
+            keys(Tables.region(s, d), "r_regionkey", "_pk0", bcast = true)))),
+          audit(Tables.orders(s, d), Seq(("orders->customer", "o_custkey",
+            keys(Tables.customer(s, d), "c_custkey", "_pk0", bcast = true)))),
+          audit(Tables.supplier(s, d), Seq(("supplier->nation", "s_nationkey",
+            keys(Tables.nation(s, d), "n_nationkey", "_pk0", bcast = true)))))
+        rest.foldLeft(liEdges)(_ unionByName _).orderBy("fk_edge")
       },
       Some {
         def arm(name: String, child: String, ck: String,
@@ -2478,8 +2511,11 @@ object Extras {
           .withColumn("base", floor(col("share")).cast("long"))
           .withColumn("frac", col("share") - floor(col("share")))
         val rem = B - shares.agg(sum("base")).first().getLong(0)
-        val w = Window.orderBy(col("frac").desc, col("source"))
-        shares.withColumn("rk", row_number().over(w))
+        // largest-remainder rank via two-phase globalRowNumber — the
+        // plan table is |sources|-bounded, but the no-partition-less-
+        // window discipline is uniform across builders
+        Scale.globalRowNumber(shares, Seq(col("frac").desc, col("source")))
+          .withColumnRenamed("rn", "rk")
           .select(col("source"), col("nh").as("n_docs"),
             round(col("sd"), 6).as("sd_len"),
             (col("base") + when(col("rk") <= rem, 1L).otherwise(0L))
@@ -2941,13 +2977,16 @@ object Extras {
             cum.withColumn("dLo", lit(refLo) - col("cnt") * 1000000L),
             Seq(col("h")), col("dLo"))
           .withColumnRenamed("cum", "cLo")
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.orderBy("h")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        // bounded series: the running-min windows over |hours| rows
-        cum2
-          .withColumn("sHi", col("cHi") - least(lit(0L), min(col("cHi")).over(w)))
-          .withColumn("sLo", col("cLo") - least(lit(0L), min(col("cLo")).over(w)))
+        // running minima via the two-phase globalRunningMin — the hourly
+        // series is bounded, but no builder gets a partition-less window
+        val mins = Scale.globalRunningMin(
+            Scale.globalRunningMin(cum2, Seq(col("h")), col("cHi"))
+              .withColumnRenamed("cum", "mHi"),
+            Seq(col("h")), col("cLo"))
+          .withColumnRenamed("cum", "mLo")
+        mins
+          .withColumn("sHi", col("cHi") - least(lit(0L), col("mHi")))
+          .withColumn("sLo", col("cLo") - least(lit(0L), col("mLo")))
           .where(col("sHi") > alarm || col("sLo") > alarm)
           .select(col("h"), col("cnt"),
             round(col("sHi").cast("double") / 1e6, 6).as("cusum_hi"),
@@ -4448,13 +4487,14 @@ object Extras {
           .groupBy("d10").agg(count(lit(1)).as("n_cust"),
             sum(col("rb")).as("rbs"))
         val tot = dec.agg(sum(col("rbs"))).first().getLong(0)
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy("d10").rowsBetween(Window.unboundedPreceding, 0)
-        dec.select((col("d10") + 1).as("decile"), col("n_cust"),
+        // cumulative capture via the two-phase globalRunningSum — the
+        // decile table is 10 rows, but no builder gets a partition-less
+        // window (the PlanSpec walker bans the construct outright)
+        graft.ops.Scale.globalRunningSum(dec, Seq(col("d10")), col("rbs"))
+          .select((col("d10") + 1).as("decile"), col("n_cust"),
             round(col("rbs").cast("double") / 100, 2).as("rev_b"),
             round(col("rbs").cast("double") / tot, 6).as("capture"),
-            round(sum(col("rbs")).over(w).cast("double") / tot, 6)
-              .as("cum_capture"))
+            round(col("cum").cast("double") / tot, 6).as("cum_capture"))
           .orderBy("decile")
       },
       Some("""WITH po AS (
@@ -4790,9 +4830,11 @@ object Extras {
                 .withColumnRenamed("cum", "cuma"),
               Seq(col("x")), col("cb"))
             .withColumnRenamed("cum", "cumb")
-          val w = Window.orderBy("x")
-          val terms = cum
-            .withColumn("nx", lead(col("x"), 1).over(w))
+          // successor support point via the two-phase globalLead — the
+          // support table is value-domain-bounded, but the discipline is
+          // uniform: no partition-less window anywhere in a builder
+          val terms = graft.ops.Scale.globalLead(cum, Seq(col("x")), col("x"))
+            .withColumnRenamed("lead", "nx")
             .where(col("nx").isNotNull)
             .select((abs(col("cuma") * nb - col("cumb") * na) *
               (col("nx") - col("x"))).as("term"))

@@ -860,7 +860,7 @@ object OrderStats {
              |  FROM li
              |  WINDOW w AS (ORDER BY v, side, l_orderkey, l_linenumber
              |    ROWS UNBOUNDED PRECEDING))
-             |SELECT n.n1, n.n2,
+             |SELECT CAST(n.n1 AS BIGINT) AS n1, CAST(n.n2 AS BIGINT) AS n2,
              |  round(CAST(MAX(abs(c1 * n.n2 - (rn - c1) * n.n1)) AS DOUBLE)
              |    / (CAST(n.n1 AS DOUBLE) * n.n2), 6) AS ks
              |FROM c, n GROUP BY n.n1, n.n2""".stripMargin)),

@@ -176,6 +176,87 @@ object Scale {
       .drop("_pid", "_v", "_off")
   }
 
+  /** Global running minimum of a LongType `value` over a total order —
+    * the two-phase [[globalRunningSum]] shape with min in place of sum:
+    * per-partition minima (one long each) to the driver, EXCLUSIVE
+    * prefix minima rebroadcast, bounded per-partition windows combined
+    * via least(). Appends column "cum" (the inclusive running min). */
+  def globalRunningMin(df: DataFrame, sort: Seq[Column], value: Column,
+      materialize: graft.Materialize.Strategy = graft.Materialize.local): DataFrame =
+    globalRunningExtremum(df, sort, value, isMin = true, materialize)
+
+  /** Running maximum twin of [[globalRunningMin]]. */
+  def globalRunningMax(df: DataFrame, sort: Seq[Column], value: Column,
+      materialize: graft.Materialize.Strategy = graft.Materialize.local): DataFrame =
+    globalRunningExtremum(df, sort, value, isMin = false, materialize)
+
+  private def globalRunningExtremum(df: DataFrame, sort: Seq[Column],
+      value: Column, isMin: Boolean,
+      materialize: graft.Materialize.Strategy): DataFrame = {
+    val ranged = materialize(df.withColumn("_v", value)
+      .repartitionByRange(sort: _*)
+      .withColumn("_pid", spark_partition_id()))
+    val aggOf = (c: Column) => if (isMin) min(c) else max(c)
+    val subs = ranged.groupBy("_pid").agg(aggOf(col("_v")).as("_s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val init = if (isMin) Long.MaxValue else Long.MinValue
+    val comb: (Long, Long) => Long = if (isMin) math.min else math.max
+    // exclusive prefix extremum: partition p sees the extremum of all
+    // strictly-preceding partitions (init for the first — the identity)
+    val prefix = subs.scanLeft(init) { case (acc, (_, s)) => comb(acc, s) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offs = broadcast(subs.map(_._1).zip(prefix).toSeq.toDF("_pid", "_off"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_pid").orderBy(sort: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val within = aggOf(col("_v")).over(w)
+    ranged.join(offs, "_pid")
+      .withColumn("cum",
+        if (isMin) least(within, col("_off")) else greatest(within, col("_off")))
+      .drop("_pid", "_v", "_off")
+  }
+
+  /** lead(value, 1) over a total ASCENDING order without a single-task
+    * window — the two-phase shape of [[globalRunningSum]] applied to
+    * successor lookup: range partitions, bounded per-partition LEAD
+    * windows, and the cross-partition successor stitched in from the
+    * per-partition head values (one row per non-empty partition to the
+    * driver — the same bounded collect as the prefix subtotals). The
+    * globally-last row gets NULL. Appends column "lead". `sort` must be
+    * plain ascending columns (the head lookup orders by their struct),
+    * and `value` must be non-null (a null value is indistinguishable
+    * from the end-of-partition marker the boundary stitch replaces). */
+  def globalLead(df: DataFrame, sort: Seq[Column], value: Column,
+      materialize: graft.Materialize.Strategy = graft.Materialize.local): DataFrame = {
+    val ranged = materialize(df.withColumn("_v", value)
+      .repartitionByRange(sort: _*)
+      .withColumn("_pid", spark_partition_id()))
+    val heads = ranged.groupBy("_pid")
+      .agg(min_by(col("_v"), struct(sort: _*)).as("_h"))
+      .collect().map(r => (r.getInt(0), r.get(1))).sortBy(_._1)
+    // successor head for each non-empty partition = head of the next
+    // non-empty one (range partitions can be empty; skip them)
+    val nexts = heads.map { case (pid, _) =>
+      org.apache.spark.sql.Row(pid,
+        heads.collectFirst { case (p, h) if p > pid => h }.orNull)
+    }
+    val spark = df.sparkSession
+    val vType = ranged.schema(ranged.schema.fieldIndex("_v")).dataType
+    val offs = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(nexts: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_pid",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("_nh", vType, nullable = true)))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_pid").orderBy(sort: _*)
+    ranged.join(offs, "_pid")
+      .withColumn("lead", coalesce(lead(col("_v"), 1).over(w), col("_nh")))
+      .drop("_pid", "_v", "_nh")
+  }
+
   // ---- Z-order (Morton) clustering layout ----
 
   /** Morton interleave of two 8-bit cell coordinates into a 16-bit
@@ -568,8 +649,8 @@ object Scale {
              |  SELECT base.c, n, n_distinct, plain_bytes, dict_value_bytes,
              |    (length(bin(n_distinct - 1)) + 7) // 8 AS code_bytes
              |  FROM base JOIN dist ON base.c = dist.c)
-             |SELECT c, n, n_distinct, plain_bytes,
-             |  dict_value_bytes + n * code_bytes AS dict_bytes,
+             |SELECT c, n, n_distinct, CAST(plain_bytes AS BIGINT) AS plain_bytes,
+             |  CAST(dict_value_bytes + n * code_bytes AS BIGINT) AS dict_bytes,
              |  dict_value_bytes + n * code_bytes < plain_bytes AS dict_wins,
              |  round(CAST(dict_value_bytes + n * code_bytes AS DOUBLE)
              |    / plain_bytes, 6) AS ratio
@@ -629,9 +710,11 @@ object Scale {
         }.mkString(" + ")
         def arm(label: String, rankedCte: String) =
           s"""SELECT '$label' AS layout, COUNT(*) AS n_files,
-             |  SUM(CASE WHEN skip THEN 1 ELSE 0 END) AS files_skipped,
-             |  SUM(CASE WHEN skip THEN 0 ELSE rows_ END) AS rows_scanned,
-             |  SUM(match_rows) AS rows_matching
+             |  CAST(SUM(CASE WHEN skip THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS files_skipped,
+             |  CAST(SUM(CASE WHEN skip THEN 0 ELSE rows_ END) AS BIGINT)
+             |    AS rows_scanned,
+             |  CAST(SUM(match_rows) AS BIGINT) AS rows_matching
              |FROM (
              |  SELECT file,
              |    MAX(sd_us) < 820454400000000 OR MIN(sd_us) > 828316799000000

@@ -371,6 +371,60 @@ class PlanSpec extends AnyFunSuite {
         s"or write a native Expression):\n${bad.mkString("\n")}")
   }
 
+  test("no declared query plans a partition-less window") {
+    // Round-10 lesson (q198: row_number over the full vocabulary): a
+    // Window with an EMPTY partitionSpec is a single reducer task no
+    // matter how parallel everything below it is — and "it's only the
+    // aggregated table" is exactly how a million-row vocab ends up on
+    // one core. Every global order in a builder must go through the
+    // two-phase Scale.globalRowNumber / globalRunningSum / globalLead
+    // (range partitions + bounded per-partition windows). This walker
+    // bans the construct outright across ALL declared queries; bounded
+    // exceptions must be listed with a justification.
+    // One structural exception: a partition-less window whose input
+    // chain crosses a LIMIT (GlobalLimit / TakeOrderedAndProject) is
+    // k-bounded by construction — q54/q162 cut to top-k FIRST and rank
+    // only the survivors, which is itself the documented discipline.
+    import org.apache.spark.sql.execution.{GlobalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    def limitBounded(p: SparkPlan): Boolean = p match {
+      case _: GlobalLimitExec | _: TakeOrderedAndProjectExec => true
+      case a: AdaptiveSparkPlanExec => limitBounded(a.executedPlan)
+      case other => other.children.nonEmpty && other.children.forall(limitBounded)
+    }
+    def offenders(p: SparkPlan): Seq[String] = {
+      val here = p match {
+        case w: WindowExec
+            if w.partitionSpec.isEmpty && !limitBounded(w.child) =>
+          Seq(w.toString.linesIterator.next().take(160))
+        case w: WindowGroupLimitExec
+            if w.partitionSpec.isEmpty && !limitBounded(w.child) =>
+          Seq(w.toString.linesIterator.next().take(160))
+        case _ => Nil
+      }
+      val below = p match {
+        case a: AdaptiveSparkPlanExec => offenders(a.executedPlan)
+        case other => other.children.flatMap(offenders)
+      }
+      here ++ below
+    }
+    // Documented bounded exemptions:
+    //  - q127: the phase-2 exact skyline pass runs over the union of
+    //    per-partition local skylines — survivor-sized by construction
+    //    (a global dominator implies a local-skyline dominator), and
+    //    the sequential predecessor-max scan has no two-phase form.
+    val bounded = Set("q127_skyline")
+    val bad = for {
+      (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+      if !bounded(name)
+      v <- offenders(fn(spark, sf).queryExecution.executedPlan)
+    } yield s"$name: $v"
+    assert(bad.isEmpty,
+      s"partition-less windows (use Scale.globalRowNumber/globalRunningSum/" +
+        s"globalLead):\n${bad.mkString("\n")}")
+  }
+
   test("q243 weighted sample is TakeOrderedAndProject, never a corpus sort") {
     val p = plan("q243_weighted_sample")
     assert(p.contains("TakeOrderedAndProject"),

@@ -55,13 +55,26 @@ def main(sf_dir, out_dir):
             if not eq.all():
                 i = (~eq).argmax()
                 diffs.append(f"{c}[{i}]: {a.iloc[i]!r} vs {b.iloc[i]!r} ({(~eq).sum()} cells)")
+        # Driver's hash is type-sensitive (DuckDB HUGEINT/int32 drift is a
+        # real fail there), so the local gate must be strictly harder:
+        # dtype mismatch = FAIL, not a note. Exception: pandas timestamp
+        # RESOLUTION (ns from pyarrow parquet reads vs us from DuckDB
+        # fetchdf) is a client-library artifact, not engine typing — the
+        # driver's hash treats equal instants as equal (all timestamp
+        # queries pass its gate) — so datetime64[*] canonicalizes before
+        # the check.
+        def dt(t):
+            s = str(t)
+            return "datetime64[us]" if s.startswith("datetime64") else s
+        sd = {c: dt(t) for c, t in got.dtypes.items()}
+        wd = {c: dt(t) for c, t in want.dtypes.items()}
+        if sd != wd:
+            dd = {c: (sd[c], wd[c]) for c in sd if sd[c] != wd[c]}
+            diffs.append(f"dtype diff: {dd}")
         if diffs:
             print(f"FAIL {name}: " + "; ".join(diffs[:3])); n_fail += 1
         else:
-            sd = {c: str(t) for c, t in got.dtypes.items()}
-            wd = {c: str(t) for c, t in want.dtypes.items()}
-            tag = "" if sd == wd else f" [dtype diff: {sd} vs {wd}]"
-            print(f"PASS {name}: {len(g)} rows{tag}"); n_pass += 1
+            print(f"PASS {name}: {len(g)} rows"); n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {len(names)} total")
     return 1 if n_fail else 0
 
