@@ -1,0 +1,278 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+/** Compressed-media metadata codecs — shrinking the one knowingly
+  * stubbed area (compressed audio/video) with what the JDK really
+  * provides, the q135/q194 discipline: fixtures are genuinely ENCODED
+  * (ImageIO's real JPEG writer; our own spec-exact MPEG frame
+  * assembler), then genuinely PARSED back by independent code (our own
+  * marker/header walks, not the writer's library), and the oracle
+  * re-derives every field arithmetically from the id-determined encode
+  * params — so any slip anywhere in the write → parse round trip flips
+  * rows. Corrupt payloads are planted and must quarantine per record,
+  * never fail the job (the 100 TB posture: a bad blob is a row, not an
+  * exception).
+  *
+  * The flod ecosystem's analog is flod-mad (MPEG audio decode,
+  * `/root/reference/README.md:58-60`); full audio DECODE still needs
+  * codecs this container doesn't ship, but the metadata walk — the
+  * part a corpus-triage pass actually runs — is real here.
+  */
+object Mp3Codec {
+
+  /** MPEG-1 Layer III bitrates (kbps) by header index 1–14. */
+  private val Bitrates =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  /** MPEG-1 sample rates by header index 0–2. */
+  private val SampleRates = Array(44100, 48000, 32000)
+  /** Samples per MPEG-1 Layer III frame. */
+  val SamplesPerFrame = 1152
+
+  /** Layer III MPEG-1 frame length: 144·bitrate/samplerate + padding. */
+  private def frameLen(brIdx: Int, srIdx: Int, pad: Int): Int =
+    144 * (Bitrates(brIdx) * 1000) / SampleRates(srIdx) + pad
+
+  /** Assemble a spec-exact MP3: ID3v2.3 tag (syncsafe size, `tagPad`
+    * bytes of body) + `nFrames` MPEG-1 Layer III mono frames, frame i
+    * carrying padding bit i%2. Body bytes are deterministic junk — the
+    * parser must advance by COMPUTED frame length, never by scanning. */
+  def encode(brIdx: Int, srIdx: Int, nFrames: Int, tagPad: Int): Array[Byte] = {
+    require(brIdx >= 1 && brIdx <= 14 && srIdx >= 0 && srIdx <= 2)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('I'); out.write('D'); out.write('3')
+    out.write(3); out.write(0); out.write(0) // v2.3.0, no flags
+    // syncsafe 28-bit size (7 bits per byte, high bit clear)
+    out.write((tagPad >> 21) & 0x7f); out.write((tagPad >> 14) & 0x7f)
+    out.write((tagPad >> 7) & 0x7f); out.write(tagPad & 0x7f)
+    var j = 0
+    while (j < tagPad) { out.write(j * 13 & 0x7f); j += 1 }
+    var i = 0
+    while (i < nFrames) {
+      val pad = i % 2
+      val len = frameLen(brIdx, srIdx, pad)
+      out.write(0xff)
+      out.write(0xfb) // sync|MPEG1|LayerIII|no-CRC
+      out.write((brIdx << 4) | (srIdx << 2) | (pad << 1))
+      out.write(0xc0) // mono
+      var k = 4
+      while (k < len) { out.write((i * 7 + k) & 0xff); k += 1 }
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** Real MPEG frame-header walk: skip the ID3v2 envelope via its
+    * syncsafe size, then validate EVERY frame header (sync, version,
+    * layer, bitrate/samplerate indexes), advance by computed frame
+    * length, and require the walk to land exactly on end-of-payload.
+    * Fails loudly on any structural damage — the quarantine trigger.
+    * Returns (bitrateKbps, sampleRate, nFrames, durationMs). */
+  def decodeMeta(b: Array[Byte]): (Int, Int, Long, Long) = {
+    var off = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val size = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      off = 10 + size
+    }
+    var kbps = -1
+    var sr = -1
+    var n = 0L
+    while (off < b.length) {
+      require(off + 4 <= b.length, "truncated frame header")
+      require((b(off) & 0xff) == 0xff && (b(off + 1) & 0xe0) == 0xe0,
+        s"bad frame sync at $off")
+      require(((b(off + 1) >> 3) & 3) == 3, "not MPEG-1")
+      require(((b(off + 1) >> 1) & 3) == 1, "not Layer III")
+      val brIdx = (b(off + 2) >> 4) & 0xf
+      val srIdx = (b(off + 2) >> 2) & 3
+      require(brIdx >= 1 && brIdx <= 14, s"bad bitrate index $brIdx")
+      require(srIdx <= 2, s"bad samplerate index $srIdx")
+      val fk = Bitrates(brIdx)
+      val fs = SampleRates(srIdx)
+      require(kbps < 0 || (kbps == fk && sr == fs), "inconsistent stream params")
+      kbps = fk; sr = fs
+      val len = frameLen(brIdx, srIdx, (b(off + 2) >> 1) & 1)
+      require(off + len <= b.length, "truncated frame body")
+      off += len
+      n += 1
+    }
+    require(n > 0, "no MPEG frames")
+    (kbps, sr, n, n * SamplesPerFrame * 1000L / sr)
+  }
+}
+
+/** Real JPEG metadata walk — ImageIO's genuine JPEG WRITER makes the
+  * fixtures; our own SOI→SOF→EOI segment walk (not ImageIO) reads them
+  * back, so writer and parser cannot share a bug. */
+object JpegCodec {
+  import java.awt.image.BufferedImage
+  import java.io.ByteArrayOutputStream
+  import javax.imageio.ImageIO
+
+  def isJpeg(b: Array[Byte]): Boolean =
+    b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
+
+  /** Deterministic genuine JPEG: RGB (3-component) or grayscale
+    * (1-component), pixels a pure function of (x, y, seed), written by
+    * the JDK's real JPEG encoder. */
+  def encode(width: Int, height: Int, gray: Boolean, seed: Int = 0): Array[Byte] = {
+    val img = new BufferedImage(width, height,
+      if (gray) BufferedImage.TYPE_BYTE_GRAY else BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until height; x <- 0 until width)
+      img.setRGB(x, y, (x * 31 + y * 17 + seed * 101) & 0xffffff)
+    val out = new ByteArrayOutputStream()
+    require(ImageIO.write(img, "jpg", out), "no ImageIO JPEG writer in this JVM")
+    out.toByteArray
+  }
+
+  /** Own SOF-marker walk: validates SOI, steps marker segments by their
+    * declared lengths (skipping entropy-coded scan data by FF-byte
+    * scan, honoring FF00 stuffing and RST markers), reads dimensions /
+    * precision / component count from the first SOFn, and requires a
+    * terminating EOI. Returns (width, height, nComponents, precision). */
+  def decodeMeta(b: Array[Byte]): (Int, Int, Int, Int) = {
+    require(isJpeg(b), "no SOI marker")
+    def u8(o: Int) = b(o) & 0xff
+    def u16(o: Int) = (u8(o) << 8) | u8(o + 1)
+    var off = 2
+    var sof: (Int, Int, Int, Int) = null
+    while (true) {
+      require(off + 2 <= b.length, "truncated before marker")
+      require(u8(off) == 0xff, s"expected marker at $off")
+      val m = u8(off + 1)
+      if (m == 0xd9) { // EOI
+        require(sof != null, "no SOF before EOI")
+        return sof
+      }
+      require(m != 0xd8 && (m == 0x01 || m >= 0xc0),
+        s"stray byte in marker stream at $off")
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) off += 2 // standalone
+      else {
+        val len = u16(off + 2)
+        require(len >= 2 && off + 2 + len <= b.length, "truncated segment")
+        if ((m >= 0xc0 && m <= 0xcf) && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+          require(sof == null, "multiple SOF segments")
+          sof = (u16(off + 7), u16(off + 5), u8(off + 9), u8(off + 4))
+        }
+        off += 2 + len
+        if (m == 0xda) { // SOS: skip entropy-coded data to next true marker
+          var scan = off
+          var done = false
+          while (!done) {
+            require(scan + 1 < b.length, "truncated scan data")
+            if (u8(scan) == 0xff && u8(scan + 1) != 0x00 &&
+              !(u8(scan + 1) >= 0xd0 && u8(scan + 1) <= 0xd7)) done = true
+            else scan += 1
+          }
+          off = scan
+        }
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}
+
+object Compressed {
+
+  def defs: Seq[graft.QueryDef] = Seq(
+
+    // Real MPEG audio metadata gate: spec-exact MP3 assembly (ID3v2
+    // envelope + MPEG-1 Layer III frames, params pure functions of the
+    // id) → independent frame-header walk. Every %41 doc is damaged at
+    // its SECOND frame's sync byte, so the parser must fail mid-walk
+    // and the row must quarantine — per record, job-green. Heavy
+    // per-doc work ⇒ ids repartition BEFORE encode (the q294 lesson);
+    // payloads never shuffle.
+    graft.QueryDef("q321_mp3_meta",
+      (s, d) => {
+        import s.implicits._
+        graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .repartition(s.sparkContext.defaultParallelism)
+          .mapPartitions(_.map { id =>
+            val brIdx = 10 + (id % 4).toInt // 160/192/224/256 kbps
+            val srIdx = (id % 3).toInt
+            val nFrames = 3 + (id % 9).toInt
+            val bytes = Mp3Codec.encode(brIdx, srIdx, nFrames, (id % 50).toInt)
+            if (id % 41 == 0) {
+              // damage frame 2's sync: first frame parses, walk then dies
+              var off = 10 + (id % 50).toInt
+              off += 144 * ((Array(160, 192, 224, 256)(brIdx - 10)) * 1000) /
+                Array(44100, 48000, 32000)(srIdx) // frame 0, pad 0
+              bytes(off) = 0x00
+            }
+            try {
+              val (kbps, sr, n, ms) = Mp3Codec.decodeMeta(bytes)
+              (id, "audio/mpeg", kbps, sr, n, ms, bytes.length.toLong)
+            } catch { case _: Exception =>
+              (id, "corrupt", 0, 0, 0L, 0L, bytes.length.toLong)
+            }
+          })
+          .toDF("doc_id", "format", "bitrate_kbps", "sample_rate",
+            "n_frames", "duration_ms", "bytes")
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id,
+             |    CASE doc_id % 4 WHEN 0 THEN 160 WHEN 1 THEN 192
+             |         WHEN 2 THEN 224 ELSE 256 END AS kbps,
+             |    CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+             |         ELSE 32000 END AS sr,
+             |    3 + doc_id % 9 AS n, doc_id % 50 AS tagpad
+             |  FROM documents),
+             |q AS (
+             |  SELECT doc_id, kbps, sr, n,
+             |    10 + tagpad + n * (144 * kbps * 1000 // sr) + n // 2 AS bytes
+             |  FROM p)
+             |SELECT doc_id,
+             |  CASE WHEN doc_id % 41 = 0 THEN 'corrupt'
+             |       ELSE 'audio/mpeg' END AS format,
+             |  CAST(CASE WHEN doc_id % 41 = 0 THEN 0 ELSE kbps END AS INT)
+             |    AS bitrate_kbps,
+             |  CAST(CASE WHEN doc_id % 41 = 0 THEN 0 ELSE sr END AS INT)
+             |    AS sample_rate,
+             |  CAST(CASE WHEN doc_id % 41 = 0 THEN 0 ELSE n END AS BIGINT)
+             |    AS n_frames,
+             |  CAST(CASE WHEN doc_id % 41 = 0 THEN 0
+             |       ELSE n * 1152 * 1000 // sr END AS BIGINT) AS duration_ms,
+             |  CAST(bytes AS BIGINT) AS bytes
+             |FROM q ORDER BY doc_id""".stripMargin)),
+
+    // Real JPEG metadata gate: the JDK's genuine JPEG encoder writes
+    // RGB or grayscale fixtures; our own SOI→SOF→EOI marker walk (with
+    // entropy-data skipping and FF-stuffing) reads dimensions,
+    // component count, and precision back. Every %37 doc truncates to
+    // its first 10 bytes → per-record quarantine. Encoded size is
+    // entropy-coded (not arithmetic), so bytes is deliberately NOT an
+    // output — every emitted field is oracle-derivable.
+    graft.QueryDef("q322_jpeg_meta",
+      (s, d) => {
+        import s.implicits._
+        graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .repartition(s.sparkContext.defaultParallelism)
+          .mapPartitions(_.map { id =>
+            val w = 8 * (1 + (id % 16).toInt)
+            val h = 8 * (1 + ((id / 2) % 12).toInt)
+            val full = JpegCodec.encode(w, h, gray = id % 5 == 0, seed = id.toInt)
+            val payload = if (id % 37 == 0) full.take(10) else full
+            try {
+              val (pw, ph, nc, prec) = JpegCodec.decodeMeta(payload)
+              (id, "image/jpeg", pw, ph, nc, prec)
+            } catch { case _: Exception => (id, "corrupt", 0, 0, 0, 0) }
+          })
+          .toDF("doc_id", "format", "width", "height", "n_comp", "precision_")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CASE WHEN doc_id % 37 = 0 THEN 'corrupt'
+             |       ELSE 'image/jpeg' END AS format,
+             |  CAST(CASE WHEN doc_id % 37 = 0 THEN 0
+             |       ELSE 8 * (1 + doc_id % 16) END AS INT) AS width,
+             |  CAST(CASE WHEN doc_id % 37 = 0 THEN 0
+             |       ELSE 8 * (1 + (doc_id // 2) % 12) END AS INT) AS height,
+             |  CAST(CASE WHEN doc_id % 37 = 0 THEN 0
+             |       WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS INT) AS n_comp,
+             |  CAST(CASE WHEN doc_id % 37 = 0 THEN 0 ELSE 8 END AS INT)
+             |    AS precision_
+             |FROM documents ORDER BY doc_id""".stripMargin)))
+}

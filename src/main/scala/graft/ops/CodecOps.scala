@@ -1,0 +1,94 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import graft.core.{Codec, Flow}
+import org.apache.spark.sql.functions._
+
+/** Compression codec gates — the engine's answer to the reference's
+  * headline README example (`/root/reference/README.md:10-13`:
+  * `read("file.gz").inflate(Format.gzip)...deflate(...).write(...)`,
+  * via the flod-zlib companion). The stages themselves live in
+  * [[graft.core.Codec]] / [[graft.core.Flow]]; this gate proves the
+  * round trip against a DuckDB oracle that knows the ORIGINAL corpus
+  * arithmetically — so any slip anywhere in deflate → inflate (a bad
+  * member header, a dropped trailer byte, a mis-stitched multi-member
+  * boundary) changes the decoded bytes and breaks the row hash.
+  */
+object CodecOps {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Arm 1_doc (×3 formats, DISTRIBUTED): every document's UTF-8 bytes
+    // compress into one independent member and decompress back, per
+    // partition in the scan's own layout — payload bytes never shuffle
+    // (only the 8-byte per-format aggregates do), so the arm is the
+    // 100 TB shape: embarrassingly parallel codec work, O(doc) memory.
+    // digest = SUM of a per-doc md5 prefix over the DECODED text — an
+    // order-independent corpus fingerprint the oracle recomputes from
+    // the original text, so fidelity is checked byte-for-byte without
+    // any global concat.
+    // Arm 2_stream (gzip, BOUNDED): the flod single-ordered-stream
+    // semantic — members concatenate into one stream, Flow.inflate
+    // restitches them per partition, and a driver-side MD5 runs over
+    // the re-chunked output (the reference's terminals are driver-side
+    // too; the slice is bounded at 200 docs by construction, so the
+    // driver cost is O(slice), never O(corpus)).
+    QueryDef("q320_codec_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val formats = Seq(("gzip", Codec.Gzip: Codec.Format),
+          ("raw", Codec.Raw: Codec.Format), ("zlib", Codec.Zlib: Codec.Format))
+        val perDoc = formats.map { case (label, fmt) =>
+          docs.select("text").as[String]
+            .mapPartitions(_.map { t =>
+              val orig = t.getBytes("UTF-8")
+              val back = Codec.inflateAll(Codec.deflateChunk(orig, fmt), fmt)
+              (java.util.Arrays.equals(orig, back), back.length.toLong,
+                new String(back, "UTF-8"))
+            })
+            .toDF("ok", "len", "dec")
+            .agg(count(lit(1)).as("n_docs"),
+              sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
+              sum(col("len")).as("sum_bytes"),
+              sum(conv(substring(md5(col("dec").cast("binary")), 1, 8), 16, 10)
+                .cast("long")).as("digest"))
+            .select(lit("1_doc").as("arm"), lit(label).as("format"),
+              col("n_docs"), col("n_ok"), col("sum_bytes"), col("digest"))
+        }
+        val streamRow = {
+          val slice = docs.where(col("doc_id") < 200)
+          val nDocs = slice.count()
+          val members = slice.orderBy("doc_id").select("text").as[String]
+            .map(_.getBytes("UTF-8"))
+          val flow = new Flow(members.coalesce(1))
+            .deflate(Codec.Gzip).inflate(Codec.Gzip, 1 << 16)
+          val mdig = java.security.MessageDigest.getInstance("MD5")
+          var n = 0L
+          flow.toIterator.foreach { c => n += c.length; mdig.update(c) }
+          val hex = mdig.digest().take(4).map(b => f"${b & 0xff}%02x").mkString
+          Seq(("2_stream", "gzip", nDocs, nDocs, n,
+            java.lang.Long.parseLong(hex, 16)))
+            .toDF("arm", "format", "n_docs", "n_ok", "sum_bytes", "digest")
+        }
+        (perDoc :+ streamRow).reduce(_ unionByName _).orderBy("arm", "format")
+      },
+      Some("""WITH f AS (SELECT unnest(['gzip', 'raw', 'zlib']) AS format),
+             |d AS (
+             |  SELECT COUNT(*) AS n_docs, COUNT(*) AS n_ok,
+             |    CAST(SUM(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
+             |    CAST(SUM(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT))
+             |      AS BIGINT) AS digest
+             |  FROM documents),
+             |st AS (
+             |  SELECT COUNT(*) AS n_docs, COUNT(*) AS n_ok,
+             |    CAST(SUM(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
+             |    CAST(('0x' || substr(md5(string_agg(text, '' ORDER BY doc_id)),
+             |      1, 8)) AS BIGINT) AS digest
+             |  FROM documents WHERE doc_id < 200)
+             |SELECT '1_doc' AS arm, format, n_docs, n_ok, sum_bytes, digest
+             |FROM d CROSS JOIN f
+             |UNION ALL
+             |SELECT '2_stream', 'gzip', n_docs, n_ok, sum_bytes, digest FROM st
+             |ORDER BY arm, format""".stripMargin)))
+}

@@ -172,4 +172,30 @@ object Push {
                       routeA: Dataset[T] => Dataset[T], limitA: Long,
                       routeB: Dataset[T] => Dataset[T], limitB: Long): PushTee[T] =
     new PushTee[T](spark, routeA, limitA, routeB, limitB)
+
+  /** Demux with DISTRIBUTED sinks — the production face of [[tee]]:
+    * [[PushTee]]'s collector sinks are driver-side by contract (they
+    * mirror flod's single-threaded terminals), so at scale a demux
+    * needs this variant instead: ONE source, ONE streaming query, each
+    * micro-batch pinned (`persist`) and routed to TWO executor-written
+    * append-parquet sinks — rows never stage through the driver, and
+    * both routes observe the identical pinned batch (no recompute
+    * divergence between branches). No capacity limits: file sinks
+    * don't fill; backpressure is the durable store's problem. */
+  def teeToPath[T: Encoder](spark: SparkSession,
+                            routeA: Dataset[T] => Dataset[T], pathA: String,
+                            routeB: Dataset[T] => Dataset[T], pathB: String): PushSink[T] = {
+    val source = MemoryStream[T](spark)
+    val query = source.toDS().writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[T], _: Long) =>
+        batch.persist()
+        try {
+          routeA(batch).write.mode("append").parquet(pathA)
+          routeB(batch).write.mode("append").parquet(pathB)
+        } finally { batch.unpersist(); () }
+        ()
+      }
+      .start()
+    new PushSink[T](source, query)
+  }
 }

@@ -1,0 +1,66 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mp3Codec / JpegCodec: spec-exact assembly vs independent parse. */
+class CompressedSpec extends AnyFunSuite {
+
+  test("mp3 encode -> decodeMeta round-trips every (bitrate, samplerate) combo") {
+    for (brIdx <- 1 to 14; srIdx <- 0 to 2; n <- Seq(1, 3, 8); pad <- Seq(0, 17)) {
+      val b = Mp3Codec.encode(brIdx, srIdx, n, pad)
+      val (kbps, sr, frames, ms) = Mp3Codec.decodeMeta(b)
+      val wantK = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)(brIdx)
+      val wantS = Array(44100, 48000, 32000)(srIdx)
+      assert((kbps, sr, frames) == ((wantK, wantS, n.toLong)), s"br=$brIdx sr=$srIdx")
+      assert(ms == n * 1152L * 1000 / wantS)
+    }
+  }
+
+  test("mp3 frame padding bit contributes exactly one byte per padded frame") {
+    // frames 0..5 carry padding 0,1,0,1,0,1 -> total = 6*base + 3
+    val b = Mp3Codec.encode(10, 0, 6, 0) // 160 kbps @ 44100
+    val base = 144 * 160000 / 44100
+    assert(b.length == 10 + 6 * base + 3)
+  }
+
+  test("mp3 parser skips the ID3v2 envelope by syncsafe size (incl. >127 bytes)") {
+    val b = Mp3Codec.encode(12, 1, 2, 200) // tag body crosses the 7-bit boundary
+    assert(Mp3Codec.decodeMeta(b)._3 == 2L)
+  }
+
+  test("mp3 parser fails loudly on structural damage") {
+    val good = Mp3Codec.encode(10, 0, 3, 5)
+    // damaged sync mid-stream
+    val bad = good.clone()
+    bad(10 + 5 + 144 * 160000 / 44100) = 0x00
+    intercept[Exception](Mp3Codec.decodeMeta(bad))
+    // truncated final frame
+    intercept[Exception](Mp3Codec.decodeMeta(good.dropRight(7)))
+    // junk payload
+    intercept[Exception](Mp3Codec.decodeMeta(Array.fill[Byte](64)(0x41)))
+  }
+
+  test("jpeg encode -> own SOF walk agrees with the encode params (rgb + gray)") {
+    for ((w, h, gray) <- Seq((64, 48, false), (8, 8, true), (120, 16, false))) {
+      val b = JpegCodec.encode(w, h, gray, seed = 7)
+      val (pw, ph, nc, prec) = JpegCodec.decodeMeta(b)
+      assert((pw, ph) == ((w, h)))
+      assert(nc == (if (gray) 1 else 3))
+      assert(prec == 8)
+    }
+  }
+
+  test("jpeg own walk agrees with ImageIO's reader on dimensions") {
+    val b = JpegCodec.encode(88, 40, gray = false, seed = 3)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    val (pw, ph, _, _) = JpegCodec.decodeMeta(b)
+    assert((img.getWidth, img.getHeight) == ((pw, ph)))
+  }
+
+  test("jpeg parser rejects damaged payloads") {
+    val good = JpegCodec.encode(32, 32, gray = false)
+    intercept[Exception](JpegCodec.decodeMeta(good.take(10)))   // truncated
+    intercept[Exception](JpegCodec.decodeMeta(good.dropRight(2))) // no EOI
+    intercept[Exception](JpegCodec.decodeMeta("not a jpeg".getBytes))
+  }
+}

@@ -90,6 +90,35 @@ class PushSpec extends AnyFunSuite {
     assert(got == Seq(2L, 4L, 6L, 8L))
   }
 
+  test("teeToPath demux: both file sinks receive their routed view of every batch") {
+    val base = java.nio.file.Files.createTempDirectory("graft_pushtee").toString
+    val (dirA, dirB) = (base + "/evens", base + "/odds")
+    val sink = Push.teeToPath[Long](spark,
+      _.filter(_ % 2 == 0), dirA,
+      _.filter(_ % 2 == 1), dirB)
+    try {
+      sink.put(Seq(1L, 2L, 3L, 4L))
+      sink.put(Seq(5L, 6L))
+    } finally sink.close()
+    val a = spark.read.parquet(dirA).collect().map(_.getLong(0)).sorted.toSeq
+    val b = spark.read.parquet(dirB).collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == Seq(2L, 4L, 6L))
+    assert(b == Seq(1L, 3L, 5L))
+  }
+
+  test("teeToPath multicast: overlapping routes give both sinks identical content") {
+    val base = java.nio.file.Files.createTempDirectory("graft_pushmc").toString
+    val (dirA, dirB) = (base + "/a", base + "/b")
+    val sink = Push.teeToPath[Long](spark, identity, dirA, identity, dirB)
+    try {
+      sink.put(Seq(10L, 11L))
+      sink.put(Seq(12L))
+    } finally sink.close()
+    val a = spark.read.parquet(dirA).collect().map(_.getLong(0)).sorted.toSeq
+    val b = spark.read.parquet(dirB).collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b && a == Seq(10L, 11L, 12L))
+  }
+
   test("firstSeen streaming dedup drops repeats across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val source = MemoryStream[Long](spark)
