@@ -73,6 +73,67 @@ object Codec {
     }
   }
 
+  /** Incremental charset decode of a chunked byte stream: partial
+    * multi-byte sequences at chunk boundaries carry over to the next
+    * chunk; malformed/unmappable input throws (REPORT), and a partial
+    * sequence left dangling at end-of-stream throws too. Emits one
+    * string per input chunk boundary (empty outputs skipped). */
+  def decodeCharsStream(chunks: Iterator[Array[Byte]],
+                        charset: String): Iterator[String] = {
+    import java.nio.{ByteBuffer, CharBuffer}
+    import java.nio.charset.{Charset, CodingErrorAction}
+    val dec = Charset.forName(charset).newDecoder()
+      .onMalformedInput(CodingErrorAction.REPORT)
+      .onUnmappableCharacter(CodingErrorAction.REPORT)
+    var carry = ByteBuffer.allocate(0)
+    val out = new Iterator[String] {
+      def hasNext: Boolean = chunks.hasNext
+      def next(): String = {
+        val c = chunks.next()
+        val in =
+          if (carry.remaining() == 0) ByteBuffer.wrap(c)
+          else {
+            val b = ByteBuffer.allocate(carry.remaining() + c.length)
+            b.put(carry); b.put(c); b.flip(); b
+          }
+        val cb = CharBuffer.allocate(in.remaining() + 1)
+        val r = dec.decode(in, cb, false)
+        if (r.isError) r.throwException()
+        // stash undecoded tail bytes (a split multi-byte sequence)
+        carry = ByteBuffer.allocate(in.remaining())
+        carry.put(in); carry.flip()
+        cb.flip(); cb.toString
+      }
+    }
+    new Iterator[String] {
+      private var pending: String = null
+      private var flushed = false
+      def hasNext: Boolean = {
+        while (pending == null && out.hasNext) {
+          val s = out.next(); if (s.nonEmpty) pending = s
+        }
+        if (pending == null && !flushed) {
+          flushed = true
+          // end of stream: a dangling partial sequence is malformed
+          val cb = CharBuffer.allocate(8)
+          val r = dec.decode(carry, cb, true)
+          if (r.isError) r.throwException()
+          val r2 = dec.flush(cb)
+          if (r2.isError) r2.throwException()
+          require(carry.remaining() == 0,
+            "truncated multi-byte sequence at end of stream")
+          cb.flip()
+          if (cb.length() > 0) pending = cb.toString
+        }
+        pending != null
+      }
+      def next(): String = {
+        if (!hasNext) throw new NoSuchElementException
+        val r = pending; pending = null; r
+      }
+    }
+  }
+
   private def sequence(chunks: Iterator[Array[Byte]]): InputStream =
     new SequenceInputStream(new java.util.Enumeration[InputStream] {
       def hasMoreElements: Boolean = chunks.hasNext

@@ -85,6 +85,28 @@ final class Flow[T](val ds: Dataset[T]) {
     new Flow(ds.asInstanceOf[Dataset[Array[Byte]]]
       .map(Codec.deflateChunk(_, format)))
 
+  /** Extract tar members from a byte-chunk archive stream — "stream
+    * sequences / archives", the reference's unshipped roadmap item
+    * (README.md:45). Per-partition incremental like [[inflate]] (a
+    * partition's chunks form one — possibly concatenated — archive
+    * stream); composes as `readBytes(dir, glob "*.tar.gz").inflate()
+    * .untar` for the full compressed-archive read path. */
+  def untar(implicit ev: T =:= Array[Byte],
+            e: Encoder[(String, Array[Byte])]): Flow[(String, Array[Byte])] =
+    new Flow(ds.asInstanceOf[Dataset[Array[Byte]]].mapPartitions(Tar.entries))
+
+  /** Decode a byte-chunk stream to string chunks — the bytes→chars
+    * stage between [[inflate]] and [[byLine]] in the reference's
+    * headline pipeline. Incremental per partition: a multi-byte UTF-8
+    * sequence SPLIT ACROSS CHUNK BOUNDARIES decodes correctly (the
+    * partial tail of each chunk carries into the next; a naive
+    * per-chunk `new String` would corrupt it to U+FFFD). Malformed
+    * input fails loudly (REPORT semantics), never silently replaced. */
+  def decodeChars(charset: String = "UTF-8")
+                 (implicit ev: T =:= Array[Byte], e: Encoder[String]): Flow[String] =
+    new Flow(ds.asInstanceOf[Dataset[Array[Byte]]]
+      .mapPartitions(Codec.decodeCharsStream(_, charset)))
+
   // ---- text (flod K7/T2 Splitter) ----
 
   /** Split a chunked char stream into separator-delimited segments — flod

@@ -173,6 +173,116 @@ object JpegCodec {
   }
 }
 
+/** Real ISO-BMFF (MP4) box walk — the video-CONTAINER leg: no codec
+  * ships for the sample data itself (mdat stays opaque junk, exactly
+  * as a metadata triage pass treats it), but the box structure — the
+  * part that answers "how long / how big / how many tracks" without
+  * decoding a frame — is assembled spec-exactly and parsed back by an
+  * independent walk. */
+object Mp4Codec {
+  import java.io.ByteArrayOutputStream
+
+  private def u32(out: ByteArrayOutputStream, v: Long): Unit = {
+    out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+    out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+  }
+  private def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(8 + payload.length)
+    u32(out, 8L + payload.length)
+    out.write(typ.getBytes("US-ASCII"), 0, 4)
+    out.write(payload, 0, payload.length)
+    out.toByteArray
+  }
+
+  /** Minimal spec-exact MP4: ftyp + moov(mvhd, n×trak(tkhd)) + mdat.
+    * mvhd version 0 carries timescale/duration; each tkhd carries
+    * 16.16 fixed-point width/height. */
+  def encode(timescale: Int, durationTicks: Int, nTraks: Int,
+             width: Int, height: Int, mdatLen: Int): Array[Byte] = {
+    val mvhd = new ByteArrayOutputStream()
+    u32(mvhd, 0) // version 0 + flags
+    u32(mvhd, 0); u32(mvhd, 0) // creation, modification
+    u32(mvhd, timescale.toLong); u32(mvhd, durationTicks.toLong)
+    u32(mvhd, 0x00010000L) // rate 1.0
+    mvhd.write(0x01); mvhd.write(0x00) // volume 1.0
+    mvhd.write(new Array[Byte](10)) // reserved
+    Seq(0x00010000L, 0, 0, 0, 0x00010000L, 0, 0, 0, 0x40000000L)
+      .foreach(u32(mvhd, _)) // unity matrix
+    mvhd.write(new Array[Byte](24)) // pre_defined
+    u32(mvhd, nTraks + 1L) // next_track_ID
+    val traks = (1 to nTraks).map { tid =>
+      val t = new ByteArrayOutputStream()
+      u32(t, 0); u32(t, 0); u32(t, 0) // ver/flags, creation, modification
+      u32(t, tid.toLong); u32(t, 0) // track_ID, reserved
+      u32(t, durationTicks.toLong)
+      t.write(new Array[Byte](8)) // reserved
+      t.write(new Array[Byte](8)) // layer, alternate_group, volume, reserved
+      Seq(0x00010000L, 0, 0, 0, 0x00010000L, 0, 0, 0, 0x40000000L)
+        .foreach(u32(t, _))
+      u32(t, width.toLong << 16); u32(t, height.toLong << 16) // 16.16
+      box("trak", box("tkhd", t.toByteArray))
+    }
+    val out = new ByteArrayOutputStream()
+    val ftyp = new ByteArrayOutputStream()
+    ftyp.write("isom".getBytes, 0, 4); u32(ftyp, 0)
+    ftyp.write("isom".getBytes, 0, 4); ftyp.write("mp41".getBytes, 0, 4)
+    out.write(box("ftyp", ftyp.toByteArray))
+    val moov = new ByteArrayOutputStream()
+    moov.write(box("mvhd", mvhd.toByteArray))
+    traks.foreach(t => moov.write(t))
+    out.write(box("moov", moov.toByteArray))
+    out.write(box("mdat", Array.tabulate[Byte](mdatLen)(i => (i * 31 & 0xff).toByte)))
+    out.toByteArray
+  }
+
+  /** Own validating box walk: every top-level box's declared size must
+    * land in bounds and the walk must consume the payload exactly;
+    * moov recurses for mvhd (timescale/duration) and trak/tkhd
+    * (dimensions). Returns (brand, timescale, durationTicks, nTraks,
+    * width, height). */
+  def decodeMeta(b: Array[Byte]): (String, Int, Long, Int, Int, Int) = {
+    def ru32(o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    def fourcc(o: Int) = new String(b, o, 4, "US-ASCII")
+    var brand: String = null
+    var timescale = -1
+    var duration = -1L
+    var nTraks = 0
+    var w = -1
+    var h = -1
+    def walk(from: Int, to: Int, depth: Int): Unit = {
+      var off = from
+      while (off < to) {
+        require(off + 8 <= to, s"truncated box header at $off")
+        val size = ru32(off)
+        require(size >= 8 && off + size <= to, s"box size $size out of bounds at $off")
+        val typ = fourcc(off + 4)
+        typ match {
+          case "ftyp" => brand = fourcc(off + 8)
+          case "moov" => walk(off + 8, off + size.toInt, depth + 1)
+          case "trak" => nTraks += 1; walk(off + 8, off + size.toInt, depth + 1)
+          case "mvhd" =>
+            require(b(off + 8) == 0, "only mvhd version 0 supported")
+            timescale = ru32(off + 20).toInt
+            duration = ru32(off + 24)
+          case "tkhd" if w < 0 =>
+            require(b(off + 8) == 0, "only tkhd version 0 supported")
+            w = (ru32(off + 8 + 76) >> 16).toInt
+            h = (ru32(off + 8 + 80) >> 16).toInt
+          case _ => // skip (mdat, free, ...)
+        }
+        off += size.toInt
+      }
+      require(off == to, "box walk overran payload")
+    }
+    walk(0, b.length, 0)
+    require(brand != null, "no ftyp box")
+    require(timescale > 0, "no mvhd box")
+    (brand, timescale, duration, nTraks, w, h)
+  }
+}
+
 object Compressed {
 
   def defs: Seq[graft.QueryDef] = Seq(
@@ -274,5 +384,52 @@ object Compressed {
              |       WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS INT) AS n_comp,
              |  CAST(CASE WHEN doc_id % 37 = 0 THEN 0 ELSE 8 END AS INT)
              |    AS precision_
-             |FROM documents ORDER BY doc_id""".stripMargin)))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Real MP4 container metadata gate: spec-exact ISO-BMFF assembly
+    // (ftyp/moov/mvhd/trak/tkhd/mdat, params pure functions of the id)
+    // → independent validating box walk. Every %43 doc is truncated
+    // INSIDE its moov box, so the size-bounds check must fire and the
+    // row quarantine per record. The duration surfaces in ms via exact
+    // integer arithmetic (ticks·1000//timescale) on both engines.
+    graft.QueryDef("q324_mp4_meta",
+      (s, d) => {
+        import s.implicits._
+        graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .repartition(s.sparkContext.defaultParallelism)
+          .mapPartitions(_.map { id =>
+            val ts = Array(600, 1000, 90000)((id % 3).toInt)
+            val dur = 1000 + (id % 5000)
+            val full = Mp4Codec.encode(ts, dur.toInt, 1 + (id % 3).toInt,
+              16 * (1 + (id % 20).toInt), 16 * (1 + ((id / 2) % 15).toInt),
+              (id % 300).toInt)
+            val payload = if (id % 43 == 0) full.take(40) else full
+            try {
+              val (brand, pts, pdur, nt, w, h) = Mp4Codec.decodeMeta(payload)
+              (id, brand, pts, pdur * 1000L / pts, nt, w, h)
+            } catch { case _: Exception => (id, "corrupt", 0, 0L, 0, 0, 0) }
+          })
+          .toDF("doc_id", "brand", "timescale", "duration_ms", "n_traks",
+            "width", "height")
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id,
+             |    CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+             |         ELSE 90000 END AS ts,
+             |    1000 + doc_id % 5000 AS dur
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CASE WHEN doc_id % 43 = 0 THEN 'corrupt' ELSE 'isom' END AS brand,
+             |  CAST(CASE WHEN doc_id % 43 = 0 THEN 0 ELSE ts END AS INT)
+             |    AS timescale,
+             |  CAST(CASE WHEN doc_id % 43 = 0 THEN 0
+             |       ELSE dur * 1000 // ts END AS BIGINT) AS duration_ms,
+             |  CAST(CASE WHEN doc_id % 43 = 0 THEN 0
+             |       ELSE 1 + doc_id % 3 END AS INT) AS n_traks,
+             |  CAST(CASE WHEN doc_id % 43 = 0 THEN 0
+             |       ELSE 16 * (1 + doc_id % 20) END AS INT) AS width,
+             |  CAST(CASE WHEN doc_id % 43 = 0 THEN 0
+             |       ELSE 16 * (1 + (doc_id // 2) % 15) END AS INT) AS height
+             |FROM p ORDER BY doc_id""".stripMargin)))
 }

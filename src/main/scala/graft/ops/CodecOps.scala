@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{QueryDef, Tables}
-import graft.core.{Codec, Flow}
+import graft.core.{Codec, Flow, Tar}
 import org.apache.spark.sql.functions._
 
 /** Compression codec gates — the engine's answer to the reference's
@@ -90,5 +90,60 @@ object CodecOps {
              |FROM d CROSS JOIN f
              |UNION ALL
              |SELECT '2_stream', 'gzip', n_docs, n_ok, sum_bytes, digest FROM st
-             |ORDER BY arm, format""".stripMargin)))
+             |ORDER BY arm, format""".stripMargin)),
+
+    // Compressed-ARCHIVE read path — "stream sequences / archives", the
+    // reference's own unshipped roadmap item (README.md:45), composed
+    // from the two stages above: 8 real .tar.gz files (USTAR archives,
+    // gzip members; a bounded 400-doc fixture slice, assembled driver-
+    // side exactly like q144 plants its scratch files) are read back
+    // DISTRIBUTED — binaryFile scan → per-partition multi-member
+    // inflate → per-partition validating untar (header checksums) —
+    // and every extracted member must match the original document
+    // byte-for-byte (id parsed from the member name; per-row length +
+    // md5-prefix digest vs the oracle's arithmetic over `documents`).
+    // Partitions may hold several archive files; the seam-tolerant
+    // parsers make concatenation a non-event. The READ side is the
+    // 100 TB shape: one task per archive group, O(member) memory,
+    // nothing driver-side. localCheckpoint before scratch cleanup
+    // (q144's hygiene).
+    QueryDef("q323_archive_extract",
+      (s, d) => {
+        import s.implicits._
+        val slice = Tables.documents(s, d)
+          .where(col("doc_id") < 400).select("doc_id", "text")
+          .as[(Long, String)].collect().sortBy(_._1)
+        val dir = java.nio.file.Files.createTempDirectory("graft-tgz")
+        try {
+          slice.groupBy(_._1 % 8).foreach { case (k, docs) =>
+            val arch = Tar.archive(docs.toSeq.map { case (id, t) =>
+              (s"doc-$id.txt", t.getBytes("UTF-8")) })
+            java.nio.file.Files.write(dir.resolve(f"shard-$k%02d.tar.gz"),
+              Codec.deflateChunk(arch, Codec.Gzip))
+          }
+          implicit val pe: org.apache.spark.sql.Encoder[(String, Array[Byte])] =
+            org.apache.spark.sql.Encoders.tuple(
+              org.apache.spark.sql.Encoders.STRING,
+              org.apache.spark.sql.Encoders.BINARY)
+          Flow.readBytes(s, dir.toString + "/*.tar.gz")
+            .inflate(Codec.Gzip).untar.ds
+            .map { case (name, content) =>
+              (name.stripPrefix("doc-").stripSuffix(".txt").toLong,
+                content.length.toLong, new String(content, "UTF-8"))
+            }
+            .toDF("doc_id", "n_bytes", "dec")
+            .select(col("doc_id"), col("n_bytes"),
+              conv(substring(md5(col("dec").cast("binary")), 1, 8), 16, 10)
+                .cast("long").as("digest"))
+            .orderBy("doc_id")
+            .localCheckpoint()
+        } finally {
+          java.nio.file.Files.list(dir).forEach(p => java.nio.file.Files.delete(p))
+          java.nio.file.Files.delete(dir)
+        }
+      },
+      Some("""SELECT doc_id,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |  CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS digest
+             |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin)))
 }

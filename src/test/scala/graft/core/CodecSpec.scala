@@ -111,6 +111,44 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("decodeCharsStream reassembles multi-byte UTF-8 split at every boundary") {
+    val text = "héllo wörld — ¡ünïcode! 你好世界 🎉 end"
+    val raw = bytes(text)
+    for (split <- 1 to 8) {
+      val got = Codec.decodeCharsStream(raw.grouped(split), "UTF-8").mkString
+      assert(got == text, s"split=$split")
+    }
+  }
+
+  test("decodeCharsStream fails loudly on malformed and truncated input") {
+    // overlong/invalid byte
+    intercept[Exception](
+      Codec.decodeCharsStream(Iterator.single(Array(0xff.toByte)), "UTF-8").toSeq)
+    // dangling partial multi-byte sequence at end of stream
+    val partial = bytes("你").dropRight(1)
+    intercept[Exception](
+      Codec.decodeCharsStream(Iterator.single(bytes("ok") ++ partial), "UTF-8").toSeq)
+  }
+
+  test("headline pipeline: read(.gz) -> inflate -> decodeChars -> byLine") {
+    // the reference's README example end-to-end, with multi-byte chars
+    // positioned so small inflate chunks split them mid-sequence
+    implicit val be: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+    implicit val se: org.apache.spark.sql.Encoder[String] =
+      org.apache.spark.sql.Encoders.STRING
+    val lines = (0 until 50).map(i => s"zeile-$i äöü ß 号$i")
+    val dir = java.nio.file.Files.createTempDirectory("graft_gzline")
+    java.nio.file.Files.write(dir.resolve("corpus.txt.gz"),
+      Codec.deflateChunk(bytes(lines.mkString("", "\n", "\n")), Codec.Gzip))
+    val got = Flow.readBytes(spark, dir.toString + "/corpus.txt.gz")
+      .inflate(Codec.Gzip, chunkSize = 7) // adversarially tiny chunks
+      .decodeChars()
+      .byLine()
+      .toArray
+    assert(got == lines)
+  }
+
   test("Flow.inflate on a single-partition multi-member stream preserves order") {
     implicit val e: org.apache.spark.sql.Encoder[Array[Byte]] =
       org.apache.spark.sql.Encoders.BINARY

@@ -57,6 +57,24 @@ class CompressedSpec extends AnyFunSuite {
     assert((img.getWidth, img.getHeight) == ((pw, ph)))
   }
 
+  test("mp4 encode -> own box walk round-trips every field") {
+    for (ts <- Seq(600, 90000); dur <- Seq(1000, 12345); nt <- 1 to 3) {
+      val b = Mp4Codec.encode(ts, dur, nt, 320, 240, 77)
+      val (brand, pts, pdur, pnt, w, h) = Mp4Codec.decodeMeta(b)
+      assert((brand, pts, pdur, pnt, w, h) == (("isom", ts, dur.toLong, nt, 320, 240)))
+    }
+  }
+
+  test("mp4 walk validates box bounds — truncation and bad sizes fail loudly") {
+    val good = Mp4Codec.encode(1000, 500, 2, 64, 48, 30)
+    intercept[Exception](Mp4Codec.decodeMeta(good.take(40)))    // cut inside moov
+    intercept[Exception](Mp4Codec.decodeMeta(good.dropRight(5))) // cut inside mdat
+    val bad = good.clone()
+    bad(0) = 0x7f.toByte // ftyp size becomes enormous
+    intercept[Exception](Mp4Codec.decodeMeta(bad))
+    intercept[Exception](Mp4Codec.decodeMeta(Array.fill[Byte](16)(3)))
+  }
+
   test("jpeg parser rejects damaged payloads") {
     val good = JpegCodec.encode(32, 32, gray = false)
     intercept[Exception](JpegCodec.decodeMeta(good.take(10)))   // truncated
