@@ -36,16 +36,26 @@ object Codec {
     * library's deflate (each member is one finished deflate stream). */
   case object Raw extends Format
 
-  /** Compress one chunk as one independent member. */
+  /** Compress one chunk as one independent member.
+    *
+    * Native-memory discipline: a zlib deflate context is ~256 KB of
+    * NATIVE memory freed only by `Deflater.end()` — for the Gzip path
+    * `close()` ends the stream's own deflater, but a caller-supplied
+    * Deflater (Zlib/Raw) must be ended EXPLICITLY or a million-row
+    * codec stage exhausts native memory long before the GC's Cleaner
+    * notices (measured: a 50k-doc 3-format pass went 16 s → 100 s+ in
+    * GC storms without the end() calls). */
   def deflateChunk(chunk: Array[Byte], format: Format): Array[Byte] = {
     val bos = new ByteArrayOutputStream(chunk.length / 2 + 64)
-    val out = format match {
-      case Gzip => new GZIPOutputStream(bos)
-      case Zlib => new DeflaterOutputStream(bos, new Deflater(Deflater.DEFAULT_COMPRESSION, false))
-      case Raw  => new DeflaterOutputStream(bos, new Deflater(Deflater.DEFAULT_COMPRESSION, true))
+    val owned = format match {
+      case Gzip => null
+      case Zlib => new Deflater(Deflater.DEFAULT_COMPRESSION, false)
+      case Raw  => new Deflater(Deflater.DEFAULT_COMPRESSION, true)
     }
-    out.write(chunk)
-    out.close()
+    val out = if (owned == null) new GZIPOutputStream(bos)
+              else new DeflaterOutputStream(bos, owned)
+    try { out.write(chunk); out.close() }
+    finally if (owned != null) owned.end()
     bos.toByteArray
   }
 
@@ -65,9 +75,11 @@ object Codec {
     if (!chunks.hasNext) return Iterator.empty
     format match {
       case Gzip =>
-        // GZIPInputStream consumes multi-member streams natively
+        // GZIPInputStream consumes multi-member streams natively;
+        // close() at exhaustion ends its native Inflater (see
+        // deflateChunk's native-memory note)
         val in = new GZIPInputStream(sequence(chunks), chunkSize)
-        readChunks(in, chunkSize)
+        readChunks(in, chunkSize, closeAtEnd = true)
       case Zlib => multiStream(chunks, nowrap = false, chunkSize)
       case Raw  => multiStream(chunks, nowrap = true, chunkSize)
     }
@@ -140,13 +152,14 @@ object Codec {
       def nextElement(): InputStream = new ByteArrayInputStream(chunks.next())
     })
 
-  private def readChunks(in: InputStream, chunkSize: Int): Iterator[Array[Byte]] =
+  private def readChunks(in: InputStream, chunkSize: Int,
+                         closeAtEnd: Boolean = false): Iterator[Array[Byte]] =
     Iterator.continually {
       val buf = new Array[Byte](chunkSize)
       var off = 0
       var n = 0
       while (off < chunkSize && { n = in.read(buf, off, chunkSize - off); n >= 0 }) off += n
-      if (off == 0) null
+      if (off == 0) { if (closeAtEnd) in.close(); null }
       else if (off == chunkSize) buf
       else java.util.Arrays.copyOf(buf, off)
     }.takeWhile(_ != null)
@@ -205,12 +218,16 @@ object Codec {
             off += n
           }
         }
-        if (off == 0) null
+        if (off == 0) { inf.end(); null } // native context freed (see deflateChunk)
         else if (off == chunkSize) buf
         else java.util.Arrays.copyOf(buf, off)
       }
+      private var ended = false
       def hasNext: Boolean = {
-        if (pending == null) pending = decodeNext()
+        if (pending == null && !ended) {
+          pending = decodeNext()
+          if (pending == null) ended = true
+        }
         pending != null
       }
       def next(): Array[Byte] = {

@@ -39,8 +39,16 @@ object CodecOps {
         val docs = Tables.documents(s, d).select("doc_id", "text")
         val formats = Seq(("gzip", Codec.Gzip: Codec.Format),
           ("raw", Codec.Raw: Codec.Format), ("zlib", Codec.Zlib: Codec.Format))
+        // the scan is one task per file (a single file at larger SFs) and
+        // the per-doc work (3-format compress+decompress) is HEAVY — so
+        // the text column repartitions ONCE to full parallelism before
+        // the codec map (q294's lesson; here the payload IS the text, so
+        // the one-time corpus shuffle is the price of 32-way codec work,
+        // and it's shared by all three format arms via the same lineage)
+        val spread = docs.select("text").as[String]
+          .repartition(s.sparkContext.defaultParallelism)
         val perDoc = formats.map { case (label, fmt) =>
-          docs.select("text").as[String]
+          spread
             .mapPartitions(_.map { t =>
               val orig = t.getBytes("UTF-8")
               val back = Codec.inflateAll(Codec.deflateChunk(orig, fmt), fmt)
