@@ -75,6 +75,55 @@ class CompressedSpec extends AnyFunSuite {
     intercept[Exception](Mp4Codec.decodeMeta(Array.fill[Byte](16)(3)))
   }
 
+  test("adpcm round-trip reconstructs a tone within quantization noise") {
+    val pcm = WavCodec.decodeSamples(WavCodec.encodeTone(2000, 1000.0, 8000))
+    val adpcm = AdpcmCodec.encode(pcm)
+    assert(adpcm.length == 4 + 2000 / 2) // exact 4:1 layout + header
+    val back = AdpcmCodec.decode(adpcm, 2000)
+    assert(back.length == pcm.length)
+    // closed-loop encode keeps tracking error bounded by the step size
+    val maxErr = pcm.zip(back).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxErr < 2048, s"ADPCM tracking error $maxErr too large")
+    // and the reconstructed signal still carries the planted tone:
+    // on-bin power dominates every off-bin probe by a wide margin
+    val on = WavCodec.goertzel(back, 1000.0, 8000)
+    for (f <- Seq(500.0, 2000.0, 3000.0))
+      assert(on > 50 * WavCodec.goertzel(back, f, 8000), s"off-probe $f")
+  }
+
+  test("adpcm handles step extremes: silence, full-swing square, odd lengths") {
+    for (src <- Seq(
+      Array.fill[Short](101)(0),
+      Array.tabulate[Short](64)(i => if (i % 2 == 0) 32767 else -32768),
+      Array.tabulate[Short](7)(i => (i * 1000).toShort))) {
+      val back = AdpcmCodec.decode(AdpcmCodec.encode(src), src.length)
+      assert(back.length == src.length)
+      assert(back(0) == src(0)) // predictor seeds exactly
+    }
+    intercept[Exception](AdpcmCodec.decode(Array[Byte](1, 2), 10))
+  }
+
+  test("avi encode -> own walk + real JPEG frame decode round-trips") {
+    for ((w, h, nf, us) <- Seq((64, 48, 3, 33333), (16, 16, 1, 66667))) {
+      val b = AviCodec.encode(w, h, nf, us)
+      val (pw, ph, decl, pus, dec) = AviCodec.decode(b)
+      assert((pw, ph, decl, pus, dec) == ((w, h, nf, us, nf)))
+    }
+  }
+
+  test("avi walk rejects truncation and dimension lies") {
+    val good = AviCodec.encode(32, 32, 2, 40000)
+    intercept[Exception](AviCodec.decode(good.take(60)))
+    intercept[Exception](AviCodec.decode(good.dropRight(9)))
+    intercept[Exception](AviCodec.decode("RIFFxxxxJUNK".getBytes))
+    // header claims different dims than the frames carry
+    val lied = AviCodec.encode(32, 32, 1, 40000)
+    // find avih width field (offset of "avih" + 8 + 32) and corrupt it
+    val idx = lied.indexOfSlice("avih".getBytes)
+    lied(idx + 8 + 32) = 64
+    intercept[Exception](AviCodec.decode(lied))
+  }
+
   test("jpeg parser rejects damaged payloads") {
     val good = JpegCodec.encode(32, 32, gray = false)
     intercept[Exception](JpegCodec.decodeMeta(good.take(10)))   // truncated
