@@ -64,6 +64,23 @@ class TarSpec extends AnyFunSuite {
     assert(out.trim.linesIterator.toSeq == members.map(_._1))
   }
 
+  test("writeShards: distributed tar sink round-trips through the untar read path") {
+    import spark.implicits._
+    val rows = (0 until 40).map(i => (s"m$i.txt", bytes(s"member $i " * (i % 5 + 1))))
+    for (gz <- Seq(false, true)) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+      Tar.writeShards(spark.createDataset(rows).repartition(4), dir, gzip = gz)
+      val files = new java.io.File(dir).listFiles.map(_.getName).sorted
+      assert(files.nonEmpty && files.forall(_.endsWith(if (gz) ".tar.gz" else ".tar")))
+      val glob = dir + (if (gz) "/*.tar.gz" else "/*.tar")
+      val base = Flow.readBytes(spark, glob)
+      val flow = if (gz) base.inflate(Codec.Gzip) else base
+      val got = flow.untar.toArray.map { case (n, c) => (n, new String(c, "UTF-8")) }
+      assert(got.sortBy(_._1).toSeq ==
+        rows.map { case (n, c) => (n, new String(c, "UTF-8")) }.sortBy(_._1))
+    }
+  }
+
   test("Flow: readBytes(*.tar.gz).inflate.untar — the composed archive read path") {
     implicit val be: org.apache.spark.sql.Encoder[Array[Byte]] =
       org.apache.spark.sql.Encoders.BINARY
