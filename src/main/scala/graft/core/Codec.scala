@@ -35,6 +35,13 @@ object Codec {
     * are NOT self-delimiting; inflate decodes members written by this
     * library's deflate (each member is one finished deflate stream). */
   case object Raw extends Format
+  /** RFC 8878 zstandard frames (zstd-jni, ships with Spark) — the
+    * codec modern training-data lakes actually use; frames concatenate
+    * by spec. Native contexts released by stream close. */
+  case object Zstd extends Format
+  /** LZ4 frame format (lz4-java, ships with Spark) — the
+    * speed-over-ratio end of the codec menu; frames concatenate. */
+  case object Lz4 extends Format
 
   /** Compress one chunk as one independent member.
     *
@@ -47,15 +54,21 @@ object Codec {
     * GC storms without the end() calls). */
   def deflateChunk(chunk: Array[Byte], format: Format): Array[Byte] = {
     val bos = new ByteArrayOutputStream(chunk.length / 2 + 64)
-    val owned = format match {
-      case Gzip => null
-      case Zlib => new Deflater(Deflater.DEFAULT_COMPRESSION, false)
-      case Raw  => new Deflater(Deflater.DEFAULT_COMPRESSION, true)
+    format match {
+      case Gzip =>
+        val out = new GZIPOutputStream(bos) // close() ends its own deflater
+        out.write(chunk); out.close()
+      case Zlib | Raw =>
+        val owned = new Deflater(Deflater.DEFAULT_COMPRESSION, format == Raw)
+        val out = new DeflaterOutputStream(bos, owned)
+        try { out.write(chunk); out.close() } finally owned.end()
+      case Zstd =>
+        val out = new com.github.luben.zstd.ZstdOutputStream(bos)
+        out.write(chunk); out.close() // close releases the native cctx
+      case Lz4 =>
+        val out = new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+        out.write(chunk); out.close()
     }
-    val out = if (owned == null) new GZIPOutputStream(bos)
-              else new DeflaterOutputStream(bos, owned)
-    try { out.write(chunk); out.close() }
-    finally if (owned != null) owned.end()
     bos.toByteArray
   }
 
@@ -82,6 +95,17 @@ object Codec {
         readChunks(in, chunkSize, closeAtEnd = true)
       case Zlib => multiStream(chunks, nowrap = false, chunkSize)
       case Raw  => multiStream(chunks, nowrap = true, chunkSize)
+      case Zstd =>
+        // ZstdInputStream decodes concatenated frames until EOF;
+        // close() at exhaustion releases the native dctx
+        val in = new com.github.luben.zstd.ZstdInputStream(sequence(chunks))
+        readChunks(in, chunkSize, closeAtEnd = true)
+      case Lz4 =>
+        // LZ4FrameInputStream stops at its first frame by default; the
+        // explicit flag makes it consume concatenated frames to EOF
+        val in = new net.jpountz.lz4.LZ4FrameInputStream(
+          sequence(chunks), /* stopAfterFirstFrame = */ false)
+        readChunks(in, chunkSize, closeAtEnd = true)
     }
   }
 

@@ -38,7 +38,8 @@ object CodecOps {
         import s.implicits._
         val docs = Tables.documents(s, d).select("doc_id", "text")
         val formats = Seq(("gzip", Codec.Gzip: Codec.Format),
-          ("raw", Codec.Raw: Codec.Format), ("zlib", Codec.Zlib: Codec.Format))
+          ("lz4", Codec.Lz4: Codec.Format), ("raw", Codec.Raw: Codec.Format),
+          ("zlib", Codec.Zlib: Codec.Format), ("zstd", Codec.Zstd: Codec.Format))
         // the scan is one task per file (a single file at larger SFs) and
         // the per-doc work (3-format compress+decompress) is HEAVY — so
         // the text column repartitions ONCE to full parallelism before
@@ -81,7 +82,8 @@ object CodecOps {
         }
         (perDoc :+ streamRow).reduce(_ unionByName _).orderBy("arm", "format")
       },
-      Some("""WITH f AS (SELECT unnest(['gzip', 'raw', 'zlib']) AS format),
+      Some("""WITH f AS (SELECT unnest(['gzip', 'lz4', 'raw', 'zlib', 'zstd'])
+             |    AS format),
              |d AS (
              |  SELECT COUNT(*) AS n_docs, COUNT(*) AS n_ok,
              |    CAST(SUM(octet_length(encode(text))) AS BIGINT) AS sum_bytes,

@@ -10,7 +10,7 @@ import org.scalacheck.Prop.forAll
 object CodecProps extends Properties("Codec") {
 
   private val fmtGen: Gen[Codec.Format] =
-    Gen.oneOf(Codec.Gzip, Codec.Zlib, Codec.Raw)
+    Gen.oneOf(Codec.Gzip, Codec.Zlib, Codec.Raw, Codec.Zstd, Codec.Lz4)
   private val payloadGen: Gen[Array[Byte]] =
     Gen.chooseNum(0, 2000).flatMap(n =>
       Gen.containerOfN[Array, Byte](n, Gen.chooseNum(-128, 127).map(_.toByte)))

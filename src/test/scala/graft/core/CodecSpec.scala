@@ -16,7 +16,7 @@ import java.util.zip.{GZIPInputStream, GZIPOutputStream}
 class CodecSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  private val formats = Seq(Codec.Gzip, Codec.Zlib, Codec.Raw)
+  private val formats = Seq(Codec.Gzip, Codec.Zlib, Codec.Raw, Codec.Zstd, Codec.Lz4)
   private def bytes(s: String) = s.getBytes("UTF-8")
   private val payloadA = bytes("the quick brown fox jumps over the lazy dog; " * 40)
   private val payloadB = bytes("pack my box with five dozen liquor jugs! " * 25)
