@@ -155,5 +155,61 @@ object CodecOps {
       Some("""SELECT doc_id,
              |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
              |  CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS digest
-             |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin)))
+             |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin)),
+
+    // WebDataset-style shard round trip — the de-facto LLM training-
+    // data layout: each sample is a GROUP OF ADJACENT tar members
+    // sharing a basename ("00000042.txt" + "00000042.cls"), shards are
+    // .tar.zst files. The WRITE side is fully distributed
+    // (Tar.writeShardsCompressed: executor-streamed zstd tar per
+    // partition; the flatMap that splits a row into its members runs
+    // AFTER the shard repartition, so a sample's members are adjacent
+    // in partition order by construction — the WebDataset contract).
+    // The READ side is the q323 path (binaryFile → zstd inflate →
+    // validating untar) plus sample reassembly by basename; the
+    // oracle re-derives text digest + class field per doc, so a
+    // dropped member, a broken adjacency split mid-sample, or any
+    // codec slip breaks rows. Scratch hygiene: localCheckpoint before
+    // cleanup (q144).
+    QueryDef("q327_webdataset_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), col("lang"))
+        val dir = java.nio.file.Files.createTempDirectory("graft-wds").toString
+        try {
+          implicit val pe: org.apache.spark.sql.Encoder[(String, Array[Byte])] =
+            org.apache.spark.sql.Encoders.tuple(
+              org.apache.spark.sql.Encoders.STRING,
+              org.apache.spark.sql.Encoders.BINARY)
+          val members = docs.repartition(8, pmod(col("doc_id"), lit(8)))
+            .as[(Long, String, String)]
+            .flatMap { case (id, t, l) => Seq(
+              (f"$id%08d.txt", t.getBytes("UTF-8")),
+              (f"$id%08d.cls", l.getBytes("UTF-8"))) }
+          graft.core.Tar.writeShardsCompressed(members, dir, Some(Codec.Zstd))
+          Flow.readBytes(s, dir + "/*.tar.zst")
+            .inflate(Codec.Zstd).untar.ds
+            .map { case (name, content) =>
+              (name.take(8).toLong, name.drop(9), new String(content, "UTF-8"))
+            }
+            .toDF("doc_id", "ext", "payload")
+            .groupBy("doc_id")
+            .agg(count(lit(1)).as("n_fields"),
+              max(when(col("ext") === "txt",
+                conv(substring(md5(col("payload").cast("binary")), 1, 8), 16, 10)
+                  .cast("long"))).as("digest"),
+              max(when(col("ext") === "cls", col("payload"))).as("lang"))
+            .orderBy("doc_id")
+            .localCheckpoint()
+        } finally {
+          java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+            .forEach(p => java.nio.file.Files.delete(p))
+          java.nio.file.Files.delete(java.nio.file.Paths.get(dir))
+        }
+      },
+      Some("""SELECT doc_id, CAST(2 AS BIGINT) AS n_fields,
+             |  CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS digest,
+             |  lang
+             |FROM documents ORDER BY doc_id""".stripMargin)))
 }

@@ -67,17 +67,20 @@ class TarSpec extends AnyFunSuite {
   test("writeShards: distributed tar sink round-trips through the untar read path") {
     import spark.implicits._
     val rows = (0 until 40).map(i => (s"m$i.txt", bytes(s"member $i " * (i % 5 + 1))))
-    for (gz <- Seq(false, true)) {
+    val cases: Seq[(Option[Codec.Format], String)] = Seq(
+      (None, ".tar"), (Some(Codec.Gzip), ".tar.gz"),
+      (Some(Codec.Zstd), ".tar.zst"), (Some(Codec.Lz4), ".tar.lz4"))
+    for ((codec, suffix) <- cases) {
       val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
-      Tar.writeShards(spark.createDataset(rows).repartition(4), dir, gzip = gz)
+      Tar.writeShardsCompressed(spark.createDataset(rows).repartition(4), dir, codec)
       val files = new java.io.File(dir).listFiles.map(_.getName).sorted
-      assert(files.nonEmpty && files.forall(_.endsWith(if (gz) ".tar.gz" else ".tar")))
-      val glob = dir + (if (gz) "/*.tar.gz" else "/*.tar")
-      val base = Flow.readBytes(spark, glob)
-      val flow = if (gz) base.inflate(Codec.Gzip) else base
+      assert(files.nonEmpty && files.forall(_.endsWith(suffix)), s"$suffix names")
+      val base = Flow.readBytes(spark, dir + "/*" + suffix)
+      val flow = codec.fold(base)(f => base.inflate(f))
       val got = flow.untar.toArray.map { case (n, c) => (n, new String(c, "UTF-8")) }
       assert(got.sortBy(_._1).toSeq ==
-        rows.map { case (n, c) => (n, new String(c, "UTF-8")) }.sortBy(_._1))
+        rows.map { case (n, c) => (n, new String(c, "UTF-8")) }.sortBy(_._1),
+        s"$suffix round trip")
     }
   }
 
