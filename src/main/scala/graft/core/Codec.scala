@@ -63,18 +63,36 @@ object Codec {
         val out = new DeflaterOutputStream(bos, owned)
         try { out.write(chunk); out.close() } finally owned.end()
       case Zstd =>
-        val out = new com.github.luben.zstd.ZstdOutputStream(bos)
-        out.write(chunk); out.close() // close releases the native cctx
+        // one-shot static API: a ZstdOutputStream per member would
+        // create/destroy a ~1 MB native cctx per doc (measured: 14×
+        // slowdown on a 5k-doc pass); Zstd.compress emits a standard
+        // single-shot frame — still concatenable, still readable by
+        // ZstdInputStream — through a pooled context
+        return com.github.luben.zstd.Zstd.compress(chunk)
       case Lz4 =>
-        val out = new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+        // 64 KB blocks: the default frame block allocates a 4 MB
+        // buffer per stream — per-member streams at corpus scale churn
+        // gigabytes of short-lived buffers for KB-sized payloads
+        val out = new net.jpountz.lz4.LZ4FrameOutputStream(bos,
+          net.jpountz.lz4.LZ4FrameOutputStream.BLOCKSIZE.SIZE_64KB)
         out.write(chunk); out.close()
     }
     bos.toByteArray
   }
 
   /** Decompress a whole (possibly multi-member) stream held in memory —
-    * the driver-side convenience over [[inflateStream]]. */
+    * the driver-side convenience over [[inflateStream]]. Zstd takes a
+    * one-shot fast path when the payload is a single frame with a
+    * declared content size (what [[deflateChunk]] emits): the stream
+    * decoder's per-instance native dctx is the same per-member cost
+    * the compress side pays (see deflateChunk's zstd note). */
   def inflateAll(bytes: Array[Byte], format: Format): Array[Byte] = {
+    if (format == Zstd && bytes.length > 0) {
+      val cs = com.github.luben.zstd.Zstd.getFrameContentSize(bytes)
+      if (cs >= 0 && cs <= Int.MaxValue &&
+          com.github.luben.zstd.Zstd.findFrameCompressedSize(bytes) == bytes.length)
+        return com.github.luben.zstd.Zstd.decompress(bytes, cs.toInt)
+    }
     val bos = new ByteArrayOutputStream(bytes.length * 2 + 64)
     inflateStream(Iterator.single(bytes), format, 1 << 16).foreach(bos.write)
     bos.toByteArray
