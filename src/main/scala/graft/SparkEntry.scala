@@ -18,7 +18,8 @@ object SparkEntry {
       ops.Delta.defs ++ ops.Pq.defs ++ ops.OrderStats.defs ++
       stream.StreamOps.defs ++ multimodal.Multimodal.defs ++
       multimodal.Compressed.defs ++
-      ops.Pipeline.defs ++ ops.Extras.defs ++ ops.CodecOps.defs ++ Sql.defs
+      ops.Pipeline.defs ++ ops.Extras.defs ++ ops.CodecOps.defs ++
+      ops.DataSelect.defs ++ Sql.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * A join+aggregate that exercises scan, broadcast join, shuffle join,

@@ -1,0 +1,367 @@
+package graft.ops
+
+import graft.{Materialize, QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Vectors
+
+/** Data-selection operators for training-corpus curation — the three
+  * selection families a 100 TB pretraining pipeline runs between "raw
+  * crawl" and "tokenized shards", each re-expressed as a declarative
+  * Spark plan:
+  *
+  *  - '''SemDeDup''' (semantic dedup): k-means-cluster the embedding
+  *    space with a sample-fitted coarse quantizer, then prune
+  *    near-identical vectors WITHIN each cluster only — the cluster
+  *    assignment bounds the pair join (Σ|cell|² ≪ n²), which is the
+  *    whole trick that makes embedding dedup feasible at corpus scale.
+  *  - '''DSIR''' (data selection via importance resampling): score
+  *    every document by the log-likelihood ratio of a hashed-n-gram
+  *    bag model of a target distribution vs the raw corpus, then keep
+  *    the top-weighted slice. The feature space is a FIXED number of
+  *    hash buckets, so the model is two bounded count vectors — a
+  *    broadcast join, never a vocabulary-sized shuffle.
+  *  - '''BPE merge training''': learn merge rules from corpus pair
+  *    statistics — each round is one distributed pair-count aggregation
+  *    plus a 1-row driver argmax (the merge table lives on the driver
+  *    in every BPE trainer), and the merge application is a run-parity
+  *    window pass, never a per-document loop.
+  *
+  * Reference scope note: flod's checked surface has no selection
+  * operators (its `README.md:34-42` stops at byte/stream transforms);
+  * these extend the engine along SURVEY §2's "training-data pipeline"
+  * axis with literature semantics (SemDeDup, DSIR, BPE as published —
+  * arXiv:2303.09540, arXiv:2302.03169, ACL 2016 subword units).
+  */
+object DataSelect {
+
+  // ---------------------------------------------------------------- SemDeDup
+
+  /** Within-cluster near-duplicate prune over an embedding table.
+    *
+    * Drop rule (deterministic): vector `v` is dropped iff some
+    * lower-id vector in the SAME cell has cosine ≥ `tau` to it; the
+    * surviving lowest id is the group representative. Cosine is
+    * rounded to `roundDp` BEFORE thresholding so both engines compare
+    * identical values (the q63 oracle-parity rule).
+    *
+    * Scale: the pair join keys on the cell id — cost Σ|cell|², bounded
+    * by choosing k ∝ corpus size exactly as the SemDeDup paper does
+    * (k≈100k at web scale); a hot cell is a hot JOIN partition, which
+    * AQE's skew-join splits. The assignment pass is the same narrow
+    * codegen'd argmin as IVF ([[Ann.cellCol]]); one materialization
+    * pins it so the self-join's two sides share one computation. */
+  def semDedup(emb: DataFrame, cents: Array[Array[Double]], tau: Double,
+               roundDp: Int = 6,
+               materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+    // Phase 0 — exact-duplicate collapse (always on, value-identical):
+    // byte-identical vectors land in the same cell by construction, so
+    // each exact-dup group enters the pair join as its lowest-id
+    // representative ONLY. A vector mass-duplicated m times costs
+    // O(m) here instead of O(m²) in the join — the same hot-key
+    // discipline as Dedup's dfCap/star clustering. The residual pair
+    // cost is Σ|distinct vectors per cell|², bounded by sizing k to
+    // the corpus (SemDeDup's own k≈100k-at-web-scale rule) with AQE
+    // skew-join splitting hot cells.
+    val evg = materialize(
+      emb.withColumn("cell", Ann.cellCol(col("v"), cents))
+        .withColumn("nrm", Vectors.norm2(col("v")))
+        .withColumn("rep",
+          min(col("vec_id")).over(Window.partitionBy("cell", "v"))))
+    val reps = evg.where(col("vec_id") === col("rep"))
+    val a = reps.select(col("cell"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = reps.select(col("cell"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val cos = round(Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb")), roundDp)
+    val repPairs = a.join(b, "cell").where(col("id_a") < col("id_b"))
+      .select(col("cell"), col("id_a"), col("id_b"), cos.as("cos"))
+      .where(col("cos") >= tau)
+      .groupBy("id_b")
+      .agg(min(col("id_a")).as("min_rep"),
+        min(col("cell")).cast("long").as("cellL"),
+        max(col("cos")).as("rep_cos"))
+    // Expansion reproduces the per-vector rule exactly: a non-rep
+    // member's qualifying partners are its group-mates (cos = 1.0
+    // after rounding — max possible) plus every member of any
+    // qualifying lower-rep group, whose minimum id IS that group's
+    // rep; a rep's qualifying partners are exactly the members of
+    // lower-rep qualifying groups.
+    val droppedReps = repPairs.select(col("id_b").as("vec_id"),
+      col("min_rep").as("keeper_id"), col("cellL").as("cell"),
+      col("rep_cos").as("best_cos"))
+    val members = evg.where(col("vec_id") =!= col("rep"))
+      .join(repPairs.select(col("id_b").as("rep"), col("min_rep")), Seq("rep"), "left")
+      .select(col("vec_id"),
+        coalesce(col("min_rep"), col("rep")).as("keeper_id"),
+        col("cell").cast("long").as("cell"),
+        lit(1.0).as("best_cos"))
+    droppedReps.unionByName(members).orderBy("vec_id")
+  }
+
+  // ---------------------------------------------------------------- DSIR
+
+  /** Hashed-n-gram importance weights: for every document, the summed
+    * log-ratio of target vs raw bucket probabilities (+1 smoothing)
+    * over its unigram+bigram features, each feature hashed to one of
+    * `buckets` buckets via the md5-prefix hash both engines share.
+    *
+    * Scale: the "model" is one `buckets`-row table built in a single
+    * conditional-aggregate pass over the exploded grams (target and
+    * raw counts together — adding the target never adds a scan, the
+    * q148 discipline); scoring joins that table back broadcast. No
+    * vocabulary-sized state anywhere — that is DSIR's own point. */
+  def dsirWeights(docs: DataFrame, isTarget: Column, buckets: Int,
+                  roundDp: Int = 6): DataFrame = {
+    val grams = gramsOf(docs, 1).unionByName(gramsOf(docs, 2))
+    val b = grams.withColumn("bkt",
+      conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long") % buckets)
+    val cnts = b.groupBy("bkt").agg(
+      sum(when(isTarget, 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    val tot = cnts.agg(sum(col("ct")).as("t"), sum(col("cr")).as("r"))
+    val lw = cnts.crossJoin(broadcast(tot)).select(col("bkt"),
+      (log((col("ct") + 1.0) / (col("t") + buckets.toDouble)) -
+        log((col("cr") + 1.0) / (col("r") + buckets.toDouble))).as("lr"))
+    b.join(broadcast(lw), "bkt")
+      .groupBy("doc_id").agg(round(sum(col("lr")), roundDp).as("w"))
+  }
+
+  /** One definition of the (doc_id, lang, g) gram stream — the same
+    * native `graft_ngrams` tokenization TrainPrep's decontamination
+    * uses (short docs fall back to their whole text as one gram). */
+  private def gramsOf(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      explode(call_function("graft_ngrams", col("text"), lit(n), lit(false))).as("g"))
+
+  private def gramsSql(n: Int): String =
+    if (n == 1)
+      """SELECT doc_id, lang, unnest(w) AS g
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)""".stripMargin
+    else {
+      val terms = (1 to n).map(k => s"w[i+$k]").mkString(" || ' ' || ")
+      s"""SELECT doc_id, lang, unnest(
+         |    CASE WHEN len(w) >= $n
+         |         THEN list_transform(range(len(w) - ${n - 1}), i -> $terms)
+         |         ELSE [text] END) AS g
+         |  FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents)""".stripMargin
+    }
+
+  // ---------------------------------------------------------------- BPE
+
+  /** Learn `rounds` BPE merges from corpus pair statistics and report,
+    * per round, the merged pair, its count at merge time, and the
+    * corpus token count after applying it.
+    *
+    * Each round: (1) pair counts via `lead` over (doc, pos) — one
+    * shuffle keyed by doc; (2) argmax pair — a deterministic 1-row
+    * collect (count desc, pair asc), the driver-resident merge table
+    * every BPE trainer keeps; (3) merge application — greedy leftmost
+    * non-overlapping, computed with run-parity window arithmetic
+    * (position within a run of consecutive matches, merge at even
+    * offsets) in the SAME window partition pass, then a renumber.
+    * State is materialized per round (iterate-materialize, the
+    * Components discipline).
+    *
+    * Scale: per round, two doc-partitioned window passes and one
+    * pair-count aggregation — no driver data beyond the 1-row argmax.
+    * A production trainer amortizes rounds by batching non-conflicting
+    * merges per pass; the per-round plan here is that batch's unit. */
+  def bpeTrain(docs: DataFrame, rounds: Int,
+               materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val wCum = wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var state = materialize(
+      docs.select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+          col("col").as("tok")))
+    val rows = Seq.newBuilder[DataFrame]
+    for (r <- 1 to rounds) {
+      val pr = state.withColumn("nxt", lead(col("tok"), 1).over(wDoc))
+      val best = pr.where(col("nxt").isNotNull)
+        .groupBy("tok", "nxt").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok").asc, col("nxt").asc)
+        .limit(1).collect()(0)
+      val (t1, t2, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      val merged = pr
+        .withColumn("m", coalesce(col("tok") === t1 && col("nxt") === t2, lit(false)))
+        // run-parity: offset of a match within its run of consecutive
+        // match positions; merge at even offsets (leftmost-first)
+        .withColumn("rs", col("m") && !coalesce(lag(col("m"), 1).over(wDoc), lit(false)))
+        .withColumn("rstart", max(when(col("rs"), col("pos"))).over(wCum))
+        .withColumn("mg", col("m") && (col("pos") - col("rstart")) % 2 === 0)
+        .withColumn("consumed", coalesce(lag(col("mg"), 1).over(wDoc), lit(false)))
+        .where(!col("consumed"))
+        .select(col("doc_id"), col("pos"),
+          when(col("mg"), concat(col("tok"), col("nxt"))).otherwise(col("tok")).as("tok"))
+        .withColumn("pos", row_number().over(wDoc).cast("long"))
+      state = materialize(merged)
+      rows += state.agg(count(lit(1)).as("tokens_after"))
+        .select(lit(r).as("rnd"), lit(t1).as("t1"), lit(t2).as("t2"),
+          lit(cnt).as("cnt"), col("tokens_after"))
+    }
+    rows.result().reduce(_.unionByName(_)).orderBy("rnd")
+  }
+
+  /** Oracle twin of one [[bpeTrain]] round: state CTE `s{r}` →
+    * `s{r+1}` plus the learned merge `bm{r}`, with the SAME
+    * deterministic argmax and run-parity merge semantics. */
+  private def bpeRoundSql(r: Int): String =
+    s"""pr$r AS (
+       |  SELECT doc_id, pos, tok,
+       |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+       |  FROM s$r),
+       |bm$r AS (
+       |  SELECT tok AS t1, nxt AS t2, COUNT(*) AS cnt FROM pr$r
+       |  WHERE nxt IS NOT NULL GROUP BY 1, 2
+       |  ORDER BY cnt DESC, t1 ASC, t2 ASC LIMIT 1),
+       |mk$r AS (
+       |  SELECT doc_id, pos, tok, nxt,
+       |    COALESCE(tok = (SELECT t1 FROM bm$r)
+       |         AND nxt = (SELECT t2 FROM bm$r), FALSE) AS m
+       |  FROM pr$r),
+       |mg$r AS (
+       |  SELECT doc_id, pos FROM (
+       |    SELECT doc_id, pos,
+       |      ROW_NUMBER() OVER (PARTITION BY doc_id, grp ORDER BY pos) AS k
+       |    FROM (SELECT doc_id, pos,
+       |            pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |          FROM mk$r WHERE m) t) u
+       |  WHERE k % 2 = 1),
+       |s${r + 1} AS (
+       |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS pos,
+       |         CASE WHEN g.pos IS NOT NULL THEN mk$r.tok || mk$r.nxt
+       |              ELSE mk$r.tok END AS tok
+       |  FROM mk$r LEFT JOIN mg$r g USING (doc_id, pos)
+       |  WHERE NOT EXISTS (SELECT 1 FROM mg$r g2
+       |                    WHERE g2.doc_id = mk$r.doc_id AND g2.pos = mk$r.pos - 1))""".stripMargin
+
+  private def bpeSql(rounds: Int): String = {
+    val body = (1 to rounds).map(bpeRoundSql).mkString(",\n")
+    val out = (1 to rounds).map { r =>
+      s"""SELECT $r AS rnd, t1, t2, CAST(cnt AS BIGINT) AS cnt,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s${r + 1}) AS tokens_after FROM bm$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH s1 AS (
+       |  SELECT doc_id, CAST(unnest(range(len(w))) + 1 AS BIGINT) AS pos,
+       |         w[unnest(range(len(w))) + 1] AS tok
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+       |$body
+       |SELECT rnd, t1, t2, cnt, tokens_after FROM ($out) z
+       |ORDER BY rnd""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- gates
+
+  /** SemDeDup threshold: catches the injected exact re-crawl slice
+    * (cos 1.0) and the perturbed slice (cos ≈ 0.98) while every
+    * natural pair in the corpus stays far below (max ≈ 0.51). */
+  private val semTau = 0.95
+  private val dsirBuckets = 128
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // SemDeDup over a deterministic re-crawl corpus: the %7 slice
+    // re-lands byte-identical under new ids, the %11 slice re-lands
+    // perturbed (+0.2 on dim 1 — cos ≈ 0.98 against its original).
+    // Output: every dropped vector with its surviving representative.
+    QueryDef("q328_semdedup",
+      (s, d) => {
+        val dim = AnnCentroids.fitted.head.length
+        val e0 = Tables.embeddings(s, d)
+          .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v"))
+        val dupA = e0.where(col("vec_id") % 7 === 0)
+          .withColumn("vec_id", col("vec_id") + 200000L)
+        val dupB = e0.where(col("vec_id") % 11 === 0)
+          .withColumn("vec_id", col("vec_id") + 300000L)
+          .withColumn("v", transform(sequence(lit(1), lit(dim)),
+            j => when(j === 1, element_at(col("v"), 1) + 0.2)
+              .otherwise(element_at(col("v"), j))))
+        semDedup(e0.unionByName(dupA).unionByName(dupB),
+          AnnCentroids.fitted, semTau)
+      },
+      Some(s"""WITH cents AS (
+              |${Ann.centroidsSqlCte(AnnCentroids.fitted)}),
+              |e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |e AS (
+              |  SELECT vec_id, v FROM e0
+              |  UNION ALL
+              |  SELECT vec_id + 200000, v FROM e0 WHERE vec_id % 7 = 0
+              |  UNION ALL
+              |  SELECT vec_id + 300000,
+              |    list_transform(range(1, ${AnnCentroids.fitted.head.length + 1}),
+              |      j -> CASE WHEN j = 1 THEN v[1] + 0.2 ELSE v[j] END)
+              |  FROM e0 WHERE vec_id % 11 = 0),
+              |d AS (
+              |  SELECT e.vec_id, cents.i,
+              |    list_sum(list_transform(range(1, ${AnnCentroids.fitted.head.length + 1}),
+              |      j -> (e.v[j] - cents.c[j]) * (e.v[j] - cents.c[j]))) AS d2
+              |  FROM e CROSS JOIN cents),
+              |asg AS (
+              |  SELECT vec_id, i AS cell FROM (
+              |    SELECT vec_id, i,
+              |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, i ASC) AS rn
+              |    FROM d) t WHERE rn = 1),
+              |ev AS (SELECT e.vec_id, e.v, asg.cell FROM e JOIN asg USING (vec_id)),
+              |pairs AS (
+              |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, b.cell,
+              |    round(list_dot_product(a.v, b.v) /
+              |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+              |  FROM ev a JOIN ev b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+              |SELECT id_b AS vec_id, CAST(MIN(id_a) AS BIGINT) AS keeper_id,
+              |  CAST(MIN(cell) AS BIGINT) AS cell, MAX(cos) AS best_cos
+              |FROM pairs WHERE cos >= $semTau
+              |GROUP BY id_b ORDER BY vec_id""".stripMargin)),
+
+    // DSIR toward an English-target distribution: the top-25 documents
+    // by hashed-bigram-model importance weight. The rank window runs
+    // over the 25 surviving rows only (k cut first — the q54 rule).
+    QueryDef("q329_dsir_select",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val top = dsirWeights(docs, col("lang") === "en", dsirBuckets)
+          .orderBy(col("w").desc, col("doc_id").asc).limit(25)
+          // rank over the 25 surviving rows only (limit directly below
+          // the window — the q54 shape the plan walker certifies)
+          .withColumn("rank",
+            row_number().over(Window.orderBy(col("w").desc, col("doc_id").asc))
+              .cast("long"))
+        broadcast(top).join(docs.select("doc_id", "lang"), "doc_id")
+          .select("rank", "doc_id", "lang", "w")
+          .orderBy("rank")
+      },
+      Some(s"""WITH gr AS (
+              |${gramsSql(1)}
+              |UNION ALL
+              |${gramsSql(2)}),
+              |b AS (SELECT doc_id, lang,
+              |        ('0x' || substr(md5(g), 1, 8))::BIGINT % $dsirBuckets AS bkt
+              |      FROM gr),
+              |cnts AS (
+              |  SELECT bkt,
+              |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct,
+              |    COUNT(*) AS cr
+              |  FROM b GROUP BY bkt),
+              |tot AS (SELECT SUM(ct) AS t, SUM(cr) AS r FROM cnts),
+              |lw AS (
+              |  SELECT bkt, ln((ct + 1.0) / (t + $dsirBuckets.0)) -
+              |              ln((cr + 1.0) / (r + $dsirBuckets.0)) AS lr
+              |  FROM cnts CROSS JOIN tot),
+              |dw AS (
+              |  SELECT doc_id, round(SUM(lr), 6) AS w
+              |  FROM b JOIN lw USING (bkt) GROUP BY doc_id),
+              |top AS (SELECT doc_id, w FROM dw
+              |        ORDER BY w DESC, doc_id ASC LIMIT 25)
+              |SELECT CAST(ROW_NUMBER() OVER (ORDER BY w DESC, doc_id ASC) AS BIGINT) AS rank,
+              |       doc_id, d.lang, w
+              |FROM top JOIN documents d USING (doc_id)
+              |ORDER BY rank""".stripMargin)),
+
+    // Three learned BPE merges over the word stream: pair, count at
+    // merge time, and corpus tokens after each application.
+    QueryDef("q330_bpe_train",
+      (s, d) => bpeTrain(Tables.documents(s, d), rounds = 3),
+      Some(bpeSql(3)))
+  )
+}
