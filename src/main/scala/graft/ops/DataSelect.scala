@@ -114,19 +114,35 @@ object DataSelect {
     * vocabulary-sized state anywhere — that is DSIR's own point. */
   def dsirWeights(docs: DataFrame, isTarget: Column, buckets: Int,
                   roundDp: Int = 6): DataFrame = {
-    val grams = gramsOf(docs, 1).unionByName(gramsOf(docs, 2))
-    val b = grams.withColumn("bkt",
-      conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long") % buckets)
-    val cnts = b.groupBy("bkt").agg(
+    val b = bucketsOf(docs, buckets)
+    b.join(broadcast(dsirModel(docs, isTarget, buckets)), "bkt")
+      .groupBy("doc_id")
+      // per-bucket log-ratios rounded to 9 dp and summed in DECIMAL —
+      // exact, order-independent (the q257 summation discipline), so
+      // the batch shuffle sum and q331's streamed per-document fold
+      // produce bit-identical weights
+      .agg(round(sum(col("lr9")), roundDp).cast("double").as("w"))
+  }
+
+  /** The frozen bucket model: per hash bucket, the smoothed target-vs-
+    * raw log-likelihood ratio as an exact DECIMAL(28,9). Both counts
+    * come from ONE conditional-aggregate pass (adding the target never
+    * adds a scan); the result is `buckets` rows — broadcastable, and
+    * small enough to bake into a streaming projection ([[defs]] q331). */
+  def dsirModel(docs: DataFrame, isTarget: Column, buckets: Int): DataFrame = {
+    val cnts = bucketsOf(docs, buckets).groupBy("bkt").agg(
       sum(when(isTarget, 1L).otherwise(0L)).as("ct"),
       count(lit(1)).as("cr"))
     val tot = cnts.agg(sum(col("ct")).as("t"), sum(col("cr")).as("r"))
-    val lw = cnts.crossJoin(broadcast(tot)).select(col("bkt"),
-      (log((col("ct") + 1.0) / (col("t") + buckets.toDouble)) -
-        log((col("cr") + 1.0) / (col("r") + buckets.toDouble))).as("lr"))
-    b.join(broadcast(lw), "bkt")
-      .groupBy("doc_id").agg(round(sum(col("lr")), roundDp).as("w"))
+    cnts.crossJoin(broadcast(tot)).select(col("bkt"),
+      round(log((col("ct") + 1.0) / (col("t") + buckets.toDouble)) -
+        log((col("cr") + 1.0) / (col("r") + buckets.toDouble)), 9)
+        .cast("decimal(28,9)").as("lr9"))
   }
+
+  private def bucketsOf(docs: DataFrame, buckets: Int): DataFrame =
+    gramsOf(docs, 1).unionByName(gramsOf(docs, 2)).withColumn("bkt",
+      conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long") % buckets)
 
   /** One definition of the (doc_id, lang, g) gram stream — the same
     * native `graft_ngrams` tokenization TrainPrep's decontamination
@@ -345,11 +361,11 @@ object DataSelect {
               |  FROM b GROUP BY bkt),
               |tot AS (SELECT SUM(ct) AS t, SUM(cr) AS r FROM cnts),
               |lw AS (
-              |  SELECT bkt, ln((ct + 1.0) / (t + $dsirBuckets.0)) -
-              |              ln((cr + 1.0) / (r + $dsirBuckets.0)) AS lr
+              |  SELECT bkt, ROUND(ln((ct + 1.0) / (t + $dsirBuckets.0)) -
+              |              ln((cr + 1.0) / (r + $dsirBuckets.0)), 9)::DECIMAL(28,9) AS lr9
               |  FROM cnts CROSS JOIN tot),
               |dw AS (
-              |  SELECT doc_id, round(SUM(lr), 6) AS w
+              |  SELECT doc_id, CAST(ROUND(SUM(lr9), 6) AS DOUBLE) AS w
               |  FROM b JOIN lw USING (bkt) GROUP BY doc_id),
               |top AS (SELECT doc_id, w FROM dw
               |        ORDER BY w DESC, doc_id ASC LIMIT 25)
@@ -362,6 +378,68 @@ object DataSelect {
     // merge time, and corpus tokens after each application.
     QueryDef("q330_bpe_train",
       (s, d) => bpeTrain(Tables.documents(s, d), rounds = 3),
-      Some(bpeSql(3)))
+      Some(bpeSql(3))),
+
+    // Streamed DSIR scoring (✚): documents arrive as file-source
+    // micro-batches and are scored against the FROZEN bucket model as
+    // a pure projection — the model's 128 log-ratio rows are baked
+    // into the plan as a map literal (the AnnCentroids shape, built
+    // here by a k-bounded 128-row collect), so the streaming query is
+    // STATELESS: append mode, no aggregation state, nothing to grow
+    // with the corpus. The per-document weight is a DECIMAL fold over
+    // the document's grams — exact and order-independent, so it
+    // hash-matches q329's batch shuffle-sum oracle arithmetic.
+    QueryDef("q331_stream_dsir",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val model = dsirModel(docs, col("lang") === "en", dsirBuckets).collect()
+        val mm = map(model.toSeq.flatMap(r =>
+          Seq(lit(r.getLong(0)), lit(r.getDecimal(1)).cast("decimal(28,9)"))): _*)
+        val zero = lit(0).cast("decimal(28,9)")
+        val score = (df: DataFrame) => {
+          val toks = split(col("text"), " ")
+          val bis = when(size(toks) >= 2,
+            transform(sequence(lit(1), size(toks) - 1),
+              i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+            .otherwise(array(col("text")))
+          val bkt = (g: Column) =>
+            conv(substring(md5(g), 1, 8), 16, 10).cast("long") % dsirBuckets
+          // a model miss cannot happen while the scored stream draws
+          // from the model corpus; coalesce keeps a genuinely novel
+          // bucket at weight 0 instead of nulling the document
+          val w = aggregate(concat(toks, bis), zero,
+            (acc, g) => (acc + coalesce(element_at(mm, bkt(g)), zero))
+              .cast("decimal(28,9)"),
+            acc => round(acc, 6).cast("double"))
+          df.select(col("doc_id"), w.as("w"))
+        }
+        val input = docs.select("doc_id", "text")
+        val rows = graft.stream.StreamOps.runBoundedFromPath(
+          s, input, score, chunks = 3, outputMode = "append")
+        s.createDataFrame(new java.util.ArrayList(java.util.Arrays.asList(rows: _*)),
+            score(input).schema)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH gr AS (
+              |${gramsSql(1)}
+              |UNION ALL
+              |${gramsSql(2)}),
+              |b AS (SELECT doc_id, lang,
+              |        ('0x' || substr(md5(g), 1, 8))::BIGINT % $dsirBuckets AS bkt
+              |      FROM gr),
+              |cnts AS (
+              |  SELECT bkt,
+              |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct,
+              |    COUNT(*) AS cr
+              |  FROM b GROUP BY bkt),
+              |tot AS (SELECT SUM(ct) AS t, SUM(cr) AS r FROM cnts),
+              |lw AS (
+              |  SELECT bkt, ROUND(ln((ct + 1.0) / (t + $dsirBuckets.0)) -
+              |              ln((cr + 1.0) / (r + $dsirBuckets.0)), 9)::DECIMAL(28,9) AS lr9
+              |  FROM cnts CROSS JOIN tot),
+              |dw AS (
+              |  SELECT doc_id, CAST(ROUND(SUM(lr9), 6) AS DOUBLE) AS w
+              |  FROM b JOIN lw USING (bkt) GROUP BY doc_id)
+              |SELECT doc_id, w FROM dw ORDER BY doc_id""".stripMargin))
   )
 }

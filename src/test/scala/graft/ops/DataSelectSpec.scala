@@ -70,6 +70,17 @@ class DataSelectSpec extends AnyFunSuite {
     assert(!out.exists(_.getLong(0) == 5000L), "the distinct vector survives")
   }
 
+  test("streamed dsir scoring equals the batch weights bit-for-bit") {
+    // the DECIMAL fold (stream) and the DECIMAL shuffle-sum (batch)
+    // must agree exactly — the summation-order-independence claim
+    val docs = graft.Tables.documents(spark, sf)
+    val batch = DataSelect.dsirWeights(docs, col("lang") === "en", 128)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val streamed = SparkEntry.queries("q331_stream_dsir")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(streamed == batch)
+  }
+
   test("dsir weights lift the target language above the rest") {
     val docs = graft.Tables.documents(spark, TestSpark.sf001)
     val w = DataSelect.dsirWeights(docs, col("lang") === "en", 128)
