@@ -185,7 +185,18 @@ object DataSelect {
     * A production trainer amortizes rounds by batching non-conflicting
     * merges per pass; the per-round plan here is that batch's unit. */
   def bpeTrain(docs: DataFrame, rounds: Int,
-               materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+               materialize: Materialize.Strategy = Materialize.local): DataFrame =
+    bpeLoop(docs, rounds, materialize)._1.reduce(_.unionByName(_)).orderBy("rnd")
+
+  /** The corpus token stream AFTER applying the `rounds` learned
+    * merges — (doc_id, pos, tok), the input a tokenizer-aware
+    * downstream (compression audits, packing) consumes. */
+  def bpeFinalState(docs: DataFrame, rounds: Int,
+                    materialize: Materialize.Strategy = Materialize.local): DataFrame =
+    bpeLoop(docs, rounds, materialize)._2
+
+  private def bpeLoop(docs: DataFrame, rounds: Int,
+                      materialize: Materialize.Strategy): (Seq[DataFrame], DataFrame) = {
     val wDoc = Window.partitionBy("doc_id").orderBy("pos")
     val wCum = wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     var state = materialize(
@@ -217,7 +228,7 @@ object DataSelect {
         .select(lit(r).as("rnd"), lit(t1).as("t1"), lit(t2).as("t2"),
           lit(cnt).as("cnt"), col("tokens_after"))
     }
-    rows.result().reduce(_.unionByName(_)).orderBy("rnd")
+    (rows.result(), state)
   }
 
   /** Oracle twin of one [[bpeTrain]] round: state CTE `s{r}` →
@@ -253,17 +264,23 @@ object DataSelect {
        |  WHERE NOT EXISTS (SELECT 1 FROM mg$r g2
        |                    WHERE g2.doc_id = mk$r.doc_id AND g2.pos = mk$r.pos - 1))""".stripMargin
 
-  private def bpeSql(rounds: Int): String = {
+  /** The shared WITH body: tokenization CTE `s1` plus `rounds` merge
+    * rounds, leaving `s{rounds+1}` as the final token stream. */
+  private def bpeCtes(rounds: Int): String = {
     val body = (1 to rounds).map(bpeRoundSql).mkString(",\n")
+    s"""s1 AS (
+       |  SELECT doc_id, CAST(unnest(range(len(w))) + 1 AS BIGINT) AS pos,
+       |         w[unnest(range(len(w))) + 1] AS tok
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+       |$body""".stripMargin
+  }
+
+  private def bpeSql(rounds: Int): String = {
     val out = (1 to rounds).map { r =>
       s"""SELECT $r AS rnd, t1, t2, CAST(cnt AS BIGINT) AS cnt,
          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s${r + 1}) AS tokens_after FROM bm$r""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH s1 AS (
-       |  SELECT doc_id, CAST(unnest(range(len(w))) + 1 AS BIGINT) AS pos,
-       |         w[unnest(range(len(w))) + 1] AS tok
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
-       |$body
+    s"""WITH ${bpeCtes(rounds)}
        |SELECT rnd, t1, t2, cnt, tokens_after FROM ($out) z
        |ORDER BY rnd""".stripMargin
   }
@@ -440,6 +457,70 @@ object DataSelect {
               |dw AS (
               |  SELECT doc_id, CAST(ROUND(SUM(lr9), 6) AS DOUBLE) AS w
               |  FROM b JOIN lw USING (bkt) GROUP BY doc_id)
-              |SELECT doc_id, w FROM dw ORDER BY doc_id""".stripMargin))
+              |SELECT doc_id, w FROM dw ORDER BY doc_id""".stripMargin)),
+
+    // Seeded deterministic global shuffle → fixed-size training shards:
+    // every document gets a pseudo-random position (md5 of seed+id — a
+    // reproducible permutation, no RNG state), shards are contiguous
+    // 100-document slices of the shuffled order. The rank is
+    // Scale.globalRowNumber's two-phase machinery — range partitions +
+    // driver prefix offsets, NEVER a single-task global window — so
+    // the export scales with the cluster. Per-shard stats plus the
+    // hash span witness the permutation is the one the seed implies.
+    QueryDef("q332_shuffle_shards",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars"))
+          .withColumn("h", md5(concat(lit("s7:"), col("doc_id").cast("string"))))
+        Scale.globalRowNumber(docs, Seq(col("h"), col("doc_id")))
+          .withColumn("shard", floor((col("rn") - 1) / 100).cast("long"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            min(col("h")).as("h_min"), max(col("h")).as("h_max"))
+          .orderBy("shard")
+      },
+      Some("""WITH r AS (
+             |  SELECT doc_id, n_chars, md5('s7:' || doc_id) AS h FROM documents),
+             |rk AS (
+             |  SELECT doc_id, n_chars, h,
+             |    ROW_NUMBER() OVER (ORDER BY h, doc_id) AS rn
+             |  FROM r)
+             |SELECT CAST((rn - 1) // 100 AS BIGINT) AS shard,
+             |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             |  MIN(h) AS h_min, MAX(h) AS h_max
+             |FROM rk GROUP BY 1 ORDER BY shard""".stripMargin)),
+
+    // Tokenizer compression audit: apply the three corpus-learned BPE
+    // merges, then per-language tokens-before vs tokens-after and the
+    // compression in integer basis points (exact integer division —
+    // small-integer ratios land on .5 rounding boundaries where
+    // engines may disagree, the q136 rule).
+    QueryDef("q333_bpe_compression",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val before = docs
+          .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n"))
+          .groupBy("lang").agg(sum(col("n")).as("tokens_before"))
+        val after = bpeFinalState(docs, rounds = 3)
+          .join(docs.select("doc_id", "lang"), "doc_id")
+          .groupBy("lang").agg(count(lit(1)).as("tokens_after"))
+        before.join(after, "lang")
+          .withColumn("bp", expr("tokens_after * 10000L div tokens_before"))
+          .select("lang", "tokens_before", "tokens_after", "bp")
+          .orderBy("lang")
+      },
+      Some(s"""WITH ${bpeCtes(3)},
+              |bt AS (
+              |  SELECT lang, SUM(len(string_split(text, ' '))) AS tokens_before
+              |  FROM documents GROUP BY lang),
+              |at AS (
+              |  SELECT d.lang, COUNT(*) AS tokens_after
+              |  FROM s4 JOIN documents d USING (doc_id) GROUP BY d.lang)
+              |SELECT lang, CAST(tokens_before AS BIGINT) AS tokens_before,
+              |  CAST(tokens_after AS BIGINT) AS tokens_after,
+              |  CAST(tokens_after * 10000 // tokens_before AS BIGINT) AS bp
+              |FROM bt JOIN at USING (lang) ORDER BY lang""".stripMargin))
   )
 }

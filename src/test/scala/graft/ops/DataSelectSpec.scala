@@ -81,6 +81,26 @@ class DataSelectSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("shuffle shards partition the corpus into full fixed-size slices") {
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    val out = SparkEntry.queries("q332_shuffle_shards")(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    assert(out.map(_.getLong(1)).sum == nDocs, "every doc lands exactly once")
+    assert(out.init.forall(_.getLong(1) == 100), "all but the tail shard are full")
+    assert(out.map(_.getLong(0)).toSeq == (0L until out.length).toSeq)
+  }
+
+  test("bpe compression only ever shrinks the token stream") {
+    val out = SparkEntry.queries("q333_bpe_compression")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "merges cannot add tokens")
+      assert(r.getLong(3) > 0 && r.getLong(3) <= 10000)
+    }
+    assert(out.exists(r => r.getLong(2) < r.getLong(1)),
+      "three merges must fire somewhere in the corpus")
+  }
+
   test("dsir weights lift the target language above the rest") {
     val docs = graft.Tables.documents(spark, TestSpark.sf001)
     val w = DataSelect.dsirWeights(docs, col("lang") === "en", 128)
