@@ -110,6 +110,7 @@ object Codec {
         // close() at exhaustion ends its native Inflater (see
         // deflateChunk's native-memory note)
         val in = new GZIPInputStream(sequence(chunks), chunkSize)
+        onTaskEnd(() => in.close())
         readChunks(in, chunkSize, closeAtEnd = true)
       case Zlib => multiStream(chunks, nowrap = false, chunkSize)
       case Raw  => multiStream(chunks, nowrap = true, chunkSize)
@@ -117,13 +118,32 @@ object Codec {
         // ZstdInputStream decodes concatenated frames until EOF;
         // close() at exhaustion releases the native dctx
         val in = new com.github.luben.zstd.ZstdInputStream(sequence(chunks))
+        onTaskEnd(() => in.close())
         readChunks(in, chunkSize, closeAtEnd = true)
       case Lz4 =>
         // LZ4FrameInputStream stops at its first frame by default; the
         // explicit flag makes it consume concatenated frames to EOF
         val in = new net.jpountz.lz4.LZ4FrameInputStream(
           sequence(chunks), /* stopAfterFirstFrame = */ false)
+        onTaskEnd(() => in.close())
         readChunks(in, chunkSize, closeAtEnd = true)
+    }
+  }
+
+  /** Register a native-resource release with the enclosing Spark task,
+    * so PARTIAL consumption (a `limit`/`take` above an inflate stage
+    * abandons the iterator mid-stream) and exceptions mid-decode still
+    * free the ~256 KB native zlib/zstd context — the exhaustion-path
+    * `close()`/`end()` alone covers only fully-drained iterators. The
+    * release calls are idempotent (JDK Inflater.end and the codec
+    * streams' close are no-ops on a released resource), so running
+    * after a normal exhaustion close is safe. Outside a task (plain
+    * driver-side use, unit tests) there is no hook; those call sites
+    * drain fully. */
+  private def onTaskEnd(release: () => Unit): Unit = {
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+      try release() catch { case _: Exception => () }
     }
   }
 
@@ -168,11 +188,22 @@ object Codec {
         }
         if (pending == null && !flushed) {
           flushed = true
-          // end of stream: a dangling partial sequence is malformed
-          val cb = CharBuffer.allocate(8)
-          val r = dec.decode(carry, cb, true)
+          // end of stream: a dangling partial sequence is malformed.
+          // Sized from the carry's worst case and grown on OVERFLOW —
+          // a stateful charset's flush() may emit more than the fixed
+          // 8 chars a naive buffer would hold (UTF-8 never overflows
+          // here, but the API accepts any charset).
+          var cb = CharBuffer.allocate(
+            math.max(8, math.ceil(carry.remaining() * dec.maxCharsPerByte()).toInt + 8))
+          def grow(): Unit = {
+            val bigger = CharBuffer.allocate(cb.capacity() * 2)
+            cb.flip(); bigger.put(cb); cb = bigger
+          }
+          var r = dec.decode(carry, cb, true)
+          while (r.isOverflow) { grow(); r = dec.decode(carry, cb, true) }
           if (r.isError) r.throwException()
-          val r2 = dec.flush(cb)
+          var r2 = dec.flush(cb)
+          while (r2.isOverflow) { grow(); r2 = dec.flush(cb) }
           if (r2.isError) r2.throwException()
           require(carry.remaining() == 0,
             "truncated multi-byte sequence at end of stream")
@@ -216,6 +247,7 @@ object Codec {
                           chunkSize: Int): Iterator[Array[Byte]] =
     new Iterator[Array[Byte]] {
       private val inf = new Inflater(nowrap)
+      onTaskEnd(() => inf.end()) // early-stop / mid-decode-throw safety net
       private var lastChunk: Array[Byte] = Array.emptyByteArray
       private var dummyFed = false
       private var pending: Array[Byte] = null

@@ -111,6 +111,23 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("partial consumption of an inflate stage inside a task is safe (early-stop cleanup)") {
+    implicit val e: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+    // a limit above inflate abandons the decode iterator mid-stream;
+    // the TaskCompletionListener must release the native context — and
+    // must ALSO tolerate running after the normal exhaustion close
+    // (idempotent double-release). Both paths per format:
+    for (f <- formats) {
+      val docs = (0 until 64).map(i => bytes(s"doc-$i " * (i + 1)))
+      val flow = Flow.fromSeq(spark, docs, numPartitions = 4).deflate(f)
+      val partial = flow.inflate(f, chunkSize = 64).ds.limit(3).collect()
+      assert(partial.length == 3, s"$f early stop")
+      val full = flow.inflate(f, chunkSize = 1 << 20).toArray
+      assert(full.nonEmpty, s"$f drained-then-listener")
+    }
+  }
+
   test("decodeCharsStream reassembles multi-byte UTF-8 split at every boundary") {
     val text = "héllo wörld — ¡ünïcode! 你好世界 🎉 end"
     val raw = bytes(text)

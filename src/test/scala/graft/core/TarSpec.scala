@@ -54,6 +54,34 @@ class TarSpec extends AnyFunSuite {
     intercept[Exception](Tar.entries(Iterator.single(a.dropRight(700))).toSeq)
   }
 
+  test("we read system tar: GNU/PAX long names resolve, dirs and symlinks skip") {
+    // externally-produced archives interleave metadata entries (dir,
+    // symlink, GNU 'L' longname, PAX 'x' extended headers) that must
+    // never surface as data members — and the >100-byte path must come
+    // out through the longname/PAX override, not truncated.
+    val dir = java.nio.file.Files.createTempDirectory("graft_tar_ext")
+    val sub = dir.resolve("sub")
+    java.nio.file.Files.createDirectories(sub)
+    val longBase = "n" * 130 + ".txt" // sub/<130 chars> > 100-byte field
+    java.nio.file.Files.write(sub.resolve(longBase), bytes("long-name payload"))
+    java.nio.file.Files.write(dir.resolve("plain.txt"), bytes("plain payload"))
+    java.nio.file.Files.createSymbolicLink(dir.resolve("link.txt"),
+      java.nio.file.Paths.get("plain.txt"))
+    for (format <- Seq("gnu", "pax")) {
+      val f = dir.resolve(s"ext-$format.tar")
+      val p = new ProcessBuilder("tar", "--format=" + format, "-cf", f.toString,
+        "-C", dir.toString, "sub", "plain.txt", "link.txt")
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes())
+      assert(p.waitFor() == 0, s"tar -cf ($format) failed:\n$out")
+      val got = Tar.entries(Iterator.single(java.nio.file.Files.readAllBytes(f)))
+        .toSeq.map { case (n, c) => (n, new String(c, "UTF-8")) }.sortBy(_._1)
+      assert(got == Seq(
+        ("plain.txt", "plain payload"),
+        (s"sub/$longBase", "long-name payload")), s"format=$format got=$got")
+    }
+  }
+
   test("system tar reads our archive (external interop)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tar")
     val f = dir.resolve("t.tar")
