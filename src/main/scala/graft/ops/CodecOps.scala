@@ -18,7 +18,7 @@ object CodecOps {
 
   def defs: Seq[QueryDef] = Seq(
 
-    // Arm 1_doc (×3 formats, DISTRIBUTED): every document's UTF-8 bytes
+    // Arm 1_doc (×5 formats — gzip/zlib/raw/zstd/lz4, DISTRIBUTED): every document's UTF-8 bytes
     // compress into one independent member and decompress back, per
     // partition in the scan's own layout — payload bytes never shuffle
     // (only the 8-byte per-format aggregates do), so the arm is the
@@ -41,11 +41,11 @@ object CodecOps {
           ("lz4", Codec.Lz4: Codec.Format), ("raw", Codec.Raw: Codec.Format),
           ("zlib", Codec.Zlib: Codec.Format), ("zstd", Codec.Zstd: Codec.Format))
         // the scan is one task per file (a single file at larger SFs) and
-        // the per-doc work (3-format compress+decompress) is HEAVY — so
+        // the per-doc work (5-format compress+decompress) is HEAVY — so
         // the text column repartitions ONCE to full parallelism before
         // the codec map (q294's lesson; here the payload IS the text, so
         // the one-time corpus shuffle is the price of 32-way codec work,
-        // and it's shared by all three format arms via the same lineage)
+        // and it is shared by all five format arms via the same lineage)
         val spread = docs.select("text").as[String]
           .repartition(s.sparkContext.defaultParallelism)
         val perDoc = formats.map { case (label, fmt) =>
@@ -191,7 +191,11 @@ object CodecOps {
           Flow.readBytes(s, dir + "/*.tar.zst")
             .inflate(Codec.Zstd).untar.ds
             .map { case (name, content) =>
-              (name.take(8).toLong, name.drop(9), new String(content, "UTF-8"))
+              // split on the LAST '.' — fixed offsets would silently
+              // misalign once doc_id widens past the %08d field
+              val dot = name.lastIndexOf('.')
+              (name.substring(0, dot).toLong, name.substring(dot + 1),
+                new String(content, "UTF-8"))
             }
             .toDF("doc_id", "ext", "payload")
             .groupBy("doc_id")
