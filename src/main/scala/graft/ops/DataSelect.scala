@@ -521,6 +521,66 @@ object DataSelect {
               |SELECT lang, CAST(tokens_before AS BIGINT) AS tokens_before,
               |  CAST(tokens_after AS BIGINT) AS tokens_after,
               |  CAST(tokens_after * 10000 // tokens_before AS BIGINT) AS bp
-              |FROM bt JOIN at USING (lang) ORDER BY lang""".stripMargin))
+              |FROM bt JOIN at USING (lang) ORDER BY lang""".stripMargin)),
+
+    // Hashed-linear quality-classifier INFERENCE (✚, the fastText/
+    // DCLM-style model-based filter — the selection step modern
+    // pipelines run after the heuristic filters q21/q22 cover): each
+    // document's tokens hash into D=1024 feature buckets, a dense
+    // D-vector of per-bucket weights scores the bag, and score > 0
+    // keeps the doc. The Spark-first shape is classifier inference as
+    // a BROADCAST HASH JOIN: explode tokens → map-side join against
+    // the 1024-row weight table (never a shuffle of the corpus; the
+    // only shuffle is the per-doc re-aggregation) → per-source keep
+    // stats. At 100 TB the weight table is still 1024 rows — the
+    // broadcast is free, and the scan prunes to (doc_id, source,
+    // text). Weights here derive arithmetically from the bucket id (a
+    // fixed Knuth-multiplicative table both engines rebuild exactly —
+    // the gate pins the INFERENCE plumbing; a trained model would
+    // arrive as just another 1024-row table). Determinism: every
+    // weight is a multiple of 2^-10 in [-1, 1), so the per-doc sum is
+    // EXACT in double (order-independent — integer multiples of 2^-10
+    // far below the 2^53 mantissa); the one inexact op, raw/n_tok,
+    // rounds @6 into DECIMAL(12,6) before the per-source DECIMAL sum,
+    // which is again exact (the q118 discipline).
+    QueryDef("q334_quality_classifier",
+      (s, d) => {
+        val D = 1024
+        // w(b) = ((b * 2654435761) mod 2048 - 1024) / 1024  ∈ [-1, 1)
+        val weights = broadcast(s.range(D.toLong).toDF("bucket")
+          .select(col("bucket"),
+            ((col("bucket") * 2654435761L) % 2048 - 1024)
+              .cast("double").divide(1024.0).as("w")))
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            explode(split(col("text"), " ")).as("token"))
+          .select(col("doc_id"), col("source"),
+            (conv(substring(md5(concat(lit("q334|"), col("token"))), 1, 8), 16, 10)
+              .cast("long") % D).as("bucket"))
+        val scored = toks.join(weights, "bucket")
+          .groupBy("doc_id", "source")
+          .agg(count(lit(1)).as("n_tok"), sum(col("w")).as("raw"))
+          .select(col("doc_id"), col("source"),
+            round(col("raw") / col("n_tok"), 6).cast("decimal(12,6)").as("score"))
+        scored.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("score") > 0, 1L).otherwise(0L)).as("n_keep"),
+            round(sum(col("score")).cast("double") / count(lit(1)), 6).as("avg_score"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |    ('0x' || substr(md5('q334|' || token), 1, 8))::BIGINT % 1024 AS bucket
+             |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+             |        FROM documents) u),
+             |sc AS (
+             |  SELECT doc_id, source,
+             |    CAST(round(SUM(((bucket * 2654435761) % 2048 - 1024) / 1024.0)
+             |               / COUNT(*), 6) AS DECIMAL(12,6)) AS score
+             |  FROM t GROUP BY doc_id, source)
+             |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+             |  round(CAST(SUM(score) AS DOUBLE) / COUNT(*), 6) AS avg_score
+             |FROM sc GROUP BY source ORDER BY source""".stripMargin))
   )
 }

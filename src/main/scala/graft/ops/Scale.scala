@@ -1184,6 +1184,59 @@ object Scale {
              |  round(CAST(ap.v AS DOUBLE) / 100, 2) AS sample_median,
              |  round(abs(CAST(ap.v - ex.v AS DOUBLE)) / 100, 2) AS abs_err,
              |  round(abs(CAST(ap.v - ex.v AS DOUBLE)) / ex.v, 6) AS rel_err
-             |FROM n, ns, ex, ap""".stripMargin))
+             |FROM n, ns, ex, ap""".stripMargin)),
+
+    // Small-file COMPACTION PLANNER (✚, the storage-maintenance job a
+    // 100 TB lake runs nightly: thousands of small files per partition
+    // → merge groups near a target size, so scans stop paying per-file
+    // open/footer costs). The file inventory derives from orders
+    // (file_id = o_orderkey mod 199, bytes = exact cents sum — the
+    // q204/q224 simulated-layout discipline, deterministic at any sf);
+    // the plan packs size-DESC files into bins by running-sum division
+    // (next-fit-decreasing — greedy, single-pass, and UNLIKE first-fit
+    // expressible as pure windowed arithmetic on BOTH engines). The
+    // running sum is Scale.globalRunningSum's two-phase machinery —
+    // range partitions + driver prefix offsets, never a single-task
+    // global window — so planning a million-file inventory scales with
+    // the cluster; bin stats are one bounded aggregation. All
+    // arithmetic is BIGINT-exact.
+    QueryDef("q335_compaction_plan",
+      (s, d) => {
+        val files = Tables.orders(s, d)
+          .groupBy((col("o_orderkey") % 199).as("file_id"))
+          .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("bytes"))
+          .localCheckpoint() // pinned: the target scalar + the plan both read it
+        // merge-group target = total/25 — data-derived (sf-independent
+        // packing ratio ~8 files/bin), BIGINT-exact on both engines;
+        // one 8-byte driver scalar, the q319 precedent
+        val target = files.agg(sum(col("bytes"))).head.getLong(0) / 25
+        val planned = Scale.globalRunningSum(files,
+            Seq(col("bytes").desc, col("file_id").asc), col("bytes"))
+          // `div`, not `/`: BIGINT-exact floor division (a double
+          // quotient could round across a bin boundary)
+          .withColumn("bin", expr(s"(cum - bytes) div ${target}L"))
+        planned.groupBy("bin")
+          .agg(count(lit(1)).as("n_files"),
+            sum(col("bytes")).as("bin_bytes"),
+            max(col("bytes")).as("max_file"),
+            min(col("file_id")).as("first_file"))
+          .orderBy("bin")
+      },
+      Some("""WITH f AS (
+             |  SELECT o_orderkey % 199 AS file_id,
+             |    CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS bytes
+             |  FROM orders GROUP BY 1),
+             |tgt AS (SELECT CAST(SUM(bytes) AS BIGINT) // 25 AS target FROM f),
+             |r AS (
+             |  SELECT file_id, bytes,
+             |    SUM(bytes) OVER (ORDER BY bytes DESC, file_id ASC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM f)
+             |SELECT CAST((cum - bytes) // target AS BIGINT) AS bin,
+             |  CAST(COUNT(*) AS BIGINT) AS n_files,
+             |  CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+             |  CAST(MAX(bytes) AS BIGINT) AS max_file,
+             |  CAST(MIN(file_id) AS BIGINT) AS first_file
+             |FROM r, tgt GROUP BY 1 ORDER BY bin""".stripMargin))
   )
 }

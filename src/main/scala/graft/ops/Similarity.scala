@@ -790,6 +790,75 @@ object Similarity {
            |FROM full_rank f LEFT JOIN prefix_rank p
            |  ON f.q_id = p.q_id AND f.n_id = p.n_id
            |GROUP BY f.q_id ORDER BY f.q_id""".stripMargin
-      })
+      }),
+
+    // Bitext mining by MARGIN score (✚, parallel-corpus construction —
+    // the alignment step multilingual training sets are built with:
+    // for each source-language document, the best target-language
+    // candidate, scored not by raw cosine but by its MARGIN over the
+    // query's candidate neighborhood, which suppresses hub vectors
+    // that are everyone's nearest neighbor; Artetxe & Schwenk's
+    // difference margin, the deterministic variant — the ratio form
+    // divides by a near-zero neighborhood mean on isotropic vectors).
+    // Shape: the per-pair candidate pool (lang = 'de') broadcasts;
+    // queries (lang = 'en') stream through one map-side join — cost
+    // O(|queries| × |pool|) with no corpus shuffle, and at 100 TB the
+    // pool side is IVF-celled first (q63) so each query meets one
+    // cell, not the corpus. Determinism: cosines round@5 into
+    // DECIMAL(8,5), the neighborhood mean is an exact decimal sum
+    // divided by its exact count, and the margin re-rounds@5 after
+    // the one double subtraction (the dsum discipline).
+    QueryDef("q336_bitext_margin",
+      (s, d) => {
+        val langs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        val e = emb(s, d).join(langs, col("vec_id") === col("doc_id"))
+        val q = e.where(col("lang") === "en")
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+        val c = e.where(col("lang") === "de")
+          .select(col("vec_id").as("n_id"), col("v").as("cv"), col("nrm").as("cn"))
+        val scored = q.crossJoin(broadcast(c))
+          .select(col("q_id"), col("n_id"),
+            round(Vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 5)
+              .as("cos"))
+        val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+        scored.withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 4)
+          .groupBy("q_id")
+          .agg(max(when(col("rn") === 1, col("n_id"))).as("match_id"),
+            max(when(col("rn") === 1, col("cos"))).as("cos_best"),
+            sum(col("cos").cast("decimal(8,5)")).as("sum4"),
+            count(lit(1)).as("n4"))
+          .select(col("q_id"), col("match_id"), col("cos_best"),
+            round(col("cos_best") - col("sum4").cast("double") / col("n4"), 5)
+              .as("margin"))
+          .withColumn("mined", when(col("margin") > 0.05, 1L).otherwise(0L))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH q AS (
+              |  SELECT e.vec_id, e.embedding FROM embeddings e
+              |  JOIN documents d ON d.doc_id = e.vec_id WHERE d.lang = 'en'),
+              |c AS (
+              |  SELECT e.vec_id, e.embedding FROM embeddings e
+              |  JOIN documents d ON d.doc_id = e.vec_id WHERE d.lang = 'de'),
+              |p AS (
+              |  SELECT a.vec_id AS q_id, b.vec_id AS n_id, $cosSql AS cos
+              |  FROM q a CROSS JOIN c b),
+              |r AS (
+              |  SELECT q_id, n_id, cos,
+              |    ROW_NUMBER() OVER (PARTITION BY q_id
+              |      ORDER BY cos DESC, n_id ASC) AS rn
+              |  FROM p),
+              |t AS (
+              |  SELECT q_id,
+              |    MAX(CASE WHEN rn = 1 THEN n_id END) AS match_id,
+              |    MAX(CASE WHEN rn = 1 THEN cos END) AS cos_best,
+              |    SUM(CAST(cos AS DECIMAL(8,5))) AS sum4,
+              |    COUNT(*) AS n4
+              |  FROM r WHERE rn <= 4 GROUP BY q_id)
+              |SELECT q_id, match_id, cos_best,
+              |  round(cos_best - CAST(sum4 AS DOUBLE) / n4, 5) AS margin,
+              |  CAST(CASE WHEN round(cos_best - CAST(sum4 AS DOUBLE) / n4, 5)
+              |    > 0.05 THEN 1 ELSE 0 END AS BIGINT) AS mined
+              |FROM t ORDER BY q_id""".stripMargin))
   )
 }
