@@ -85,6 +85,23 @@ object StreamOps {
       .select(col("user_id"), col("sw.start").as("sess_start"),
               col("sw.end").as("sess_end"), col("n_events"))
 
+  /** Replay-scratch directory: tmpfs (/dev/shm) when present, else the
+    * JVM temp dir. A micro-batch commits an offset-log entry, a commit-
+    * log entry, and one state-store delta per partition — dozens of
+    * small synced files per batch, now kept off the disk-backed /tmp.
+    * (Measured effect on this host is within noise — the page cache
+    * absorbs the fsyncs; the replays' cost is micro-batch planning
+    * itself — but the replay scratch no longer depends on /tmp's
+    * backing store or leaves litter on abnormal exit.) Production
+    * checkpoints go to the durable DFS — this shortcut is for BOUNDED
+    * gate replays whose lifetime is one call. */
+  private def scratchDir(prefix: String): String = {
+    val shm = new java.io.File("/dev/shm")
+    val base = if (shm.isDirectory && shm.canWrite) shm.toPath
+               else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    java.nio.file.Files.createTempDirectory(base, prefix).toString
+  }
+
   /** Shared bounded-replay scaffold: start `transform(source)` into a
     * memory sink, let `feed` push data (no-op for sources whose data
     * already exists), drain, collect. Stateful streaming creates one
@@ -98,17 +115,19 @@ object StreamOps {
                              outputMode: String)
                             (feed: => Unit): Seq[org.apache.spark.sql.Row] = {
     val name = s"bounded_${System.identityHashCode(source)}"
+    val ck = scratchDir("graft-ck")
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val q: StreamingQuery =
       try transform(source)
-        .writeStream.outputMode(outputMode).format("memory").queryName(name).start()
+        .writeStream.outputMode(outputMode).format("memory").queryName(name)
+        .option("checkpointLocation", ck).start()
       finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     try {
       feed
       q.processAllAvailable()
       spark.table(name).collect().toSeq
-    } finally q.stop()
+    } finally { q.stop(); rmTree(new java.io.File(ck)) }
   }
 
   /** Run any of the above as a real streaming query over a bounded
@@ -146,7 +165,7 @@ object StreamOps {
                          statePartitions: Int = 8,
                          outputMode: String = "complete",
                          arrivalOrder: Seq[org.apache.spark.sql.Column] = Nil): Seq[org.apache.spark.sql.Row] = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
+    val dir = scratchDir("graft-stream-src")
     try {
       writeChunkedOrdered(input, dir, chunks, arrivalOrder)
       val source = spark.readStream.schema(input.schema)
@@ -222,7 +241,7 @@ object StreamOps {
                       arrivalOrder: Seq[org.apache.spark.sql.Column] = Nil): Seq[org.apache.spark.sql.Row] = {
     require(inputs.nonEmpty, "fan-in needs at least one source")
     val dirs = inputs.map(_ =>
-      java.nio.file.Files.createTempDirectory("graft-fanin-src").toString)
+      scratchDir("graft-fanin-src"))
     try {
       inputs.zip(dirs).foreach { case (in, dir) =>
         writeChunkedOrdered(in, dir, chunks, arrivalOrder) }
@@ -249,8 +268,8 @@ object StreamOps {
                        routes: Seq[(String, DataFrame => DataFrame)],
                        chunks: Int = 3)
                       (consume: Map[String, DataFrame] => DataFrame): DataFrame = {
-    val srcDir = java.nio.file.Files.createTempDirectory("graft-fanout-src").toString
-    val sinkBase = java.nio.file.Files.createTempDirectory("graft-fanout-sink").toString
+    val srcDir = scratchDir("graft-fanout-src")
+    val sinkBase = scratchDir("graft-fanout-sink")
     try {
       writeChunkedOrdered(input, srcDir, chunks, Nil)
       val source = spark.readStream.schema(input.schema)
@@ -283,8 +302,8 @@ object StreamOps {
   def runBoundedDemux(spark: SparkSession, input: DataFrame, key: String,
                       chunks: Int = 3)
                      (consume: (String => DataFrame) => DataFrame): DataFrame = {
-    val srcDir = java.nio.file.Files.createTempDirectory("graft-demux-src").toString
-    val sinkRoot = java.nio.file.Files.createTempDirectory("graft-demux-sink").toString
+    val srcDir = scratchDir("graft-demux-src")
+    val sinkRoot = scratchDir("graft-demux-sink")
     try {
       writeChunkedOrdered(input, srcDir, chunks, Nil)
       val source = spark.readStream.schema(input.schema)
