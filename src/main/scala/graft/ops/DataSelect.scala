@@ -285,6 +285,49 @@ object DataSelect {
        |ORDER BY rnd""".stripMargin
   }
 
+  // ------------------------------------------------- hashed classifier
+
+  /** Per-document scores of the q334 hashed-linear quality classifier:
+    * tokens hash into D=1024 buckets, a broadcast 1024-row weight
+    * table scores the bag via one map-side join, and the mean weight
+    * rounds @6 into an exact DECIMAL. Weights are multiples of 2^-10
+    * in [-1, 1) derived Knuth-multiplicatively from the bucket id, so
+    * the per-doc sum is exact in double regardless of partitioning.
+    * Shared by q334 (inference stats) and q339 (filter agreement). */
+  private def classifierScores(s: SparkSession, d: String): DataFrame = {
+    val D = 1024
+    // w(b) = ((b * 2654435761) mod 2048 - 1024) / 1024  ∈ [-1, 1)
+    val weights = broadcast(s.range(D.toLong).toDF("bucket")
+      .select(col("bucket"),
+        ((col("bucket") * 2654435761L) % 2048 - 1024)
+          .cast("double").divide(1024.0).as("w")))
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("token"))
+      .select(col("doc_id"), col("source"),
+        (conv(substring(md5(concat(lit("q334|"), col("token"))), 1, 8), 16, 10)
+          .cast("long") % D).as("bucket"))
+    toks.join(weights, "bucket")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_tok"), sum(col("w")).as("raw"))
+      .select(col("doc_id"), col("source"),
+        round(col("raw") / col("n_tok"), 6).cast("decimal(12,6)").as("score"))
+  }
+
+  /** The q334 per-doc score pipeline as a DuckDB CTE (`sc`: doc_id,
+    * source, score) — the SQL twin of [[classifierScores]]. */
+  private val classifierSqlCte =
+    """t AS (
+      |  SELECT doc_id, source,
+      |    ('0x' || substr(md5('q334|' || token), 1, 8))::BIGINT % 1024 AS bucket
+      |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+      |        FROM documents) u),
+      |sc AS (
+      |  SELECT doc_id, source,
+      |    CAST(round(SUM(((bucket * 2654435761) % 2048 - 1024) / 1024.0)
+      |               / COUNT(*), 6) AS DECIMAL(12,6)) AS score
+      |  FROM t GROUP BY doc_id, source)""".stripMargin
+
   // ---------------------------------------------------------------- gates
 
   /** SemDeDup threshold: catches the injected exact re-crawl slice
@@ -545,42 +588,72 @@ object DataSelect {
     // which is again exact (the q118 discipline).
     QueryDef("q334_quality_classifier",
       (s, d) => {
-        val D = 1024
-        // w(b) = ((b * 2654435761) mod 2048 - 1024) / 1024  ∈ [-1, 1)
-        val weights = broadcast(s.range(D.toLong).toDF("bucket")
-          .select(col("bucket"),
-            ((col("bucket") * 2654435761L) % 2048 - 1024)
-              .cast("double").divide(1024.0).as("w")))
-        val toks = Tables.documents(s, d)
-          .select(col("doc_id"), col("source"),
-            explode(split(col("text"), " ")).as("token"))
-          .select(col("doc_id"), col("source"),
-            (conv(substring(md5(concat(lit("q334|"), col("token"))), 1, 8), 16, 10)
-              .cast("long") % D).as("bucket"))
-        val scored = toks.join(weights, "bucket")
-          .groupBy("doc_id", "source")
-          .agg(count(lit(1)).as("n_tok"), sum(col("w")).as("raw"))
-          .select(col("doc_id"), col("source"),
-            round(col("raw") / col("n_tok"), 6).cast("decimal(12,6)").as("score"))
-        scored.groupBy("source")
+        classifierScores(s, d).groupBy("source")
           .agg(count(lit(1)).as("n_docs"),
             sum(when(col("score") > 0, 1L).otherwise(0L)).as("n_keep"),
             round(sum(col("score")).cast("double") / count(lit(1)), 6).as("avg_score"))
           .orderBy("source")
       },
-      Some("""WITH t AS (
-             |  SELECT doc_id, source,
-             |    ('0x' || substr(md5('q334|' || token), 1, 8))::BIGINT % 1024 AS bucket
-             |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
-             |        FROM documents) u),
-             |sc AS (
-             |  SELECT doc_id, source,
-             |    CAST(round(SUM(((bucket * 2654435761) % 2048 - 1024) / 1024.0)
-             |               / COUNT(*), 6) AS DECIMAL(12,6)) AS score
-             |  FROM t GROUP BY doc_id, source)
+      Some(s"""WITH $classifierSqlCte
              |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
              |  CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
              |  round(CAST(SUM(score) AS DOUBLE) / COUNT(*), 6) AS avg_score
-             |FROM sc GROUP BY source ORDER BY source""".stripMargin))
+             |FROM sc GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Filter AGREEMENT audit (✚, the calibration question a pipeline
+    // with several quality filters must answer before chaining them:
+    // do the heuristic filter and the learned classifier agree beyond
+    // chance?): Cohen's kappa per source between (A) the q21-family
+    // length heuristic (300 ≤ n_chars ≤ 5000) and (B) the q334
+    // classifier sign. kappa = (n·n_agree − Σ marginal products) /
+    // (n² − Σ marginal products) — ALL-INTEGER numerator and
+    // denominator from one conditional-aggregation pass over the
+    // per-doc labels (the q148 discipline: adding an agreement cell
+    // never adds a scan), one double division rounded @6 at the end.
+    // Low kappa on a source = the filters disagree systematically
+    // there — the audit that catches a classifier drifting from the
+    // heuristic it was meant to replace.
+    QueryDef("q339_filter_agreement",
+      (s, d) => {
+        val labeled = classifierScores(s, d)
+          .join(Tables.documents(s, d).select("doc_id", "n_chars"), "doc_id")
+          .select(col("source"),
+            when(col("n_chars").between(300, 5000), 1L).otherwise(0L).as("a"),
+            when(col("score") > 0, 1L).otherwise(0L).as("b"))
+        labeled.groupBy("source")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("n_agree"),
+            sum(col("a")).as("na1"), sum(col("b")).as("nb1"))
+          .withColumn("chance", col("na1") * col("nb1")
+            + (col("n") - col("na1")) * (col("n") - col("nb1")))
+          // den = 0 iff both labels are constant on the source: perfect
+          // agreement if they are the SAME constant, else total miss
+          .select(col("source"), col("n"), col("n_agree"),
+            when(col("n") * col("n") === col("chance"),
+                when(col("n_agree") === col("n"), 1.0).otherwise(-1.0))
+              .otherwise(round(
+                (col("n") * col("n_agree") - col("chance")).cast("double")
+                  / (col("n") * col("n") - col("chance")), 6)).as("kappa"))
+          .orderBy("source")
+      },
+      Some(s"""WITH $classifierSqlCte,
+             |lab AS (
+             |  SELECT sc.source,
+             |    CASE WHEN d.n_chars BETWEEN 300 AND 5000 THEN 1 ELSE 0 END AS a,
+             |    CASE WHEN sc.score > 0 THEN 1 ELSE 0 END AS b
+             |  FROM sc JOIN documents d USING (doc_id)),
+             |cells AS (
+             |  SELECT source, COUNT(*) AS n,
+             |    SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS n_agree,
+             |    SUM(a) AS na1, SUM(b) AS nb1,
+             |    na1 * nb1 + (n - na1) * (n - nb1) AS chance
+             |  FROM lab GROUP BY source)
+             |SELECT source, CAST(n AS BIGINT) AS n,
+             |  CAST(n_agree AS BIGINT) AS n_agree,
+             |  CASE WHEN n * n = chance THEN
+             |    CASE WHEN n_agree = n THEN 1.0 ELSE -1.0 END
+             |  ELSE round(CAST(n * n_agree - chance AS DOUBLE)
+             |             / (n * n - chance), 6) END AS kappa
+             |FROM cells ORDER BY source""".stripMargin))
   )
 }

@@ -741,6 +741,91 @@ object Extras {
              |FROM wc GROUP BY nation, segment
              |ORDER BY nation, segment""".stripMargin)),
 
+    // t-closeness audit (✚, privacy — completing the q145/q235 trio
+    // with the attack l-diversity can't see: a class can hold many
+    // DISTINCT sensitive values yet a distribution wildly SKEWED from
+    // the table's — e.g. a class where 90% sit in the top balance
+    // band discloses "rich" even at l=5). Per QI class (nation,
+    // segment): the ordered Earth-Mover's Distance between the
+    // class's sensitive-band distribution and the global one —
+    // EMD = Σ_b |cumQ_b/n_c − cumP_b/N| / (B−1), the standard
+    // t-closeness instantiation for an ORDERED sensitive attribute.
+    //
+    // Scale + determinism: one map-side-combined pass to the
+    // |classes|·|bands| cell table; the dense class×band grid (every
+    // class × every band, zero cells included — a missing band still
+    // moves the cumulative gap) is a crossJoin of two BOUNDED
+    // distinct sets; cumulative sums run in windows PARTITIONED BY
+    // CLASS (≤|bands| rows each — the global band cumsum rides the
+    // same per-class window, since every class row carries its band's
+    // global count). N and B are two 8-byte driver scalars off the
+    // pinned cell table (the q319/q335 precedent). The EMD numerator
+    // is ALL-BIGINT (common denominator N·n_c), one double division
+    // rounded @6 at the end.
+    QueryDef("q338_t_closeness",
+      (s, d) => {
+        val cells = Tables.customer(s, d)
+          .select(col("c_nationkey").as("nation"),
+            col("c_mktsegment").as("segment"),
+            floor(col("c_acctbal") / 1000.0).cast("long").as("band"))
+          .groupBy("nation", "segment", "band")
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint() // pinned: grid, globals, and scalars read it
+        val bigN = cells.agg(sum(col("c"))).head.getLong(0)
+        val nBands = cells.select("band").distinct().count()
+        val grid = cells.select("nation", "segment").distinct()
+          .crossJoin(cells.select("band").distinct())
+          .join(cells, Seq("nation", "segment", "band"), "left")
+          .join(cells.groupBy("band").agg(sum(col("c")).as("g")), "band")
+          .withColumn("c0", coalesce(col("c"), lit(0L)))
+        val w = Window.partitionBy("nation", "segment").orderBy("band")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid
+          .withColumn("cum_q", sum(col("c0")).over(w))
+          .withColumn("cum_p", sum(col("g")).over(w))
+          .withColumn("n_c",
+            sum(col("c0")).over(Window.partitionBy("nation", "segment")))
+          .groupBy("nation", "segment")
+          .agg(sum(col("c0")).as("n"),
+            sum(abs(col("cum_q") * bigN - col("cum_p") * col("n_c"))).as("gap"))
+          .select(col("nation"), col("segment"), col("n"),
+            round(col("gap").cast("double")
+              / (lit(bigN) * col("n") * (nBands - 1)), 6).as("emd"))
+          .withColumn("viol", col("emd") > 0.15)
+          .orderBy("nation", "segment")
+      },
+      Some("""WITH cells AS (
+             |  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+             |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band,
+             |    COUNT(*) AS c
+             |  FROM customer GROUP BY 1, 2, 3),
+             |n AS (SELECT SUM(c) AS big_n FROM cells),
+             |b AS (SELECT COUNT(DISTINCT band) AS n_bands FROM cells),
+             |grid AS (
+             |  SELECT cl.nation, cl.segment, ba.band,
+             |    COALESCE(ce.c, 0) AS c0, gb.g
+             |  FROM (SELECT DISTINCT nation, segment FROM cells) cl
+             |  CROSS JOIN (SELECT DISTINCT band FROM cells) ba
+             |  LEFT JOIN cells ce ON ce.nation = cl.nation
+             |    AND ce.segment = cl.segment AND ce.band = ba.band
+             |  JOIN (SELECT band, SUM(c) AS g FROM cells GROUP BY band) gb
+             |    ON gb.band = ba.band),
+             |cum AS (
+             |  SELECT nation, segment, c0,
+             |    SUM(c0) OVER (PARTITION BY nation, segment ORDER BY band
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_q,
+             |    SUM(g) OVER (PARTITION BY nation, segment ORDER BY band
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_p,
+             |    SUM(c0) OVER (PARTITION BY nation, segment) AS n_c
+             |  FROM grid)
+             |SELECT nation, segment, CAST(SUM(c0) AS BIGINT) AS n,
+             |  round(CAST(SUM(abs(cum_q * n.big_n - cum_p * n_c)) AS DOUBLE)
+             |    / (n.big_n * SUM(c0) * (b.n_bands - 1)), 6) AS emd,
+             |  round(CAST(SUM(abs(cum_q * n.big_n - cum_p * n_c)) AS DOUBLE)
+             |    / (n.big_n * SUM(c0) * (b.n_bands - 1)), 6) > 0.15 AS viol
+             |FROM cum, n, b GROUP BY nation, segment, n.big_n, b.n_bands
+             |ORDER BY nation, segment""".stripMargin)),
+
     // Rolling-window anomaly flags (✚, time-series monitoring): per
     // user, each event's value is z-scored against its own trailing
     // history — a bounded 20-row frame ENDING BEFORE the current row
