@@ -654,6 +654,53 @@ object DataSelect {
              |    CASE WHEN n_agree = n THEN 1.0 ELSE -1.0 END
              |  ELSE round(CAST(n * n_agree - chance AS DOUBLE)
              |             / (n * n - chance), 6) END AS kappa
-             |FROM cells ORDER BY source""".stripMargin))
+             |FROM cells ORDER BY source""".stripMargin)),
+
+    // Streamed quality-classifier inference (✚, q334 THROUGH the
+    // streaming engine — the always-on ingest filter: documents arrive
+    // as file-source micro-batches, each is scored statelessly, and
+    // per-source keep stats run as complete-mode streaming state).
+    // Unlike q331's literal-map model, the frozen model here is pure
+    // ARITHMETIC on the hash bucket — w(b) = ((b·2654435761) mod 2048
+    // − 1024)/1024 folds inside the same higher-order aggregate, so
+    // the stream needs no broadcast at all. Every per-doc sum is
+    // exact (multiples of 2^-10), per-source sums are exact DECIMAL,
+    // so arbitrary arrival order converges to the batch answer: the
+    // final table must hash-match q334's own oracle (stream/batch
+    // unification for the selection family).
+    QueryDef("q340_stream_classifier",
+      (s, d) => {
+        val stats = (df: DataFrame) => {
+          val toks = split(col("text"), " ")
+          val wOf = (t: Column) => {
+            val b = conv(substring(md5(concat(lit("q334|"), t)), 1, 8), 16, 10)
+              .cast("long") % 1024
+            ((b * 2654435761L) % 2048 - 1024).cast("double") / 1024.0
+          }
+          val score = round(
+              aggregate(toks, lit(0.0), (acc, t) => acc + wOf(t)) / size(toks), 6)
+            .cast("decimal(12,6)")
+          df.select(col("source"), score.as("score"))
+            .groupBy("source")
+            .agg(count(lit(1)).as("n_docs"),
+              sum(when(col("score") > 0, 1L).otherwise(0L)).as("n_keep"),
+              sum(col("score")).as("sum_score"))
+        }
+        val input = Tables.documents(s, d).select("source", "text")
+        val rows = graft.stream.StreamOps.runBoundedFromPath(
+          s, input, stats, chunks = 3)
+        s.createDataFrame(new java.util.ArrayList(java.util.Arrays.asList(rows: _*)),
+            stats(input).schema)
+          .select(col("source"), col("n_docs"), col("n_keep"),
+            round(col("sum_score").cast("double") / col("n_docs"), 6).as("avg_score"))
+          .orderBy("source")
+      },
+      // identical to q334's oracle — the streaming state must converge
+      // to the batch classifier stats
+      Some(s"""WITH $classifierSqlCte
+             |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+             |  round(CAST(SUM(score) AS DOUBLE) / COUNT(*), 6) AS avg_score
+             |FROM sc GROUP BY source ORDER BY source""".stripMargin))
   )
 }
