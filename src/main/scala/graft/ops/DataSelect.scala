@@ -701,6 +701,108 @@ object DataSelect {
              |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
              |  CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
              |  round(CAST(SUM(score) AS DOUBLE) / COUNT(*), 6) AS avg_score
-             |FROM sc GROUP BY source ORDER BY source""".stripMargin))
+             |FROM sc GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Filter FUNNEL audit (✚, pipeline observability — "we kept 38% of
+    // the crawl: which stage dropped the rest, and does that differ by
+    // source?"). Three CUMULATIVE stages — length band (300 ≤ n_chars
+    // ≤ 5000), lexical density (distinct-token ratio ≥ 0.3, the q121
+    // repetition proxy, compared as 10·distinct ≥ 3·n_tok — integer,
+    // no 0.3 double boundary), classifier sign (q334) — evaluated in
+    // ONE pass of conditional aggregation (the q148 discipline: adding
+    // a stage never adds a scan; the only join is the per-doc score,
+    // already one aggregate of the same corpus). Yield in integer
+    // basis points (exact `div`, the q333 rule).
+    QueryDef("q341_filter_funnel",
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val flags = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            size(toks).cast("long").as("n_tok"),
+            size(array_distinct(toks)).cast("long").as("n_dis"))
+          .join(classifierScores(s, d).select("doc_id", "score"), "doc_id")
+          .select(col("source"),
+            when(col("n_chars").between(300, 5000), 1L).otherwise(0L).as("f1"),
+            when(col("n_dis") * 10 >= col("n_tok") * 3, 1L).otherwise(0L).as("f2"),
+            when(col("score") > 0, 1L).otherwise(0L).as("f3"))
+        flags.groupBy("source")
+          .agg(count(lit(1)).as("n0"),
+            sum(col("f1")).as("n1"),
+            sum(col("f1") * col("f2")).as("n2"),
+            sum(col("f1") * col("f2") * col("f3")).as("n3"))
+          .withColumn("yield_bp", expr("n3 * 10000L div n0"))
+          .orderBy("source")
+      },
+      Some(s"""WITH $classifierSqlCte,
+             |fl AS (
+             |  SELECT d.source,
+             |    CASE WHEN d.n_chars BETWEEN 300 AND 5000 THEN 1 ELSE 0 END AS f1,
+             |    CASE WHEN len(list_distinct(string_split(d.text, ' '))) * 10
+             |           >= len(string_split(d.text, ' ')) * 3
+             |         THEN 1 ELSE 0 END AS f2,
+             |    CASE WHEN sc.score > 0 THEN 1 ELSE 0 END AS f3
+             |  FROM documents d JOIN sc USING (doc_id))
+             |SELECT source, CAST(COUNT(*) AS BIGINT) AS n0,
+             |  CAST(SUM(f1) AS BIGINT) AS n1,
+             |  CAST(SUM(f1 * f2) AS BIGINT) AS n2,
+             |  CAST(SUM(f1 * f2 * f3) AS BIGINT) AS n3,
+             |  CAST(SUM(f1 * f2 * f3) * 10000 // COUNT(*) AS BIGINT) AS yield_bp
+             |FROM fl GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Classifier CALIBRATION table (✚, the eval that decides whether
+    // q334's scores can gate by threshold: bucket the score range into
+    // 10 equal bins, and per bin compare mean score ("confidence")
+    // against the rate at which the independent length heuristic
+    // agrees ("accuracy") — the reliability-diagram table whose
+    // weighted |acc − conf| gap is ECE. All means are exact DECIMAL
+    // sums divided once and rounded @6; the bin id is integer floor
+    // arithmetic on the DECIMAL score (no double boundary); the
+    // |classes|=10 bucket table is bounded at any corpus size, and the
+    // ECE summary row (bucket = -1) aggregates that bounded table.
+    QueryDef("q342_score_calibration",
+      (s, d) => {
+        val lab = classifierScores(s, d)
+          .join(Tables.documents(s, d).select("doc_id", "n_chars"), "doc_id")
+          .select(
+            least(lit(9L), floor((col("score") + 1) * 5).cast("long")).as("bucket"),
+            col("score"),
+            when(col("n_chars").between(300, 5000), 1L).otherwise(0L).as("y"))
+        val buckets = lab.groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            sum(col("score")).as("ssum"), sum(col("y")).as("ysum"))
+          .select(col("bucket"), col("n"),
+            round(col("ssum").cast("double") / col("n"), 6).as("conf"),
+            round(col("ysum").cast("double") / col("n"), 6).as("acc"))
+          .localCheckpoint() // bounded (≤10 rows); feeds rows + the ECE fold
+        val total = buckets
+          .agg(sum(col("n")).as("nt"),
+            sum(abs(round(col("acc") - col("conf"), 6)
+              .cast("decimal(12,6)") * col("n"))).as("gapsum"))
+          .select(lit(-1L).as("bucket"), col("nt").as("n"),
+            lit(null).cast("double").as("conf"),
+            round(col("gapsum").cast("double") / col("nt"), 6).as("acc"))
+        buckets.unionByName(total).orderBy("bucket")
+      },
+      Some(s"""WITH $classifierSqlCte,
+             |lab AS (
+             |  SELECT LEAST(9, CAST(floor((sc.score + 1) * 5) AS BIGINT)) AS bucket,
+             |    sc.score,
+             |    CASE WHEN d.n_chars BETWEEN 300 AND 5000 THEN 1 ELSE 0 END AS y
+             |  FROM sc JOIN documents d USING (doc_id)),
+             |b AS (
+             |  SELECT bucket, COUNT(*) AS n,
+             |    round(CAST(SUM(score) AS DOUBLE) / COUNT(*), 6) AS conf,
+             |    round(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS acc
+             |  FROM lab GROUP BY bucket),
+             |tt AS (
+             |  SELECT CAST(-1 AS BIGINT) AS bucket,
+             |    SUM(n) AS n, CAST(NULL AS DOUBLE) AS conf,
+             |    round(CAST(SUM(abs(CAST(round(acc - conf, 6) AS DECIMAL(12,6))
+             |      * n)) AS DOUBLE) / SUM(n), 6) AS acc
+             |  FROM b)
+             |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n AS BIGINT) AS n,
+             |  conf, acc
+             |FROM (SELECT * FROM b UNION ALL SELECT * FROM tt)
+             |ORDER BY bucket""".stripMargin))
   )
 }
