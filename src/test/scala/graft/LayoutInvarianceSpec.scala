@@ -67,7 +67,14 @@ class LayoutInvarianceSpec extends AnyFunSuite {
     "q247_kaplan_meier",
     "q248_logrank",
     "q250_rank_movers",
-    "q253_littles_law")
+    "q253_littles_law",
+    // round-12 widening: the classifier's exact-double-sum order-
+    // independence claim (q334), next-fit binning on the two-phase
+    // running sum with a data-derived driver scalar (q335), and the
+    // t-closeness dense grid whose cumsums must not see layout (q338)
+    "q334_quality_classifier",
+    "q335_compaction_plan",
+    "q338_t_closeness")
 
   private def contents(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf).collect()
