@@ -1246,58 +1246,6 @@ object TrainPrep {
            |$rounds
            |SELECT source, lang, n, round(w, 6) AS weight
            |FROM c6 ORDER BY source, lang""".stripMargin
-      }),
-
-    // Out-of-fold TARGET ENCODING (✚, the leakage-free categorical
-    // feature every tabular training pipeline derives: replace a
-    // category by the target mean computed WITHOUT the row's own fold,
-    // so the feature never sees its own label — the K-fold flavor of
-    // leave-one-out encoding). Folds are the q142 md5-bucket idiom
-    // (reproducible, no RNG state); the encoding for (category c,
-    // fold f) = (sum(c) − sum(c, f)) / (n(c) − n(c, f)), all sums in
-    // exact BIGINT cents, one double division rounded @4 at the end.
-    // Shape: ONE aggregation to the |categories|×K cell table (map-
-    // side combined — the corpus shuffles only its 16-byte cell
-    // partials), category totals rejoin the cells by broadcast; at
-    // 100 TB the cell table is still |categories|×K rows. The gate
-    // emits the encoding TABLE (what a feature store would persist);
-    // applying it to rows is a broadcast-join lookup.
-    QueryDef("q337_target_encoding",
-      (s, d) => {
-        val K = 5
-        val cells = Tables.orders(s, d)
-          .select(col("o_orderpriority").as("cat"),
-            round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
-            (conv(substring(md5(concat(lit("q337|"),
-                col("o_orderkey").cast("string"))), 1, 8), 16, 10)
-              .cast("long") % K).as("fold"))
-          .groupBy("cat", "fold")
-          .agg(count(lit(1)).as("n_f"), sum(col("cents")).as("sum_f"))
-        val totals = cells.groupBy("cat")
-          .agg(sum(col("n_f")).as("n_c"), sum(col("sum_f")).as("sum_c"))
-        cells.join(broadcast(totals), "cat")
-          .select(col("cat"), col("fold"), col("n_f"),
-            round(((col("sum_c") - col("sum_f")).cast("double")
-                / (col("n_c") - col("n_f"))) / 100, 4).as("oof_mean"))
-          .orderBy("cat", "fold")
-      },
-      Some("""WITH r AS (
-             |  SELECT o_orderpriority AS cat,
-             |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
-             |    ('0x' || substr(md5('q337|' || CAST(o_orderkey AS VARCHAR)),
-             |      1, 8))::BIGINT % 5 AS fold
-             |  FROM orders),
-             |cells AS (
-             |  SELECT cat, fold, COUNT(*) AS n_f, SUM(cents) AS sum_f
-             |  FROM r GROUP BY cat, fold),
-             |tot AS (
-             |  SELECT cat, SUM(n_f) AS n_c, SUM(sum_f) AS sum_c
-             |  FROM cells GROUP BY cat)
-             |SELECT cat, CAST(fold AS BIGINT) AS fold,
-             |  CAST(n_f AS BIGINT) AS n_f,
-             |  round(CAST(sum_c - sum_f AS DOUBLE) / (n_c - n_f) / 100, 4)
-             |    AS oof_mean
-             |FROM cells JOIN tot USING (cat)
-             |ORDER BY cat, fold""".stripMargin))
+      })
   )
 }
