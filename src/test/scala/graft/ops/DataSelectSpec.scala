@@ -110,4 +110,64 @@ class DataSelectSpec extends AnyFunSuite {
     assert(w(true) > w(false) + 0.5,
       s"mean importance weight of target docs must dominate: $w")
   }
+
+  test("classifier score replays exactly from a driver-side walk of the same arithmetic") {
+    // the q334 contract, independent of the SQL oracle: per-doc score =
+    // round(mean of w(bucket(token)), 6), with w an exact multiple of
+    // 2^-10 — a from-scratch driver replay over the raw text must
+    // reproduce every per-source aggregate the distributed plan emits
+    val docs = graft.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def bucket(t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(("q334|" + t).getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map(b => f"${b & 0xff}%02x").mkString, 16) % 1024
+    }
+    val bySource = docs.groupBy(_._1).map { case (src, ds) =>
+      val scores = ds.map { case (_, text) =>
+        val toks = text.split(" ", -1)
+        val raw = toks.map(t => ((bucket(t) * 2654435761L) % 2048 - 1024) / 1024.0).sum
+        BigDecimal(raw / toks.length).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }
+      src -> ((ds.length.toLong, scores.count(_ > 0).toLong,
+        (scores.sum.toDouble / ds.length)))
+    }
+    val got = SparkEntry.queries("q334_quality_classifier")(spark, sf).collect()
+    assert(got.length == bySource.size)
+    got.foreach { r =>
+      val (n, keep, avg) = bySource(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == keep, s"counts for ${r.getString(0)}")
+      assert(math.abs(r.getDouble(3) - avg) < 1e-6, s"avg for ${r.getString(0)}")
+    }
+  }
+
+  test("kappa is bounded and consistent with its agreement counts") {
+    val rows = SparkEntry.queries("q339_filter_agreement")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, agree, kappa) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(agree <= n)
+      assert(kappa >= -1.0 - 1e-9 && kappa <= 1.0 + 1e-9, s"kappa out of range: $kappa")
+      // perfect agreement with non-degenerate marginals ⇒ kappa = 1
+      if (agree == n) assert(kappa == 1.0)
+    }
+  }
+
+  test("calibration table: buckets partition the corpus and ECE folds the bucket gaps") {
+    val rows = SparkEntry.queries("q342_score_calibration")(spark, sf).collect()
+    val (total, buckets) = rows.partition(_.getLong(0) == -1L)
+    assert(total.length == 1)
+    assert(buckets.map(_.getLong(1)).sum == total.head.getLong(1),
+      "bucket counts must partition the corpus")
+    // recompute ECE from the emitted bucket rows — the summary row must
+    // be a pure fold of the table it ships with
+    val n = total.head.getLong(1).toDouble
+    val ece = buckets.map { r =>
+      math.abs(BigDecimal(r.getDouble(3) - r.getDouble(2))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) * r.getLong(1)
+    }.sum / n
+    assert(math.abs(BigDecimal(ece).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble - total.head.getDouble(3)) < 1e-6)
+  }
 }

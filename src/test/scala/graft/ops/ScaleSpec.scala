@@ -237,4 +237,23 @@ class ScaleSpec extends AnyFunSuite {
       assert(got == want, s"parts=$parts")
     }
   }
+
+  test("compaction plan: contiguous bins, next-fit bound, byte conservation") {
+    val rows = graft.SparkEntry.queries("q335_compaction_plan")(spark, sf).collect()
+    val bins = rows.map(_.getLong(0))
+    assert(bins.toSeq == bins.sorted.toSeq && bins.head == 0L,
+      "bins must start at 0 and come out ordered")
+    val totals = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val files = totals.map(_._2).sum
+    assert(files == 199L, s"every inventory file must land in exactly one bin: $files")
+    // the data-derived target the gate computed: total/25
+    val target = totals.map(_._3).sum / 25
+    // next-fit property: a bin's content can exceed the target only by
+    // (part of) one file -- strip the largest member and what remains
+    // must fit under the target
+    totals.foreach { case (bin, _, bytes, maxFile) =>
+      assert(bytes - maxFile < target,
+        s"bin $bin breaks the next-fit bound: $bytes - $maxFile vs $target")
+    }
+  }
 }
