@@ -186,6 +186,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           Cast(exprs(0), ArrayType(LongType)), Cast(exprs(1), ArrayType(LongType)))
       }))
     e.injectFunction((
+      new FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (exprs: Seq[Expression]) => {
+        checkArgs("graft_nfc", exprs, 1, foldableFrom = 1)
+        NfcNormalize(exprs(0))
+      }))
+    e.injectFunction((
       new FunctionIdentifier("graft_adc"),
       new ExpressionInfo(classOf[AdcDistance].getName, "graft_adc"),
       (exprs: Seq[Expression]) => {

@@ -502,6 +502,58 @@ object Components {
       .select(col("u").as("id"), col("dg"))
   }
 
+  /** Grid-blocked DBSCAN over 2-D points (`id`, `x`, `y`): returns
+    * (`id`, `role` ∈ core|border|noise, `cluster` — the MIN core id of
+    * the cluster, −1 for noise). ε-pairs come from a cell-width-ε grid
+    * self-join (every true pair is at most one cell apart, each pair
+    * generated once); cores = points with ≥ minPts−1 ε-neighbors;
+    * clusters = [[connectedComponents]] over core-core edges; borders
+    * adopt the minimum neighboring core label. Squared distance is
+    * rounded @9 before the ε² cut (oracle-parity; pass ε² as an exact
+    * literal, not eps*eps). DbscanSpec certifies the grid blocking
+    * against the brute-force n² definition. */
+  def dbscan(pts0: DataFrame, eps: Double, eps2: Double, minPts: Int,
+             materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+    val pts = materialize(pts0
+      .withColumn("cx", floor(col("x") / eps).cast("long"))
+      .withColumn("cy", floor(col("y") / eps).cast("long")))
+    val offs = array((for { dx <- -1 to 1; dy <- -1 to 1 } yield
+      struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
+    val probe = pts.select(col("id").as("ib"), col("x").as("xb"),
+        col("y").as("yb"), col("cx").as("bx"), col("cy").as("by"),
+        explode(offs).as("o"))
+      .select(col("ib"), col("xb"), col("yb"),
+        (col("bx") + col("o.dx")).as("gx"), (col("by") + col("o.dy")).as("gy"))
+    val pairs = materialize(pts
+      .join(probe, col("cx") === col("gx") && col("cy") === col("gy")
+        && col("id") =!= col("ib"))
+      .where(round((col("x") - col("xb")) * (col("x") - col("xb"))
+        + (col("y") - col("yb")) * (col("y") - col("yb")), 9) <= eps2)
+      .select(col("id").as("ia"), col("ib")))
+    val core = materialize(pairs.groupBy(col("ia").as("id"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= minPts - 1).select("id"))
+    val coreEdges = pairs
+      .join(core.select(col("id").as("ia")), "ia")
+      .join(core.select(col("id").as("ib")), "ib")
+      .where(col("ia") < col("ib"))
+      .select(col("ia").as("id_a"), col("ib").as("id_b"))
+    val lab = connectedComponents(core, coreEdges, materialize = materialize)
+    val coreOut = core.join(lab, col("id") === col("node"))
+      .select(col("id"), lit("core").as("role"), col("lbl").as("cluster"))
+    val bord = pairs
+      .join(core.select(col("id").as("ia")), Seq("ia"), "left_anti")
+      .join(lab.select(col("node").as("ib"), col("lbl")), "ib")
+      .groupBy(col("ia").as("id"))
+      .agg(min(col("lbl")).as("cluster"))
+      .select(col("id"), lit("border").as("role"), col("cluster"))
+    val noise = pts.select("id")
+      .join(coreOut.select("id"), Seq("id"), "left_anti")
+      .join(bord.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), lit("noise").as("role"), lit(-1L).as("cluster"))
+    coreOut.unionByName(bord).unionByName(noise)
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // Every document mapped to its near-dup cluster representative.
     // Oracle: the SAME verified-pairs CTE chain as q51, closed under
@@ -1172,6 +1224,71 @@ object Components {
            |SELECT node AS doc_id, ROUND(score, 6) AS score FROM p5
            |WHERE ROUND(score, 6) > 0.0
            |ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // Grid-blocked DBSCAN (✚, density clustering — the family's gap:
+    // q63/q193 partition space by LEARNED centroids, q74/q112 cluster
+    // an EXPLICIT edge set; DBSCAN discovers arbitrary-shape clusters
+    // from density alone, the standard tool for "find the coherent
+    // blobs and the outliers" over an embedding projection). Points =
+    // the first two embedding dims; ε-neighbor pairs come from a GRID
+    // self-join — cell width exactly ε, so every true pair is in the
+    // same or an adjacent cell (|Δx| ≤ ε ⇒ one cell apart at most)
+    // and each candidate pair is generated ONCE (one probe side
+    // explodes to its 3×3 neighborhood, the build side stays put).
+    // Cores (≥ minPts−1 neighbors) link into clusters via the q74
+    // pointer-doubling CC; borders adopt the MIN neighboring core
+    // label; the rest is noise.
+    //
+    // Scale: the grid join costs Σ_cell |cell|·|3×3 nbhd| — the ε-ball
+    // blocking bound, NEVER n² (the oracle below is the brute-force
+    // n² twin precisely to certify the blocking loses no pair); a hot
+    // cell is a hot join key AQE skew-splits. CC runs on the CORE
+    // subgraph only. Determinism: squared distance round@9 before the
+    // ε² cut (identical IEEE ops both engines — the q30 rule), MIN
+    // label election everywhere.
+    QueryDef("q345_dbscan_grid",
+      (s, d) => dbscan(Tables.embeddings(s, d)
+          .select(col("vec_id").as("id"),
+            element_at(col("embedding"), 1).cast("double").as("x"),
+            element_at(col("embedding"), 2).cast("double").as("y")),
+          eps = 0.05, eps2 = 0.0025, minPts = 5)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id"),
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT vec_id AS id, CAST(embedding[1] AS DOUBLE) AS x,
+             |    CAST(embedding[2] AS DOUBLE) AS y
+             |  FROM embeddings),
+             |p AS MATERIALIZED (
+             |  SELECT a.id AS ia, b.id AS ib
+             |  FROM e a JOIN e b ON a.id <> b.id
+             |  WHERE round((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y), 9)
+             |    <= 0.0025),
+             |core AS MATERIALIZED (
+             |  SELECT ia AS id FROM p GROUP BY ia HAVING COUNT(*) >= 4),
+             |ce AS (
+             |  SELECT p.ia AS u, p.ib AS v FROM p
+             |  WHERE p.ia IN (SELECT id FROM core)
+             |    AND p.ib IN (SELECT id FROM core)),
+             |reach(node, lbl) AS (
+             |  SELECT id, id FROM core
+             |  UNION
+             |  SELECT ce.v, r.lbl FROM reach r JOIN ce ON ce.u = r.node),
+             |lab AS (SELECT node, MIN(lbl) AS lbl FROM reach GROUP BY node),
+             |bord AS (
+             |  SELECT p.ia AS id, MIN(l.lbl) AS lbl
+             |  FROM p JOIN lab l ON p.ib = l.node
+             |  WHERE p.ia NOT IN (SELECT id FROM core)
+             |  GROUP BY p.ia)
+             |SELECT id AS vec_id, role, cluster FROM (
+             |  SELECT c.id, 'core' AS role, l.lbl AS cluster
+             |  FROM core c JOIN lab l ON l.node = c.id
+             |  UNION ALL
+             |  SELECT id, 'border', lbl FROM bord
+             |  UNION ALL
+             |  SELECT id, 'noise', CAST(-1 AS BIGINT) FROM e
+             |  WHERE id NOT IN (SELECT id FROM core)
+             |    AND id NOT IN (SELECT id FROM bord))
+             |ORDER BY vec_id""".stripMargin))
   )
 }

@@ -803,6 +803,86 @@ object DataSelect {
              |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n AS BIGINT) AS n,
              |  conf, acc
              |FROM (SELECT * FROM b UNION ALL SELECT * FROM tt)
-             |ORDER BY bucket""".stripMargin))
+             |ORDER BY bucket""".stripMargin)),
+
+    // Greedy k-center coreset selection (✚, the geometric-coverage
+    // selection family — the complement of q328's SemDeDup (drop what
+    // is redundant) and q329's DSIR (keep what matches a target):
+    // pick the k points that MAXIMIZE coverage of the embedding
+    // space, the Gonzalez 2-approximation every facility-location /
+    // coreset pipeline starts from). Iteration i scans the corpus
+    // for the point FARTHEST from the selected set (max of min
+    // squared-L2, ties to the lower vec_id), adds it, repeats. The
+    // output is the selection trace — step, chosen id, its distance
+    // at selection (a decreasing sequence — each pick covers the
+    // previous worst hole) — plus the final coverage radius, the
+    // k-center objective itself.
+    //
+    // Scale: the canonical O(k·n) shape — per round ONE narrow
+    // codegen'd scan (graft_l2sq against k literal centers, the q63
+    // centroid-assignment plumbing; no joins, no shuffle) and a
+    // 1-row TakeOrdered collect; centers live on the driver exactly
+    // as every k-means/IVF trainer holds them (k-bounded, the
+    // AnnCentroids precedent). k is a constant: at 100 TB the cost is
+    // k corpus scans, embarrassingly parallel, zero shuffle bytes.
+    // Determinism: each distance round@6 BEFORE the min (the q63
+    // rule), so argmax ties resolve identically on both engines.
+    QueryDef("q346_kcenter_coreset",
+      (s, d) => {
+        import s.implicits._
+        val k = 6
+        val pts = Tables.embeddings(s, d)
+          .select(col("vec_id"), Vectors.asDouble(col("embedding")).as("v"))
+          .localCheckpoint()
+        val first = pts.orderBy("vec_id").limit(1)
+          .select(col("vec_id"), col("v")).head
+        var centers = Vector[(Long, Seq[Double], Double)](
+          (first.getLong(0), first.getSeq[Double](1), 0.0))
+        def mind: Column = centers.map { case (_, cv, _) =>
+          round(Vectors.l2sq(col("v"), array(cv.map(lit): _*)), 6)
+        }.reduce(least(_, _))
+        while (centers.size < k) {
+          val sel = pts.select(col("vec_id"), mind.as("m"))
+            .orderBy(col("m").desc, col("vec_id").asc).limit(1).head
+          val cv = pts.where(col("vec_id") === sel.getLong(0))
+            .select("v").head.getSeq[Double](0)
+          centers :+= ((sel.getLong(0), cv, sel.getDouble(1)))
+        }
+        val cover = pts.agg(max(mind)).head.getDouble(0)
+        (centers.zipWithIndex.map { case ((id, _, m), i) =>
+          ((i + 1).toLong, id, m)
+        } :+ ((k + 1).toLong, -1L, cover))
+          .toDF("step", "center_id", "sel_d2")
+          .orderBy("step")
+      },
+      Some(kcenterSql(6)))
   )
+
+  /** Unrolled Gonzalez k-center oracle: step i's farthest-point argmax
+    * as an ORDER BY ... LIMIT 1 CTE, min-distances folded with LEAST
+    * over the same round@6 per-center distances the Spark plan uses.
+    * MATERIALIZED pins each level — c_i is referenced twice (next
+    * level + output arm), and without it DuckDB's CTE inlining would
+    * re-evaluate the whole chain per reference. */
+  private def kcenterSql(k: Int, dim: Int = 64): String = {
+    def dist(v: String, c: String) =
+      s"round(list_sum(list_transform(range(1, ${dim + 1}), " +
+        s"j -> ($v[j] - $c[j]) * ($v[j] - $c[j]))), 6)"
+    val sb = new StringBuilder
+    sb ++= "WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),\n"
+    sb ++= "c1 AS MATERIALIZED (SELECT id, v, CAST(0.0 AS DOUBLE) AS m FROM e ORDER BY id LIMIT 1),\n"
+    sb ++= s"d1 AS MATERIALIZED (SELECT e.id, e.v, ${dist("e.v", "c.v")} AS m FROM e, c1 c),\n"
+    for (i <- 2 to k) {
+      sb ++= s"c$i AS MATERIALIZED (SELECT id, v, m FROM d${i - 1} ORDER BY m DESC, id LIMIT 1),\n"
+      sb ++= s"d$i AS MATERIALIZED (SELECT d.id, d.v, " +
+        s"LEAST(d.m, ${dist("d.v", "c.v")}) AS m FROM d${i - 1} d, c$i c),\n"
+    }
+    sb ++= s"cov AS (SELECT MAX(m) AS m FROM d$k)\n"
+    sb ++= (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS step, (SELECT id FROM c$i) AS center_id, " +
+        s"(SELECT m FROM c$i) AS sel_d2").mkString("\nUNION ALL\n")
+    sb ++= s"\nUNION ALL\nSELECT CAST(${k + 1} AS BIGINT), CAST(-1 AS BIGINT), (SELECT m FROM cov)"
+    sb ++= "\nORDER BY step"
+    sb.toString
+  }
 }

@@ -826,6 +826,61 @@ object Extras {
              |FROM cum, n, b GROUP BY nation, segment, n.big_n, b.n_bands
              |ORDER BY nation, segment""".stripMargin)),
 
+    // Differentially-private histogram release (✚, privacy — the
+    // MECHANISM the q145/q235/q338 trio audits toward but never
+    // performs: those measure re-identification risk, this one
+    // actually releases counts under an ε-DP contract). Per
+    // (lang, source) cell of the documents corpus: true count +
+    // Laplace(1/ε) noise (sensitivity 1 — one document moves one
+    // cell by one), then threshold suppression (noisy < τ ⇒ the cell
+    // is withheld), the standard stability guard that keeps rare
+    // cells — exactly the ones k-anonymity would flag — out of the
+    // release entirely.
+    //
+    // Determinism (the repo-wide seeded-randomness discipline, q332/
+    // q101): the noise draw is NOT an RNG — u ∈ (0,1) derives from
+    // the md5 of the cell key (uniform by construction, reproducible
+    // on both engines), and the Laplace deviate is the inverse-CDF
+    // transform −(1/ε)·sign(u−½)·ln(1−2|u−½|). The +0.5 bucket
+    // offset keeps u off 0, ½, and 1, so sign/ln never sit on a
+    // boundary; round@6 absorbs cross-engine libm ulp drift (the
+    // q235 ln rule). Scale: ONE map-side-combined groupBy to the
+    // |langs|·|sources|-bounded cell table; noise and suppression are
+    // per-cell projections — the release costs one corpus scan
+    // regardless of ε, τ, or cell count.
+    QueryDef("q343_dp_release",
+      (s, d) => {
+        val eps = 1.0
+        val tau = 10.0
+        val u = (conv(substring(md5(concat(lit("dp9:"), col("lang"),
+            lit(":"), col("source"))), 1, 8), 16, 10).cast("long")
+          % 1000000 + lit(0.5)) / 1000000.0
+        val lap = round(lit(-1.0 / eps) * signum(u - 0.5) *
+          log(lit(1.0) - lit(2.0) * abs(u - 0.5)), 6)
+        Tables.documents(s, d)
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("c"))
+          .withColumn("noisy", round(col("c") + lap, 6))
+          .where(col("noisy") >= tau)
+          .select("lang", "source", "noisy")
+          .orderBy("lang", "source")
+      },
+      Some("""WITH cells AS (
+             |  SELECT lang, source, COUNT(*) AS c
+             |  FROM documents GROUP BY lang, source),
+             |noised AS (
+             |  SELECT lang, source,
+             |    round(c + round(-1.0 * sign(u - 0.5) *
+             |      ln(1.0 - 2.0 * abs(u - 0.5)), 6), 6) AS noisy
+             |  FROM (
+             |    SELECT lang, source, c,
+             |      (('0x' || substr(md5('dp9:' || lang || ':' || source), 1, 8))::BIGINT
+             |        % 1000000 + 0.5) / 1000000.0 AS u
+             |    FROM cells))
+             |SELECT lang, source, noisy FROM noised
+             |WHERE noisy >= 10.0
+             |ORDER BY lang, source""".stripMargin)),
+
     // Rolling-window anomaly flags (✚, time-series monitoring): per
     // user, each event's value is z-scored against its own trailing
     // history — a bounded 20-row frame ENDING BEFORE the current row

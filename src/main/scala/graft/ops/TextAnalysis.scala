@@ -1902,6 +1902,56 @@ object TextAnalysis {
              |      ORDER BY tfidf DESC, token) AS rank
              |  FROM sc)
              |SELECT doc_id, rank, token, tfidf FROM r WHERE rank <= 3
-             |ORDER BY doc_id, rank""".stripMargin))
+             |ORDER BY doc_id, rank""".stripMargin)),
+
+    // Unicode NFC normalization audit (✚, text cleaning — the
+    // transform every curation pipeline applies FIRST: two
+    // byte-different spellings of the same grapheme defeat exact
+    // dedup, tokenization and equality joins until canonically
+    // composed). The corpus is ASCII-synthetic, so the gate
+    // manufactures the decomposed state it must repair: every `e`
+    // becomes `e` + U+0301 (combining acute), then the native
+    // `graft_nfc` Expression (java.text.Normalizer, UAX #15; Spark
+    // itself ships NO normalizer) re-composes to U+00E9. Per lang:
+    // docs touched, characters before/after (each combining pair
+    // collapses to one codepoint), and a round-trip witness — NFC of
+    // the decomposed text must equal direct substitution with the
+    // PRE-composed character, byte-for-byte against DuckDB's
+    // nfc_normalize (both UAX #15).
+    //
+    // Scale: pure per-row projections into one map-side-combined
+    // aggregate — no shuffle wider than |langs|; graft_nfc stays
+    // inside whole-stage codegen (a UDF would break the span) and
+    // short-circuits via Normalizer.isNormalized on already-NFC rows,
+    // the overwhelming real-corpus case.
+    QueryDef("q344_nfc_normalize",
+      (s, d) => {
+        val dec = replace(col("text"), lit("e"), lit("e\u0301"))
+        val nfc = graft.functions.NfcNormalize(dec)
+        val composed = replace(col("text"), lit("e"), lit("\u00e9"))
+        Tables.documents(s, d)
+          .select(col("lang"), dec.as("dec"), nfc.as("nfc"),
+            composed.as("composed"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("nfc") =!= col("dec"), 1L).otherwise(0L)).as("n_changed"),
+            sum(length(col("dec"))).as("chars_decomposed"),
+            sum(length(col("nfc"))).as("chars_nfc"),
+            sum(when(col("nfc") === col("composed"), 1L).otherwise(0L))
+              .as("n_roundtrip"))
+          .orderBy("lang")
+      },
+      Some("""WITH t AS (
+             |  SELECT lang,
+             |    replace(text, 'e', 'e' || chr(769)) AS dec,
+             |    replace(text, 'e', chr(233)) AS composed
+             |  FROM documents),
+             |n AS (SELECT lang, dec, composed, nfc_normalize(dec) AS nfc FROM t)
+             |SELECT lang, COUNT(*) AS n_docs,
+             |  CAST(SUM(CASE WHEN nfc <> dec THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+             |  CAST(SUM(length(dec)) AS BIGINT) AS chars_decomposed,
+             |  CAST(SUM(length(nfc)) AS BIGINT) AS chars_nfc,
+             |  CAST(SUM(CASE WHEN nfc = composed THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip
+             |FROM n GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }

@@ -1,0 +1,119 @@
+package graft.ops
+
+import graft.{SparkEntry, Tables, TestSpark}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Semantics for the round-12 additions q343–q346 beyond the value
+  * oracle: DP release bounds and reproducibility, NFC round-trip
+  * invariants, DBSCAN's grid blocking vs the brute-force definition,
+  * and the k-center trace's Gonzalez invariants. */
+class Batch23Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+
+  private def round9(x: Double): Double =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("q343 DP release: reproducible, threshold-suppressed, noise bounded") {
+    val q = SparkEntry.queries("q343_dp_release")
+    val a = q(spark, sf).collect().map(r =>
+      (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+    val b = q(spark, sf).collect().map(r =>
+      (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(a == b, "seeded noise must be bit-reproducible across runs")
+    assert(a.nonEmpty)
+    assert(a.forall(_._3 >= 10.0), "suppression: no released cell below tau")
+    // noise is Laplace(1) from u = (m+0.5)/1e6: |noise| <= ln(1e6) < 14
+    val truth = Tables.documents(spark, sf)
+      .groupBy("lang", "source").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    a.foreach { case (l, s, noisy) =>
+      val t = truth((l, s))
+      assert(math.abs(noisy - t) < 14.0,
+        s"($l,$s): noisy=$noisy true=$t exceeds the inverse-CDF bound")
+    }
+  }
+
+  test("q344 NFC: every doc round-trips; char deltas equal the e-count") {
+    val rows = SparkEntry.queries("q344_nfc_normalize")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val byLang = docs.groupBy(_._1)
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      val texts = byLang(lang).map(_._2)
+      assert(r.getLong(1) == texts.length, "n_docs")
+      assert(r.getLong(5) == texts.length, "n_roundtrip: NFC == precomposed substitution")
+      val es = texts.map(_.count(_ == 'e').toLong).sum
+      assert(r.getLong(3) - r.getLong(4) == es,
+        "each decomposed pair collapses to exactly one codepoint")
+      assert(r.getLong(2) == texts.count(_.contains('e')).toLong,
+        "changed = docs containing at least one e")
+    }
+  }
+
+  test("dbscan grid blocking equals the brute-force definition on random points") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val pts = (0L until 300L).map(i =>
+      (i, rnd.nextDouble() * 0.8 - 0.4, rnd.nextDouble() * 0.8 - 0.4))
+    val eps = 0.05; val eps2 = 0.0025; val minPts = 5
+    // brute force, driver-side, same round@9-then-cut rule
+    val nbrs = pts.map { case (i, xi, yi) =>
+      i -> pts.filter { case (j, xj, yj) =>
+        j != i && round9((xi - xj) * (xi - xj) + (yi - yj) * (yi - yj)) <= eps2
+      }.map(_._1).toSet
+    }.toMap
+    val core = nbrs.filter(_._2.size >= minPts - 1).keySet
+    // components over core-core edges: label = min reachable core id
+    val lbl = scala.collection.mutable.Map[Long, Long]()
+    for (c <- core.toSeq.sorted if !lbl.contains(c)) {
+      val seen = scala.collection.mutable.Set(c)
+      val stack = scala.collection.mutable.Stack(c)
+      while (stack.nonEmpty) {
+        val u = stack.pop()
+        for (v <- nbrs(u) if core(v) && !seen(v)) { seen += v; stack.push(v) }
+      }
+      val m = seen.min
+      seen.foreach(v => lbl(v) = math.min(m, lbl.getOrElse(v, Long.MaxValue)))
+    }
+    val want = pts.map { case (i, _, _) =>
+      if (core(i)) (i, "core", lbl(i))
+      else {
+        val cn = nbrs(i).filter(core).map(lbl)
+        if (cn.nonEmpty) (i, "border", cn.min) else (i, "noise", -1L)
+      }
+    }.toSeq
+    val got = Components.dbscan(
+        pts.toDF("id", "x", "y"), eps, eps2, minPts)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    assert(got == want)
+    // and the clustering is non-trivial on this density
+    assert(want.exists(_._2 == "core") && want.exists(_._2 == "noise"))
+  }
+
+  test("q346 k-center trace satisfies the Gonzalez invariants") {
+    val rows = SparkEntry.queries("q346_kcenter_coreset")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == (1L to 7L))
+    val centers = rows.dropRight(1)
+    assert(centers.map(_._2).distinct.length == 6, "centers are distinct points")
+    val minId = Tables.embeddings(spark, sf)
+      .agg(min(col("vec_id"))).head.getLong(0)
+    assert(centers.head._2 == minId, "step 1 seeds at the minimum vec_id")
+    assert(centers.head._3 == 0.0)
+    val sel = centers.drop(1).map(_._3)
+    assert(sel.zip(sel.drop(1)).forall { case (a, b) => b <= a },
+      "farthest-point distances are non-increasing")
+    assert(sel.forall(_ > 0.0))
+    val cover = rows.last
+    assert(cover._2 == -1L)
+    assert(cover._3 <= sel.last,
+      "coverage radius cannot exceed the last selection distance")
+  }
+}
