@@ -554,6 +554,85 @@ object Components {
     coreOut.unionByName(bord).unionByName(noise)
   }
 
+  /** Borůvka minimum-spanning-forest. `nodes`: column `id` (covers
+    * every vertex incl. isolated); `edges0`: (`a`, `b`, `w`) with
+    * a < b, one row per undirected edge. Returns per component
+    * (`root` — its minimum node id, `n_nodes`, `n_edges`, `mst_w` —
+    * exact DECIMAL sum of the chosen weights, surfaced as double).
+    *
+    * The classic O(log n)-round distributed MST: each round every
+    * component selects its minimum OUTGOING edge — min over the
+    * lexicographic key (w, a, b), globally unique, which makes the
+    * component-level merge graph a pseudo-forest whose cycles are all
+    * 2-cycles — then merged groups collapse via
+    * [[connectedComponents]] over that (tiny, ≤|components|-row)
+    * merge graph, and labels rewrite through the merge. Rounds halve
+    * the component count at worst, bounded by log₂(max final
+    * component size); `maxIter` is a hard failure, not a silent
+    * truncation. With tied weights the specific tree can differ
+    * between algorithms, but every MST of a graph has the same
+    * per-component weight multiset, so n_edges/mst_w are
+    * algorithm-independent — which is what lets an unrolled Prim
+    * serve as the q348 oracle.
+    *
+    * Scale: per round the big table (edges) shuffles twice (label
+    * attach per endpoint) and aggregates map-side to ≤|components|
+    * rows; the merge-graph CC and the relabel join ride component-id
+    * keys. Nothing is ever driver-side except the loop counter. */
+  def boruvkaMstForest(nodes: DataFrame, edges0: DataFrame, maxIter: Int = 12,
+      materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+    val edges = materialize(edges0.select(col("a"), col("b"), col("w")))
+    var labels = materialize(nodes.select(col("id").as("node"), col("id").as("comp")))
+    var chosenParts = List.empty[DataFrame]
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val e2 = edges
+        .join(labels.select(col("node").as("a"), col("comp").as("ca")), "a")
+        .join(labels.select(col("node").as("b"), col("comp").as("cb")), "b")
+        .where(col("ca") =!= col("cb"))
+      // (w, a, b) is unique per edge, so ca/cb never decide the min —
+      // they ride along to avoid a second label join on the winner
+      val k = struct(col("w"), col("a"), col("b"), col("ca"), col("cb"))
+      val minE = materialize(e2.select(col("ca").as("c"), k.as("k"))
+        .unionByName(e2.select(col("cb").as("c"), k.as("k")))
+        .groupBy("c").agg(min(col("k")).as("k")))
+      if (minE.limit(1).count() == 0L) done = true
+      else {
+        // the same edge wins for both endpoints of a 2-cycle: distinct
+        chosenParts ::= materialize(minE
+          .select(col("k.a").as("a"), col("k.b").as("b"), col("k.w").as("w"))
+          .distinct())
+        val mg = minE.select(col("c").as("id_a"),
+          when(col("k.ca") === col("c"), col("k.cb")).otherwise(col("k.ca"))
+            .as("id_b"))
+        // every merge-graph endpoint has a crossing edge, hence its own
+        // minE row — minE.c covers the node set
+        val merged = connectedComponents(minE.select(col("c").as("id")), mg,
+          materialize = materialize)
+        labels = materialize(labels
+          .join(merged.select(col("node").as("comp"), col("lbl")), Seq("comp"), "left")
+          .select(col("node"), coalesce(col("lbl"), col("comp")).as("comp")))
+      }
+      iter += 1
+    }
+    require(done, s"boruvkaMstForest: not converged after $maxIter rounds")
+    val mst = chosenParts match {
+      case Nil => edges.where(lit(false))
+      case ps => ps.reduce(_ unionByName _)
+    }
+    val eStats = mst
+      .join(labels.select(col("node").as("a"), col("comp")), "a")
+      .groupBy("comp")
+      .agg(count(lit(1)).as("n_edges"),
+        sum(col("w").cast("decimal(28,9)")).as("wsum"))
+    labels.groupBy("comp").agg(count(lit(1)).as("n_nodes"))
+      .join(eStats, Seq("comp"), "left")
+      .select(col("comp").as("root"), col("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        coalesce(col("wsum").cast("double"), lit(0.0)).as("mst_w"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // Every document mapped to its near-dup cluster representative.
     // Oracle: the SAME verified-pairs CTE chain as q51, closed under
@@ -1289,6 +1368,64 @@ object Components {
              |  SELECT id, 'noise', CAST(-1 AS BIGINT) FROM e
              |  WHERE id NOT IN (SELECT id FROM core)
              |    AND id NOT IN (SELECT id FROM bord))
-             |ORDER BY vec_id""".stripMargin))
+             |ORDER BY vec_id""".stripMargin)),
+
+    // Borůvka minimum-spanning-forest over the verified near-dup graph
+    // (✚, the distributed-MST algorithm itself — the one classic
+    // parallel graph algorithm the q74–q313 family lacks, and the
+    // scaffold single-linkage/HDBSCAN clustering builds on). Vertices
+    // = all documents, edges = q51's verified near-dup pairs weighted
+    // by dissimilarity w = round(1 − jaccard, 6); the MST of each dup
+    // cluster is its minimum-redundancy retention tree — n_nodes−1
+    // cheapest relations that keep the cluster connected, the
+    // structure an archiver keeps when it prunes the rest. Dup
+    // clusters are small by construction, so the O(log max-cluster)
+    // round count is 3–4 — Borůvka's round bound depends on component
+    // size, NOT corpus size, which is why the gate runs it on the
+    // dedup graph rather than the (diameter-unbounded) ε-graph.
+    //
+    // Oracle independence: an unrolled Prim — per component root, a
+    // recursive CTE grows the frontier one LATERAL argmin at a time.
+    // Different algorithm, same per-component edge-weight multiset
+    // (the MST exchange property), so n_edges/mst_w must agree even
+    // where tie-broken trees differ.
+    QueryDef("q348_mst_clusters",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val edges = Dedup.dedupPipeline(docs)
+          .groupBy("id_a", "id_b")
+          .agg(min(round(lit(1.0) - col("jaccard"), 6)).as("w"))
+          .select(col("id_a").as("a"), col("id_b").as("b"), col("w"))
+        boruvkaMstForest(docs.select(col("doc_id").as("id")), edges)
+          .orderBy("root")
+      },
+      Some(s"""WITH RECURSIVE ${Dedup.verifiedPairsCtes},
+             |ed AS MATERIALIZED (
+             |  SELECT id_a AS a, id_b AS b, MIN(round(1.0 - jaccard, 6)) AS w
+             |  FROM vp GROUP BY 1, 2),
+             |sym AS MATERIALIZED (
+             |  SELECT a AS u, b AS v, w FROM ed
+             |  UNION ALL SELECT b, a, w FROM ed),
+             |reach(node, lbl) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT s.v, r.lbl FROM reach r JOIN sym s ON s.u = r.node),
+             |lab AS (SELECT node, MIN(lbl) AS lbl FROM reach GROUP BY node),
+             |roots AS MATERIALIZED (SELECT lbl AS root FROM lab GROUP BY lbl),
+             |prim(root, step, sel, w) AS (
+             |  SELECT root, 1, [root], CAST(0 AS DECIMAL(28,9)) FROM roots
+             |  UNION ALL
+             |  SELECT p.root, p.step + 1, list_append(p.sel, nx.v),
+             |    p.w + CAST(nx.w AS DECIMAL(28,9))
+             |  FROM prim p JOIN LATERAL (
+             |    SELECT s.v, s.w FROM sym s
+             |    WHERE list_contains(p.sel, s.u)
+             |      AND NOT list_contains(p.sel, s.v)
+             |    ORDER BY s.w, s.u, s.v LIMIT 1) nx ON true)
+             |SELECT root, CAST(step AS BIGINT) AS n_nodes,
+             |  CAST(step - 1 AS BIGINT) AS n_edges, CAST(w AS DOUBLE) AS mst_w
+             |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY root
+             |        ORDER BY step DESC) AS rn FROM prim)
+             |WHERE rn = 1 ORDER BY root""".stripMargin))
   )
 }

@@ -855,8 +855,95 @@ object DataSelect {
           .toDF("step", "center_id", "sel_d2")
           .orderBy("step")
       },
-      Some(kcenterSql(6)))
+      Some(kcenterSql(6))),
+
+    // Greedy set-cover source selection (✚, the submodular-coverage
+    // member of the selection family: q346 covers SPACE with k
+    // points, this covers CONTENT with k sources — "which k corpora
+    // do I license/ingest to see the most distinct phenomena?", the
+    // classic budgeted-acquisition question, and greedy is its
+    // (1−1/e) workhorse). Universe = distinct bigrams; round i scans
+    // the NOT-yet-covered (source, bigram) table, picks the source
+    // with the largest marginal gain (tie: source asc), removes every
+    // bigram it covers, repeats. The output trace — source, marginal
+    // gain, cumulative coverage — is the diminishing-returns curve a
+    // curator actually reads.
+    //
+    // Scale: each round is ONE map-side-combined groupBy over the
+    // REMAINING pair table (shrinks every round) + a 1-row argmax
+    // collect + an anti-join on the covered bigram set (a
+    // broadcast-able |universe|-bounded column) — k·O(pairs), the
+    // same O(k·n) shape as q346, zero driver state beyond the k
+    // picks. A short round (no sources left with new content) ends
+    // the trace on BOTH engines — the arms go empty together.
+    QueryDef("q347_source_cover",
+      (s, d) => {
+        import s.implicits._
+        val w = split(col("text"), " ")
+        // <2-token docs yield NO bigrams (DuckDB's range(1, len) is
+        // empty there; Spark's sequence would count DOWN — guard it)
+        val bigrams = when(size(w) >= 2,
+          transform(sequence(lit(1), size(w) - 1),
+            i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+          .otherwise(array().cast("array<string>"))
+        val st = Tables.documents(s, d)
+          .select(col("source"), explode(bigrams).as("g"))
+          .distinct().localCheckpoint()
+        val k = 5
+        var remaining = st
+        var total = 0L
+        val picks = scala.collection.mutable.ListBuffer[(Long, String, Long, Long)]()
+        var i = 0
+        while (i < k) {
+          val top = remaining.groupBy("source").agg(count(lit(1)).as("gain"))
+            .orderBy(col("gain").desc, col("source").asc).limit(1).collect()
+          if (top.isEmpty) i = k
+          else {
+            val (src, gain) = (top(0).getString(0), top(0).getLong(1))
+            total += gain
+            picks += ((picks.size + 1L, src, gain, total))
+            remaining = remaining
+              .join(remaining.where(col("source") === src).select("g"),
+                Seq("g"), "left_anti")
+              .localCheckpoint()
+            i += 1
+          }
+        }
+        picks.toSeq.toDF("step", "source", "gain", "covered_total")
+          .orderBy("step")
+      },
+      Some(coverSql(5)))
   )
+
+  /** Unrolled greedy set-cover oracle: per round a MATERIALIZED
+    * remaining-pairs level, an argmax-LIMIT-1 pick, and the next
+    * level filtered by the pick's bigrams; cumulative coverage is a
+    * running sum over the emitted arms. */
+  private def coverSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH toks AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+             |r1 AS MATERIALIZED (SELECT DISTINCT source, g FROM (
+             |  SELECT source, unnest(list_transform(range(1, len(w)),
+             |    j -> w[j] || ' ' || w[j+1])) AS g
+             |  FROM toks)),
+             |""".stripMargin
+    for (i <- 1 to k) {
+      sb ++= s"p$i AS MATERIALIZED (SELECT source, COUNT(*) AS gain FROM r$i " +
+        s"GROUP BY source ORDER BY gain DESC, source LIMIT 1),\n"
+      if (i < k)
+        sb ++= s"r${i + 1} AS MATERIALIZED (SELECT * FROM r$i WHERE g NOT IN (" +
+          s"SELECT g FROM r$i WHERE source = (SELECT source FROM p$i))),\n"
+    }
+    sb.setLength(sb.length - 2) // drop trailing comma
+    sb ++= "\n"
+    sb ++= "SELECT step, source, gain,\n" +
+      "  CAST(SUM(gain) OVER (ORDER BY step) AS BIGINT) AS covered_total\nFROM (\n"
+    sb ++= (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS step, source, CAST(gain AS BIGINT) AS gain FROM p$i")
+      .mkString("\nUNION ALL\n")
+    sb ++= ")\nORDER BY step"
+    sb.toString
+  }
 
   /** Unrolled Gonzalez k-center oracle: step i's farthest-point argmax
     * as an ORDER BY ... LIMIT 1 CTE, min-distances folded with LEAST

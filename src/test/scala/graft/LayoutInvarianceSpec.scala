@@ -74,7 +74,15 @@ class LayoutInvarianceSpec extends AnyFunSuite {
     // t-closeness dense grid whose cumsums must not see layout (q338)
     "q334_quality_classifier",
     "q335_compaction_plan",
-    "q338_t_closeness")
+    "q338_t_closeness",
+    // round-12 second batch: the grid ε-join + core-subgraph CC
+    // labels (q345), three iterate-materialize loops whose per-round
+    // argmax/min elections must not see partitioning — farthest-point
+    // (q346), greedy cover (q347), and Borůvka min-edge rounds (q348)
+    "q345_dbscan_grid",
+    "q346_kcenter_coreset",
+    "q347_source_cover",
+    "q348_mst_clusters")
 
   private def contents(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf).collect()

@@ -97,6 +97,82 @@ class Batch23Spec extends AnyFunSuite {
     assert(want.exists(_._2 == "core") && want.exists(_._2 == "noise"))
   }
 
+  test("q347 greedy cover: diminishing gains, distinct sources, exact first pick") {
+    val rows = SparkEntry.queries("q347_source_cover")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.map(_._1).toSeq == (1L to rows.length))
+    assert(rows.map(_._2).distinct.length == rows.length, "a source is picked once")
+    val gains = rows.map(_._3)
+    assert(gains.zip(gains.drop(1)).forall { case (a, b) => b <= a },
+      "marginal gains are non-increasing (submodularity)")
+    assert(rows.map(_._3).scanLeft(0L)(_ + _).drop(1).toSeq == rows.map(_._4).toSeq,
+      "covered_total is the running gain sum")
+    // first pick = argmax distinct-bigram count, computed independently
+    val perSource = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (s, ds) =>
+        s -> ds.flatMap { case (_, t) =>
+          val w = t.split(" ", -1); w.zip(w.drop(1)).map { case (a, b) => s"$a $b" }
+        }.distinct.length
+      }
+    val best = perSource.toSeq.sortBy { case (s, n) => (-n, s) }.head
+    assert((rows.head._2, rows.head._3) == (best._1, best._2.toLong))
+  }
+
+  test("boruvka forest equals a driver-side Kruskal, ties and isolated nodes included") {
+    import spark.implicits._
+    // hand graph: two components + an isolated node; tied weights on
+    // purpose (different MSTs possible, same weight multiset)
+    val nodes = (1L to 8L).toDF("id")
+    val edges = Seq(
+      (1L, 2L, 0.5), (2L, 3L, 0.5), (1L, 3L, 0.9), (3L, 4L, 0.1),
+      (5L, 6L, 0.2), (6L, 7L, 0.2), (5L, 7L, 0.2)).toDF("a", "b", "w")
+    val got = Components.boruvkaMstForest(nodes, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 4L, 3L, 1.1), // 0.5 + 0.5 + 0.1
+      (5L, 3L, 2L, 0.4), // two of the tied 0.2s, any pair
+      (8L, 1L, 0L, 0.0)))
+  }
+
+  test("q348 per-cluster MST weight matches driver-side Kruskal at sf0.001") {
+    val rows = SparkEntry.queries("q348_mst_clusters")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.forall { case (_, n, e, _) => e == n - 1 },
+      "every component's MST is a tree")
+    val docs = Tables.documents(spark, sf)
+    assert(rows.map(_._2).sum == docs.count(), "components partition the corpus")
+    // independent Kruskal over the same weighted pair set
+    val es = Dedup.dedupPipeline(docs)
+      .groupBy("id_a", "id_b")
+      .agg(min(round(lit(1.0) - col("jaccard"), 6)).as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(e => (e._3, e._1, e._2))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val wByRoot = scala.collection.mutable.Map[Long, BigDecimal]()
+    for ((a, b, w) <- es) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        parent(math.max(ra, rb)) = math.min(ra, rb)
+        wByRoot(math.min(ra, rb)) =
+          wByRoot.getOrElse(math.min(ra, rb), BigDecimal(0)) + BigDecimal(w)
+      }
+    }
+    // fold intermediate roots' accumulators up to their final root
+    val folded = scala.collection.mutable.Map[Long, BigDecimal]()
+    for ((r, w) <- wByRoot) folded(find(r)) = folded.getOrElse(find(r), BigDecimal(0)) + w
+    for ((root, n, e, w) <- rows if n > 1) {
+      val want = folded.getOrElse(root, BigDecimal(0)).toDouble
+      assert(math.abs(w - want) < 1e-9, s"root $root: $w vs kruskal $want")
+    }
+  }
+
   test("q346 k-center trace satisfies the Gonzalez invariants") {
     val rows = SparkEntry.queries("q346_kcenter_coreset")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
