@@ -912,8 +912,139 @@ object DataSelect {
         picks.toSeq.toDF("step", "source", "gain", "covered_total")
           .orderBy("step")
       },
-      Some(coverSql(5)))
+      Some(coverSql(5))),
+
+    // Leave-one-source-out ablation of a linear probe (✚, data
+    // VALUATION: q347 asks "which sources to acquire", this asks
+    // "which source, if dropped, most changes a model" — the
+    // poor-man's influence function a curator runs before paying for
+    // re-training). Probe: the closed-form least-squares fit of
+    // n_chars ~ b0 + b1·n_tok + b2·n_distinct_tok. The trick that
+    // makes k ablations ONE corpus pass: linear regression's
+    // sufficient statistics (the 10 moment sums n, Σx, Σxx', Σxy,
+    // Σy²) are additive, so each leave-one-out model is solved in
+    // closed form (3×3 Cramer) from GLOBAL − SOURCE sums — no
+    // per-ablation scan, no gradient loop. Output: per ablation the
+    // refit coefficients, its RMSE, and the shift vs the full fit.
+    //
+    // Scale: one map-side-combined groupBy(source) over per-row
+    // integer features; everything after is |sources|-row arithmetic.
+    // Determinism: the moment sums are exact BIGINTs; Cramer runs in
+    // doubles from identical expression text in both engines (pure
+    // IEEE *,−,+ on exactly-representable inputs — no libm), rounds
+    // only at the output.
+    QueryDef("q350_source_ablation",
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val f = Tables.documents(s, d).select(col("source"),
+          size(toks).cast("long").as("x1"),
+          size(array_distinct(toks)).cast("long").as("x2"),
+          col("n_chars").as("y"))
+        val sums = Seq[(String, Column)](
+          "n" -> count(lit(1)), "s1" -> sum(col("x1")), "s2" -> sum(col("x2")),
+          "s11" -> sum(col("x1") * col("x1")), "s12" -> sum(col("x1") * col("x2")),
+          "s22" -> sum(col("x2") * col("x2")), "sy" -> sum(col("y")),
+          "s1y" -> sum(col("x1") * col("y")), "s2y" -> sum(col("x2") * col("y")),
+          "syy" -> sum(col("y") * col("y")))
+        val names = sums.map(_._1)
+        val perSrc = f.groupBy("source")
+          .agg(sums.head._2.as(names.head), sums.tail.map { case (n2, c) => c.as(n2) }: _*)
+        val global = perSrc.agg(sum(col(names.head)).as(names.head),
+          names.tail.map(n2 => sum(col(n2)).as(n2)): _*)
+        val ablated = perSrc.as("s").crossJoin(broadcast(global).as("g"))
+          .select(col("s.source").as("who") +:
+            names.map(n2 => (col(s"g.$n2") - col(s"s.$n2")).as(n2)): _*)
+          .unionByName(global.select(lit("_all").as("who") +:
+            names.map(n2 => col(n2)): _*))
+        // Cramer for [[a,b,c],[b,e12,e],[c,e,f2]]·θ = [p,q,r] — the
+        // SAME expression text as the oracle, term for term
+        val a = col("n").cast("double"); val b = col("s1").cast("double")
+        val c2 = col("s2").cast("double"); val d2 = col("s11").cast("double")
+        val e = col("s12").cast("double"); val f2 = col("s22").cast("double")
+        val p = col("sy").cast("double"); val q = col("s1y").cast("double")
+        val r = col("s2y").cast("double"); val yy = col("syy").cast("double")
+        val det = a * (d2 * f2 - e * e) - b * (b * f2 - e * c2) +
+          c2 * (b * e - d2 * c2)
+        val b0 = (p * (d2 * f2 - e * e) - b * (q * f2 - e * r) +
+          c2 * (q * e - d2 * r)) / det
+        val b1 = (a * (q * f2 - e * r) - p * (b * f2 - e * c2) +
+          c2 * (b * r - q * c2)) / det
+        val b2 = (a * (d2 * r - q * e) - b * (b * r - q * c2) +
+          p * (b * e - d2 * c2)) / det
+        val mse = (yy - lit(2.0d) * (b0 * p + b1 * q + b2 * r) +
+          (b0 * b0 * a + b1 * b1 * d2 + b2 * b2 * f2 +
+            lit(2.0d) * b0 * b1 * b + lit(2.0d) * b0 * b2 * c2 +
+            lit(2.0d) * b1 * b2 * e)) / a
+        val fit = ablated.select(col("who"), col("n").as("n_used"),
+          round(b0, 6).as("b0"), round(b1, 6).as("b1"), round(b2, 6).as("b2"),
+          round(sqrt(mse), 6).as("rmse"))
+        val base = fit.where(col("who") === "_all")
+          .select(col("rmse").as("rmse_all"))
+        fit.crossJoin(broadcast(base))
+          .select(col("who"), col("n_used"), col("b0"), col("b1"), col("b2"),
+            col("rmse"), round(col("rmse") - col("rmse_all"), 6).as("rmse_shift"))
+          .orderBy("who")
+      },
+      Some(ablationSql))
   )
+
+  /** The q350 oracle: identical moment sums per source, GLOBAL − SOURCE
+    * ablation arithmetic, and the verbatim Cramer/MSE expression text. */
+  private def ablationSql: String = {
+    val det = "a*(d*f - e*e) - b*(b*f - e*c) + c*(b*e - d*c)"
+    val b0 = s"(p*(d*f - e*e) - b*(q*f - e*r) + c*(q*e - d*r)) / ($det)"
+    val b1 = s"(a*(q*f - e*r) - p*(b*f - e*c) + c*(b*r - q*c)) / ($det)"
+    val b2 = s"(a*(d*r - q*e) - b*(b*r - q*c) + p*(b*e - d*c)) / ($det)"
+    s"""WITH f AS (
+       |  SELECT source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS x2,
+       |    n_chars AS y
+       |  FROM documents),
+       |ps AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+       |    CAST(SUM(x1*x1) AS BIGINT) AS s11, CAST(SUM(x1*x2) AS BIGINT) AS s12,
+       |    CAST(SUM(x2*x2) AS BIGINT) AS s22, CAST(SUM(y) AS BIGINT) AS sy,
+       |    CAST(SUM(x1*y) AS BIGINT) AS s1y, CAST(SUM(x2*y) AS BIGINT) AS s2y,
+       |    CAST(SUM(y*y) AS BIGINT) AS syy
+       |  FROM f GROUP BY 1),
+       |g AS (
+       |  SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(s1) AS BIGINT) AS s1,
+       |    CAST(SUM(s2) AS BIGINT) AS s2, CAST(SUM(s11) AS BIGINT) AS s11,
+       |    CAST(SUM(s12) AS BIGINT) AS s12, CAST(SUM(s22) AS BIGINT) AS s22,
+       |    CAST(SUM(sy) AS BIGINT) AS sy, CAST(SUM(s1y) AS BIGINT) AS s1y,
+       |    CAST(SUM(s2y) AS BIGINT) AS s2y, CAST(SUM(syy) AS BIGINT) AS syy
+       |  FROM ps),
+       |ab AS (
+       |  SELECT ps.source AS who, g.n - ps.n AS n, g.s1 - ps.s1 AS s1,
+       |    g.s2 - ps.s2 AS s2, g.s11 - ps.s11 AS s11, g.s12 - ps.s12 AS s12,
+       |    g.s22 - ps.s22 AS s22, g.sy - ps.sy AS sy, g.s1y - ps.s1y AS s1y,
+       |    g.s2y - ps.s2y AS s2y, g.syy - ps.syy AS syy
+       |  FROM ps, g
+       |  UNION ALL
+       |  SELECT '_all', n, s1, s2, s11, s12, s22, sy, s1y, s2y, syy FROM g),
+       |dd AS (
+       |  SELECT who, n, CAST(n AS DOUBLE) AS a, CAST(s1 AS DOUBLE) AS b,
+       |    CAST(s2 AS DOUBLE) AS c, CAST(s11 AS DOUBLE) AS d,
+       |    CAST(s12 AS DOUBLE) AS e, CAST(s22 AS DOUBLE) AS f,
+       |    CAST(sy AS DOUBLE) AS p, CAST(s1y AS DOUBLE) AS q,
+       |    CAST(s2y AS DOUBLE) AS r, CAST(syy AS DOUBLE) AS yy
+       |  FROM ab),
+       |th AS (SELECT who, n, a, b, c, d, e, f, p, q, r, yy,
+       |    $b0 AS b0, $b1 AS b1, $b2 AS b2 FROM dd),
+       |fit AS (
+       |  SELECT who, n AS n_used, round(b0, 6) AS b0, round(b1, 6) AS b1,
+       |    round(b2, 6) AS b2,
+       |    round(sqrt((yy - CAST(2 AS DOUBLE)*(b0*p + b1*q + b2*r) +
+       |      (b0*b0*a + b1*b1*d + b2*b2*f + CAST(2 AS DOUBLE)*b0*b1*b +
+       |       CAST(2 AS DOUBLE)*b0*b2*c + CAST(2 AS DOUBLE)*b1*b2*e)) / a), 6)
+       |      AS rmse
+       |  FROM th)
+       |SELECT who, n_used, b0, b1, b2, rmse,
+       |  round(rmse - (SELECT rmse FROM fit WHERE who = '_all'), 6) AS rmse_shift
+       |FROM fit ORDER BY who""".stripMargin
+  }
 
   /** Unrolled greedy set-cover oracle: per round a MATERIALIZED
     * remaining-pairs level, an argmax-LIMIT-1 pick, and the next

@@ -863,6 +863,160 @@ object Similarity {
               |  round(cos_best - CAST(sum4 AS DOUBLE) / n4, 5) AS margin,
               |  CAST(CASE WHEN round(cos_best - CAST(sum4 AS DOUBLE) / n4, 5)
               |    > 0.05 THEN 1 ELSE 0 END AS BIGINT) AS mined
-              |FROM t ORDER BY q_id""".stripMargin))
+              |FROM t ORDER BY q_id""".stripMargin)),
+
+    // Cholesky whitening of the embedding space (✚, the linear-algebra
+    // preprocessing step between q239's covariance audit and the
+    // quantizers: decorrelate-and-rescale so axis-aligned codebooks
+    // (q95 PQ) and isotropic distance thresholds (q30/q345) stop
+    // paying for covarying dims. z = L⁻¹(x − μ) with C = LLᵀ — the
+    // triangular-solve flavor of ZCA, chosen because Cholesky and
+    // forward substitution are CLOSED-FORM arithmetic both engines can
+    // replay exactly, no eigensolve). Output: the whitened second
+    // moment E[zzᵀ] — the identity-matrix witness that the transform
+    // actually whitened.
+    //
+    // Scale: two corpus passes, each ONE map-side-combined scan — the
+    // 45-cell moment aggregation (q239's shape), then the projected
+    // 36-cell z-moment aggregation; the 8×8 factorization runs on the
+    // DRIVER from the collected cells (the q283/kmeansCentroids
+    // bounded-state class) and re-enters the plan as literals, so the
+    // projection is pure codegen'd per-row arithmetic.
+    // Determinism (the q283 discipline, extended to a factorization):
+    // covariance cells round@9; EVERY Cholesky entry, inverse entry,
+    // and mean rounds@9 as it is produced, with summations written in
+    // the same ascending-k left-associated order in both engines —
+    // Spark folds them driver-side, the oracle as lateral column
+    // aliases in dependency order — so both factor the IDENTICAL
+    // matrix into IDENTICAL literals; z products round@9 into exact
+    // DECIMAL sums, cells round@6 out.
+    QueryDef("q351_embed_whitening",
+      (s, d) => {
+        val D = 8
+        val e = Tables.embeddings(s, d)
+          .select(Vectors.asDouble(col("embedding")).as("v"))
+          .localCheckpoint() // 2 consumers: moments, projection
+        def x(i: Int) = element_at(col("v"), i)
+        def dsum9(c: org.apache.spark.sql.Column) =
+          sum(round(c, 9).cast("decimal(38,9)")).cast("double")
+        val aggs =
+          Seq(count(lit(1)).cast("double").as("n")) ++
+          (1 to D).map(i => dsum9(x(i)).as(s"s_$i")) ++
+          (for (i <- 1 to D; j <- i to D)
+            yield dsum9(x(i) * x(j)).as(s"s_${i}_$j"))
+        val row = e.agg(aggs.head, aggs.tail: _*).first()
+        val n = row.getDouble(0)
+        def g(name: String) = row.getDouble(row.fieldIndex(name))
+        def r9(v: Double) = BigDecimal.valueOf(v)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val mu = Array.tabulate(D + 1)(i =>
+          if (i == 0) 0.0 else r9(g(s"s_$i") / n))
+        val c = Array.tabulate(D + 1, D + 1) { (i0, j0) =>
+          if (i0 == 0 || j0 == 0) 0.0 else {
+            val (i, j) = (math.min(i0, j0), math.max(i0, j0))
+            r9((g(s"s_${i}_$j") - g(s"s_$i") * g(s"s_$j") / n) / n)
+          }
+        }
+        val l = Array.ofDim[Double](D + 1, D + 1)
+        for (j <- 1 to D) {
+          l(j)(j) = r9(math.sqrt(
+            if (j == 1) c(j)(j)
+            else c(j)(j) - (1 until j).map(k => l(j)(k) * l(j)(k)).sum))
+          for (i <- j + 1 to D)
+            l(i)(j) = r9((
+              if (j == 1) c(i)(j)
+              else c(i)(j) - (1 until j).map(k => l(i)(k) * l(j)(k)).sum
+            ) / l(j)(j))
+        }
+        val m = Array.ofDim[Double](D + 1, D + 1)
+        for (j <- 1 to D) {
+          m(j)(j) = r9(1.0 / l(j)(j))
+          for (i <- j + 1 to D)
+            m(i)(j) = r9(-(j until i).map(k => l(i)(k) * m(k)(j)).sum / l(i)(i))
+        }
+        val zcols = (1 to D).map { i =>
+          (1 to i).map(j => lit(m(i)(j)) * (x(j) - lit(mu(j))))
+            .reduce(_ + _).as(s"z_$i")
+        }
+        val waggs =
+          Seq(count(lit(1)).cast("double").as("wn")) ++
+          (for (i <- 1 to D; j <- i to D)
+            yield dsum9(col(s"z_$i") * col(s"z_$j")).as(s"w_${i}_$j"))
+        val wrow = e.select(zcols: _*).agg(waggs.head, waggs.tail: _*)
+        val cells = (for (i <- 1 to D; j <- i to D) yield
+          s"$i, $j, round(CAST(w_${i}_$j AS DOUBLE) / wn, 6)").mkString(", ")
+        wrow.selectExpr(s"stack(${D * (D + 1) / 2}, $cells) AS (i, j, white_cov)")
+          .selectExpr("CAST(i AS INT) AS i", "CAST(j AS INT) AS j", "white_cov")
+          .orderBy("i", "j")
+      },
+      Some {
+        val D = 8
+        val sums =
+          (1 to D).map(i =>
+            s"SUM(CAST(round(embedding[$i]::DOUBLE, 9) AS DECIMAL(38,9))) AS s_$i") ++
+          (for (i <- 1 to D; j <- i to D) yield
+            s"SUM(CAST(round(embedding[$i]::DOUBLE * embedding[$j]::DOUBLE, 9) " +
+              s"AS DECIMAL(38,9))) AS s_${i}_$j")
+        val pivot =
+          (1 to D).map(i => s"round(CAST(s_$i AS DOUBLE) / n, 9) AS mu_$i") ++
+          (for (i <- 1 to D; j <- i to D) yield
+            s"round((CAST(s_${i}_$j AS DOUBLE) - CAST(s_$i AS DOUBLE) * " +
+              s"CAST(s_$j AS DOUBLE) / n) / n, 9) AS c_${i}_$j")
+        // dependency-ordered lateral aliases: column j's entries only
+        // reference columns < j and rows above — same fold order as the
+        // Spark driver's loops
+        val chol = (1 to D).flatMap { j =>
+          val diag =
+            if (j == 1) s"round(sqrt(c_1_1), 9) AS l_1_1"
+            else {
+              val ss = (1 until j).map(k => s"l_${j}_$k * l_${j}_$k").mkString(" + ")
+              s"round(sqrt(c_${j}_$j - ($ss)), 9) AS l_${j}_$j"
+            }
+          val offs = (j + 1 to D).map { i =>
+            if (j == 1) s"round(c_1_$i / l_1_1, 9) AS l_${i}_1"
+            else {
+              val ss = (1 until j).map(k => s"l_${i}_$k * l_${j}_$k").mkString(" + ")
+              s"round((c_${j}_$i - ($ss)) / l_${j}_$j, 9) AS l_${i}_$j"
+            }
+          }
+          diag +: offs
+        }
+        val minv = (1 to D).flatMap { j =>
+          val diag = s"round(CAST(1.0 AS DOUBLE) / l_${j}_$j, 9) AS m_${j}_$j"
+          val offs = (j + 1 to D).map { i =>
+            val ss = (j until i).map(k => s"l_${i}_$k * m_${k}_$j").mkString(" + ")
+            s"round(-($ss) / l_${i}_$i, 9) AS m_${i}_$j"
+          }
+          diag +: offs
+        }
+        val zs = (1 to D).map { i =>
+          val terms = (1 to i)
+            .map(j => s"m_${i}_$j * (embedding[$j]::DOUBLE - mu_$j)")
+            .mkString(" + ")
+          s"($terms) AS z_$i"
+        }
+        val wsums = (for (i <- 1 to D; j <- i to D) yield
+          s"SUM(CAST(round(z_$i * z_$j, 9) AS DECIMAL(38,9))) AS w_${i}_$j")
+        val rows = (for (i <- 1 to D; j <- i to D) yield
+          s"SELECT $i AS i, $j AS j, " +
+            s"round(CAST(w_${i}_$j AS DOUBLE) / wn, 6) AS white_cov FROM w")
+          .mkString("\nUNION ALL ")
+        s"""WITH a AS MATERIALIZED (
+           |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, ${sums.mkString(",\n    ")}
+           |  FROM embeddings),
+           |cp AS MATERIALIZED (
+           |  SELECT n, ${pivot.mkString(",\n    ")} FROM a),
+           |chol AS MATERIALIZED (
+           |  SELECT *, ${chol.mkString(",\n    ")} FROM cp),
+           |mi AS MATERIALIZED (
+           |  SELECT *, ${minv.mkString(",\n    ")} FROM chol),
+           |zp AS (
+           |  SELECT ${zs.mkString(",\n    ")} FROM embeddings, mi),
+           |w AS MATERIALIZED (
+           |  SELECT CAST(COUNT(*) AS DOUBLE) AS wn, ${wsums.mkString(",\n    ")}
+           |  FROM zp)
+           |$rows
+           |ORDER BY i, j""".stripMargin
+      })
   )
 }

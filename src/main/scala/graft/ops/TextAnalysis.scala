@@ -756,19 +756,23 @@ object TextAnalysis {
         val dt = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
         val freq = toks.groupBy("tok").agg(count(lit(1)).as("fn"))
         val total = toks.agg(count(lit(1)).as("total"))
+        // decimal(18,9): lp × count must stay inside precision 38 or
+        // Spark's allowPrecisionLoss rounds each product to scale 6
+        // (DuckDB keeps 9) — the q349 lesson applied retroactively
         val lp = round(log(col("fn").cast("double") / col("total")), 9)
-          .cast("decimal(28,9)")
+          .cast("decimal(18,9)")
         val perDoc = dt.join(broadcast(freq), "tok")
           .crossJoin(broadcast(total))
           .groupBy("doc_id")
-          .agg(sum(lp * col("c")).as("slp"), sum(col("c")).as("n_tok"))
+          .agg(sum(lp * col("c").cast("decimal(10,0)")).as("slp"),
+            sum(col("c")).as("n_tok"))
         // the corpus scalar needs no second pass over perDoc:
         // Σ_docs slp = Σ_tok fn·lp (same DECIMAL terms regrouped —
         // exact), and Σ n_tok = total; both come from the VOCAB-sized
         // freq table, so perDoc has one consumer and nothing corpus-
         // sized is materialized or recomputed
         val corpus = freq.crossJoin(broadcast(total))
-          .agg(sum(lp * col("fn")).as("gslp"),
+          .agg(sum(lp * col("fn").cast("decimal(10,0)")).as("gslp"),
                first(col("total")).as("gn"))
         perDoc.crossJoin(broadcast(corpus))
           .select(col("doc_id"), col("n_tok"),
@@ -786,9 +790,9 @@ object TextAnalysis {
              |lp AS (
              |  SELECT dt.doc_id, dt.c,
              |    CAST(round(ln(CAST(fn AS DOUBLE) / total), 9)
-             |         AS DECIMAL(28,9)) AS lp
+             |         AS DECIMAL(18,9)) AS lp
              |  FROM dt JOIN freq USING (tok), tot),
-             |pd AS (SELECT doc_id, SUM(lp * c) AS slp,
+             |pd AS (SELECT doc_id, SUM(lp * CAST(c AS DECIMAL(10,0))) AS slp,
              |         CAST(SUM(c) AS BIGINT) AS n_tok
              |       FROM lp GROUP BY 1),
              |g AS (SELECT SUM(slp) AS gslp, SUM(n_tok) AS gn FROM pd)
@@ -1952,6 +1956,118 @@ object TextAnalysis {
              |  CAST(SUM(length(dec)) AS BIGINT) AS chars_decomposed,
              |  CAST(SUM(length(nfc)) AS BIGINT) AS chars_nfc,
              |  CAST(SUM(CASE WHEN nfc = composed THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip
-             |FROM n GROUP BY lang ORDER BY lang""".stripMargin))
+             |FROM n GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Interpolated Kneser-Ney bigram LM (✚, the REAL smoothing
+    // algorithm behind the CCNet/KenLM perplexity filter — q118 is the
+    // unigram proxy and q223 add-one context smoothing; KN is what
+    // production quality filters actually run, and its distinguishing
+    // machinery is all COUNT-OF-COUNTS: the backoff weight spends the
+    // discount mass D per context, and the unigram backoff is the
+    // CONTINUATION probability npred(w)/|bigram types| — "how many
+    // contexts does w follow" — not raw frequency):
+    //   P(w|u) = (c(u,w) − D)/c(u) + (D·nsucc(u)/c(u)) · (npred(w)/T)
+    // with D = 0.75, over the corpus's own bigrams (every scored
+    // bigram is seen, so the max(·,0) clamp never binds and unseen-
+    // event backoff is exercised only through the interpolation term).
+    // Output: per-doc cross-entropy + keep flag vs the corpus CE.
+    //
+    // Scale: the model is four count tables, every one derived from
+    // ONE map-side-combined pass over per-doc bigram counts — cb is
+    // |bigram types| (hash-join keyed, NOT broadcast: type counts grow
+    // with corpus), cu/nsucc/npred are vocab-bounded. Per-doc scoring
+    // joins dbc⋈lp on the (u,w) key and reduces doc-keyed. The corpus
+    // scalar regroups the TYPE table (Σ_docs slp ≡ Σ_types cb·lp in
+    // exact DECIMAL), so nothing corpus-sized is scanned twice.
+    // Determinism: P is composed in one textually-identical double
+    // expression from exact BIGINT counts in both engines, ln
+    // rounded@9 into DECIMAL sums (the q118/q223/q237 discipline).
+    QueryDef("q349_kn_perplexity",
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos")
+        val bi = Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+          .withColumn("nxt", lead(col("tok"), 1).over(W))
+          .where(col("nxt").isNotNull)
+          .select(col("doc_id"), col("tok").as("u"), col("nxt").as("w"))
+        val dbc = bi.groupBy("doc_id", "u", "w").agg(count(lit(1)).as("c"))
+          .localCheckpoint() // 2 consumers: the model and the scorer
+        val cb = dbc.groupBy("u", "w").agg(sum(col("c")).as("cb"))
+          .localCheckpoint() // 4 consumers: cu, nsucc, npred, T
+        val cu = cb.groupBy("u").agg(sum(col("cb")).as("cu"),
+          count(lit(1)).as("nsucc"))
+        val npred = cb.groupBy("w").agg(count(lit(1)).as("npred"))
+        val types = cb.agg(count(lit(1)).as("t"))
+        val p = (col("cb").cast("double") - 0.75d) / col("cu").cast("double") +
+          (lit(0.75d) * col("nsucc").cast("double") / col("cu").cast("double")) *
+          (col("npred").cast("double") / col("t").cast("double"))
+        // lp sized decimal(18,9) so lp × count is decimal(29,9) — EXACT.
+        // (28,9) × a long would overflow precision 38 and Spark’s
+        // allowPrecisionLoss silently rounds each product to scale 6,
+        // which DuckDB does not — a 1e-7-per-term drift that flipped a
+        // 5-dp tie at sf0.01.
+        val lp = cb.join(broadcast(cu), "u").join(broadcast(npred), "w")
+          .crossJoin(broadcast(types))
+          .select(col("u"), col("w"), col("cb"),
+            round(log(p), 9).cast("decimal(18,9)").as("lp"))
+          .localCheckpoint() // 2 consumers: per-doc scoring + corpus CE
+        val perDoc = dbc.join(lp.select("u", "w", "lp"), Seq("u", "w"))
+          .groupBy("doc_id")
+          .agg(sum(col("lp") * col("c").cast("decimal(10,0)")).as("slp"),
+            sum(col("c")).as("n_bi"))
+        val corpus = lp.agg(
+          sum(col("lp") * col("cb").cast("decimal(10,0)")).as("gslp"),
+          sum(col("cb")).as("gn"))
+        // kn_ce rounds the EXACT rational −slp/n_bi half-up at 5 dp in
+        // pure integer arithmetic: slp is k·10⁻⁹ exactly, so the 5-dp
+        // half-up round is (k + 5000·n)/(10000·n) floored — no
+        // double-round step where engines could disagree (round(dbl,5)
+        // is shortest-decimal-based in Spark but numeric in DuckDB,
+        // and −slp/n_bi TERMINATES whenever n_bi is 2^a·5^b·10^c, so
+        // exact 5-dp ties DO occur — one did at sf0.01)
+        perDoc.crossJoin(broadcast(corpus))
+          .withColumn("kk", (-col("slp") * lit(1000000000L)).cast("long"))
+          .selectExpr("doc_id", "n_bi",
+            "CAST((kk + n_bi * 5000) DIV (n_bi * 10000) AS DOUBLE) / 100000 AS kn_ce",
+            "(-CAST(slp AS DOUBLE) / n_bi) <= (-CAST(gslp AS DOUBLE) / gn) AS keep")
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             |    generate_subscripts(string_split(text, ' '), 1) AS pos
+             |  FROM documents),
+             |bi AS (
+             |  SELECT doc_id, tok AS u, LEAD(tok, 1) OVER
+             |    (PARTITION BY doc_id ORDER BY pos) AS w
+             |  FROM toks QUALIFY w IS NOT NULL),
+             |dbc AS MATERIALIZED (
+             |  SELECT doc_id, u, w, COUNT(*) AS c FROM bi GROUP BY 1, 2, 3),
+             |cbt AS MATERIALIZED (
+             |  SELECT u, w, CAST(SUM(c) AS BIGINT) AS cb FROM dbc GROUP BY 1, 2),
+             |cu AS (SELECT u, CAST(SUM(cb) AS BIGINT) AS cu,
+             |         CAST(COUNT(*) AS BIGINT) AS nsucc FROM cbt GROUP BY 1),
+             |np AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS npred FROM cbt GROUP BY 1),
+             |ty AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM cbt),
+             |lp AS MATERIALIZED (
+             |  SELECT cbt.u, cbt.w, cbt.cb,
+             |    CAST(round(ln(
+             |      (CAST(cb AS DOUBLE) - 0.75) / CAST(cu AS DOUBLE) +
+             |      (CAST(0.75 AS DOUBLE) * CAST(nsucc AS DOUBLE) / CAST(cu AS DOUBLE)) *
+             |      (CAST(npred AS DOUBLE) / CAST(t AS DOUBLE))), 9)
+             |      AS DECIMAL(18,9)) AS lp
+             |  FROM cbt JOIN cu USING (u) JOIN np USING (w), ty),
+             |pd AS (
+             |  SELECT doc_id, SUM(lp * CAST(c AS DECIMAL(10,0))) AS slp,
+             |    CAST(SUM(c) AS BIGINT) AS n_bi
+             |  FROM dbc JOIN lp USING (u, w) GROUP BY 1),
+             |g AS (SELECT SUM(lp * CAST(cb AS DECIMAL(10,0))) AS gslp,
+             |  CAST(SUM(cb) AS BIGINT) AS gn FROM lp)
+             |SELECT doc_id, n_bi,
+             |  CAST((CAST(-slp * 1000000000 AS BIGINT) + n_bi * 5000)
+             |    // (n_bi * 10000) AS DOUBLE) / 100000 AS kn_ce,
+             |  (-CAST(slp AS DOUBLE) / n_bi) <= (-CAST(gslp AS DOUBLE) / gn) AS keep
+             |FROM pd, g ORDER BY doc_id""".stripMargin))
   )
 }

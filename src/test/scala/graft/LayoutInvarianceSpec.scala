@@ -82,7 +82,14 @@ class LayoutInvarianceSpec extends AnyFunSuite {
     "q345_dbscan_grid",
     "q346_kcenter_coreset",
     "q347_source_cover",
-    "q348_mst_clusters")
+    "q348_mst_clusters",
+    // KN's count-of-counts model and the ablation's moment sums must
+    // be exact (DECIMAL / BIGINT) and so layout-blind
+    "q349_kn_perplexity",
+    "q350_source_ablation",
+    // the whitening factorization is driver-side from round@9 cells;
+    // both corpus scans are order-independent DECIMAL sums
+    "q351_embed_whitening")
 
   private def contents(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf).collect()

