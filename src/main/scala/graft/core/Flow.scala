@@ -169,6 +169,33 @@ object Flow {
       .sort("path").select("content").as[Array[Byte]])
   }
 
+  /** S5 over HTTP(S) — the flod-curl analog (`/root/reference/
+    * README.md:58`: the reference's first external package, composing
+    * as `read(url).inflate.byLine`). One url: a single ordered chunk
+    * stream, fetched on an EXECUTOR (the driver only plans), composing
+    * with `.inflate`/`.untar`/`.decodeChars().byLine()` unchanged. */
+  def readUrl(spark: SparkSession, url: String,
+              chunkSize: Int = 1 << 16): Flow[Array[Byte]] =
+    readUrls(spark, Seq(url), chunkSize)
+
+  /** The distributed url source: ONE PARTITION PER URL (in given
+    * order), so each url's body is one ordered per-partition stream —
+    * exactly the layout [[Flow.inflate]]/[[Flow.untar]] restitch per
+    * partition, and n urls fetch with n-way parallelism. Non-2xx
+    * responses throw (loud, never an empty stream); abandoned fetches
+    * release their sockets with the task ([[Http.fetchChunks]]). */
+  def readUrls(spark: SparkSession, urls: Seq[String],
+               chunkSize: Int = 1 << 16): Flow[Array[Byte]] = {
+    require(urls.nonEmpty, "readUrls needs at least one url")
+    implicit val e: Encoder[Array[Byte]] = org.apache.spark.sql.Encoders.BINARY
+    implicit val se: Encoder[String] = org.apache.spark.sql.Encoders.STRING
+    // parallelize with numSlices = |urls| pins exactly one url per
+    // partition, preserving the caller's order across partition indexes
+    val ds = spark.createDataset(
+      spark.sparkContext.parallelize(urls, urls.size))
+    new Flow(ds.mapPartitions(_.flatMap(Http.fetchChunks(_, chunkSize))))
+  }
+
   /** Text-file line source — the scalable byLine: the text source splits
     * on lineSep inside the (splittable) scan itself. */
   def readLines(spark: SparkSession, path: String, lineSep: String = "\n"): Flow[String] = {

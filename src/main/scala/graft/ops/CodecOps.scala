@@ -215,5 +215,79 @@ object CodecOps {
       Some("""SELECT doc_id, CAST(2 AS BIGINT) AS n_fields,
              |  CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS digest,
              |  lang
-             |FROM documents ORDER BY doc_id""".stripMargin)))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // HTTP(S) source — the flod-curl analog, the reference's FIRST
+    // external package (`/root/reference/README.md:58`: "download
+    // files from the web using libcurl"; its headline composition is
+    // `read(url).inflate...`). Four .tar.gz shards of a bounded
+    // 300-doc fixture slice are served by an in-process localhost
+    // HTTP server (the q144/q323 scratch-fixture pattern, over a
+    // socket instead of a directory), then read back DISTRIBUTED:
+    // Flow.readUrls pins ONE URL PER PARTITION, so the 4 fetches run
+    // as 4 parallel executor tasks and each body is one ordered
+    // per-partition chunk stream — exactly the layout inflate+untar
+    // restitch. chunkSize=4096 forces every shard through MANY chunks
+    // (multi-read streaming, not one lucky slurp), and each extracted
+    // member must match the original document byte-for-byte (md5-
+    // prefix digest vs the oracle's arithmetic over `documents`), with
+    // the shard attribution proving which url carried it. At 100 TB
+    // this is the ingest shape: n urls → n tasks, O(chunk) memory,
+    // nothing through the driver. localCheckpoint before the server
+    // stops (the q144 hygiene — the result must not depend on scratch
+    // infrastructure outliving query construction).
+    QueryDef("q352_http_fetch",
+      (s, d) => {
+        import s.implicits._
+        val slice = Tables.documents(s, d)
+          .where(col("doc_id") < 300).select("doc_id", "text")
+          .as[(Long, String)].collect().sortBy(_._1)
+        val shards = slice.groupBy(_._1 % 4).toSeq.sortBy(_._1)
+          .map { case (k, docs) =>
+            k -> Codec.deflateChunk(Tar.archive(docs.toSeq.map {
+              case (id, t) => (s"doc-$id.txt", t.getBytes("UTF-8"))
+            }), Codec.Gzip)
+          }
+        val server = com.sun.net.httpserver.HttpServer.create(
+          new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+        server.setExecutor(pool) // parallel fetches must not serialize
+        try {
+          shards.foreach { case (k, bytes) =>
+            server.createContext(s"/shard-$k.tar.gz",
+              (ex: com.sun.net.httpserver.HttpExchange) => {
+                ex.sendResponseHeaders(200, bytes.length.toLong)
+                try ex.getResponseBody.write(bytes) finally ex.close()
+              })
+          }
+          server.start()
+          val port = server.getAddress.getPort
+          val urls = shards.map { case (k, _) =>
+            s"http://127.0.0.1:$port/shard-$k.tar.gz" }
+          implicit val pe: org.apache.spark.sql.Encoder[(String, Array[Byte])] =
+            org.apache.spark.sql.Encoders.tuple(
+              org.apache.spark.sql.Encoders.STRING,
+              org.apache.spark.sql.Encoders.BINARY)
+          Flow.readUrls(s, urls, chunkSize = 4096)
+            .inflate(Codec.Gzip).untar.ds
+            .map { case (name, content) =>
+              val id = name.stripPrefix("doc-").stripSuffix(".txt").toLong
+              (id, id % 4, content.length.toLong,
+                new String(content, "UTF-8"))
+            }
+            .toDF("doc_id", "shard", "n_bytes", "dec")
+            .select(col("doc_id"), col("shard"), col("n_bytes"),
+              conv(substring(md5(col("dec").cast("binary")), 1, 8), 16, 10)
+                .cast("long").as("digest"))
+            .orderBy("doc_id")
+            .localCheckpoint()
+        } finally {
+          server.stop(0)
+          pool.shutdown()
+        }
+      },
+      Some("""SELECT doc_id, doc_id % 4 AS shard,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |  CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS digest
+             |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin)))
 }

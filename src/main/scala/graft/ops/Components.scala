@@ -511,9 +511,17 @@ object Components {
     * adopt the minimum neighboring core label. Squared distance is
     * rounded @9 before the ε² cut (oracle-parity; pass ε² as an exact
     * literal, not eps*eps). DbscanSpec certifies the grid blocking
-    * against the brute-force n² definition. */
+    * against the brute-force n² definition.
+    *
+    * Requires `minPts >= 2`: cores are derived from the ε-PAIRS table,
+    * so an isolated point (zero ε-neighbors) never appears there and
+    * could not be marked core even though `minPts <= 1` would make
+    * every point core by definition. */
   def dbscan(pts0: DataFrame, eps: Double, eps2: Double, minPts: Int,
              materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+    require(minPts >= 2,
+      s"dbscan requires minPts >= 2 (got $minPts): cores derive from the " +
+        "pairs table, so zero-neighbor points can never be core")
     val pts = materialize(pts0
       .withColumn("cx", floor(col("x") / eps).cast("long"))
       .withColumn("cy", floor(col("y") / eps).cast("long")))

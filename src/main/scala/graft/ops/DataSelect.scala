@@ -878,7 +878,6 @@ object DataSelect {
     // the trace on BOTH engines — the arms go empty together.
     QueryDef("q347_source_cover",
       (s, d) => {
-        import s.implicits._
         val w = split(col("text"), " ")
         // <2-token docs yield NO bigrams (DuckDB's range(1, len) is
         // empty there; Spark's sequence would count DOWN — guard it)
@@ -888,29 +887,8 @@ object DataSelect {
           .otherwise(array().cast("array<string>"))
         val st = Tables.documents(s, d)
           .select(col("source"), explode(bigrams).as("g"))
-          .distinct().localCheckpoint()
-        val k = 5
-        var remaining = st
-        var total = 0L
-        val picks = scala.collection.mutable.ListBuffer[(Long, String, Long, Long)]()
-        var i = 0
-        while (i < k) {
-          val top = remaining.groupBy("source").agg(count(lit(1)).as("gain"))
-            .orderBy(col("gain").desc, col("source").asc).limit(1).collect()
-          if (top.isEmpty) i = k
-          else {
-            val (src, gain) = (top(0).getString(0), top(0).getLong(1))
-            total += gain
-            picks += ((picks.size + 1L, src, gain, total))
-            remaining = remaining
-              .join(remaining.where(col("source") === src).select("g"),
-                Seq("g"), "left_anti")
-              .localCheckpoint()
-            i += 1
-          }
-        }
-        picks.toSeq.toDF("step", "source", "gain", "covered_total")
-          .orderBy("step")
+          .distinct()
+        sourceCover(s, st, 5)
       },
       Some(coverSql(5))),
 
@@ -936,10 +914,22 @@ object DataSelect {
     QueryDef("q350_source_ablation",
       (s, d) => {
         val toks = split(col("text"), " ")
-        val f = Tables.documents(s, d).select(col("source"),
+        sourceAblation(Tables.documents(s, d).select(col("source"),
           size(toks).cast("long").as("x1"),
           size(array_distinct(toks)).cast("long").as("x2"),
-          col("n_chars").as("y"))
+          col("n_chars").as("y")))
+      },
+      Some(ablationSql))
+  )
+
+  /** Leave-one-source-out linear-probe ablation (q350's engine) over a
+    * `(source, x1, x2, y)` features frame: additive moment sufficient
+    * statistics make every leave-one-out refit a GLOBAL − SOURCE
+    * subtraction solved in closed form (3×3 Cramer) — k ablations from
+    * ONE corpus pass. Singular ablations (n=0 after dropping the only
+    * source, or collinear x1/x2 ⇒ det=0) emit NULL coefficients/rmse
+    * rather than silent NaN/Inf. */
+  def sourceAblation(f: DataFrame): DataFrame = {
         val sums = Seq[(String, Column)](
           "n" -> count(lit(1)), "s1" -> sum(col("x1")), "s2" -> sum(col("x2")),
           "s11" -> sum(col("x1") * col("x1")), "s12" -> sum(col("x1") * col("x2")),
@@ -965,12 +955,17 @@ object DataSelect {
         val r = col("s2y").cast("double"); val yy = col("syy").cast("double")
         val det = a * (d2 * f2 - e * e) - b * (b * f2 - e * c2) +
           c2 * (b * e - d2 * c2)
-        val b0 = (p * (d2 * f2 - e * e) - b * (q * f2 - e * r) +
-          c2 * (q * e - d2 * r)) / det
-        val b1 = (a * (q * f2 - e * r) - p * (b * f2 - e * c2) +
-          c2 * (b * r - q * c2)) / det
-        val b2 = (a * (d2 * r - q * e) - b * (b * r - q * c2) +
-          p * (b * e - d2 * c2)) / det
+        // Singularity guard: an ablation can leave n=0 (single-source
+        // corpus) or collinear x1/x2 — det=0 would silently emit
+        // NaN/Inf coefficients. Emit NULL instead (propagates through
+        // rmse/rmse_shift identically in both engines).
+        def solv(c: Column): Column = when(abs(det) > lit(0.0), c / det)
+        val b0 = solv(p * (d2 * f2 - e * e) - b * (q * f2 - e * r) +
+          c2 * (q * e - d2 * r))
+        val b1 = solv(a * (q * f2 - e * r) - p * (b * f2 - e * c2) +
+          c2 * (b * r - q * c2))
+        val b2 = solv(a * (d2 * r - q * e) - b * (b * r - q * c2) +
+          p * (b * e - d2 * c2))
         val mse = (yy - lit(2.0d) * (b0 * p + b1 * q + b2 * r) +
           (b0 * b0 * a + b1 * b1 * d2 + b2 * b2 * f2 +
             lit(2.0d) * b0 * b1 * b + lit(2.0d) * b0 * b2 * c2 +
@@ -984,17 +979,56 @@ object DataSelect {
           .select(col("who"), col("n_used"), col("b0"), col("b1"), col("b2"),
             col("rmse"), round(col("rmse") - col("rmse_all"), 6).as("rmse_shift"))
           .orderBy("who")
-      },
-      Some(ablationSql))
-  )
+  }
+
+  /** Greedy set-cover source selection (q347's engine): k rounds of
+    * argmax-marginal-gain over the remaining `(source, g)` pair table,
+    * then an anti-join removes the pick's covered items. The remainder
+    * is corpus-sized and consumed twice per round (argmax + anti-join
+    * filter side), so each round PINS it through the injectable
+    * `materialize` strategy — [[Materialize.local]] by default, and
+    * [[Materialize.reliable]] on a real cluster so the k-round loop
+    * survives executor loss instead of dying with `localCheckpoint`
+    * blocks (the same contract as every other iterative operator:
+    * Components, Dedup, TrainPrep). Driver state is the k picks only;
+    * a round with no remaining sources ends the trace early. */
+  def sourceCover(s: SparkSession, pairs: DataFrame, k: Int,
+      materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+    import s.implicits._
+    var remaining = materialize(pairs)
+    var total = 0L
+    val picks = scala.collection.mutable.ListBuffer[(Long, String, Long, Long)]()
+    var i = 0
+    while (i < k) {
+      val top = remaining.groupBy("source").agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("source").asc).limit(1).collect()
+      if (top.isEmpty) i = k
+      else {
+        val (src, gain) = (top(0).getString(0), top(0).getLong(1))
+        total += gain
+        picks += ((picks.size + 1L, src, gain, total))
+        remaining = materialize(remaining
+          .join(remaining.where(col("source") === src).select("g"),
+            Seq("g"), "left_anti"))
+        i += 1
+      }
+    }
+    picks.toSeq.toDF("step", "source", "gain", "covered_total")
+      .orderBy("step")
+  }
 
   /** The q350 oracle: identical moment sums per source, GLOBAL − SOURCE
     * ablation arithmetic, and the verbatim Cramer/MSE expression text. */
   private def ablationSql: String = {
     val det = "a*(d*f - e*e) - b*(b*f - e*c) + c*(b*e - d*c)"
-    val b0 = s"(p*(d*f - e*e) - b*(q*f - e*r) + c*(q*e - d*r)) / ($det)"
-    val b1 = s"(a*(q*f - e*r) - p*(b*f - e*c) + c*(b*r - q*c)) / ($det)"
-    val b2 = s"(a*(d*r - q*e) - b*(b*r - q*c) + p*(b*e - d*c)) / ($det)"
+    // CASE = the singularity guard mirroring the Spark side: det=0
+    // ablations emit NULL coefficients (and NULL propagates through
+    // rmse/rmse_shift arithmetic in both engines).
+    def solv(num: String) =
+      s"CASE WHEN abs($det) > 0 THEN ($num) / ($det) END"
+    val b0 = solv("p*(d*f - e*e) - b*(q*f - e*r) + c*(q*e - d*r)")
+    val b1 = solv("a*(q*f - e*r) - p*(b*f - e*c) + c*(b*r - q*c)")
+    val b2 = solv("a*(d*r - q*e) - b*(b*r - q*c) + p*(b*e - d*c)")
     s"""WITH f AS (
        |  SELECT source,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,

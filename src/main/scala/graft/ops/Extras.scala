@@ -844,7 +844,19 @@ object Extras {
     // transform −(1/ε)·sign(u−½)·ln(1−2|u−½|). The +0.5 bucket
     // offset keeps u off 0, ½, and 1, so sign/ln never sit on a
     // boundary; round@6 absorbs cross-engine libm ulp drift (the
-    // q235 ln rule). Scale: ONE map-side-combined groupBy to the
+    // q235 ln rule).
+    //
+    // PRIVACY CAVEAT — this gate is a deterministic SIMULATION of the
+    // DP mechanism, not a DP release: u is a function of the PUBLIC
+    // cell key alone, so anyone can recompute and subtract the noise
+    // (and the suppression decision) exactly — ε here buys zero
+    // actual privacy. The determinism is deliberate (it is what makes
+    // the gate oracle-checkable); a production release keeps the
+    // mechanism and swaps the seed source to a SECRET, e.g.
+    // u = md5(secret_seed || key) with the seed held by the curator,
+    // which restores the DP guarantee against anyone without the
+    // seed while keeping the release replayable by its owner.
+    // Scale: ONE map-side-combined groupBy to the
     // |langs|·|sources|-bounded cell table; noise and suppression are
     // per-cell projections — the release costs one corpus scan
     // regardless of ε, τ, or cell count.
@@ -1140,8 +1152,10 @@ object Extras {
             val den = sqrt(
               (n * col(s"p_${i}_$i") - col(s"s_$a") * col(s"s_$a")) *
               (n * col(s"p_${j}_$j") - col(s"s_$b") * col(s"s_$b")))
+            // + 0.0 = signed-zero guard (q351 class): a tiny negative
+            // correlation rounds to -0.0 in DuckDB but +0.0 in Spark
             struct(lit(a).as("col_a"), lit(b).as("col_b"),
-              col("nn").as("n"), round(num / den, 6).as("corr"))
+              col("nn").as("n"), (round(num / den, 6) + lit(0.0)).as("corr"))
           }
         m.select(explode(array(pairRows: _*)).as("r")).select("r.*")
           .orderBy("col_a", "col_b")
@@ -1158,7 +1172,7 @@ object Extras {
             s"""SELECT '$a' AS col_a, '$b' AS col_b, nn AS n,
                |  round((CAST(nn AS DOUBLE)*p_${i}_$j - s_$a*s_$b) /
                |    sqrt((CAST(nn AS DOUBLE)*p_${i}_$i - s_$a*s_$a) *
-               |         (CAST(nn AS DOUBLE)*p_${j}_$j - s_$b*s_$b)), 6) AS corr
+               |         (CAST(nn AS DOUBLE)*p_${j}_$j - s_$b*s_$b)), 6) + 0.0 AS corr
                |FROM m""".stripMargin
           }).mkString("\nUNION ALL\n")
         s"""WITH m AS MATERIALIZED (

@@ -577,9 +577,11 @@ object Similarity {
           (for (i <- 1 to D; j <- i to D)
             yield dsum9(x(i) * x(j)).as(s"s_${i}_$j"))
         val a = e.agg(aggs.head, aggs.tail: _*)
+        // `+ 0.0` = signed-zero guard (the q351 class): a tiny negative
+        // covariance rounds to -0.0 in DuckDB but +0.0 in Spark.
         val cells = (for (i <- 1 to D; j <- i to D) yield
           s"$i, $j, round((CAST(s_${i}_$j AS DOUBLE) - " +
-            s"CAST(s_$i AS DOUBLE) * CAST(s_$j AS DOUBLE) / n) / n, 6)")
+            s"CAST(s_$i AS DOUBLE) * CAST(s_$j AS DOUBLE) / n) / n, 6) + 0.0")
           .mkString(", ")
         a.selectExpr(s"stack(${D * (D + 1) / 2}, $cells) AS (i, j, cov)")
           .selectExpr("CAST(i AS INT) AS i", "CAST(j AS INT) AS j", "cov")
@@ -595,7 +597,7 @@ object Similarity {
               s"AS DECIMAL(38,9))) AS s_${i}_$j")
         val rows = (for (i <- 1 to D; j <- i to D) yield
           s"SELECT $i AS i, $j AS j, round((CAST(s_${i}_$j AS DOUBLE) - " +
-            s"CAST(s_$i AS DOUBLE) * CAST(s_$j AS DOUBLE) / n) / n, 6) AS cov FROM a")
+            s"CAST(s_$i AS DOUBLE) * CAST(s_$j AS DOUBLE) / n) / n, 6) + 0.0 AS cov FROM a")
           .mkString("\nUNION ALL ")
         s"""WITH a AS (
            |  SELECT COUNT(*) AS n, ${sums.mkString(",\n    ")}
@@ -652,7 +654,9 @@ object Similarity {
         }.sum.toDouble
         (1 to D).map(i => (i, v(i - 1))).toDF("dim", "loading")
           .select(col("dim").cast("int").as("dim"),
-            round(col("loading"), 6).as("loading"),
+            // + 0.0 = signed-zero guard (q351 class) on the one output
+            // column that can round to a tiny negative
+            (round(col("loading"), 6) + lit(0.0)).as("loading"),
             round(lit(lam), 6).as("lam"),
             round(lit(lam / trace), 6).as("var_share"))
           .orderBy("dim")
@@ -706,7 +710,7 @@ object Similarity {
            |tr AS (
            |  SELECT CAST(SUM(CAST(cov AS DECIMAL(38,9))) AS DOUBLE) AS t
            |  FROM cells WHERE i = j)
-           |SELECT CAST(v.d AS INT) AS dim, round(v.v, 6) AS loading,
+           |SELECT CAST(v.d AS INT) AS dim, round(v.v, 6) + 0.0 AS loading,
            |  round(fin.num / fin.den, 6) AS lam,
            |  round(fin.num / fin.den / tr.t, 6) AS var_share
            |FROM v8 v CROSS JOIN fin CROSS JOIN tr ORDER BY dim""".stripMargin
@@ -943,8 +947,11 @@ object Similarity {
           (for (i <- 1 to D; j <- i to D)
             yield dsum9(col(s"z_$i") * col(s"z_$j")).as(s"w_${i}_$j"))
         val wrow = e.select(zcols: _*).agg(waggs.head, waggs.tail: _*)
+        // `+ 0.0` normalizes IEEE signed zero: DuckDB's round() preserves
+        // the sign of a tiny negative double (-0.0), Spark's does not; the
+        // driver's byte hash distinguishes them even though -0.0 == 0.0.
         val cells = (for (i <- 1 to D; j <- i to D) yield
-          s"$i, $j, round(CAST(w_${i}_$j AS DOUBLE) / wn, 6)").mkString(", ")
+          s"$i, $j, round(CAST(w_${i}_$j AS DOUBLE) / wn, 6) + 0.0").mkString(", ")
         wrow.selectExpr(s"stack(${D * (D + 1) / 2}, $cells) AS (i, j, white_cov)")
           .selectExpr("CAST(i AS INT) AS i", "CAST(j AS INT) AS j", "white_cov")
           .orderBy("i", "j")
@@ -997,9 +1004,11 @@ object Similarity {
         }
         val wsums = (for (i <- 1 to D; j <- i to D) yield
           s"SUM(CAST(round(z_$i * z_$j, 9) AS DECIMAL(38,9))) AS w_${i}_$j")
+        // `+ 0.0` flushes DuckDB's -0.0 (sign-preserving round of a tiny
+        // negative) to +0.0, matching Spark — see the Spark-side projection.
         val rows = (for (i <- 1 to D; j <- i to D) yield
           s"SELECT $i AS i, $j AS j, " +
-            s"round(CAST(w_${i}_$j AS DOUBLE) / wn, 6) AS white_cov FROM w")
+            s"round(CAST(w_${i}_$j AS DOUBLE) / wn, 6) + 0.0 AS white_cov FROM w")
           .mkString("\nUNION ALL ")
         s"""WITH a AS MATERIALIZED (
            |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, ${sums.mkString(",\n    ")}

@@ -1974,8 +1974,10 @@ object TextAnalysis {
     //
     // Scale: the model is four count tables, every one derived from
     // ONE map-side-combined pass over per-doc bigram counts — cb is
-    // |bigram types| (hash-join keyed, NOT broadcast: type counts grow
-    // with corpus), cu/nsucc/npred are vocab-bounded. Per-doc scoring
+    // |bigram types| and cu/nsucc/npred are |unigram types|; BOTH grow
+    // with the corpus under whitespace tokenization, so all model
+    // joins are key-partitioned (no broadcast hints — AQE broadcasts
+    // at runtime only when measured-small). Per-doc scoring
     // joins dbc⋈lp on the (u,w) key and reduces doc-keyed. The corpus
     // scalar regroups the TYPE table (Σ_docs slp ≡ Σ_types cb·lp in
     // exact DECIMAL), so nothing corpus-sized is scanned twice.
@@ -2008,7 +2010,14 @@ object TextAnalysis {
         // allowPrecisionLoss silently rounds each product to scale 6,
         // which DuckDB does not — a 1e-7-per-term drift that flipped a
         // 5-dp tie at sf0.01.
-        val lp = cb.join(broadcast(cu), "u").join(broadcast(npred), "w")
+        // cu/npred are token-type-keyed: vocabulary grows with the corpus
+        // under whitespace tokenization (URLs, typos, numbers — 10⁸+ types
+        // at 100 TB), so NO broadcast hint — AQE converts these to
+        // broadcast joins at runtime when the measured post-checkpoint
+        // size is actually small, and falls back to shuffle hash joins
+        // when it is not. Only the 1-row `types`/`corpus` aggregates are
+        // hint-broadcast.
+        val lp = cb.join(cu, "u").join(npred, "w")
           .crossJoin(broadcast(types))
           .select(col("u"), col("w"), col("cb"),
             round(log(p), 9).cast("decimal(18,9)").as("lp"))

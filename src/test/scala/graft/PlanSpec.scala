@@ -233,6 +233,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q349 hints broadcasts ONLY of provably-1-row aggregates, never vocab-keyed tables") {
+    // the 100 TB guard: cu/npred/cb are token-type-keyed and grow with
+    // the corpus — a broadcast HINT on them is a driver/executor OOM at
+    // scale (AQE may still broadcast at runtime when measured-small,
+    // which is the correct, size-gated behavior). Every ResolvedHint in
+    // the analyzed plan must wrap a subtree Catalyst can PROVE is ≤1 row
+    // (the types/corpus global aggregates).
+    val lp = SparkEntry.queries("q349_kn_perplexity")(spark, sf)
+      .queryExecution.analyzed
+    val hints = lp.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.nonEmpty, "the 1-row scalars should still be hinted")
+    hints.foreach { h =>
+      assert(h.child.maxRows.exists(_ <= 1),
+        s"broadcast hint on a relation not provably 1-row (vocab-keyed?):\n${h.child}")
+    }
+  }
+
   test("q116 HLL registers partial-aggregate map-side (bounded shuffle keys)") {
     // the sketch contract: the register MAX combines before the
     // shuffle, so at most keys x 64 rows move per input partition

@@ -170,4 +170,64 @@ class DataSelectSpec extends AnyFunSuite {
     assert(math.abs(BigDecimal(ece).setScale(6, BigDecimal.RoundingMode.HALF_UP)
       .toDouble - total.head.getDouble(3)) < 1e-6)
   }
+
+  test("sourceCover: reliable checkpoint is a drop-in swap and the trace ends early when coverage dries up") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val prior = sc.getCheckpointDir
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-cover").toString
+    sc.setCheckpointDir(dir)
+    try {
+      // s1 covers 3 bigrams, s2 adds 1 (e f), s3 adds 1 (g h) — tie
+      // with s2 broken source-asc; k=5 but round 4 finds nothing left,
+      // so the trace must stop at 3 picks on BOTH strategies.
+      val pairs = Seq(
+        ("s1", "a b"), ("s1", "b c"), ("s1", "c d"),
+        ("s2", "a b"), ("s2", "e f"),
+        ("s3", "g h")).toDF("source", "g")
+      val local = DataSelect.sourceCover(spark, pairs, 5)
+        .collect().map(_.toSeq).toSeq
+      val durable = DataSelect.sourceCover(spark, pairs, 5,
+          materialize = graft.Materialize.reliable)
+        .collect().map(_.toSeq).toSeq
+      assert(durable == local, "reliable strategy must not change the trace")
+      assert(local == Seq(
+        Seq(1L, "s1", 3L, 3L), Seq(2L, "s2", 1L, 4L), Seq(3L, "s3", 1L, 5L)))
+      assert(new java.io.File(dir).listFiles.nonEmpty,
+        "reliable strategy must actually write checkpoint data")
+    } finally {
+      prior.foreach(sc.setCheckpointDir)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("sourceAblation: singular ablations emit NULLs, never NaN/Inf") {
+    import spark.implicits._
+    // single source: its ablation leaves n=0 (det=0) — coefficients,
+    // rmse and rmse_shift must all be NULL; the _all fit stays real.
+    val f = Seq(
+      ("only", 2L, 2L, 10L), ("only", 3L, 3L, 15L), ("only", 4L, 3L, 22L),
+      ("only", 5L, 4L, 30L), ("only", 6L, 5L, 31L))
+      .toDF("source", "x1", "x2", "y")
+    val rows = DataSelect.sourceAblation(f).collect()
+    assert(rows.length == 2)
+    val byWho = rows.map(r => r.getString(0) -> r).toMap
+    val abl = byWho("only")
+    assert((2 to 6).forall(abl.isNullAt), "singular ablation must be all-NULL")
+    val all = byWho("_all")
+    assert((2 to 6).forall(i => !all.isNullAt(i)), "_all fit must be real")
+    assert(!all.getDouble(5).isNaN && !all.getDouble(5).isInfinite)
+  }
+
+  test("dbscan rejects minPts < 2 (cores derive from the pairs table)") {
+    import spark.implicits._
+    val pts = Seq((1L, 0.0, 0.0), (2L, 10.0, 10.0)).toDF("id", "x", "y")
+    val e = intercept[IllegalArgumentException] {
+      Components.dbscan(pts, 1.0, 1.0, minPts = 1)
+    }
+    assert(e.getMessage.contains("minPts >= 2"))
+  }
 }

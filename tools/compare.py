@@ -10,6 +10,7 @@ tables, and compares: row count, column names/types, and cell values
 """
 import sys, json, glob, os
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -55,6 +56,16 @@ def main(sf_dir, out_dir):
             if not eq.all():
                 i = (~eq).argmax()
                 diffs.append(f"{c}[{i}]: {a.iloc[i]!r} vs {b.iloc[i]!r} ({(~eq).sum()} cells)")
+            elif a.dtype.kind == "f" and b.dtype.kind == "f":
+                # -0.0 == 0.0 passes the value check but the driver's byte
+                # hash distinguishes them (the q351 class): flag any cell
+                # where values are equal but IEEE sign bits differ.
+                nn = ~(a.isna().values | b.isna().values)
+                sz = nn & (np.signbit(a.values) != np.signbit(b.values))
+                if sz.any():
+                    i = sz.argmax()
+                    diffs.append(
+                        f"{c}[{i}]: signed-zero {a.iloc[i]!r} vs {b.iloc[i]!r} ({sz.sum()} cells)")
         # Driver's hash is type-sensitive (DuckDB HUGEINT/int32 drift is a
         # real fail there), so the local gate must be strictly harder:
         # dtype mismatch = FAIL, not a note. Exception: pandas timestamp
