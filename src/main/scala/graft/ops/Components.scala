@@ -589,6 +589,26 @@ object Components {
     * keys. Nothing is ever driver-side except the loop counter. */
   def boruvkaMstForest(nodes: DataFrame, edges0: DataFrame, maxIter: Int = 12,
       materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+    val (mst, labels) = boruvkaMst(nodes, edges0, maxIter, materialize)
+    val eStats = mst
+      .join(labels.select(col("node").as("a"), col("comp")), "a")
+      .groupBy("comp")
+      .agg(count(lit(1)).as("n_edges"),
+        sum(col("w").cast("decimal(28,9)")).as("wsum"))
+    labels.groupBy("comp").agg(count(lit(1)).as("n_nodes"))
+      .join(eStats, Seq("comp"), "left")
+      .select(col("comp").as("root"), col("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        coalesce(col("wsum").cast("double"), lit(0.0)).as("mst_w"))
+  }
+
+  /** The Borůvka loop itself, returning the raw artifacts —
+    * (MST edge set `(a, b, w)`, final labels `(node, comp)`) — for
+    * operators that consume the TREE rather than per-component stats:
+    * [[boruvkaMstForest]] (stats) and [[singleLinkageCuts]] (dendrogram
+    * levels) both build on this. */
+  def boruvkaMst(nodes: DataFrame, edges0: DataFrame, maxIter: Int = 12,
+      materialize: Materialize.Strategy = Materialize.local): (DataFrame, DataFrame) = {
     val edges = materialize(edges0.select(col("a"), col("b"), col("w")))
     var labels = materialize(nodes.select(col("id").as("node"), col("id").as("comp")))
     var chosenParts = List.empty[DataFrame]
@@ -624,21 +644,47 @@ object Components {
       }
       iter += 1
     }
-    require(done, s"boruvkaMstForest: not converged after $maxIter rounds")
+    require(done, s"boruvkaMst: not converged after $maxIter rounds")
     val mst = chosenParts match {
       case Nil => edges.where(lit(false))
       case ps => ps.reduce(_ unionByName _)
     }
-    val eStats = mst
-      .join(labels.select(col("node").as("a"), col("comp")), "a")
-      .groupBy("comp")
-      .agg(count(lit(1)).as("n_edges"),
-        sum(col("w").cast("decimal(28,9)")).as("wsum"))
-    labels.groupBy("comp").agg(count(lit(1)).as("n_nodes"))
-      .join(eStats, Seq("comp"), "left")
-      .select(col("comp").as("root"), col("n_nodes"),
-        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
-        coalesce(col("wsum").cast("double"), lit(0.0)).as("mst_w"))
+    (mst, labels)
+  }
+
+  /** Single-linkage dendrogram levels from an MST forest (the HDBSCAN/
+    * SLINK extraction step, and the REASON the Borůvka scaffold exists):
+    * cutting the MST at height t and taking components yields EXACTLY
+    * the single-linkage clustering at threshold t — the Kruskal
+    * invariant (the MST edges with w ≤ t are an MST forest of the full
+    * ≤t-subgraph), which also means k dendrogram levels cost k
+    * component runs over the TREE (n−1 edges) instead of k runs over
+    * the full edge set. Returns one row per cut: non-singleton cluster
+    * count, docs clustered, largest cluster.
+    *
+    * Scale: the MST forest is corpus-node-bounded (n−1 edges max), so
+    * every per-cut CC runs on a relation ≪ the original edge set; the
+    * oracle cross-checks against reachability over the FULL ≤t edge
+    * set — a different algorithm on a different edge set that must
+    * produce the identical partition (the single-linkage property). */
+  def singleLinkageCuts(mstEdges: DataFrame, cuts: Seq[Double],
+      materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+    require(cuts.nonEmpty, "need at least one cut height")
+    val mst = materialize(mstEdges.select(col("a"), col("b"), col("w")))
+    cuts.sorted.map { t =>
+      val e = mst.where(col("w") <= t)
+      val ids = e.select(col("a").as("id"))
+        .unionByName(e.select(col("b").as("id"))).distinct()
+      val lab = connectedComponents(ids,
+        e.select(col("a").as("id_a"), col("b").as("id_b")),
+        materialize = materialize)
+      lab.groupBy("lbl").agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"),
+          max(col("sz")).as("max_size"))
+        .select(lit(t).as("cut"), col("n_clusters"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+          coalesce(col("max_size"), lit(0L)).as("max_size"))
+    }.reduce(_ unionByName _).orderBy("cut")
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -1434,6 +1480,63 @@ object Components {
              |  CAST(step - 1 AS BIGINT) AS n_edges, CAST(w AS DOUBLE) AS mst_w
              |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY root
              |        ORDER BY step DESC) AS rn FROM prim)
-             |WHERE rn = 1 ORDER BY root""".stripMargin))
+             |WHERE rn = 1 ORDER BY root""".stripMargin)),
+
+    // Single-linkage dendrogram levels over the near-dup MST (✚, the
+    // extraction step q348's scaffold was built FOR: HDBSCAN/SLINK-
+    // style hierarchy readout — "how do dup clusters merge as the
+    // similarity bar loosens?"). The Spark side computes the Borůvka
+    // MST ONCE and components the TREE at three cut heights (the
+    // Kruskal invariant: MST edges ≤ t are an MST forest of the full
+    // ≤t-subgraph, so the tree's components at t ARE the single-
+    // linkage clusters at t); the ORACLE never sees the MST — it runs
+    // reachability over the FULL ≤t edge set per cut. Different
+    // algorithm, different edge set, provably identical partition —
+    // the strongest cross-check in the clustering family. Cut heights
+    // straddle the measured sf0.01 weight distribution (w = 1−jaccard
+    // ∈ [0.011, 0.1]): 0.02 splits tight dups, 0.035 the median mass,
+    // 0.2 keeps every verified pair.
+    //
+    // Scale: the per-cut CC runs on the n−1-edge TREE, not the edge
+    // set — k dendrogram levels cost k tiny component runs after one
+    // MST; the oracle's full-edge-set reachability is the sf0.01-only
+    // twin certifying the shortcut loses nothing.
+    QueryDef("q353_dendrogram_cut",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val edges = Dedup.dedupPipeline(docs)
+          .groupBy("id_a", "id_b")
+          .agg(min(round(lit(1.0) - col("jaccard"), 6)).as("w"))
+          .select(col("id_a").as("a"), col("id_b").as("b"), col("w"))
+        val (mst, _) = boruvkaMst(docs.select(col("doc_id").as("id")), edges)
+        singleLinkageCuts(mst, Seq(0.02, 0.035, 0.2))
+      },
+      Some(s"""WITH RECURSIVE ${Dedup.verifiedPairsCtes},
+             |ed AS MATERIALIZED (
+             |  SELECT id_a AS a, id_b AS b, MIN(round(1.0 - jaccard, 6)) AS w
+             |  FROM vp GROUP BY 1, 2),
+             |cuts AS (SELECT unnest([0.02, 0.035, 0.2]::DOUBLE[]) AS cut),
+             |sym AS MATERIALIZED (
+             |  SELECT cut, a AS u, b AS v FROM ed, cuts WHERE w <= cut
+             |  UNION ALL
+             |  SELECT cut, b, a FROM ed, cuts WHERE w <= cut),
+             |ids AS (SELECT DISTINCT cut, u AS id FROM sym),
+             |reach(cut, node, lbl) AS (
+             |  SELECT cut, id, id FROM ids
+             |  UNION
+             |  SELECT s.cut, s.v, r.lbl
+             |  FROM reach r JOIN sym s ON s.cut = r.cut AND s.u = r.node),
+             |lab AS (SELECT cut, node, MIN(lbl) AS lbl FROM reach GROUP BY 1, 2),
+             |cs AS (SELECT cut, lbl, COUNT(*) AS sz FROM lab GROUP BY 1, 2),
+             |g AS (
+             |  SELECT cut, COUNT(*) AS n_clusters,
+             |    CAST(SUM(sz) AS BIGINT) AS n_docs,
+             |    CAST(MAX(sz) AS BIGINT) AS max_size
+             |  FROM cs GROUP BY cut)
+             |SELECT cuts.cut, COALESCE(g.n_clusters, 0) AS n_clusters,
+             |  COALESCE(g.n_docs, 0) AS n_docs,
+             |  COALESCE(g.max_size, 0) AS max_size
+             |FROM cuts LEFT JOIN g USING (cut)
+             |ORDER BY cut""".stripMargin))
   )
 }

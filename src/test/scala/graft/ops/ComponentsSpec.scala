@@ -336,4 +336,34 @@ class ComponentsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(r4 == r5, "peel must have converged by round 4")
   }
+
+  test("singleLinkageCuts over the MST equals brute-force single linkage on the FULL edge set") {
+    import spark.implicits._
+    // two tight chains merged by a late bridge, plus redundant heavy
+    // edges the MST must DROP — the cut partitions must still match
+    // union-find over the complete ≤t edge set at every height
+    // (the Kruskal invariant the operator rides on)
+    val nodes = (1L to 9L).toDF("id")
+    val es = Seq(
+      (1L, 2L, 0.1), (2L, 3L, 0.1), (3L, 4L, 0.15),
+      (5L, 6L, 0.12), (6L, 7L, 0.12),
+      (4L, 5L, 0.5), // the late bridge
+      (1L, 4L, 0.9), (2L, 7L, 0.8)) // heavy redundant edges
+    val (mst, _) = Components.boruvkaMst(nodes, es.toDF("a", "b", "w"))
+    assert(mst.count() == 6, "9 nodes / 3 components (8,9 isolated) -> 6 tree edges")
+    val cuts = Seq(0.05, 0.11, 0.2, 0.6, 1.0)
+    val got = Components.singleLinkageCuts(mst, cuts).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val expect = cuts.sorted.map { t =>
+      val parent = scala.collection.mutable.Map((1L to 9L).map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      es.filter(_._3 <= t).foreach { case (a, b, _) => parent(find(a)) = find(b) }
+      val touched = es.filter(_._3 <= t).flatMap(e => Seq(e._1, e._2)).toSet
+      val sizes = touched.groupBy(find).values.map(_.size.toLong).toSeq
+      (t, sizes.size.toLong, sizes.sum,
+        if (sizes.isEmpty) 0L else sizes.max)
+    }
+    assert(got == expect)
+  }
 }

@@ -83,6 +83,7 @@ class ScaleLawSpec extends AnyFunSuite {
   law("q346_kcenter_coreset", 5.0)
   law("q347_source_cover", 5.0)
   law("q348_mst_clusters", 6.0) // log(cluster) rounds × linear edges
+  law("q353_dendrogram_cut", 6.0) // one MST + per-cut CC over the tree
   law("q349_kn_perplexity", 5.0)
   law("q350_source_ablation", 5.0)
   law("q351_embed_whitening", 5.0)
