@@ -115,9 +115,12 @@ object Bench {
     // "what's wrong" #2, which forced solo re-benching to adjudicate
     // regressions). Persist the FULL line to a file so the record
     // survives intact; path overridable for dev runs.
+    // A SUBSET run (dev loop) must never clobber the committed full
+    // record — divert it to scratch unless an output was named.
     val out = args.headOption
       .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT"))
-      .getOrElse("/root/repo/bench_full.json")
+      .getOrElse(if (only.isDefined) "/tmp/bench_subset.json"
+                 else "/root/repo/bench_full.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception =>

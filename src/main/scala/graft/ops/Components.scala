@@ -657,31 +657,84 @@ object Components {
     * cutting the MST at height t and taking components yields EXACTLY
     * the single-linkage clustering at threshold t — the Kruskal
     * invariant (the MST edges with w ≤ t are an MST forest of the full
-    * ≤t-subgraph), which also means k dendrogram levels cost k
-    * component runs over the TREE (n−1 edges) instead of k runs over
-    * the full edge set. Returns one row per cut: non-singleton cluster
+    * ≤t-subgraph). Returns one row per cut: non-singleton cluster
     * count, docs clustered, largest cluster.
     *
-    * Scale: the MST forest is corpus-node-bounded (n−1 edges max), so
-    * every per-cut CC runs on a relation ≪ the original edge set; the
-    * oracle cross-checks against reachability over the FULL ≤t edge
-    * set — a different algorithm on a different edge set that must
-    * produce the identical partition (the single-linkage property). */
+    * All k levels run in ONE fused pointer-doubling loop: labels are a
+    * k-wide column vector, each edge carries the first cut index where
+    * it activates, and a level-j hop only admits neighbor labels over
+    * edges with lvl ≤ j. Per round that is one edge join + one k-column
+    * min aggregate + k pointer-jump joins in one plan — rounds = the
+    * MAX level's O(log diameter), not the SUM over levels, and the
+    * per-level micro-job latency (the dominant cost of iterative gates,
+    * SCALE.md round 12) is paid once. A level that converges early just
+    * no-ops its columns.
+    *
+    * Scale: every relation here is tree-bounded (≤ n−1 edges) — k
+    * dendrogram levels add COLUMNS to one loop, never passes over the
+    * original edge set; the oracle cross-checks with reachability over
+    * the FULL ≤t edge set — a different algorithm on a different edge
+    * set that must produce the identical partition. */
   def singleLinkageCuts(mstEdges: DataFrame, cuts: Seq[Double],
+      maxIter: Int = 25,
       materialize: Materialize.Strategy = Materialize.local): DataFrame = {
     require(cuts.nonEmpty, "need at least one cut height")
-    val mst = materialize(mstEdges.select(col("a"), col("b"), col("w")))
-    cuts.sorted.map { t =>
-      val e = mst.where(col("w") <= t)
-      val ids = e.select(col("a").as("id"))
-        .unionByName(e.select(col("b").as("id"))).distinct()
-      val lab = connectedComponents(ids,
-        e.select(col("a").as("id_a"), col("b").as("id_b")),
-        materialize = materialize)
-      lab.groupBy("lbl").agg(count(lit(1)).as("sz"))
+    val ts = cuts.sorted
+    val k = ts.length
+    def L(j: Int) = s"l$j"
+    // first cut index where the edge is active (= #cuts below w)
+    val lvlExpr = ts.map(t => when(col("w") > t, 1).otherwise(0))
+      .reduce(_ + _)
+    val e0 = mstEdges.where(col("w") <= ts.last)
+      .select(col("a"), col("b"), lvlExpr.as("lvl"))
+    val edges = materialize(
+      e0.select(col("a").as("u"), col("b").as("v"), col("lvl"))
+        .unionByName(e0.select(col("b").as("u"), col("a").as("v"), col("lvl"))))
+    // per-node first level of participation: membership at cut j is
+    // nlvl ≤ j (a node outside every ≤t edge is a singleton, not a row)
+    val nodeLvl = edges.groupBy(col("u").as("node"))
+      .agg(min(col("lvl")).as("nlvl"))
+    var labels = materialize(nodeLvl.select(
+      col("node") +: col("nlvl") +: (0 until k).map(j => col("node").as(L(j))): _*))
+    val keep = Seq(col("node"), col("nlvl"))
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrAggs = (0 until k).map(j =>
+        min(when(col("lvl") <= j, col(s"n$j"))).as(s"m$j"))
+      val nbr = edges
+        .join(labels.select(col("node").as("u") +:
+          (0 until k).map(j => col(L(j)).as(s"n$j")): _*), "u")
+        .groupBy(col("v").as("node"))
+        .agg(nbrAggs.head, nbrAggs.tail: _*)
+      val hop = materialize(labels.join(nbr, Seq("node"), "left")
+        .select(keep ++ (0 until k).flatMap(j => Seq(
+          col(L(j)).as(s"o$j"),
+          least(col(L(j)), coalesce(col(s"m$j"), col(L(j)))).as(L(j)))): _*))
+      converged = hop.where((0 until k)
+        .map(j => col(L(j)) =!= col(s"o$j")).reduce(_ || _))
+        .limit(1).count() == 0L
+      if (converged) {
+        labels = hop.select(keep ++ (0 until k).map(j => col(L(j))): _*)
+      } else {
+        val jumped = (0 until k).foldLeft(
+          hop.select(keep ++ (0 until k).map(j => col(L(j))): _*)) { (acc, j) =>
+          acc.join(hop.select(col("node").as(s"_n$j"), col(L(j)).as(s"_l$j")),
+              col(L(j)) === col(s"_n$j"), "left")
+            .withColumn(L(j), coalesce(col(s"_l$j"), col(L(j))))
+            .drop(s"_n$j", s"_l$j")
+        }
+        labels = materialize(jumped)
+      }
+      iter += 1
+    }
+    require(converged, s"singleLinkageCuts: not converged after $maxIter rounds")
+    (0 until k).map { j =>
+      labels.where(col("nlvl") <= j)
+        .groupBy(col(L(j))).agg(count(lit(1)).as("sz"))
         .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"),
           max(col("sz")).as("max_size"))
-        .select(lit(t).as("cut"), col("n_clusters"),
+        .select(lit(ts(j)).as("cut"), col("n_clusters"),
           coalesce(col("n_docs"), lit(0L)).as("n_docs"),
           coalesce(col("max_size"), lit(0L)).as("max_size"))
     }.reduce(_ unionByName _).orderBy("cut")

@@ -897,9 +897,14 @@ object Similarity {
     QueryDef("q351_embed_whitening",
       (s, d) => {
         val D = 8
+        // Two consumers (moments, projection) but NO pin: both passes
+        // re-scan the immutable parquet — at 100 TB pinning the corpus
+        // in executor memory for a 2-pass read is the defect, and the
+        // 10× study measured it (0.84 → 17.2 s with a full-width
+        // localCheckpoint; linear after this change). slice(·, 1, 8)
+        // also drops the 56 unused dims before any arithmetic.
         val e = Tables.embeddings(s, d)
-          .select(Vectors.asDouble(col("embedding")).as("v"))
-          .localCheckpoint() // 2 consumers: moments, projection
+          .select(slice(Vectors.asDouble(col("embedding")), 1, D).as("v"))
         def x(i: Int) = element_at(col("v"), i)
         def dsum9(c: org.apache.spark.sql.Column) =
           sum(round(c, 9).cast("decimal(38,9)")).cast("double")
