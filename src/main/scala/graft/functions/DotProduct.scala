@@ -193,6 +193,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         NfcNormalize(exprs(0))
       }))
     e.injectFunction((
+      new FunctionIdentifier("graft_match_any"),
+      new ExpressionInfo(classOf[MatchAny].getName, "graft_match_any"),
+      // (text, patterns) — the pattern list is a literal: it compiles
+      // into the plan-time Aho–Corasick automaton
+      (exprs: Seq[Expression]) => {
+        checkArgs("graft_match_any", exprs, 2, foldableFrom = 1)
+        MatchAny(exprs(0), exprs(1))
+      }))
+    e.injectFunction((
       new FunctionIdentifier("graft_adc"),
       new ExpressionInfo(classOf[AdcDistance].getName, "graft_adc"),
       (exprs: Seq[Expression]) => {

@@ -1958,6 +1958,50 @@ object TextAnalysis {
              |  CAST(SUM(CASE WHEN nfc = composed THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip
              |FROM n GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // Multi-pattern blocklist scan (✚, the curation primitive behind
+    // unsafe-phrase filters, boilerplate markers and benchmark-
+    // contamination canaries: "which of these N phrases appear in
+    // each document?"). The engine side is ONE Aho–Corasick automaton
+    // pass per document (graft_match_any — a native codegen
+    // Expression; the pattern list compiles into plan-time state via
+    // addReferenceObj, so the scan is O(bytes + matches) per row no
+    // matter how many thousand patterns the blocklist carries); the
+    // oracle is the faithful-but-quadratic twin, a |patterns| ×
+    // corpus contains() join — exactly the formulation the automaton
+    // replaces at 100 TB. Patterns deliberately overlap (part/art,
+    // customer/cust, phrase-over-token) to exercise failure-link
+    // matches, and one never-hits canary pins the zero row.
+    QueryDef("q354_blocklist_scan",
+      (s, d) => {
+        import s.implicits._
+        val pats = Seq("table part", "part", "art", "cust", "customer",
+          "scan slow", "que", "zz never")
+        val matched = Tables.documents(s, d)
+          .select(col("lang"),
+            explode(graft.functions.MatchAny(col("text"), pats)).as("term"))
+        val counts = matched.groupBy("term")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("lang")).as("n_langs"))
+        pats.toDF("term").join(counts, Seq("term"), "left")
+          .select(col("term"), coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+            coalesce(col("n_langs"), lit(0L)).as("n_langs"))
+          .orderBy("term")
+      },
+      Some {
+        val patList = Seq("table part", "part", "art", "cust", "customer",
+          "scan slow", "que", "zz never").map(p => s"'$p'").mkString(", ")
+        s"""WITH pats AS (SELECT unnest([$patList]) AS term),
+           |m AS (
+           |  SELECT p.term, COUNT(*) AS n_docs,
+           |    COUNT(DISTINCT d.lang) AS n_langs
+           |  FROM documents d JOIN pats p ON contains(d.text, p.term)
+           |  GROUP BY p.term)
+           |SELECT pats.term, COALESCE(m.n_docs, 0) AS n_docs,
+           |  COALESCE(m.n_langs, 0) AS n_langs
+           |FROM pats LEFT JOIN m USING (term)
+           |ORDER BY term""".stripMargin
+      }),
+
     // Interpolated Kneser-Ney bigram LM (✚, the REAL smoothing
     // algorithm behind the CCNet/KenLM perplexity filter — q118 is the
     // unigram proxy and q223 add-one context smoothing; KN is what
