@@ -54,6 +54,7 @@ object Bench {
     }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(o => o.exists(n.startsWith)) }
+    var gateIdx = 0
     val results = selected.map { case (name, fn) =>
       // fail fast: a deterministically-failing query reports after its
       // FIRST failure instead of re-failing iters times, and the spread
@@ -71,6 +72,27 @@ object Bench {
         i += 1
       }
       val err = runs.collectFirst { case (_, Some(e)) => e }
+      // Drop THIS gate's debris before the next one runs: gates pin
+      // intermediates via localCheckpoint (RDD blocks in the block
+      // manager) and some register temp views/cached relations — across
+      // 350+ gates in one JVM the accumulation turns the late
+      // alphabetical tail into a storage-eviction storm (measured r13:
+      // q312 at 60 s inside the full run vs 3-5 s solo, ALL iterations
+      // slow — session debris, not scheduler noise). Cleanup is outside
+      // the timed window and makes per-gate numbers mean what they say.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sqlContext.clearCache()
+      // ContextCleaner reclaims shuffle files and broadcasts via WEAK
+      // REFERENCES — with a large heap the JVM may never GC across the
+      // whole suite, so nothing is ever reclaimed and the debris of
+      // 350 gates lands on the late alphabetical tail (measured r13:
+      // q322 at 8-11 s inside the full run vs 0.3 s solo, even after
+      // the unpersist above). An explicit GC keeps the cleaner live —
+      // but a full-heap STW pause per gate measurably jitters the
+      // iterative gates (also measured), so it runs every 25th gate:
+      // debris stays bounded at a 25-gate window, pauses drop 25×.
+      gateIdx += 1
+      if (gateIdx % 25 == 0) System.gc()
       val raw = runs.collect { case (t, None) => t }.toSeq // run order
       val times = raw.sorted
       if (times.isEmpty) (name, -1.0, 0.0, err, raw)

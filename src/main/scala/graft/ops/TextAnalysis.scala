@@ -2002,6 +2002,53 @@ object TextAnalysis {
            |ORDER BY term""".stripMargin
       }),
 
+    // Streamed blocklist ingest filter (✚, q354's automaton deployed
+    // where a blocklist actually runs: the always-on ingest path —
+    // documents arrive as file-source micro-batches, each row passes
+    // the graft_match_any automaton ONCE (the native Expression
+    // executing inside Structured Streaming's codegen), matching docs
+    // are counted as blocked, and per-source keep/drop tallies run as
+    // complete-mode streaming state that must converge to the batch
+    // arithmetic regardless of arrival order — integer counts, so
+    // convergence is exact). The oracle is the batch EXISTS-contains
+    // formulation over the same corpus.
+    QueryDef("q355_stream_blocklist",
+      (s, d) => {
+        val pats = Seq("table part", "part", "art", "cust", "customer",
+          "scan slow", "que", "zz never")
+        val stats = (df: org.apache.spark.sql.DataFrame) =>
+          df.select(col("source"),
+              (size(graft.functions.MatchAny(col("text"), pats)) > 0)
+                .as("blocked"))
+            .groupBy("source")
+            .agg(count(lit(1)).as("n_docs"),
+              sum(when(col("blocked"), 1L).otherwise(0L)).as("n_blocked"))
+        val input = Tables.documents(s, d).select("source", "text")
+        val rows = graft.stream.StreamOps.runBoundedFromPath(
+          s, input, stats, chunks = 3)
+        s.createDataFrame(
+            new java.util.ArrayList(java.util.Arrays.asList(rows: _*)),
+            stats(input).schema)
+          .select(col("source"), col("n_docs"), col("n_blocked"),
+            (col("n_docs") - col("n_blocked")).as("n_kept"))
+          .orderBy("source")
+      },
+      Some {
+        val patList = Seq("table part", "part", "art", "cust", "customer",
+          "scan slow", "que", "zz never").map(p => s"'$p'").mkString(", ")
+        s"""WITH pats AS (SELECT unnest([$patList]) AS term),
+           |b AS (
+           |  SELECT source,
+           |    CASE WHEN EXISTS (SELECT 1 FROM pats p
+           |                      WHERE contains(d.text, p.term))
+           |      THEN 1 ELSE 0 END AS blocked
+           |  FROM documents d)
+           |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(blocked) AS BIGINT) AS n_blocked,
+           |  CAST(COUNT(*) - SUM(blocked) AS BIGINT) AS n_kept
+           |FROM b GROUP BY source ORDER BY source""".stripMargin
+      }),
+
     // Interpolated Kneser-Ney bigram LM (✚, the REAL smoothing
     // algorithm behind the CCNet/KenLM perplexity filter — q118 is the
     // unigram proxy and q223 add-one context smoothing; KN is what

@@ -85,6 +85,7 @@ class ScaleLawSpec extends AnyFunSuite {
   law("q348_mst_clusters", 6.0) // log(cluster) rounds × linear edges
   law("q353_dendrogram_cut", 6.0) // one MST + per-cut CC over the tree
   law("q354_blocklist_scan", 5.0) // one automaton pass per row
+  law("q355_stream_blocklist", 5.0) // streamed twin: stateless scan + bounded state
   law("q349_kn_perplexity", 5.0)
   law("q350_source_ablation", 5.0)
   law("q351_embed_whitening", 5.0)
