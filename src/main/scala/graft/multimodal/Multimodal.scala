@@ -607,7 +607,147 @@ object Multimodal {
     }
   }
 
+  private[multimodal] object PHash {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+
+    /** 63 class-derived signed amplitudes for the AC components (u,v) ∈
+      * 8×8 \ DC, engineered so the MEDIAN DECISION HAS A GAP: exactly 32
+      * negatives, one of them the hash-chosen "median designate" at
+      * magnitude 1 while every other coefficient sits at ±3/±4 — the
+      * lower median of the 63 DCT coefficients is then the designate
+      * (≈ −256), a clear ±512 away from both clusters, so no bit is
+      * ever decided by float noise, quantization, or the checkerboard's
+      * ≤9-unit leakage. The sign pattern is the class's 63-bit
+      * signature. */
+    private def amps(seed: Int): Array[Double] = {
+      val bytes = (0 until 5).flatMap { block =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"phash-pattern-$seed-$block".getBytes("UTF-8")).toSeq
+      }
+      val out = new Array[Double](64)
+      val designate = 1 + ((bytes(0) & 0x7f) % 63)
+      val others = (1 until 64).filterNot(_ == designate)
+      // hash-derived signs, then deterministically flip lowest indexes
+      // until exactly 31 of the non-designate 62 are negative
+      val sign = scala.collection.mutable.Map(others.zipWithIndex.map {
+        case (idx, j) => idx -> (if ((bytes(1 + j / 8) >> (j % 8) & 1) == 0) -1 else 1)
+      }: _*)
+      var negs = others.count(sign(_) < 0)
+      for (idx <- others if negs != 31) {
+        if (negs > 31 && sign(idx) < 0) { sign(idx) = 1; negs -= 1 }
+        else if (negs < 31 && sign(idx) > 0) { sign(idx) = -1; negs += 1 }
+      }
+      out(designate) = -1.0
+      others.zipWithIndex.foreach { case (idx, j) =>
+        val mag = if ((bytes(9 + j / 8) >> (j % 8) & 1) == 0) 3.0 else 4.0
+        out(idx) = sign(idx) * mag
+      }
+      out
+    }
+
+    /** 32×32 gray PNG: 128 + Σ low-frequency cosines with the class's
+      * amplitudes (clamped to [16,239] BEFORE noise so the noise never
+      * clips); `noisy` adds a per-pixel ±8 checkerboard — pure
+      * highest-frequency energy whose leakage into the 8×8 low block is
+      * orders of magnitude under the ±512 coefficient margins, i.e.
+      * exactly the perturbation pHash is FOR. */
+    def encodeSmooth(seed: Int, noisy: Boolean): Array[Byte] = {
+      val a = amps(seed)
+      val img = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) {
+        var v = 128.0
+        for (u <- 0 until 8; w <- 0 until 8; if u != 0 || w != 0)
+          v += a(u * 8 + w) *
+            math.cos(math.Pi * (2 * x + 1) * u / 64.0) *
+            math.cos(math.Pi * (2 * y + 1) * w / 64.0)
+        var g = math.max(16, math.min(239, math.round(v).toInt))
+        if (noisy) g += (if (((x + y) & 1) == 0) 8 else -8)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    /** REAL decode → 32×32 gray → 2-D DCT-II → top-left 8×8 block →
+      * median threshold → 64-bit perceptual hash (the classic pHash;
+      * q207's aHash thresholds spatial cell means, this thresholds
+      * FREQUENCY coefficients, which is what buys high-frequency-noise
+      * invariance). */
+    def phash64(png: Array[Byte]): Long = {
+      val img = ImageIO.read(new ByteArrayInputStream(png))
+      require(img != null, "payload is not a decodable image")
+      require(img.getWidth == 32 && img.getHeight == 32,
+        s"phash64 expects 32x32 input, got ${img.getWidth}x${img.getHeight}")
+      val g = Array.tabulate(32, 32) { (y, x) =>
+        val rgb = img.getRGB(x, y)
+        (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+      }
+      // separable DCT-II, unnormalized (thresholding is scale-free)
+      def dct1(in: Array[Double]): Array[Double] =
+        Array.tabulate(32) { k =>
+          var s = 0.0
+          var n = 0
+          while (n < 32) {
+            s += in(n) * math.cos(math.Pi * (2 * n + 1) * k / 64.0)
+            n += 1
+          }
+          s
+        }
+      val rows = g.map(dct1)
+      val cols = Array.tabulate(32)(u => dct1(Array.tabulate(32)(y => rows(y)(u))))
+      // 63 AC coefficients of the low block (DC excluded — canonical
+      // pHash: DC is overall brightness, not structure)
+      val block = (for (v <- 0 until 8; u <- 0 until 8; if u != 0 || v != 0)
+        yield cols(u)(v)).toArray
+      val median = block.sorted.apply(31) // lower median of 63
+      block.zipWithIndex.foldLeft(0L) { case (acc, (c, i)) =>
+        if (c > median) acc | (1L << i) else acc
+      }
+    }
+  }
+
   val defs: Seq[graft.QueryDef] = Seq(
+    // REAL DCT perceptual-hash gate (pHash — the frequency-domain
+    // sibling of q207's spatial aHash, and the image-dedup tool that
+    // survives re-encode noise): genuine PNG encode → javax.imageio
+    // decode → 2-D DCT-II → 8×8 low-frequency block → median threshold
+    // per row, then exact grouping on the 64-bit hash. Fixture classes
+    // are smooth low-frequency patterns (doc_id % 37); the %29 copies
+    // carry a ±8 per-pixel CHECKERBOARD — pure highest-frequency
+    // energy, invisible in the DCT's low block — which pHash must
+    // absorb bit-exactly (aHash's spatial cell means would shift on
+    // asymmetric crops of it). The oracle knows the class structure
+    // arithmetically but NOT the hashes, so the row compare proves
+    // decode→DCT→threshold determinism, noise invariance, and zero
+    // cross-class collisions. Scale: per-row decode+DCT is
+    // embarrassingly parallel; only 8-byte hashes shuffle.
+    graft.QueryDef("q356_image_phash",
+      (s, d) => {
+        import s.implicits._
+        val ids = graft.Tables.documents(s, d).select(col("doc_id")).as[Long]
+        val aug = ids.map(id => (id, (id % 37).toInt, false))
+          .union(ids.filter(_ % 29 == 0)
+            .map(id => (id + 600000L, (id % 37).toInt, true)))
+          .toDF("media_id", "seed", "noisy")
+          .as[(Long, Int, Boolean)]
+        aug.mapPartitions(_.map { case (id, seed, noisy) =>
+          (id, PHash.phash64(PHash.encodeSmooth(seed, noisy)))
+        }).toDF("media_id", "hash")
+          .groupBy("hash")
+          .agg(count(lit(1)).as("n"), min("media_id").as("keeper"))
+          .select("keeper", "n")
+          .orderBy("keeper")
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id, doc_id % 37 AS g FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 600000, doc_id % 37 FROM documents
+             |  WHERE doc_id % 29 = 0)
+             |SELECT MIN(doc_id) AS keeper, COUNT(*) AS n
+             |FROM a GROUP BY g ORDER BY keeper""".stripMargin)),
     // REAL perceptual-hash near-dup gate: genuine PNG encode →
     // javax.imageio decode → aHash per row (per-partition, the q135
     // decode shape), then exact grouping ON THE 64-BIT HASH. The

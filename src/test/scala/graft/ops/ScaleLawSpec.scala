@@ -86,6 +86,7 @@ class ScaleLawSpec extends AnyFunSuite {
   law("q353_dendrogram_cut", 6.0) // one MST + per-cut CC over the tree
   law("q354_blocklist_scan", 5.0) // one automaton pass per row
   law("q355_stream_blocklist", 5.0) // streamed twin: stateless scan + bounded state
+  law("q356_image_phash", 5.0) // per-row decode+DCT; only 8-byte hashes shuffle
   law("q349_kn_perplexity", 5.0)
   law("q350_source_ablation", 5.0)
   law("q351_embed_whitening", 5.0)
