@@ -75,6 +75,8 @@ object MatchAny {
   * 1 KB/state); failure links and merged output sets are flat arrays. */
 final class AhoCorasick private (patterns: Array[UTF8String]) extends Serializable {
   require(patterns.nonEmpty, "graft_match_any: empty pattern list")
+  require(patterns.forall(_ != null),
+    "graft_match_any: null pattern in list (patterns must be non-null strings)")
   require(patterns.forall(_.numBytes > 0), "graft_match_any: empty pattern")
 
   private val goto_ = new java.util.HashMap[Long, Integer]()

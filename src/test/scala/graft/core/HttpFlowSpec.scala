@@ -91,4 +91,166 @@ class HttpFlowSpec extends AnyFunSuite {
       assert(Flow.readUrl(spark, s"http://127.0.0.1:$port/empty").toArray.isEmpty)
     }
   }
+
+  // ---- flod-curl parity hardening (r14: redirects, transport coding,
+  // connect retry, truncation) — raw handlers for the non-200 shapes.
+
+  private def withHandlers[A](
+      routes: (String, com.sun.net.httpserver.HttpHandler)*)(
+      body: Int => A): A = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    server.setExecutor(pool)
+    routes.foreach { case (path, h) => server.createContext(path, h) }
+    server.start()
+    try body(server.getAddress.getPort)
+    finally { server.stop(0); pool.shutdown() }
+  }
+
+  private def bytesHandler(bytes: Array[Byte],
+      headers: (String, String)* ): com.sun.net.httpserver.HttpHandler =
+    (ex: com.sun.net.httpserver.HttpExchange) => {
+      headers.foreach { case (k, v) => ex.getResponseHeaders.set(k, v) }
+      ex.sendResponseHeaders(200, if (bytes.isEmpty) -1L else bytes.length.toLong)
+      try ex.getResponseBody.write(bytes) finally ex.close()
+    }
+
+  private def redirectHandler(code: Int,
+      location: String): com.sun.net.httpserver.HttpHandler =
+    (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.getResponseHeaders.set("Location", location)
+      ex.sendResponseHeaders(code, -1L)
+      ex.close()
+    }
+
+  test("3xx redirects are followed (relative and absolute Location), bounded") {
+    val payload = "follow me".getBytes("UTF-8")
+    withHandlers(
+      "/blob" -> bytesHandler(payload),
+      "/rel" -> redirectHandler(302, "/blob"),
+    ) { port =>
+      assert(Flow.readUrl(spark, s"http://127.0.0.1:$port/rel")
+        .toArray.flatten.toArray.toSeq == payload.toSeq)
+    }
+    // absolute-Location hop (the cross-protocol code path: a fresh
+    // connection is built from the resolved URI, not the JDK follower)
+    withHandlers("/blob" -> bytesHandler(payload)) { targetPort =>
+      withHandlers("/abs" -> redirectHandler(308,
+          s"http://127.0.0.1:$targetPort/blob")) { port =>
+        assert(Flow.readUrl(spark, s"http://127.0.0.1:$port/abs")
+          .toArray.flatten.toArray.toSeq == payload.toSeq)
+      }
+    }
+  }
+
+  test("a redirect loop fails loudly at the hop bound, naming the url") {
+    withHandlers("/loop" -> redirectHandler(302, "/loop")) { port =>
+      val e = intercept[org.apache.spark.SparkException] {
+        Flow.readUrl(spark, s"http://127.0.0.1:$port/loop").toArray
+      }
+      val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+      assert(msg.contains("redirects") && msg.contains("/loop"))
+    }
+  }
+
+  test("Content-Encoding: gzip transport coding is decoded transparently") {
+    val text = (1 to 40).map(i => s"row-$i").mkString("\n")
+    val gz = Codec.deflateChunk(text.getBytes("UTF-8"), Codec.Gzip)
+    withHandlers("/enc" -> bytesHandler(gz, "Content-Encoding" -> "gzip")) {
+      port =>
+        val got = Flow.readUrl(spark, s"http://127.0.0.1:$port/enc", 512)
+          .toArray.flatten.toArray
+        assert(new String(got, "UTF-8") == text,
+          "transport gzip is an HTTP wrapper — the flow sees plain bytes")
+    }
+  }
+
+  test("an undecodable Content-Encoding fails loudly with the .inflate hint") {
+    withHandlers("/br" ->
+        bytesHandler("xx".getBytes, "Content-Encoding" -> "br")) { port =>
+      val e = intercept[org.apache.spark.SparkException] {
+        Flow.readUrl(spark, s"http://127.0.0.1:$port/br").toArray
+      }
+      val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+      assert(msg.contains("Content-Encoding") && msg.contains("inflate"))
+    }
+  }
+
+  test("connect-phase failure retries and succeeds once the server is up") {
+    // Reserve a port, schedule the server to bind ~700ms later; the
+    // first attempt gets connection-refused, the retry (250ms backoff
+    // then reconnect loop) lands after the bind.
+    val probe = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    val port = probe.getLocalPort
+    probe.close()
+    val payload = "late but present".getBytes("UTF-8")
+    @volatile var server: com.sun.net.httpserver.HttpServer = null
+    val binder = new Thread(() => {
+      Thread.sleep(700)
+      server = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", port), 0)
+      server.createContext("/late", bytesHandler(payload))
+      server.start()
+    })
+    binder.start()
+    try {
+      val got = Http.fetchChunks(s"http://127.0.0.1:$port/late",
+        connectRetries = 6).flatten.toArray
+      assert(got.toSeq == payload.toSeq)
+    } finally {
+      binder.join()
+      if (server != null) server.stop(0)
+    }
+  }
+
+  test("connect failure after the retry budget names the attempt count") {
+    val probe = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    val port = probe.getLocalPort
+    probe.close()
+    val e = intercept[java.io.IOException] {
+      Http.fetchChunks(s"http://127.0.0.1:$port/gone",
+        connectRetries = 1).toArray
+    }
+    assert(e.getMessage.contains("connect failed after 2 attempt"))
+  }
+
+  test("a body shorter than Content-Length throws, never clean EOF") {
+    // Raw socket server: declare 100 bytes, send 50, close. Depending
+    // on JDK internals either our counting check ("truncated") or the
+    // JDK's own premature-close detection fires — both are loud, which
+    // is the contract under test.
+    val server = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    val port = server.getLocalPort
+    val t = new Thread(() => {
+      val sock = server.accept()
+      val out = sock.getOutputStream
+      // drain the request head first so the client finishes writing
+      val in = sock.getInputStream
+      val buf = new Array[Byte](8192)
+      var seen = new String("")
+      while (!seen.contains("\r\n\r\n")) {
+        val n = in.read(buf)
+        if (n > 0) seen += new String(buf, 0, n, "ISO-8859-1") else seen += "\r\n\r\n"
+      }
+      out.write(("HTTP/1.1 200 OK\r\nContent-Length: 100\r\n" +
+        "Connection: close\r\n\r\n").getBytes("ISO-8859-1"))
+      out.write(new Array[Byte](50))
+      out.flush()
+      sock.close()
+    })
+    t.start()
+    try {
+      val e = intercept[java.io.IOException] {
+        Http.fetchChunks(s"http://127.0.0.1:$port/short").foreach(_ => ())
+      }
+      val msg = e.getMessage.toLowerCase(java.util.Locale.ROOT)
+      assert(msg.contains("truncated") || msg.contains("unexpected") ||
+        msg.contains("premature"),
+        s"expected a loud truncation error, got: ${e.getMessage}")
+    } finally { t.join(); server.close() }
+  }
 }
