@@ -29,9 +29,19 @@ import org.apache.spark.sql.DataFrame
 object Materialize {
   type Strategy = DataFrame => DataFrame
 
+  // Both strategies pass the checkpointed frame through
+  // [[org.apache.spark.sql.GraftStatsReset]]: checkpoints carry the
+  // origin plan's ESTIMATED stats, which compound multiplicatively
+  // across iterate-loop rounds until the planner wedges in BigInteger
+  // arithmetic (see GraftStatsReset's header for the mechanism and the
+  // q358 incident). The reset caps the carried estimate; the pinned
+  // blocks and lineage truncation are untouched.
+
   /** Executor-memory blocks; the single-process default. */
-  val local: Strategy = _.localCheckpoint()
+  val local: Strategy =
+    df => org.apache.spark.sql.GraftStatsReset(df.localCheckpoint())
 
   /** Durable checkpoint — survives executor loss; needs a checkpoint dir. */
-  val reliable: Strategy = _.checkpoint()
+  val reliable: Strategy =
+    df => org.apache.spark.sql.GraftStatsReset(df.checkpoint())
 }

@@ -37,23 +37,37 @@ import org.apache.spark.sql.functions._
   * Everything is derived from (key, replica) via xxhash64 — no rand(),
   * no Date.now(): re-running produces byte-identical data.
   *
-  * Usage: runMain graft.ScaleGen <srcDir> <dstDir> [reps=10]
+  * Usage: runMain graft.ScaleGen <srcDir> <dstDir> [reps=10] [docTokenMode=namespace]
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
     val src  = args(0)
     val dst  = args(1)
     val reps = if (args.length > 2) args(2).toInt else 10
+    val mode = if (args.length > 3) args(3) else "namespace"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.configure(
         SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, src, dst, reps)
+    generate(spark, src, dst, reps, mode)
     spark.stop()
   }
 
-  def generate(spark: SparkSession, src: String, dst: String, reps: Int): Unit = {
+  /** @param docTokenMode how replica documents' token space scales:
+    *   - "namespace" (default, the dedup-fair construction above):
+    *     EVERY token of replica r>0 is suffixed — replicas share no
+    *     shingles, vocab grows ∝ reps. Adversarial for open-vocabulary
+    *     models (q349: model tables ∝ corpus).
+    *   - "heaps": replica r suffixes only a hash-chosen ~1/(2√r)
+    *     fraction of token TYPES (consistent per type within a
+    *     replica), so total vocab ≈ V₀·√reps — Heaps' law with β≈0.5,
+    *     what real text does. Used by the q349-class scale law; NOT a
+    *     dedup-fair fixture (replicas share unsuffixed shingles, so
+    *     near-dup pair counts would grow super-linearly — keep
+    *     "namespace" for dedup/LSH laws). */
+  def generate(spark: SparkSession, src: String, dst: String, reps: Int,
+               docTokenMode: String = "namespace"): Unit = {
     val repDf = spark.range(reps).select(col("id").cast("int").as("rep"))
 
     def replicate(df: DataFrame): DataFrame = df.crossJoin(broadcast(repDf))
@@ -125,8 +139,22 @@ object ScaleGen {
       // r>0 suffixes every token, reproducing the original's internal
       // structure in a disjoint shingle space (see header)
       .withColumn("text", when(col("rep") === 0, col("text")).otherwise(
-        array_join(transform(split(col("text"), " "),
-          w => concat(w, lit("r"), col("rep"))), " ")))
+        docTokenMode match {
+          case "namespace" =>
+            array_join(transform(split(col("text"), " "),
+              w => concat(w, lit("r"), col("rep"))), " ")
+          case "heaps" =>
+            // suffix a type iff xxhash64(type, rep) lands under the
+            // 1/(2√r) quantile — per-TYPE-consistent within a replica,
+            // new types per replica decay as 1/(2√r) ⇒ vocab ∝ √reps
+            array_join(transform(split(col("text"), " "),
+              w => when(
+                pmod(xxhash64(w, col("rep")), lit(1000000L)).cast("double")
+                  < lit(500000.0) / sqrt(col("rep").cast("double")),
+                concat(w, lit("r"), col("rep"))).otherwise(w)), " ")
+          case other =>
+            throw new IllegalArgumentException(s"docTokenMode: $other")
+        }))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .drop("rep"), "documents", 8)
 

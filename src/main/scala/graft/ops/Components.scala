@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{Materialize, QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Connected components over near-duplicate pairs → canonical-document
@@ -9,36 +9,41 @@ import org.apache.spark.sql.functions._
   * applies AFTER pair generation — pairs alone don't dedup a corpus;
   * `keep iff doc_id == canonical_id` does).
   *
-  * Algorithm: iterative min-label propagation with POINTER DOUBLING.
-  * Each round does two label moves:
-  *   1. neighbor hop — every node adopts the minimum label in
-  *      {itself} ∪ neighbors (one equality join on the symmetrized edge
-  *      list + one min-aggregation);
-  *   2. pointer jump — every node then adopts its label's label
-  *      (a self-join of the label table), which halves the remaining
-  *      pointer-chain depth like the classic shortcutting step of
-  *      Shiloach–Vishkin-style PRAM CC.
-  * Plain propagation needs O(diameter) rounds (a 1M-doc duplicate CHAIN
-  * — pathological but real for near-dup graphs — would need 1M rounds);
-  * with the jump the count drops to O(log diameter). Convergence is
-  * decided with a cheap changed-row count on the hop's own checkpoint
-  * (hop-stability implies jump-stability under symmetric edges, so the
-  * final round skips its self-join); both label moves are
-  * localCheckpoint'd per round — the jump's input because a self-join
-  * otherwise executes the hop lineage twice, the round's output to
-  * truncate the iterative lineage (swap for a reliable checkpoint on a
-  * real cluster).
+  * Algorithm (r14): CONTRACTION with PATH-COMPRESSED merge maps — the
+  * relational form of union-find with path compression. Each outer
+  * round, in supernode (= current-label) space:
+  *   1. merge map — every supernode points at min({itself} ∪ neighbors)
+  *      (one min-aggregation over the contracted edge table); movers
+  *      only, so the map is a strictly-decreasing functional graph;
+  *   2. path compression — the map is composed with itself (T ← T∘T)
+  *      to its FIXPOINT: ⌈log₂ chain⌉ self-joins of a supernode-sized,
+  *      round-over-round SHRINKING table, with a semi-join emptiness
+  *      probe ("is any target still a source?") between compositions;
+  *   3. apply — node labels rewrite through the compressed map (the
+  *      one corpus-sized join of the round) and the edge table
+  *      contracts through it (loops dropped, dedup'd).
+  * Converged when the contracted edge table is empty — every component
+  * is one supernode, necessarily its minimum id.
   *
-  * Scale: per round, 3 shuffles (join on u, min-agg on node, self-join
-  * on lbl), each keyed by a fixed 8-byte id — never by document content.
-  * A mass-duplicate cluster is a hot LABEL key only in the min-agg,
-  * where partial aggregation collapses it map-side. State per round is
-  * one (node,label) row per doc — O(N) rows, no per-node adjacency
-  * lists materialized anywhere. Alternative with the same bound:
-  * alternating large-star/small-star (Kiveris et al., MapReduce CC);
-  * chosen form needs no edge-set rewriting between rounds, so the
-  * (typically much larger) edge table is shuffled once per round
-  * unchanged and AQE can reuse its partitioning.
+  * Why not the previous hop+jump loop (min-label propagation with a
+  * pointer jump): its jump is a NO-OP precisely when labels point at
+  * plateau minima (l(l(v)) = l(v)), so progress falls back to one edge
+  * per round across plateau boundaries — O(diameter) rounds, measured
+  * 60+ non-converging rounds on a 485-edge path-like Euclidean MST
+  * (q358); the 3–4-round dup graphs it grew up on never exposed this.
+  * Contraction merges every id-basin with at least one neighbor basin
+  * per round (basins halve: O(log n) outer rounds), and compression
+  * collapses monotone merge CHAINS (the shape that defeats one-step
+  * contraction on an id-ordered path) in log cost on the small map.
+  *
+  * Scale: the corpus-sized tables are touched ONCE per round (one
+  * label join keyed by 8-byte ids) — the full edge table is shuffled
+  * only in round 1, after which the contracted table tracks the
+  * component count, not the corpus. A mass-duplicate cluster is a hot
+  * key only in the min-agg, where partial aggregation collapses it
+  * map-side. Alternative with the same bound: alternating large-star/
+  * small-star (Kiveris et al., MapReduce CC) — more rounds in
+  * practice, same contraction idea.
   *
   * Durability: every per-round pin goes through the injectable
   * `materialize` strategy (graft.Materialize) — `local` for single-box,
@@ -54,56 +59,66 @@ object Components {
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
                           maxIter: Int = 25,
                           materialize: Materialize.Strategy = Materialize.local): DataFrame = {
-    // symmetrize once; the per-round join probes this static table
-    val edges = materialize(
-      pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-        .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v"))))
     var labels = materialize(
       nodes.select(col("id").as("node"), col("id").as("lbl")))
+    // contracted edge table in supernode (current-label) space:
+    // symmetric, loop-free, dedup'd; round 1 sees the raw edges
+    var e = materialize(
+      pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+        .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+        .where(col("u") =!= col("v")).distinct())
     var iter = 0
-    var converged = false
+    var converged = e.limit(1).count() == 0L
     while (!converged && iter < maxIter) {
-      // 1. neighbor hop: min over {self} ∪ {labels arriving over edges}.
-      // Formulated as edge-stream agg + left join (not a labels∪viaEdges
-      // union): the aggregation then sees only E rows, and isolated
-      // nodes skip the shuffle entirely via the left join.
-      val nbrMin = edges
-        .join(labels.select(col("node").as("u"), col("lbl").as("nl")), "u")
-        .groupBy(col("v").as("node")).agg(min(col("nl")).as("nmin"))
-      // `old` rides along so convergence below is a filter on the final
-      // checkpoint — no join back to the previous label table. hop is
-      // materialized BEFORE the self-join: ReuseExchange does not fire
-      // across AQE's broadcast conversion of a self-join side (measured
-      // on q27's diamond, SCALE.md round 3), so an unmaterialized hop
-      // would execute its join+agg+join lineage twice per round.
-      val hop = materialize(labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"), col("lbl").as("old"),
-          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl")))
-      // Convergence is decided on the HOP alone, skipping the final
-      // round's self-join entirely: labels only ever decrease, and if
-      // the hop changed nothing then every node satisfies
-      // lbl(v) ≤ lbl(u) for each neighbor u — with symmetric edges that
-      // forces lbl uniform across each component, and on a uniform
-      // component the jump is the identity (lbl(m) = m for the minimum
-      // node m whose id the component carries). The check scans the
-      // checkpoint just written — no shuffle, no recompute, no collect.
-      converged = hop.where(col("lbl") =!= col("old")).limit(1).count() == 0L
-      if (converged) {
-        labels = hop.select("node", "lbl")
-      } else {
-        // 2. pointer jump: adopt the label's own label. Every label
-        // value is some node's id and `hop` has a row for every node,
-        // so the lookup always hits; `left` + coalesce only guards
-        // planner-level null introduction, not a semantic miss.
-        labels = materialize(hop.as("a")
-          .join(hop.select(col("node").as("ln"), col("lbl").as("llbl")),
-            col("a.lbl") === col("ln"), "left")
-          .select(col("a.node").as("node"),
-            coalesce(col("llbl"), col("a.lbl")).as("lbl")))
-      }
+      // 1. merge map: every supernode → min({itself} ∪ neighbors);
+      // movers only, so the map is a strictly-decreasing function
+      var t = materialize(e.groupBy("u").agg(min(col("v")).as("m"))
+        .select(col("u").as("s"), least(col("u"), col("m")).as("t"))
+        .where(col("s") =!= col("t")))
+      // 2. path-compress T to its fixpoint (T ← T∘T, log₂(chain)
+      // compositions of a supernode-sized table).
+      t = compressMap(t, materialize)
+      // 3. apply: rewrite node labels (the round's one corpus-sized
+      // join) and contract the edge table through the compressed map
+      labels = materialize(labels
+        .join(t.select(col("s").as("lbl"), col("t")), Seq("lbl"), "left")
+        .select(col("node"), coalesce(col("t"), col("lbl")).as("lbl")))
+      e = materialize(e
+        .join(t.select(col("s").as("u"), col("t").as("tu")), Seq("u"), "left")
+        .join(t.select(col("s").as("v"), col("t").as("tv")), Seq("v"), "left")
+        .select(coalesce(col("tu"), col("u")).as("u"),
+          coalesce(col("tv"), col("v")).as("v"))
+        .where(col("u") =!= col("v")).distinct())
+      converged = e.limit(1).count() == 0L
       iter += 1
     }
+    require(converged,
+      s"connectedComponents: not converged after $maxIter rounds")
     labels
+  }
+
+  /** Path-compress an ACYCLIC functional map `(s, t)` to its fixpoint:
+    * T ← T∘T until no target is still a source — ⌈log₂ max chain⌉
+    * self-joins of the (small, typically component-count-sized) map,
+    * each probe a semi-join limit-1. Shared by [[connectedComponents]]'
+    * strictly-decreasing merge maps and [[boruvkaMst]]'s 2-cycle-broken
+    * pseudo-forest. */
+  private def compressMap(t0: DataFrame,
+      materialize: Materialize.Strategy): DataFrame = {
+    var t = t0
+    var comp = 0
+    while (t.select(col("t").as("s")).join(t, Seq("s"), "left_semi")
+             .limit(1).count() > 0L) {
+      require(comp < 64, "compressMap: no fixpoint in 64 squarings — " +
+        "impossible for an acyclic functional map; " +
+        "indicates a corrupt edge table")
+      t = materialize(t.as("a")
+        .join(t.select(col("s").as("cs"), col("t").as("ct")),
+          col("a.t") === col("cs"), "left")
+        .select(col("a.s").as("s"), coalesce(col("ct"), col("a.t")).as("t")))
+      comp += 1
+    }
+    t
   }
 
   /** Corpus dedup clustering: verified near-dup pairs (the q51 plan) →
@@ -517,11 +532,16 @@ object Components {
     * so an isolated point (zero ε-neighbors) never appears there and
     * could not be marked core even though `minPts <= 1` would make
     * every point core by definition. */
-  def dbscan(pts0: DataFrame, eps: Double, eps2: Double, minPts: Int,
-             materialize: Materialize.Strategy = Materialize.local): DataFrame = {
-    require(minPts >= 2,
-      s"dbscan requires minPts >= 2 (got $minPts): cores derive from the " +
-        "pairs table, so zero-neighbor points can never be core")
+  /** Directed ε-pair table (`ia`, `ib`, `w` = round(d², 9) ≤ eps2) over
+    * 2-D points (`id`, `x`, `y`) from a cell-width-ε grid self-join:
+    * every true pair is at most one cell apart, each DIRECTED pair is
+    * generated exactly once (so each undirected pair appears in both
+    * directions). The blocked shape every ε-neighborhood operator here
+    * shares — [[dbscan]] consumes it for degree counting, and
+    * [[hdbscanClusters]] takes the a<b half as its weighted edge set —
+    * and the reason none of them is an all-pairs join at scale. */
+  def gridEpsPairs(pts0: DataFrame, eps: Double, eps2: Double,
+      materialize: Materialize.Strategy = Materialize.local): DataFrame = {
     val pts = materialize(pts0
       .withColumn("cx", floor(col("x") / eps).cast("long"))
       .withColumn("cy", floor(col("y") / eps).cast("long")))
@@ -532,12 +552,22 @@ object Components {
         explode(offs).as("o"))
       .select(col("ib"), col("xb"), col("yb"),
         (col("bx") + col("o.dx")).as("gx"), (col("by") + col("o.dy")).as("gy"))
-    val pairs = materialize(pts
+    pts
       .join(probe, col("cx") === col("gx") && col("cy") === col("gy")
         && col("id") =!= col("ib"))
-      .where(round((col("x") - col("xb")) * (col("x") - col("xb"))
-        + (col("y") - col("yb")) * (col("y") - col("yb")), 9) <= eps2)
-      .select(col("id").as("ia"), col("ib")))
+      .withColumn("w", round((col("x") - col("xb")) * (col("x") - col("xb"))
+        + (col("y") - col("yb")) * (col("y") - col("yb")), 9))
+      .where(col("w") <= eps2)
+      .select(col("id").as("ia"), col("ib"), col("w"))
+  }
+
+  def dbscan(pts0: DataFrame, eps: Double, eps2: Double, minPts: Int,
+             materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+    require(minPts >= 2,
+      s"dbscan requires minPts >= 2 (got $minPts): cores derive from the " +
+        "pairs table, so zero-neighbor points can never be core")
+    val pairs = materialize(
+      gridEpsPairs(pts0, eps, eps2, materialize).select("ia", "ib"))
     val core = materialize(pairs.groupBy(col("ia").as("id"))
       .agg(count(lit(1)).as("n"))
       .where(col("n") >= minPts - 1).select("id"))
@@ -555,7 +585,7 @@ object Components {
       .groupBy(col("ia").as("id"))
       .agg(min(col("lbl")).as("cluster"))
       .select(col("id"), lit("border").as("role"), col("cluster"))
-    val noise = pts.select("id")
+    val noise = pts0.select("id")
       .join(coreOut.select("id"), Seq("id"), "left_anti")
       .join(bord.select("id"), Seq("id"), "left_anti")
       .select(col("id"), lit("noise").as("role"), lit(-1L).as("cluster"))
@@ -572,9 +602,11 @@ object Components {
     * component selects its minimum OUTGOING edge — min over the
     * lexicographic key (w, a, b), globally unique, which makes the
     * component-level merge graph a pseudo-forest whose cycles are all
-    * 2-cycles — then merged groups collapse via
-    * [[connectedComponents]] over that (tiny, ≤|components|-row)
-    * merge graph, and labels rewrite through the merge. Rounds halve
+    * 2-cycles — then merged groups collapse by breaking each 2-cycle
+    * toward its min and path-compressing the remaining acyclic
+    * functional forest ([[compressMap]] on the tiny, ≤|components|-row
+    * map; r14 — this was a full CC invocation per round), and labels
+    * rewrite through the merge. Rounds halve
     * the component count at worst, bounded by log₂(max final
     * component size); `maxIter` is a hard failure, not a silent
     * truncation. With tied weights the specific tree can differ
@@ -627,20 +659,39 @@ object Components {
         .groupBy("c").agg(min(col("k")).as("k")))
       if (minE.limit(1).count() == 0L) done = true
       else {
-        // the same edge wins for both endpoints of a 2-cycle: distinct
-        chosenParts ::= materialize(minE
+        // the same edge wins for both endpoints of a 2-cycle: distinct.
+        // Lazy on purpose: minE is already pinned, so this projection's
+        // lineage is one hop; the distincts of all rounds execute
+        // together in the final union's single action instead of
+        // costing one micro-job per round.
+        chosenParts ::= minE
           .select(col("k.a").as("a"), col("k.b").as("b"), col("k.w").as("w"))
-          .distinct())
-        val mg = minE.select(col("c").as("id_a"),
+          .distinct()
+        // The merge graph c → (other endpoint's component) has
+        // out-degree EXACTLY 1 (every c has a min edge), so it is a
+        // pseudo-forest — and with the globally-unique (w, a, b) min
+        // key, every cycle is a 2-CYCLE (the component pair sharing
+        // their mutual minimum edge). That makes a full CC per round
+        // unnecessary: break each 2-cycle by redirecting both members
+        // to their min, which leaves an acyclic functional forest
+        // rooted at the merged groups' minima — resolved by
+        // compressMap in log(chain) self-joins of the tiny map (was:
+        // a full connectedComponents invocation per Borůvka round,
+        // ~2/3 of the gate's micro-job count on the ε-graph MST).
+        val f = materialize(minE.select(col("c").as("s"),
           when(col("k.ca") === col("c"), col("k.cb")).otherwise(col("k.ca"))
-            .as("id_b"))
-        // every merge-graph endpoint has a crossing edge, hence its own
-        // minE row — minE.c covers the node set
-        val merged = connectedComponents(minE.select(col("c").as("id")), mg,
-          materialize = materialize)
+            .as("t")))
+        val p = materialize(f.as("x")
+          .join(f.select(col("s").as("ms"), col("t").as("mt")),
+            col("x.t") === col("ms"))
+          .select(col("x.s").as("s"),
+            when(col("mt") === col("x.s"), least(col("x.s"), col("x.t")))
+              .otherwise(col("x.t")).as("t"))
+          .where(col("s") =!= col("t")))
+        val merged = compressMap(p, materialize)
         labels = materialize(labels
-          .join(merged.select(col("node").as("comp"), col("lbl")), Seq("comp"), "left")
-          .select(col("node"), coalesce(col("lbl"), col("comp")).as("comp")))
+          .join(merged.select(col("s").as("comp"), col("t")), Seq("comp"), "left")
+          .select(col("node"), coalesce(col("t"), col("comp")).as("comp")))
       }
       iter += 1
     }
@@ -660,84 +711,276 @@ object Components {
     * ≤t-subgraph). Returns one row per cut: non-singleton cluster
     * count, docs clustered, largest cluster.
     *
-    * All k levels run in ONE fused pointer-doubling loop: labels are a
-    * k-wide column vector, each edge carries the first cut index where
-    * it activates, and a level-j hop only admits neighbor labels over
-    * edges with lvl ≤ j. Per round that is one edge join + one k-column
-    * min aggregate + k pointer-jump joins in one plan — rounds = the
-    * MAX level's O(log diameter), not the SUM over levels, and the
-    * per-level micro-job latency (the dominant cost of iterative gates,
-    * SCALE.md round 12) is paid once. A level that converges early just
-    * no-ops its columns.
+    * All k levels run in ONE level-encoded contraction-CC pass (see
+    * [[singleLinkageLabels]] for the encoding and the history: r13's
+    * fused k-wide hop+jump loop was replaced in r14 after measuring
+    * O(diameter) convergence on path-like Euclidean MSTs) — the
+    * per-level micro-job latency (the dominant cost of iterative
+    * gates, SCALE.md round 12) is paid once, not k times.
     *
-    * Scale: every relation here is tree-bounded (≤ n−1 edges) — k
-    * dendrogram levels add COLUMNS to one loop, never passes over the
-    * original edge set; the oracle cross-checks with reachability over
-    * the FULL ≤t edge set — a different algorithm on a different edge
-    * set that must produce the identical partition. */
+    * Scale: every relation here is tree-bounded (≤ k·(n−1) encoded
+    * edges) — k dendrogram levels replicate the TREE, never the
+    * original edge set or corpus; the oracle cross-checks with
+    * reachability over the FULL ≤t edge set — a different algorithm on
+    * a different edge set that must produce the identical partition. */
   def singleLinkageCuts(mstEdges: DataFrame, cuts: Seq[Double],
       maxIter: Int = 25,
       materialize: Materialize.Strategy = Materialize.local): DataFrame = {
-    require(cuts.nonEmpty, "need at least one cut height")
     val ts = cuts.sorted
     val k = ts.length
-    def L(j: Int) = s"l$j"
-    // first cut index where the edge is active (= #cuts below w)
-    val lvlExpr = ts.map(t => when(col("w") > t, 1).otherwise(0))
-      .reduce(_ + _)
-    val e0 = mstEdges.where(col("w") <= ts.last)
-      .select(col("a"), col("b"), lvlExpr.as("lvl"))
-    val edges = materialize(
-      e0.select(col("a").as("u"), col("b").as("v"), col("lvl"))
-        .unionByName(e0.select(col("b").as("u"), col("a").as("v"), col("lvl"))))
-    // per-node first level of participation: membership at cut j is
-    // nlvl ≤ j (a node outside every ≤t edge is a singleton, not a row)
-    val nodeLvl = edges.groupBy(col("u").as("node"))
-      .agg(min(col("lvl")).as("nlvl"))
-    var labels = materialize(nodeLvl.select(
-      col("node") +: col("nlvl") +: (0 until k).map(j => col("node").as(L(j))): _*))
-    val keep = Seq(col("node"), col("nlvl"))
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIter) {
-      val nbrAggs = (0 until k).map(j =>
-        min(when(col("lvl") <= j, col(s"n$j"))).as(s"m$j"))
-      val nbr = edges
-        .join(labels.select(col("node").as("u") +:
-          (0 until k).map(j => col(L(j)).as(s"n$j")): _*), "u")
-        .groupBy(col("v").as("node"))
-        .agg(nbrAggs.head, nbrAggs.tail: _*)
-      val hop = materialize(labels.join(nbr, Seq("node"), "left")
-        .select(keep ++ (0 until k).flatMap(j => Seq(
-          col(L(j)).as(s"o$j"),
-          least(col(L(j)), coalesce(col(s"m$j"), col(L(j)))).as(L(j)))): _*))
-      converged = hop.where((0 until k)
-        .map(j => col(L(j)) =!= col(s"o$j")).reduce(_ || _))
-        .limit(1).count() == 0L
-      if (converged) {
-        labels = hop.select(keep ++ (0 until k).map(j => col(L(j))): _*)
-      } else {
-        val jumped = (0 until k).foldLeft(
-          hop.select(keep ++ (0 until k).map(j => col(L(j))): _*)) { (acc, j) =>
-          acc.join(hop.select(col("node").as(s"_n$j"), col(L(j)).as(s"_l$j")),
-              col(L(j)) === col(s"_n$j"), "left")
-            .withColumn(L(j), coalesce(col(s"_l$j"), col(L(j))))
-            .drop(s"_n$j", s"_l$j")
-        }
-        labels = materialize(jumped)
-      }
-      iter += 1
-    }
-    require(converged, s"singleLinkageCuts: not converged after $maxIter rounds")
+    val labels = singleLinkageLabels(mstEdges, cuts, maxIter, materialize)
     (0 until k).map { j =>
       labels.where(col("nlvl") <= j)
-        .groupBy(col(L(j))).agg(count(lit(1)).as("sz"))
+        .groupBy(col(s"l$j")).agg(count(lit(1)).as("sz"))
         .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"),
           max(col("sz")).as("max_size"))
         .select(lit(ts(j)).as("cut"), col("n_clusters"),
           coalesce(col("n_docs"), lit(0L)).as("n_docs"),
           coalesce(col("max_size"), lit(0L)).as("max_size"))
     }.reduce(_ unionByName _).orderBy("cut")
+  }
+
+  /** The per-level label frame behind [[singleLinkageCuts]] and
+    * [[hdbscanClusters]]: one row per node incident to some ≤max-cut
+    * tree edge, with `nlvl` (first cut index where the node
+    * participates) and k label columns `l0..l(k-1)` — the node's
+    * single-linkage component label (min member id) at each cut.
+    *
+    * Computed as ONE LEVEL-ENCODED [[connectedComponents]] run: node
+    * replica (node, j) for every level j ≥ nlvl and edge replica for
+    * every level j ≥ the edge's activation level, encoded as
+    * enc = node·k + j. Levels never connect (both endpoints of every
+    * encoded edge share the same j), encoded order within a level IS
+    * node order (same j ⇒ enc order = node order), so the component
+    * min decodes to the level's min member — and the contraction CC's
+    * O(log n) round bound is paid ONCE for all k levels instead of k
+    * times (k sequential per-level CC runs measured ~14 s of pure
+    * micro-job latency on the sf0.01 ε-MST; this form runs the same
+    * data in one loop). Data cost: ≤ k× the TREE (n−1 edges), never
+    * k× the corpus.
+    *
+    * This replaced r13's fused k-wide-label hop+jump loop, whose
+    * per-round reach is O(1) edges across label plateaus — O(diameter)
+    * rounds on the path-like MSTs Euclidean graphs produce (measured:
+    * 60+ rounds, unconverged, on the sf0.001 ε-graph MST; the
+    * dup-graph trees it was built on have diameter ≤4). */
+  def singleLinkageLabels(mstEdges: DataFrame, cuts: Seq[Double],
+      maxIter: Int = 25,
+      materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+    require(cuts.nonEmpty, "need at least one cut height")
+    val ts = cuts.sorted
+    val k = ts.length
+    // first cut index where the edge is active (= #cuts below w)
+    val lvlExpr = ts.map(t => when(col("w") > t, 1).otherwise(0))
+      .reduce(_ + _)
+    val e0 = materialize(mstEdges.where(col("w") <= ts.last)
+      .select(col("a"), col("b"), lvlExpr.as("lvl")))
+    // per-node first level of participation: membership at cut j is
+    // nlvl ≤ j (a node outside every ≤t edge is a singleton, not a row)
+    val nodeLvl = materialize(
+      e0.select(col("a").as("node"), col("lvl"))
+        .unionByName(e0.select(col("b").as("node"), col("lvl")))
+        .groupBy("node").agg(min(col("lvl")).as("nlvl")))
+    val encNodes = nodeLvl
+      .select(col("node"), explode(sequence(col("nlvl"), lit(k - 1))).as("j"))
+      .select((col("node") * k + col("j")).as("id"))
+    val encEdges = e0
+      .select(col("a"), col("b"),
+        explode(sequence(col("lvl"), lit(k - 1))).as("j"))
+      .select((col("a") * k + col("j")).as("id_a"),
+        (col("b") * k + col("j")).as("id_b"))
+    val cc = connectedComponents(encNodes, encEdges, maxIter, materialize)
+    val dec = cc.select((col("node") % k).cast("int").as("j"),
+      expr(s"node div $k").as("node"), expr(s"lbl div $k").as("lbl"))
+    // pivot back to the k-wide frame in ONE conditional aggregation;
+    // labels default to the node's own id at levels below its nlvl
+    // (never read — consumers filter nlvl ≤ j — but keeps the frame
+    // total)
+    val aggs = (0 until k).map(j =>
+      max(when(col("j") === j, col("lbl"))).as(s"_j$j"))
+    val wide = dec.groupBy("node").agg(aggs.head, aggs.tail: _*)
+    nodeLvl.join(wide, Seq("node"), "left")
+      .select(col("node") +: col("nlvl") +: (0 until k).map(j =>
+        coalesce(col(s"_j$j"), col("node")).as(s"l$j")): _*)
+  }
+
+  /** HDBSCAN cluster extraction over a DISCRETE λ grid (✚, the capstone
+    * of the Borůvka→single-linkage scaffold — Campello/Moulavi/Sander's
+    * condensed-tree stability selection, discretized to the cut ladder
+    * so every quantity is exact integer arithmetic both engines
+    * reproduce bit-for-bit):
+    *
+    *  - levels j = 0..k-1 are the ascending cuts `cuts` with exact
+    *    integer densities `lambdas(j)` (the caller picks cuts whose
+    *    reciprocals are integers; a monotone reparametrization of the
+    *    classic λ = 1/d changes stability VALUES, not the tree);
+    *  - cluster instances: single-linkage components of the MST at
+    *    level j with ≥ `minSize` members (smaller components are noise
+    *    at that level, the min-cluster-size rule);
+    *  - the CONDENSED tree keeps only true splits: instance (j,c) is a
+    *    birth iff j = k-1 (root) or its parent instance at j+1 has ≥ 2
+    *    surviving children — a lone surviving child CONTINUES its
+    *    parent (noise spill never creates a new cluster);
+    *  - stability S(C) = Σ_p (λ_death(p) − λ_birth(C)) in its discrete
+    *    Riemann form Σ_{instances (j,c) of C, j < birth} sz_j ·
+    *    (λ_j − λ_{j+1}) — exact BIGINT;
+    *  - excess-of-mass selection: bottom-up V(C) = max(S(C), Σ V(child));
+    *    C is chosen iff S(C) ≥ Σ V(child) (ties prefer the parent, the
+    *    reference library's rule), then a top-down pass deselects
+    *    descendants of chosen clusters. Roots are selectable (the
+    *    allow-single-cluster analog — the forest's roots are real
+    *    clusters here, not the all-points pseudo-root).
+    *
+    * Returns one row per condensed cluster: (`cut` — birth level's cut,
+    * `cluster` — min member id at birth, `n_birth`, `stability`,
+    * `selected`), ordered by (cut, cluster).
+    *
+    * Scale: everything after [[singleLinkageLabels]]' one CC pass runs
+    * on CLUSTER-count-sized tables (instances ≤ components per level),
+    * orders below the corpus; the k-step cid/selection loops are
+    * driver-orchestrated joins over those small tables — no collect,
+    * no per-point state beyond the label frame the scaffold already
+    * carries. */
+  def hdbscanClusters(mstEdges: DataFrame, cuts: Seq[Double],
+      lambdas: Seq[Long], minSize: Int, maxIter: Int = 50,
+      materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+    require(cuts.length >= 2 && cuts.length == lambdas.length,
+      "need ≥2 cut levels with matching lambdas")
+    require(cuts == cuts.sorted && lambdas == lambdas.sorted.reverse,
+      "cuts ascend, lambdas (=1/cut) descend")
+    val ts = cuts
+    val k = ts.length
+    val gaps = (0 until k - 1).map(j => lambdas(j) - lambdas(j + 1))
+    val labels = materialize(
+      singleLinkageLabels(mstEdges, ts, maxIter, materialize))
+    // cluster instances: (level j, label c = min member, size), real
+    // (≥ minSize) only — sub-threshold components are level-j noise
+    val inst = (0 until k).map { j =>
+      labels.where(col("nlvl") <= j)
+        .groupBy(col(s"l$j").as("c")).agg(count(lit(1)).as("sz"))
+        .where(col("sz") >= minSize)
+        .select(lit(j).as("j"), col("c"), col("sz"))
+    }.reduce(_ unionByName _)
+    // parent instance label: the level-j+1 label OF THE LABEL NODE c
+    // (c is a member; label nesting makes any member's j+1 label THE
+    // containing component). Parent is always real: its size dominates.
+    val pExpr = (0 until k - 1)
+      .map(j => (col("j") === j, col(s"l${j + 1}")))
+      .foldLeft(Option.empty[Column]) {
+        case (None, (c, v)) => Some(when(c, v))
+        case (Some(e), (c, v)) => Some(e.when(c, v))
+      }.get
+    val withPar = inst
+      .join(labels.select(col("node").as("c") +:
+        (1 until k).map(j => col(s"l$j")): _*), Seq("c"), "left")
+      .select(col("j"), col("c"), col("sz"), pExpr.as("p"))
+    val kd = withPar.where(col("j") < k - 1)
+      .groupBy((col("j") + 1).as("pj"), col("p").as("pc"))
+      .agg(count(lit(1)).as("nk"))
+    val born = materialize(withPar
+      .join(kd, col("pj") === col("j") + 1 && col("pc") === col("p"), "left")
+      .select(col("j"), col("c"), col("sz"), col("p"),
+        (col("j") === k - 1 || coalesce(col("nk"), lit(0L)) >= 2)
+          .as("isborn")))
+    // condensed-cluster id (bj, bc) per instance, resolved top-down:
+    // a birth is itself; a continuation inherits its parent instance's
+    var resolved = List(materialize(born.where(col("j") === k - 1)
+      .select(col("j"), col("c"), col("sz"),
+        col("j").as("bj"), col("c").as("bc"))))
+    for (j <- k - 2 to 0 by -1) {
+      val up = resolved.head // level j+1, already resolved
+      resolved ::= materialize(born.where(col("j") === j)
+        .join(up.select(col("c").as("p"), col("bj").as("ubj"),
+          col("bc").as("ubc")), Seq("p"), "left")
+        .select(col("j"), col("c"), col("sz"),
+          when(col("isborn"), lit(j)).otherwise(col("ubj")).as("bj"),
+          when(col("isborn"), col("c")).otherwise(col("ubc")).as("bc")))
+    }
+    val cida = materialize(resolved.reduce(_ unionByName _))
+    // discrete stability: instances BELOW the birth level contribute
+    // sz · gap(j); the birth instance contributes 0 (keeps clusters
+    // with no sub-birth presence in the output at S = 0)
+    val gapExpr = (0 until k - 1)
+      .map(j => (col("j") === j, lit(gaps(j))))
+      .foldLeft(Option.empty[Column]) {
+        case (None, (c, v)) => Some(when(c, v))
+        case (Some(e), (c, v)) => Some(e.when(c, v))
+      }.get
+    val stab = cida.groupBy("bj", "bc")
+      .agg(coalesce(sum(when(col("j") < col("bj"), col("sz") * gapExpr)),
+        lit(0L)).as("stability"))
+    val birthInst = cida.where(col("j") === col("bj") && col("c") === col("bc"))
+      .select(col("bj"), col("bc"), col("sz").as("n_birth"))
+    // condensed parent pointer: the cid of the birth instance's parent
+    val cl = materialize(stab
+      .join(birthInst, Seq("bj", "bc"))
+      .join(born.where(col("isborn"))
+        .select(col("j").as("bj"), col("c").as("bc"), col("p")),
+        Seq("bj", "bc"), "left")
+      .join(cida.select(col("j").as("upj"), col("c").as("upc"),
+        col("bj").as("pbj"), col("bc").as("pbc")),
+        col("upj") === col("bj") + 1 && col("upc") === col("p"), "left")
+      .select(col("bj"), col("bc"), col("n_birth"), col("stability"),
+        col("pbj"), col("pbc")))
+    // excess-of-mass, bottom-up by birth level: V = max(S, Σ V(child)),
+    // chosen iff S ≥ Σ V(child) (children are born strictly lower)
+    var vParts = List.empty[DataFrame]
+    for (b <- 0 until k) {
+      val lvl = cl.where(col("bj") === b)
+      val lvlV = vParts.reduceOption(_ unionByName _) match {
+        case None =>
+          lvl.select(col("bj"), col("bc"), col("stability").as("v"),
+            lit(true).as("chosen"))
+        case Some(va) =>
+          val sv = cl.where(col("pbj") === b)
+            .select(col("bj").as("dbj"), col("bc").as("dbc"),
+              col("pbj"), col("pbc"))
+            .join(va.select(col("bj").as("dbj"), col("bc").as("dbc"),
+              col("v")), Seq("dbj", "dbc"))
+            .groupBy(col("pbj").as("bj"), col("pbc").as("bc"))
+            .agg(sum(col("v")).as("sv"))
+          lvl.join(sv, Seq("bj", "bc"), "left")
+            .select(col("bj"), col("bc"),
+              greatest(col("stability"), coalesce(col("sv"), lit(0L))).as("v"),
+              (col("stability") >= coalesce(col("sv"), lit(0L))).as("chosen"))
+      }
+      vParts ::= materialize(lvlV)
+    }
+    val va = vParts.reduce(_ unionByName _)
+    // top-down: selected = chosen ∧ no chosen-unblocked ancestor;
+    // blocked(C) = blocked(parent) ∨ chosen(C) propagates the veto
+    var sParts = List.empty[DataFrame]
+    for (b <- k - 1 to 0 by -1) {
+      val lvl = va.where(col("bj") === b)
+        .join(cl.select(col("bj"), col("bc"), col("pbj"), col("pbc")),
+          Seq("bj", "bc"))
+      val lvlS = sParts.reduceOption(_ unionByName _) match {
+        case None =>
+          lvl.select(col("bj"), col("bc"), col("chosen").as("selected"),
+            col("chosen").as("blocked"))
+        case Some(sa) =>
+          lvl.join(sa.select(col("bj").as("pbj"), col("bc").as("pbc"),
+            col("blocked").as("pblocked")), Seq("pbj", "pbc"), "left")
+            .select(col("bj"), col("bc"),
+              (col("chosen") && !coalesce(col("pblocked"), lit(false)))
+                .as("selected"),
+              (coalesce(col("pblocked"), lit(false)) || col("chosen"))
+                .as("blocked"))
+      }
+      sParts ::= materialize(lvlS)
+    }
+    val cutExpr = (0 until k)
+      .map(j => (col("bj") === j, lit(ts(j))))
+      .foldLeft(Option.empty[Column]) {
+        case (None, (c, v)) => Some(when(c, v))
+        case (Some(e), (c, v)) => Some(e.when(c, v))
+      }.get
+    sParts.reduce(_ unionByName _)
+      .join(cl.select(col("bj"), col("bc"), col("n_birth"), col("stability")),
+        Seq("bj", "bc"))
+      .select(cutExpr.as("cut"), col("bc").as("cluster"),
+        col("n_birth"), col("stability"), col("selected"))
+      .orderBy("cut", "cluster")
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -1590,6 +1833,167 @@ object Components {
              |  COALESCE(g.n_docs, 0) AS n_docs,
              |  COALESCE(g.max_size, 0) AS max_size
              |FROM cuts LEFT JOIN g USING (cut)
-             |ORDER BY cut""".stripMargin))
+             |ORDER BY cut""".stripMargin)),
+
+    // HDBSCAN over the embeddings' 2-D density landscape (✚, VERDICT
+    // r13 next-round #6 — the capstone the Borůvka→single-linkage
+    // scaffold was built toward): grid-blocked ε-pairs (q345's blocking,
+    // shared via gridEpsPairs) → Borůvka MST → the level-encoded
+    // k-level label pass → discrete condensed-tree stability selection (algorithm
+    // notes at [[hdbscanClusters]]). The λ grid is in SQUARED distance
+    // with exact integer densities (1/0.0004 = 2500 …), so stability is
+    // pure BIGINT arithmetic — no float in the hash. minSize = 5
+    // matches q345's minPts: the two gates read the SAME landscape, one
+    // as flat ε-density clusters, one as a persistence hierarchy.
+    //
+    // Oracle independence: the oracle never sees the MST OR the grid —
+    // it recomputes every level's partition by reachability over the
+    // full O(n²)-scanned ≤t pair set (the q353 cross-check, ×4 levels),
+    // then runs the same condensed-tree algebra in unrolled CTEs. The
+    // partitions must agree via the Kruskal invariant; everything
+    // downstream is exact integers on cluster-count-sized tables.
+    //
+    // Scale: pair generation is the grid join (never all-pairs), the
+    // MST is log-round Borůvka, the k levels ride ONE contraction-CC, and
+    // the condensed-tree algebra runs on instance tables orders smaller
+    // than the corpus. ScaleLawSpec holds it to the linear record/pin
+    // laws at ×3.
+    QueryDef("q358_hdbscan",
+      (s, d) => {
+        val pts = Tables.embeddings(s, d).select(col("vec_id").as("id"),
+          element_at(col("embedding"), 1).cast("double").as("x"),
+          element_at(col("embedding"), 2).cast("double").as("y"))
+        val edges = gridEpsPairs(pts, eps = 0.05, eps2 = 0.0025)
+          .where(col("ia") < col("ib"))
+          .select(col("ia").as("a"), col("ib").as("b"), col("w"))
+        val (mst, _) = boruvkaMst(pts.select("id"), edges)
+        hdbscanClusters(mst,
+          cuts = Seq(0.0004, 0.000625, 0.0016, 0.0025),
+          lambdas = Seq(2500L, 1600L, 625L, 400L), minSize = 5)
+      },
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT vec_id AS id, CAST(embedding[1] AS DOUBLE) AS x,
+             |    CAST(embedding[2] AS DOUBLE) AS y
+             |  FROM embeddings),
+             |lv AS (SELECT * FROM (VALUES (0, 0.0004, 900), (1, 0.000625, 975),
+             |  (2, 0.0016, 225), (3, 0.0025, 0)) AS t(j, t2, gap)),
+             |p AS MATERIALIZED (
+             |  SELECT a.id AS u, b.id AS v,
+             |    round((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y), 9) AS w
+             |  FROM e a JOIN e b ON a.id <> b.id
+             |  WHERE round((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y), 9)
+             |    <= 0.0025),
+             |sym AS MATERIALIZED (SELECT lv.j, p.u, p.v FROM p, lv WHERE p.w <= lv.t2),
+             |ids AS (SELECT DISTINCT j, u AS id FROM sym),
+             |reach(j, node, lbl) AS (
+             |  SELECT j, id, id FROM ids
+             |  UNION
+             |  SELECT s.j, s.v, r.lbl FROM reach r JOIN sym s ON s.j = r.j AND s.u = r.node),
+             |lab AS MATERIALIZED (SELECT j, node, MIN(lbl) AS lbl FROM reach GROUP BY 1, 2),
+             |inst AS MATERIALIZED (
+             |  SELECT j, lbl AS c, COUNT(*) AS sz FROM lab GROUP BY 1, 2
+             |  HAVING COUNT(*) >= 5),
+             |par AS MATERIALIZED (
+             |  SELECT i.j, i.c, i.sz, l.lbl AS p
+             |  FROM inst i LEFT JOIN lab l ON l.j = i.j + 1 AND l.node = i.c),
+             |kd AS (SELECT j + 1 AS pj, p AS pc, COUNT(*) AS nk
+             |       FROM par WHERE j < 3 GROUP BY 1, 2),
+             |born AS MATERIALIZED (
+             |  SELECT pr.j, pr.c, pr.sz, pr.p,
+             |    (pr.j = 3 OR COALESCE(k.nk, 0) >= 2) AS isborn
+             |  FROM par pr LEFT JOIN kd k ON k.pj = pr.j + 1 AND k.pc = pr.p),
+             |cid3 AS (SELECT j, c, sz, 3 AS bj, c AS bc FROM born WHERE j = 3),
+             |cid2 AS (
+             |  SELECT b.j, b.c, b.sz,
+             |    CASE WHEN b.isborn THEN 2 ELSE u.bj END AS bj,
+             |    CASE WHEN b.isborn THEN b.c ELSE u.bc END AS bc
+             |  FROM born b LEFT JOIN cid3 u ON u.c = b.p WHERE b.j = 2),
+             |cid1 AS (
+             |  SELECT b.j, b.c, b.sz,
+             |    CASE WHEN b.isborn THEN 1 ELSE u.bj END AS bj,
+             |    CASE WHEN b.isborn THEN b.c ELSE u.bc END AS bc
+             |  FROM born b LEFT JOIN cid2 u ON u.c = b.p WHERE b.j = 1),
+             |cid0 AS (
+             |  SELECT b.j, b.c, b.sz,
+             |    CASE WHEN b.isborn THEN 0 ELSE u.bj END AS bj,
+             |    CASE WHEN b.isborn THEN b.c ELSE u.bc END AS bc
+             |  FROM born b LEFT JOIN cid1 u ON u.c = b.p WHERE b.j = 0),
+             |cida AS MATERIALIZED (
+             |  SELECT * FROM cid3 UNION ALL SELECT * FROM cid2
+             |  UNION ALL SELECT * FROM cid1 UNION ALL SELECT * FROM cid0),
+             |stab AS MATERIALIZED (
+             |  SELECT a.bj, a.bc, CAST(COALESCE(SUM(
+             |      CASE WHEN a.j < a.bj THEN a.sz * g.gap END), 0) AS BIGINT)
+             |    AS stability
+             |  FROM cida a JOIN lv g ON g.j = a.j GROUP BY 1, 2),
+             |cl AS MATERIALIZED (
+             |  SELECT s.bj, s.bc, bi.sz AS n_birth, s.stability,
+             |    up.bj AS pbj, up.bc AS pbc
+             |  FROM stab s
+             |  JOIN born bi ON bi.j = s.bj AND bi.c = s.bc
+             |  LEFT JOIN cida up ON up.j = s.bj + 1 AND up.c = bi.p),
+             |v0 AS (SELECT bj, bc, stability AS v, true AS chosen
+             |       FROM cl WHERE bj = 0),
+             |v1 AS (
+             |  SELECT c.bj, c.bc, GREATEST(c.stability, COALESCE(s.sv, 0)) AS v,
+             |    c.stability >= COALESCE(s.sv, 0) AS chosen
+             |  FROM cl c LEFT JOIN (
+             |    SELECT d.pbj, d.pbc, CAST(SUM(v.v) AS BIGINT) AS sv
+             |    FROM cl d JOIN v0 v ON v.bj = d.bj AND v.bc = d.bc
+             |    WHERE d.pbj = 1 GROUP BY 1, 2) s
+             |    ON s.pbj = c.bj AND s.pbc = c.bc
+             |  WHERE c.bj = 1),
+             |v01 AS (SELECT * FROM v0 UNION ALL SELECT * FROM v1),
+             |v2 AS (
+             |  SELECT c.bj, c.bc, GREATEST(c.stability, COALESCE(s.sv, 0)) AS v,
+             |    c.stability >= COALESCE(s.sv, 0) AS chosen
+             |  FROM cl c LEFT JOIN (
+             |    SELECT d.pbj, d.pbc, CAST(SUM(v.v) AS BIGINT) AS sv
+             |    FROM cl d JOIN v01 v ON v.bj = d.bj AND v.bc = d.bc
+             |    WHERE d.pbj = 2 GROUP BY 1, 2) s
+             |    ON s.pbj = c.bj AND s.pbc = c.bc
+             |  WHERE c.bj = 2),
+             |v012 AS (SELECT * FROM v01 UNION ALL SELECT * FROM v2),
+             |v3 AS (
+             |  SELECT c.bj, c.bc, GREATEST(c.stability, COALESCE(s.sv, 0)) AS v,
+             |    c.stability >= COALESCE(s.sv, 0) AS chosen
+             |  FROM cl c LEFT JOIN (
+             |    SELECT d.pbj, d.pbc, CAST(SUM(v.v) AS BIGINT) AS sv
+             |    FROM cl d JOIN v012 v ON v.bj = d.bj AND v.bc = d.bc
+             |    WHERE d.pbj = 3 GROUP BY 1, 2) s
+             |    ON s.pbj = c.bj AND s.pbc = c.bc
+             |  WHERE c.bj = 3),
+             |va AS MATERIALIZED (SELECT * FROM v012 UNION ALL SELECT * FROM v3),
+             |s3 AS (SELECT bj, bc, chosen AS selected, chosen AS blocked
+             |       FROM va WHERE bj = 3),
+             |s2 AS (
+             |  SELECT v.bj, v.bc,
+             |    (v.chosen AND NOT COALESCE(a.blocked, false)) AS selected,
+             |    (COALESCE(a.blocked, false) OR v.chosen) AS blocked
+             |  FROM va v JOIN cl c ON c.bj = v.bj AND c.bc = v.bc
+             |  LEFT JOIN s3 a ON a.bj = c.pbj AND a.bc = c.pbc
+             |  WHERE v.bj = 2),
+             |s32 AS (SELECT * FROM s3 UNION ALL SELECT * FROM s2),
+             |s1 AS (
+             |  SELECT v.bj, v.bc,
+             |    (v.chosen AND NOT COALESCE(a.blocked, false)) AS selected,
+             |    (COALESCE(a.blocked, false) OR v.chosen) AS blocked
+             |  FROM va v JOIN cl c ON c.bj = v.bj AND c.bc = v.bc
+             |  LEFT JOIN s32 a ON a.bj = c.pbj AND a.bc = c.pbc
+             |  WHERE v.bj = 1),
+             |s321 AS (SELECT * FROM s32 UNION ALL SELECT * FROM s1),
+             |s0 AS (
+             |  SELECT v.bj, v.bc,
+             |    (v.chosen AND NOT COALESCE(a.blocked, false)) AS selected,
+             |    (COALESCE(a.blocked, false) OR v.chosen) AS blocked
+             |  FROM va v JOIN cl c ON c.bj = v.bj AND c.bc = v.bc
+             |  LEFT JOIN s321 a ON a.bj = c.pbj AND a.bc = c.pbc
+             |  WHERE v.bj = 0),
+             |sa AS (SELECT * FROM s321 UNION ALL SELECT * FROM s0)
+             |SELECT CASE sa.bj WHEN 0 THEN 0.0004 WHEN 1 THEN 0.000625
+             |    WHEN 2 THEN 0.0016 ELSE 0.0025 END AS cut,
+             |  sa.bc AS cluster, cl.n_birth, cl.stability, sa.selected
+             |FROM sa JOIN cl ON cl.bj = sa.bj AND cl.bc = sa.bc
+             |ORDER BY cut, cluster""".stripMargin))
   )
 }

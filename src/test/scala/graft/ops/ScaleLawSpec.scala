@@ -1,7 +1,9 @@
 package graft.ops
 
 import graft.{ScaleGen, SparkEntry, TestSpark}
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerBlockUpdated, SparkListenerTaskEnd}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, slice}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The SCALE.md scaling study folded into CI as a STANDING gate
@@ -19,6 +21,27 @@ import org.scalatest.funsuite.AnyFunSuite
   * the q336-pre-fix class (unbounded pairs on both sides: ×9 records
   * at ×3 data) trips the bound here before any driver run.
   *
+  * Two r14 extensions (VERDICT r13 next-round #1 and #3):
+  *
+  *  - PINNED-BLOCK-BYTES law: the q351 defect (localCheckpoint of a
+  *    64-dim corpus read at 8 dims) was INVISIBLE to the record law —
+  *    record counts ignore row WIDTH. A block-update listener now sums
+  *    the bytes every gate pins (RDD blocks added by localCheckpoint/
+  *    cache), and checkpoint-carrying gates must keep that ≤ linear at
+  *    ×3. A self-test re-introduces a deliberately wide pin and
+  *    asserts the probe sees it.
+  *
+  *  - VOCAB-GROWTH fixtures for the open-vocabulary model class
+  *    (q349): under the default "namespace" fixture vocab grows ∝ n —
+  *    adversarial for a model whose tables are type-keyed — while real
+  *    text obeys Heaps' law (vocab ∝ n^β, β≈0.5). q349's law now runs
+  *    on BOTH: namespace (model tables may grow ∝ n, shuffle must stay
+  *    ≤ linear — it is the corpus pass that dominates) and heaps
+  *    (model growth sublinear). q357, the bounded-vocab production
+  *    variant, must stay linear on the ADVERSARIAL fixture — its model
+  *    is corpus-size-independent by construction, which is the actual
+  *    100 TB answer for this operator family.
+  *
   * Bounds are generous (linear gates get ×5 + absolute slack for
   * broadcast/threshold flips at tiny SF); the ONE documented
   * super-linear workload — q345, whose ε-graph densifies quadratically
@@ -35,38 +58,76 @@ class ScaleLawSpec extends AnyFunSuite {
     dir
   }
 
+  // 3× replica with Heaps-law token growth (vocab ∝ √reps) — the
+  // realistic fixture for open-vocabulary model gates; see header.
+  private lazy val bigHeaps: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sf3x-heaps").toString
+    ScaleGen.generate(spark, TestSpark.sf0001, dir, 3, docTokenMode = "heaps")
+    dir
+  }
+
   private val shuffled = new java.util.concurrent.atomic.AtomicLong
+  private val pinned = new java.util.concurrent.atomic.AtomicLong
   private val listener = new SparkListener {
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
       if (e.taskMetrics != null)
         shuffled.addAndGet(e.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    // Every VALID RDD-block add is bytes the gate pinned (localCheckpoint
+    // / cache); removals post NONE-level updates and are not counted —
+    // the law meters what was WRITTEN, the width × rows product q351's
+    // defect inflated.
+    override def onBlockUpdated(e: SparkListenerBlockUpdated): Unit = {
+      val i = e.blockUpdatedInfo
+      if (i.blockId.isRDD && i.storageLevel.isValid)
+        pinned.addAndGet(i.memSize + i.diskSize)
+    }
   }
 
-  /** Total records written to shuffles across ALL jobs the gate runs
-    * (gates with internal localCheckpoint/collect span several jobs —
-    * a single queryExecution's metrics would miss them). Listener
-    * delivery is async: poll until the counter stabilizes. */
-  private def shuffleRecords(name: String, dir: String): Long = {
+  /** Run `body` under the metric listener; returns (shuffle records,
+    * pinned RDD-block bytes) across ALL jobs it runs (gates with
+    * internal localCheckpoint/collect span several jobs — a single
+    * queryExecution's metrics would miss them). Listener delivery is
+    * async: poll until both counters stabilize. */
+  private def measure(body: => Unit): (Long, Long) = {
     spark.sparkContext.addSparkListener(listener)
     try {
-      shuffled.set(0L)
-      SparkEntry.queries(name)(spark, dir).collect()
-      var prev = -1L
-      var cur = shuffled.get
-      while (prev != cur) { Thread.sleep(250); prev = cur; cur = shuffled.get }
+      shuffled.set(0L); pinned.set(0L)
+      body
+      var prev = (-1L, -1L)
+      var cur = (shuffled.get, pinned.get)
+      while (prev != cur) { Thread.sleep(250); prev = cur; cur = (shuffled.get, pinned.get) }
       cur
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  private def gateMetrics(name: String, dir: String): (Long, Long) =
+    measure { SparkEntry.queries(name)(spark, dir).collect() }
+
   private def law(name: String, maxRatio: Double): Unit =
-    test(s"$name: shuffle records grow ≤ ×$maxRatio at ×3 data") {
-      val small = shuffleRecords(name, TestSpark.sf0001)
-      val large = shuffleRecords(name, big)
+    lawOn(name, maxRatio, big, "namespace")
+
+  private def lawOn(name: String, maxRatio: Double, fixture: => String,
+      tag: String): Unit =
+    test(s"$name: shuffle records grow ≤ ×$maxRatio at ×3 $tag data") {
+      val small = gateMetrics(name, TestSpark.sf0001)._1
+      val large = gateMetrics(name, fixture)._1
       // +20k absolute slack: at sf0.001 constant factors (bounded model
       // tables, AQE broadcast flips) dominate and pure ratios would be
       // meaningless for near-zero baselines.
       assert(large <= small * maxRatio + 20000,
-        f"$name shuffled $small -> $large records at x3 data " +
+        f"$name shuffled $small -> $large records at x3 $tag data " +
+          f"(x${large.toDouble / math.max(small, 1)}%.1f, bound x$maxRatio)")
+    }
+
+  /** The width law: total pinned block bytes at ×3 data stay ≤ linear.
+    * Absolute slack 256 KiB — block sizes at sf0.001 are tens of KiB,
+    * and a q351-class wide pin multiplies them well past the belt. */
+  private def pinLaw(name: String, maxRatio: Double): Unit =
+    test(s"$name: pinned block bytes grow ≤ ×$maxRatio at ×3 data") {
+      val small = gateMetrics(name, TestSpark.sf0001)._2
+      val large = gateMetrics(name, big)._2
+      assert(large <= small * maxRatio + (256L << 10),
+        f"$name pinned $small -> $large bytes at x3 data " +
           f"(x${large.toDouble / math.max(small, 1)}%.1f, bound x$maxRatio)")
     }
 
@@ -96,4 +157,43 @@ class ScaleLawSpec extends AnyFunSuite {
   // WORKLOAD is super-linear by construction, not the plan (SCALE.md
   // round 12). The belt still catches anything beyond that law.
   law("q345_dbscan_grid", 12.0)
+
+  // r14: the open-vocab model gate on the REALISTIC vocab-growth
+  // fixture, and its bounded-vocab production variant on the
+  // ADVERSARIAL one (see header).
+  lawOn("q349_kn_perplexity", 4.5, bigHeaps, "heaps")
+  law("q357_kn_topv", 5.0)
+  law("q358_hdbscan", 6.0) // dendrogram scaffold + tree-bounded stability sums
+
+  // r14: width laws for the checkpoint-carrying gates (the q351 class)
+  pinLaw("q347_source_cover", 5.0)
+  pinLaw("q348_mst_clusters", 6.0)
+  pinLaw("q349_kn_perplexity", 5.0)
+  pinLaw("q351_embed_whitening", 5.0)
+  pinLaw("q353_dendrogram_cut", 6.0)
+  pinLaw("q357_kn_topv", 5.0)
+  pinLaw("q358_hdbscan", 6.0)
+
+  test("the pin probe detects a deliberately re-introduced wide pin " +
+      "(q351's defect class: checkpoint 64 dims, read 8)") {
+    // synthetic 50k-row corpus so payload dwarfs per-block bookkeeping
+    // (at sf0.001's 500 rows the fixed block overhead drowns the width)
+    import org.apache.spark.sql.functions.{sequence, transform, lit, rand => _, _}
+    val emb = spark.range(50000).select(col("id"),
+      transform(sequence(lit(1), lit(64)),
+        i => (col("id") * i).cast("double")).as("embedding"))
+    def pinOf(df: DataFrame): Long = {
+      var cp: DataFrame = null
+      val (_, bytes) = measure { cp = df.localCheckpoint(); cp.count() }
+      cp.unpersist(true)
+      bytes
+    }
+    val narrow = pinOf(emb.select(col("id"),
+      slice(col("embedding"), 1, 8).as("e8")))
+    val wide = pinOf(emb.select(col("id"), col("embedding")))
+    assert(narrow > 0, "probe saw the narrow checkpoint's blocks")
+    assert(wide > narrow * 3,
+      f"64-dim pin ($wide bytes) must dwarf the 8-dim pin ($narrow bytes) " +
+        f"— got only x${wide.toDouble / math.max(narrow, 1)}%.1f")
+  }
 }
