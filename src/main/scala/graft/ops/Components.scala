@@ -841,9 +841,19 @@ object Components {
     * driver-orchestrated joins over those small tables — no collect,
     * no per-point state beyond the label frame the scaffold already
     * carries. */
-  def hdbscanClusters(mstEdges: DataFrame, cuts: Seq[Double],
-      lambdas: Seq[Long], minSize: Int, maxIter: Int = 50,
-      materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+  /** The shared condensed-tree construction behind [[hdbscanClusters]]
+    * and [[gloshScores]]. Returns:
+    *  - `labels`: [[singleLinkageLabels]]' k-wide frame (pinned);
+    *  - `cida`: every REAL (≥ minSize) cluster instance (j, c, sz) with
+    *    its condensed-cluster id (bj, bc);
+    *  - `cl`: one row per condensed cluster — (bj, bc, n_birth,
+    *    stability, pbj, pbc) with the exact-integer discrete stability
+    *    and the condensed parent pointer (null at roots).
+    * Algorithm notes at [[hdbscanClusters]]. */
+  private[ops] def condensedTree(mstEdges: DataFrame, cuts: Seq[Double],
+      lambdas: Seq[Long], minSize: Int, maxIter: Int,
+      materialize: Materialize.Strategy)
+      : (DataFrame, DataFrame, DataFrame) = {
     require(cuts.length >= 2 && cuts.length == lambdas.length,
       "need ≥2 cut levels with matching lambdas")
     require(cuts == cuts.sorted && lambdas == lambdas.sorted.reverse,
@@ -922,6 +932,16 @@ object Components {
         col("upj") === col("bj") + 1 && col("upc") === col("p"), "left")
       .select(col("bj"), col("bc"), col("n_birth"), col("stability"),
         col("pbj"), col("pbc")))
+    (labels, cida, cl)
+  }
+
+  def hdbscanClusters(mstEdges: DataFrame, cuts: Seq[Double],
+      lambdas: Seq[Long], minSize: Int, maxIter: Int = 50,
+      materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+    val ts = cuts
+    val k = ts.length
+    val (_, _, cl) =
+      condensedTree(mstEdges, cuts, lambdas, minSize, maxIter, materialize)
     // excess-of-mass, bottom-up by birth level: V = max(S, Σ V(child)),
     // chosen iff S ≥ Σ V(child) (children are born strictly lower)
     var vParts = List.empty[DataFrame]
@@ -982,6 +1002,156 @@ object Components {
         col("n_birth"), col("stability"), col("selected"))
       .orderBy("cut", "cluster")
   }
+
+  /** GLOSH outlier scores (Campello et al.'s Global-Local Outlier
+    * Score from Hierarchies — the outlier readout of the SAME condensed
+    * tree [[hdbscanClusters]] selects clusters from), discretized to
+    * the cut ladder: for each point p,
+    *
+    *   GLOSH(p) = 1 − λ_attach(p) / λ_max(subtree of p's cluster)
+    *
+    * where λ_attach(p) is the density of p's DEEPEST real membership
+    * (the lowest level j where p's component has ≥ minSize members —
+    * membership is upward-closed in j since component sizes grow with
+    * the cut) and λ_max is the deepest density reached anywhere in the
+    * subtree of the condensed cluster p attaches to — a point that
+    * detaches while its cluster's core keeps densifying scores toward
+    * 1 (outlier); a point present at the subtree's deepest level
+    * scores exactly 0 (core inlier). Points never in any real cluster
+    * (noise at every level) have no attachment and are not scored —
+    * the caller sees exactly the clusterable population.
+    *
+    * Output: (node, cluster — the attachment cid's label, lam_attach,
+    * lam_max, glosh_ppm = 10⁶ − (10⁶·λ_attach) div λ_max) — pure
+    * integer arithmetic end to end, like q358's stability.
+    *
+    * Scale: one per-point membership join against the (cluster-count-
+    * sized) instance table, a k-pass bottom-up min over the condensed
+    * tree, one score join — nothing corpus-sized beyond the label
+    * frame the scaffold already carries. */
+  def gloshScores(mstEdges: DataFrame, cuts: Seq[Double],
+      lambdas: Seq[Long], minSize: Int, maxIter: Int = 50,
+      materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+    val k = cuts.length
+    val (labels, cida, cl) =
+      condensedTree(mstEdges, cuts, lambdas, minSize, maxIter, materialize)
+    // per-point real memberships: each level's label joined against the
+    // real-instance table (cida rows ARE the real instances)
+    val memb = (0 until k).map { j =>
+      labels.where(col("nlvl") <= j)
+        .select(col("node"), lit(j).as("j"), col(s"l$j").as("c"))
+    }.reduce(_ unionByName _)
+      .join(cida.select(col("j"), col("c"), col("bj"), col("bc")),
+        Seq("j", "c"))
+    // densest (lowest-level) membership per point = its attachment
+    val att = memb.groupBy("node")
+      .agg(min(struct(col("j"), col("bj"), col("bc"))).as("a"))
+      .select(col("node"), col("a.j").as("dp"),
+        col("a.bj").as("bj"), col("a.bc").as("bc"))
+    // subtree deepest level per condensed cluster: own instances' min,
+    // then min over (already-final) children, bottom-up by birth level
+    val own = cida.groupBy("bj", "bc").agg(min(col("j")).as("dmin"))
+      .join(cl.select(col("bj"), col("bc"), col("pbj"), col("pbc")),
+        Seq("bj", "bc"))
+    var dmParts = List.empty[DataFrame]
+    for (b <- 0 until k) {
+      val lvl = own.where(col("bj") === b)
+      val lvlDm = dmParts.reduceOption(_ unionByName _) match {
+        case None => lvl.select(col("bj"), col("bc"), col("pbj"),
+          col("pbc"), col("dmin").as("dm"))
+        case Some(prev) =>
+          val kidMin = prev.where(col("pbj") === b)
+            .groupBy(col("pbj").as("bj"), col("pbc").as("bc"))
+            .agg(min(col("dm")).as("kdm"))
+          lvl.join(kidMin, Seq("bj", "bc"), "left")
+            .select(col("bj"), col("bc"), col("pbj"), col("pbc"),
+              least(col("dmin"), coalesce(col("kdm"), col("dmin"))).as("dm"))
+      }
+      dmParts ::= materialize(lvlDm)
+    }
+    val dm = dmParts.reduce(_ unionByName _)
+    def lamOf(c: Column): Column = (0 until k)
+      .map(j => (c === j, lit(lambdas(j))))
+      .foldLeft(Option.empty[Column]) {
+        case (None, (cc, v)) => Some(when(cc, v))
+        case (Some(e), (cc, v)) => Some(e.when(cc, v))
+      }.get
+    att.join(dm.select(col("bj"), col("bc"), col("dm")), Seq("bj", "bc"))
+      .select(col("node"), col("bc").as("cluster"),
+        lamOf(col("dp")).as("lam_attach"), lamOf(col("dm")).as("lam_max"))
+      .withColumn("glosh_ppm",
+        expr("1000000 - (1000000 * lam_attach) div lam_max"))
+  }
+
+  /** Shared CTE chain of the q358/q359 oracles: per-level partitions
+    * by full-graph reachability, real instances, condensed-cluster
+    * resolution, stability, and parent pointers — everything up to
+    * and including the `cl` CTE (trailing comma included), so the
+    * two gates stay textually identical where their semantics are
+    * (the KnScoreSqlTail pattern). */
+  private lazy val HdbscanSqlBase: String =
+    """WITH RECURSIVE e AS (
+             |  SELECT vec_id AS id, CAST(embedding[1] AS DOUBLE) AS x,
+             |    CAST(embedding[2] AS DOUBLE) AS y
+             |  FROM embeddings),
+             |lv AS (SELECT * FROM (VALUES (0, 0.0004, 900, 2500),
+             |  (1, 0.000625, 975, 1600), (2, 0.0016, 225, 625),
+             |  (3, 0.0025, 0, 400)) AS t(j, t2, gap, lam)),
+             |p AS MATERIALIZED (
+             |  SELECT a.id AS u, b.id AS v,
+             |    round((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y), 9) AS w
+             |  FROM e a JOIN e b ON a.id <> b.id
+             |  WHERE round((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y), 9)
+             |    <= 0.0025),
+             |sym AS MATERIALIZED (SELECT lv.j, p.u, p.v FROM p, lv WHERE p.w <= lv.t2),
+             |ids AS (SELECT DISTINCT j, u AS id FROM sym),
+             |reach(j, node, lbl) AS (
+             |  SELECT j, id, id FROM ids
+             |  UNION
+             |  SELECT s.j, s.v, r.lbl FROM reach r JOIN sym s ON s.j = r.j AND s.u = r.node),
+             |lab AS MATERIALIZED (SELECT j, node, MIN(lbl) AS lbl FROM reach GROUP BY 1, 2),
+             |inst AS MATERIALIZED (
+             |  SELECT j, lbl AS c, COUNT(*) AS sz FROM lab GROUP BY 1, 2
+             |  HAVING COUNT(*) >= 5),
+             |par AS MATERIALIZED (
+             |  SELECT i.j, i.c, i.sz, l.lbl AS p
+             |  FROM inst i LEFT JOIN lab l ON l.j = i.j + 1 AND l.node = i.c),
+             |kd AS (SELECT j + 1 AS pj, p AS pc, COUNT(*) AS nk
+             |       FROM par WHERE j < 3 GROUP BY 1, 2),
+             |born AS MATERIALIZED (
+             |  SELECT pr.j, pr.c, pr.sz, pr.p,
+             |    (pr.j = 3 OR COALESCE(k.nk, 0) >= 2) AS isborn
+             |  FROM par pr LEFT JOIN kd k ON k.pj = pr.j + 1 AND k.pc = pr.p),
+             |cid3 AS (SELECT j, c, sz, 3 AS bj, c AS bc FROM born WHERE j = 3),
+             |cid2 AS (
+             |  SELECT b.j, b.c, b.sz,
+             |    CASE WHEN b.isborn THEN 2 ELSE u.bj END AS bj,
+             |    CASE WHEN b.isborn THEN b.c ELSE u.bc END AS bc
+             |  FROM born b LEFT JOIN cid3 u ON u.c = b.p WHERE b.j = 2),
+             |cid1 AS (
+             |  SELECT b.j, b.c, b.sz,
+             |    CASE WHEN b.isborn THEN 1 ELSE u.bj END AS bj,
+             |    CASE WHEN b.isborn THEN b.c ELSE u.bc END AS bc
+             |  FROM born b LEFT JOIN cid2 u ON u.c = b.p WHERE b.j = 1),
+             |cid0 AS (
+             |  SELECT b.j, b.c, b.sz,
+             |    CASE WHEN b.isborn THEN 0 ELSE u.bj END AS bj,
+             |    CASE WHEN b.isborn THEN b.c ELSE u.bc END AS bc
+             |  FROM born b LEFT JOIN cid1 u ON u.c = b.p WHERE b.j = 0),
+             |cida AS MATERIALIZED (
+             |  SELECT * FROM cid3 UNION ALL SELECT * FROM cid2
+             |  UNION ALL SELECT * FROM cid1 UNION ALL SELECT * FROM cid0),
+             |stab AS MATERIALIZED (
+             |  SELECT a.bj, a.bc, CAST(COALESCE(SUM(
+             |      CASE WHEN a.j < a.bj THEN a.sz * g.gap END), 0) AS BIGINT)
+             |    AS stability
+             |  FROM cida a JOIN lv g ON g.j = a.j GROUP BY 1, 2),
+             |cl AS MATERIALIZED (
+             |  SELECT s.bj, s.bc, bi.sz AS n_birth, s.stability,
+             |    up.bj AS pbj, up.bc AS pbc
+             |  FROM stab s
+             |  JOIN born bi ON bi.j = s.bj AND bi.c = s.bc
+             |  LEFT JOIN cida up ON up.j = s.bj + 1 AND up.c = bi.p),""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     // Every document mapped to its near-dup cluster representative.
@@ -1871,68 +2041,7 @@ object Components {
           cuts = Seq(0.0004, 0.000625, 0.0016, 0.0025),
           lambdas = Seq(2500L, 1600L, 625L, 400L), minSize = 5)
       },
-      Some("""WITH RECURSIVE e AS (
-             |  SELECT vec_id AS id, CAST(embedding[1] AS DOUBLE) AS x,
-             |    CAST(embedding[2] AS DOUBLE) AS y
-             |  FROM embeddings),
-             |lv AS (SELECT * FROM (VALUES (0, 0.0004, 900), (1, 0.000625, 975),
-             |  (2, 0.0016, 225), (3, 0.0025, 0)) AS t(j, t2, gap)),
-             |p AS MATERIALIZED (
-             |  SELECT a.id AS u, b.id AS v,
-             |    round((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y), 9) AS w
-             |  FROM e a JOIN e b ON a.id <> b.id
-             |  WHERE round((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y), 9)
-             |    <= 0.0025),
-             |sym AS MATERIALIZED (SELECT lv.j, p.u, p.v FROM p, lv WHERE p.w <= lv.t2),
-             |ids AS (SELECT DISTINCT j, u AS id FROM sym),
-             |reach(j, node, lbl) AS (
-             |  SELECT j, id, id FROM ids
-             |  UNION
-             |  SELECT s.j, s.v, r.lbl FROM reach r JOIN sym s ON s.j = r.j AND s.u = r.node),
-             |lab AS MATERIALIZED (SELECT j, node, MIN(lbl) AS lbl FROM reach GROUP BY 1, 2),
-             |inst AS MATERIALIZED (
-             |  SELECT j, lbl AS c, COUNT(*) AS sz FROM lab GROUP BY 1, 2
-             |  HAVING COUNT(*) >= 5),
-             |par AS MATERIALIZED (
-             |  SELECT i.j, i.c, i.sz, l.lbl AS p
-             |  FROM inst i LEFT JOIN lab l ON l.j = i.j + 1 AND l.node = i.c),
-             |kd AS (SELECT j + 1 AS pj, p AS pc, COUNT(*) AS nk
-             |       FROM par WHERE j < 3 GROUP BY 1, 2),
-             |born AS MATERIALIZED (
-             |  SELECT pr.j, pr.c, pr.sz, pr.p,
-             |    (pr.j = 3 OR COALESCE(k.nk, 0) >= 2) AS isborn
-             |  FROM par pr LEFT JOIN kd k ON k.pj = pr.j + 1 AND k.pc = pr.p),
-             |cid3 AS (SELECT j, c, sz, 3 AS bj, c AS bc FROM born WHERE j = 3),
-             |cid2 AS (
-             |  SELECT b.j, b.c, b.sz,
-             |    CASE WHEN b.isborn THEN 2 ELSE u.bj END AS bj,
-             |    CASE WHEN b.isborn THEN b.c ELSE u.bc END AS bc
-             |  FROM born b LEFT JOIN cid3 u ON u.c = b.p WHERE b.j = 2),
-             |cid1 AS (
-             |  SELECT b.j, b.c, b.sz,
-             |    CASE WHEN b.isborn THEN 1 ELSE u.bj END AS bj,
-             |    CASE WHEN b.isborn THEN b.c ELSE u.bc END AS bc
-             |  FROM born b LEFT JOIN cid2 u ON u.c = b.p WHERE b.j = 1),
-             |cid0 AS (
-             |  SELECT b.j, b.c, b.sz,
-             |    CASE WHEN b.isborn THEN 0 ELSE u.bj END AS bj,
-             |    CASE WHEN b.isborn THEN b.c ELSE u.bc END AS bc
-             |  FROM born b LEFT JOIN cid1 u ON u.c = b.p WHERE b.j = 0),
-             |cida AS MATERIALIZED (
-             |  SELECT * FROM cid3 UNION ALL SELECT * FROM cid2
-             |  UNION ALL SELECT * FROM cid1 UNION ALL SELECT * FROM cid0),
-             |stab AS MATERIALIZED (
-             |  SELECT a.bj, a.bc, CAST(COALESCE(SUM(
-             |      CASE WHEN a.j < a.bj THEN a.sz * g.gap END), 0) AS BIGINT)
-             |    AS stability
-             |  FROM cida a JOIN lv g ON g.j = a.j GROUP BY 1, 2),
-             |cl AS MATERIALIZED (
-             |  SELECT s.bj, s.bc, bi.sz AS n_birth, s.stability,
-             |    up.bj AS pbj, up.bc AS pbc
-             |  FROM stab s
-             |  JOIN born bi ON bi.j = s.bj AND bi.c = s.bc
-             |  LEFT JOIN cida up ON up.j = s.bj + 1 AND up.c = bi.p),
-             |v0 AS (SELECT bj, bc, stability AS v, true AS chosen
+      Some(HdbscanSqlBase + "\n" + """v0 AS (SELECT bj, bc, stability AS v, true AS chosen
              |       FROM cl WHERE bj = 0),
              |v1 AS (
              |  SELECT c.bj, c.bc, GREATEST(c.stability, COALESCE(s.sv, 0)) AS v,
@@ -1994,6 +2103,85 @@ object Components {
              |    WHEN 2 THEN 0.0016 ELSE 0.0025 END AS cut,
              |  sa.bc AS cluster, cl.n_birth, cl.stability, sa.selected
              |FROM sa JOIN cl ON cl.bj = sa.bj AND cl.bc = sa.bc
-             |ORDER BY cut, cluster""".stripMargin))
+             |ORDER BY cut, cluster""".stripMargin)),
+
+    // GLOSH outlier scores over the SAME condensed tree as q358 (✚ —
+    // the outlier-detection half of the HDBSCAN framework; algorithm
+    // notes at [[gloshScores]]): each clusterable point gets
+    // 1 − λ_attach/λ_max(subtree) in exact parts-per-million integer
+    // arithmetic. The oracle rebuilds the tree from full-graph
+    // reachability (the q358 base, shared textually) and re-derives
+    // per-point attachments and bottom-up subtree depths in unrolled
+    // CTEs — both engines must agree on every point's score bit for
+    // bit. Same substrate as q345/q358: the three gates read one
+    // density landscape as flat clusters, a persistence hierarchy, and
+    // per-point outlierness.
+    QueryDef("q359_glosh_outliers",
+      (s, d) => {
+        val pts = Tables.embeddings(s, d).select(col("vec_id").as("id"),
+          element_at(col("embedding"), 1).cast("double").as("x"),
+          element_at(col("embedding"), 2).cast("double").as("y"))
+        val edges = gridEpsPairs(pts, eps = 0.05, eps2 = 0.0025)
+          .where(col("ia") < col("ib"))
+          .select(col("ia").as("a"), col("ib").as("b"), col("w"))
+        val (mst, _) = boruvkaMst(pts.select("id"), edges)
+        gloshScores(mst,
+          cuts = Seq(0.0004, 0.000625, 0.0016, 0.0025),
+          lambdas = Seq(2500L, 1600L, 625L, 400L), minSize = 5)
+          .withColumnRenamed("node", "vec_id")
+          .orderBy("vec_id")
+      },
+      Some(HdbscanSqlBase + "\n" + """pm AS (
+             |  SELECT l.node, MIN(l.j) AS dp FROM lab l
+             |  JOIN inst i ON i.j = l.j AND i.c = l.lbl
+             |  GROUP BY l.node),
+             |att AS (
+             |  SELECT p.node, p.dp, a.bj, a.bc
+             |  FROM pm p
+             |  JOIN lab l ON l.j = p.dp AND l.node = p.node
+             |  JOIN cida a ON a.j = p.dp AND a.c = l.lbl),
+             |own AS (
+             |  SELECT o.bj, o.bc, o.dmin, c.pbj, c.pbc
+             |  FROM (SELECT bj, bc, MIN(j) AS dmin FROM cida GROUP BY 1, 2) o
+             |  JOIN cl c ON c.bj = o.bj AND c.bc = o.bc),
+             |dm0 AS (
+             |  SELECT bj, bc, pbj, pbc, dmin AS dm FROM own WHERE bj = 0),
+             |dm1 AS (
+             |  SELECT o.bj, o.bc, o.pbj, o.pbc,
+             |    LEAST(o.dmin, COALESCE(kk.kdm, o.dmin)) AS dm
+             |  FROM own o LEFT JOIN (
+             |    SELECT pbj, pbc, MIN(dm) AS kdm FROM dm0
+             |    WHERE pbj = 1 GROUP BY 1, 2) kk
+             |    ON kk.pbj = o.bj AND kk.pbc = o.bc
+             |  WHERE o.bj = 1),
+             |dm01 AS (SELECT * FROM dm0 UNION ALL SELECT * FROM dm1),
+             |dm2 AS (
+             |  SELECT o.bj, o.bc, o.pbj, o.pbc,
+             |    LEAST(o.dmin, COALESCE(kk.kdm, o.dmin)) AS dm
+             |  FROM own o LEFT JOIN (
+             |    SELECT pbj, pbc, MIN(dm) AS kdm FROM dm01
+             |    WHERE pbj = 2 GROUP BY 1, 2) kk
+             |    ON kk.pbj = o.bj AND kk.pbc = o.bc
+             |  WHERE o.bj = 2),
+             |dm012 AS (SELECT * FROM dm01 UNION ALL SELECT * FROM dm2),
+             |dm3 AS (
+             |  SELECT o.bj, o.bc, o.pbj, o.pbc,
+             |    LEAST(o.dmin, COALESCE(kk.kdm, o.dmin)) AS dm
+             |  FROM own o LEFT JOIN (
+             |    SELECT pbj, pbc, MIN(dm) AS kdm FROM dm012
+             |    WHERE pbj = 3 GROUP BY 1, 2) kk
+             |    ON kk.pbj = o.bj AND kk.pbc = o.bc
+             |  WHERE o.bj = 3),
+             |dma AS (SELECT * FROM dm012 UNION ALL SELECT * FROM dm3)
+             |SELECT a.node AS vec_id, a.bc AS cluster,
+             |  CAST(la.lam AS BIGINT) AS lam_attach,
+             |  CAST(lm.lam AS BIGINT) AS lam_max,
+             |  CAST(1000000 - (1000000 * CAST(la.lam AS BIGINT)) // lm.lam
+             |    AS BIGINT) AS glosh_ppm
+             |FROM att a
+             |JOIN dma d ON d.bj = a.bj AND d.bc = a.bc
+             |JOIN lv la ON la.j = a.dp
+             |JOIN lv lm ON lm.j = d.dm
+             |ORDER BY vec_id""".stripMargin))
   )
 }

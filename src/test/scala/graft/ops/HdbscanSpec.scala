@@ -75,4 +75,31 @@ class HdbscanSpec extends AnyFunSuite {
     val out = run(edges((1, 2, 1), (2, 3, 1)))
     assert(out.isEmpty)
   }
+
+  test("GLOSH: detachment depth maps to the exact ppm outlier score") {
+    // a 5-chain core with two progressively looser stragglers — one
+    // condensed cluster (root, continuations at every level), subtree
+    // λ_max = λ0 = 4:
+    //   nodes 1..5 present at level 0 → λ_attach 4 → score 0 (core)
+    //   node 6 attaches at level 1 → 1 − 2/4 → 500000 ppm
+    //   node 7 attaches at level 2 → 1 − 1/4 → 750000 ppm
+    val out = Components.gloshScores(edges(
+        (1, 2, 1), (2, 3, 1), (3, 4, 1), (4, 5, 1), (5, 6, 2), (6, 7, 4)),
+      cuts = Seq(1.0, 2.0, 4.0), lambdas = Seq(4L, 2L, 1L), minSize = 5)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toList
+    assert(out == List(
+      (1L, 1L, 4L, 4L, 0L), (2L, 1L, 4L, 4L, 0L), (3L, 1L, 4L, 4L, 0L),
+      (4L, 1L, 4L, 4L, 0L), (5L, 1L, 4L, 4L, 0L),
+      (6L, 1L, 2L, 4L, 500000L), (7L, 1L, 1L, 4L, 750000L)))
+  }
+
+  test("GLOSH: never-clustered points are not scored") {
+    // two points bridged at the top cut never reach minSize: no rows
+    val out = Components.gloshScores(edges((1, 2, 4)),
+      cuts = Seq(1.0, 2.0, 4.0), lambdas = Seq(4L, 2L, 1L), minSize = 5)
+      .collect()
+    assert(out.isEmpty)
+  }
 }

@@ -164,6 +164,7 @@ class ScaleLawSpec extends AnyFunSuite {
   lawOn("q349_kn_perplexity", 4.5, bigHeaps, "heaps")
   law("q357_kn_topv", 5.0)
   law("q358_hdbscan", 6.0) // dendrogram scaffold + tree-bounded stability sums
+  law("q359_glosh_outliers", 6.0) // same scaffold + per-point attach join
 
   // r14: width laws for the checkpoint-carrying gates (the q351 class)
   pinLaw("q347_source_cover", 5.0)
@@ -173,6 +174,7 @@ class ScaleLawSpec extends AnyFunSuite {
   pinLaw("q353_dendrogram_cut", 6.0)
   pinLaw("q357_kn_topv", 5.0)
   pinLaw("q358_hdbscan", 6.0)
+  pinLaw("q359_glosh_outliers", 6.0)
 
   test("the pin probe detects a deliberately re-introduced wide pin " +
       "(q351's defect class: checkpoint 64 dims, read 8)") {
