@@ -688,7 +688,22 @@ object Components {
             when(col("mt") === col("x.s"), least(col("x.s"), col("x.t")))
               .otherwise(col("x.t")).as("t"))
           .where(col("s") =!= col("t")))
-        val merged = compressMap(p, materialize)
+        val comp = compressMap(p, materialize)
+        // comp resolves every mover to its group's 2-CYCLE min — which
+        // need not be the GROUP min: a tree-hanging component can carry
+        // a smaller id than the cycle it merges into, and the labels
+        // invariant (comp = min member id, the oracle's root) demands
+        // the group min. Remap each compressed root to min(root,
+        // members); the root itself relabels too when a member is
+        // smaller. (Caught by Batch23Spec's driver-side Kruskal at
+        // sf0.001 — sf0.01's dup graph merges pairwise, where cycle
+        // min = group min, and hid it.)
+        val gm = comp.groupBy(col("t").as("r")).agg(min(col("s")).as("ms"))
+          .select(col("r"), least(col("r"), col("ms")).as("m"))
+        val merged = comp.join(gm, col("t") === col("r"))
+          .select(col("s"), col("m").as("t"))
+          .unionByName(gm.where(col("r") =!= col("m"))
+            .select(col("r").as("s"), col("m").as("t")))
         labels = materialize(labels
           .join(merged.select(col("s").as("comp"), col("t")), Seq("comp"), "left")
           .select(col("node"), coalesce(col("t"), col("comp")).as("comp")))

@@ -89,7 +89,14 @@ class LayoutInvarianceSpec extends AnyFunSuite {
     "q350_source_ablation",
     // the whitening factorization is driver-side from round@9 cells;
     // both corpus scans are order-independent DECIMAL sums
-    "q351_embed_whitening")
+    "q351_embed_whitening",
+    // round-14: the contraction CC's merge elections + compression
+    // fixpoints, the condensed tree's k-pass resolutions, and the
+    // per-point attachment min — every step must elect identical
+    // minima under any partitioning
+    "q353_dendrogram_cut",
+    "q358_hdbscan",
+    "q359_glosh_outliers")
 
   private def contents(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf).collect()
