@@ -622,6 +622,11 @@ object Components {
   def boruvkaMstForest(nodes: DataFrame, edges0: DataFrame, maxIter: Int = 12,
       materialize: Materialize.Strategy = Materialize.local): DataFrame = {
     val (mst, labels) = boruvkaMst(nodes, edges0, maxIter, materialize)
+    mstForestStats(mst, labels)
+  }
+
+  /** Per-component forest stats from precomputed Borůvka artifacts. */
+  private def mstForestStats(mst: DataFrame, labels: DataFrame): DataFrame = {
     val eStats = mst
       .join(labels.select(col("node").as("a"), col("comp")), "a")
       .groupBy("comp")
@@ -632,6 +637,35 @@ object Components {
       .select(col("comp").as("root"), col("n_nodes"),
         coalesce(col("n_edges"), lit(0L)).as("n_edges"),
         coalesce(col("wsum").cast("double"), lit(0.0)).as("mst_w"))
+  }
+
+  private val dupMstCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** The near-dup-graph MST substrate for q348/q353, materialized ONCE
+    * per (JVM, corpus) into session-scoped parquet — the same shared-
+    * substrate rule as [[epsSlinkLabels]]: one dedup pipeline + one
+    * Borůvka run feeds both the forest-stats and dendrogram readouts.
+    * Deterministic: verified pairs are a pure function of the corpus
+    * and the (w, a, b) min key makes the elected MST and min-id labels
+    * unique. */
+  private def dupMst(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val (me, ml) = dupMstCache.computeIfAbsent(dir, _ => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-dupmst").toString
+      val docs = Tables.documents(s, dir)
+      val edges = Dedup.dedupPipeline(docs)
+        .groupBy("id_a", "id_b")
+        .agg(min(round(lit(1.0) - col("jaccard"), 6)).as("w"))
+        .select(col("id_a").as("a"), col("id_b").as("b"), col("w"))
+      val (mst, labels) =
+        boruvkaMst(docs.select(col("doc_id").as("id")), edges)
+      mst.write.mode("overwrite").parquet(s"$base/mst.parquet")
+      labels.write.mode("overwrite").parquet(s"$base/labels.parquet")
+      (s"$base/mst.parquet", s"$base/labels.parquet")
+    })
+    (s.read.parquet(me), s.read.parquet(ml))
   }
 
   /** The Borůvka loop itself, returning the raw artifacts —
@@ -2003,13 +2037,8 @@ object Components {
     // where tie-broken trees differ.
     QueryDef("q348_mst_clusters",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-        val edges = Dedup.dedupPipeline(docs)
-          .groupBy("id_a", "id_b")
-          .agg(min(round(lit(1.0) - col("jaccard"), 6)).as("w"))
-          .select(col("id_a").as("a"), col("id_b").as("b"), col("w"))
-        boruvkaMstForest(docs.select(col("doc_id").as("id")), edges)
-          .orderBy("root")
+        val (mst, labels) = dupMst(s, d)
+        mstForestStats(mst, labels).orderBy("root")
       },
       Some(s"""WITH RECURSIVE ${Dedup.verifiedPairsCtes},
              |ed AS MATERIALIZED (
@@ -2061,12 +2090,7 @@ object Components {
     // twin certifying the shortcut loses nothing.
     QueryDef("q353_dendrogram_cut",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-        val edges = Dedup.dedupPipeline(docs)
-          .groupBy("id_a", "id_b")
-          .agg(min(round(lit(1.0) - col("jaccard"), 6)).as("w"))
-          .select(col("id_a").as("a"), col("id_b").as("b"), col("w"))
-        val (mst, _) = boruvkaMst(docs.select(col("doc_id").as("id")), edges)
+        val (mst, _) = dupMst(s, d)
         singleLinkageCuts(mst, Seq(0.02, 0.035, 0.2))
       },
       Some(s"""WITH RECURSIVE ${Dedup.verifiedPairsCtes},
