@@ -54,6 +54,29 @@ object Bench {
     }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(o => o.exists(n.startsWith)) }
+    // Substrate builds (VERDICT r14 #2): the shared dup-MST and ε-slink
+    // substrates are built ONCE per JVM and then read by their gates
+    // (q348/q353 and q358/q359) — median-of-3 per-gate timing would
+    // drop the one-off build from every committed number, so each build
+    // is timed HERE, explicitly, charged exactly once in the total, and
+    // reported under "substrates"; the consumer gates' per-query lines
+    // are READOUT-ONLY by design. (q356's media parquet is fixture
+    // ENCODING — test scaffolding, not the operator under test — and
+    // stays uncharged, absorbed by the warmup convention as before.)
+    val substrateDefs: Seq[(String, Seq[String], () => Unit)] = Seq(
+      ("dup_mst", Seq("q348", "q353"),
+        () => ops.Components.warmDupMst(spark, sfDir)),
+      ("eps_slink", Seq("q358", "q359", "q362"),
+        () => ops.Components.warmEpsSlink(spark, sfDir)),
+      ("mr_slink", Seq("q360"),
+        () => ops.Components.warmMrSlink(spark, sfDir)))
+    val substrates = substrateDefs.flatMap { case (sname, consumers, run) =>
+      if (selected.exists { case (n, _) => consumers.exists(n.startsWith) }) {
+        val t0 = System.nanoTime()
+        run()
+        Some(sname -> (System.nanoTime() - t0) / 1e9)
+      } else None
+    }
     var gateIdx = 0
     val results = selected.map { case (name, fn) =>
       // fail fast: a deterministically-failing query reports after its
@@ -125,12 +148,18 @@ object Bench {
     val errs = results.collect { case (k, _, _, Some(e), _) =>
       "\"" + k + "\":\"" + jsonEscape(e) + "\""
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v, _, None, _) => v }.sum
+    val subsJson = substrates.map { case (k, v) =>
+      "\"" + k + "\":" + f"$v%.3f"
+    }.mkString("{", ",", "}")
+    // total = per-gate medians + each substrate build charged ONCE —
+    // the builds are real work the per-gate numbers no longer contain
+    val total = results.collect { case (_, v, _, None, _) => v }.sum +
+      substrates.map(_._2).sum
     val nErr = results.count(_._4.isDefined)
     // the driver stores the TAIL of this line when it truncates — the
     // per-query map (large, alphabetical) goes FIRST so the summary
     // scalars (total/n_errors/sf) at the END survive any truncation
-    val line = s"""{"metric":"total","queries":$qs,"iters":$iters,"spread":$spreads,"iters_raw":$itersRaw,"errors":$errs,"unit":"sec","sf":"$sfDir","n_errors":$nErr,"value":$total}"""
+    val line = s"""{"metric":"total","queries":$qs,"iters":$iters,"spread":$spreads,"iters_raw":$itersRaw,"errors":$errs,"substrates":$subsJson,"unit":"sec","sf":"$sfDir","n_errors":$nErr,"value":$total}"""
     println(line)
     // The driver's BENCH_rN.json keeps only a log tail (r7/r8 records
     // retained 51 of 134 per-query entries and no spreads — VERDICT r8

@@ -128,7 +128,23 @@ object Http {
     val in: java.io.InputStream = encoding match {
       case "identity" => raw
       case "gzip" | "x-gzip" => new java.util.zip.GZIPInputStream(raw)
-      case "deflate" => new java.util.zip.InflaterInputStream(raw)
+      case "deflate" =>
+        // curl parity (ADVICE r14): a number of real servers send RAW
+        // deflate despite the token naming the zlib wrapping (RFC 9110
+        // §8.4.1.2 notes the mismatch; curl tries both). Sniff the
+        // 2-byte zlib header — CMF low nibble = 8 (deflate) and
+        // CMF·256+FLG ≡ 0 (mod 31) — and fall back to a raw Inflater
+        // when absent, instead of failing valid responses with
+        // ZipException.
+        val pb = new java.io.PushbackInputStream(raw, 2)
+        val b0 = pb.read()
+        val b1 = if (b0 >= 0) pb.read() else -1
+        if (b1 >= 0) pb.unread(b1)
+        if (b0 >= 0) pb.unread(b0)
+        val zlibWrapped = b0 >= 0 && b1 >= 0 &&
+          (b0 & 0x0f) == 8 && ((b0 << 8) + b1) % 31 == 0
+        new java.util.zip.InflaterInputStream(pb,
+          new java.util.zip.Inflater(!zlibWrapped))
       case other =>
         try raw.close() finally conn.disconnect()
         throw new java.io.IOException(

@@ -1,0 +1,40 @@
+package graft.core
+
+/** Session-scoped scratch directories for substrate/fixture parquet
+  * caches ([[graft.ops.Components]]' dup-MST and ε-slink substrates,
+  * [[graft.multimodal.Multimodal]]'s media fixture): created once per
+  * (JVM, cache key) and deleted recursively on JVM exit — the temp
+  * dirs used to outlive the session (ADVICE r14). */
+object Scratch {
+  private val dirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+
+  // registered once, lazily, so JVMs that never build a substrate
+  // never pay a shutdown hook
+  private lazy val hookInstalled: Boolean = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      dirs.forEach(p =>
+        try deleteRecursively(p) catch { case _: Exception => () })
+    }, "graft-scratch-cleanup"))
+    true
+  }
+
+  /** A fresh temp directory registered for recursive deletion on JVM
+    * exit; returned as a plain path string (callers hand it to Spark
+    * writers). */
+  def tempDir(prefix: String): String = {
+    require(hookInstalled)
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    dirs.add(p)
+    p.toString
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p,
+        java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+      val s = java.nio.file.Files.list(p)
+      try s.forEach(c => deleteRecursively(c)) finally s.close()
+    }
+    java.nio.file.Files.deleteIfExists(p)
+  }
+}

@@ -723,9 +723,13 @@ object Multimodal {
 
   def phashMediaTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
     import s.implicits._
-    val path = phashMediaCache.computeIfAbsent(dir, _ => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-phash-media").toString + "/media.parquet"
+    // cache contract as Components.dupMst (ADVICE r14): corpus dirs are
+    // immutable for the JVM's lifetime, scratch parquet is deleted on
+    // JVM exit, and the multi-job encode never runs under the map lock
+    val cached = phashMediaCache.get(dir)
+    val path = if (cached != null) cached else {
+      val out = graft.core.Scratch.tempDir("graft-phash-media") +
+        "/media.parquet"
       val ids = graft.Tables.documents(s, dir).select(col("doc_id")).as[Long]
       ids.map(id => (id, (id % 37).toInt, false))
         .union(ids.filter(_ % 29 == 0)
@@ -734,8 +738,8 @@ object Multimodal {
           MediaRow(id, PHash.encodeSmooth(seed, noisy))
         })
         .write.mode("overwrite").parquet(out)
-      out
-    })
+      Option(phashMediaCache.putIfAbsent(dir, out)).getOrElse(out)
+    }
     s.read.parquet(path).as[MediaRow]
   }
 

@@ -541,7 +541,16 @@ object Components {
     * [[hdbscanClusters]] takes the a<b half as its weighted edge set —
     * and the reason none of them is an all-pairs join at scale. */
   def gridEpsPairs(pts0: DataFrame, eps: Double, eps2: Double,
-      materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+      materialize: Materialize.Strategy = Materialize.local): DataFrame =
+    gridEpsPairsWithPts(pts0, eps, eps2, materialize)._2
+
+  /** [[gridEpsPairs]] plus the PINNED point frame it built the grid
+    * over — callers that scan the point set again ([[dbscan]]'s noise
+    * anti-joins) read the checkpoint instead of re-executing the
+    * caller's upstream lineage (ADVICE r14). */
+  private[ops] def gridEpsPairsWithPts(pts0: DataFrame, eps: Double,
+      eps2: Double, materialize: Materialize.Strategy = Materialize.local)
+      : (DataFrame, DataFrame) = {
     val pts = materialize(pts0
       .withColumn("cx", floor(col("x") / eps).cast("long"))
       .withColumn("cy", floor(col("y") / eps).cast("long")))
@@ -552,13 +561,55 @@ object Components {
         explode(offs).as("o"))
       .select(col("ib"), col("xb"), col("yb"),
         (col("bx") + col("o.dx")).as("gx"), (col("by") + col("o.dy")).as("gy"))
-    pts
+    val pairs = pts
       .join(probe, col("cx") === col("gx") && col("cy") === col("gy")
         && col("id") =!= col("ib"))
       .withColumn("w", round((col("x") - col("xb")) * (col("x") - col("xb"))
         + (col("y") - col("yb")) * (col("y") - col("yb")), 9))
       .where(col("w") <= eps2)
       .select(col("id").as("ia"), col("ib"), col("w"))
+    (pts, pairs)
+  }
+
+  /** Mutual-reachability edge set over a 2-D point frame (`id`, `x`,
+    * `y`) — the distance HDBSCAN proper builds its MST on (Campello/
+    * Moulavi/Sander 2013): per-point CORE distance core_k(p) = the
+    * (minPts−1)-th smallest candidate distance (squared, round@9 like
+    * every ε operator here), edge weight
+    *
+    *   d_mreach(a, b) = max(core_k(a), core_k(b), d²(a, b))
+    *
+    * so sparse regions are pushed apart by their own low density and a
+    * thin chain of stragglers can no longer single-link two dense blobs
+    * (the q358-vs-q360 semantic difference, pinned by HdbscanSpec).
+    * Candidates come from the shared grid ε-join ([[gridEpsPairs]] —
+    * for the 2-D slice the grid IS the kNN candidate generator); in
+    * high dimensions the same construction rides the q91 kNN-graph
+    * machinery instead, which is the 100 TB path. Points with fewer
+    * than minPts−1 candidates have NO core distance and drop out
+    * entirely — they are noise at every density, per the definition.
+    *
+    * Scale: one grid join (never all-pairs), one window pass keyed by
+    * point id for the k-th smallest (shuffle ∝ candidate pairs), two
+    * key joins to attach cores. Deterministic: ties in w don't affect
+    * the SELECTED VALUE (row_number breaks them, but equal w is equal
+    * core). */
+  def mutualReachEdges(pts: DataFrame, eps: Double, eps2: Double,
+      minPts: Int,
+      materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+    require(minPts >= 2, s"mutualReachEdges requires minPts >= 2 (got $minPts)")
+    val pairs = materialize(gridEpsPairs(pts, eps, eps2, materialize))
+    val wspec = org.apache.spark.sql.expressions.Window
+      .partitionBy("ia").orderBy("w", "ib")
+    val core = materialize(pairs
+      .withColumn("rn", row_number().over(wspec))
+      .where(col("rn") === minPts - 1)
+      .select(col("ia").as("id"), col("w").as("core")))
+    pairs.where(col("ia") < col("ib"))
+      .join(core.select(col("id").as("ia"), col("core").as("ca")), "ia")
+      .join(core.select(col("id").as("ib"), col("core").as("cb")), "ib")
+      .select(col("ia").as("a"), col("ib").as("b"),
+        greatest(col("w"), col("ca"), col("cb")).as("w"))
   }
 
   def dbscan(pts0: DataFrame, eps: Double, eps2: Double, minPts: Int,
@@ -566,8 +617,8 @@ object Components {
     require(minPts >= 2,
       s"dbscan requires minPts >= 2 (got $minPts): cores derive from the " +
         "pairs table, so zero-neighbor points can never be core")
-    val pairs = materialize(
-      gridEpsPairs(pts0, eps, eps2, materialize).select("ia", "ib"))
+    val (pts, rawPairs) = gridEpsPairsWithPts(pts0, eps, eps2, materialize)
+    val pairs = materialize(rawPairs.select("ia", "ib"))
     val core = materialize(pairs.groupBy(col("ia").as("id"))
       .agg(count(lit(1)).as("n"))
       .where(col("n") >= minPts - 1).select("id"))
@@ -585,7 +636,11 @@ object Components {
       .groupBy(col("ia").as("id"))
       .agg(min(col("lbl")).as("cluster"))
       .select(col("id"), lit("border").as("role"), col("cluster"))
-    val noise = pts0.select("id")
+    // anti-join base is the PINNED grid frame, not the raw input —
+    // pts0's upstream lineage would otherwise re-execute twice here
+    // (ADVICE r14); same rows by construction (the grid adds columns,
+    // never drops ids)
+    val noise = pts.select("id")
       .join(coreOut.select("id"), Seq("id"), "left_anti")
       .join(bord.select("id"), Seq("id"), "left_anti")
       .select(col("id"), lit("noise").as("role"), lit(-1L).as("cluster"))
@@ -642,29 +697,56 @@ object Components {
   private val dupMstCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
+  /** Build the dup-graph MST substrate for `dir` UNCACHED into fresh
+    * scratch parquet, returning (mstPath, labelsPath) — the cacheable
+    * unit behind [[dupMst]], exposed so ScaleLawSpec can meter the
+    * BUILD cold on both fixtures (the substrate-build law, VERDICT r14
+    * #1) and Bench can charge it exactly once per run (VERDICT r14
+    * #2). Deterministic: verified pairs are a pure function of the
+    * corpus and the (w, a, b) min key makes the elected MST and min-id
+    * labels unique — so a cache race building twice is only wasted
+    * work, never divergent results. */
+  private[graft] def buildDupMst(s: SparkSession, dir: String)
+      : (String, String) = {
+    val base = graft.core.Scratch.tempDir("graft-dupmst")
+    val docs = Tables.documents(s, dir)
+    val edges = Dedup.dedupPipeline(docs)
+      .groupBy("id_a", "id_b")
+      .agg(min(round(lit(1.0) - col("jaccard"), 6)).as("w"))
+      .select(col("id_a").as("a"), col("id_b").as("b"), col("w"))
+    val (mst, labels) =
+      boruvkaMst(docs.select(col("doc_id").as("id")), edges)
+    mst.write.mode("overwrite").parquet(s"$base/mst.parquet")
+    labels.write.mode("overwrite").parquet(s"$base/labels.parquet")
+    (s"$base/mst.parquet", s"$base/labels.parquet")
+  }
+
+  /** Pre-build (idempotent) the q348/q353 substrate so a caller can
+    * separate the one-off build cost from the readout it is about to
+    * measure (ScaleLawSpec's warm/warm gate laws, Bench's substrate
+    * lines). */
+  private[graft] def warmDupMst(s: SparkSession, dir: String): Unit =
+    dupMst(s, dir)
+
   /** The near-dup-graph MST substrate for q348/q353, materialized ONCE
     * per (JVM, corpus) into session-scoped parquet — the same shared-
     * substrate rule as [[epsSlinkLabels]]: one dedup pipeline + one
     * Borůvka run feeds both the forest-stats and dendrogram readouts.
-    * Deterministic: verified pairs are a pure function of the corpus
-    * and the (w, a, b) min key makes the elected MST and min-id labels
-    * unique. */
+    *
+    * Cache contract (ADVICE r14): keyed by corpus dir alone — fixture
+    * and bench SF dirs are immutable for the JVM's lifetime, which is
+    * the documented assumption; scratch parquet is deleted on JVM exit
+    * ([[graft.core.Scratch]]). get/putIfAbsent instead of
+    * computeIfAbsent: the build is a long multi-job Spark pipeline and
+    * computeIfAbsent would hold the map bin lock across all of it,
+    * blocking concurrent callers hashing to the same segment. */
   private def dupMst(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
-    val (me, ml) = dupMstCache.computeIfAbsent(dir, _ => {
-      val base = java.nio.file.Files
-        .createTempDirectory("graft-dupmst").toString
-      val docs = Tables.documents(s, dir)
-      val edges = Dedup.dedupPipeline(docs)
-        .groupBy("id_a", "id_b")
-        .agg(min(round(lit(1.0) - col("jaccard"), 6)).as("w"))
-        .select(col("id_a").as("a"), col("id_b").as("b"), col("w"))
-      val (mst, labels) =
-        boruvkaMst(docs.select(col("doc_id").as("id")), edges)
-      mst.write.mode("overwrite").parquet(s"$base/mst.parquet")
-      labels.write.mode("overwrite").parquet(s"$base/labels.parquet")
-      (s"$base/mst.parquet", s"$base/labels.parquet")
-    })
+    val cached = dupMstCache.get(dir)
+    val (me, ml) = if (cached != null) cached else {
+      val built = buildDupMst(s, dir)
+      Option(dupMstCache.putIfAbsent(dir, built)).getOrElse(built)
+    }
     (s.read.parquet(me), s.read.parquet(ml))
   }
 
@@ -1017,6 +1099,26 @@ object Components {
       materialize: Materialize.Strategy): DataFrame = {
     val ts = cuts
     val k = ts.length
+    val cutExpr = (0 until k)
+      .map(j => (col("bj") === j, lit(ts(j))))
+      .foldLeft(Option.empty[Column]) {
+        case (None, (c, v)) => Some(when(c, v))
+        case (Some(e), (c, v)) => Some(e.when(c, v))
+      }.get
+    selectionFrame(cl, k, materialize)
+      .join(cl.select(col("bj"), col("bc"), col("n_birth"), col("stability")),
+        Seq("bj", "bc"))
+      .select(cutExpr.as("cut"), col("bc").as("cluster"),
+        col("n_birth"), col("stability"), col("selected"))
+      .orderBy("cut", "cluster")
+  }
+
+  /** The per-condensed-cluster selection frame (`bj`, `bc`,
+    * `selected`) behind [[hdbscanSelection]] — factored out so q362's
+    * soft memberships can resolve each point's SELECTED ancestor
+    * without re-deriving the cluster-level readout. */
+  private def selectionFrame(cl: DataFrame, k: Int,
+      materialize: Materialize.Strategy): DataFrame = {
     // excess-of-mass, bottom-up by birth level: V = max(S, Σ V(child)),
     // chosen iff S ≥ Σ V(child) (children are born strictly lower)
     var vParts = List.empty[DataFrame]
@@ -1064,18 +1166,7 @@ object Components {
       }
       sParts ::= materialize(lvlS)
     }
-    val cutExpr = (0 until k)
-      .map(j => (col("bj") === j, lit(ts(j))))
-      .foldLeft(Option.empty[Column]) {
-        case (None, (c, v)) => Some(when(c, v))
-        case (Some(e), (c, v)) => Some(e.when(c, v))
-      }.get
-    sParts.reduce(_ unionByName _)
-      .join(cl.select(col("bj"), col("bc"), col("n_birth"), col("stability")),
-        Seq("bj", "bc"))
-      .select(cutExpr.as("cut"), col("bc").as("cluster"),
-        col("n_birth"), col("stability"), col("selected"))
-      .orderBy("cut", "cluster")
+    sParts.reduce(_ unionByName _).select("bj", "bc", "selected")
   }
 
   /** GLOSH outlier scores (Campello et al.'s Global-Local Outlier
@@ -1122,9 +1213,22 @@ object Components {
     gloshBody(lab, cida, cl, cuts.length, lambdas, materialize)
   }
 
-  private def gloshBody(labels: DataFrame, cida: DataFrame, cl: DataFrame,
-      k: Int, lambdas: Seq[Long],
-      materialize: Materialize.Strategy): DataFrame = {
+  /** The discrete λ of a level-index column — `when(c === j,
+    * lambdas(j))` chained over the ladder. */
+  private def lamCase(lambdas: Seq[Long], c: Column): Column =
+    lambdas.zipWithIndex
+      .map { case (v, j) => (c === j, lit(v)) }
+      .foldLeft(Option.empty[Column]) {
+        case (None, (cc, v)) => Some(when(cc, v))
+        case (Some(e), (cc, v)) => Some(e.when(cc, v))
+      }.get
+
+  /** Per-point attachment: each point's densest (lowest-level) REAL
+    * membership — (node, dp — the level, bj/bc — the condensed cluster
+    * owning that instance). Shared by GLOSH (q359) and soft
+    * memberships (q362). */
+  private def attachments(labels: DataFrame, cida: DataFrame,
+      k: Int): DataFrame = {
     // per-point real memberships: each level's label joined against the
     // real-instance table (cida rows ARE the real instances)
     val memb = (0 until k).map { j =>
@@ -1133,13 +1237,17 @@ object Components {
     }.reduce(_ unionByName _)
       .join(cida.select(col("j"), col("c"), col("bj"), col("bc")),
         Seq("j", "c"))
-    // densest (lowest-level) membership per point = its attachment
-    val att = memb.groupBy("node")
+    memb.groupBy("node")
       .agg(min(struct(col("j"), col("bj"), col("bc"))).as("a"))
       .select(col("node"), col("a.j").as("dp"),
         col("a.bj").as("bj"), col("a.bc").as("bc"))
-    // subtree deepest level per condensed cluster: own instances' min,
-    // then min over (already-final) children, bottom-up by birth level
+  }
+
+  /** Deepest level reached anywhere in each condensed cluster's
+    * SUBTREE — own instances' min, then min over (already-final)
+    * children, bottom-up by birth level. Returns (bj, bc, dm). */
+  private def subtreeDeepest(cida: DataFrame, cl: DataFrame, k: Int,
+      materialize: Materialize.Strategy): DataFrame = {
     val own = cida.groupBy("bj", "bc").agg(min(col("j")).as("dmin"))
       .join(cl.select(col("bj"), col("bc"), col("pbj"), col("pbc")),
         Seq("bj", "bc"))
@@ -1159,18 +1267,82 @@ object Components {
       }
       dmParts ::= materialize(lvlDm)
     }
-    val dm = dmParts.reduce(_ unionByName _)
-    def lamOf(c: Column): Column = (0 until k)
-      .map(j => (c === j, lit(lambdas(j))))
-      .foldLeft(Option.empty[Column]) {
-        case (None, (cc, v)) => Some(when(cc, v))
-        case (Some(e), (cc, v)) => Some(e.when(cc, v))
-      }.get
-    att.join(dm.select(col("bj"), col("bc"), col("dm")), Seq("bj", "bc"))
+    dmParts.reduce(_ unionByName _).select("bj", "bc", "dm")
+  }
+
+  private def gloshBody(labels: DataFrame, cida: DataFrame, cl: DataFrame,
+      k: Int, lambdas: Seq[Long],
+      materialize: Materialize.Strategy): DataFrame = {
+    val att = attachments(labels, cida, k)
+    val dm = subtreeDeepest(cida, cl, k, materialize)
+    att.join(dm, Seq("bj", "bc"))
       .select(col("node"), col("bc").as("cluster"),
-        lamOf(col("dp")).as("lam_attach"), lamOf(col("dm")).as("lam_max"))
+        lamCase(lambdas, col("dp")).as("lam_attach"),
+        lamCase(lambdas, col("dm")).as("lam_max"))
       .withColumn("glosh_ppm",
         expr("1000000 - (1000000 * lam_attach) div lam_max"))
+  }
+
+  /** Soft cluster-membership probabilities (✚ — the `probabilities_`
+    * readout of the HDBSCAN framework, discretized to the cut ladder
+    * like q358/q359): each clusterable point is assigned to the
+    * SELECTED cluster nearest above its attachment (selection is an
+    * antichain under the veto, so that ancestor is unique) with
+    *
+    *   prob(p) = λ_attach(p) / λ_max(subtree of the selected cluster)
+    *
+    * in exact parts-per-million integers — 10⁶ for a point present at
+    * the selected subtree's deepest density, falling toward 0 for
+    * points that detach early. Points whose attachment has no selected
+    * ancestor (e.g. attached at an unselected root whose children won
+    * the excess-of-mass vote) belong to no selected cluster and are
+    * not scored — the library's probabilities-are-0-for-noise rule,
+    * expressed as absence exactly like q359's unscored never-clustered
+    * points.
+    *
+    * Scale: the selection and ancestor passes are k driver-orchestrated
+    * joins over CLUSTER-count-sized tables; the only corpus-sized work
+    * is the attachment join the q359 scaffold already pays. */
+  def softMembershipsFromLabels(labels0: DataFrame, cuts: Seq[Double],
+      lambdas: Seq[Long], minSize: Int,
+      materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+    val (labels, cida, cl) =
+      condensedTreeFromLabels(labels0, cuts, lambdas, minSize, materialize)
+    val k = cuts.length
+    val sel = selectionFrame(cl, k, materialize)
+    // selected ancestor-or-self per condensed cluster, top-down: itself
+    // when selected, else the parent's answer (null above roots)
+    var aParts = List.empty[DataFrame]
+    for (b <- k - 1 to 0 by -1) {
+      val lvl = sel.where(col("bj") === b)
+        .join(cl.select(col("bj"), col("bc"), col("pbj"), col("pbc")),
+          Seq("bj", "bc"))
+      val lvlA = aParts.reduceOption(_ unionByName _) match {
+        case None =>
+          lvl.select(col("bj"), col("bc"),
+            when(col("selected"), col("bj")).as("abj"),
+            when(col("selected"), col("bc")).as("abc"))
+        case Some(prev) =>
+          lvl.join(prev.select(col("bj").as("pbj"), col("bc").as("pbc"),
+              col("abj").as("uabj"), col("abc").as("uabc")),
+            Seq("pbj", "pbc"), "left")
+            .select(col("bj"), col("bc"),
+              when(col("selected"), col("bj")).otherwise(col("uabj")).as("abj"),
+              when(col("selected"), col("bc")).otherwise(col("uabc")).as("abc"))
+      }
+      aParts ::= materialize(lvlA)
+    }
+    val sela = aParts.reduce(_ unionByName _).where(col("abj").isNotNull)
+    val att = attachments(labels, cida, k)
+    val dm = subtreeDeepest(cida, cl, k, materialize)
+    att.join(sela.select(col("bj"), col("bc"), col("abj"), col("abc")),
+        Seq("bj", "bc"))
+      .join(dm.select(col("bj").as("abj"), col("bc").as("abc"), col("dm")),
+        Seq("abj", "abc"))
+      .select(col("node"), col("abc").as("cluster"),
+        lamCase(lambdas, col("dp")).as("lam_attach"),
+        lamCase(lambdas, col("dm")).as("lam_max"))
+      .withColumn("prob_ppm", expr("(1000000 * lam_attach) div lam_max"))
   }
 
   /** The q358/q359 density ladder over squared distance — cut
@@ -1183,29 +1355,81 @@ object Components {
   private val slinkLabelCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Build the ε-graph single-linkage substrate for `dir` UNCACHED
+    * into fresh scratch parquet, returning the label-frame path — the
+    * cacheable unit behind [[epsSlinkLabels]], exposed for
+    * ScaleLawSpec's cold/cold substrate-build law and Bench's
+    * once-per-run substrate line (VERDICT r14 #1/#2). Deterministic:
+    * the (w, a, b) min key makes the elected MST unique and labels are
+    * component minima, so the parquet round-trip is exact and a cache
+    * race is only wasted work. */
+  private[graft] def buildSlinkLabels(s: SparkSession, dir: String): String = {
+    val out = graft.core.Scratch.tempDir("graft-slink") + "/labels.parquet"
+    val pts = Tables.embeddings(s, dir).select(col("vec_id").as("id"),
+      element_at(col("embedding"), 1).cast("double").as("x"),
+      element_at(col("embedding"), 2).cast("double").as("y"))
+    val edges = gridEpsPairs(pts, eps = 0.05, eps2 = 0.0025)
+      .where(col("ia") < col("ib"))
+      .select(col("ia").as("a"), col("ib").as("b"), col("w"))
+    val (mst, _) = boruvkaMst(pts.select("id"), edges)
+    singleLinkageLabels(mst, HdbCuts).write.mode("overwrite").parquet(out)
+    out
+  }
+
+  /** Pre-build (idempotent) the q358/q359 substrate — see
+    * [[warmDupMst]]. */
+  private[graft] def warmEpsSlink(s: SparkSession, dir: String): Unit =
+    epsSlinkLabels(s, dir)
+
   /** The ε-graph single-linkage substrate for q358/q359, materialized
     * ONCE per (JVM, corpus) into session-scoped parquet — the
     * production shape: one grid-pair pass + one MST + one label pass
     * feeds BOTH the cluster-selection and outlier-scoring readouts,
     * so each gate measures its own algebra rather than a rebuild of
     * the shared substrate (the q356 fixture-materialization pattern,
-    * VERDICT r13 #2). Deterministic: the (w, a, b) min key makes the
-    * elected MST unique and labels are component minima, so the
-    * parquet round-trip is exact. */
+    * VERDICT r13 #2). Cache contract as [[dupMst]]: immutable corpus
+    * dirs for the JVM's lifetime, scratch deleted on exit, no build
+    * under the map lock. */
   private def epsSlinkLabels(s: SparkSession, dir: String): DataFrame = {
-    val path = slinkLabelCache.computeIfAbsent(dir, _ => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-slink").toString + "/labels.parquet"
-      val pts = Tables.embeddings(s, dir).select(col("vec_id").as("id"),
-        element_at(col("embedding"), 1).cast("double").as("x"),
-        element_at(col("embedding"), 2).cast("double").as("y"))
-      val edges = gridEpsPairs(pts, eps = 0.05, eps2 = 0.0025)
-        .where(col("ia") < col("ib"))
-        .select(col("ia").as("a"), col("ib").as("b"), col("w"))
-      val (mst, _) = boruvkaMst(pts.select("id"), edges)
-      singleLinkageLabels(mst, HdbCuts).write.mode("overwrite").parquet(out)
-      out
-    })
+    val cached = slinkLabelCache.get(dir)
+    val path = if (cached != null) cached else {
+      val built = buildSlinkLabels(s, dir)
+      Option(slinkLabelCache.putIfAbsent(dir, built)).getOrElse(built)
+    }
+    s.read.parquet(path)
+  }
+
+  private val mrSlinkLabelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build the MUTUAL-REACHABILITY single-linkage substrate for `dir`
+    * UNCACHED (the q360 analog of [[buildSlinkLabels]]): same grid
+    * candidates, same Borůvka, same level-encoded label pass — but the
+    * MST is over [[mutualReachEdges]]' core-distance-weighted metric,
+    * which is HDBSCAN as published rather than raw-ε single linkage. */
+  private[graft] def buildMrSlinkLabels(s: SparkSession, dir: String): String = {
+    val out = graft.core.Scratch.tempDir("graft-mrslink") + "/labels.parquet"
+    val pts = Tables.embeddings(s, dir).select(col("vec_id").as("id"),
+      element_at(col("embedding"), 1).cast("double").as("x"),
+      element_at(col("embedding"), 2).cast("double").as("y"))
+    val edges = mutualReachEdges(pts, eps = 0.05, eps2 = 0.0025, HdbMinSize)
+    val (mst, _) = boruvkaMst(pts.select("id"), edges)
+    singleLinkageLabels(mst, HdbCuts).write.mode("overwrite").parquet(out)
+    out
+  }
+
+  /** Pre-build (idempotent) the q360 substrate — see [[warmDupMst]]. */
+  private[graft] def warmMrSlink(s: SparkSession, dir: String): Unit =
+    mrSlinkLabels(s, dir)
+
+  /** The q360 substrate, cached per (JVM, corpus) under the same
+    * contract as [[epsSlinkLabels]]. */
+  private def mrSlinkLabels(s: SparkSession, dir: String): DataFrame = {
+    val cached = mrSlinkLabelCache.get(dir)
+    val path = if (cached != null) cached else {
+      val built = buildMrSlinkLabels(s, dir)
+      Option(mrSlinkLabelCache.putIfAbsent(dir, built)).getOrElse(built)
+    }
     s.read.parquet(path)
   }
 
@@ -1215,7 +1439,10 @@ object Components {
     * and including the `cl` CTE (trailing comma included), so the
     * two gates stay textually identical where their semantics are
     * (the KnScoreSqlTail pattern). */
-  private lazy val HdbscanSqlBase: String =
+  /** Everything up to the ε-candidate pair table `p` — shared verbatim
+    * by the raw-distance (q358/q359) and mutual-reachability (q360)
+    * oracle chains. */
+  private lazy val HdbscanSqlPrefix: String =
     """WITH RECURSIVE e AS (
              |  SELECT vec_id AS id, CAST(embedding[1] AS DOUBLE) AS x,
              |    CAST(embedding[2] AS DOUBLE) AS y
@@ -1228,9 +1455,31 @@ object Components {
              |    round((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y), 9) AS w
              |  FROM e a JOIN e b ON a.id <> b.id
              |  WHERE round((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y), 9)
-             |    <= 0.0025),
-             |sym AS MATERIALIZED (SELECT lv.j, p.u, p.v FROM p, lv WHERE p.w <= lv.t2),
-             |ids AS (SELECT DISTINCT j, u AS id FROM sym),
+             |    <= 0.0025),""".stripMargin
+
+  /** The level-edge table for q360: per-point core distance = the
+    * (minPts−1)-th smallest candidate distance (the window re-derives
+    * it from the SAME pair table the partition check scans — VERDICT
+    * r14 #3 "oracle re-deriving core distances exactly"), then
+    * d_mreach = GREATEST(core_u, core_v, w). */
+  private lazy val MreachSymSql: String =
+    s"""cored AS MATERIALIZED (
+             |  SELECT u, w AS core FROM (
+             |    SELECT u, w, ROW_NUMBER() OVER (PARTITION BY u ORDER BY w, v)
+             |      AS rn FROM p) t
+             |  WHERE rn = ${HdbMinSize - 1}),
+             |mre AS MATERIALIZED (
+             |  SELECT p.u, p.v, GREATEST(p.w, ca.core, cb.core) AS w
+             |  FROM p JOIN cored ca ON ca.u = p.u
+             |  JOIN cored cb ON cb.u = p.v),
+             |sym AS MATERIALIZED (
+             |  SELECT lv.j, m.u, m.v FROM mre m, lv WHERE m.w <= lv.t2),""".stripMargin
+
+  /** Partition → condensed tree → stability, from whatever `sym`
+    * (level, u, v) edge table the prefix built — everything up to and
+    * including the `cl` CTE (trailing comma included). */
+  private lazy val HdbscanSqlTreeTail: String =
+    """ids AS (SELECT DISTINCT j, u AS id FROM sym),
              |reach(j, node, lbl) AS (
              |  SELECT j, id, id FROM ids
              |  UNION
@@ -1278,6 +1527,94 @@ object Components {
              |  FROM stab s
              |  JOIN born bi ON bi.j = s.bj AND bi.c = s.bc
              |  LEFT JOIN cida up ON up.j = s.bj + 1 AND up.c = bi.p),""".stripMargin
+
+  /** The q358 chain: raw-distance level edges + the shared tree tail
+    * (textually identical across q358/q359, see [[HdbscanSqlTreeTail]]). */
+  private lazy val HdbscanSqlBase: String =
+    HdbscanSqlPrefix + "\n" +
+      """sym AS MATERIALIZED (SELECT lv.j, p.u, p.v FROM p, lv WHERE p.w <= lv.t2),""" +
+      "\n" + HdbscanSqlTreeTail
+
+  /** The q360 chain: mutual-reachability level edges + the same tail. */
+  private lazy val MreachSqlBase: String =
+    HdbscanSqlPrefix + "\n" + MreachSymSql + "\n" + HdbscanSqlTreeTail
+
+  /** Excess-of-mass selection + descendant veto, unrolled bottom-up
+    * then top-down over the `cl` CTE — shared VERBATIM by q358 and
+    * q360 (same ladder, same algebra; only the metric upstream
+    * differs). */
+  /** Excess-of-mass + veto as CTEs only (`v0`..`sa`), reusable by any
+    * readout that needs the selection frame (q358's final select,
+    * q362's per-point soft memberships). */
+  private lazy val HdbscanSelCtes: String =
+    """v0 AS (SELECT bj, bc, stability AS v, true AS chosen
+             |       FROM cl WHERE bj = 0),
+             |v1 AS (
+             |  SELECT c.bj, c.bc, GREATEST(c.stability, COALESCE(s.sv, 0)) AS v,
+             |    c.stability >= COALESCE(s.sv, 0) AS chosen
+             |  FROM cl c LEFT JOIN (
+             |    SELECT d.pbj, d.pbc, CAST(SUM(v.v) AS BIGINT) AS sv
+             |    FROM cl d JOIN v0 v ON v.bj = d.bj AND v.bc = d.bc
+             |    WHERE d.pbj = 1 GROUP BY 1, 2) s
+             |    ON s.pbj = c.bj AND s.pbc = c.bc
+             |  WHERE c.bj = 1),
+             |v01 AS (SELECT * FROM v0 UNION ALL SELECT * FROM v1),
+             |v2 AS (
+             |  SELECT c.bj, c.bc, GREATEST(c.stability, COALESCE(s.sv, 0)) AS v,
+             |    c.stability >= COALESCE(s.sv, 0) AS chosen
+             |  FROM cl c LEFT JOIN (
+             |    SELECT d.pbj, d.pbc, CAST(SUM(v.v) AS BIGINT) AS sv
+             |    FROM cl d JOIN v01 v ON v.bj = d.bj AND v.bc = d.bc
+             |    WHERE d.pbj = 2 GROUP BY 1, 2) s
+             |    ON s.pbj = c.bj AND s.pbc = c.bc
+             |  WHERE c.bj = 2),
+             |v012 AS (SELECT * FROM v01 UNION ALL SELECT * FROM v2),
+             |v3 AS (
+             |  SELECT c.bj, c.bc, GREATEST(c.stability, COALESCE(s.sv, 0)) AS v,
+             |    c.stability >= COALESCE(s.sv, 0) AS chosen
+             |  FROM cl c LEFT JOIN (
+             |    SELECT d.pbj, d.pbc, CAST(SUM(v.v) AS BIGINT) AS sv
+             |    FROM cl d JOIN v012 v ON v.bj = d.bj AND v.bc = d.bc
+             |    WHERE d.pbj = 3 GROUP BY 1, 2) s
+             |    ON s.pbj = c.bj AND s.pbc = c.bc
+             |  WHERE c.bj = 3),
+             |va AS MATERIALIZED (SELECT * FROM v012 UNION ALL SELECT * FROM v3),
+             |s3 AS (SELECT bj, bc, chosen AS selected, chosen AS blocked
+             |       FROM va WHERE bj = 3),
+             |s2 AS (
+             |  SELECT v.bj, v.bc,
+             |    (v.chosen AND NOT COALESCE(a.blocked, false)) AS selected,
+             |    (COALESCE(a.blocked, false) OR v.chosen) AS blocked
+             |  FROM va v JOIN cl c ON c.bj = v.bj AND c.bc = v.bc
+             |  LEFT JOIN s3 a ON a.bj = c.pbj AND a.bc = c.pbc
+             |  WHERE v.bj = 2),
+             |s32 AS (SELECT * FROM s3 UNION ALL SELECT * FROM s2),
+             |s1 AS (
+             |  SELECT v.bj, v.bc,
+             |    (v.chosen AND NOT COALESCE(a.blocked, false)) AS selected,
+             |    (COALESCE(a.blocked, false) OR v.chosen) AS blocked
+             |  FROM va v JOIN cl c ON c.bj = v.bj AND c.bc = v.bc
+             |  LEFT JOIN s32 a ON a.bj = c.pbj AND a.bc = c.pbc
+             |  WHERE v.bj = 1),
+             |s321 AS (SELECT * FROM s32 UNION ALL SELECT * FROM s1),
+             |s0 AS (
+             |  SELECT v.bj, v.bc,
+             |    (v.chosen AND NOT COALESCE(a.blocked, false)) AS selected,
+             |    (COALESCE(a.blocked, false) OR v.chosen) AS blocked
+             |  FROM va v JOIN cl c ON c.bj = v.bj AND c.bc = v.bc
+             |  LEFT JOIN s321 a ON a.bj = c.pbj AND a.bc = c.pbc
+             |  WHERE v.bj = 0),
+             |sa AS (SELECT * FROM s321 UNION ALL SELECT * FROM s0)""".stripMargin
+
+  /** The q358/q360 chain tail: selection CTEs + the cluster-level
+    * readout. */
+  private lazy val HdbscanSelectSql: String =
+    HdbscanSelCtes + "\n" +
+      """SELECT CASE sa.bj WHEN 0 THEN 0.0004 WHEN 1 THEN 0.000625
+             |    WHEN 2 THEN 0.0016 ELSE 0.0025 END AS cut,
+             |  sa.bc AS cluster, cl.n_birth, cl.stability, sa.selected
+             |FROM sa JOIN cl ON cl.bj = sa.bj AND cl.bc = sa.bc
+             |ORDER BY cut, cluster""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     // Every document mapped to its near-dup cluster representative.
@@ -2147,69 +2484,82 @@ object Components {
     QueryDef("q358_hdbscan",
       (s, d) => hdbscanClustersFromLabels(epsSlinkLabels(s, d),
         HdbCuts, HdbLambdas, HdbMinSize),
-      Some(HdbscanSqlBase + "\n" + """v0 AS (SELECT bj, bc, stability AS v, true AS chosen
-             |       FROM cl WHERE bj = 0),
-             |v1 AS (
-             |  SELECT c.bj, c.bc, GREATEST(c.stability, COALESCE(s.sv, 0)) AS v,
-             |    c.stability >= COALESCE(s.sv, 0) AS chosen
-             |  FROM cl c LEFT JOIN (
-             |    SELECT d.pbj, d.pbc, CAST(SUM(v.v) AS BIGINT) AS sv
-             |    FROM cl d JOIN v0 v ON v.bj = d.bj AND v.bc = d.bc
-             |    WHERE d.pbj = 1 GROUP BY 1, 2) s
-             |    ON s.pbj = c.bj AND s.pbc = c.bc
-             |  WHERE c.bj = 1),
-             |v01 AS (SELECT * FROM v0 UNION ALL SELECT * FROM v1),
-             |v2 AS (
-             |  SELECT c.bj, c.bc, GREATEST(c.stability, COALESCE(s.sv, 0)) AS v,
-             |    c.stability >= COALESCE(s.sv, 0) AS chosen
-             |  FROM cl c LEFT JOIN (
-             |    SELECT d.pbj, d.pbc, CAST(SUM(v.v) AS BIGINT) AS sv
-             |    FROM cl d JOIN v01 v ON v.bj = d.bj AND v.bc = d.bc
-             |    WHERE d.pbj = 2 GROUP BY 1, 2) s
-             |    ON s.pbj = c.bj AND s.pbc = c.bc
-             |  WHERE c.bj = 2),
-             |v012 AS (SELECT * FROM v01 UNION ALL SELECT * FROM v2),
-             |v3 AS (
-             |  SELECT c.bj, c.bc, GREATEST(c.stability, COALESCE(s.sv, 0)) AS v,
-             |    c.stability >= COALESCE(s.sv, 0) AS chosen
-             |  FROM cl c LEFT JOIN (
-             |    SELECT d.pbj, d.pbc, CAST(SUM(v.v) AS BIGINT) AS sv
-             |    FROM cl d JOIN v012 v ON v.bj = d.bj AND v.bc = d.bc
-             |    WHERE d.pbj = 3 GROUP BY 1, 2) s
-             |    ON s.pbj = c.bj AND s.pbc = c.bc
-             |  WHERE c.bj = 3),
-             |va AS MATERIALIZED (SELECT * FROM v012 UNION ALL SELECT * FROM v3),
-             |s3 AS (SELECT bj, bc, chosen AS selected, chosen AS blocked
-             |       FROM va WHERE bj = 3),
-             |s2 AS (
+      Some(HdbscanSqlBase + "\n" + HdbscanSelectSql)),
+
+    // HDBSCAN as PUBLISHED (✚, VERDICT r14 next-round #3): q358's
+    // ladder runs single linkage over RAW ε-distances; the literature
+    // algorithm defines the hierarchy over MUTUAL-REACHABILITY distance
+    // max(core_k(a), core_k(b), d(a,b)) with minPts-core distances, so
+    // low-density chains can't single-link dense blobs together. Same
+    // substrate discipline as q358: grid candidates → core-distance
+    // window → Borůvka MST → ONE level-encoded label pass, cached per
+    // (JVM, corpus); the gate reads the condensed-tree stability
+    // selection. The oracle re-derives core distances EXACTLY (a
+    // row_number window over the same O(n²)-scanned pair table), then
+    // reruns full-graph reachability per level and the identical
+    // unrolled tree algebra — partitions must agree via the Kruskal
+    // invariant on the mutual-reachability graph.
+    QueryDef("q360_hdbscan_mreach",
+      (s, d) => hdbscanClustersFromLabels(mrSlinkLabels(s, d),
+        HdbCuts, HdbLambdas, HdbMinSize),
+      Some(MreachSqlBase + "\n" + HdbscanSelectSql)),
+
+    // Soft cluster-membership probabilities (✚ — the fourth readout of
+    // the shared ε-slink condensed tree, algorithm notes at
+    // [[softMembershipsFromLabels]]): q358 selects the clusters, q359
+    // scores outliers, THIS gate assigns each point to its unique
+    // selected ancestor with λ_attach/λ_max(selected subtree) in exact
+    // ppm integers. Zero new corpus passes — the substrate is the same
+    // cached label frame, and the oracle composes the q358 selection
+    // CTEs and the q359 attachment CTEs TEXTUALLY (both shared
+    // verbatim) plus an unrolled selected-ancestor resolution, so the
+    // three gates cannot disagree on what the tree is.
+    QueryDef("q362_soft_membership",
+      (s, d) => softMembershipsFromLabels(epsSlinkLabels(s, d),
+          HdbCuts, HdbLambdas, HdbMinSize)
+        .withColumnRenamed("node", "vec_id")
+        .orderBy("vec_id"),
+      Some(HdbscanSqlBase + "\n" + HdbscanSelCtes + ",\n" +
+        GloshAttachCtes + ",\n" +
+        """sel3 AS (SELECT bj, bc,
+             |  CASE WHEN selected THEN bj END AS abj,
+             |  CASE WHEN selected THEN bc END AS abc
+             |  FROM sa WHERE bj = 3),
+             |sel2 AS (
              |  SELECT v.bj, v.bc,
-             |    (v.chosen AND NOT COALESCE(a.blocked, false)) AS selected,
-             |    (COALESCE(a.blocked, false) OR v.chosen) AS blocked
-             |  FROM va v JOIN cl c ON c.bj = v.bj AND c.bc = v.bc
-             |  LEFT JOIN s3 a ON a.bj = c.pbj AND a.bc = c.pbc
+             |    CASE WHEN v.selected THEN v.bj ELSE u.abj END AS abj,
+             |    CASE WHEN v.selected THEN v.bc ELSE u.abc END AS abc
+             |  FROM sa v JOIN cl c ON c.bj = v.bj AND c.bc = v.bc
+             |  LEFT JOIN sel3 u ON u.bj = c.pbj AND u.bc = c.pbc
              |  WHERE v.bj = 2),
-             |s32 AS (SELECT * FROM s3 UNION ALL SELECT * FROM s2),
-             |s1 AS (
+             |sel32 AS (SELECT * FROM sel3 UNION ALL SELECT * FROM sel2),
+             |sel1 AS (
              |  SELECT v.bj, v.bc,
-             |    (v.chosen AND NOT COALESCE(a.blocked, false)) AS selected,
-             |    (COALESCE(a.blocked, false) OR v.chosen) AS blocked
-             |  FROM va v JOIN cl c ON c.bj = v.bj AND c.bc = v.bc
-             |  LEFT JOIN s32 a ON a.bj = c.pbj AND a.bc = c.pbc
+             |    CASE WHEN v.selected THEN v.bj ELSE u.abj END AS abj,
+             |    CASE WHEN v.selected THEN v.bc ELSE u.abc END AS abc
+             |  FROM sa v JOIN cl c ON c.bj = v.bj AND c.bc = v.bc
+             |  LEFT JOIN sel32 u ON u.bj = c.pbj AND u.bc = c.pbc
              |  WHERE v.bj = 1),
-             |s321 AS (SELECT * FROM s32 UNION ALL SELECT * FROM s1),
-             |s0 AS (
+             |sel321 AS (SELECT * FROM sel32 UNION ALL SELECT * FROM sel1),
+             |sel0 AS (
              |  SELECT v.bj, v.bc,
-             |    (v.chosen AND NOT COALESCE(a.blocked, false)) AS selected,
-             |    (COALESCE(a.blocked, false) OR v.chosen) AS blocked
-             |  FROM va v JOIN cl c ON c.bj = v.bj AND c.bc = v.bc
-             |  LEFT JOIN s321 a ON a.bj = c.pbj AND a.bc = c.pbc
+             |    CASE WHEN v.selected THEN v.bj ELSE u.abj END AS abj,
+             |    CASE WHEN v.selected THEN v.bc ELSE u.abc END AS abc
+             |  FROM sa v JOIN cl c ON c.bj = v.bj AND c.bc = v.bc
+             |  LEFT JOIN sel321 u ON u.bj = c.pbj AND u.bc = c.pbc
              |  WHERE v.bj = 0),
-             |sa AS (SELECT * FROM s321 UNION ALL SELECT * FROM s0)
-             |SELECT CASE sa.bj WHEN 0 THEN 0.0004 WHEN 1 THEN 0.000625
-             |    WHEN 2 THEN 0.0016 ELSE 0.0025 END AS cut,
-             |  sa.bc AS cluster, cl.n_birth, cl.stability, sa.selected
-             |FROM sa JOIN cl ON cl.bj = sa.bj AND cl.bc = sa.bc
-             |ORDER BY cut, cluster""".stripMargin)),
+             |sela AS (SELECT * FROM sel321 UNION ALL SELECT * FROM sel0)
+             |SELECT a.node AS vec_id, s.abc AS cluster,
+             |  CAST(la.lam AS BIGINT) AS lam_attach,
+             |  CAST(lm.lam AS BIGINT) AS lam_max,
+             |  CAST((1000000 * CAST(la.lam AS BIGINT)) // lm.lam AS BIGINT)
+             |    AS prob_ppm
+             |FROM att a
+             |JOIN sela s ON s.bj = a.bj AND s.bc = a.bc AND s.abj IS NOT NULL
+             |JOIN dma d ON d.bj = s.abj AND d.bc = s.abc
+             |JOIN lv la ON la.j = a.dp
+             |JOIN lv lm ON lm.j = d.dm
+             |ORDER BY vec_id""".stripMargin)),
 
     // GLOSH outlier scores over the SAME condensed tree as q358 (✚ —
     // the outlier-detection half of the HDBSCAN framework; algorithm
@@ -2227,7 +2577,24 @@ object Components {
           HdbCuts, HdbLambdas, HdbMinSize)
         .withColumnRenamed("node", "vec_id")
         .orderBy("vec_id"),
-      Some(HdbscanSqlBase + "\n" + """pm AS (
+      Some(HdbscanSqlBase + "\n" + GloshAttachCtes + "\n" +
+        """SELECT a.node AS vec_id, a.bc AS cluster,
+             |  CAST(la.lam AS BIGINT) AS lam_attach,
+             |  CAST(lm.lam AS BIGINT) AS lam_max,
+             |  CAST(1000000 - (1000000 * CAST(la.lam AS BIGINT)) // lm.lam
+             |    AS BIGINT) AS glosh_ppm
+             |FROM att a
+             |JOIN dma d ON d.bj = a.bj AND d.bc = a.bc
+             |JOIN lv la ON la.j = a.dp
+             |JOIN lv lm ON lm.j = d.dm
+             |ORDER BY vec_id""".stripMargin))
+  )
+
+  /** Per-point attachment + bottom-up subtree-deepest-level CTEs
+    * (`pm`..`dma`), shared by q359 (GLOSH readout) and q362 (soft
+    * memberships) — factored so the two gates stay textually identical
+    * where their semantics are. */
+  private lazy val GloshAttachCtes: String = """pm AS (
              |  SELECT l.node, MIN(l.j) AS dp FROM lab l
              |  JOIN inst i ON i.j = l.j AND i.c = l.lbl
              |  GROUP BY l.node),
@@ -2268,16 +2635,5 @@ object Components {
              |    WHERE pbj = 3 GROUP BY 1, 2) kk
              |    ON kk.pbj = o.bj AND kk.pbc = o.bc
              |  WHERE o.bj = 3),
-             |dma AS (SELECT * FROM dm012 UNION ALL SELECT * FROM dm3)
-             |SELECT a.node AS vec_id, a.bc AS cluster,
-             |  CAST(la.lam AS BIGINT) AS lam_attach,
-             |  CAST(lm.lam AS BIGINT) AS lam_max,
-             |  CAST(1000000 - (1000000 * CAST(la.lam AS BIGINT)) // lm.lam
-             |    AS BIGINT) AS glosh_ppm
-             |FROM att a
-             |JOIN dma d ON d.bj = a.bj AND d.bc = a.bc
-             |JOIN lv la ON la.j = a.dp
-             |JOIN lv lm ON lm.j = d.dm
-             |ORDER BY vec_id""".stripMargin))
-  )
+             |dma AS (SELECT * FROM dm012 UNION ALL SELECT * FROM dm3)""".stripMargin
 }

@@ -466,6 +466,48 @@ object TrainPrep {
     byCluster.join(byNaive, Seq("split"), "full_outer").orderBy("split")
   }
 
+  /** Verified maximal duplicated-span intervals per document from
+    * candidate (`a`, `b`, `delta`) diagonals — the extension pass
+    * shared by q192 (winnowed anchors) and q361 (exhaustive stride-1
+    * grams): join the two docs' token streams POSITION-keyed (token
+    * equality is a residual, never a join key — hash collisions in the
+    * candidate generator die here, which is what makes the result
+    * EXACT), gaps-and-islands the matching positions into maximal runs
+    * per diagonal, keep runs ≥ `minLen`, then sweep-line-union each
+    * doc's run intervals (a position can be covered by many partners).
+    * `cand`: (a, b, delta) with a < b; `toks`: (doc_id, pos, tok).
+    * Returns (doc_id, ist, ien) — maximal covered half-open token
+    * intervals. */
+  private def diagonalSpanIntervals(cand: DataFrame, toks: DataFrame,
+      minLen: Int): DataFrame = {
+    val matches = cand
+      .join(toks.select(col("doc_id").as("a"), col("pos").as("i"), col("tok").as("tok_a")),
+        Seq("a"))
+      .join(toks.select(col("doc_id").as("b2"), col("pos").as("j"), col("tok").as("tok_b")),
+        col("b") === col("b2") && col("j") === col("i") - col("delta"))
+      .where(col("tok_a") === col("tok_b"))
+      .select(col("a"), col("b"), col("delta"), col("i"))
+    val byDiag = Window.partitionBy("a", "b", "delta").orderBy("i")
+    val runs = matches
+      .withColumn("grp", col("i") - row_number().over(byDiag))
+      .groupBy("a", "b", "delta", "grp")
+      .agg(min("i").as("sa"), count(lit(1)).cast("int").as("len"))
+      .where(col("len") >= minLen)
+    val iv = runs.select(col("a").as("doc_id"), col("sa").as("st"),
+        (col("sa") + col("len")).as("en"))
+      .unionAll(runs.select(col("b"), (col("sa") - col("delta")).as("st"),
+        (col("sa") - col("delta") + col("len")).as("en")))
+    val byDoc = Window.partitionBy("doc_id").orderBy("st", "en")
+    iv.withColumn("pmax",
+        max("en").over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("is_new",
+        when(col("pmax").isNull || col("st") > col("pmax"), 1L).otherwise(0L))
+      .withColumn("isl",
+        sum("is_new").over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "isl")
+      .agg(min("st").as("ist"), max("en").as("ien"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q75_decontaminate",
@@ -822,32 +864,7 @@ object TrainPrep {
           .select(col("doc_id"), posexplode(w).as(Seq("pos", "tok")))
           .join(candDocs, Seq("doc_id"), "left_semi")
           .localCheckpoint() // consumed twice (A and B sides)
-        val matches = cand
-          .join(toks.select(col("doc_id").as("a"), col("pos").as("i"), col("tok").as("tok_a")),
-            Seq("a"))
-          .join(toks.select(col("doc_id").as("b2"), col("pos").as("j"), col("tok").as("tok_b")),
-            col("b") === col("b2") && col("j") === col("i") - col("delta"))
-          .where(col("tok_a") === col("tok_b"))
-          .select(col("a"), col("b"), col("delta"), col("i"))
-        val byDiag = Window.partitionBy("a", "b", "delta").orderBy("i")
-        val runs = matches
-          .withColumn("grp", col("i") - row_number().over(byDiag))
-          .groupBy("a", "b", "delta", "grp")
-          .agg(min("i").as("sa"), count(lit(1)).cast("int").as("len"))
-          .where(col("len") >= L)
-        val iv = runs.select(col("a").as("doc_id"), col("sa").as("st"),
-            (col("sa") + col("len")).as("en"))
-          .unionAll(runs.select(col("b"), (col("sa") - col("delta")).as("st"),
-            (col("sa") - col("delta") + col("len")).as("en")))
-        val byDoc = Window.partitionBy("doc_id").orderBy("st", "en")
-        iv.withColumn("pmax",
-            max("en").over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
-          .withColumn("is_new",
-            when(col("pmax").isNull || col("st") > col("pmax"), 1L).otherwise(0L))
-          .withColumn("isl",
-            sum("is_new").over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
-          .groupBy("doc_id", "isl")
-          .agg(min("st").as("ist"), max("en").as("ien"))
+        diagonalSpanIntervals(cand, toks, L)
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_runs"),
             sum(col("ien") - col("ist")).cast("long").as("covered_tok"),
@@ -877,6 +894,88 @@ object TrainPrep {
              |  CAST(sum(ien - ist) AS BIGINT) AS covered_tok,
              |  CAST(max(ien - ist) AS BIGINT) AS max_run
              |FROM isl GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Exact-substring span dedup in the LITERATURE form (✚, VERDICT r14
+    // next-round #5 — the ExactSubstr operator of the train-data dedup
+    // literature, Lee et al.'s "Deduplicating Training Data Makes
+    // Language Models Better" restricted to cross-document repeats):
+    // every document emits its stride-1 L-token gram stream — the
+    // fixed-depth PREFIX of each suffix, i.e. the per-document suffix
+    // grouping that stands in for the concatenated-corpus suffix array
+    // in shuffle form. Two docs share an exact ≥ L-token span iff they
+    // share an L-gram at SOME alignment, so the exhaustive stride-1
+    // stream IS the suffix-array duplicate relation truncated at depth
+    // L; hash-grouping finds the candidates, and the shared
+    // [[diagonalSpanIntervals]] extension verifies tokens and emits
+    // each doc's MAXIMAL duplicated spans as rows (span_start,
+    // span_len) — recovered exactly at ARBITRARY alignment. Contrast
+    // the two screens it upgrades: q143's stride-16 grid provably
+    // misses any cross-doc repeat whose two offsets differ mod 16 (the
+    // grids never fingerprint the same repeat-relative window —
+    // Batch24Spec plants one), and q192's winnowed anchors recover
+    // spans exactly but report only per-doc coverage counts.
+    // Oracle independence: brute-force stride-1 L-windows grouped by
+    // TEXT (never a hash), interval-unioned — sound because a position
+    // is inside a maximal cross-doc run ≥ L iff it is inside some
+    // cross-doc-repeated L-window.
+    // Scale: gram text never shuffles — only (xxhash64, doc, pos); the
+    // hash self-join emits distinct DIAGONALS, not occurrence pairs;
+    // extension joins are position-keyed; production adds the family's
+    // df-cap on grams shared by > cap docs (boilerplate) with the
+    // non-silent fallback report, exactly as q27/q51.
+    QueryDef("q361_exact_spans",
+      (s, d) => {
+        val L = 50
+        val w = split(col("text"), " ")
+        val base = Tables.documents(s, d).where(size(w) >= L)
+          // heavy array pipeline after an exchange, not in the scan's
+          // one-task-per-file layout (q83/q120 lesson)
+          .repartition(col("doc_id"))
+        val grams = base.select(col("doc_id"),
+            posexplode(transform(sequence(lit(0), size(w) - L),
+              p => xxhash64(array_join(slice(w, p + 1, lit(L)), " "))))
+              .as(Seq("pos", "h")))
+          .localCheckpoint() // both sides of the self-join
+        val cand = grams
+          .select(col("doc_id").as("a"), col("pos").as("pa"), col("h"))
+          .join(grams.select(col("doc_id").as("b"), col("pos").as("pb"),
+            col("h")), "h")
+          .where(col("a") < col("b"))
+          .select(col("a"), col("b"), (col("pa") - col("pb")).as("delta"))
+          .distinct()
+        val candDocs = cand.select(col("a").as("doc_id"))
+          .union(cand.select(col("b"))).distinct()
+        val toks = base
+          .select(col("doc_id"), posexplode(w).as(Seq("pos", "tok")))
+          .join(candDocs, Seq("doc_id"), "left_semi")
+          .localCheckpoint() // consumed twice (A and B sides)
+        diagonalSpanIntervals(cand, toks, L)
+          .select(col("doc_id"), col("ist").cast("long").as("span_start"),
+            (col("ien") - col("ist")).cast("long").as("span_len"))
+          .orderBy("doc_id", "span_start")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+             |  WHERE len(string_split(text, ' ')) >= 50),
+             |win AS (
+             |  SELECT doc_id, p, array_to_string(w[p+1 : p+50], ' ') AS s
+             |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 49)) AS p FROM w) t),
+             |g AS (SELECT s FROM win GROUP BY s HAVING count(DISTINCT doc_id) > 1),
+             |iv AS (SELECT doc_id, p AS st, p + 50 AS en FROM win JOIN g USING (s)),
+             |m AS (SELECT doc_id, st, en,
+             |        max(en) OVER (PARTITION BY doc_id ORDER BY st, en
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+             |      FROM iv),
+             |f AS (SELECT doc_id, st, en,
+             |        sum(CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END)
+             |          OVER (PARTITION BY doc_id ORDER BY st, en
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+             |      FROM m),
+             |isl AS (SELECT doc_id, isl, min(st) AS ist, max(en) AS ien
+             |        FROM f GROUP BY doc_id, isl)
+             |SELECT doc_id, CAST(ist AS BIGINT) AS span_start,
+             |  CAST(ien - ist AS BIGINT) AS span_len
+             |FROM isl ORDER BY doc_id, span_start""".stripMargin)),
 
     // Weighted sample without replacement, k=100 biased by n_chars —
     // the A-ES key ranking with the md5-slice uniform; oracle derives

@@ -166,6 +166,29 @@ class HttpFlowSpec extends AnyFunSuite {
     }
   }
 
+  test("Content-Encoding: deflate decodes BOTH zlib-wrapped and raw streams") {
+    // curl parity (ADVICE r14): the token names the zlib wrapping but
+    // real servers send raw deflate too; the sniff must accept both.
+    val text = (1 to 60).map(i => s"deflated-$i").mkString("\n")
+    def compress(nowrap: Boolean): Array[Byte] = {
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, nowrap)
+      val out = new java.io.ByteArrayOutputStream()
+      val s = new java.util.zip.DeflaterOutputStream(out, d)
+      s.write(text.getBytes("UTF-8")); s.close()
+      out.toByteArray
+    }
+    for (nowrap <- Seq(false, true)) {
+      withHandlers("/defl" -> bytesHandler(compress(nowrap),
+          "Content-Encoding" -> "deflate")) { port =>
+        val got = Flow.readUrl(spark, s"http://127.0.0.1:$port/defl", 512)
+          .toArray.flatten.toArray
+        assert(new String(got, "UTF-8") == text,
+          s"deflate (nowrap=$nowrap) must decode transparently")
+      }
+    }
+  }
+
   test("an undecodable Content-Encoding fails loudly with the .inflate hint") {
     withHandlers("/br" ->
         bytesHandler("xx".getBytes, "Content-Encoding" -> "br")) { port =>
