@@ -66,9 +66,9 @@ object Bench {
     val substrateDefs: Seq[(String, Seq[String], () => Unit)] = Seq(
       ("dup_mst", Seq("q348", "q353"),
         () => ops.Components.warmDupMst(spark, sfDir)),
-      ("eps_slink", Seq("q358", "q359", "q362"),
+      ("eps_slink", Seq("q358", "q359", "q362", "q363"),
         () => ops.Components.warmEpsSlink(spark, sfDir)),
-      ("mr_slink", Seq("q360"),
+      ("mr_slink", Seq("q360", "q364"),
         () => ops.Components.warmMrSlink(spark, sfDir)))
     val substrates = substrateDefs.flatMap { case (sname, consumers, run) =>
       if (selected.exists { case (n, _) => consumers.exists(n.startsWith) }) {

@@ -1406,31 +1406,207 @@ object Components {
     * UNCACHED (the q360 analog of [[buildSlinkLabels]]): same grid
     * candidates, same Borůvka, same level-encoded label pass — but the
     * MST is over [[mutualReachEdges]]' core-distance-weighted metric,
-    * which is HDBSCAN as published rather than raw-ε single linkage. */
+    * which is HDBSCAN as published rather than raw-ε single linkage.
+    * Persists BOTH artifacts of the one build — the label frame
+    * (q360's readout input) and the elected MST edge set itself
+    * (q364's: the OPTICS ordering is a traversal of this exact tree)
+    * — under one scratch dir, returned as the cache value. The tree
+    * is n−1 rows; writing it costs nothing next to the build. */
   private[graft] def buildMrSlinkLabels(s: SparkSession, dir: String): String = {
-    val out = graft.core.Scratch.tempDir("graft-mrslink") + "/labels.parquet"
+    val out = graft.core.Scratch.tempDir("graft-mrslink")
     val pts = Tables.embeddings(s, dir).select(col("vec_id").as("id"),
       element_at(col("embedding"), 1).cast("double").as("x"),
       element_at(col("embedding"), 2).cast("double").as("y"))
     val edges = mutualReachEdges(pts, eps = 0.05, eps2 = 0.0025, HdbMinSize)
     val (mst, _) = boruvkaMst(pts.select("id"), edges)
-    singleLinkageLabels(mst, HdbCuts).write.mode("overwrite").parquet(out)
+    mst.write.mode("overwrite").parquet(out + "/mst.parquet")
+    // labels derive from the PERSISTED tree (read-back, not lineage):
+    // the two artifacts are definitionally views of one elected MST
+    singleLinkageLabels(s.read.parquet(out + "/mst.parquet"), HdbCuts)
+      .write.mode("overwrite").parquet(out + "/labels.parquet")
     out
   }
 
-  /** Pre-build (idempotent) the q360 substrate — see [[warmDupMst]]. */
+  /** Pre-build (idempotent) the q360/q364 substrate — see
+    * [[warmDupMst]]. */
   private[graft] def warmMrSlink(s: SparkSession, dir: String): Unit =
-    mrSlinkLabels(s, dir)
+    mrSlinkBase(s, dir)
 
-  /** The q360 substrate, cached per (JVM, corpus) under the same
-    * contract as [[epsSlinkLabels]]. */
-  private def mrSlinkLabels(s: SparkSession, dir: String): DataFrame = {
+  private def mrSlinkBase(s: SparkSession, dir: String): String = {
     val cached = mrSlinkLabelCache.get(dir)
-    val path = if (cached != null) cached else {
+    if (cached != null) cached else {
       val built = buildMrSlinkLabels(s, dir)
       Option(mrSlinkLabelCache.putIfAbsent(dir, built)).getOrElse(built)
     }
-    s.read.parquet(path)
+  }
+
+  /** The q360 substrate, cached per (JVM, corpus) under the same
+    * contract as [[epsSlinkLabels]]. */
+  private def mrSlinkLabels(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(mrSlinkBase(s, dir) + "/labels.parquet")
+
+  /** The mutual-reachability MST itself (`a`, `b`, `w` — the q364
+    * traversal substrate), from the same cached one-per-(JVM, corpus)
+    * build as [[mrSlinkLabels]]. */
+  private def mrMstEdges(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(mrSlinkBase(s, dir) + "/mst.parquet")
+
+  /** OPTICS ordering + per-point reachability over an MST forest (✚ —
+    * Ankerst/Breunig/Kriegel/Sander 1999, via the MST form: with the
+    * mutual-reachability tree already elected, every point's OPTICS
+    * REACHABILITY equals the weight of its parent edge in the tree
+    * rooted at its component's minimum id — whichever traversal built
+    * the plot, the attach edge is the tree edge, so the VALUES are
+    * root-determined and traversal-independent — and the plot ORDER is
+    * a DFS preorder of that rooted tree (the construction the HDBSCAN
+    * literature uses to recover reachability plots from the MST).
+    *
+    * The DFS looks inherently sequential; the distributed answer is
+    * the PRAM classic: EULER TOUR + pointer-doubling LIST RANKING
+    * (Wyllie). Each undirected tree edge becomes two arcs; at every
+    * node the incident arcs form a ring in (w, neighbor) ascending
+    * order, and succ(u→v) = (v → v's ring-successor of u) linearises
+    * the whole tour into ONE successor chain per component (children
+    * are visited ring-cyclically starting after the parent — the
+    * deterministic DFS the oracle replays with lexicographic path
+    * keys). The arc whose successor would wrap past the component
+    * root's start arc is the chain terminal. Pointer doubling then
+    * ranks every arc in ⌈log₂ 2(n−1)⌉ self-joins of the arc table —
+    * d(arc) = arcs remaining to the terminal — and a node's FIRST
+    * visit is its max-d entering arc: preorder position = rank of d
+    * descending within the component, parent-edge weight = that arc's
+    * w. Roots order first with NULL reachability (OPTICS's UNDEFINED).
+    *
+    * Scale: the tree is n−1 edges regardless of the candidate-graph
+    * density, so every relation here is 2(n−1) rows; the doubling loop
+    * shuffles O(n log n) total — no corpus pass, no quadratic blowup,
+    * and the O(diameter) pitfall the r14 CC rewrite removed never
+    * reappears (path-like trees cost the SAME log rounds). Driver sees
+    * only per-round convergence probes. */
+  def opticsOrder(mstEdges: DataFrame, maxIter: Int = 34,
+      materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val edges = materialize(mstEdges.select(col("a"), col("b"), col("w")))
+    val nodes = edges.select(col("a").as("id"))
+      .unionByName(edges.select(col("b").as("id"))).distinct()
+    // component labels = min member id = the OPTICS start (root) point
+    val lab = materialize(connectedComponents(nodes,
+      edges.select(col("a").as("id_a"), col("b").as("id_b")),
+      maxIter, materialize))
+    val adj = edges.select(col("a").as("node"), col("b").as("nbr"), col("w"))
+      .unionByName(edges.select(col("b").as("node"), col("a").as("nbr"), col("w")))
+    val ring = W.partitionBy("node").orderBy("w", "nbr")
+    // ring successor of `nbr` at `node`; `wrapped` marks the LAST ring
+    // position (its successor is the ring's first neighbor again)
+    val succ = adj
+      .withColumn("nx0", lead("nbr", 1).over(ring))
+      .withColumn("wrapped", col("nx0").isNull)
+      .withColumn("nx", coalesce(col("nx0"), first("nbr").over(ring)))
+    // arcs u→v with succ arc (v → nx) and the terminal mark: re-enters
+    // the component ROOT at its last ring position ⇒ succ would wrap
+    // to the tour's start arc
+    val arcs = succ
+      .join(lab.select(col("node"), col("lbl").as("comp")), "node")
+      .select(col("nbr").as("u"), col("node").as("v"), col("w"),
+        col("comp"), col("nx"), col("wrapped"))
+      .withColumn("term", col("wrapped") && col("v") === col("comp"))
+    var st = materialize(arcs.select(col("u"), col("v"), col("w"), col("comp"),
+      when(col("term"), col("u")).otherwise(col("v")).as("pu"),
+      when(col("term"), col("v")).otherwise(col("nx")).as("pv"),
+      when(col("term"), lit(0L)).otherwise(lit(1L)).as("d"),
+      col("term")))
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val y = st.select(col("u").as("yu"), col("v").as("yv"),
+        col("pu").as("ypu"), col("pv").as("ypv"),
+        col("d").as("yd"), col("term").as("yterm"))
+      val nx = materialize(st
+        .join(y, col("pu") === col("yu") && col("pv") === col("yv"))
+        .select(col("u"), col("v"), col("w"), col("comp"),
+          col("ypu").as("pu"), col("ypv").as("pv"),
+          (col("d") + col("yd")).as("d"), col("term"),
+          col("yterm").as("pterm")))
+      done = nx.where(!col("pterm")).limit(1).count() == 0L
+      st = nx.drop("pterm")
+      iter += 1
+    }
+    require(done, s"opticsOrder: list ranking not converged after $maxIter rounds")
+    // first visit of v = its max-d entering arc (d is the arc's
+    // distance to the terminal: unique within a component's chain)
+    val entry = st.groupBy(col("v"), col("comp"))
+      .agg(max(struct(col("d"), col("w"))).as("m"))
+      .where(col("v") =!= col("comp"))
+      .select(col("v").as("vec_id"), col("comp"),
+        col("m").getField("d").as("d"), col("m").getField("w").as("reach"))
+    val pre = W.partitionBy("comp").orderBy(col("d").desc)
+    val ranked = entry.select(col("vec_id"), col("comp"),
+      row_number().over(pre).cast("long").as("pos"), col("reach"))
+    lab.select(col("lbl")).distinct()
+      .select(col("lbl").as("vec_id"), col("lbl").as("comp"),
+        lit(0L).as("pos"), lit(null).cast("double").as("reach"))
+      .unionByName(ranked)
+  }
+
+  /** Discretized COPHENETIC distances + the cophenetic correlation
+    * coefficient (✚ — Sokal/Rohlf 1962, the standard "how faithfully
+    * does the dendrogram preserve the metric" readout) over the shared
+    * ε-slink scaffold: for every candidate pair the cophenetic
+    * distance is the first cut of the ladder at which the two points
+    * co-cluster (single linkage ⇒ the dendrogram merge height,
+    * discretized to the same cut ladder every gate in this family
+    * uses), and CPCC is the Pearson correlation between raw pair
+    * distances and those merge heights.
+    *
+    * Exactness: both coordinates are 9-dp-exact by construction (w is
+    * round@9, cuts are ladder constants), so both engines sum the SAME
+    * integers (w·10⁹, cut·10⁹) into exact DECIMAL moments and evaluate
+    * one fixed-shape double expression at the end — no accumulation-
+    * order drift, CPCC rounded @6 on both sides. Per-level rows carry
+    * the pair count and the exact Σ(w·10⁹) so the histogram itself is
+    * integer-exact.
+    *
+    * Scale: one grid ε-pass for the pair table (never all-pairs), two
+    * label-frame joins keyed by point id, one aggregation — the label
+    * scaffold is the CACHED substrate, so this is the fifth readout of
+    * the same tree at zero new substrate passes. */
+  def copheneticReport(labels: DataFrame, pairs: DataFrame,
+      cuts: Seq[Double]): DataFrame = {
+    val k = cuts.length
+    val la = labels.select(col("node").as("ia") +: col("nlvl").as("na") +:
+      (0 until k).map(j => col(s"l$j").as(s"a$j")): _*)
+    val lb = labels.select(col("node").as("ib") +: col("nlvl").as("nb") +:
+      (0 until k).map(j => col(s"l$j").as(s"b$j")): _*)
+    // first ladder level where the pair co-clusters; a candidate pair
+    // IS an edge at the top cut, so the coalesce never falls through
+    val lvl = (0 until k).map(j =>
+      when(col("na") <= j && col("nb") <= j && col(s"a$j") === col(s"b$j"),
+        lit(j))).reduce(coalesce(_, _))
+    val scored = pairs.join(la, "ia").join(lb, "ib")
+      .select(round(col("w") * 1e9).cast("long").as("w9"), lvl.as("lvl"))
+    val cut9 = element_at(
+      array(cuts.map(t => lit(math.round(t * 1e9))): _*), col("lvl") + 1)
+    val xy = scored.select(col("w9").as("x"), cut9.as("y"), col("lvl"))
+    val d38 = "decimal(38,0)"
+    val m = xy.agg(count(lit(1)).as("n"),
+      sum(col("x").cast(d38)).as("sx"), sum(col("y").cast(d38)).as("sy"),
+      sum((col("x") * col("y")).cast(d38)).as("sxy"),
+      sum((col("x") * col("x")).cast(d38)).as("sxx"),
+      sum((col("y") * col("y")).cast(d38)).as("syy"))
+    val nD = col("n").cast("double")
+    val cpcc = round(
+      (nD * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")) /
+      sqrt((nD * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+           (nD * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double"))), 6)
+    val perLevel = xy.groupBy("lvl")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x").cast(d38)).cast("long").as("w9_sum"))
+      .select((element_at(array(cuts.map(lit): _*), col("lvl") + 1))
+        .as("cut"), col("n_pairs"), col("w9_sum"))
+    perLevel.crossJoin(m.select(cpcc.as("cpcc"))).orderBy("cut")
   }
 
   /** Shared CTE chain of the q358/q359 oracles: per-level partitions
@@ -1538,6 +1714,122 @@ object Components {
   /** The q360 chain: mutual-reachability level edges + the same tail. */
   private lazy val MreachSqlBase: String =
     HdbscanSqlPrefix + "\n" + MreachSymSql + "\n" + HdbscanSqlTreeTail
+
+  /** q363's oracle: the SAME raw-distance level-connectivity chain as
+    * q358 (prefix + sym + ids/reach/lab, textually identical — the two
+    * gates cannot disagree on what a level partition is), then per
+    * candidate pair the FIRST level whose labels coincide (= the
+    * discretized dendrogram merge height), exact integer moments, and
+    * the one fixed-shape double CPCC expression mirrored verbatim by
+    * [[copheneticReport]]. */
+  private lazy val CophOracleSql: String =
+    HdbscanSqlPrefix + "\n" +
+      """sym AS MATERIALIZED (SELECT lv.j, p.u, p.v FROM p, lv WHERE p.w <= lv.t2),
+             |ids AS (SELECT DISTINCT j, u AS id FROM sym),
+             |reach(j, node, lbl) AS (
+             |  SELECT j, id, id FROM ids
+             |  UNION
+             |  SELECT s.j, s.v, r.lbl FROM reach r JOIN sym s ON s.j = r.j AND s.u = r.node),
+             |lab AS MATERIALIZED (SELECT j, node, MIN(lbl) AS lbl FROM reach GROUP BY 1, 2),
+             |pu AS (SELECT u, v, w FROM p WHERE u < v),
+             |ml AS MATERIALIZED (
+             |  SELECT pu.u, pu.v, pu.w, MIN(la.j) AS lvl
+             |  FROM pu JOIN lab la ON la.node = pu.u
+             |  JOIN lab lb ON lb.node = pu.v AND lb.j = la.j AND lb.lbl = la.lbl
+             |  GROUP BY 1, 2, 3),
+             |xy AS MATERIALIZED (
+             |  SELECT CAST(round(ml.w*1e9) AS BIGINT) AS x,
+             |         CAST(round(g.t2*1e9) AS BIGINT) AS y, ml.lvl
+             |  FROM ml JOIN lv g ON g.j = ml.lvl),
+             |m AS (SELECT COUNT(*) AS n,
+             |  SUM(CAST(x AS DECIMAL(38,0))) AS sx, SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+             |  SUM(CAST(x*y AS DECIMAL(38,0))) AS sxy,
+             |  SUM(CAST(x*x AS DECIMAL(38,0))) AS sxx,
+             |  SUM(CAST(y*y AS DECIMAL(38,0))) AS syy FROM xy),
+             |c AS (SELECT round(
+             |    (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+             |       - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+             |  / sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+             |            - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+             |       * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+             |            - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 6) AS cpcc
+             |  FROM m),
+             |ag AS (SELECT g.t2 AS cut, COUNT(*) AS n_pairs,
+             |         CAST(SUM(CAST(x AS DECIMAL(38,0))) AS BIGINT) AS w9_sum
+             |       FROM xy JOIN lv g ON g.j = xy.lvl GROUP BY 1)
+             |SELECT ag.cut, ag.n_pairs, ag.w9_sum, c.cpcc
+             |FROM ag CROSS JOIN c ORDER BY cut""".stripMargin
+
+  /** q364's oracle: re-derives the mutual-reachability edge set with
+    * the SAME prefix/core CTEs as q360, elects the unique
+    * (w, a, b)-tie-broken MST by `rounds` UNROLLED Borůvka rounds
+    * (per-component min outgoing edge by ROW_NUMBER over the identical
+    * key; component relabel = recursive reach over the tiny comp-level
+    * merge graph, label = group min — exactly [[boruvkaMst]]'s merge
+    * semantics; converged rounds are no-ops, so `rounds` only needs to
+    * cover ⌈log₂ n⌉), then replays the Euler-tour DFS as a recursive
+    * parent walk with fixed-width lexicographic path keys: at each node
+    * children order CYCLICALLY AFTER THE PARENT in the (w, nbr) ring —
+    * '0'-prefixed keys for ring positions after the parent, '1' for the
+    * wrapped ones — which is precisely the successor order the
+    * distributed tour follows, so ROW_NUMBER over the path key IS the
+    * tour's first-visit order. */
+  private def opticsOracleSql(rounds: Int): String = {
+    val roundCtes = (0 until rounds).map { r =>
+      s"""ext$r AS (
+             |  SELECT e.a, e.b, e.w, la.comp AS ca, lb.comp AS cb
+             |  FROM em e JOIN lab$r la ON la.node = e.a
+             |  JOIN lab$r lb ON lb.node = e.b
+             |  WHERE la.comp <> lb.comp),
+             |win$r AS (
+             |  SELECT a, b, w, ca, cb FROM (
+             |    SELECT t.*, ROW_NUMBER() OVER (PARTITION BY c ORDER BY w, a, b) AS rn
+             |    FROM (SELECT ca AS c, a, b, w, ca, cb FROM ext$r
+             |          UNION ALL SELECT cb, a, b, w, ca, cb FROM ext$r) t) s
+             |  WHERE rn = 1),
+             |mg$r AS (SELECT DISTINCT LEAST(ca, cb) AS cs, GREATEST(ca, cb) AS ct
+             |         FROM win$r),
+             |mgs$r AS (SELECT cs AS u, ct AS v FROM mg$r
+             |          UNION ALL SELECT ct, cs FROM mg$r),
+             |crch$r(node, lbl) AS (
+             |  SELECT comp, comp FROM (SELECT DISTINCT comp FROM lab$r) t
+             |  UNION
+             |  SELECT m.v, rr.lbl FROM crch$r rr JOIN mgs$r m ON m.u = rr.node),
+             |cmap$r AS (SELECT node AS comp, MIN(lbl) AS nc FROM crch$r GROUP BY 1),
+             |lab${r + 1} AS MATERIALIZED (
+             |  SELECT l.node, c.nc AS comp FROM lab$r l JOIN cmap$r c USING (comp))""".stripMargin
+    }.mkString(",\n")
+    val winUnion = (0 until rounds)
+      .map(r => s"SELECT a, b, w FROM win$r").mkString("\n  UNION ALL ")
+    HdbscanSqlPrefix + "\n" + MreachSymSql + "\n" +
+      s"""em AS MATERIALIZED (SELECT DISTINCT u AS a, v AS b, w FROM mre WHERE u < v),
+             |lab0 AS MATERIALIZED (
+             |  SELECT node, node AS comp FROM (
+             |    SELECT a AS node FROM em UNION SELECT b FROM em) t),
+             |$roundCtes,
+             |mst AS MATERIALIZED (SELECT DISTINCT a, b, w FROM (
+             |  $winUnion) u),
+             |madj AS (SELECT a AS node, b AS nbr, w FROM mst
+             |         UNION ALL SELECT b, a, w FROM mst),
+             |walk(node, parent, pw, comp, pk) AS (
+             |  SELECT comp, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), comp, ''
+             |  FROM (SELECT DISTINCT comp FROM lab$rounds) t
+             |  UNION ALL
+             |  SELECT a.nbr, wk.node, a.w, wk.comp,
+             |    wk.pk || CASE WHEN wk.parent IS NULL
+             |                  OR a.w > wk.pw
+             |                  OR (a.w = wk.pw AND a.nbr > wk.parent)
+             |             THEN '0' ELSE '1' END
+             |          || lpad(CAST(CAST(round(a.w*1e9) AS BIGINT) AS VARCHAR), 12, '0')
+             |          || lpad(CAST(a.nbr AS VARCHAR), 12, '0')
+             |  FROM walk wk JOIN madj a ON a.node = wk.node
+             |    AND (wk.parent IS NULL OR a.nbr <> wk.parent))
+             |SELECT node AS vec_id, comp,
+             |  CAST(ROW_NUMBER() OVER (PARTITION BY comp ORDER BY pk) - 1 AS BIGINT)
+             |    AS pos,
+             |  CASE WHEN parent IS NULL THEN NULL ELSE pw END AS reach
+             |FROM walk ORDER BY comp, pos""".stripMargin
+  }
 
   /** Excess-of-mass selection + descendant veto, unrolled bottom-up
     * then top-down over the `cl` CTE — shared VERBATIM by q358 and
@@ -2587,7 +2879,40 @@ object Components {
              |JOIN dma d ON d.bj = a.bj AND d.bc = a.bc
              |JOIN lv la ON la.j = a.dp
              |JOIN lv lm ON lm.j = d.dm
-             |ORDER BY vec_id""".stripMargin))
+             |ORDER BY vec_id""".stripMargin)),
+
+    // Cophenetic fidelity of the ε-slink dendrogram (✚ — algorithm
+    // notes at [[copheneticReport]]): the FIFTH readout of the shared
+    // cached label scaffold (q345/q358/q359/q362 siblings). The gate's
+    // own work is one grid ε-pass for the pair table plus two keyed
+    // label joins; the oracle shares q358's level-connectivity CTEs
+    // textually and mirrors the exact-integer-moment CPCC formula
+    // shape for shape.
+    QueryDef("q363_cophenetic",
+      (s, d) => {
+        val pts = Tables.embeddings(s, d).select(col("vec_id").as("id"),
+          element_at(col("embedding"), 1).cast("double").as("x"),
+          element_at(col("embedding"), 2).cast("double").as("y"))
+        val pairs = gridEpsPairs(pts, eps = 0.05, eps2 = 0.0025)
+          .where(col("ia") < col("ib"))
+        copheneticReport(epsSlinkLabels(s, d), pairs, HdbCuts)
+      },
+      Some(CophOracleSql)),
+
+    // OPTICS ordering + reachability over the mutual-reachability MST
+    // (✚ — algorithm notes at [[opticsOrder]]): the ordering readout of
+    // the q360 substrate — one tree, read as flat clusters (q360) and
+    // as the reachability plot (this gate). Per-point reachability =
+    // parent-edge weight in the min-id-rooted tree (traversal-
+    // independent); the plot order is the weight-ascending Euler-tour
+    // DFS, list-ranked in O(log n) doubling rounds — no O(diameter)
+    // loop, no corpus pass. Oracle: unrolled Borůvka elects the SAME
+    // (w, a, b)-unique tree, then a recursive parent walk replays the
+    // tour with lexicographic path keys (10 rounds cover n ≤ 1024 at
+    // the oracle's sf; converged rounds are no-ops).
+    QueryDef("q364_optics_order",
+      (s, d) => opticsOrder(mrMstEdges(s, d)).orderBy("comp", "pos"),
+      Some(opticsOracleSql(10)))
   )
 
   /** Per-point attachment + bottom-up subtree-deepest-level CTEs

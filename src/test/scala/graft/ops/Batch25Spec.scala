@@ -1,0 +1,123 @@
+package graft.ops
+
+import graft.{SparkEntry, Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-side SEQUENTIAL cross-checks for the r15 dendrogram readout
+  * gates at sf0.001 — the Batch23 pattern (a different algorithm on
+  * collected data must reproduce the distributed result exactly):
+  *
+  *  - q364: Kruskal union-find (vs distributed Borůvka) elects the
+  *    (w, a, b)-unique mutual-reachability MST, then a plain recursive
+  *    DFS with cyclic-after-parent child order (vs Euler tour + Wyllie
+  *    list ranking) must reproduce every position and reachability;
+  *  - q363: per-cut union-find connectivity (vs the level-encoded
+  *    contraction CC scaffold) re-derives each pair's discretized
+  *    cophenetic level, and exact BigInt moments re-derive CPCC. */
+class Batch25Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sf0001
+  private val cuts = Seq(0.0004, 0.000625, 0.0016, 0.0025)
+
+  private def pts2d = Tables.embeddings(spark, dir).select(
+    col("vec_id").as("id"),
+    element_at(col("embedding"), 1).cast("double").as("x"),
+    element_at(col("embedding"), 2).cast("double").as("y"))
+
+  private final class UF(ids: Iterable[Long]) {
+    private val p = scala.collection.mutable.Map(ids.map(i => i -> i).toSeq: _*)
+    def find(x: Long): Long = { if (p(x) != x) p(x) = find(p(x)); p(x) }
+    def union(a: Long, b: Long): Boolean = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra == rb) false else { p(math.max(ra, rb)) = math.min(ra, rb); true }
+    }
+  }
+
+  test("q364 = sequential Kruskal + recursive DFS on collected data") {
+    // the same mutual-reachability candidate set the gate's substrate
+    // builds (minPts = 5, the HDBSCAN family constant)
+    val mre = Components.mutualReachEdges(pts2d, eps = 0.05, eps2 = 0.0025,
+        minPts = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val nodes = mre.flatMap(e => Seq(e._1, e._2)).distinct
+    // Kruskal over the strict (w, a, b) total order — the tie-broken
+    // MST is unique, so Borůvka must elect the identical tree
+    val uf = new UF(nodes)
+    val mst = mre.sortBy(e => (e._3, e._1, e._2))
+      .filter(e => uf.union(e._1, e._2))
+    val adj: Map[Long, Seq[(Double, Long)]] =
+      mst.flatMap(e => Seq((e._1, e._3, e._2), (e._2, e._3, e._1)))
+        .groupBy(_._1)
+        .map { case (v, es) =>
+          v -> es.map(t => (t._2, t._3)).toSeq.sortBy(identity)
+        }
+    val comp = nodes.map(n => n -> uf.find(n)).toMap
+    val expected = scala.collection.mutable.Buffer
+      .empty[(Long, Long, Long, Option[Double])]
+    def visit(v: Long, root: Long, parent: Long, pw: Double,
+        reach: Option[Double], pos: Long): Long = {
+      expected += ((v, root, pos, reach))
+      var next = pos + 1
+      val ring = adj.getOrElse(v, Seq.empty[(Double, Long)])
+      val kids = if (reach.isEmpty) ring else {
+        val others = ring.filter(_._2 != parent)
+        val (after, before) = others.partition(p =>
+          p._1 > pw || (p._1 == pw && p._2 > parent))
+        after ++ before // cyclic-after-parent, the Euler-tour order
+      }
+      kids.foreach { case (w, c) =>
+        next = visit(c, root, v, w, Some(w), next)
+      }
+      next
+    }
+    comp.values.toSeq.distinct.sorted.foreach(r =>
+      visit(r, r, -1L, 0.0, None, 0L))
+    val got = SparkEntry.queries("q364_optics_order")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toList
+    assert(got == expected.sortBy(t => (t._2, t._3)).toList)
+  }
+
+  test("q363 = per-cut union-find cophenetic levels + exact BigInt CPCC") {
+    val pairs = Components.gridEpsPairs(pts2d, eps = 0.05, eps2 = 0.0025)
+      .where(col("ia") < col("ib"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    // coph level = first cut whose ≤t connectivity joins the pair —
+    // independent union-find per cut over the FULL candidate set (the
+    // gate's scaffold walks the MST instead; Kruskal invariant: same
+    // partition)
+    val finders = cuts.map { t =>
+      val uf = new UF(nodes)
+      pairs.filter(_._3 <= t).foreach(p => uf.union(p._1, p._2))
+      uf
+    }
+    val lvls = pairs.map { p =>
+      val j = finders.indexWhere(uf => uf.find(p._1) == uf.find(p._2))
+      assert(j >= 0, s"pair $p never co-clusters within the ladder")
+      (math.round(p._3 * 1e9), j)
+    }
+    val perLevel = lvls.groupBy(_._2).map { case (j, xs) =>
+      (cuts(j), xs.length.toLong, xs.map(_._1).sum)
+    }.toList.sortBy(_._1)
+    val (n, sx, sy, sxy, sxx, syy) = lvls.foldLeft(
+      (BigInt(0), BigInt(0), BigInt(0), BigInt(0), BigInt(0), BigInt(0))) {
+      case ((n0, a, b, c, d2, e), (x0, j)) =>
+        val (x, y) = (BigInt(x0), BigInt(math.round(cuts(j) * 1e9)))
+        (n0 + 1, a + x, b + y, c + x * y, d2 + x * x, e + y * y)
+    }
+    val cpcc = (n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+      math.sqrt((n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble) *
+        (n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble))
+    val got = SparkEntry.queries("q363_cophenetic")(spark, dir)
+      .collect().map(r =>
+        (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toList
+    assert(got.map(t => (t._1, t._2, t._3)) == perLevel)
+    got.foreach(t => assert(math.abs(t._4 - cpcc) < 1e-6,
+      s"cpcc ${t._4} vs sequential $cpcc"))
+  }
+}

@@ -210,6 +210,15 @@ class ScaleLawSpec extends AnyFunSuite {
     dir => Components.warmMrSlink(spark, dir)
   lawOn("q360_hdbscan_mreach", 6.0, big, "namespace", warmMr)
   lawOn("q362_soft_membership", 6.0, big, "namespace", warmSlink) // same scaffold, 4th readout
+  // r15: cophenetic runs its OWN grid ε-pass over the pair table,
+  // which densifies ~quadratically under replication-with-jitter —
+  // q345's workload belt, not a plan defect (labels ride the warmed
+  // scaffold; the pairs are the gate's input by definition)
+  lawOn("q363_cophenetic", 12.0, big, "namespace", warmSlink)
+  // r15: Euler-tour list ranking is O(n log n) on the TREE (n−1 edges
+  // regardless of candidate density): ×3 nodes ⇒ ×3 arcs × (+~1.6
+  // doubling rounds over ~12) ≈ ×3.5 records
+  lawOn("q364_optics_order", 6.0, big, "namespace", warmMr)
   // r15: exhaustive stride-1 gram dedup — namespaced replicas never
   // share grams, so diagonals replicate linearly; a real super-linear
   // defect (occurrence PAIRS instead of distinct diagonals) lands ×9
@@ -243,6 +252,8 @@ class ScaleLawSpec extends AnyFunSuite {
   pinLaw("q359_glosh_outliers", 6.0, warmSlink)
   pinLaw("q360_hdbscan_mreach", 6.0, warmMr)
   pinLaw("q362_soft_membership", 6.0, warmSlink)
+  pinLaw("q363_cophenetic", 12.0, warmSlink) // pins the ε-pair table (q345-class workload)
+  pinLaw("q364_optics_order", 6.0, warmMr) // pins tree-sized arc states per doubling round
 
   test("the pin probe detects a deliberately re-introduced wide pin " +
       "(q351's defect class: checkpoint 64 dims, read 8)") {
