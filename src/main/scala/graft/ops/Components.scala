@@ -1484,15 +1484,21 @@ object Components {
     * reappears (path-like trees cost the SAME log rounds). Driver sees
     * only per-round convergence probes. */
   def opticsOrder(mstEdges: DataFrame, maxIter: Int = 34,
+      compLabels: Option[DataFrame] = None,
       materialize: Materialize.Strategy = Materialize.local): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val edges = materialize(mstEdges.select(col("a"), col("b"), col("w")))
-    val nodes = edges.select(col("a").as("id"))
-      .unionByName(edges.select(col("b").as("id"))).distinct()
-    // component labels = min member id = the OPTICS start (root) point
-    val lab = materialize(connectedComponents(nodes,
-      edges.select(col("a").as("id_a"), col("b").as("id_b")),
-      maxIter, materialize))
+    // component labels = min member id = the OPTICS start (root) point;
+    // callers holding a precomputed (node, lbl) frame (the cached
+    // single-linkage scaffold's top-cut column covers every tree edge
+    // by construction) pass it in and skip the CC rounds entirely
+    val lab = compLabels.getOrElse {
+      val nodes = edges.select(col("a").as("id"))
+        .unionByName(edges.select(col("b").as("id"))).distinct()
+      materialize(connectedComponents(nodes,
+        edges.select(col("a").as("id_a"), col("b").as("id_b")),
+        maxIter, materialize))
+    }
     val adj = edges.select(col("a").as("node"), col("b").as("nbr"), col("w"))
       .unionByName(edges.select(col("b").as("node"), col("a").as("nbr"), col("w")))
     val ring = W.partitionBy("node").orderBy("w", "nbr")
@@ -1515,23 +1521,31 @@ object Components {
       when(col("term"), col("v")).otherwise(col("nx")).as("pv"),
       when(col("term"), lit(0L)).otherwise(lit(1L)).as("d"),
       col("term")))
-    var iter = 0
-    var done = false
-    while (!done && iter < maxIter) {
+    // after k doubling rounds every pointer has advanced 2^k arcs (or
+    // absorbed at the terminal), so ⌈log₂ totalArcs⌉ rounds suffice —
+    // computed ONCE from the pinned arc count instead of a convergence
+    // action per round (micro-job latency is the dominant cost of
+    // iterative gates at small SF, SCALE.md round 12)
+    val totalArcs = math.max(st.count(), 1L)
+    val rounds = math.min(maxIter,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(totalArcs - 1, 1L)))
+    for (_ <- 0 until rounds.toInt) {
       val y = st.select(col("u").as("yu"), col("v").as("yv"),
-        col("pu").as("ypu"), col("pv").as("ypv"),
-        col("d").as("yd"), col("term").as("yterm"))
-      val nx = materialize(st
+        col("pu").as("ypu"), col("pv").as("ypv"), col("d").as("yd"))
+      st = materialize(st
         .join(y, col("pu") === col("yu") && col("pv") === col("yv"))
         .select(col("u"), col("v"), col("w"), col("comp"),
           col("ypu").as("pu"), col("ypv").as("pv"),
-          (col("d") + col("yd")).as("d"), col("term"),
-          col("yterm").as("pterm")))
-      done = nx.where(!col("pterm")).limit(1).count() == 0L
-      st = nx.drop("pterm")
-      iter += 1
+          (col("d") + col("yd")).as("d"), col("term")))
     }
-    require(done, s"opticsOrder: list ranking not converged after $maxIter rounds")
+    // one verification probe for the whole loop: every pointer must
+    // now BE the terminal arc (pu, pv) = (last ring nbr of root, root)
+    val unconverged = st.join(
+        st.where(col("term")).select(col("u").as("pu"), col("v").as("pv")),
+        Seq("pu", "pv"), "left_anti")
+      .limit(1).count()
+    require(unconverged == 0L,
+      s"opticsOrder: list ranking not converged after $rounds rounds")
     // first visit of v = its max-d entering arc (d is the arc's
     // distance to the terminal: unique within a component's chain)
     val entry = st.groupBy(col("v"), col("comp"))
@@ -2911,7 +2925,16 @@ object Components {
     // tour with lexicographic path keys (10 rounds cover n ≤ 1024 at
     // the oracle's sf; converged rounds are no-ops).
     QueryDef("q364_optics_order",
-      (s, d) => opticsOrder(mrMstEdges(s, d)).orderBy("comp", "pos"),
+      (s, d) => {
+        // component labels ride the cached scaffold's top-cut column
+        // (every mreach tree edge is ≤ the top cut by construction,
+        // so level-3 connectivity IS tree connectivity) — the gate
+        // spends its rounds on the list ranking, not a CC rerun
+        val comps = mrSlinkLabels(s, d)
+          .select(col("node"), col("l3").as("lbl"))
+        opticsOrder(mrMstEdges(s, d), compLabels = Some(comps))
+          .orderBy("comp", "pos")
+      },
       Some(opticsOracleSql(10)))
   )
 

@@ -919,8 +919,99 @@ object DataSelect {
           size(array_distinct(toks)).cast("long").as("x2"),
           col("n_chars").as("y")))
       },
-      Some(ablationSql))
+      Some(ablationSql)),
+
+    // Group-DRO / DoReMi-style domain reweighting (✚, the mixture-
+    // weight learner of the selection family — algorithm notes at
+    // [[groupDroWeights]]): exponentiated-gradient updates push
+    // mixture weight toward domains whose mean loss EXCEEDS the
+    // current α-weighted mixture average, with uniform smoothing —
+    // DoReMi's reference-free Group-DRO step (arXiv:2302.03169-family;
+    // Sagawa et al. 2020) over a per-doc loss proxy (chars-per-token,
+    // the compression-rate stand-in q333 also reads; a production run
+    // plugs per-doc model NLL into the same algebra). The oracle
+    // unrolls the identical 5 rounds with scalar-subquery mixture
+    // means, expression shape mirrored term for term.
+    QueryDef("q365_doremi_weights",
+      (s, d) => {
+        val perDoc = Tables.documents(s, d).select(col("source"),
+          expr("(1000 * n_chars) div size(split(text, ' '))").as("l"))
+        val dm = perDoc.groupBy("source").agg(
+          (sum(col("l")).cast("double") / count(lit(1)).cast("double") /
+            lit(1000.0)).as("m"))
+        groupDroWeights(dm, eta = 0.5, rounds = 5, smooth = 0.2)
+      },
+      Some(doremiSql(5)))
   )
+
+  /** Group-DRO exponentiated-gradient mixture weights (q365's engine)
+    * over a `(source, m)` per-domain mean-loss frame: starting uniform,
+    * each round sets
+    *
+    *   α'_k = α_k · exp(η · (m_k − Σ_j α_j m_j)),
+    *   α_k  ← (1 − c) · α'_k / Σ α'  +  c / K
+    *
+    * — the hardest-domain-upweighting step of DoReMi's proxy loop,
+    * with `smooth` = c the uniform-smoothing mass that keeps every
+    * domain sampled. The per-doc loss is whatever the caller feeds in;
+    * the algebra is loss-agnostic.
+    *
+    * Scale: the corpus appears ONLY in the caller's one map-side-
+    * combined groupBy; the iteration runs on the K-row domain frame
+    * (K = |sources|), pinned per round so the tiny lineage stays flat
+    * — no per-round corpus pass, no driver-side model state at all.
+    * Parity margin (the q111 rule): exp() may differ by 1 ulp between
+    * libm implementations and the K-term mixture sums are unordered
+    * doubles — O(rounds · K · ulp) ≈ 1e-15 drift, six orders below the
+    * @6 output round. */
+  def groupDroWeights(perDomain: DataFrame, eta: Double, rounds: Int,
+      smooth: Double,
+      materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+    val kk = perDomain.agg(count(lit(1)).cast("double").as("kk"))
+    var w = materialize(perDomain.crossJoin(broadcast(kk))
+      .select(col("source"), col("m"), col("kk"),
+        (lit(1.0) / col("kk")).as("a")))
+    for (_ <- 0 until rounds) {
+      val mix = w.agg(sum(col("a") * col("m")).as("mix"))
+      val x = w.crossJoin(broadcast(mix))
+        .select(col("source"), col("m"), col("kk"),
+          (col("a") * exp(lit(eta) * (col("m") - col("mix")))).as("u"))
+      val sTot = x.agg(sum(col("u")).as("s"))
+      w = materialize(x.crossJoin(broadcast(sTot))
+        .select(col("source"), col("m"), col("kk"),
+          (lit(1.0 - smooth) * col("u") / col("s") +
+            lit(smooth) / col("kk")).as("a")))
+    }
+    w.select(col("source"), round(col("m"), 6).as("m_loss"),
+      round(col("a"), 6).as("weight")).orderBy("source")
+  }
+
+  /** q365's oracle: the same 5 unrolled exponentiated-gradient rounds,
+    * mixture means as scalar subqueries, every expression mirroring
+    * [[groupDroWeights]] term for term (η=0.5, c=0.2 inlined as the
+    * literals 0.5 / 0.8 / 0.2). */
+  private def doremiSql(rounds: Int): String = {
+    val roundCtes = (0 until rounds).map { r =>
+      s"""x$r AS (SELECT source, m, kk,
+             |  a * exp(0.5 * (m - (SELECT SUM(a * m) FROM w$r))) AS u
+             |  FROM w$r),
+             |w${r + 1} AS (SELECT source, m, kk,
+             |  0.8 * u / (SELECT SUM(u) FROM x$r) + 0.2 / kk AS a
+             |  FROM x$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH f AS (
+             |  SELECT source,
+             |    (1000 * n_chars) // len(string_split(text, ' ')) AS l
+             |  FROM documents),
+             |dm AS (SELECT source,
+             |    CAST(SUM(l) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000.0 AS m
+             |  FROM f GROUP BY 1),
+             |kkt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS kk FROM dm),
+             |w0 AS (SELECT source, m, kk, 1.0 / kk AS a FROM dm CROSS JOIN kkt),
+             |$roundCtes
+             |SELECT source, round(m, 6) AS m_loss, round(a, 6) AS weight
+             |FROM w$rounds ORDER BY source""".stripMargin
+  }
 
   /** Leave-one-source-out linear-probe ablation (q350's engine) over a
     * `(source, x1, x2, y)` features frame: additive moment sufficient

@@ -120,4 +120,38 @@ class Batch25Spec extends AnyFunSuite {
     got.foreach(t => assert(math.abs(t._4 - cpcc) < 1e-6,
       s"cpcc ${t._4} vs sequential $cpcc"))
   }
+
+  test("q365 = sequential exponentiated-gradient fold over collected " +
+      "domain means") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"),
+        expr("(1000 * n_chars) div size(split(text, ' '))").as("l"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val means = docs.groupBy(_._1).map { case (s, xs) =>
+      s -> xs.map(_._2).sum.toDouble / xs.length.toDouble / 1000.0
+    }.toSeq.sortBy(_._1)
+    val kk = means.length.toDouble
+    var a = means.map(_ => 1.0 / kk)
+    for (_ <- 0 until 5) {
+      val mix = a.zip(means).map { case (ai, (_, m)) => ai * m }.sum
+      val u = a.zip(means).map { case (ai, (_, m)) =>
+        ai * math.exp(0.5 * (m - mix))
+      }
+      val s = u.sum
+      a = u.map(ui => 0.8 * ui / s + 0.2 / kk)
+    }
+    val got = SparkEntry.queries("q365_doremi_weights")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .toList
+    assert(got.map(_._1) == means.map(_._1).toList)
+    got.zip(means.map(_._2).zip(a)).foreach { case ((s2, m, w), (em, ew)) =>
+      assert(math.abs(m - em) < 1e-6, s"$s2 mean $m vs $em")
+      assert(math.abs(w - ew) < 1e-6, s"$s2 weight $w vs $ew")
+    }
+    // the EG step upweights above-mixture-loss domains: weights must
+    // order with the means (strictly monotone given distinct means)
+    val byMean = got.sortBy(_._2)
+    assert(byMean.map(_._3) == byMean.map(_._3).sorted,
+      "weights are not monotone in domain mean loss")
+  }
 }

@@ -219,6 +219,9 @@ class ScaleLawSpec extends AnyFunSuite {
   // regardless of candidate density): ×3 nodes ⇒ ×3 arcs × (+~1.6
   // doubling rounds over ~12) ≈ ×3.5 records
   lawOn("q364_optics_order", 6.0, big, "namespace", warmMr)
+  // r15: one map-side-combined corpus groupBy; the EG iteration runs
+  // on the K-row domain frame only
+  law("q365_doremi_weights", 5.0)
   // r15: exhaustive stride-1 gram dedup — namespaced replicas never
   // share grams, so diagonals replicate linearly; a real super-linear
   // defect (occurrence PAIRS instead of distinct diagonals) lands ×9
