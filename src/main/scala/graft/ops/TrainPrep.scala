@@ -977,6 +977,28 @@ object TrainPrep {
              |  CAST(ien - ist AS BIGINT) AS span_len
              |FROM isl ORDER BY doc_id, span_start""".stripMargin)),
 
+    // Token-level SUFFIX ARRAYS by distributed prefix doubling (✚ —
+    // algorithm notes at [[suffixArrays]]): the data structure the
+    // published exact-substring dedup builds (Lee et al. 2022 build
+    // suffix arrays to find all ≥50-token repeats); q361/q192 are the
+    // gram-stream span EXTRACTORS, this is the indexing primitive
+    // itself in shuffle form. Oracle: DuckDB materializes every suffix
+    // as a token LIST and lets lexicographic list ordering rank it —
+    // a direct O(n²·L) re-derivation against the O(n log n) doubling.
+    QueryDef("q366_suffix_array",
+      (s, d) => suffixArrays(Tables.documents(s, d))
+        .orderBy("doc_id", "off"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+             |          FROM documents),
+             |i AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS i FROM t),
+             |s AS (SELECT i.doc_id, CAST(i.i - 1 AS BIGINT) AS off,
+             |        t.w[i.i:] AS suf
+             |      FROM i JOIN t USING (doc_id))
+             |SELECT doc_id, off,
+             |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY suf)
+             |    AS BIGINT) AS sa_rank
+             |FROM s ORDER BY doc_id, off""".stripMargin)),
+
     // Weighted sample without replacement, k=100 biased by n_chars —
     // the A-ES key ranking with the md5-slice uniform; oracle derives
     // identical keys and takes the same rounded-key/doc_id top-k.
@@ -1347,4 +1369,60 @@ object TrainPrep {
            |FROM c6 ORDER BY source, lang""".stripMargin
       })
   )
+
+  /** Per-document token suffix arrays by distributed PREFIX DOUBLING
+    * (q366's engine — Manber/Myers 1990 in shuffle form): round k
+    * ranks every suffix by the pair (rank of its first 2^k tokens,
+    * rank of the next 2^k), so ⌈log₂ maxLen⌉ rounds of one
+    * position-keyed self-join + one per-document dense_rank sort each
+    * fully order all suffixes. The suffix TEXT never moves after the
+    * initial tokenization — every round shuffles only
+    * (doc_id, off, rank) triples.
+    *
+    * This is the indexing primitive behind published exact-substring
+    * dedup (suffix arrays over the tokenized corpus find every
+    * ≥L-token repeat); q361/q192 extract spans from bounded gram
+    * streams, a production pipeline builds THIS to find them all.
+    *
+    * Scale: per-document arrays (the dedup family's bucketing —
+    * cross-doc repeats are q361's hash diagonals), so the dense_rank
+    * window partitions by doc_id: documents are bounded (≤ ~10⁵
+    * tokens), the corpus is not — no partition-less window, no
+    * single-task corpus sort. Rounds come from ONE max-length probe;
+    * missing right-halves rank −1 (a proper-prefix suffix sorts before
+    * every extension, the list-lexicographic rule the oracle applies
+    * directly). */
+  def suffixArrays(docs: DataFrame,
+      materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+    val toks = materialize(docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos").cast("long").as("off"),
+        col("col").as("tok")))
+    val byDoc = Window.partitionBy("doc_id")
+    var r = materialize(toks.select(col("doc_id"), col("off"),
+      dense_rank().over(byDoc.orderBy("tok")).cast("long").as("r")))
+    val mlRow = toks.groupBy("doc_id").count()
+      .agg(max(col("count"))).collect()(0)
+    val maxLen = if (mlRow.isNullAt(0)) 1L else mlRow.getLong(0)
+    // early exit: once every doc's ranks are pairwise distinct the
+    // order is total and further doublings are no-ops — real text
+    // distinguishes suffixes within a few tokens (log_|V| n), so this
+    // typically fires after 2–3 of the ⌈log₂ maxLen⌉ worst-case
+    // rounds; ranks are dense per doc, so "all distinct" ⇔
+    // max(rank) = doc length
+    def totalOrder(): Boolean = r.groupBy("doc_id")
+      .agg((count(lit(1)) - max(col("r"))).as("dup"))
+      .where(col("dup") > 0).limit(1).count() == 0L
+    var shift = 1L
+    while (shift < maxLen && !totalOrder()) {
+      val right = r.select(col("doc_id"),
+        (col("off") - shift).as("off"), col("r").as("r2"))
+      r = materialize(r.join(right, Seq("doc_id", "off"), "left")
+        .select(col("doc_id"), col("off"),
+          dense_rank().over(byDoc.orderBy(col("r"),
+            coalesce(col("r2"), lit(-1L)))).cast("long").as("r")))
+      shift *= 2
+    }
+    r.select(col("doc_id"), col("off"), col("r").as("sa_rank"))
+  }
 }

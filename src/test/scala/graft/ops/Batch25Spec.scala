@@ -154,4 +154,21 @@ class Batch25Spec extends AnyFunSuite {
     assert(byMean.map(_._3) == byMean.map(_._3).sorted,
       "weights are not monotone in domain mean loss")
   }
+
+  test("q366 = sequential per-document suffix sort on collected tokens") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val expected = docs.flatMap { case (id, toks) =>
+      val order = toks.indices.sortBy(i => toks.drop(i).toSeq)(
+        math.Ordering.Implicits.seqOrdering[Seq, String])
+      order.zipWithIndex.map { case (off, rank0) =>
+        (id, off.toLong, rank0 + 1L)
+      }
+    }.sortBy(t => (t._1, t._2)).toList
+    val got = SparkEntry.queries("q366_suffix_array")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toList
+    assert(got == expected)
+  }
 }
