@@ -999,6 +999,48 @@ object TrainPrep {
              |    AS BIGINT) AS sa_rank
              |FROM s ORDER BY doc_id, off""".stripMargin)),
 
+    // Longest repeated substring per document (✚ — algorithm notes at
+    // [[longestRepeats]]): the SA-adjacent-LCP theorem over q366's
+    // arrays, LCP by Karp–Miller–Rosenberg rank-table jumping. The
+    // oracle shares q366's suffix CTEs textually, takes SA-adjacent
+    // pairs with one window lead, and re-derives each LCP by DIRECT
+    // token-list comparison (first-mismatch scalar subquery) — an
+    // O(Σ L²)-class check against the O(n log L) ladder.
+    QueryDef("q367_longest_repeat",
+      (s, d) => longestRepeats(Tables.documents(s, d)).orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+             |          FROM documents),
+             |i AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS i FROM t),
+             |s AS (SELECT i.doc_id, CAST(i.i - 1 AS BIGINT) AS off,
+             |        t.w[i.i:] AS suf
+             |      FROM i JOIN t USING (doc_id)),
+             |p AS (SELECT doc_id, off AS off_a,
+             |        lead(off) OVER (PARTITION BY doc_id ORDER BY suf) AS off_b,
+             |        suf AS sa,
+             |        lead(suf) OVER (PARTITION BY doc_id ORDER BY suf) AS sb
+             |      FROM s),
+             |lc AS (SELECT doc_id, off_a, off_b,
+             |         COALESCE((SELECT MIN(u.i)
+             |                   FROM unnest(range(1, LEAST(len(sa), len(sb)) + 1)) u(i)
+             |                   WHERE sa[u.i] <> sb[u.i]) - 1,
+             |                  LEAST(len(sa), len(sb))) AS lcp
+             |       FROM p WHERE off_b IS NOT NULL),
+             |sc AS (SELECT doc_id, lcp, LEAST(off_a, off_b) AS o1,
+             |         GREATEST(off_a, off_b) AS o2 FROM lc),
+             |mx AS (SELECT doc_id, MAX(lcp) AS lrs_len FROM sc GROUP BY 1),
+             |arg AS (SELECT doc_id, lrs_len, o1, o2 FROM (
+             |  SELECT sc.doc_id, mx.lrs_len, sc.o1, sc.o2,
+             |    ROW_NUMBER() OVER (PARTITION BY sc.doc_id
+             |      ORDER BY sc.o1, sc.o2) AS rn
+             |  FROM sc JOIN mx ON mx.doc_id = sc.doc_id
+             |    AND sc.lcp = mx.lrs_len) z
+             |  WHERE rn = 1)
+             |SELECT d.doc_id,
+             |  CAST(COALESCE(arg.lrs_len, 0) AS BIGINT) AS lrs_len,
+             |  arg.o1 AS off_a, arg.o2 AS off_b
+             |FROM documents d LEFT JOIN arg ON arg.doc_id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // Weighted sample without replacement, k=100 biased by n_chars —
     // the A-ES key ranking with the md5-slice uniform; oracle derives
     // identical keys and takes the same rounded-key/doc_id top-k.
@@ -1393,7 +1435,25 @@ object TrainPrep {
     * every extension, the list-lexicographic rule the oracle applies
     * directly). */
   def suffixArrays(docs: DataFrame,
-      materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+      materialize: Materialize.Strategy = Materialize.local): DataFrame =
+    saWithTables(docs, earlyExit = true, materialize)._1
+      .withColumnRenamed("r", "sa_rank")
+
+  /** The prefix-doubling core behind [[suffixArrays]] and
+    * [[longestRepeats]]: returns the final per-document rank frame
+    * `(doc_id, off, r)` plus EVERY intermediate rank table as
+    * (prefix width → frame) — table of width w ranks suffixes by
+    * their length-capped w-token prefix, so two same-doc suffixes
+    * share a width-w rank iff their next w tokens match (capped
+    * prefixes of different lengths never collide: same-doc suffixes
+    * have distinct lengths). q366 keeps `earlyExit` on (the order is
+    * total once per-doc ranks are dense-and-distinct — real text gets
+    * there in ~log_|V| n of the ⌈log₂ maxLen⌉ worst-case rounds); the
+    * LCP consumer turns it off because the jump needs the FULL width
+    * ladder. */
+  private[ops] def saWithTables(docs: DataFrame, earlyExit: Boolean,
+      materialize: Materialize.Strategy = Materialize.local)
+      : (DataFrame, Seq[(Long, DataFrame)], Long) = {
     val toks = materialize(docs
       .select(col("doc_id"), posexplode(split(col("text"), " ")))
       .select(col("doc_id"), col("pos").cast("long").as("off"),
@@ -1401,16 +1461,14 @@ object TrainPrep {
     val byDoc = Window.partitionBy("doc_id")
     var r = materialize(toks.select(col("doc_id"), col("off"),
       dense_rank().over(byDoc.orderBy("tok")).cast("long").as("r")))
+    val tables = scala.collection.mutable.ListBuffer[(Long, DataFrame)](1L -> r)
     val mlRow = toks.groupBy("doc_id").count()
       .agg(max(col("count"))).collect()(0)
     val maxLen = if (mlRow.isNullAt(0)) 1L else mlRow.getLong(0)
     // early exit: once every doc's ranks are pairwise distinct the
-    // order is total and further doublings are no-ops — real text
-    // distinguishes suffixes within a few tokens (log_|V| n), so this
-    // typically fires after 2–3 of the ⌈log₂ maxLen⌉ worst-case
-    // rounds; ranks are dense per doc, so "all distinct" ⇔
-    // max(rank) = doc length
-    def totalOrder(): Boolean = r.groupBy("doc_id")
+    // order is total and further doublings are no-ops; ranks are
+    // dense per doc, so "all distinct" ⇔ max(rank) = doc length
+    def totalOrder(): Boolean = earlyExit && r.groupBy("doc_id")
       .agg((count(lit(1)) - max(col("r"))).as("dup"))
       .where(col("dup") > 0).limit(1).count() == 0L
     var shift = 1L
@@ -1422,7 +1480,64 @@ object TrainPrep {
           dense_rank().over(byDoc.orderBy(col("r"),
             coalesce(col("r2"), lit(-1L)))).cast("long").as("r")))
       shift *= 2
+      tables += (shift -> r)
     }
-    r.select(col("doc_id"), col("off"), col("r").as("sa_rank"))
+    (r, tables.toList, maxLen)
+  }
+
+  /** Longest repeated substring per document (q367's engine) — the
+    * classic suffix-array theorem (the LRS is the maximum LCP of two
+    * SA-ADJACENT suffixes) with the LCP computed by rank-table
+    * jumping, Karp/Miller/Rosenberg style: walk the width ladder
+    * 2^K..1 once, descending; at width w advance both cursors by w iff
+    * their width-w ranks coincide (⟺ the next w tokens match — see
+    * [[saWithTables]]); the accumulated advance is the exact LCP (its
+    * binary decomposition), in ⌈log₂ maxLen⌉ + 1 position-keyed joins
+    * of the (doc, pair) frame against tree-sized rank tables. No
+    * suffix text is ever materialized pairwise — the O(Σ L²) blowup a
+    * direct adjacent-suffix comparison would cost is the reason the
+    * ladder exists.
+    *
+    * Output: one row per document — (`lrs_len`, `off_a` < `off_b` the
+    * lexicographically smallest offset pair achieving it; single-token
+    * docs have no pair: lrs_len 0, NULL offsets). */
+  def longestRepeats(docs: DataFrame,
+      materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+    val (sa, tables, _) = saWithTables(docs, earlyExit = false, materialize)
+    val bySa = Window.partitionBy("doc_id").orderBy("r")
+    val pairs = sa
+      .withColumn("off_b", lead("off", 1).over(bySa))
+      .where(col("off_b").isNotNull)
+      .select(col("doc_id"), col("off").as("off_a"), col("off_b"))
+    var st = materialize(pairs.select(col("doc_id"), col("off_a"),
+      col("off_b"), lit(0L).as("lcp"),
+      col("off_a").as("ca"), col("off_b").as("cb")))
+    tables.sortBy(-_._1).foreach { case (w, t) =>
+      val ta = t.select(col("doc_id"), col("off").as("ca"), col("r").as("ra"))
+      val tb = t.select(col("doc_id"), col("off").as("cb"), col("r").as("rb"))
+      val hit = col("ra").isNotNull && col("rb").isNotNull &&
+        col("ra") === col("rb")
+      st = materialize(st.join(ta, Seq("doc_id", "ca"), "left")
+        .join(tb, Seq("doc_id", "cb"), "left")
+        .select(col("doc_id"), col("off_a"), col("off_b"),
+          when(hit, col("lcp") + w).otherwise(col("lcp")).as("lcp"),
+          when(hit, col("ca") + w).otherwise(col("ca")).as("ca"),
+          when(hit, col("cb") + w).otherwise(col("cb")).as("cb")))
+    }
+    val scored = st.select(col("doc_id"), col("lcp"),
+      least(col("off_a"), col("off_b")).as("o1"),
+      greatest(col("off_a"), col("off_b")).as("o2"))
+    val mx = scored.groupBy("doc_id").agg(max(col("lcp")).as("lrs_len"))
+    val wmin = Window.partitionBy("doc_id").orderBy("o1", "o2")
+    val arg = scored.join(mx, Seq("doc_id"))
+      .where(col("lcp") === col("lrs_len"))
+      .withColumn("rn", row_number().over(wmin))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("lrs_len"),
+        col("o1").as("off_a"), col("o2").as("off_b"))
+    docs.select("doc_id").join(arg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lrs_len"), lit(0L)).as("lrs_len"),
+        col("off_a"), col("off_b"))
   }
 }

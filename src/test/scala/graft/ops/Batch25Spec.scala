@@ -171,4 +171,40 @@ class Batch25Spec extends AnyFunSuite {
       .toList
     assert(got == expected)
   }
+
+  test("q367 = brute-force per-document longest repeated substring") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    def lcp(a: Array[String], i: Int, j: Int): Int = {
+      var k = 0
+      while (i + k < a.length && j + k < a.length && a(i + k) == a(j + k))
+        k += 1
+      k
+    }
+    val expected = docs.map { case (id, toks) =>
+      // all pairs, not just SA-adjacent — the theorem under test
+      val cands = for {
+        i <- toks.indices; j <- (i + 1) until toks.length
+      } yield (lcp(toks, i, j), i.toLong, j.toLong)
+      if (cands.isEmpty) (id, 0L) else (id, cands.map(_._1).max.toLong)
+    }.sortBy(_._1).toList
+    val byId = docs.toMap
+    val got = SparkEntry.queries("q367_longest_repeat")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some((r.getLong(2), r.getLong(3)))))
+      .toList
+    // the LENGTH is the theorem under test: max over ALL pairs must
+    // equal the gate's max over SA-adjacent pairs
+    assert(got.map(t => (t._1, t._2)) == expected)
+    // the reported pair must ACHIEVE the length (the specific pair is
+    // the SA-adjacent lexicographic min — pinned by the oracle, not
+    // re-derived here: a non-adjacent all-pairs min can differ)
+    got.foreach { case (id, len, a) =>
+      a.foreach { case (i, j) =>
+        assert(lcp(byId(id), i.toInt, j.toInt).toLong == len,
+          s"doc $id pair $a does not achieve lrs_len $len")
+      }
+    }
+  }
 }

@@ -226,6 +226,8 @@ class ScaleLawSpec extends AnyFunSuite {
   // maxLen⌉ rounds; namespace replication keeps doc lengths, so the
   // round count is constant and records scale ×3
   law("q366_suffix_array", 5.0)
+  // r15: same ladder (early exit off) + one pair frame per rung
+  law("q367_longest_repeat", 5.0)
   // r15: exhaustive stride-1 gram dedup — namespaced replicas never
   // share grams, so diagonals replicate linearly; a real super-linear
   // defect (occurrence PAIRS instead of distinct diagonals) lands ×9
@@ -262,6 +264,7 @@ class ScaleLawSpec extends AnyFunSuite {
   pinLaw("q363_cophenetic", 12.0, warmSlink) // pins the ε-pair table (q345-class workload)
   pinLaw("q364_optics_order", 6.0, warmMr) // pins tree-sized arc states per doubling round
   pinLaw("q366_suffix_array", 5.0) // pins rank triples per doubling round
+  pinLaw("q367_longest_repeat", 5.0) // pins rank tables + the pair frame
 
   test("the pin probe detects a deliberately re-introduced wide pin " +
       "(q351's defect class: checkpoint 64 dims, read 8)") {
