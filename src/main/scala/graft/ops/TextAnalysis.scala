@@ -802,6 +802,64 @@ object TextAnalysis {
              |    AS keep
              |FROM pd, g ORDER BY doc_id""".stripMargin)),
 
+    // CCNet-style perplexity bucketing (✚ — Wenzek et al. 2020: score
+    // every document under a PER-LANGUAGE LM, split each language into
+    // head/middle/tail terciles; the head feeds pretraining, the tail
+    // gets dropped). The LM here is q118's unigram model fit per
+    // language (a production run swaps in KenLM scores — q349/q357 ARE
+    // that estimator — without touching the bucketing algebra).
+    // Exactness: per-token logprob rounds @9 into DECIMAL (the q118
+    // parity rule), so per-doc NLL@5 is identical on both engines and
+    // NTILE over (nll, doc_id) is a total deterministic order.
+    // Scale: the model is vocab-sized per language (broadcast), the
+    // corpus shuffles once for the per-doc sum and once for the
+    // per-language tercile window — documents per language bound the
+    // window partitions, not the corpus.
+    QueryDef("q368_ccnet_buckets",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("tok"))
+        val dt = toks.groupBy("doc_id", "lang", "tok")
+          .agg(count(lit(1)).as("c"))
+        val freq = toks.groupBy("lang", "tok").agg(count(lit(1)).as("fn"))
+        val total = toks.groupBy("lang").agg(count(lit(1)).as("total"))
+        val lp = round(log(col("fn").cast("double") / col("total")), 9)
+          .cast("decimal(18,9)")
+        val perDoc = dt.join(broadcast(freq), Seq("lang", "tok"))
+          .join(broadcast(total), "lang")
+          .groupBy("doc_id", "lang")
+          .agg(sum(lp * col("c").cast("decimal(10,0)")).as("slp"),
+            sum(col("c")).as("n_tok"))
+          .select(col("doc_id"), col("lang"),
+            round(-col("slp").cast("double") / col("n_tok"), 5).as("nll"))
+        val byLang = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy("nll", "doc_id")
+        perDoc.select(col("doc_id"), col("lang"), col("nll"),
+            ntile(3).over(byLang).cast("long").as("bucket"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |dt AS (SELECT doc_id, lang, tok, COUNT(*) AS c
+             |       FROM toks GROUP BY 1, 2, 3),
+             |freq AS (SELECT lang, tok, COUNT(*) AS fn FROM toks GROUP BY 1, 2),
+             |tot AS (SELECT lang, COUNT(*) AS total FROM toks GROUP BY 1),
+             |lp AS (
+             |  SELECT dt.doc_id, dt.lang, dt.c,
+             |    CAST(round(ln(CAST(fn AS DOUBLE) / total), 9)
+             |         AS DECIMAL(18,9)) AS lp
+             |  FROM dt JOIN freq USING (lang, tok) JOIN tot USING (lang)),
+             |pd AS (SELECT doc_id, lang,
+             |         round(-CAST(SUM(lp * CAST(c AS DECIMAL(10,0)))
+             |           AS DOUBLE) / SUM(c), 5) AS nll
+             |       FROM lp GROUP BY 1, 2)
+             |SELECT doc_id, lang, nll,
+             |  CAST(NTILE(3) OVER (PARTITION BY lang ORDER BY nll, doc_id)
+             |    AS BIGINT) AS bucket
+             |FROM pd ORDER BY doc_id""".stripMargin)),
+
     // Frequent co-occurring token pairs with PMI — the market-basket
     // primitive (token association mining for tokenizer/vocab work).
     // Scale: the Apriori prune runs FIRST — only tokens whose doc

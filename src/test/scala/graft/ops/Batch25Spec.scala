@@ -207,4 +207,43 @@ class Batch25Spec extends AnyFunSuite {
       }
     }
   }
+
+  test("q368 terciles: per-language buckets are balanced, nll-ordered, " +
+      "and nll matches a sequential per-lang unigram model") {
+    val got = SparkEntry.queries("q368_ccnet_buckets")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    got.groupBy(_._2).foreach { case (lang, rows) =>
+      // NTILE: tile sizes differ by at most one, earlier tiles larger
+      val sizes = rows.groupBy(_._4).view.mapValues(_.length).toMap
+      assert(sizes.keySet.subsetOf(Set(1L, 2L, 3L)))
+      assert(sizes.values.max - sizes.values.min <= 1, s"$lang: $sizes")
+      assert(sizes.getOrElse(1L, 0) >= sizes.getOrElse(3L, 0))
+      // buckets are monotone in (nll, doc_id)
+      val sorted = rows.sortBy(t => (t._3, t._1)).map(_._4)
+      assert(sorted.toList == sorted.sorted.toList, s"$lang not monotone")
+    }
+    // sequential model: per-lang token freqs -> per-doc mean NLL @5
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1)))
+    val byLang = docs.groupBy(_._2)
+    val expected = byLang.toSeq.flatMap { case (_, ds) =>
+      val freq = ds.flatMap(_._3).groupBy(identity).map { case (t, xs) =>
+        t -> xs.length.toLong
+      }
+      val total = ds.map(_._3.length.toLong).sum
+      ds.toSeq.map { case (id, _, toks) =>
+        val slp = toks.groupBy(identity).map { case (t, xs) =>
+          BigDecimal(math.log(freq(t).toDouble / total))
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP) * xs.length
+        }.sum
+        (id, math.rint(-(slp.toDouble) / toks.length * 1e5) / 1e5)
+      }
+    }.toMap
+    got.foreach { case (id, _, nll, _) =>
+      assert(math.abs(nll - expected(id)) < 2e-5, s"doc $id nll $nll vs ${expected(id)}")
+    }
+  }
 }

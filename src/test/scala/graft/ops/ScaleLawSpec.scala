@@ -228,6 +228,9 @@ class ScaleLawSpec extends AnyFunSuite {
   law("q366_suffix_array", 5.0)
   // r15: same ladder (early exit off) + one pair frame per rung
   law("q367_longest_repeat", 5.0)
+  // r15: vocab-sized per-lang model broadcast + one per-doc sum + one
+  // per-lang tercile window
+  law("q368_ccnet_buckets", 5.0)
   // r15: exhaustive stride-1 gram dedup — namespaced replicas never
   // share grams, so diagonals replicate linearly; a real super-linear
   // defect (occurrence PAIRS instead of distinct diagonals) lands ×9
