@@ -942,7 +942,93 @@ object DataSelect {
         groupDroWeights(dm, eta = 0.5, rounds = 5, smooth = 0.2)
       },
       Some(doremiSql(5)))
+  ,
+
+    // Hard-negative triplet mining (✚ — the contrastive-training data
+    // op: for every anchor, its most-similar SAME-label neighbor is
+    // the positive and its most-similar DIFFERENT-label neighbor the
+    // hard negative; low margin = the pairs a contrastive fine-tune
+    // learns most from). Candidates come from the SAME fitted IVF
+    // cells as q328 (Σ|cell|² pair cost, never all-pairs — the scale
+    // posture of the whole embedding family); cosine rounds @6 before
+    // any comparison (the q63 parity rule) and the per-anchor argmax
+    // is ONE map-side-combinable struct-max per polarity, tie-broken
+    // (cos DESC, id ASC). Anchors lacking a polarity in their cell
+    // emit NULLs — visible, not silently dropped.
+    QueryDef("q369_triplet_mining",
+      (s, d) => {
+        val e = Tables.embeddings(s, d).select(col("vec_id"),
+          Vectors.asDouble(col("embedding")).as("v"), col("label"))
+        tripletMining(e, AnnCentroids.fitted)
+      },
+      Some(s"""WITH cents AS (
+              |${Ann.centroidsSqlCte(AnnCentroids.fitted)}),
+              |e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+              |      FROM embeddings),
+              |d AS (
+              |  SELECT e.vec_id, cents.i,
+              |    list_sum(list_transform(range(1, ${AnnCentroids.fitted.head.length + 1}),
+              |      j -> (e.v[j] - cents.c[j]) * (e.v[j] - cents.c[j]))) AS d2
+              |  FROM e CROSS JOIN cents),
+              |asg AS (
+              |  SELECT vec_id, i AS cell FROM (
+              |    SELECT vec_id, i,
+              |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, i ASC) AS rn
+              |    FROM d) t WHERE rn = 1),
+              |ev AS (SELECT e.vec_id, e.v, e.label, asg.cell
+              |       FROM e JOIN asg USING (vec_id)),
+              |p AS (
+              |  SELECT a.vec_id, a.label = b.label AS same, b.vec_id AS ib,
+              |    round(list_dot_product(a.v, b.v) /
+              |      (sqrt(list_dot_product(a.v, a.v)) *
+              |       sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+              |  FROM ev a JOIN ev b ON a.cell = b.cell
+              |    AND a.vec_id <> b.vec_id),
+              |r AS (SELECT vec_id, same, ib, cos,
+              |        ROW_NUMBER() OVER (PARTITION BY vec_id, same
+              |          ORDER BY cos DESC, ib ASC) AS rn FROM p),
+              |pos AS (SELECT vec_id, ib AS pos_id, cos AS pos_cos
+              |        FROM r WHERE same AND rn = 1),
+              |neg AS (SELECT vec_id, ib AS neg_id, cos AS neg_cos
+              |        FROM r WHERE NOT same AND rn = 1),
+              |al AS (SELECT DISTINCT vec_id FROM p)
+              |SELECT al.vec_id, pos_id, pos_cos, neg_id, neg_cos,
+              |  round(pos_cos - neg_cos, 6) AS margin
+              |FROM al LEFT JOIN pos USING (vec_id) LEFT JOIN neg USING (vec_id)
+              |ORDER BY al.vec_id""".stripMargin))
   )
+
+  /** Hard-negative triplet mining over IVF cells (q369's engine) — per
+    * anchor the top same-label and top different-label cell-mates by
+    * rounded cosine, with the triplet margin. One cell-keyed pair join
+    * (Σ|cell|², the SemDeDup bound) + one struct-max aggregation:
+    * max(struct(cos, −id)) elects (cos DESC, id ASC) map-side, so the
+    * shuffle carries one partial row per (anchor, polarity). */
+  def tripletMining(emb: DataFrame, cents: Array[Array[Double]],
+      roundDp: Int = 6,
+      materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+    val ev = materialize(emb
+      .withColumn("cell", Ann.cellCol(col("v"), cents))
+      .withColumn("nrm", Vectors.norm2(col("v"))))
+    val a = ev.select(col("cell"), col("vec_id"), col("v").as("va"),
+      col("nrm").as("na"), col("label").as("la"))
+    val b = ev.select(col("cell"), col("vec_id").as("ib"),
+      col("v").as("vb"), col("nrm").as("nb"), col("label").as("lb"))
+    val cos = round(
+      Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb")), roundDp)
+    val pairs = a.join(b, "cell").where(col("vec_id") =!= col("ib"))
+      .select(col("vec_id"), (col("la") === col("lb")).as("same"),
+        col("ib"), cos.as("cos"))
+    val key = struct(col("cos"), (-col("ib")).as("nid"))
+    pairs.groupBy("vec_id").agg(
+        max(when(col("same"), key)).as("p"),
+        max(when(!col("same"), key)).as("n"))
+      .select(col("vec_id"),
+        (-col("p.nid")).as("pos_id"), col("p.cos").as("pos_cos"),
+        (-col("n.nid")).as("neg_id"), col("n.cos").as("neg_cos"),
+        round(col("p.cos") - col("n.cos"), roundDp).as("margin"))
+      .orderBy("vec_id")
+  }
 
   /** Group-DRO exponentiated-gradient mixture weights (q365's engine)
     * over a `(source, m)` per-domain mean-loss frame: starting uniform,

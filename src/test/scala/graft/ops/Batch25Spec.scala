@@ -246,4 +246,43 @@ class Batch25Spec extends AnyFunSuite {
       assert(math.abs(nll - expected(id)) < 2e-5, s"doc $id nll $nll vs ${expected(id)}")
     }
   }
+
+  test("q369 = sequential within-cell argmax over collected vectors") {
+    val vecs = Tables.embeddings(spark, dir)
+      .collect().map { r =>
+        (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2))
+      }
+    val cents = AnnCentroids.fitted
+    def cellOf(v: Array[Double]): Int =
+      cents.indices.minBy(i => (cents(i).indices
+        .map(j => (v(j) - cents(i)(j)) * (v(j) - cents(i)(j))).sum, i))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val (d, na, nb) = (a.indices.map(j => a(j) * b(j)).sum,
+        math.sqrt(a.indices.map(j => a(j) * a(j)).sum),
+        math.sqrt(b.indices.map(j => b(j) * b(j)).sum))
+      math.rint(d / (na * nb) * 1e6) / 1e6
+    }
+    val byCell = vecs.groupBy(v => cellOf(v._2))
+    val expected = byCell.values.toSeq.flatMap { cell =>
+      cell.flatMap { case (id, v, lab) =>
+        val others = cell.filter(_._1 != id)
+        if (others.isEmpty) None else {
+          def top(f: Int => Boolean): Option[(Long, Double)] = {
+            val c = others.filter(o => f(o._3))
+              .map(o => (cos(v, o._2), o._1))
+            if (c.isEmpty) None
+            else Some { val m = c.maxBy(t => (t._1, -t._2)); (m._2, m._1) }
+          }
+          Some((id, top(_ == lab), top(_ != lab)))
+        }
+      }
+    }.sortBy(_._1).toList
+    val got = SparkEntry.queries("q369_triplet_mining")(spark, dir)
+      .collect().map { r =>
+        def opt(i: Int, c: Int) =
+          if (r.isNullAt(i)) None else Some((r.getLong(i), r.getDouble(c)))
+        (r.getLong(0), opt(1, 2), opt(3, 4))
+      }.toList
+    assert(got == expected)
+  }
 }

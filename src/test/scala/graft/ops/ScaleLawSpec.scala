@@ -231,6 +231,12 @@ class ScaleLawSpec extends AnyFunSuite {
   // r15: vocab-sized per-lang model broadcast + one per-doc sum + one
   // per-lang tercile window
   law("q368_ccnet_buckets", 5.0)
+  // r15: the fixture holds the 8 fitted cells FIXED while replicating
+  // vectors, so the Σ|cell|² pair table grows ×9 at ×3 — the q345
+  // workload law (production sizes k ∝ corpus, SemDeDup's own rule);
+  // the belt still catches an all-pairs (cell-less) regression at ×9
+  // of EVERY component
+  law("q369_triplet_mining", 12.0)
   // r15: exhaustive stride-1 gram dedup — namespaced replicas never
   // share grams, so diagonals replicate linearly; a real super-linear
   // defect (occurrence PAIRS instead of distinct diagonals) lands ×9
