@@ -359,7 +359,10 @@ object Components {
 
   // The q112 oracle unrolls the same sync rounds (AS MATERIALIZED per
   // the q90 lesson); ROW_NUMBER (c DESC, lbl ASC) = min(struct(-c, lbl)).
-  private def lpaOracleSql(iters: Int): String = {
+  /** The LPA CTE chain (everything through `l\$iters`) — shared
+    * verbatim by the q112 oracle and q370's modularity readout, so the
+    * two gates cannot disagree on what a community is. */
+  private def lpaChainSql(iters: Int): String = {
     val levels = (1 to iters).map { k =>
       s"""v$k AS MATERIALIZED (
          |  SELECT e.v AS node, l.lbl, COUNT(*) AS c
@@ -375,18 +378,70 @@ object Components {
          |  SELECT l.node, COALESCE(p.lbl, l.lbl) AS lbl
          |  FROM l${k - 1} l LEFT JOIN p$k p ON p.node = l.node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${Dedup.verifiedPairsCtes},
+    s"""${Dedup.verifiedPairsCtes},
        |nodes AS MATERIALIZED (SELECT doc_id AS node FROM documents),
        |edges AS MATERIALIZED (
        |  SELECT DISTINCT u, v FROM (
        |    SELECT id_a AS u, id_b AS v FROM vp WHERE id_a <> id_b
        |    UNION ALL SELECT id_b, id_a FROM vp WHERE id_a <> id_b) e),
        |l0 AS MATERIALIZED (SELECT node, node AS lbl FROM nodes),
-       |$levels,
+       |$levels""".stripMargin
+  }
+
+  private def lpaOracleSql(iters: Int): String =
+    s"""WITH ${lpaChainSql(iters)},
        |cs AS (SELECT lbl, COUNT(*) AS community_size FROM l$iters GROUP BY lbl)
        |SELECT l.node AS doc_id, l.lbl AS community, cs.community_size
        |FROM l$iters l JOIN cs ON cs.lbl = l.lbl
        |ORDER BY doc_id""".stripMargin
+
+  /** Newman modularity of a node partition (q370's engine) over an
+    * undirected pair graph: per community its node count, internal
+    * edge count, degree mass, and contribution q_c = e_c/m − (d_c/2m)²
+    * — plus the graph total as a constant column, computed from the
+    * EXACT Σd_c² decimal moment rather than a sum of per-community
+    * doubles. One edge pass for degrees, one labeled-both-ends join
+    * for e_c, community-keyed aggregates after that. */
+  def modularity(communities: DataFrame, pairs: DataFrame,
+      materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+    val lab = materialize(communities.select(col("doc_id").as("node"),
+      col("community")))
+    val und = materialize(pairs.where(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("u"),
+        greatest(col("id_a"), col("id_b")).as("v"))
+      .distinct())
+    val mm = und.agg(count(lit(1)).as("m"))
+    val com = lab.groupBy("community").agg(count(lit(1)).as("n_nodes"))
+    val ein = und
+      .join(lab.select(col("node").as("u"), col("community").as("ca")), "u")
+      .join(lab.select(col("node").as("v"), col("community").as("cb")), "v")
+      .where(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("e_in"))
+    val deg = und.select(col("u").as("node"))
+      .unionByName(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("dg"))
+    val dc = deg.join(lab, "node").groupBy("community")
+      .agg(sum(col("dg")).as("d_tot"))
+    val per = com
+      .join(ein, Seq("community"), "left")
+      .join(dc, Seq("community"), "left")
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"),
+        coalesce(col("d_tot"), lit(0L)).as("d_tot"))
+    val tot = per.agg(
+      sum(col("e_in")).cast("double").as("se"),
+      sum(col("d_tot").cast("decimal(38,0)") * col("d_tot")).cast("double")
+        .as("sd2"))
+    val mD = col("m").cast("double")
+    per.crossJoin(broadcast(mm)).crossJoin(broadcast(tot))
+      .select(col("community"), col("n_nodes"), col("e_in"), col("d_tot"),
+        round(col("e_in").cast("double") / mD
+          - (col("d_tot").cast("double") / (lit(2.0) * mD))
+            * (col("d_tot").cast("double") / (lit(2.0) * mD)), 6).as("q_c"),
+        round(col("se") / mD
+          - col("sd2") / ((lit(2.0) * mD) * (lit(2.0) * mD)), 6)
+          .as("modularity"))
+      .orderBy("community")
   }
 
   /** Exact triangle count over an undirected pair graph (✚ the third
@@ -2045,6 +2100,54 @@ object Components {
           .orderBy("doc_id")
       },
       Some(lpaOracleSql(4))),
+
+    // Newman MODULARITY of the q112 communities (✚ — the standard
+    // partition-quality readout: Q = Σ_c [e_c/m − (d_c/2m)²]; a
+    // near-dup graph whose LPA communities are real duplicate groups
+    // scores high, chained borderline matches drag it down). Shares
+    // q112's LPA chain VERBATIM in the oracle; every count (m, e_c,
+    // d_c, Σd_c²) is an exact integer/decimal aggregate, and both Q
+    // expressions are one fixed-shape double formula rounded @6 —
+    // in particular the TOTAL comes from Σd_c² (exact), never from
+    // summing the per-community doubles (order-dependent).
+    QueryDef("q370_modularity",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.dedupPipeline(docs).select("id_a", "id_b")
+        modularity(
+          labelPropagation(docs.select(col("doc_id").as("id")), pairs),
+          pairs)
+      },
+      Some(s"""WITH ${lpaChainSql(4)},
+             |und AS (SELECT u, v FROM edges WHERE u < v),
+             |mm AS (SELECT COUNT(*) AS m FROM und),
+             |com AS (SELECT lbl AS community, COUNT(*) AS n_nodes
+             |        FROM l4 GROUP BY 1),
+             |ein AS (SELECT la.lbl AS community, COUNT(*) AS e_in
+             |        FROM und JOIN l4 la ON la.node = und.u
+             |        JOIN l4 lb ON lb.node = und.v AND lb.lbl = la.lbl
+             |        GROUP BY 1),
+             |deg AS (SELECT u AS node, COUNT(*) AS dg FROM edges GROUP BY 1),
+             |dc AS (SELECT l.lbl AS community, CAST(SUM(d.dg) AS BIGINT) AS d_tot
+             |       FROM deg d JOIN l4 l ON l.node = d.node GROUP BY 1),
+             |per AS (SELECT c.community, c.n_nodes,
+             |          CAST(COALESCE(e.e_in, 0) AS BIGINT) AS e_in,
+             |          COALESCE(dc.d_tot, 0) AS d_tot
+             |        FROM com c LEFT JOIN ein e USING (community)
+             |        LEFT JOIN dc USING (community)),
+             |tot AS (SELECT CAST(SUM(e_in) AS DOUBLE) AS se,
+             |          CAST(SUM(CAST(d_tot AS DECIMAL(38,0)) * d_tot)
+             |            AS DOUBLE) AS sd2
+             |        FROM per)
+             |SELECT per.community, per.n_nodes, per.e_in, per.d_tot,
+             |  round(CAST(per.e_in AS DOUBLE) / CAST(m AS DOUBLE)
+             |    - (CAST(per.d_tot AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))
+             |      * (CAST(per.d_tot AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))), 6)
+             |    AS q_c,
+             |  round(se / CAST(m AS DOUBLE)
+             |    - sd2 / ((2.0 * CAST(m AS DOUBLE)) * (2.0 * CAST(m AS DOUBLE))), 6)
+             |    AS modularity
+             |FROM per, mm, tot ORDER BY community""".stripMargin)),
 
     // Cohesion audit of the near-dup graph: edge + triangle counts over
     // the SAME verified pairs as q51/q74/q90. Oracle: id-sorted edges,

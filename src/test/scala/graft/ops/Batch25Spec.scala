@@ -285,4 +285,33 @@ class Batch25Spec extends AnyFunSuite {
       }.toList
     assert(got == expected)
   }
+
+  test("q370 modularity identities: totals from exact moments, q_c " +
+      "consistency, and the null-model bound") {
+    val rows = SparkEntry.queries("q370_modularity")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    val lpa = SparkEntry.queries("q112_label_propagation")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // one row per q112 community, node counts agree
+    assert(rows.map(_._1).sorted.toList ==
+      lpa.map(_._2).distinct.sorted.toList)
+    assert(rows.map(r => r._1 -> r._2).toMap ==
+      lpa.groupBy(_._2).view.mapValues(_.length.toLong).toMap)
+    // Σe_in ≤ m and Σd_c = 2m (every edge end is in exactly one
+    // community); recompute the total Q from the banked integers
+    val m = rows.map(_._4).sum / 2
+    assert(rows.map(_._3).sum <= m)
+    val q = rows.map(_._3).sum.toDouble / m -
+      rows.map(r => BigInt(r._4) * BigInt(r._4)).sum.toDouble /
+        ((2.0 * m) * (2.0 * m))
+    rows.foreach(r => assert(math.abs(r._6 - q) < 1e-6,
+      s"total ${r._6} vs recomputed $q"))
+    assert(q > -1.0 && q <= 1.0)
+    rows.foreach { r =>
+      val qc = r._3.toDouble / m -
+        (r._4.toDouble / (2.0 * m)) * (r._4.toDouble / (2.0 * m))
+      assert(math.abs(r._5 - qc) < 1e-6)
+    }
+  }
 }

@@ -237,6 +237,8 @@ class ScaleLawSpec extends AnyFunSuite {
   // the belt still catches an all-pairs (cell-less) regression at ×9
   // of EVERY component
   law("q369_triplet_mining", 12.0)
+  // r15: one LPA run (edge-linear rounds) + community-keyed aggregates
+  law("q370_modularity", 5.0)
   // r15: exhaustive stride-1 gram dedup — namespaced replicas never
   // share grams, so diagonals replicate linearly; a real super-linear
   // defect (occurrence PAIRS instead of distinct diagonals) lands ×9
