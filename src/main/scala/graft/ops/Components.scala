@@ -444,6 +444,47 @@ object Components {
       .orderBy("community")
   }
 
+  /** Community conductance (q371's engine): per community its cut-edge
+    * count (each cross-community edge charges BOTH sides), degree
+    * volume, and φ_c = cut/min(vol, 2m − vol); NULL where the
+    * denominator degenerates. Same relational shape as [[modularity]]
+    * — one edge pass, community-keyed aggregates. */
+  def conductance(communities: DataFrame, pairs: DataFrame,
+      materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+    val lab = materialize(communities.select(col("doc_id").as("node"),
+      col("community")))
+    val und = materialize(pairs.where(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("u"),
+        greatest(col("id_a"), col("id_b")).as("v"))
+      .distinct())
+    val mm = und.agg(count(lit(1)).as("m"))
+    val com = lab.groupBy("community").agg(count(lit(1)).as("n_nodes"))
+    val lbe = und
+      .join(lab.select(col("node").as("u"), col("community").as("ca")), "u")
+      .join(lab.select(col("node").as("v"), col("community").as("cb")), "v")
+      .where(col("ca") =!= col("cb"))
+    val cut = lbe.select(col("ca").as("community"))
+      .unionByName(lbe.select(col("cb").as("community")))
+      .groupBy("community").agg(count(lit(1)).as("cut_edges"))
+    val deg = und.select(col("u").as("node"))
+      .unionByName(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("dg"))
+    val dc = deg.join(lab, "node").groupBy("community")
+      .agg(sum(col("dg")).as("volume"))
+    val denom = least(col("volume"), lit(2L) * col("m") - col("volume"))
+    com.join(cut, Seq("community"), "left")
+      .join(dc, Seq("community"), "left")
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("cut_edges"), lit(0L)).as("cut_edges"),
+        coalesce(col("volume"), lit(0L)).as("volume"))
+      .crossJoin(broadcast(mm))
+      .select(col("community"), col("n_nodes"), col("cut_edges"),
+        col("volume"),
+        when(denom > 0, round(col("cut_edges").cast("double") /
+          denom.cast("double"), 6)).as("phi"))
+      .orderBy("community")
+  }
+
   /** Exact triangle count over an undirected pair graph (✚ the third
     * classic graph kernel after CC/PageRank — triangle density is the
     * standard cluster-cohesion audit over a near-dup graph: duplicate
@@ -2148,6 +2189,48 @@ object Components {
              |    - sd2 / ((2.0 * CAST(m AS DOUBLE)) * (2.0 * CAST(m AS DOUBLE))), 6)
              |    AS modularity
              |FROM per, mm, tot ORDER BY community""".stripMargin)),
+
+    // Conductance of the q112 communities (✚ — q370's complementary
+    // cut-quality readout: φ_c = cut(c) / min(vol(c), 2m − vol(c));
+    // low φ = a well-separated duplicate group, high φ = a community
+    // whose members mostly link OUT of it). Same LPA chain, same exact
+    // integer aggregates; degenerate denominators (isolated singleton
+    // communities, or a community holding ALL edge mass) emit NULL —
+    // visible, matching SQL NULL propagation on both engines.
+    QueryDef("q371_conductance",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.dedupPipeline(docs).select("id_a", "id_b")
+        conductance(
+          labelPropagation(docs.select(col("doc_id").as("id")), pairs),
+          pairs)
+      },
+      Some(s"""WITH ${lpaChainSql(4)},
+             |und AS (SELECT u, v FROM edges WHERE u < v),
+             |mm AS (SELECT COUNT(*) AS m FROM und),
+             |com AS (SELECT lbl AS community, COUNT(*) AS n_nodes
+             |        FROM l4 GROUP BY 1),
+             |lbe AS (SELECT und.u, und.v, la.lbl AS ca, lb.lbl AS cb
+             |        FROM und JOIN l4 la ON la.node = und.u
+             |        JOIN l4 lb ON lb.node = und.v),
+             |cut AS (SELECT community, COUNT(*) AS cut_edges FROM (
+             |          SELECT ca AS community FROM lbe WHERE ca <> cb
+             |          UNION ALL SELECT cb FROM lbe WHERE ca <> cb) t
+             |        GROUP BY 1),
+             |deg AS (SELECT u AS node, COUNT(*) AS dg FROM edges GROUP BY 1),
+             |dc AS (SELECT l.lbl AS community, CAST(SUM(d.dg) AS BIGINT) AS volume
+             |       FROM deg d JOIN l4 l ON l.node = d.node GROUP BY 1),
+             |per AS (SELECT c.community, c.n_nodes,
+             |          CAST(COALESCE(cut.cut_edges, 0) AS BIGINT) AS cut_edges,
+             |          COALESCE(dc.volume, 0) AS volume
+             |        FROM com c LEFT JOIN cut USING (community)
+             |        LEFT JOIN dc USING (community))
+             |SELECT community, n_nodes, cut_edges, volume,
+             |  CASE WHEN LEAST(volume, 2 * m - volume) > 0 THEN
+             |    round(CAST(cut_edges AS DOUBLE)
+             |      / CAST(LEAST(volume, 2 * m - volume) AS DOUBLE), 6)
+             |  END AS phi
+             |FROM per, mm ORDER BY community""".stripMargin)),
 
     // Cohesion audit of the near-dup graph: edge + triangle counts over
     // the SAME verified pairs as q51/q74/q90. Oracle: id-sorted edges,

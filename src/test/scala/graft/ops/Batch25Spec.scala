@@ -314,4 +314,30 @@ class Batch25Spec extends AnyFunSuite {
       assert(math.abs(r._5 - qc) < 1e-6)
     }
   }
+
+  test("q371 conductance identities vs q370's banked integers") {
+    val mod = SparkEntry.queries("q370_modularity")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toList
+    val con = SparkEntry.queries("q371_conductance")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toList
+    // same communities, same node counts, same volumes
+    assert(con.map(t => (t._1, t._2, t._4)) ==
+      mod.map(t => (t._1, t._2, t._4)))
+    val m = mod.map(_._4).sum / 2
+    con.zip(mod).foreach { case ((c, _, cut, vol, phi), (_, _, ein, _)) =>
+      // vol = 2·internal + cut (each internal edge charges the
+      // community twice, each cut edge once)
+      assert(vol == 2 * ein + cut, s"community $c: $vol != 2*$ein + $cut")
+      val den = math.min(vol, 2 * m - vol)
+      if (den > 0)
+        assert(math.abs(phi.get - cut.toDouble / den) < 1e-6)
+      else assert(phi.isEmpty)
+      phi.foreach(p => assert(p >= 0.0 && p <= 1.0))
+    }
+    // Σ cut over communities = 2 × (cross-community edges) ≤ 2m
+    assert(con.map(_._3).sum <= 2 * m)
+  }
 }

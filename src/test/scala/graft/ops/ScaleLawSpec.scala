@@ -239,6 +239,7 @@ class ScaleLawSpec extends AnyFunSuite {
   law("q369_triplet_mining", 12.0)
   // r15: one LPA run (edge-linear rounds) + community-keyed aggregates
   law("q370_modularity", 5.0)
+  law("q371_conductance", 5.0) // same shape as q370
   // r15: exhaustive stride-1 gram dedup — namespaced replicas never
   // share grams, so diagonals replicate linearly; a real super-linear
   // defect (occurrence PAIRS instead of distinct diagonals) lands ×9
