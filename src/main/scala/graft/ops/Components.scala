@@ -444,6 +444,38 @@ object Components {
       .orderBy("community")
   }
 
+  /** q372's oracle: the k-truss peel unrolled `rounds` times — per
+    * round q98's id-ordered triangle join over the current edge set,
+    * per-edge support from the three unnested canonical edges, filter
+    * at k−2; the final support pass feeds the output. Converged rounds
+    * are no-ops. */
+  private def kTrussSql(k: Int, rounds: Int): String = {
+    def supCte(r: Int): String =
+      s"""t$r AS (SELECT e1.a, e1.b, e2.b AS c
+         |        FROM e$r e1 JOIN e$r e2 ON e2.a = e1.b
+         |        JOIN e$r e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |s$r AS (SELECT a, b, COUNT(*) AS sup FROM (
+         |          SELECT a, b FROM t$r
+         |          UNION ALL SELECT a, c FROM t$r
+         |          UNION ALL SELECT b, c FROM t$r) u
+         |        GROUP BY 1, 2)""".stripMargin
+    val roundCtes = (0 until rounds).map { r =>
+      s"""${supCte(r)},
+         |e${r + 1} AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM e$r e JOIN s$r s ON s.a = e.a AND s.b = e.b
+         |  WHERE s.sup >= ${k - 2})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${Dedup.verifiedPairsCtes},
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT LEAST(id_a, id_b) AS a, GREATEST(id_a, id_b) AS b
+       |  FROM vp WHERE id_a <> id_b),
+       |$roundCtes,
+       |${supCte(rounds)}
+       |SELECT e.a AS id_a, e.b AS id_b, s.sup AS support
+       |FROM e$rounds e JOIN s$rounds s ON s.a = e.a AND s.b = e.b
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Community conductance (q371's engine): per community its cut-edge
     * count (each cross-community edge charges BOTH sides), degree
     * volume, and φ_c = cut/min(vol, 2m − vol); NULL where the
@@ -532,6 +564,71 @@ object Components {
     val nt = wedges.join(canon, Seq("a", "b"))
       .agg(count(lit(1)).as("n_triangles"))
     canon.agg(count(lit(1)).as("n_edges")).crossJoin(nt)
+  }
+
+  /** k-TRUSS decomposition at a fixed k (✚ — Cohen 2008, the standard
+    * cohesion refinement beyond triangles/k-core: keep only edges
+    * participating in ≥ k−2 triangles, iterating until stable, so the
+    * surviving subgraph is the k-truss; on a near-dup graph it strips
+    * borderline-match chains and keeps the clique-like duplicate
+    * cores). Each peel round re-enumerates triangles over the CURRENT
+    * edge set with the same degree-ordered oriented wedge join as
+    * [[triangles]] (hub out-degree O(√m) ⇒ O(m^1.5) per round),
+    * explodes each triangle into its three id-canonical edges, counts
+    * per-edge support map-side, and drops edges below k−2. Converges
+    * when a round removes nothing — the removal count is the only
+    * driver-side state. Rounds are data-dependent but ≤ the peel depth
+    * (small on clique-plus-chain graphs); `maxIter` is a hard failure,
+    * not a truncation. Returns the truss edges with their final
+    * supports. */
+  def kTruss(pairs: DataFrame, k: Int, maxIter: Int = 20,
+      materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+    require(k >= 3, s"kTruss needs k >= 3 (got $k)")
+    var e = materialize(pairs
+      .select(least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"))
+      .where(col("a") =!= col("b")).distinct())
+    var n = e.count()
+    var sup: DataFrame = null
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val deg = materialize(e.select(col("a").as("id"))
+        .unionAll(e.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("dg")))
+      val oriented = materialize(e
+        .join(deg.select(col("id").as("a"), col("dg").as("da")), "a")
+        .join(deg.select(col("id").as("b"), col("dg").as("db")), "b")
+        .select(when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+            struct(col("a").as("f"), col("b").as("t")))
+          .otherwise(struct(col("b").as("f"), col("a").as("t"))).as("o"))
+        .select(col("o.f").as("f"), col("o.t").as("t")))
+      val tri = oriented.as("e1").join(oriented.as("e2"),
+          col("e1.f") === col("e2.f") && col("e1.t") < col("e2.t"))
+        .select(col("e1.t").as("a"), col("e2.t").as("b"), col("e1.f").as("c"))
+        .join(e, Seq("a", "b"))
+      // the triangle's three id-canonical edges — (a,b) is canonical
+      // already; c's relation to a/b is unordered
+      val triEdges = tri.select(col("a"), col("b"))
+        .unionAll(tri.select(least(col("a"), col("c")).as("a"),
+          greatest(col("a"), col("c")).as("b")))
+        .unionAll(tri.select(least(col("b"), col("c")).as("a"),
+          greatest(col("b"), col("c")).as("b")))
+      sup = materialize(triEdges.groupBy("a", "b")
+        .agg(count(lit(1)).as("support")))
+      val kept = materialize(e.join(sup, Seq("a", "b"))
+        .where(col("support") >= k - 2)
+        .select(col("a"), col("b")))
+      val kn = kept.count()
+      if (kn == n) done = true
+      else { e = kept; n = kn }
+      iter += 1
+    }
+    require(done, s"kTruss: not converged after $maxIter rounds")
+    e.join(sup, Seq("a", "b"))
+      .select(col("a").as("id_a"), col("b").as("id_b"), col("support"))
+      .orderBy("id_a", "id_b")
   }
 
   /** Per-node clustering coefficient (✚): 2·t(v) / (d(v)·(d(v)−1)),
@@ -2231,6 +2328,24 @@ object Components {
              |      / CAST(LEAST(volume, 2 * m - volume) AS DOUBLE), 6)
              |  END AS phi
              |FROM per, mm ORDER BY community""".stripMargin)),
+
+    // 3-truss of the near-dup graph (✚ — algorithm notes at
+    // [[kTruss]]): edges in ≥ 1 triangle after peeling — the
+    // clique-core refinement of q98/q129/q130's cohesion family over
+    // the SAME verified pairs. k=3 is the discriminating cut on this
+    // corpus (its 4-truss is empty: borderline matches share at most
+    // one triangle); at k=3 the peel provably converges in one round
+    // (removing triangle-less edges destroys no triangle), so the
+    // MULTI-ROUND cascade semantics are pinned by Batch25Spec at k=4
+    // on a handcrafted fan-plus-clique graph instead. The oracle
+    // unrolls the peel with q98's id-ordered triangle join (a
+    // different enumeration that must find the identical triangle set
+    // each round); rounds beyond convergence are no-ops.
+    QueryDef("q372_ktruss",
+      (s, d) => kTruss(
+        Dedup.dedupPipeline(Tables.documents(s, d)).select("id_a", "id_b"),
+        k = 3),
+      Some(kTrussSql(3, 8))),
 
     // Cohesion audit of the near-dup graph: edge + triangle counts over
     // the SAME verified pairs as q51/q74/q90. Oracle: id-sorted edges,

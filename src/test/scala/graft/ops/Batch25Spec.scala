@@ -340,4 +340,46 @@ class Batch25Spec extends AnyFunSuite {
     // Σ cut over communities = 2 × (cross-community edges) ≤ 2m
     assert(con.map(_._3).sum <= 2 * m)
   }
+
+  test("kTruss k=4 cascades: a triangle fan peels away ring by ring " +
+      "while a disjoint K4 survives with support 2") {
+    import spark.implicits._
+    // fan around hub 1: every rim edge has ONE triangle (gone round 1),
+    // inner spokes (1,3)(1,4)(1,5) have TWO (gone only in round 2,
+    // after the rim's removal starves them) — requires ≥2 peel rounds
+    val fan = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (1L, 6L),
+      (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val k4 = for {
+      a <- Seq(10L, 11L, 12L, 13L); b <- Seq(10L, 11L, 12L, 13L)
+      if a < b
+    } yield (a, b)
+    val out = Components.kTruss(
+        (fan ++ k4).toDF("id_a", "id_b"), k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toList
+    assert(out == k4.sorted.map { case (a, b) => (a, b, 2L) }.toList)
+    // q372's corpus cut: 3-truss = edges with >= 1 triangle (one-round
+    // peel at k=3) — cross-check against a brute triangle count
+    val edges = Dedup.dedupPipeline(Tables.documents(spark, dir))
+      .select("id_a", "id_b").collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1))))
+      .filter(t => t._1 != t._2).distinct.toSet
+    val sup = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    val es = edges.toSeq.sorted
+    for {
+      (a, b) <- es; c <- es.collect { case (`b`, x) => x }
+      if edges((a, c))
+    } {
+      Seq((a, b), (a, c), (b, c)).foreach(e =>
+        sup(e) = sup.getOrElse(e, 0L) + 1)
+    }
+    val expected = sup.toList.collect {
+      case ((a, b), s) if s >= 1 => (a, b, s)
+    }.sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("q372_ktruss")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toList
+    assert(got == expected)
+  }
 }

@@ -240,6 +240,10 @@ class ScaleLawSpec extends AnyFunSuite {
   // r15: one LPA run (edge-linear rounds) + community-keyed aggregates
   law("q370_modularity", 5.0)
   law("q371_conductance", 5.0) // same shape as q370
+  // r15: degree-ordered wedge joins per peel round over the dup graph
+  // (edge-linear rounds; the dup graph's wedges stay bounded by the
+  // verified-pair df-caps)
+  law("q372_ktruss", 5.0)
   // r15: exhaustive stride-1 gram dedup — namespaced replicas never
   // share grams, so diagonals replicate linearly; a real super-linear
   // defect (occurrence PAIRS instead of distinct diagonals) lands ×9
