@@ -64,6 +64,14 @@ object Bench {
     // ENCODING — test scaffolding, not the operator under test — and
     // stays uncharged, absorbed by the warmup convention as before.)
     val substrateDefs: Seq[(String, Seq[String], () => Unit)] = Seq(
+      // dup_pairs MUST build before dup_mst: the MST election consumes
+      // the persisted pair table, so ordering keeps each line charging
+      // exactly its own work (r16 — VERDICT r15 #1: one verified-pair
+      // build + one LPA run for the whole graph-gate family)
+      ("dup_pairs", Seq("q74", "q84", "q85", "q90", "q98", "q111", "q112",
+          "q119", "q129", "q130", "q147", "q176", "q209", "q259", "q266",
+          "q313", "q348", "q353", "q370", "q371", "q372"),
+        () => ops.Components.warmDupPairs(spark, sfDir)),
       ("dup_mst", Seq("q348", "q353"),
         () => ops.Components.warmDupMst(spark, sfDir)),
       ("eps_slink", Seq("q358", "q359", "q362", "q363"),

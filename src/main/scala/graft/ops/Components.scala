@@ -433,13 +433,18 @@ object Components {
       sum(col("d_tot").cast("decimal(38,0)") * col("d_tot")).cast("double")
         .as("sd2"))
     val mD = col("m").cast("double")
+    // m = 0 (an edge-free partition) emits NULL instead of NaN/Inf —
+    // conductance's degenerate-denominator convention (ADVICE r15):
+    // visible, and identical NULL propagation on both engines
     per.crossJoin(broadcast(mm)).crossJoin(broadcast(tot))
       .select(col("community"), col("n_nodes"), col("e_in"), col("d_tot"),
-        round(col("e_in").cast("double") / mD
-          - (col("d_tot").cast("double") / (lit(2.0) * mD))
-            * (col("d_tot").cast("double") / (lit(2.0) * mD)), 6).as("q_c"),
-        round(col("se") / mD
-          - col("sd2") / ((lit(2.0) * mD) * (lit(2.0) * mD)), 6)
+        when(col("m") > 0,
+          round(col("e_in").cast("double") / mD
+            - (col("d_tot").cast("double") / (lit(2.0) * mD))
+              * (col("d_tot").cast("double") / (lit(2.0) * mD)), 6)).as("q_c"),
+        when(col("m") > 0,
+          round(col("se") / mD
+            - col("sd2") / ((lit(2.0) * mD) * (lit(2.0) * mD)), 6))
           .as("modularity"))
       .orderBy("community")
   }
@@ -571,63 +576,117 @@ object Components {
     * participating in ≥ k−2 triangles, iterating until stable, so the
     * surviving subgraph is the k-truss; on a near-dup graph it strips
     * borderline-match chains and keeps the clique-like duplicate
-    * cores). Each peel round re-enumerates triangles over the CURRENT
-    * edge set with the same degree-ordered oriented wedge join as
-    * [[triangles]] (hub out-degree O(√m) ⇒ O(m^1.5) per round),
-    * explodes each triangle into its three id-canonical edges, counts
-    * per-edge support map-side, and drops edges below k−2. Converges
-    * when a round removes nothing — the removal count is the only
-    * driver-side state. Rounds are data-dependent but ≤ the peel depth
-    * (small on clique-plus-chain graphs); `maxIter` is a hard failure,
-    * not a truncation. Returns the truss edges with their final
-    * supports. */
+    * cores).
+    *
+    * SUPPORT-DECREMENT peel (r16, VERDICT r15 #4 — the Wang/Cheng 2012
+    * truss-decomposition shape): triangles are enumerated ONCE over
+    * the initial edge set with the degree-ordered oriented wedge join
+    * of [[triangles]] (hub out-degree O(√m) ⇒ O(m^1.5), paid once);
+    * each peel round then joins only the REMOVED edges against the
+    * current adjacency — O(|removed| · deg) instead of a full
+    * re-enumeration — and decrements the supports of each destroyed
+    * triangle's surviving edges. When several edges of one triangle
+    * are removed in the same round, the triangle is CHARGED to its
+    * lexicographically-smallest removed edge only, so every destroyed
+    * triangle decrements each surviving edge exactly once (the
+    * inclusion-exclusion a naive per-removed-edge walk gets wrong).
+    * A deep cascade therefore costs the initial enumeration plus work
+    * proportional to the edges actually peeled — sub-linear in rounds
+    * — where the old per-round re-enumeration paid O(m^1.5) per ring.
+    * Converges when a round removes nothing; `maxIter` is a hard
+    * failure, not a truncation. Returns the truss edges with their
+    * final supports (Batch25Spec pins the multi-round cascade against
+    * the re-enumerating oracle on a handcrafted fan-plus-clique). */
   def kTruss(pairs: DataFrame, k: Int, maxIter: Int = 20,
       materialize: Materialize.Strategy = Materialize.local): DataFrame = {
     require(k >= 3, s"kTruss needs k >= 3 (got $k)")
-    var e = materialize(pairs
+    val e0 = materialize(pairs
       .select(least(col("id_a"), col("id_b")).as("a"),
         greatest(col("id_a"), col("id_b")).as("b"))
       .where(col("a") =!= col("b")).distinct())
-    var n = e.count()
-    var sup: DataFrame = null
+    // one-off full enumeration: initial per-edge support, with
+    // triangle-less edges kept at 0 so the peel filter can see them
+    val deg = materialize(e0.select(col("a").as("id"))
+      .unionAll(e0.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("dg")))
+    val oriented = e0
+      .join(deg.select(col("id").as("a"), col("dg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("dg").as("db")), "b")
+      .select(when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("f"), col("b").as("t")))
+        .otherwise(struct(col("b").as("f"), col("a").as("t"))).as("o"))
+      .select(col("o.f").as("f"), col("o.t").as("t"))
+    val tri0 = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.f") === col("e2.f") && col("e1.t") < col("e2.t"))
+      .select(col("e1.t").as("a"), col("e2.t").as("b"), col("e1.f").as("c"))
+      .join(e0, Seq("a", "b"))
+    val triEdges = tri0.select(col("a"), col("b"))
+      .unionAll(tri0.select(least(col("a"), col("c")).as("a"),
+        greatest(col("a"), col("c")).as("b")))
+      .unionAll(tri0.select(least(col("b"), col("c")).as("a"),
+        greatest(col("b"), col("c")).as("b")))
+    val counted = triEdges.groupBy("a", "b").agg(count(lit(1)).as("support"))
+    // (a, b, support) — THE loop state; edges are its key set
+    var sup = materialize(e0.join(counted, Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("support"), lit(0L)).as("support")))
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
-      val deg = materialize(e.select(col("a").as("id"))
-        .unionAll(e.select(col("b").as("id")))
-        .groupBy("id").agg(count(lit(1)).as("dg")))
-      val oriented = materialize(e
-        .join(deg.select(col("id").as("a"), col("dg").as("da")), "a")
-        .join(deg.select(col("id").as("b"), col("dg").as("db")), "b")
-        .select(when(col("da") < col("db") ||
-            (col("da") === col("db") && col("a") < col("b")),
-            struct(col("a").as("f"), col("b").as("t")))
-          .otherwise(struct(col("b").as("f"), col("a").as("t"))).as("o"))
-        .select(col("o.f").as("f"), col("o.t").as("t")))
-      val tri = oriented.as("e1").join(oriented.as("e2"),
-          col("e1.f") === col("e2.f") && col("e1.t") < col("e2.t"))
-        .select(col("e1.t").as("a"), col("e2.t").as("b"), col("e1.f").as("c"))
-        .join(e, Seq("a", "b"))
-      // the triangle's three id-canonical edges — (a,b) is canonical
-      // already; c's relation to a/b is unordered
-      val triEdges = tri.select(col("a"), col("b"))
-        .unionAll(tri.select(least(col("a"), col("c")).as("a"),
-          greatest(col("a"), col("c")).as("b")))
-        .unionAll(tri.select(least(col("b"), col("c")).as("a"),
-          greatest(col("b"), col("c")).as("b")))
-      sup = materialize(triEdges.groupBy("a", "b")
-        .agg(count(lit(1)).as("support")))
-      val kept = materialize(e.join(sup, Seq("a", "b"))
-        .where(col("support") >= k - 2)
+      val removed = materialize(sup.where(col("support") < k - 2)
         .select(col("a"), col("b")))
-      val kn = kept.count()
-      if (kn == n) done = true
-      else { e = kept; n = kn }
+      if (removed.limit(1).count() == 0L) done = true
+      else {
+        // triangles containing a removed edge (u,v): common neighbors w
+        // with (u,w) and (v,w) still in the round's edge set — the join
+        // fans out from REMOVED edges only, never re-enumerating
+        val adj = sup.select(col("a").as("x"), col("b").as("w"))
+          .unionAll(sup.select(col("b").as("x"), col("a").as("w")))
+        val cand = removed.select(col("a").as("u"), col("b").as("v"))
+          .join(adj, col("u") === col("x"))
+          .where(col("w") =!= col("v"))
+          .select(col("u"), col("v"),
+            least(col("v"), col("w")).as("e2a"),
+            greatest(col("v"), col("w")).as("e2b"),
+            least(col("u"), col("w")).as("e1a"),
+            greatest(col("u"), col("w")).as("e1b"))
+        val tri = cand.join(
+          sup.select(col("a").as("e2a"), col("b").as("e2b")),
+          Seq("e2a", "e2b"), "left_semi")
+        // charge each destroyed triangle to its SMALLEST removed edge:
+        // drop the row if either other edge is removed AND orders
+        // before (u,v) — then decrement only the SURVIVING other edges
+        val rm1 = removed.select(col("a").as("e1a"), col("b").as("e1b"),
+          lit(true).as("r1"))
+        val rm2 = removed.select(col("a").as("e2a"), col("b").as("e2b"),
+          lit(true).as("r2"))
+        val marked = tri
+          .join(rm1, Seq("e1a", "e1b"), "left")
+          .join(rm2, Seq("e2a", "e2b"), "left")
+          .select(col("u"), col("v"), col("e1a"), col("e1b"),
+            col("e2a"), col("e2b"),
+            coalesce(col("r1"), lit(false)).as("r1"),
+            coalesce(col("r2"), lit(false)).as("r2"))
+        val me = struct(col("u"), col("v"))
+        val charged = marked.where(
+          !(col("r1") && struct(col("e1a"), col("e1b")) < me) &&
+          !(col("r2") && struct(col("e2a"), col("e2b")) < me))
+        val dec = charged.where(!col("r1"))
+            .select(col("e1a").as("a"), col("e1b").as("b"))
+          .unionAll(charged.where(!col("r2"))
+            .select(col("e2a").as("a"), col("e2b").as("b")))
+          .groupBy("a", "b").agg(count(lit(1)).as("dec"))
+        sup = materialize(sup
+          .join(removed, Seq("a", "b"), "left_anti")
+          .join(dec, Seq("a", "b"), "left")
+          .select(col("a"), col("b"),
+            (col("support") - coalesce(col("dec"), lit(0L))).as("support")))
+      }
       iter += 1
     }
     require(done, s"kTruss: not converged after $maxIter rounds")
-    e.join(sup, Seq("a", "b"))
-      .select(col("a").as("id_a"), col("b").as("id_b"), col("support"))
+    sup.select(col("a").as("id_a"), col("b").as("id_b"), col("support"))
       .orderBy("id_a", "id_b")
   }
 
@@ -903,7 +962,10 @@ object Components {
       : (String, String) = {
     val base = graft.core.Scratch.tempDir("graft-dupmst")
     val docs = Tables.documents(s, dir)
-    val edges = Dedup.dedupPipeline(docs)
+    // consumes the dup-pairs SUBSTRATE (r16): the verified pair table
+    // is built/charged once for the whole graph-gate family; this
+    // build meters only the MST election on top of it
+    val edges = dupPairs(s, dir)
       .groupBy("id_a", "id_b")
       .agg(min(round(lit(1.0) - col("jaccard"), 6)).as("w"))
       .select(col("id_a").as("a"), col("id_b").as("b"), col("w"))
@@ -942,6 +1004,68 @@ object Components {
     }
     (s.read.parquet(me), s.read.parquet(ml))
   }
+
+  private val dupPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build the VERIFIED-PAIR + LPA-COMMUNITY substrate for `dir`
+    * UNCACHED into fresh scratch parquet, returning the scratch root —
+    * the cacheable unit behind [[dupPairs]]/[[lpaCommunities]]
+    * (VERDICT r15 #1): the whole near-dup graph-gate family (q74/q85/
+    * q90/q98/q111/q112/q119/q129/q130/q147/q176/q209/q259/q266/q313/
+    * q370/q371/q372, plus the MST substrate itself) reads the SAME
+    * verified pair set, and the community gates the SAME 4-round LPA
+    * over it — one candidate-generation + verification pass and one
+    * LPA run per (JVM, corpus) instead of one per gate, which is the
+    * production compute-once shape CurationShareSpec proves.
+    *
+    * Both artifacts of the one build persist under one scratch root:
+    * `pairs.parquet` (id_a, id_b, jaccard — the q51 pipeline's exact
+    * output) and `lpa.parquet` (doc_id, community, community_size —
+    * [[labelPropagation]]'s default 4 rounds over the PERSISTED pairs,
+    * read back rather than lineage so the two artifacts are
+    * definitionally views of one pair set). Deterministic: the pair
+    * set is a pure function of the corpus (LSH bands + exact Jaccard,
+    * both exact arithmetic) and LPA's (max count, min label) tie order
+    * is total — a cache race building twice is wasted work, never
+    * divergent results. */
+  private[graft] def buildDupPairs(s: SparkSession, dir: String): String = {
+    val out = graft.core.Scratch.tempDir("graft-duppairs")
+    val docs = Tables.documents(s, dir)
+    Dedup.dedupPipeline(docs)
+      .write.mode("overwrite").parquet(out + "/pairs.parquet")
+    labelPropagation(docs.select(col("doc_id").as("id")),
+        s.read.parquet(out + "/pairs.parquet").select("id_a", "id_b"))
+      .write.mode("overwrite").parquet(out + "/lpa.parquet")
+    out
+  }
+
+  /** Pre-build (idempotent) the graph-gate substrate — see
+    * [[warmDupMst]]. */
+  private[graft] def warmDupPairs(s: SparkSession, dir: String): Unit =
+    dupPairsBase(s, dir)
+
+  private def dupPairsBase(s: SparkSession, dir: String): String = {
+    val cached = dupPairsCache.get(dir)
+    if (cached != null) cached else {
+      val built = buildDupPairs(s, dir)
+      Option(dupPairsCache.putIfAbsent(dir, built)).getOrElse(built)
+    }
+  }
+
+  /** The verified near-dup pair table (`id_a`, `id_b`, `jaccard` — the
+    * q51 pipeline's output) from the cached one-per-(JVM, corpus)
+    * build. Cache contract as [[dupMst]]: corpus dirs immutable for
+    * the JVM's lifetime, scratch deleted on exit, no build under the
+    * map lock. */
+  private[graft] def dupPairs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(dupPairsBase(s, dir) + "/pairs.parquet")
+
+  /** The 4-round LPA communities over [[dupPairs]] (`doc_id`,
+    * `community`, `community_size`), from the same cached build —
+    * q112's output and q370/q371's partition input. */
+  private[graft] def lpaCommunities(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(dupPairsBase(s, dir) + "/lpa.parquet")
 
   /** The Borůvka loop itself, returning the raw artifacts —
     * (MST edge set `(a, b, w)`, final labels `(node, comp)`) — for
@@ -1685,7 +1809,27 @@ object Components {
     // callers holding a precomputed (node, lbl) frame (the cached
     // single-linkage scaffold's top-cut column covers every tree edge
     // by construction) pass it in and skip the CC rounds entirely
-    val lab = compLabels.getOrElse {
+    val lab = compLabels.map { lf =>
+      val l = materialize(lf.select(col("node"), col("lbl")))
+      // tree-sized audit of the caller's frame (ADVICE r15): a COARSER
+      // partition fails visibly (no terminal → convergence require),
+      // but a FINER one would mark spurious mid-chain terminals and
+      // silently emit wrong positions — so require (a) no tree edge
+      // crosses labels, (b) every label is its group's min member id
+      // (the root convention terminal detection trusts). Two probes
+      // over n−1-row frames: noise next to the doubling rounds.
+      val split = edges
+        .join(l.select(col("node").as("a"), col("lbl").as("la")), "a")
+        .join(l.select(col("node").as("b"), col("lbl").as("lb")), "b")
+        .where(col("la") =!= col("lb")).limit(1).count()
+      require(split == 0L,
+        "opticsOrder: compLabels split a tree edge (partition finer than the MST components)")
+      val badRoot = l.groupBy("lbl").agg(min(col("node")).as("mn"))
+        .where(col("lbl") =!= col("mn")).limit(1).count()
+      require(badRoot == 0L,
+        "opticsOrder: compLabels are not min-member-id component labels")
+      l
+    }.getOrElse {
       val nodes = edges.select(col("a").as("id"))
         .unionByName(edges.select(col("b").as("id"))).distinct()
       materialize(connectedComponents(nodes,
@@ -1755,6 +1899,45 @@ object Components {
       .unionByName(ranked)
   }
 
+  /** FLAT clusters from an OPTICS reachability plot (✚ — Ankerst/
+    * Breunig/Kriegel/Sander 1999 §4.1, ExtractDBSCAN: scan the plot in
+    * order; reachability above ε′ ends the current cluster, the
+    * boundary point anchors the next valley): per component, segments
+    * are maximal runs of reach ≤ ε′ plus the anchor point that opened
+    * the valley (root rows and reach > ε′ rows are boundaries);
+    * segments of ≥ `minSize` points are clusters named by their
+    * minimum member id, everything else is noise (NULL cluster).
+    *
+    * This is a PURE window-and-aggregate readout of the (pos, reach)
+    * frame — one cumulative-sum window to number segments, one
+    * segment-keyed aggregate for sizes — zero new substrate passes:
+    * the plot is q364's, riding the cached mutual-reachability MST.
+    * The published rule also consults coreDist(p) ≤ ε′ to decide
+    * whether a boundary point seeds the next cluster or is noise;
+    * without per-point core distances on the plot frame, a boundary is
+    * treated as the valley's anchor (it merges into the following
+    * cluster iff the valley reaches `minSize`), which coincides with
+    * the published rule whenever the anchor is core — the documented
+    * approximation, conservative in the noise direction. Scale: both
+    * the window and the aggregate are keyed by (comp, segment) over
+    * n-row input — nothing wider than the plot itself. */
+  def opticsExtractClusters(plot: DataFrame, eps: Double,
+      minSize: Int): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val seg = plot.withColumn("up",
+        col("reach").isNull || col("reach") > lit(eps))
+      .withColumn("seg",
+        sum(when(col("up"), 1L).otherwise(0L))
+          .over(W.partitionBy("comp").orderBy("pos")))
+    val sizes = seg.groupBy("comp", "seg")
+      .agg(count(lit(1)).as("n"), min(col("vec_id")).as("cid"))
+    seg.join(sizes, Seq("comp", "seg"))
+      .select(col("vec_id"),
+        when(col("n") >= minSize, col("cid")).as("cluster_id"),
+        when(col("n") >= minSize, col("n")).as("cluster_size"))
+      .orderBy("vec_id")
+  }
+
   /** Discretized COPHENETIC distances + the cophenetic correlation
     * coefficient (✚ — Sokal/Rohlf 1962, the standard "how faithfully
     * does the dendrogram preserve the metric" readout) over the shared
@@ -1779,7 +1962,12 @@ object Components {
     * the same tree at zero new substrate passes. */
   def copheneticReport(labels: DataFrame, pairs: DataFrame,
       cuts: Seq[Double]): DataFrame = {
-    val k = cuts.length
+    // the level indices consumed below come from singleLinkageLabels,
+    // which sorts its cuts internally — sort here too so an unsorted
+    // caller can't silently map levels to wrong cut heights
+    // (ADVICE r15); `ts` replaces `cuts` everywhere downstream
+    val ts = cuts.sorted
+    val k = ts.length
     val la = labels.select(col("node").as("ia") +: col("nlvl").as("na") +:
       (0 until k).map(j => col(s"l$j").as(s"a$j")): _*)
     val lb = labels.select(col("node").as("ib") +: col("nlvl").as("nb") +:
@@ -1792,7 +1980,7 @@ object Components {
     val scored = pairs.join(la, "ia").join(lb, "ib")
       .select(round(col("w") * 1e9).cast("long").as("w9"), lvl.as("lvl"))
     val cut9 = element_at(
-      array(cuts.map(t => lit(math.round(t * 1e9))): _*), col("lvl") + 1)
+      array(ts.map(t => lit(math.round(t * 1e9))): _*), col("lvl") + 1)
     val xy = scored.select(col("w9").as("x"), cut9.as("y"), col("lvl"))
     val d38 = "decimal(38,0)"
     val m = xy.agg(count(lit(1)).as("n"),
@@ -1811,7 +1999,7 @@ object Components {
     val perLevel = xy.groupBy("lvl")
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("x").cast(d38)).cast("long").as("w9_sum"))
-      .select((element_at(array(cuts.map(lit): _*), col("lvl") + 1))
+      .select((element_at(array(ts.map(lit): _*), col("lvl") + 1))
         .as("cut"), col("n_pairs"), col("w9_sum"))
     perLevel.crossJoin(m.select(cpcc.as("cpcc"))).orderBy("cut")
   }
@@ -1981,7 +2169,16 @@ object Components {
     * wrapped ones — which is precisely the successor order the
     * distributed tour follows, so ROW_NUMBER over the path key IS the
     * tour's first-visit order. */
-  private def opticsOracleSql(rounds: Int): String = {
+  private def opticsOracleSql(rounds: Int): String =
+    opticsPlotCtes(rounds) + "\n" +
+      """SELECT vec_id, comp, pos, reach FROM plot
+             |ORDER BY comp, pos""".stripMargin
+
+  /** The q364 reachability PLOT as a reusable CTE chain ending in
+    * `plot` (vec_id, comp, pos, reach) — shared verbatim by q364's
+    * oracle and q373's extraction oracle, so the two gates cannot
+    * drift on what the tour is. */
+  private def opticsPlotCtes(rounds: Int): String = {
     val roundCtes = (0 until rounds).map { r =>
       s"""ext$r AS (
              |  SELECT e.a, e.b, e.w, la.comp AS ca, lb.comp AS cb
@@ -2030,12 +2227,13 @@ object Components {
              |          || lpad(CAST(CAST(round(a.w*1e9) AS BIGINT) AS VARCHAR), 12, '0')
              |          || lpad(CAST(a.nbr AS VARCHAR), 12, '0')
              |  FROM walk wk JOIN madj a ON a.node = wk.node
-             |    AND (wk.parent IS NULL OR a.nbr <> wk.parent))
-             |SELECT node AS vec_id, comp,
-             |  CAST(ROW_NUMBER() OVER (PARTITION BY comp ORDER BY pk) - 1 AS BIGINT)
-             |    AS pos,
-             |  CASE WHEN parent IS NULL THEN NULL ELSE pw END AS reach
-             |FROM walk ORDER BY comp, pos""".stripMargin
+             |    AND (wk.parent IS NULL OR a.nbr <> wk.parent)),
+             |plot AS MATERIALIZED (
+             |  SELECT node AS vec_id, comp,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY comp ORDER BY pk) - 1 AS BIGINT)
+             |      AS pos,
+             |    CASE WHEN parent IS NULL THEN NULL ELSE pw END AS reach
+             |  FROM walk)""".stripMargin
   }
 
   /** Excess-of-mass selection + descendant veto, unrolled bottom-up
@@ -2121,7 +2319,8 @@ object Components {
     // reachability with a recursive CTE (symmetric edges ⇒ component
     // min = min over labels that can reach the node).
     QueryDef("q74_dedup_clusters",
-      (s, d) => dedupClusters(Tables.documents(s, d)).orderBy("doc_id"),
+      (s, d) => dedupClusters(Tables.documents(s, d),
+        pairs = Some(dupPairs(s, d))).orderBy("doc_id"),
       Some(s"""WITH RECURSIVE ${Dedup.verifiedPairsCtes},
              |edges AS (SELECT id_a AS u, id_b AS v FROM vp
              |          UNION ALL SELECT id_b, id_a FROM vp),
@@ -2143,7 +2342,8 @@ object Components {
     // row_number election is the windowed twin of the Spark plan's
     // struct-max partial aggregation.
     QueryDef("q119_cluster_canonical",
-      (s, d) => canonicalize(Tables.documents(s, d)).orderBy("doc_id"),
+      (s, d) => canonicalize(Tables.documents(s, d),
+        pairs = Some(dupPairs(s, d))).orderBy("doc_id"),
       Some(s"""WITH RECURSIVE ${Dedup.verifiedPairsCtes},
              |edges AS (SELECT id_a AS u, id_b AS v FROM vp
              |          UNION ALL SELECT id_b, id_a FROM vp),
@@ -2170,7 +2370,8 @@ object Components {
     // Per-source survival under canonical-only dedup — same recursive
     // label chain as q74, aggregated to the curator's report.
     QueryDef("q85_dedup_report",
-      (s, d) => dedupReport(Tables.documents(s, d)).orderBy("source"),
+      (s, d) => dedupReport(Tables.documents(s, d),
+        pairs = Some(dupPairs(s, d))).orderBy("source"),
       Some(s"""WITH RECURSIVE ${Dedup.verifiedPairsCtes},
              |edges AS (SELECT id_a AS u, id_b AS v FROM vp
              |          UNION ALL SELECT id_b, id_a FROM vp),
@@ -2190,15 +2391,15 @@ object Components {
              |ORDER BY source""".stripMargin)),
 
     // Document centrality within the near-dup graph — 5 power-iteration
-    // rounds over the q51 verified pairs, oracle unrolled level by
-    // level with identical arithmetic.
+    // rounds over the q51 verified pairs (the cached [[dupPairs]]
+    // substrate, r16 — the gate measures the iteration, not a pipeline
+    // rebuild), oracle unrolled level by level with identical
+    // arithmetic.
     QueryDef("q90_pagerank",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        pageRank(docs.select(col("doc_id").as("id")),
-            Dedup.dedupPipeline(docs).select("id_a", "id_b"))
-          .orderBy("doc_id")
-      },
+      (s, d) => pageRank(
+          Tables.documents(s, d).select(col("doc_id").as("id")),
+          dupPairs(s, d).select("id_a", "id_b"))
+        .orderBy("doc_id"),
       Some(prOracleSql(5)))
   ,
 
@@ -2218,25 +2419,21 @@ object Components {
     // gate to a non-standard PageRank definition; revisit only if a
     // corpus with ~1e6-degree hubs pushes drift past 1e-9.
     QueryDef("q111_pagerank_weighted",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        pageRank(docs.select(col("doc_id").as("id")),
-            Dedup.dedupPipeline(docs).select("id_a", "id_b", "jaccard"),
-            weightCol = Some("jaccard"))
-          .orderBy("doc_id")
-      },
+      (s, d) => pageRank(
+          Tables.documents(s, d).select(col("doc_id").as("id")),
+          dupPairs(s, d).select("id_a", "id_b", "jaccard"),
+          weightCol = Some("jaccard"))
+        .orderBy("doc_id"),
       Some(prOracleSql(5, weighted = true))),
 
     // Communities over the near-dup graph: 4 sync LPA rounds with the
     // deterministic (max count, min label) tie order — all-integer, the
     // oracle unrolls identical rounds.
     QueryDef("q112_label_propagation",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        labelPropagation(docs.select(col("doc_id").as("id")),
-            Dedup.dedupPipeline(docs).select("id_a", "id_b"))
-          .orderBy("doc_id")
-      },
+      // pure readout of the [[lpaCommunities]] substrate artifact (r16)
+      // — the LPA run itself is charged once per (JVM, corpus) in the
+      // dup-pairs build, and q370/q371 consume the identical labels
+      (s, d) => lpaCommunities(s, d).orderBy("doc_id"),
       Some(lpaOracleSql(4))),
 
     // Newman MODULARITY of the q112 communities (✚ — the standard
@@ -2249,13 +2446,8 @@ object Components {
     // in particular the TOTAL comes from Σd_c² (exact), never from
     // summing the per-community doubles (order-dependent).
     QueryDef("q370_modularity",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        val pairs = Dedup.dedupPipeline(docs).select("id_a", "id_b")
-        modularity(
-          labelPropagation(docs.select(col("doc_id").as("id")), pairs),
-          pairs)
-      },
+      (s, d) => modularity(lpaCommunities(s, d),
+        dupPairs(s, d).select("id_a", "id_b")),
       Some(s"""WITH ${lpaChainSql(4)},
              |und AS (SELECT u, v FROM edges WHERE u < v),
              |mm AS (SELECT COUNT(*) AS m FROM und),
@@ -2295,13 +2487,8 @@ object Components {
     // communities, or a community holding ALL edge mass) emit NULL —
     // visible, matching SQL NULL propagation on both engines.
     QueryDef("q371_conductance",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        val pairs = Dedup.dedupPipeline(docs).select("id_a", "id_b")
-        conductance(
-          labelPropagation(docs.select(col("doc_id").as("id")), pairs),
-          pairs)
-      },
+      (s, d) => conductance(lpaCommunities(s, d),
+        dupPairs(s, d).select("id_a", "id_b")),
       Some(s"""WITH ${lpaChainSql(4)},
              |und AS (SELECT u, v FROM edges WHERE u < v),
              |mm AS (SELECT COUNT(*) AS m FROM und),
@@ -2342,17 +2529,14 @@ object Components {
     // different enumeration that must find the identical triangle set
     // each round); rounds beyond convergence are no-ops.
     QueryDef("q372_ktruss",
-      (s, d) => kTruss(
-        Dedup.dedupPipeline(Tables.documents(s, d)).select("id_a", "id_b"),
-        k = 3),
+      (s, d) => kTruss(dupPairs(s, d).select("id_a", "id_b"), k = 3),
       Some(kTrussSql(3, 8))),
 
     // Cohesion audit of the near-dup graph: edge + triangle counts over
     // the SAME verified pairs as q51/q74/q90. Oracle: id-sorted edges,
     // a<b<c three-way self-join (one row per triangle).
     QueryDef("q98_triangle_count",
-      (s, d) => triangles(
-        Dedup.dedupPipeline(Tables.documents(s, d)).select("id_a", "id_b")),
+      (s, d) => triangles(dupPairs(s, d).select("id_a", "id_b")),
       Some(s"""WITH ${Dedup.verifiedPairsCtes},
              |edges AS MATERIALIZED (
              |  SELECT DISTINCT LEAST(id_a, id_b) AS a, GREATEST(id_a, id_b) AS b
@@ -2368,8 +2552,7 @@ object Components {
     // — shares q98's edge CTE; the oracle enumerates each id-ordered
     // triangle (a < b < c) once and credits all three vertices.
     QueryDef("q129_clustering_coeff",
-      (s, d) => clusteringCoefficient(
-        Dedup.dedupPipeline(Tables.documents(s, d)).select("id_a", "id_b"))
+      (s, d) => clusteringCoefficient(dupPairs(s, d).select("id_a", "id_b"))
         .orderBy("id"),
       Some(s"""WITH ${Dedup.verifiedPairsCtes},
              |edges AS MATERIALIZED (
@@ -2397,8 +2580,7 @@ object Components {
     // The oracle unrolls the same peel round by round over q51's pair
     // CTEs, like the q112 LPA unroll.
     QueryDef("q130_kcore",
-      (s, d) => kCore(
-        Dedup.dedupPipeline(Tables.documents(s, d)).select("id_a", "id_b"))
+      (s, d) => kCore(dupPairs(s, d).select("id_a", "id_b"))
         .orderBy("id"),
       Some {
         val rounds = (1 to 4).map { r =>
@@ -2434,7 +2616,7 @@ object Components {
       (s, d) => {
         val docs = Tables.documents(s, d)
         bfsHops(docs.select(col("doc_id").as("id")),
-            Dedup.dedupPipeline(docs).select("id_a", "id_b"),
+            dupPairs(s, d).select("id_a", "id_b"),
             pmod(col("node"), lit(29)) === 0)
           .select(col("node").as("doc_id"),
             when(col("dist") >= 999L, lit(-1L)).otherwise(col("dist")).as("hops"))
@@ -2480,7 +2662,7 @@ object Components {
     QueryDef("q209_eccentricity",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val pairs = Dedup.dedupPipeline(docs).select("id_a", "id_b")
+        val pairs = dupPairs(s, d).select("id_a", "id_b")
         val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
           .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
           .where(col("u") =!= col("v")).distinct().localCheckpoint()
@@ -2613,7 +2795,8 @@ object Components {
         import s.implicits._
         val docs = Tables.documents(s, d)
         val ids = docs.select(col("doc_id").as("id"))
-        val pairs = Dedup.dedupPipeline(docs).localCheckpoint()
+        // parquet-backed substrate — already pinned, no checkpoint needed
+        val pairs = dupPairs(s, d)
         val rows = Seq(0.5, 0.7, 0.9).map { t =>
           val edges = pairs.where(col("jaccard") >= t).select("id_a", "id_b")
           val nPairs = edges.count()
@@ -2674,8 +2857,7 @@ object Components {
     // runs in token-identical double shape, round@6.
     QueryDef("q266_assortativity",
       (s, d) => {
-        val pairs = Dedup.dedupPipeline(Tables.documents(s, d))
-          .select("id_a", "id_b")
+        val pairs = dupPairs(s, d).select("id_a", "id_b")
         val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
           .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
           .where(col("u") =!= col("v")).distinct().localCheckpoint()
@@ -2824,7 +3006,7 @@ object Components {
     QueryDef("q313_personalized_pagerank",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val pairs = Dedup.dedupPipeline(docs).select("id_a", "id_b")
+        val pairs = dupPairs(s, d).select("id_a", "id_b")
         val m = Materialize.local
         val edges = m(
           pairs.select(col("id_a").as("u"), col("id_b").as("v"))
@@ -3236,7 +3418,39 @@ object Components {
         opticsOrder(mrMstEdges(s, d), compLabels = Some(comps))
           .orderBy("comp", "pos")
       },
-      Some(opticsOracleSql(10)))
+      Some(opticsOracleSql(10))),
+
+    // Flat DBSCAN-equivalent clusters extracted from q364's
+    // reachability plot at the mid-ladder ε′ (✚ — algorithm notes at
+    // [[opticsExtractClusters]]: the readout that completes the OPTICS
+    // family — q364 gives the ORDERING, this gives the clustering a
+    // caller actually consumes). Pure window/aggregate over the plot;
+    // the oracle replays the identical tour (shared `plot` CTE chain
+    // with q364 — the gates cannot drift on what the plot is) and
+    // applies the same segmentation SQL.
+    QueryDef("q373_optics_clusters",
+      (s, d) => {
+        val comps = mrSlinkLabels(s, d)
+          .select(col("node"), col("l3").as("lbl"))
+        opticsExtractClusters(
+          opticsOrder(mrMstEdges(s, d), compLabels = Some(comps)),
+          eps = 0.0016, minSize = HdbMinSize)
+      },
+      Some(opticsPlotCtes(10) + ",\n" +
+        s"""seg AS (
+             |  SELECT vec_id, comp, pos,
+             |    SUM(CASE WHEN reach IS NULL OR reach > 0.0016
+             |             THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY comp ORDER BY pos) AS seg
+             |  FROM plot),
+             |szs AS (
+             |  SELECT comp, seg, COUNT(*) AS n, MIN(vec_id) AS cid
+             |  FROM seg GROUP BY 1, 2)
+             |SELECT s.vec_id,
+             |  CASE WHEN z.n >= $HdbMinSize THEN z.cid END AS cluster_id,
+             |  CASE WHEN z.n >= $HdbMinSize THEN z.n END AS cluster_size
+             |FROM seg s JOIN szs z ON z.comp = s.comp AND z.seg = s.seg
+             |ORDER BY vec_id""".stripMargin))
   )
 
   /** Per-point attachment + bottom-up subtree-deepest-level CTEs

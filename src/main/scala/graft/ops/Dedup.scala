@@ -532,7 +532,8 @@ object Dedup {
     // as q51 (shared vp CTEs — the gates cannot drift on what a
     // near-dup pair is).
     QueryDef("q84_source_overlap",
-      (s, d) => sourceOverlap(Tables.documents(s, d))
+      (s, d) => sourceOverlap(Tables.documents(s, d),
+          pairs = Some(Components.dupPairs(s, d)))
         .orderBy("source_a", "source_b"),
       Some(s"""WITH $verifiedPairsCtes,
              |ds AS (SELECT doc_id, source FROM documents)

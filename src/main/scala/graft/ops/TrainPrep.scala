@@ -435,14 +435,15 @@ object TrainPrep {
     * collects to the driver.
     */
   def splitAudit(docs: DataFrame, trainPct: Int = 8, valPct: Int = 1,
-      materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+      materialize: Materialize.Strategy = Materialize.local,
+      pairs: Option[DataFrame] = None): DataFrame = {
     def bucket(c: Column): Column =
       conv(substring(md5(concat(lit("q147|"), c.cast("string"))), 1, 8), 16, 10)
         .cast("long") % 10
     def name(b: Column): Column =
       when(b < trainPct, "train")
         .when(b < trainPct + valPct, "val").otherwise("test")
-    val lab = Components.dedupClusters(docs, materialize)
+    val lab = Components.dedupClusters(docs, materialize, pairs)
       .select("doc_id", "canonical_id")
     // pinned: the per-cluster distinct-split counts AND the two final
     // per-split rollups all consume it (ReuseExchange does not
@@ -1137,7 +1138,8 @@ object TrainPrep {
     // two gates cannot disagree on what a cluster is) + the q142 md5
     // bucket idiom.
     QueryDef("q147_split_leakage",
-      (s, d) => splitAudit(Tables.documents(s, d)),
+      (s, d) => splitAudit(Tables.documents(s, d),
+        pairs = Some(Components.dupPairs(s, d))),
       Some(s"""WITH RECURSIVE ${Dedup.verifiedPairsCtes},
              |edges AS (SELECT id_a AS u, id_b AS v FROM vp
              |          UNION ALL SELECT id_b, id_a FROM vp),

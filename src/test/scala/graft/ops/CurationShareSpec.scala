@@ -35,4 +35,25 @@ class CurationShareSpec extends AnyFunSuite {
       == rows(Components.triangles(Dedup.dedupPipeline(docs).select("id_a", "id_b"))),
       "triangles")
   }
+
+  test("the cached dup-pairs substrate IS the from-scratch computation " +
+      "(pairs, LPA labels, and the community readouts over them)") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    // substrate artifacts (one cached build per JVM/corpus, r16)
+    val sp = Components.dupPairs(spark, TestSpark.sf0001)
+    val sl = Components.lpaCommunities(spark, TestSpark.sf0001)
+    // the from-scratch twins the gates used to declare inline
+    val fp = Materialize.local(Dedup.dedupPipeline(docs))
+    val fl = Components.labelPropagation(
+      docs.select(docs("doc_id").as("id")), fp.select("id_a", "id_b"))
+
+    assert(rows(sp) == rows(fp), "verified pair table")
+    assert(rows(sl) == rows(fl), "LPA communities")
+    assert(rows(Components.modularity(sl, sp.select("id_a", "id_b")))
+      == rows(Components.modularity(fl, fp.select("id_a", "id_b"))),
+      "modularity readout")
+    assert(rows(Components.conductance(sl, sp.select("id_a", "id_b")))
+      == rows(Components.conductance(fl, fp.select("id_a", "id_b"))),
+      "conductance readout")
+  }
 }

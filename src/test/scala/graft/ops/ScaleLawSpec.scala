@@ -145,10 +145,15 @@ class ScaleLawSpec extends AnyFunSuite {
     * dedup/grid → MST → label pipeline regardless of what any earlier
     * test warmed — this is the law that still catches a super-linear
     * MST/CC regression now that the gate laws meter readouts. */
-  private def substrateLaw(what: String, maxRatio: Double, pinRatio: Double)(
+  private def substrateLaw(what: String, maxRatio: Double, pinRatio: Double,
+      warm: (String => Unit) = _ => ())(
       build: String => Unit): Unit =
     test(s"substrate $what: COLD build shuffle records ≤ ×$maxRatio and " +
         s"pinned bytes ≤ ×$pinRatio at ×3 data") {
+      // a build may itself consume an UPSTREAM substrate (dup-MST reads
+      // the dup-pairs parquet since r16) — warm that on both fixtures
+      // OUTSIDE the measure so the law meters this build's own work
+      warm(TestSpark.sf0001); warm(big)
       val (sRec, sPin) = measure { build(TestSpark.sf0001) }
       val (lRec, lPin) = measure { build(big) }
       info(f"records $sRec -> $lRec (x${lRec.toDouble / math.max(sRec, 1)}%.1f), " +
@@ -177,6 +182,8 @@ class ScaleLawSpec extends AnyFunSuite {
   // builds have their own cold/cold laws below
   private val warmDup: String => Unit =
     dir => Components.warmDupMst(spark, dir)
+  private val warmPairs: String => Unit =
+    dir => Components.warmDupPairs(spark, dir)
   private val warmSlink: String => Unit =
     dir => Components.warmEpsSlink(spark, dir)
   private val warmPhash: String => Unit =
@@ -237,13 +244,15 @@ class ScaleLawSpec extends AnyFunSuite {
   // the belt still catches an all-pairs (cell-less) regression at ×9
   // of EVERY component
   law("q369_triplet_mining", 12.0)
-  // r15: one LPA run (edge-linear rounds) + community-keyed aggregates
-  law("q370_modularity", 5.0)
-  law("q371_conductance", 5.0) // same shape as q370
+  // r16: the graph-gate family rides the dup-pairs substrate (readout
+  // laws, warmed both sides; the pipeline+LPA build has its own
+  // cold/cold law below) — community-keyed aggregates only
+  lawOn("q370_modularity", 5.0, big, "namespace", warmPairs)
+  lawOn("q371_conductance", 5.0, big, "namespace", warmPairs) // same shape as q370
   // r15: degree-ordered wedge joins per peel round over the dup graph
   // (edge-linear rounds; the dup graph's wedges stay bounded by the
   // verified-pair df-caps)
-  law("q372_ktruss", 5.0)
+  lawOn("q372_ktruss", 5.0, big, "namespace", warmPairs)
   // r15: exhaustive stride-1 gram dedup — namespaced replicas never
   // share grams, so diagonals replicate linearly; a real super-linear
   // defect (occurrence PAIRS instead of distinct diagonals) lands ×9
@@ -257,7 +266,14 @@ class ScaleLawSpec extends AnyFunSuite {
   // (the WORKLOAD's pair table grows ~quadratically at ×3; SCALE.md
   // round 12), so the build gets q345's ×12 belt — still bounded, and
   // a q336-class both-sides-unbounded defect lands well past it.
-  substrateLaw("dup-MST (q348/q353)", 6.0, 6.0)(
+  // dup-pairs + LPA: the whole graph-gate family's shared input —
+  // LSH bands + verification are near-linear by construction (df-caps,
+  // banded buckets) and LPA shuffles edge-linear rounds
+  substrateLaw("dup-pairs + LPA (graph-gate family)", 6.0, 6.0)(
+    dir => { Components.buildDupPairs(spark, dir); () })
+  // dup-MST consumes the dup-pairs parquet since r16 — pairs warmed
+  // both sides so this law meters the Borůvka election alone
+  substrateLaw("dup-MST (q348/q353)", 6.0, 6.0, warmPairs)(
     dir => { Components.buildDupMst(spark, dir); () })
   substrateLaw("eps-slink labels (q358/q359)", 12.0, 12.0)(
     dir => { Components.buildSlinkLabels(spark, dir); () })
