@@ -1042,6 +1042,38 @@ object TrainPrep {
              |FROM documents d LEFT JOIN arg ON arg.doc_id = d.doc_id
              |ORDER BY d.doc_id""".stripMargin)),
 
+    // The longest CROSS-DOCUMENT repeated token span, exact at any
+    // length (✚ — algorithm notes at [[crossDocRepeat]]: the global-
+    // suffix-order completion of the q366/q367 family). Oracle: the
+    // same suffix CTEs as q366/q367 but ordered CORPUS-wide
+    // (suf, doc_id, off), one lead over that total order, LCP of each
+    // doc-changing consecutive pair by direct token-list comparison —
+    // the O(Σ L²)-class check against the O(n log L) ladder — then the
+    // identical (len desc, pair asc) argmax.
+    QueryDef("q374_cross_doc_repeat",
+      (s, d) => crossDocRepeat(Tables.documents(s, d)),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+             |          FROM documents),
+             |i AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS i FROM t),
+             |s AS (SELECT i.doc_id, CAST(i.i - 1 AS BIGINT) AS off,
+             |        t.w[i.i:] AS suf
+             |      FROM i JOIN t USING (doc_id)),
+             |p AS (SELECT doc_id AS da, off AS oa, suf AS sa,
+             |        lead(doc_id) OVER o AS db, lead(off) OVER o AS ob,
+             |        lead(suf) OVER o AS sb
+             |      FROM s WINDOW o AS (ORDER BY suf, doc_id, off)),
+             |c AS (SELECT da, oa, db, ob,
+             |        COALESCE((SELECT MIN(u.i)
+             |                  FROM unnest(range(1, LEAST(len(sa), len(sb)) + 1)) u(i)
+             |                  WHERE sa[u.i] <> sb[u.i]) - 1,
+             |                 LEAST(len(sa), len(sb))) AS lcp
+             |      FROM p WHERE db IS NOT NULL AND db <> da),
+             |mx AS (SELECT MAX(lcp) AS m FROM c)
+             |SELECT CAST(c.lcp AS BIGINT) AS repeat_len,
+             |  da AS doc_a, oa AS off_a, db AS doc_b, ob AS off_b
+             |FROM c, mx WHERE c.lcp = mx.m
+             |ORDER BY doc_a, off_a, doc_b, off_b LIMIT 1""".stripMargin)),
+
     // Weighted sample without replacement, k=100 biased by n_chars —
     // the A-ES key ranking with the md5-slice uniform; oracle derives
     // identical keys and takes the same rounded-key/doc_id top-k.
@@ -1541,5 +1573,144 @@ object TrainPrep {
       .select(col("doc_id"),
         coalesce(col("lrs_len"), lit(0L)).as("lrs_len"),
         col("off_a"), col("off_b"))
+  }
+
+  /** Distributed DENSE RANK of the whole frame by `keys` — the
+    * primitive a CORPUS-global suffix order needs, built without the
+    * partition-less window that would sort everything in one task:
+    * range-repartition on the keys (Spark's distributed-sort shape;
+    * equal keys never straddle a partition boundary), dense-rank
+    * WITHIN each partition, then lift every rank by its partition's
+    * base offset — the prefix sum of earlier partitions' distinct-key
+    * counts, a #partitions-row driver reduction (bounded by config,
+    * never by data). The result is independent of where the sampled
+    * range boundaries fall, so it is deterministic even though
+    * RangePartitioner samples. */
+  private def denseRankGlobal(df: DataFrame, keys: Seq[String],
+      out: String, materialize: Materialize.Strategy): DataFrame = {
+    val s = df.sparkSession
+    val np = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val kc = keys.map(col)
+    val local = materialize(df.repartitionByRange(np, kc: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lr",
+        dense_rank().over(Window.partitionBy("__pid").orderBy(kc: _*))
+          .cast("long")))
+    val cnts = local.groupBy("__pid").agg(max(col("__lr")).as("__cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offs = cnts.map { case (p, c) => val o = (p, acc); acc += c; o }.toSeq
+    import s.implicits._
+    val offDf = broadcast(offs.toDF("__pid", "__off"))
+    local.join(offDf, "__pid")
+      .withColumn(out, col("__lr") + col("__off"))
+      .drop("__pid", "__lr", "__off")
+  }
+
+  /** The longest token span repeated ACROSS documents, exact at any
+    * length (✚ — the corpus-level statistic of Lee et al.'s exact
+    * substring dedup: q361 finds ≥L-token cross-doc spans at a fixed
+    * depth, q367 is per-document; this is the global "how long is the
+    * worst cross-doc repeat" number, q374's engine).
+    *
+    * Construction: the same prefix-doubling ladder as [[saWithTables]]
+    * but with DOC-AGNOSTIC rank tables — every round ranks all corpus
+    * suffixes together via [[denseRankGlobal]] (capped-prefix
+    * convention unchanged: a proper prefix sorts before every
+    * extension), so suffixes of different documents are directly
+    * comparable at every width. By the classic distinct-docs argument,
+    * the maximum cross-doc LCP is achieved by some CONSECUTIVE pair of
+    * the global suffix order whose documents differ (any farther pair
+    * with LCP m forces every adjacent LCP between them ≥ m, and the
+    * document identity must change somewhere inside the interval), so
+    * the candidates are exactly:
+    *
+    *  - consecutive rows WITHIN a final-rank group in (doc, off) order
+    *    (identical suffixes — LCP = the full common length; the group
+    *    window's skew is bounded by the worst duplication multiplicity,
+    *    and it computes one `lead`, no per-group state), and
+    *  - each group's last row paired with the next group's first row
+    *    (distinct suffixes — LCP by the q367 KMR rank-ladder jump,
+    *    cursors keyed (doc, off) against the GLOBAL width tables; a
+    *    width-w hit between non-identical suffixes is always a true
+    *    w-token match, because both-capped-equal would make the
+    *    suffixes identical and identical suffixes share a final rank).
+    *
+    * Output: ONE row — (repeat_len, doc_a, off_a, doc_b, off_b), the
+    * lexicographically-first consecutive pair achieving the maximum,
+    * pair roles in suffix order. Scale: per round one (doc, off)-keyed
+    * self-join + one distributed dense rank (n-row shuffles,
+    * ⌈log₂ maxDocLen⌉ rounds); the jump is ladder-width joins of the
+    * boundary-pair frame (≤ one pair per rank group); nothing ever
+    * materializes suffix text pairwise. */
+  def crossDocRepeat(docs: DataFrame,
+      materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+    val toks = materialize(docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos").cast("long").as("off"),
+        col("col").as("tok")))
+    val lens = materialize(toks.groupBy("doc_id")
+      .agg(count(lit(1)).as("dlen")))
+    var r = materialize(
+      denseRankGlobal(toks, Seq("tok"), "r", materialize)
+        .select(col("doc_id"), col("off"), col("r")))
+    val tables = scala.collection.mutable.ListBuffer[(Long, DataFrame)](1L -> r)
+    val mlRow = lens.agg(max(col("dlen"))).collect()(0)
+    val maxLen = if (mlRow.isNullAt(0)) 1L else mlRow.getLong(0)
+    var shift = 1L
+    while (shift < maxLen) {
+      val right = r.select(col("doc_id"), (col("off") - shift).as("off"),
+        col("r").as("rr"))
+      val joined = r.join(right, Seq("doc_id", "off"), "left")
+        .select(col("doc_id"), col("off"), col("r").as("r1"),
+          coalesce(col("rr"), lit(-1L)).as("r2"))
+      r = materialize(
+        denseRankGlobal(joined, Seq("r1", "r2"), "r", materialize)
+          .select(col("doc_id"), col("off"), col("r")))
+      shift *= 2
+      tables += (shift -> r)
+    }
+    val sa = materialize(r.join(lens, "doc_id")
+      .select(col("doc_id"), col("off"), col("r"),
+        (col("dlen") - col("off")).as("slen")))
+    val wg = Window.partitionBy("r").orderBy("doc_id", "off")
+    val within = sa
+      .withColumn("db", lead("doc_id", 1).over(wg))
+      .withColumn("ob", lead("off", 1).over(wg))
+      .where(col("db").isNotNull && col("db") =!= col("doc_id"))
+      .select(col("doc_id").as("da"), col("off").as("oa"),
+        col("db"), col("ob"), col("slen").as("lcp"))
+    val grp = materialize(sa.groupBy("r").agg(
+      min(struct(col("doc_id"), col("off"))).as("fst"),
+      max(struct(col("doc_id"), col("off"))).as("lst")))
+    val bnd = grp.select((col("r") + 1L).as("r"),
+        col("lst.doc_id").as("da"), col("lst.off").as("oa"))
+      .join(grp.select(col("r"), col("fst.doc_id").as("db"),
+        col("fst.off").as("ob")), "r")
+      .where(col("da") =!= col("db"))
+      .select(col("da"), col("oa"), col("db"), col("ob"))
+    var st = materialize(bnd.select(col("da"), col("oa"), col("db"),
+      col("ob"), lit(0L).as("lcp"),
+      col("oa").as("ca"), col("ob").as("cb")))
+    tables.sortBy(-_._1).foreach { case (w, t) =>
+      val ta = t.select(col("doc_id").as("da"), col("off").as("ca"),
+        col("r").as("ra"))
+      val tb = t.select(col("doc_id").as("db"), col("off").as("cb"),
+        col("r").as("rb"))
+      val hit = col("ra").isNotNull && col("rb").isNotNull &&
+        col("ra") === col("rb")
+      st = materialize(st.join(ta, Seq("da", "ca"), "left")
+        .join(tb, Seq("db", "cb"), "left")
+        .select(col("da"), col("oa"), col("db"), col("ob"),
+          when(hit, col("lcp") + w).otherwise(col("lcp")).as("lcp"),
+          when(hit, col("ca") + w).otherwise(col("ca")).as("ca"),
+          when(hit, col("cb") + w).otherwise(col("cb")).as("cb")))
+    }
+    within.unionByName(
+        st.select(col("da"), col("oa"), col("db"), col("ob"), col("lcp")))
+      .orderBy(col("lcp").desc, col("da"), col("oa"), col("db"), col("ob"))
+      .limit(1)
+      .select(col("lcp").as("repeat_len"), col("da").as("doc_a"),
+        col("oa").as("off_a"), col("db").as("doc_b"), col("ob").as("off_b"))
   }
 }

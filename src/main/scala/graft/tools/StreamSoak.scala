@@ -1,0 +1,59 @@
+package graft.tools
+
+import graft.{Sessions, SparkEntry}
+
+/** Long-JVM streaming-replay soak (VERDICT r15 #3): replays the
+  * in-suite streaming suspects (q331, q340, q151) round after round in
+  * ONE JVM and prints, per round, each gate's wall seconds plus the
+  * suspected accumulators — session temp views (every bounded replay's
+  * memory sink registers one holding its FULL result set), loaded
+  * state-store providers (each stopped stateful query leaves providers
+  * whose in-heap version maps reference a deleted checkpoint), and
+  * used heap. A mechanism is pinned when a counter grows monotonically
+  * WITH the per-round times; fixed when both stay flat.
+  *
+  *   java -cp ... graft.tools.StreamSoak /root/testdata/sf0.1 [rounds]
+  */
+object StreamSoak {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val rounds = args.lift(1).map(_.toInt).getOrElse(30)
+    val spark = Sessions.local()
+    val gates = Seq("q331_stream_dsir", "q340_stream_classifier",
+      "q151_stream_anomaly")
+      .filter(SparkEntry.queries.contains)
+
+    def tempViews: Long =
+      spark.catalog.listTables().filter("isTemporary").count()
+    def providers: Int = try {
+      val obj = org.apache.spark.sql.execution.streaming.state.StateStore
+      val f = obj.getClass.getDeclaredFields
+        .find(_.getName.contains("loadedProviders")).get
+      f.setAccessible(true)
+      f.get(obj).asInstanceOf[scala.collection.mutable.HashMap[_, _]].size
+    } catch { case _: Throwable => -1 }
+    def heapMb: Long = {
+      val rt = Runtime.getRuntime
+      (rt.totalMemory() - rt.freeMemory()) >> 20
+    }
+
+    println("round\t" + gates.map(_.take(8)).mkString("\t") +
+      "\ttemp_views\tproviders\theap_mb")
+    for (r <- 1 to rounds) {
+      val times = gates.map { g =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(g)(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      // the Bench per-gate cleanup, so the soak isolates what Bench's
+      // existing hygiene does NOT already remove
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.sqlContext.clearCache()
+      if (r % 25 == 0) System.gc()
+      println(f"$r%d\t" + times.map(t => f"$t%.2f").mkString("\t") +
+        f"\t$tempViews%d\t$providers%d\t$heapMb%d")
+    }
+    spark.stop()
+  }
+}

@@ -25,7 +25,28 @@ object TenX {
     ("q362", graft.ops.Components.warmEpsSlink _),
     ("q363", graft.ops.Components.warmEpsSlink _),
     ("q360", graft.ops.Components.warmMrSlink _),
-    ("q364", graft.ops.Components.warmMrSlink _))
+    ("q364", graft.ops.Components.warmMrSlink _),
+    ("q373", graft.ops.Components.warmMrSlink _),
+    // the r16 dup-pairs substrate feeds the whole graph-gate family
+    ("q74", graft.ops.Components.warmDupPairs _),
+    ("q84", graft.ops.Components.warmDupPairs _),
+    ("q85", graft.ops.Components.warmDupPairs _),
+    ("q90", graft.ops.Components.warmDupPairs _),
+    ("q98", graft.ops.Components.warmDupPairs _),
+    ("q111", graft.ops.Components.warmDupPairs _),
+    ("q112", graft.ops.Components.warmDupPairs _),
+    ("q119", graft.ops.Components.warmDupPairs _),
+    ("q129", graft.ops.Components.warmDupPairs _),
+    ("q130", graft.ops.Components.warmDupPairs _),
+    ("q147", graft.ops.Components.warmDupPairs _),
+    ("q176", graft.ops.Components.warmDupPairs _),
+    ("q209", graft.ops.Components.warmDupPairs _),
+    ("q259", graft.ops.Components.warmDupPairs _),
+    ("q266", graft.ops.Components.warmDupPairs _),
+    ("q313", graft.ops.Components.warmDupPairs _),
+    ("q370", graft.ops.Components.warmDupPairs _),
+    ("q371", graft.ops.Components.warmDupPairs _),
+    ("q372", graft.ops.Components.warmDupPairs _))
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: TenX <queryName>...")

@@ -96,7 +96,12 @@ class LayoutInvarianceSpec extends AnyFunSuite {
     // minima under any partitioning
     "q353_dendrogram_cut",
     "q358_hdbscan",
-    "q359_glosh_outliers")
+    "q359_glosh_outliers",
+    // round-16: the distributed dense rank behind the global suffix
+    // order (range repartition + per-partition dense_rank + driver
+    // offset prefix sum) must elect the identical ranks — and so the
+    // identical argmax pair — under any partition count/width
+    "q374_cross_doc_repeat")
 
   private def contents(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf).collect()

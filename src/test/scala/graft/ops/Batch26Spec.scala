@@ -1,0 +1,132 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-side SEQUENTIAL cross-checks for the r16 additions — the
+  * Batch23/25 pattern (a different algorithm on collected data must
+  * reproduce the distributed result exactly):
+  *
+  *  - q374 crossDocRepeat: brute-force max cross-doc LCP over ALL
+  *    suffix pairs of a handcrafted corpus and a seeded random one
+  *    (vs the global prefix-doubling ladder + consecutive-pair
+  *    argument), plus a token-level re-verification of the reported
+  *    spans;
+  *  - kTruss (support-decrement rewrite): a naive per-round FULL
+  *    re-enumeration peel on collected edges must produce the
+  *    identical surviving edge set and supports on seeded random
+  *    graphs at several k — the equality that makes the incremental
+  *    decrement (min-removed-edge triangle charging) trustworthy
+  *    beyond Batch25's single handcrafted cascade. */
+class Batch26Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // ---- q374: brute-force cross-doc longest repeat ----
+
+  private def bruteCross(docs: Seq[(Long, String)]): Long = {
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val sufs = for {
+      (id, w) <- toks
+      off <- w.indices
+    } yield (id, off.toLong, w.drop(off))
+    var best = 0L
+    for (a <- sufs; b <- sufs if a._1 < b._1) {
+      val l = a._3.zip(b._3).takeWhile { case (x, y) => x == y }.size.toLong
+      if (l > best) best = l
+    }
+    best
+  }
+
+  private def run(docs: Seq[(Long, String)])
+      : (Long, Long, Long, Long, Long) = {
+    import spark.implicits._
+    val df = docs.toDF("doc_id", "text")
+    val r = TrainPrep.crossDocRepeat(df).collect()(0)
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+  }
+
+  test("q374 on a handcrafted corpus: the planted cross-doc span wins " +
+      "and the reported offsets point at a real token match") {
+    val docs = Seq[(Long, String)](
+      (1L, "a b c d e"),
+      (2L, "x a b c d y"),
+      (3L, "q r a b s"))
+    val (len, da, oa, db, ob) = run(docs)
+    assert(len == 4L) // "a b c d" between doc 1 and doc 2
+    assert(bruteCross(docs) == 4L)
+    val byId = docs.toMap.map { case (k, v) => k -> v.split(" ", -1) }
+    assert(da != db)
+    assert(byId(da).slice(oa.toInt, oa.toInt + len.toInt).toSeq ==
+      byId(db).slice(ob.toInt, ob.toInt + len.toInt).toSeq)
+  }
+
+  test("q374: identical documents report the full length; disjoint " +
+      "vocabularies report zero") {
+    val twins = Seq[(Long, String)]((7L, "p q r"), (9L, "p q r"))
+    val (len, da, oa, db, ob) = run(twins)
+    assert((len, da, oa, db, ob) == ((3L, 7L, 0L, 9L, 0L)))
+    val disjoint = Seq[(Long, String)]((1L, "a b"), (2L, "c d"))
+    assert(run(disjoint)._1 == 0L)
+  }
+
+  test("q374 matches brute force on seeded random corpora, and the " +
+      "reported span is a real cross-doc match of that length") {
+    val rnd = new scala.util.Random(2026)
+    for (trial <- 1 to 4) {
+      val docs = (1L to 8L).map { id =>
+        val n = 5 + rnd.nextInt(20)
+        id -> Seq.fill(n)(('a' + rnd.nextInt(4)).toChar.toString)
+          .mkString(" ")
+      }
+      val (len, da, oa, db, ob) = run(docs)
+      assert(len == bruteCross(docs), s"trial $trial length")
+      if (len > 0) {
+        val byId = docs.toMap.map { case (k, v) => k -> v.split(" ", -1) }
+        assert(da != db, s"trial $trial cross-doc")
+        assert(byId(da).slice(oa.toInt, oa.toInt + len.toInt).toSeq ==
+          byId(db).slice(ob.toInt, ob.toInt + len.toInt).toSeq,
+          s"trial $trial span")
+      }
+    }
+  }
+
+  // ---- kTruss: incremental decrement == naive re-enumeration ----
+
+  private def naiveTruss(edges: Set[(Long, Long)], k: Int)
+      : Map[(Long, Long), Long] = {
+    var e = edges
+    var done = false
+    var sup = Map.empty[(Long, Long), Long]
+    while (!done) {
+      def canon(a: Long, b: Long) = (math.min(a, b), math.max(a, b))
+      val adj = e.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).toSet }
+      sup = e.toSeq.map { case (a, b) =>
+        (a, b) -> (adj(a) & adj(b)).size.toLong
+      }.toMap
+      val kept = e.filter(ed => sup(ed) >= k - 2)
+      if (kept == e) done = true else e = kept
+    }
+    sup.filter { case (ed, s) => e(ed) }
+  }
+
+  test("incremental support-decrement kTruss equals the naive " +
+      "re-enumerating peel on seeded random graphs at k = 3, 4, 5") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(16)
+    for (trial <- 1 to 3) {
+      val n = 14
+      val edges = (for {
+        a <- 1L to n; b <- (a + 1) to n
+        if rnd.nextDouble() < 0.35
+      } yield (a, b)).toSet
+      val df = edges.toSeq.toDF("id_a", "id_b")
+      for (k <- Seq(3, 4, 5)) {
+        val got = Components.kTruss(df, k).collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+        assert(got == naiveTruss(edges, k), s"trial $trial k=$k")
+      }
+    }
+  }
+}

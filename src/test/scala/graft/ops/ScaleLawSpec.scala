@@ -1,9 +1,9 @@
 package graft.ops
 
-import graft.{ScaleGen, SparkEntry, TestSpark}
+import graft.{ScaleGen, SparkEntry, Tables, TestSpark}
 import org.apache.spark.scheduler.{SparkListener, SparkListenerBlockUpdated, SparkListenerTaskEnd}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, slice}
+import org.apache.spark.sql.functions.{col, element_at, slice}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The SCALE.md scaling study folded into CI as a STANDING gate
@@ -222,10 +222,49 @@ class ScaleLawSpec extends AnyFunSuite {
   // q345's workload belt, not a plan defect (labels ride the warmed
   // scaffold; the pairs are the gate's input by definition)
   lawOn("q363_cophenetic", 12.0, big, "namespace", warmSlink)
+  // r16 (VERDICT r15 #7): the ×12 belt above absorbs the fixture's
+  // ε-pair densification (the replica plane packs ~quadratically more
+  // candidate pairs); THIS law divides the same records by the
+  // measured candidate-pair workload, so the operator's records-per-
+  // pair is pinned at a tight bound the fixture physics can't mask —
+  // a per-pair regression (say a second pass over the pair table)
+  // lands here even though the absolute belt would absorb it.
+  test("q363_cophenetic: shuffle records PER CANDIDATE PAIR stay " +
+      "≤ ×2 at ×3 namespace data") {
+    warmSlink(TestSpark.sf0001); warmSlink(big)
+    def pairsOf(dir: String): Long = {
+      val pts = Tables.embeddings(spark, dir).select(
+        col("vec_id").as("id"),
+        element_at(col("embedding"), 1).cast("double").as("x"),
+        element_at(col("embedding"), 2).cast("double").as("y"))
+      Components.gridEpsPairs(pts, eps = 0.05, eps2 = 0.0025)
+        .where(col("ia") < col("ib")).count()
+    }
+    val sRec = gateMetrics("q363_cophenetic", TestSpark.sf0001)._1
+    val lRec = gateMetrics("q363_cophenetic", big)._1
+    val sN = sRec.toDouble / math.max(pairsOf(TestSpark.sf0001), 1L)
+    val lN = lRec.toDouble / math.max(pairsOf(big), 1L)
+    // +0.5 records/pair absolute slack: the gate's fixed-cost shuffles
+    // (label attach, the 1-row moment aggregate) divide by the pair
+    // count and sit near zero on both sides (measured 0.00x) — while
+    // any real per-pair regression (an extra pass over the pair table)
+    // costs ≥1 record per pair and lands well past the belt
+    info(f"records/pair $sN%.4f -> $lN%.4f")
+    assert(lN <= sN * 2.0 + 0.5,
+      f"q363 shuffled $sN%.4f -> $lN%.4f records per candidate pair " +
+        f"at x3 data (bound x2 + 0.5)")
+  }
   // r15: Euler-tour list ranking is O(n log n) on the TREE (n−1 edges
   // regardless of candidate density): ×3 nodes ⇒ ×3 arcs × (+~1.6
   // doubling rounds over ~12) ≈ ×3.5 records
   lawOn("q364_optics_order", 6.0, big, "namespace", warmMr)
+  // r16: flat-cluster extraction is one window + one keyed aggregate
+  // over the q364 plot (substrate-backed like its parent)
+  lawOn("q373_optics_clusters", 6.0, big, "namespace", warmMr)
+  // r16: global prefix doubling — per round one (doc, off)-keyed join
+  // + one distributed dense rank, all n-row shuffles; namespace
+  // replication preserves doc lengths so the round count is constant
+  law("q374_cross_doc_repeat", 5.0)
   // r15: one map-side-combined corpus groupBy; the EG iteration runs
   // on the K-row domain frame only
   law("q365_doremi_weights", 5.0)
@@ -295,6 +334,8 @@ class ScaleLawSpec extends AnyFunSuite {
   pinLaw("q362_soft_membership", 6.0, warmSlink)
   pinLaw("q363_cophenetic", 12.0, warmSlink) // pins the ε-pair table (q345-class workload)
   pinLaw("q364_optics_order", 6.0, warmMr) // pins tree-sized arc states per doubling round
+  pinLaw("q373_optics_clusters", 6.0, warmMr) // plot-sized window input
+  pinLaw("q374_cross_doc_repeat", 5.0) // pins rank triples per doubling round
   pinLaw("q366_suffix_array", 5.0) // pins rank triples per doubling round
   pinLaw("q367_longest_repeat", 5.0) // pins rank tables + the pair frame
 
