@@ -1480,11 +1480,16 @@ object TrainPrep {
     * their length-capped w-token prefix, so two same-doc suffixes
     * share a width-w rank iff their next w tokens match (capped
     * prefixes of different lengths never collide: same-doc suffixes
-    * have distinct lengths). q366 keeps `earlyExit` on (the order is
-    * total once per-doc ranks are dense-and-distinct — real text gets
-    * there in ~log_|V| n of the ⌈log₂ maxLen⌉ worst-case rounds); the
-    * LCP consumer turns it off because the jump needs the FULL width
-    * ladder. */
+    * have distinct lengths). `earlyExit` stops doubling once per-doc
+    * ranks are dense-and-distinct — real text gets there in ~log_|V| n
+    * of the ⌈log₂ maxLen⌉ worst-case rounds — and it is sound for the
+    * LCP consumers too (r16; the ladder was previously run in full on
+    * the belief the jump needed every rung): all ranks distinct at
+    * width S ⟺ every pair's capped-S prefixes differ ⟹ every pairwise
+    * LCP < S, and the greedy jump decomposes any value < S with the
+    * remaining rungs (S/2 + S/4 + … + 1 = S−1); the rung-S probe
+    * itself can never fire since no two positions share a width-S
+    * rank. */
   private[ops] def saWithTables(docs: DataFrame, earlyExit: Boolean,
       materialize: Materialize.Strategy = Materialize.local)
       : (DataFrame, Seq[(Long, DataFrame)], Long) = {
@@ -1537,7 +1542,10 @@ object TrainPrep {
     * docs have no pair: lrs_len 0, NULL offsets). */
   def longestRepeats(docs: DataFrame,
       materialize: Materialize.Strategy = Materialize.local): DataFrame = {
-    val (sa, tables, _) = saWithTables(docs, earlyExit = false, materialize)
+    // earlyExit is sound for the jump — see [[saWithTables]] (r16):
+    // exit at width S bounds every LCP below S, and rungs ≤ S/2
+    // decompose any such value; measured 10.0 → ~6 s at sf0.1
+    val (sa, tables, _) = saWithTables(docs, earlyExit = true, materialize)
     val bySa = Window.partitionBy("doc_id").orderBy("r")
     val pairs = sa
       .withColumn("off_b", lead("off", 1).over(bySa))
@@ -1587,7 +1595,15 @@ object TrainPrep {
     * range boundaries fall, so it is deterministic even though
     * RangePartitioner samples. */
   private def denseRankGlobal(df: DataFrame, keys: Seq[String],
-      out: String, materialize: Materialize.Strategy): DataFrame = {
+      out: String, materialize: Materialize.Strategy): DataFrame =
+    denseRankGlobalCounted(df, keys, out, materialize)._1
+
+  /** [[denseRankGlobal]] plus the TOTAL group count — already computed
+    * by the driver prefix sum, so callers that need it (the
+    * convergence exit in [[crossDocRepeat]]) pay no extra action. */
+  private def denseRankGlobalCounted(df: DataFrame, keys: Seq[String],
+      out: String, materialize: Materialize.Strategy)
+      : (DataFrame, Long) = {
     val s = df.sparkSession
     val np = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val kc = keys.map(col)
@@ -1602,9 +1618,9 @@ object TrainPrep {
     val offs = cnts.map { case (p, c) => val o = (p, acc); acc += c; o }.toSeq
     import s.implicits._
     val offDf = broadcast(offs.toDF("__pid", "__off"))
-    local.join(offDf, "__pid")
+    (local.join(offDf, "__pid")
       .withColumn(out, col("__lr") + col("__off"))
-      .drop("__pid", "__lr", "__off")
+      .drop("__pid", "__lr", "__off"), acc)
   }
 
   /** The longest token span repeated ACROSS documents, exact at any
@@ -1651,24 +1667,42 @@ object TrainPrep {
         col("col").as("tok")))
     val lens = materialize(toks.groupBy("doc_id")
       .agg(count(lit(1)).as("dlen")))
-    var r = materialize(
-      denseRankGlobal(toks, Seq("tok"), "r", materialize)
-        .select(col("doc_id"), col("off"), col("r")))
+    val (r0, g0) =
+      denseRankGlobalCounted(toks, Seq("tok"), "r", materialize)
+    var r = materialize(r0.select(col("doc_id"), col("off"), col("r")))
     val tables = scala.collection.mutable.ListBuffer[(Long, DataFrame)](1L -> r)
     val mlRow = lens.agg(max(col("dlen"))).collect()(0)
     val maxLen = if (mlRow.isNullAt(0)) 1L else mlRow.getLong(0)
+    // GROUP-CONVERGENCE early exit (r16): the per-doc "all ranks
+    // distinct" exit can never fire when exact duplicate suffixes
+    // exist cross-doc, but prefix doubling has a stronger standard
+    // termination — a round that splits NO group never splits one
+    // again (same-group at 2S ⟹ same-group shifted ⟹ same-group at
+    // 4S, inductively), so the partition already equals full-suffix
+    // equivalence. The no-split round's table is DISCARDED: its
+    // partition duplicates the previous rung's (adding it would let
+    // the jump claim a 2S-token match on what is only a certified
+    // S-token match). Every kept rung is genuine capped-w equality,
+    // and non-identical pairs (the only ones the jump sees) have
+    // LCP < S, decomposable by rungs ≤ S/2. The group count rides the
+    // dense-rank driver prefix sum — no extra probe per round.
+    var groups = g0
     var shift = 1L
-    while (shift < maxLen) {
+    var converged = false
+    while (shift < maxLen && !converged) {
       val right = r.select(col("doc_id"), (col("off") - shift).as("off"),
         col("r").as("rr"))
       val joined = r.join(right, Seq("doc_id", "off"), "left")
         .select(col("doc_id"), col("off"), col("r").as("r1"),
           coalesce(col("rr"), lit(-1L)).as("r2"))
-      r = materialize(
-        denseRankGlobal(joined, Seq("r1", "r2"), "r", materialize)
-          .select(col("doc_id"), col("off"), col("r")))
-      shift *= 2
-      tables += (shift -> r)
+      val (rNext, g2) =
+        denseRankGlobalCounted(joined, Seq("r1", "r2"), "r", materialize)
+      if (g2 == groups) converged = true
+      else {
+        r = materialize(rNext.select(col("doc_id"), col("off"), col("r")))
+        groups = g2; shift *= 2
+        tables += (shift -> r)
+      }
     }
     val sa = materialize(r.join(lens, "doc_id")
       .select(col("doc_id"), col("off"), col("r"),
