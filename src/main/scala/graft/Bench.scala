@@ -76,8 +76,11 @@ object Bench {
         () => ops.Components.warmDupMst(spark, sfDir)),
       ("eps_slink", Seq("q358", "q359", "q362", "q363"),
         () => ops.Components.warmEpsSlink(spark, sfDir)),
-      ("mr_slink", Seq("q360", "q364"),
-        () => ops.Components.warmMrSlink(spark, sfDir)))
+      ("mr_slink", Seq("q360", "q364", "q373"),
+        () => ops.Components.warmMrSlink(spark, sfDir)),
+      // the global suffix-order ladder (r16): q374/q375 read one build
+      ("global_sa", Seq("q374", "q375"),
+        () => ops.TrainPrep.warmGlobalSa(spark, sfDir)))
     val substrates = substrateDefs.flatMap { case (sname, consumers, run) =>
       if (selected.exists { case (n, _) => consumers.exists(n.startsWith) }) {
         val t0 = System.nanoTime()

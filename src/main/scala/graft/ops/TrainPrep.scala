@@ -1051,7 +1051,10 @@ object TrainPrep {
     // the O(Σ L²)-class check against the O(n log L) ladder — then the
     // identical (len desc, pair asc) argmax.
     QueryDef("q374_cross_doc_repeat",
-      (s, d) => crossDocRepeat(Tables.documents(s, d)),
+      // readout of the cached [[globalSa]] substrate (one ladder build
+      // per JVM/corpus, charged once in bench; q375 reads the same)
+      (s, d) => { val (sa, t) = globalSa(s, d)
+        crossDocRepeatFrom(sa, t, Materialize.local) },
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
              |          FROM documents),
              |i AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS i FROM t),
@@ -1073,6 +1076,59 @@ object TrainPrep {
              |  da AS doc_a, oa AS off_a, db AS doc_b, ob AS off_b
              |FROM c, mx WHERE c.lcp = mx.m
              |ORDER BY doc_a, off_a, doc_b, off_b LIMIT 1""".stripMargin)),
+
+    // Per-document cross-doc match statistics (✚ — algorithm notes at
+    // [[crossDocCoverage]]: q374 quantified per document — max shared
+    // span + how many positions start a ≥50-token shared span).
+    // Oracle: the same corpus-wide suffix sort, ALL adjacent-pair LCPs
+    // by direct token comparison, then the identical run/running-min
+    // construction in window SQL.
+    QueryDef("q375_cross_doc_coverage",
+      (s, d) => { val (sa, t) = globalSa(s, d)
+        crossDocCoverageFrom(sa, t, 50, Materialize.local) },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+             |          FROM documents),
+             |ix AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS i FROM t),
+             |s AS (SELECT ix.doc_id, CAST(ix.i - 1 AS BIGINT) AS off,
+             |        t.w[ix.i:] AS suf
+             |      FROM ix JOIN t USING (doc_id)),
+             |o AS (SELECT doc_id, off, suf,
+             |        ROW_NUMBER() OVER (ORDER BY suf, doc_id, off) - 1 AS i
+             |      FROM s),
+             |adj AS (SELECT a.i, a.doc_id AS da, b.doc_id AS db,
+             |        COALESCE((SELECT MIN(u.k) FROM unnest(range(1,
+             |              LEAST(len(a.suf), len(b.suf)) + 1)) u(k)
+             |            WHERE a.suf[u.k] <> b.suf[u.k]) - 1,
+             |          LEAST(len(a.suf), len(b.suf))) AS lcp
+             |      FROM o a JOIN o b ON b.i = a.i + 1),
+             |m AS (SELECT o.i, o.doc_id,
+             |        COALESCE(CASE WHEN p.da <> p.db THEN 1 ELSE 0 END, 0)
+             |          AS chg,
+             |        p.lcp AS lcp_in, nx.lcp AS lcp_out
+             |      FROM o LEFT JOIN adj p ON p.i = o.i - 1
+             |             LEFT JOIN adj nx ON nx.i = o.i),
+             |r AS (SELECT m.*, SUM(chg) OVER (ORDER BY i) AS run FROM m),
+             |mx AS (SELECT MAX(run) AS mr FROM r),
+             |c1 AS (SELECT r.*, CASE WHEN run > 0 THEN
+             |          MIN(lcp_in) OVER (PARTITION BY run ORDER BY i
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |        END AS cd_above
+             |       FROM r),
+             |c2 AS (SELECT c1.*, CASE WHEN run < (SELECT mr FROM mx) THEN
+             |          MIN(lcp_out) OVER (PARTITION BY run ORDER BY i DESC
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |        END AS cd_below
+             |       FROM c1),
+             |cd AS (SELECT doc_id,
+             |        GREATEST(COALESCE(cd_above, -1), COALESCE(cd_below, -1))
+             |          AS cdv
+             |       FROM c2)
+             |SELECT doc_id, COUNT(*) AS n_positions,
+             |  CAST(CASE WHEN MAX(cdv) < 0 THEN 0 ELSE MAX(cdv) END
+             |    AS BIGINT) AS max_cross_lcp,
+             |  CAST(SUM(CASE WHEN cdv >= 50 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_starts_ge_min
+             |FROM cd GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // Weighted sample without replacement, k=100 biased by n_chars —
     // the A-ES key ranking with the md5-slice uniform; oracle derives
@@ -1659,8 +1715,14 @@ object TrainPrep {
     * ⌈log₂ maxDocLen⌉ rounds); the jump is ladder-width joins of the
     * boundary-pair frame (≤ one pair per rank group); nothing ever
     * materializes suffix text pairwise. */
-  def crossDocRepeat(docs: DataFrame,
-      materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+  /** The GLOBAL suffix-order ladder shared by [[crossDocRepeat]] and
+    * [[crossDocCoverage]]: returns the final rank frame
+    * (doc_id, off, r, slen) — r the corpus-wide suffix rank (ties ⟺
+    * identical suffixes), slen the suffix length — plus every genuine
+    * capped-width rank table for the LCP jump. */
+  private def globalSaLadder(docs: DataFrame,
+      materialize: Materialize.Strategy)
+      : (DataFrame, Seq[(Long, DataFrame)]) = {
     val toks = materialize(docs
       .select(col("doc_id"), posexplode(split(col("text"), " ")))
       .select(col("doc_id"), col("pos").cast("long").as("off"),
@@ -1707,6 +1769,100 @@ object TrainPrep {
     val sa = materialize(r.join(lens, "doc_id")
       .select(col("doc_id"), col("off"), col("r"),
         (col("dlen") - col("off")).as("slen")))
+    (sa, tables.toList)
+  }
+
+  /** The KMR rank-ladder LCP jump (the q367 walk, doc-agnostic) over a
+    * pair frame (`i` passthrough key, `da`, `oa`, `db`, `ob`): one
+    * (doc, cursor)-keyed join per rung, descending widths; returns the
+    * pairs with their exact `lcp`. Callers must route IDENTICAL-rank
+    * pairs around this (their LCP is the full common length; inside
+    * the jump a same-rank hit on the top rung would overshoot), which
+    * also guarantees every hit here is a true w-token match. */
+  private def ladderJumpLcp(pairs: DataFrame,
+      tables: Seq[(Long, DataFrame)],
+      materialize: Materialize.Strategy): DataFrame = {
+    var st = materialize(pairs.select(col("i"), col("da"), col("oa"),
+      col("db"), col("ob"), lit(0L).as("lcp"),
+      col("oa").as("ca"), col("ob").as("cb")))
+    tables.sortBy(-_._1).foreach { case (w, t) =>
+      val ta = t.select(col("doc_id").as("da"), col("off").as("ca"),
+        col("r").as("ra"))
+      val tb = t.select(col("doc_id").as("db"), col("off").as("cb"),
+        col("r").as("rb"))
+      val hit = col("ra").isNotNull && col("rb").isNotNull &&
+        col("ra") === col("rb")
+      st = materialize(st.join(ta, Seq("da", "ca"), "left")
+        .join(tb, Seq("db", "cb"), "left")
+        .select(col("i"), col("da"), col("oa"), col("db"), col("ob"),
+          when(hit, col("lcp") + w).otherwise(col("lcp")).as("lcp"),
+          when(hit, col("ca") + w).otherwise(col("ca")).as("ca"),
+          when(hit, col("cb") + w).otherwise(col("cb")).as("cb")))
+    }
+    st.select(col("i"), col("da"), col("oa"), col("db"), col("ob"),
+      col("lcp"))
+  }
+
+  private val globalSaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build the GLOBAL-SUFFIX-ORDER substrate for `dir` UNCACHED into
+    * fresh scratch parquet — the rank frame plus every jump rung —
+    * returning the scratch root. q374 and q375 read the SAME ladder
+    * (each used to build its own: 2 × ~14 s of identical work per
+    * suite run); the build is charged once in the bench `substrates`
+    * section with its own cold/cold law, the same contract as
+    * [[graft.ops.Components]]'s dup-pairs/MST/slink substrates.
+    * Deterministic: ranks are a pure function of the corpus (the
+    * distributed dense rank is boundary-placement-independent). */
+  private[graft] def buildGlobalSa(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val out = graft.core.Scratch.tempDir("graft-gsa")
+    val (sa, tables) = globalSaLadder(Tables.documents(s, dir),
+      Materialize.local)
+    sa.write.mode("overwrite").parquet(out + "/sa.parquet")
+    tables.foreach { case (w, t) =>
+      t.write.mode("overwrite").parquet(out + s"/tab_$w.parquet") }
+    java.nio.file.Files.write(java.nio.file.Paths.get(out, "widths.txt"),
+      tables.map(_._1).mkString(",").getBytes("UTF-8"))
+    out
+  }
+
+  /** Pre-build (idempotent) the q374/q375 substrate. */
+  private[graft] def warmGlobalSa(s: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = { globalSaBase(s, dir); () }
+
+  private def globalSaBase(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val cached = globalSaCache.get(dir)
+    if (cached != null) cached else {
+      val built = buildGlobalSa(s, dir)
+      Option(globalSaCache.putIfAbsent(dir, built)).getOrElse(built)
+    }
+  }
+
+  /** The cached global suffix order + rung tables (cache contract as
+    * the Components substrates: corpus dirs immutable per JVM, scratch
+    * deleted on exit, no build under the map lock). */
+  private def globalSa(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (DataFrame, Seq[(Long, DataFrame)]) = {
+    val base = globalSaBase(s, dir)
+    val widths = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(base, "widths.txt")), "UTF-8")
+      .split(",").map(_.toLong).toSeq
+    (s.read.parquet(base + "/sa.parquet"),
+      widths.map(w => w -> s.read.parquet(base + s"/tab_$w.parquet")))
+  }
+
+  def crossDocRepeat(docs: DataFrame,
+      materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+    val (sa, tables) = globalSaLadder(docs, materialize)
+    crossDocRepeatFrom(sa, tables, materialize)
+  }
+
+  private[ops] def crossDocRepeatFrom(sa: DataFrame,
+      tables: Seq[(Long, DataFrame)],
+      materialize: Materialize.Strategy): DataFrame = {
     val wg = Window.partitionBy("r").orderBy("doc_id", "off")
     val within = sa
       .withColumn("db", lead("doc_id", 1).over(wg))
@@ -1722,29 +1878,149 @@ object TrainPrep {
       .join(grp.select(col("r"), col("fst.doc_id").as("db"),
         col("fst.off").as("ob")), "r")
       .where(col("da") =!= col("db"))
-      .select(col("da"), col("oa"), col("db"), col("ob"))
-    var st = materialize(bnd.select(col("da"), col("oa"), col("db"),
-      col("ob"), lit(0L).as("lcp"),
-      col("oa").as("ca"), col("ob").as("cb")))
-    tables.sortBy(-_._1).foreach { case (w, t) =>
-      val ta = t.select(col("doc_id").as("da"), col("off").as("ca"),
-        col("r").as("ra"))
-      val tb = t.select(col("doc_id").as("db"), col("off").as("cb"),
-        col("r").as("rb"))
-      val hit = col("ra").isNotNull && col("rb").isNotNull &&
-        col("ra") === col("rb")
-      st = materialize(st.join(ta, Seq("da", "ca"), "left")
-        .join(tb, Seq("db", "cb"), "left")
-        .select(col("da"), col("oa"), col("db"), col("ob"),
-          when(hit, col("lcp") + w).otherwise(col("lcp")).as("lcp"),
-          when(hit, col("ca") + w).otherwise(col("ca")).as("ca"),
-          when(hit, col("cb") + w).otherwise(col("cb")).as("cb")))
-    }
+      .select(lit(0L).as("i"), col("da"), col("oa"), col("db"), col("ob"))
+    val jumped = ladderJumpLcp(bnd, tables, materialize)
     within.unionByName(
-        st.select(col("da"), col("oa"), col("db"), col("ob"), col("lcp")))
+        jumped.select(col("da"), col("oa"), col("db"), col("ob"), col("lcp")))
       .orderBy(col("lcp").desc, col("da"), col("oa"), col("db"), col("ob"))
       .limit(1)
       .select(col("lcp").as("repeat_len"), col("da").as("doc_a"),
         col("oa").as("off_a"), col("db").as("doc_b"), col("ob").as("off_b"))
+  }
+
+  /** Global ORDER INDEX by `keys` — the row-number sibling of
+    * [[denseRankGlobalCounted]] (range repartition, per-partition
+    * row_number, partition-count prefix sum), 0-based. */
+  private def globalOrderIndex(df: DataFrame, keys: Seq[String],
+      out: String, materialize: Materialize.Strategy): DataFrame = {
+    val s = df.sparkSession
+    val np = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val kc = keys.map(col)
+    val local = materialize(df.repartitionByRange(np, kc: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lr",
+        row_number().over(Window.partitionBy("__pid").orderBy(kc: _*))
+          .cast("long")))
+    val cnts = local.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offs = cnts.map { case (p, c) => val o = (p, acc); acc += c; o }.toSeq
+    import s.implicits._
+    val offDf = broadcast(offs.toDF("__pid", "__off"))
+    local.join(offDf, "__pid")
+      .withColumn(out, col("__lr") - 1L + col("__off"))
+      .drop("__pid", "__lr", "__off")
+  }
+
+  /** Global RUNNING SUM of `valueCol` in `orderCol` order (inclusive of
+    * the current row) — the same two-phase shape: range repartition on
+    * the order key, per-partition cumulative window, driver prefix sum
+    * of per-partition totals. */
+  private def runningSumGlobal(df: DataFrame, orderCol: String,
+      valueCol: String, out: String,
+      materialize: Materialize.Strategy): DataFrame = {
+    val s = df.sparkSession
+    val np = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val local = materialize(df.repartitionByRange(np, col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__ls",
+        sum(col(valueCol)).over(Window.partitionBy("__pid")
+          .orderBy(orderCol)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+    val tots = local.groupBy("__pid").agg(sum(col(valueCol)).as("__tot"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offs = tots.map { case (p, c) => val o = (p, acc); acc += c; o }.toSeq
+    import s.implicits._
+    val offDf = broadcast(offs.toDF("__pid", "__off"))
+    local.join(offDf, "__pid")
+      .withColumn(out, col("__ls") + col("__off"))
+      .drop("__pid", "__ls", "__off")
+  }
+
+  /** Per-document CROSS-DOCUMENT match statistics, exact at any length
+    * (✚ — matching statistics over the global suffix order; the
+    * quantified form of [[crossDocRepeat]]'s single maximum, and the
+    * per-document decision input of the Lee et al. dedup family:
+    * "how MUCH of this document recurs elsewhere, and how long is its
+    * worst shared span").
+    *
+    * For every corpus position x, cd(x) = the longest token span
+    * starting at x that also occurs in ANOTHER document. By the
+    * min-interval property of suffix orders, the best cross-doc
+    * partner of x is its NEAREST different-doc neighbor above or below
+    * in the global order, and LCP(x, that neighbor) is the running MIN
+    * of adjacent-pair LCPs back to the doc-change boundary — so the
+    * whole statistic needs exactly: adjacent-pair LCPs (identical-rank
+    * pairs read their common length; the rest take one
+    * [[ladderJumpLcp]] walk), doc-change RUN ids (one global running
+    * sum), and one running-min window per run from each end. Runs in
+    * the first (last) run have no above (below) partner — NULL side,
+    * encoded as −1 so both engines aggregate identically.
+    *
+    * Scale: everything is n-row frames keyed by (doc, off) or the
+    * order index; the two-phase primitives never sort the corpus in
+    * one task; the per-run windows are bounded by the longest
+    * same-doc run of consecutive suffixes (ties to duplication
+    * structure, not corpus size). Output per document: position count,
+    * the maximum cross-doc span length, and how many positions start a
+    * span of ≥ `minLen` tokens shared with another document. */
+  def crossDocCoverage(docs: DataFrame, minLen: Int = 50,
+      materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+    val (sa, tables) = globalSaLadder(docs, materialize)
+    crossDocCoverageFrom(sa, tables, minLen, materialize)
+  }
+
+  private[ops] def crossDocCoverageFrom(sa: DataFrame,
+      tables: Seq[(Long, DataFrame)], minLen: Int,
+      materialize: Materialize.Strategy): DataFrame = {
+    val idx = materialize(globalOrderIndex(sa,
+      Seq("r", "doc_id", "off"), "i", materialize))
+    val aSide = idx.select(col("i"), col("doc_id").as("da"),
+      col("off").as("oa"), col("r").as("ra"), col("slen").as("sla"))
+    val bSide = idx.select((col("i") - 1L).as("i"),
+      col("doc_id").as("db"), col("off").as("ob"), col("r").as("rb"))
+    val adj0 = aSide.join(bSide, "i")
+    // pair (i, i+1): identical ranks ⟺ identical suffixes (LCP = the
+    // common length); distinct ranks walk the ladder
+    val sameR = adj0.where(col("ra") === col("rb"))
+      .select(col("i"), col("da"), col("db"), col("sla").as("lcp"))
+    val diffR = ladderJumpLcp(
+      adj0.where(col("ra") =!= col("rb"))
+        .select(col("i"), col("da"), col("oa"), col("db"), col("ob")),
+      tables, materialize)
+      .select(col("i"), col("da"), col("db"), col("lcp"))
+    val adj = materialize(sameR.unionByName(diffR))
+    // row i's entering pair is adj(i−1); its leaving pair is adj(i)
+    val marked = idx
+      .join(adj.select((col("i") + 1L).as("i"),
+        (col("da") =!= col("db")).cast("long").as("chg"),
+        col("lcp").as("lcp_in")), Seq("i"), "left")
+      .join(adj.select(col("i"), col("lcp").as("lcp_out")), Seq("i"), "left")
+      .select(col("i"), col("doc_id"),
+        coalesce(col("chg"), lit(0L)).as("chg"),
+        col("lcp_in"), col("lcp_out"))
+    val withRun = materialize(runningSumGlobal(marked, "i", "chg", "run",
+      materialize))
+    val maxRun = withRun.agg(max(col("run"))).collect()(0).getLong(0)
+    val wUp = Window.partitionBy("run").orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDn = Window.partitionBy("run").orderBy(col("i").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cd = withRun
+      .withColumn("cd_above",
+        when(col("run") > 0, min(col("lcp_in")).over(wUp)))
+      .withColumn("cd_below",
+        when(col("run") < maxRun, min(col("lcp_out")).over(wDn)))
+      .select(col("doc_id"),
+        greatest(coalesce(col("cd_above"), lit(-1L)),
+          coalesce(col("cd_below"), lit(-1L))).as("cdv"))
+    cd.groupBy("doc_id").agg(
+        count(lit(1)).as("n_positions"),
+        when(max(col("cdv")) < 0, lit(0L)).otherwise(max(col("cdv")))
+          .as("max_cross_lcp"),
+        sum(when(col("cdv") >= minLen, 1L).otherwise(0L))
+          .as("n_starts_ge_min"))
+      .orderBy("doc_id")
   }
 }

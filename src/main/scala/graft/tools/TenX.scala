@@ -46,7 +46,10 @@ object TenX {
     ("q313", graft.ops.Components.warmDupPairs _),
     ("q370", graft.ops.Components.warmDupPairs _),
     ("q371", graft.ops.Components.warmDupPairs _),
-    ("q372", graft.ops.Components.warmDupPairs _))
+    ("q372", graft.ops.Components.warmDupPairs _),
+    // r16: the global suffix ladder feeds q374/q375
+    ("q374", graft.ops.TrainPrep.warmGlobalSa _),
+    ("q375", graft.ops.TrainPrep.warmGlobalSa _))
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: TenX <queryName>...")

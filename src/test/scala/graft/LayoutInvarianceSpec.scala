@@ -101,7 +101,10 @@ class LayoutInvarianceSpec extends AnyFunSuite {
     // order (range repartition + per-partition dense_rank + driver
     // offset prefix sum) must elect the identical ranks — and so the
     // identical argmax pair — under any partition count/width
-    "q374_cross_doc_repeat")
+    "q374_cross_doc_repeat",
+    // and the matching statistics stack the order index + running-sum
+    // two-phase primitives on top of it
+    "q375_cross_doc_coverage")
 
   private def contents(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf).collect()

@@ -91,6 +91,51 @@ class Batch26Spec extends AnyFunSuite {
     }
   }
 
+  // ---- q375: brute-force per-document matching statistics ----
+
+  private def bruteCoverage(docs: Seq[(Long, String)], minLen: Int)
+      : Map[Long, (Long, Long)] = {
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    def lcp(a: Seq[String], b: Seq[String]): Long =
+      a.zip(b).takeWhile { case (x, y) => x == y }.size.toLong
+    toks.map { case (id, w) =>
+      val others = toks.filter(_._1 != id).flatMap { case (_, v) =>
+        v.indices.map(v.drop(_))
+      }
+      val cds = w.indices.map { off =>
+        val suf = w.drop(off)
+        if (others.isEmpty) 0L else others.map(o => lcp(suf, o)).max
+      }
+      id -> (if (cds.isEmpty) (0L, 0L)
+             else (cds.max, cds.count(_ >= minLen).toLong))
+    }.toMap
+  }
+
+  test("q375 matches brute-force all-pairs matching statistics on " +
+      "handcrafted and seeded random corpora, and its corpus max " +
+      "equals q374's repeat length") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(375)
+    val corpora = Seq(
+      Seq[(Long, String)]((1L, "a b c d e"), (2L, "x a b c d y"),
+        (3L, "q r a b s")),
+      Seq[(Long, String)]((7L, "p q r"), (9L, "p q r")),
+      (1L to 6L).map { id =>
+        id -> Seq.fill(6 + rnd.nextInt(14))(
+          ('a' + rnd.nextInt(3)).toChar.toString).mkString(" ")
+      })
+    for ((docs, ci) <- corpora.zipWithIndex) {
+      val minLen = 2
+      val df = docs.toDF("doc_id", "text")
+      val got = TrainPrep.crossDocCoverage(df, minLen).collect()
+        .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+      assert(got == bruteCoverage(docs, minLen), s"corpus $ci")
+      val globalMax = got.values.map(_._1).max
+      val rep = TrainPrep.crossDocRepeat(df).collect()(0).getLong(0)
+      assert(globalMax == rep, s"corpus $ci max vs q374")
+    }
+  }
+
   // ---- kTruss: incremental decrement == naive re-enumeration ----
 
   private def naiveTruss(edges: Set[(Long, Long)], k: Int)

@@ -261,10 +261,13 @@ class ScaleLawSpec extends AnyFunSuite {
   // r16: flat-cluster extraction is one window + one keyed aggregate
   // over the q364 plot (substrate-backed like its parent)
   lawOn("q373_optics_clusters", 6.0, big, "namespace", warmMr)
-  // r16: global prefix doubling — per round one (doc, off)-keyed join
-  // + one distributed dense rank, all n-row shuffles; namespace
-  // replication preserves doc lengths so the round count is constant
-  law("q374_cross_doc_repeat", 5.0)
+  // r16: the global suffix ladder is a substrate (one build per
+  // JVM/corpus, cold/cold law below); the gates meter their readouts —
+  // adjacent/boundary pair frames + the jump, all n-row shuffles
+  private val warmGsa: String => Unit =
+    dir => TrainPrep.warmGlobalSa(spark, dir)
+  lawOn("q374_cross_doc_repeat", 5.0, big, "namespace", warmGsa)
+  lawOn("q375_cross_doc_coverage", 5.0, big, "namespace", warmGsa)
   // r15: one map-side-combined corpus groupBy; the EG iteration runs
   // on the K-row domain frame only
   law("q365_doremi_weights", 5.0)
@@ -320,6 +323,11 @@ class ScaleLawSpec extends AnyFunSuite {
   // eps-slink, plus the core-distance window (linear in pairs)
   substrateLaw("mreach-slink labels (q360)", 12.0, 12.0)(
     dir => { Components.buildMrSlinkLabels(spark, dir); () })
+  // global suffix ladder: per round one (doc, off)-keyed join + one
+  // distributed dense rank — n-row shuffles × a round count that
+  // namespace replication holds constant (doc lengths preserved)
+  substrateLaw("global suffix ladder (q374/q375)", 5.0, 5.0)(
+    dir => { TrainPrep.buildGlobalSa(spark, dir); () })
 
   // r14: width laws for the checkpoint-carrying gates (the q351 class)
   pinLaw("q347_source_cover", 5.0)
@@ -335,7 +343,8 @@ class ScaleLawSpec extends AnyFunSuite {
   pinLaw("q363_cophenetic", 12.0, warmSlink) // pins the ε-pair table (q345-class workload)
   pinLaw("q364_optics_order", 6.0, warmMr) // pins tree-sized arc states per doubling round
   pinLaw("q373_optics_clusters", 6.0, warmMr) // plot-sized window input
-  pinLaw("q374_cross_doc_repeat", 5.0) // pins rank triples per doubling round
+  pinLaw("q374_cross_doc_repeat", 5.0, warmGsa) // pair frames per jump rung
+  pinLaw("q375_cross_doc_coverage", 5.0, warmGsa) // adjacent-pair + run frames
   pinLaw("q366_suffix_array", 5.0) // pins rank triples per doubling round
   pinLaw("q367_longest_repeat", 5.0) // pins rank tables + the pair frame
 
