@@ -79,7 +79,7 @@ object Bench {
       ("mr_slink", Seq("q360", "q364", "q373"),
         () => ops.Components.warmMrSlink(spark, sfDir)),
       // the global suffix-order ladder (r16): q374/q375 read one build
-      ("global_sa", Seq("q374", "q375"),
+      ("global_sa", Seq("q374", "q375", "q377"),
         () => ops.TrainPrep.warmGlobalSa(spark, sfDir)))
     val substrates = substrateDefs.flatMap { case (sname, consumers, run) =>
       if (selected.exists { case (n, _) => consumers.exists(n.startsWith) }) {

@@ -995,8 +995,20 @@ object DataSelect {
               |SELECT al.vec_id, pos_id, pos_cos, neg_id, neg_cos,
               |  round(pos_cos - neg_cos, 6) AS margin
               |FROM al LEFT JOIN pos USING (vec_id) LEFT JOIN neg USING (vec_id)
-              |ORDER BY al.vec_id""".stripMargin))
-  )
+              |ORDER BY al.vec_id""".stripMargin)),
+
+    // Exact KNN-Shapley data valuation (✚ — algorithm notes at
+    // [[knnShapley]]: the closed-form per-training-point value of Jia
+    // et al. 2019, the selection family's principled "which documents
+    // actually help on the eval set" signal beyond q334's classifier
+    // scores and q350's per-source ablation). Oracle mirrors the
+    // identical construction with plain windows — ranks, the lead
+    // join, the exact-decimal reverse cumulative sum — over the same
+    // rounded distances.
+    QueryDef("q376_knn_shapley",
+      (s, d) => knnShapley(Tables.embeddings(s, d)),
+      Some(knnShapleySql(5, 32))
+  ))
 
   /** Hard-negative triplet mining over IVF cells (q369's engine) — per
     * anchor the top same-label and top different-label cell-mates by
@@ -1314,4 +1326,133 @@ object DataSelect {
     sb ++= "\nORDER BY step"
     sb.toString
   }
+
+  /** Exact KNN-SHAPLEY data valuation (✚ — Jia et al. 2019's closed
+    * form: for a K-NN surrogate model the Shapley value of every
+    * training point is computable exactly in one pass over the
+    * distance-sorted training set per test point,
+    *   s_(N)  = 1[y_(N) = y] / N
+    *   s_(i)  = s_(i+1) + (1[y_(i)=y] − 1[y_(i+1)=y]) / max(K, i),
+    * points sorted ascending by distance to the test point). The per-
+    * training-point value against a test SET is the mean over its
+    * per-test values — the principled "does this document help the
+    * eval set" selection signal.
+    *
+    * Relational form, no per-test-point sort task: the test set is a
+    * FIXED-SIZE deterministic sample (vec_id % 37, first `nQueries` —
+    * eval suites are bounded; the train × test pair frame is linear in
+    * the corpus), per-test ranks come from ONE [[TrainPrep
+    * .globalOrderIndex]] over (q_id, d2, t_id) minus each query's base
+    * index, the recursion unrolls into a REVERSE CUMULATIVE SUM of
+    * per-rank terms (computed by [[TrainPrep.runningSumGlobal]] in
+    * (q_id, −rank) order, minus each query's earlier-queries offset —
+    * an nQueries-row driver map), and s_(i) = s_(N) + that suffix sum.
+    * Terms are rounded @12 into exact DECIMAL(38,12) before summation
+    * (the q118 discipline), so the cumulative sums are order-
+    * independent and bit-equal across engines; distances round @6 with
+    * t_id tiebreak so the rank order is total. */
+  def knnShapley(embs: DataFrame, k: Int = 5, nQueries: Int = 32,
+      materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+    import embs.sparkSession.implicits._
+    val e = embs.select(col("vec_id"), col("label"),
+      Vectors.asDouble(col("embedding")).as("v"))
+    val qs = broadcast(e.where(col("vec_id") % 37 === 0)
+      .orderBy("vec_id").limit(nQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_lbl"),
+        col("v").as("qv")))
+    val t = e.where(col("vec_id") % 37 =!= 0)
+      .select(col("vec_id").as("t_id"), col("label").as("t_lbl"),
+        col("v").as("tv"))
+    val pairs = t.crossJoin(qs)
+      .select(col("q_id"), col("q_lbl"), col("t_id"), col("t_lbl"),
+        round(Vectors.l2sq(col("tv"), col("qv")), 6).as("d2"))
+    val gi = materialize(TrainPrep.globalOrderIndex(pairs,
+      Seq("q_id", "d2", "t_id"), "gi", materialize))
+    val base = gi.groupBy("q_id").agg(min(col("gi")).as("g0"),
+      count(lit(1)).as("n"))
+    val ranked = materialize(gi.join(broadcast(base), "q_id")
+      .select(col("q_id"), col("t_id"),
+        (col("gi") - col("g0") + 1L).as("rank"), col("n"),
+        when(col("t_lbl") === col("q_lbl"), 1.0).otherwise(0.0).as("ym")))
+    // row i's successor ym via an equi-join on (q_id, rank+1) — ranks
+    // are dense per query, so this IS `lead` without the window
+    val nxt = ranked.select(col("q_id"), (col("rank") - 1L).as("rank"),
+      col("ym").as("ym_next"))
+    val terms = materialize(ranked.join(nxt, Seq("q_id", "rank"), "left")
+      .select(col("q_id"), col("t_id"), col("rank"), col("n"), col("ym"),
+        round(when(col("rank") === col("n"), lit(0.0))
+          .otherwise((col("ym") - col("ym_next")) /
+            greatest(lit(k.toDouble), col("rank").cast("double"))), 12)
+          .cast("decimal(38,12)").as("term")))
+    val rs = TrainPrep.runningSumGlobal(
+      terms.withColumn("nrank", -col("rank")),
+      Seq("q_id", "nrank"), "term", "rcg", materialize)
+    // earlier-queries offsets: ≤ nQueries rows, driver prefix sum
+    val qTot = terms.groupBy("q_id").agg(sum(col("term")).as("qt"))
+      .collect().map(r => (r.getLong(0),
+        Option(r.getDecimal(1)).map(BigDecimal(_)).getOrElse(BigDecimal(0))))
+      .sortBy(_._1)
+    var accQ = BigDecimal(0)
+    val qOffs = qTot.map { case (q, tot) =>
+      val o = (q, accQ); accQ += tot; o
+    }.toSeq
+    val qOffDf = broadcast(qOffs.toDF("q_id", "qoff"))
+    val sN = ranked.where(col("rank") === col("n"))
+      .select(col("q_id"),
+        round(col("ym") / col("n").cast("double"), 12)
+          .cast("decimal(38,12)").as("s_n"))
+    rs.join(qOffDf, "q_id").join(broadcast(sN), "q_id")
+      .select(col("t_id"),
+        (col("s_n") + col("rcg") - col("qoff").cast("decimal(38,12)"))
+          .as("s_i"))
+      .groupBy(col("t_id").as("vec_id"))
+      .agg(count(lit(1)).as("n_queries"),
+        round(sum(col("s_i")).cast("double") / count(lit(1)), 6)
+          .as("shapley"))
+      .orderBy("vec_id")
+  }
+
+  /** q376's oracle: the identical construction with plain windows —
+    * per-query ROW_NUMBER ranks over the same rounded distances, lead
+    * for the successor label, exact-decimal terms, the reverse
+    * cumulative window sum, and the same final mean. */
+  private def knnShapleySql(k: Int, nQueries: Int): String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+       |           FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, label AS q_lbl, v AS qv FROM e
+       |      WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT $nQueries),
+       |t AS (SELECT vec_id AS t_id, label AS t_lbl, v AS tv FROM e
+       |      WHERE vec_id % 37 <> 0),
+       |p AS (SELECT q_id, q_lbl, t_id, t_lbl,
+       |        round(list_sum(list_transform(range(1, 65),
+       |          j -> (tv[j]-qv[j])*(tv[j]-qv[j]))), 6) AS d2
+       |      FROM t CROSS JOIN q),
+       |r AS (SELECT q_id, t_id,
+       |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, t_id)
+       |          AS rank,
+       |        COUNT(*) OVER (PARTITION BY q_id) AS n,
+       |        CASE WHEN t_lbl = q_lbl THEN 1.0 ELSE 0.0 END AS ym
+       |      FROM p),
+       |x AS (SELECT r.*, lead(ym) OVER (PARTITION BY q_id ORDER BY rank)
+       |        AS ymn
+       |      FROM r),
+       |tm AS (SELECT q_id, t_id, rank, n, ym,
+       |        CAST(round(CASE WHEN rank = n THEN 0.0
+       |          ELSE (ym - ymn) / GREATEST(CAST($k AS DOUBLE),
+       |                                     CAST(rank AS DOUBLE)) END, 12)
+       |          AS DECIMAL(38,12)) AS term
+       |      FROM x),
+       |c AS (SELECT tm.*, SUM(term) OVER (PARTITION BY q_id
+       |        ORDER BY rank DESC
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rc
+       |      FROM tm),
+       |sn AS (SELECT q_id,
+       |        CAST(round(ym / CAST(n AS DOUBLE), 12) AS DECIMAL(38,12))
+       |          AS s_n
+       |       FROM r WHERE rank = n)
+       |SELECT c.t_id AS vec_id, COUNT(*) AS n_queries,
+       |  round(CAST(SUM(sn.s_n + c.rc) AS DOUBLE) / COUNT(*), 6)
+       |    AS shapley
+       |FROM c JOIN sn USING (q_id)
+       |GROUP BY c.t_id ORDER BY vec_id""".stripMargin
 }

@@ -1130,6 +1130,62 @@ object TrainPrep {
              |    AS n_starts_ge_min
              |FROM cd GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Eval-set contamination spans (✚ — algorithm notes at
+    // [[contaminationFrom]]: q375's matching statistics with the eval
+    // subset (doc_id % 41) as the boundary — per TRAINING doc, the
+    // exact longest span shared with any eval doc). Oracle: the same
+    // corpus-wide suffix sort and adjacent LCPs, segments by the
+    // forward running count of eval rows, the identical nulled-entry /
+    // reverse-min window construction.
+    QueryDef("q377_contamination_spans",
+      (s, d) => { val (sa, t) = globalSa(s, d)
+        contaminationFrom(sa, t, evalMod = 41L, minLen = 20,
+          Materialize.local) },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+             |          FROM documents),
+             |ix AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS i FROM t),
+             |s AS (SELECT ix.doc_id, CAST(ix.i - 1 AS BIGINT) AS off,
+             |        t.w[ix.i:] AS suf
+             |      FROM ix JOIN t USING (doc_id)),
+             |o AS (SELECT doc_id, off, suf,
+             |        ROW_NUMBER() OVER (ORDER BY suf, doc_id, off) - 1 AS i
+             |      FROM s),
+             |adj AS (SELECT a.i, a.doc_id AS da, b.doc_id AS db,
+             |        COALESCE((SELECT MIN(u.k) FROM unnest(range(1,
+             |              LEAST(len(a.suf), len(b.suf)) + 1)) u(k)
+             |            WHERE a.suf[u.k] <> b.suf[u.k]) - 1,
+             |          LEAST(len(a.suf), len(b.suf))) AS lcp
+             |      FROM o a JOIN o b ON b.i = a.i + 1),
+             |m AS (SELECT o.i, o.doc_id, (o.doc_id % 41 = 0) AS is_eval,
+             |        CASE WHEN o.doc_id % 41 = 0 THEN NULL
+             |             ELSE p.lcp END AS lcp_in,
+             |        nx.lcp AS lcp_out
+             |      FROM o LEFT JOIN adj p ON p.i = o.i - 1
+             |             LEFT JOIN adj nx ON nx.i = o.i),
+             |r AS (SELECT m.*, SUM(CASE WHEN is_eval THEN 1 ELSE 0 END)
+             |        OVER (ORDER BY i) AS seg FROM m),
+             |mx AS (SELECT MAX(seg) AS te FROM r),
+             |c1 AS (SELECT r.*, CASE WHEN seg > 0 THEN
+             |          MIN(lcp_in) OVER (PARTITION BY seg ORDER BY i
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |        END AS cd_above
+             |       FROM r),
+             |c2 AS (SELECT c1.*, CASE WHEN seg < (SELECT te FROM mx) THEN
+             |          MIN(lcp_out) OVER (PARTITION BY seg ORDER BY i DESC
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |        END AS cd_below
+             |       FROM c1),
+             |cd AS (SELECT doc_id,
+             |        GREATEST(COALESCE(cd_above, -1), COALESCE(cd_below, -1))
+             |          AS cdv
+             |       FROM c2 WHERE NOT is_eval)
+             |SELECT doc_id, COUNT(*) AS n_positions,
+             |  CAST(CASE WHEN MAX(cdv) < 0 THEN 0 ELSE MAX(cdv) END
+             |    AS BIGINT) AS max_eval_lcp,
+             |  CAST(SUM(CASE WHEN cdv >= 20 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_starts_ge_min
+             |FROM cd GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Weighted sample without replacement, k=100 biased by n_chars —
     // the A-ES key ranking with the md5-slice uniform; oracle derives
     // identical keys and takes the same rounded-key/doc_id top-k.
@@ -1720,6 +1776,13 @@ object TrainPrep {
     * (doc_id, off, r, slen) — r the corpus-wide suffix rank (ties ⟺
     * identical suffixes), slen the suffix length — plus every genuine
     * capped-width rank table for the LCP jump. */
+  /** Test hook: the ladder on an arbitrary frame (specs hand-build
+    * corpora that exist in no corpus dir, so the [[globalSa]] cache
+    * does not apply). */
+  private[ops] def globalSaLadderForTest(docs: DataFrame)
+      : (DataFrame, Seq[(Long, DataFrame)]) =
+    globalSaLadder(docs, Materialize.local)
+
   private def globalSaLadder(docs: DataFrame,
       materialize: Materialize.Strategy)
       : (DataFrame, Seq[(Long, DataFrame)]) = {
@@ -1890,8 +1953,9 @@ object TrainPrep {
 
   /** Global ORDER INDEX by `keys` — the row-number sibling of
     * [[denseRankGlobalCounted]] (range repartition, per-partition
-    * row_number, partition-count prefix sum), 0-based. */
-  private def globalOrderIndex(df: DataFrame, keys: Seq[String],
+    * row_number, partition-count prefix sum), 0-based. Shared by the
+    * suffix-order machinery and DataSelect's KNN-Shapley ranks. */
+  private[ops] def globalOrderIndex(df: DataFrame, keys: Seq[String],
       out: String, materialize: Materialize.Strategy): DataFrame = {
     val s = df.sparkSession
     val np = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
@@ -1916,25 +1980,38 @@ object TrainPrep {
     * the current row) — the same two-phase shape: range repartition on
     * the order key, per-partition cumulative window, driver prefix sum
     * of per-partition totals. */
-  private def runningSumGlobal(df: DataFrame, orderCol: String,
+  private[ops] def runningSumGlobal(df: DataFrame, orderCols: Seq[String],
       valueCol: String, out: String,
       materialize: Materialize.Strategy): DataFrame = {
     val s = df.sparkSession
     val np = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val local = materialize(df.repartitionByRange(np, col(orderCol))
+    val kc = orderCols.map(col)
+    val local = materialize(df.repartitionByRange(np, kc: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__ls",
         sum(col(valueCol)).over(Window.partitionBy("__pid")
-          .orderBy(orderCol)
+          .orderBy(kc: _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+    // value-type-agnostic offsets (LONG run ids, DECIMAL Shapley
+    // terms): accumulate in BigDecimal — exact for both — and cast
+    // the offset back to the local sum's own type (offsets are whole
+    // partition totals, so the cast is always exact)
     val tots = local.groupBy("__pid").agg(sum(col(valueCol)).as("__tot"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
+      .collect().map { r =>
+        val v = r.get(1) match {
+          case null => BigDecimal(0)
+          case l: java.lang.Long => BigDecimal(l)
+          case d: java.math.BigDecimal => BigDecimal(d)
+        }
+        (r.getInt(0), v)
+      }.sortBy(_._1)
+    var acc = BigDecimal(0)
     val offs = tots.map { case (p, c) => val o = (p, acc); acc += c; o }.toSeq
     import s.implicits._
+    val sumType = local.schema("__ls").dataType
     val offDf = broadcast(offs.toDF("__pid", "__off"))
     local.join(offDf, "__pid")
-      .withColumn(out, col("__ls") + col("__off"))
+      .withColumn(out, col("__ls") + col("__off").cast(sumType))
       .drop("__pid", "__ls", "__off")
   }
 
@@ -1971,9 +2048,15 @@ object TrainPrep {
     crossDocCoverageFrom(sa, tables, minLen, materialize)
   }
 
-  private[ops] def crossDocCoverageFrom(sa: DataFrame,
-      tables: Seq[(Long, DataFrame)], minLen: Int,
-      materialize: Materialize.Strategy): DataFrame = {
+  /** The indexed global order + ALL adjacent-pair LCPs — shared by
+    * [[crossDocCoverageFrom]] (doc-change boundaries) and
+    * [[contaminationFrom]] (eval-row boundaries): returns
+    * (idx: i/doc_id/off/r/slen, adj: i/da/db/lcp for pair (i, i+1)).
+    * Identical-rank pairs are identical suffixes (LCP = common
+    * length); distinct ranks walk the ladder. */
+  private def indexedAdjacentLcps(sa: DataFrame,
+      tables: Seq[(Long, DataFrame)],
+      materialize: Materialize.Strategy): (DataFrame, DataFrame) = {
     val idx = materialize(globalOrderIndex(sa,
       Seq("r", "doc_id", "off"), "i", materialize))
     val aSide = idx.select(col("i"), col("doc_id").as("da"),
@@ -1981,8 +2064,6 @@ object TrainPrep {
     val bSide = idx.select((col("i") - 1L).as("i"),
       col("doc_id").as("db"), col("off").as("ob"), col("r").as("rb"))
     val adj0 = aSide.join(bSide, "i")
-    // pair (i, i+1): identical ranks ⟺ identical suffixes (LCP = the
-    // common length); distinct ranks walk the ladder
     val sameR = adj0.where(col("ra") === col("rb"))
       .select(col("i"), col("da"), col("db"), col("sla").as("lcp"))
     val diffR = ladderJumpLcp(
@@ -1990,7 +2071,13 @@ object TrainPrep {
         .select(col("i"), col("da"), col("oa"), col("db"), col("ob")),
       tables, materialize)
       .select(col("i"), col("da"), col("db"), col("lcp"))
-    val adj = materialize(sameR.unionByName(diffR))
+    (idx, materialize(sameR.unionByName(diffR)))
+  }
+
+  private[ops] def crossDocCoverageFrom(sa: DataFrame,
+      tables: Seq[(Long, DataFrame)], minLen: Int,
+      materialize: Materialize.Strategy): DataFrame = {
+    val (idx, adj) = indexedAdjacentLcps(sa, tables, materialize)
     // row i's entering pair is adj(i−1); its leaving pair is adj(i)
     val marked = idx
       .join(adj.select((col("i") + 1L).as("i"),
@@ -2000,7 +2087,7 @@ object TrainPrep {
       .select(col("i"), col("doc_id"),
         coalesce(col("chg"), lit(0L)).as("chg"),
         col("lcp_in"), col("lcp_out"))
-    val withRun = materialize(runningSumGlobal(marked, "i", "chg", "run",
+    val withRun = materialize(runningSumGlobal(marked, Seq("i"), "chg", "run",
       materialize))
     val maxRun = withRun.agg(max(col("run"))).collect()(0).getLong(0)
     val wUp = Window.partitionBy("run").orderBy("i")
@@ -2019,6 +2106,67 @@ object TrainPrep {
         count(lit(1)).as("n_positions"),
         when(max(col("cdv")) < 0, lit(0L)).otherwise(max(col("cdv")))
           .as("max_cross_lcp"),
+        sum(when(col("cdv") >= minLen, 1L).otherwise(0L))
+          .as("n_starts_ge_min"))
+      .orderBy("doc_id")
+  }
+
+  /** Eval-set CONTAMINATION spans, exact at any length (✚ — the
+    * decontamination form of [[crossDocCoverage]]'s matching
+    * statistics, the check Lee et al. run before trusting benchmark
+    * numbers: for every TRAINING position, the longest token span also
+    * present in ANY document of a designated eval subset; q75's
+    * exact-gram decontamination catches fixed-width hits, THIS is
+    * exact at every length).
+    *
+    * Same machinery, different boundary: the nearest EVAL row in the
+    * global suffix order (not the nearest different-doc row) bounds
+    * the chain — for any eval suffix y above x, the interval [y..x]
+    * contains the nearest eval p, so LCP(x, y) ≤ LCP(x, p): the
+    * nearest eval realizes the maximum. Segments are delimited by the
+    * forward running count of eval rows — a segment's first row IS its
+    * eval row; the above-chain is the running min of entering LCPs
+    * with the eval row's own entering LCP nulled (it points outside
+    * the chain), the below-chain the reverse running min of leaving
+    * LCPs within the same segment (the eval row enters no other row's
+    * frame: it is the segment's minimum index). Positions before the
+    * first (after the last) eval row have no above (below) partner —
+    * NULL side, −1 sentinel, the q375 convention. Output: per TRAINING
+    * doc, position count, max shared-with-eval span, ≥ `minLen` span
+    * starts. */
+  private[ops] def contaminationFrom(sa: DataFrame,
+      tables: Seq[(Long, DataFrame)], evalMod: Long, minLen: Int,
+      materialize: Materialize.Strategy): DataFrame = {
+    val (idx, adj) = indexedAdjacentLcps(sa, tables, materialize)
+    val isEval = (col("doc_id") % evalMod) === 0
+    val marked = idx
+      .join(adj.select((col("i") + 1L).as("i"), col("lcp").as("lcp_in")),
+        Seq("i"), "left")
+      .join(adj.select(col("i"), col("lcp").as("lcp_out")), Seq("i"), "left")
+      .select(col("i"), col("doc_id"), isEval.as("is_eval"),
+        isEval.cast("long").as("ev"),
+        when(isEval, lit(null)).otherwise(col("lcp_in")).as("lcp_in"),
+        col("lcp_out"))
+    val withSeg = materialize(runningSumGlobal(marked, Seq("i"), "ev", "seg",
+      materialize))
+    val totalEval = withSeg.agg(max(col("seg"))).collect()(0).getLong(0)
+    val wUp = Window.partitionBy("seg").orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDn = Window.partitionBy("seg").orderBy(col("i").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cd = withSeg
+      .withColumn("cd_above",
+        when(col("seg") > 0, min(col("lcp_in")).over(wUp)))
+      .withColumn("cd_below",
+        when(col("seg") < totalEval, min(col("lcp_out")).over(wDn)))
+      .where(!col("is_eval"))
+      .select(col("doc_id"),
+        greatest(coalesce(col("cd_above"), lit(-1L)),
+          coalesce(col("cd_below"), lit(-1L))).as("cdv"))
+    cd.groupBy("doc_id").agg(
+        count(lit(1)).as("n_positions"),
+        when(max(col("cdv")) < 0, lit(0L)).otherwise(max(col("cdv")))
+          .as("max_eval_lcp"),
         sum(when(col("cdv") >= minLen, 1L).otherwise(0L))
           .as("n_starts_ge_min"))
       .orderBy("doc_id")

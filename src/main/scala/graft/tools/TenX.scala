@@ -49,7 +49,8 @@ object TenX {
     ("q372", graft.ops.Components.warmDupPairs _),
     // r16: the global suffix ladder feeds q374/q375
     ("q374", graft.ops.TrainPrep.warmGlobalSa _),
-    ("q375", graft.ops.TrainPrep.warmGlobalSa _))
+    ("q375", graft.ops.TrainPrep.warmGlobalSa _),
+    ("q377", graft.ops.TrainPrep.warmGlobalSa _))
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: TenX <queryName>...")

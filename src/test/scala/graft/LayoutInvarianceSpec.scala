@@ -104,7 +104,10 @@ class LayoutInvarianceSpec extends AnyFunSuite {
     "q374_cross_doc_repeat",
     // and the matching statistics stack the order index + running-sum
     // two-phase primitives on top of it
-    "q375_cross_doc_coverage")
+    "q375_cross_doc_coverage",
+    // KNN-Shapley's per-query ranks and exact-decimal reverse cumsum
+    // ride the same primitives — values must not see partitioning
+    "q376_knn_shapley")
 
   private def contents(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf).collect()

@@ -136,6 +136,105 @@ class Batch26Spec extends AnyFunSuite {
     }
   }
 
+  // ---- q377: brute-force contamination spans ----
+
+  test("q377 matches brute-force longest-shared-with-eval spans on a " +
+      "handcrafted corpus and seeded random ones") {
+    import spark.implicits._
+    def brute(docs: Seq[(Long, String)], evalMod: Long, minLen: Int)
+        : Map[Long, (Long, Long)] = {
+      val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+      val evalSufs = toks.filter(_._1 % evalMod == 0)
+        .flatMap { case (_, w) => w.indices.map(w.drop(_)) }
+      def lcp(a: Seq[String], b: Seq[String]): Long =
+        a.zip(b).takeWhile { case (x, y) => x == y }.size.toLong
+      toks.filter(_._1 % evalMod != 0).map { case (id, w) =>
+        val cds = w.indices.map { off =>
+          val suf = w.drop(off)
+          if (evalSufs.isEmpty) 0L else evalSufs.map(e => lcp(suf, e)).max
+        }
+        id -> (if (cds.isEmpty) (0L, 0L)
+               else (cds.max, cds.count(_ >= minLen).toLong))
+      }.toMap
+    }
+    def run(docs: Seq[(Long, String)], evalMod: Long, minLen: Int)
+        : Map[Long, (Long, Long)] = {
+      val df = docs.toDF("doc_id", "text")
+      val (sa, t) = TrainPrep.globalSaLadderForTest(df)
+      TrainPrep.contaminationFrom(sa, t, evalMod, minLen,
+          graft.Materialize.local)
+        .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+    }
+    // eval doc 0 holds "a b c d"; doc 1 shares all 4, doc 2 shares
+    // "c d" (len 2), doc 3 nothing
+    val hand = Seq[(Long, String)]((0L, "a b c d"), (1L, "x a b c d"),
+      (2L, "c d y"), (3L, "p q"))
+    assert(run(hand, 41L, 2) == brute(hand, 41L, 2))
+    val rnd = new scala.util.Random(377)
+    for (trial <- 1 to 3) {
+      val docs = (0L to 7L).map { id =>
+        id -> Seq.fill(5 + rnd.nextInt(15))(
+          ('a' + rnd.nextInt(3)).toChar.toString).mkString(" ")
+      }
+      assert(run(docs, 4L, 2) == brute(docs, 4L, 2), s"trial $trial")
+    }
+  }
+
+  // ---- q376: brute-force KNN-Shapley (sequential closed form) ----
+
+  test("q376 equals the sequential Jia-et-al recursion computed " +
+      "driver-side on collected data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(376)
+    val k = 5
+    // 60 vectors in 4 dims, 3 labels; pad to 64 dims with zeros so the
+    // production 64-dim distance expression applies unchanged
+    val rows = (0L until 60L).map { id =>
+      val v = Array.fill(4)((rnd.nextDouble() * 2 - 1).toFloat) ++
+        Array.fill(60)(0.0f)
+      (id, v, (id % 3).toInt)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val got = DataSelect.knnShapley(df, k).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // sequential reference: per query sort train by (round(d2,6), id),
+    // run the recursion, average per train point
+    val qs = rows.filter(_._1 % 37 == 0).sortBy(_._1).take(32)
+    val ts = rows.filter(_._1 % 37 != 0)
+    def d2(a: Array[Float], b: Array[Float]): Double =
+      BigDecimal(a.zip(b).map { case (x, y) =>
+        (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val acc = scala.collection.mutable.Map.empty[Long, BigDecimal]
+      .withDefaultValue(BigDecimal(0))
+    for ((qid, qv, ql) <- qs) {
+      val sorted = ts.map { case (tid, tv, tl) => (d2(tv, qv), tid, tl) }
+        .sortBy(t => (t._1, t._2))
+      val n = sorted.length
+      val ym = sorted.map(t => if (t._3 == ql) 1.0 else 0.0)
+      val s = new Array[BigDecimal](n)
+      s(n - 1) = BigDecimal(ym(n - 1) / n)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      for (i <- n - 2 to 0 by -1)
+        s(i) = s(i + 1) + BigDecimal(
+          (ym(i) - ym(i + 1)) / math.max(k.toDouble, (i + 1).toDouble))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      sorted.zipWithIndex.foreach { case ((_, tid, _), i) =>
+        acc(tid) += s(i) }
+    }
+    val want = ts.map { case (tid, _, _) =>
+      tid -> BigDecimal(acc(tid).toDouble / qs.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    assert(got.keySet == want.keySet)
+    val worst = got.map { case (id, v) => math.abs(v - want(id)) }.max
+    assert(worst <= 1e-6, s"max divergence $worst")
+    // efficiency axiom sanity: values exist for every train point and
+    // same-label neighbors of a query class dominate on average
+    assert(got.size == ts.size)
+  }
+
   // ---- kTruss: incremental decrement == naive re-enumeration ----
 
   private def naiveTruss(edges: Set[(Long, Long)], k: Int)

@@ -268,6 +268,17 @@ class ScaleLawSpec extends AnyFunSuite {
     dir => TrainPrep.warmGlobalSa(spark, dir)
   lawOn("q374_cross_doc_repeat", 5.0, big, "namespace", warmGsa)
   lawOn("q375_cross_doc_coverage", 5.0, big, "namespace", warmGsa)
+  // r16: the train × eval pair frame is corpus-linear ONCE THE EVAL
+  // CAP SATURATES — but at these tiny fixtures the %37 eval sample
+  // itself grows 14 → 32 before hitting its 32 cap, multiplying the
+  // pair frame ×2.3 beyond the data growth (measured ×6.8 at ×3 —
+  // eval-set growth × corpus growth, the q345 workload-law class, not
+  // a plan defect: at any corpus ≥ 32·37 vectors the eval side is a
+  // CONSTANT 32 and the gate is linear). Belt ×12 still catches an
+  // all-pairs (capless) regression, which lands at ×9 of every
+  // component
+  law("q376_knn_shapley", 12.0)
+  lawOn("q377_contamination_spans", 5.0, big, "namespace", warmGsa)
   // r15: one map-side-combined corpus groupBy; the EG iteration runs
   // on the K-row domain frame only
   law("q365_doremi_weights", 5.0)
@@ -345,6 +356,8 @@ class ScaleLawSpec extends AnyFunSuite {
   pinLaw("q373_optics_clusters", 6.0, warmMr) // plot-sized window input
   pinLaw("q374_cross_doc_repeat", 5.0, warmGsa) // pair frames per jump rung
   pinLaw("q375_cross_doc_coverage", 5.0, warmGsa) // adjacent-pair + run frames
+  pinLaw("q376_knn_shapley", 12.0) // pair/rank frames scale with the eval sample until its cap saturates (see the record law)
+  pinLaw("q377_contamination_spans", 5.0, warmGsa) // adjacent-pair + seg frames
   pinLaw("q366_suffix_array", 5.0) // pins rank triples per doubling round
   pinLaw("q367_longest_repeat", 5.0) // pins rank tables + the pair frame
 
