@@ -80,7 +80,10 @@ object Bench {
         () => ops.Components.warmMrSlink(spark, sfDir)),
       // the global suffix-order ladder (r16): q374/q375 read one build
       ("global_sa", Seq("q374", "q375", "q377"),
-        () => ops.TrainPrep.warmGlobalSa(spark, sfDir)))
+        () => ops.TrainPrep.warmGlobalSa(spark, sfDir)),
+      // the per-doc rank ladder (r17): q366/q367 read one build
+      ("per_doc_sa", Seq("q366", "q367"),
+        () => ops.TrainPrep.warmPerDocSa(spark, sfDir)))
     val substrates = substrateDefs.flatMap { case (sname, consumers, run) =>
       if (selected.exists { case (n, _) => consumers.exists(n.startsWith) }) {
         val t0 = System.nanoTime()

@@ -29,6 +29,18 @@ object Scratch {
     p.toString
   }
 
+  /** Normalized cache key for a corpus directory (ADVICE r16): the
+    * substrate caches key on the dir STRING, so `dir` vs `dir/` vs a
+    * relative spelling would silently double-build the substrate.
+    * Local paths canonicalize via the filesystem; strings carrying a
+    * URI scheme (e.g. an object-store path on a real cluster) pass
+    * through unchanged — canonicalizing those against the local FS
+    * would mangle them. */
+  def corpusKey(dir: String): String =
+    if (dir.contains("://")) dir
+    else try new java.io.File(dir).getCanonicalPath
+    catch { case _: java.io.IOException => dir }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     if (java.nio.file.Files.isDirectory(p,
         java.nio.file.LinkOption.NOFOLLOW_LINKS)) {

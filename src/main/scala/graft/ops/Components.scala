@@ -997,10 +997,11 @@ object Components {
     * blocking concurrent callers hashing to the same segment. */
   private def dupMst(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
-    val cached = dupMstCache.get(dir)
+    val key = graft.core.Scratch.corpusKey(dir)
+    val cached = dupMstCache.get(key)
     val (me, ml) = if (cached != null) cached else {
       val built = buildDupMst(s, dir)
-      Option(dupMstCache.putIfAbsent(dir, built)).getOrElse(built)
+      Option(dupMstCache.putIfAbsent(key, built)).getOrElse(built)
     }
     (s.read.parquet(me), s.read.parquet(ml))
   }
@@ -1046,10 +1047,11 @@ object Components {
     dupPairsBase(s, dir)
 
   private def dupPairsBase(s: SparkSession, dir: String): String = {
-    val cached = dupPairsCache.get(dir)
+    val key = graft.core.Scratch.corpusKey(dir)
+    val cached = dupPairsCache.get(key)
     if (cached != null) cached else {
       val built = buildDupPairs(s, dir)
-      Option(dupPairsCache.putIfAbsent(dir, built)).getOrElse(built)
+      Option(dupPairsCache.putIfAbsent(key, built)).getOrElse(built)
     }
   }
 
@@ -1708,10 +1710,11 @@ object Components {
     * dirs for the JVM's lifetime, scratch deleted on exit, no build
     * under the map lock. */
   private def epsSlinkLabels(s: SparkSession, dir: String): DataFrame = {
-    val cached = slinkLabelCache.get(dir)
+    val key = graft.core.Scratch.corpusKey(dir)
+    val cached = slinkLabelCache.get(key)
     val path = if (cached != null) cached else {
       val built = buildSlinkLabels(s, dir)
-      Option(slinkLabelCache.putIfAbsent(dir, built)).getOrElse(built)
+      Option(slinkLabelCache.putIfAbsent(key, built)).getOrElse(built)
     }
     s.read.parquet(path)
   }
@@ -1750,10 +1753,11 @@ object Components {
     mrSlinkBase(s, dir)
 
   private def mrSlinkBase(s: SparkSession, dir: String): String = {
-    val cached = mrSlinkLabelCache.get(dir)
+    val key = graft.core.Scratch.corpusKey(dir)
+    val cached = mrSlinkLabelCache.get(key)
     if (cached != null) cached else {
       val built = buildMrSlinkLabels(s, dir)
-      Option(mrSlinkLabelCache.putIfAbsent(dir, built)).getOrElse(built)
+      Option(mrSlinkLabelCache.putIfAbsent(key, built)).getOrElse(built)
     }
   }
 

@@ -987,7 +987,10 @@ object TrainPrep {
     // as a token LIST and lets lexicographic list ordering rank it —
     // a direct O(n²·L) re-derivation against the O(n log n) doubling.
     QueryDef("q366_suffix_array",
-      (s, d) => suffixArrays(Tables.documents(s, d))
+      // readout of the cached [[perDocSa]] substrate (r17: one per-doc
+      // ladder build per JVM/corpus, charged once in bench; q367 reads
+      // the same)
+      (s, d) => perDocSa(s, d)._1.withColumnRenamed("r", "sa_rank")
         .orderBy("doc_id", "off"),
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
              |          FROM documents),
@@ -1008,7 +1011,9 @@ object TrainPrep {
     // token-list comparison (first-mismatch scalar subquery) — an
     // O(Σ L²)-class check against the O(n log L) ladder.
     QueryDef("q367_longest_repeat",
-      (s, d) => longestRepeats(Tables.documents(s, d)).orderBy("doc_id"),
+      (s, d) => { val (sa, t) = perDocSa(s, d)
+        longestRepeatsFrom(Tables.documents(s, d), sa, t,
+          Materialize.local).orderBy("doc_id") },
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
              |          FROM documents),
              |i AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS i FROM t),
@@ -1658,6 +1663,16 @@ object TrainPrep {
     // exit at width S bounds every LCP below S, and rungs ≤ S/2
     // decompose any such value; measured 10.0 → ~6 s at sf0.1
     val (sa, tables, _) = saWithTables(docs, earlyExit = true, materialize)
+    longestRepeatsFrom(docs, sa, tables, materialize)
+  }
+
+  /** [[longestRepeats]] over an ALREADY-BUILT rank ladder — the
+    * readout half, split out so the cached [[perDocSa]] substrate can
+    * feed it (r17: q366 and q367 each rebuilt the same per-doc ladder,
+    * the last un-shared substrate in the suffix family). */
+  private[ops] def longestRepeatsFrom(docs: DataFrame, sa: DataFrame,
+      tables: Seq[(Long, DataFrame)],
+      materialize: Materialize.Strategy): DataFrame = {
     val bySa = Window.partitionBy("doc_id").orderBy("r")
     val pairs = sa
       .withColumn("off_b", lead("off", 1).over(bySa))
@@ -1693,6 +1708,57 @@ object TrainPrep {
       .select(col("doc_id"),
         coalesce(col("lrs_len"), lit(0L)).as("lrs_len"),
         col("off_a"), col("off_b"))
+  }
+
+  private val perDocSaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build the PER-DOCUMENT rank-ladder substrate for `dir` UNCACHED
+    * into fresh scratch parquet (r17 — VERDICT r16 #2): q366 and q367
+    * each ran [[saWithTables]] over the same corpus, rebuilding the
+    * identical per-doc prefix-doubling ladder per gate. One build per
+    * (JVM, corpus), charged once in bench's `substrates` section with
+    * its own cold/cold law — the exact contract of [[buildGlobalSa]].
+    * Persists the final rank frame plus every rung (the LCP jump in
+    * [[longestRepeatsFrom]] needs them all). */
+  private[graft] def buildPerDocSa(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val out = graft.core.Scratch.tempDir("graft-pdsa")
+    val (sa, tables, _) = saWithTables(Tables.documents(s, dir),
+      earlyExit = true, Materialize.local)
+    sa.write.mode("overwrite").parquet(out + "/sa.parquet")
+    tables.foreach { case (w, t) =>
+      t.write.mode("overwrite").parquet(out + s"/tab_$w.parquet") }
+    java.nio.file.Files.write(java.nio.file.Paths.get(out, "widths.txt"),
+      tables.map(_._1).mkString(",").getBytes("UTF-8"))
+    out
+  }
+
+  /** Pre-build (idempotent) the q366/q367 substrate. */
+  private[graft] def warmPerDocSa(s: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = { perDocSaBase(s, dir); () }
+
+  private def perDocSaBase(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val key = graft.core.Scratch.corpusKey(dir)
+    val cached = perDocSaCache.get(key)
+    if (cached != null) cached else {
+      val built = buildPerDocSa(s, dir)
+      Option(perDocSaCache.putIfAbsent(key, built)).getOrElse(built)
+    }
+  }
+
+  /** The cached per-doc rank ladder (cache contract as [[globalSa]]:
+    * corpus dirs immutable per JVM, scratch deleted on exit, no build
+    * under the map lock). */
+  private[graft] def perDocSa(s: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, Seq[(Long, DataFrame)]) = {
+    val base = perDocSaBase(s, dir)
+    val widths = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(base, "widths.txt")), "UTF-8")
+      .split(",").map(_.toLong).toSeq
+    (s.read.parquet(base + "/sa.parquet"),
+      widths.map(w => w -> s.read.parquet(base + s"/tab_$w.parquet")))
   }
 
   /** Distributed DENSE RANK of the whole frame by `keys` — the
@@ -1897,10 +1963,11 @@ object TrainPrep {
 
   private def globalSaBase(s: org.apache.spark.sql.SparkSession,
       dir: String): String = {
-    val cached = globalSaCache.get(dir)
+    val key = graft.core.Scratch.corpusKey(dir)
+    val cached = globalSaCache.get(key)
     if (cached != null) cached else {
       val built = buildGlobalSa(s, dir)
-      Option(globalSaCache.putIfAbsent(dir, built)).getOrElse(built)
+      Option(globalSaCache.putIfAbsent(key, built)).getOrElse(built)
     }
   }
 
@@ -2002,6 +2069,10 @@ object TrainPrep {
           case null => BigDecimal(0)
           case l: java.lang.Long => BigDecimal(l)
           case d: java.math.BigDecimal => BigDecimal(d)
+          case other => sys.error(
+            s"runningSumGlobal: unsupported value column type " +
+              s"${other.getClass.getName} for '$valueCol' — only LONG and " +
+              s"DECIMAL sums are exact; cast the column first")
         }
         (r.getInt(0), v)
       }.sortBy(_._1)
@@ -2089,7 +2160,8 @@ object TrainPrep {
         col("lcp_in"), col("lcp_out"))
     val withRun = materialize(runningSumGlobal(marked, Seq("i"), "chg", "run",
       materialize))
-    val maxRun = withRun.agg(max(col("run"))).collect()(0).getLong(0)
+    val maxRunRow = withRun.agg(max(col("run"))).collect()(0)
+    val maxRun = if (maxRunRow.isNullAt(0)) 0L else maxRunRow.getLong(0)
     val wUp = Window.partitionBy("run").orderBy("i")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wDn = Window.partitionBy("run").orderBy(col("i").desc)
@@ -2149,7 +2221,8 @@ object TrainPrep {
         col("lcp_out"))
     val withSeg = materialize(runningSumGlobal(marked, Seq("i"), "ev", "seg",
       materialize))
-    val totalEval = withSeg.agg(max(col("seg"))).collect()(0).getLong(0)
+    val totalEvalRow = withSeg.agg(max(col("seg"))).collect()(0)
+    val totalEval = if (totalEvalRow.isNullAt(0)) 0L else totalEvalRow.getLong(0)
     val wUp = Window.partitionBy("seg").orderBy("i")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wDn = Window.partitionBy("seg").orderBy(col("i").desc)

@@ -146,7 +146,7 @@ object StreamOps {
       try {
         val ss = org.apache.spark.sql.execution.streaming.state.StateStore
         ss.getClass.getMethod("unloadAll").invoke(ss)
-      } catch { case _: Throwable => }
+      } catch { case scala.util.control.NonFatal(_) => }
       rmTree(new java.io.File(ck))
     }
   }

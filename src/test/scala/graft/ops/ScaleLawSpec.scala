@@ -282,12 +282,13 @@ class ScaleLawSpec extends AnyFunSuite {
   // r15: one map-side-combined corpus groupBy; the EG iteration runs
   // on the K-row domain frame only
   law("q365_doremi_weights", 5.0)
-  // r15: prefix doubling shuffles (doc, off, rank) triples ×⌈log₂
-  // maxLen⌉ rounds; namespace replication keeps doc lengths, so the
-  // round count is constant and records scale ×3
-  law("q366_suffix_array", 5.0)
-  // r15: same ladder (early exit off) + one pair frame per rung
-  law("q367_longest_repeat", 5.0)
+  // r17: the per-doc rank ladder is a substrate (one build per
+  // JVM/corpus, cold/cold law below); q366's readout is a rename of
+  // the cached rank frame, q367's the pair frame + LCP jump
+  private val warmPdsa: String => Unit =
+    dir => TrainPrep.warmPerDocSa(spark, dir)
+  lawOn("q366_suffix_array", 5.0, big, "namespace", warmPdsa)
+  lawOn("q367_longest_repeat", 5.0, big, "namespace", warmPdsa)
   // r15: vocab-sized per-lang model broadcast + one per-doc sum + one
   // per-lang tercile window
   law("q368_ccnet_buckets", 5.0)
@@ -339,6 +340,11 @@ class ScaleLawSpec extends AnyFunSuite {
   // namespace replication holds constant (doc lengths preserved)
   substrateLaw("global suffix ladder (q374/q375)", 5.0, 5.0)(
     dir => { TrainPrep.buildGlobalSa(spark, dir); () })
+  // per-doc rank ladder: per round one (doc, off)-keyed join + one
+  // per-doc dense-rank window — n-row shuffles × a round count that
+  // namespace replication holds constant (doc lengths preserved)
+  substrateLaw("per-doc suffix ladder (q366/q367)", 5.0, 5.0)(
+    dir => { TrainPrep.buildPerDocSa(spark, dir); () })
 
   // r14: width laws for the checkpoint-carrying gates (the q351 class)
   pinLaw("q347_source_cover", 5.0)
@@ -358,8 +364,8 @@ class ScaleLawSpec extends AnyFunSuite {
   pinLaw("q375_cross_doc_coverage", 5.0, warmGsa) // adjacent-pair + run frames
   pinLaw("q376_knn_shapley", 12.0) // pair/rank frames scale with the eval sample until its cap saturates (see the record law)
   pinLaw("q377_contamination_spans", 5.0, warmGsa) // adjacent-pair + seg frames
-  pinLaw("q366_suffix_array", 5.0) // pins rank triples per doubling round
-  pinLaw("q367_longest_repeat", 5.0) // pins rank tables + the pair frame
+  pinLaw("q366_suffix_array", 5.0, warmPdsa) // pins the cached rank frame readout
+  pinLaw("q367_longest_repeat", 5.0, warmPdsa) // pins the pair frame per jump rung
 
   test("the pin probe detects a deliberately re-introduced wide pin " +
       "(q351's defect class: checkpoint 64 dims, read 8)") {
