@@ -509,6 +509,95 @@ object TrainPrep {
       .agg(min("st").as("ist"), max("en").as("ien"))
   }
 
+  /** Cross-document span-removal dedup — the ACTING half of the
+    * measurement family (✚, VERDICT r16 #3: q361/q374/q375 find the
+    * ≥L-token cross-doc spans, Lee et al.'s pipeline REMOVES them and
+    * trains on the rewrite). Rule, exact at token granularity: a token
+    * is cut iff it lies inside some L-token window whose content
+    * occurs in more than one document AND whose occurrence is not the
+    * corpus-FIRST one (min by (doc_id, pos)) of that content — every
+    * duplicated span keeps exactly its first occurrence, later copies
+    * are cut wherever they start, at any alignment. Documents are
+    * rebuilt from the kept tokens in position order; fully-cut
+    * survivors stay as empty rows (corpus row count is preserved —
+    * downstream joins keyed on doc_id never lose rows).
+    *
+    * Construction: pass 1 hashes every stride-1 L-window and keeps the
+    * hashes seen in >1 doc — only (hash, doc, pos) triples shuffle,
+    * never window text (the q361 discipline). Pass 2 materializes
+    * window TEXT only for candidate docs and only dup-hash windows
+    * survive to the exchange; keep-first is decided on the exact text
+    * (hash collisions die here — a collision group re-splits by
+    * content, so a colliding singleton is never cut). Token removal is
+    * one per-doc dense-position window (`max(is_start)` over the
+    * trailing L rows — no range join), and the rebuild is the q77
+    * ordered-listagg shape. Production adds the family's df-cap on
+    * windows shared by > cap docs with the non-silent fallback report,
+    * exactly as q27/q51.
+    *
+    * Single-pass by design (as published): stitching kept tokens
+    * across a cut can mint NEW cross-doc windows; Lee et al. run one
+    * pass and accept the tail, and so does this. Output per document:
+    * (`n_tok`, `n_removed`, `n_kept`, `text_dedup`) — conservation
+    * n_tok = n_removed + n_kept holds row by row. */
+  def removeCrossDocSpans(docs: DataFrame, minLen: Int = 50,
+      materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+    val L = minLen
+    val w = split(col("text"), " ")
+    // heavy array pipeline after an exchange, not in the scan's
+    // one-task-per-file layout (q83/q120 lesson)
+    val eligible = docs.where(size(w) >= L).repartition(col("doc_id"))
+    val grams = materialize(eligible.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(w) - L),
+          p => xxhash64(array_join(slice(w, p + 1, lit(L)), " "))))
+          .as(Seq("pos", "h")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h")))
+    val dupH = grams.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") > 1).select("h")
+    val candDocs = grams.join(dupH, Seq("h"), "left_semi")
+      .select("doc_id").distinct()
+    val candWins = eligible.join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(w) - L),
+          p => struct(
+            xxhash64(array_join(slice(w, p + 1, lit(L)), " ")).as("h"),
+            array_join(slice(w, p + 1, lit(L)), " ").as("g"))))
+          .as(Seq("pos", "hg")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("hg").getField("h").as("h"), col("hg").getField("g").as("g"))
+      .join(dupH, Seq("h"), "left_semi")
+    // keep-first on exact TEXT: min (doc_id, pos) per content group;
+    // groups that were only hash-coincidences fall under nd > 1 here
+    val exact = candWins.groupBy("g").agg(
+        countDistinct(col("doc_id")).as("nd"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+      .where(col("nd") > 1)
+      .select(col("g"), col("first"))
+    val removeStarts = candWins.join(exact, Seq("g"))
+      .where(col("doc_id") =!= col("first").getField("doc_id") ||
+        col("pos") =!= col("first").getField("pos"))
+      .select(col("doc_id"), col("pos"), lit(1L).as("is_start"))
+    val toks = docs.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    // positions are dense per doc, so "inside a window starting within
+    // the last L rows" IS the interval cover — no range join
+    val flagged = toks.join(removeStarts, Seq("doc_id", "pos"), "left")
+      .withColumn("rm", max(coalesce(col("is_start"), lit(0L)))
+        .over(byDoc.rowsBetween(-(L - 1), 0)))
+    flagged.groupBy("doc_id").agg(
+        count(lit(1)).as("n_tok"),
+        sum(col("rm")).as("n_removed"),
+        sum(lit(1L) - col("rm")).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+            when(col("rm") === 0, struct(col("pos"), col("tok"))))),
+          e => e.getField("tok")), " ").as("text_dedup"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q75_decontaminate",
@@ -977,6 +1066,54 @@ object TrainPrep {
              |SELECT doc_id, CAST(ist AS BIGINT) AS span_start,
              |  CAST(ien - ist AS BIGINT) AS span_len
              |FROM isl ORDER BY doc_id, span_start""".stripMargin)),
+
+    // Span-removal dedup — the corpus REWRITE (✚ — algorithm notes at
+    // [[removeCrossDocSpans]]: q361 lists the duplicated spans, this
+    // emits the Lee-et-al deduplicated corpus: every ≥50-token
+    // cross-doc window keeps its corpus-first occurrence, later copies
+    // are cut, documents rebuilt, fully-cut survivors kept as empty
+    // rows). Oracle: brute-force stride-1 windows grouped by TEXT,
+    // keep-first by (doc_id, pos), covered-token anti-join, ordered
+    // string_agg rebuild — the direct re-derivation of the same rule.
+    QueryDef("q378_span_removal",
+      (s, d) => removeCrossDocSpans(Tables.documents(s, d)),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+             |          FROM documents),
+             |win AS (
+             |  SELECT doc_id, p, array_to_string(w[p+1 : p+50], ' ') AS s
+             |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 49)) AS p
+             |        FROM t WHERE len(w) >= 50) z),
+             |gd AS (SELECT s FROM win GROUP BY s
+             |       HAVING count(DISTINCT doc_id) > 1),
+             |fd AS (SELECT s, min(doc_id) AS fdoc
+             |       FROM win JOIN gd USING (s) GROUP BY s),
+             |fo AS (SELECT w.s, f.fdoc, min(w.p) AS fpos
+             |       FROM win w JOIN fd f ON w.s = f.s AND w.doc_id = f.fdoc
+             |       GROUP BY w.s, f.fdoc),
+             |rs AS (SELECT w.doc_id, w.p
+             |       FROM win w JOIN fo ON w.s = fo.s
+             |       WHERE NOT (w.doc_id = fo.fdoc AND w.p = fo.fpos)),
+             |ix AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS i FROM t),
+             |tok AS (SELECT ix.doc_id, CAST(ix.i - 1 AS BIGINT) AS pos,
+             |          t.w[ix.i] AS tok
+             |        FROM ix JOIN t USING (doc_id)),
+             |rm AS (SELECT DISTINCT tok.doc_id, tok.pos
+             |       FROM tok JOIN rs ON rs.doc_id = tok.doc_id
+             |         AND tok.pos BETWEEN rs.p AND rs.p + 49),
+             |ke AS (SELECT tok.* FROM tok
+             |       WHERE NOT EXISTS (SELECT 1 FROM rm
+             |         WHERE rm.doc_id = tok.doc_id AND rm.pos = tok.pos))
+             |SELECT t.doc_id,
+             |  CAST(len(t.w) AS BIGINT) AS n_tok,
+             |  CAST(COALESCE(r.nr, 0) AS BIGINT) AS n_removed,
+             |  CAST(len(t.w) - COALESCE(r.nr, 0) AS BIGINT) AS n_kept,
+             |  COALESCE(k.txt, '') AS text_dedup
+             |FROM t
+             |LEFT JOIN (SELECT doc_id, count(*) AS nr FROM rm GROUP BY 1) r
+             |  USING (doc_id)
+             |LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt
+             |           FROM ke GROUP BY 1) k USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
 
     // Token-level SUFFIX ARRAYS by distributed prefix doubling (✚ —
     // algorithm notes at [[suffixArrays]]): the data structure the

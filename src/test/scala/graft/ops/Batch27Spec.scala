@@ -1,0 +1,146 @@
+package graft.ops
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-side SEQUENTIAL cross-checks for the r17 additions — the
+  * Batch23/25/26 pattern (a different algorithm on collected data must
+  * reproduce the distributed result exactly):
+  *
+  *  - q378 removeCrossDocSpans: the VERDICT r16 #3 contract — planted
+  *    cross-doc spans must be ABSENT from the rewritten corpus while
+  *    the first occurrence and all unique text stay byte-identical,
+  *    token mass conserves row by row, and a fully-cut survivor stays
+  *    as an empty row; plus a brute-force window-level keep-first
+  *    re-derivation on seeded random corpora. */
+class Batch27Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def run(docs: Seq[(Long, String)], L: Int)
+      : Map[Long, (Long, Long, Long, String)] = {
+    import spark.implicits._
+    TrainPrep.removeCrossDocSpans(docs.toDF("doc_id", "text"), L)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+      .toMap
+  }
+
+  /** Sequential reference: the SAME rule, computed naively — stride-1
+    * L-windows grouped by content, groups spanning >1 doc keep their
+    * min-(doc_id, pos) occurrence, every token covered by a non-first
+    * occurrence is cut, docs rebuilt from kept tokens in order. */
+  private def brute(docs: Seq[(Long, String)], L: Int)
+      : Map[Long, (Long, Long, Long, String)] = {
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1) }.toMap
+    val wins = for {
+      (id, w) <- toks.toSeq
+      p <- 0 to w.length - L
+    } yield (w.slice(p, p + L).mkString(" "), id, p)
+    val removeStarts = wins.groupBy(_._1).values.flatMap { occ =>
+      if (occ.map(_._2).distinct.size > 1) {
+        val first = occ.map(o => (o._2, o._3)).min
+        occ.collect { case (_, d, p) if (d, p) != first => (d, p) }
+      } else Nil
+    }.toSet
+    docs.map { case (id, _) =>
+      val w = toks(id)
+      val rm = w.indices.map(i =>
+        ((i - L + 1) max 0 to i).exists(p => removeStarts((id, p))))
+      val kept = w.indices.filterNot(rm).map(w)
+      id -> (w.length.toLong, rm.count(identity).toLong,
+        rm.count(!_).toLong, kept.mkString(" "))
+    }.toMap
+  }
+
+  // a deterministic token stream with a small vocabulary so random
+  // corpora still collide occasionally below L
+  private def tokens(seed: Int, n: Int): Seq[String] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)("t" + rnd.nextInt(40))
+  }
+
+  test("q378 planted spans: the first occurrence and unique text are " +
+      "byte-identical, later copies vanish, conservation holds row by row") {
+    val L = 50
+    val span = (0 until 60).map("s" + _).mkString(" ")
+    val d1 = tokens(1, 30).mkString(" ") + " " + span + " " +
+      tokens(2, 25).mkString(" ")
+    val d2 = tokens(3, 40).mkString(" ") + " " + span + " " +
+      tokens(4, 10).mkString(" ")
+    val d3 = tokens(5, 80).mkString(" ") // unique, long enough to window
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3))
+    val out = run(docs, L)
+
+    // first occurrence (doc 1) and unique text (doc 3) byte-identical
+    assert(out(1L)._4 == d1)
+    assert(out(1L)._2 == 0L)
+    assert(out(3L)._4 == d3)
+    assert(out(3L)._2 == 0L)
+    // the planted span is ABSENT from doc 2's rewrite: no 50-token
+    // window of the rewritten corpus outside doc 1 matches the span
+    val spanToks = span.split(" ").toSeq
+    val d2w = out(2L)._4.split(" ", -1).toSeq
+    assert(!d2w.sliding(L).exists(w => spanToks.sliding(L).exists(_ == w)),
+      "a ≥L window of the planted span survived in doc 2")
+    // ...and it survives exactly once corpus-wide
+    val allWins = out.values.flatMap(_._4.split(" ", -1).toSeq.sliding(L))
+    val spanWins = spanToks.sliding(L).toSet
+    assert(allWins.count(spanWins) == spanWins.size) // doc 1's copy only
+    // conservation: n_tok = n_removed + n_kept, and n_kept matches the
+    // rebuilt text's real token count
+    out.foreach { case (id, (nt, nr, nk, txt)) =>
+      assert(nt == nr + nk, s"doc $id")
+      if (nk > 0) assert(txt.split(" ", -1).length.toLong == nk, s"doc $id")
+      else assert(txt == "", s"doc $id")
+    }
+    assert(out == brute(docs, L))
+  }
+
+  test("q378: a document that is one duplicated span collapses to an " +
+      "EMPTY row — the corpus keeps its row count") {
+    val L = 10
+    val span = (0 until 10).map("z" + _).mkString(" ")
+    val docs = Seq(
+      (1L, tokens(7, 5).mkString(" ") + " " + span),
+      (2L, span)) // doc 2 IS the span: fully cut
+    val out = run(docs, L)
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(2L) == ((10L, 10L, 0L, "")))
+    assert(out(1L)._4 == docs.head._2)
+    assert(out == brute(docs, L))
+  }
+
+  test("q378: keep-first is global — with three copies the (doc_id, pos)-" +
+      "smallest survives and BOTH later copies are cut") {
+    val L = 8
+    val span = (0 until 12).map("k" + _).mkString(" ")
+    val docs = Seq(
+      (3L, tokens(11, 4).mkString(" ") + " " + span),
+      (5L, span + " " + tokens(12, 6).mkString(" ")),
+      (9L, tokens(13, 3).mkString(" ") + " " + span + " x0"))
+    val out = run(docs, L)
+    assert(out(3L)._2 == 0L) // min doc_id keeps its copy
+    assert(out(5L)._2 == 12L)
+    assert(out(9L)._2 == 12L)
+    assert(out == brute(docs, L))
+  }
+
+  test("q378 equals the sequential re-derivation on seeded random " +
+      "corpora with planted cross-doc spans at several L") {
+    for ((seed, l) <- Seq((101, 12), (202, 9), (303, 15))) {
+      val rnd = new scala.util.Random(seed)
+      val span1 = (0 until l + 5).map(i => s"p${seed}_$i").mkString(" ")
+      val span2 = (0 until l).map(i => s"q${seed}_$i").mkString(" ")
+      val docs = (1L to 12L).map { id =>
+        val body = tokens(seed + id.toInt, 20 + rnd.nextInt(30))
+        val planted =
+          if (id % 3 == 0) Seq(span1)
+          else if (id % 4 == 0) Seq(span2) else Nil
+        val at = rnd.nextInt(body.length)
+        id -> (body.take(at) ++ planted ++ body.drop(at)).mkString(" ")
+      }
+      assert(run(docs, l) == brute(docs, l), s"seed $seed L $l")
+    }
+  }
+}

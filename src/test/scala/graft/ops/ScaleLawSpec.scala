@@ -311,6 +311,11 @@ class ScaleLawSpec extends AnyFunSuite {
   // share grams, so diagonals replicate linearly; a real super-linear
   // defect (occurrence PAIRS instead of distinct diagonals) lands ×9
   law("q361_exact_spans", 5.0)
+  // r17: the removal rewrite — hash pass is window-linear, candidate
+  // window TEXT replicates with the duplicate mass (namespace
+  // replication holds it linear); a corpus-wide gram-text shuffle
+  // regression lands ×50 of the hash pass
+  law("q378_span_removal", 5.0)
 
   // r15 (VERDICT r14 #1): cold/cold laws on the substrate BUILDS —
   // the full dedup/grid → Borůvka → label pipelines, cache-bypassed.
