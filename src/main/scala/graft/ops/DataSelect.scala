@@ -1007,8 +1007,78 @@ object DataSelect {
     // rounded distances.
     QueryDef("q376_knn_shapley",
       (s, d) => knnShapley(Tables.embeddings(s, d)),
-      Some(knnShapleySql(5, 32))
+      Some(knnShapleySql(5, 32))),
+
+    // Valuation composed into selection (✚ — VERDICT r16 #5: q376
+    // values each training doc against the eval sample, q121 selects a
+    // token-budget prefix; this closes the loop — the budget selector
+    // ranked by SHAPLEY VALUE instead of lexical density, the
+    // "select the data that provably helps on eval" pipeline of the
+    // valuation literature). Algorithm notes at [[shapleyBudgetSelect]].
+    // Oracle: the q376 CTE chain verbatim (the two gates cannot
+    // disagree on a value) + the q121 flat-window selection, with the
+    // cumulative value as an exact DECIMAL running sum.
+    QueryDef("q379_value_select",
+      (s, d) => shapleyBudgetSelect(Tables.documents(s, d),
+        Tables.embeddings(s, d)),
+      Some(knnShapleyCtes(5, 32) +
+        """,
+          |sv AS (SELECT c.t_id AS vec_id,
+          |         round(CAST(SUM(sn.s_n + c.rc) AS DOUBLE) / COUNT(*), 6)
+          |           AS shapley
+          |       FROM c JOIN sn USING (q_id) GROUP BY c.t_id),
+          |sz AS (SELECT d.doc_id,
+          |         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+          |         sv.shapley
+          |       FROM documents d JOIN sv ON sv.vec_id = d.doc_id),
+          |cw AS (SELECT doc_id, n_tok, shapley,
+          |         SUM(n_tok) OVER (ORDER BY shapley DESC, doc_id
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          |         SUM(CAST(shapley AS DECIMAL(38,6)))
+          |           OVER (ORDER BY shapley DESC, doc_id
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumv
+          |       FROM sz)
+          |SELECT doc_id, n_tok, shapley, CAST(cum AS BIGINT) AS cum_tok,
+          |  CAST(cumv AS DOUBLE) AS cum_value
+          |FROM cw WHERE cum <= 20000 ORDER BY doc_id""".stripMargin)
   ))
+
+  /** Token-budget selection ranked by KNN-Shapley value (q379's engine
+    * — [[knnShapley]] composed into q121's greedy budget selector):
+    * value every training document against the eval sample, order by
+    * (value DESC, doc_id), keep the maximal prefix whose running token
+    * total fits `budget`. Greedy-by-value IS optimal for the
+    * "max total value under a token budget" relaxation the selection
+    * literature uses at corpus scale (documents are small next to the
+    * budget), and the running sums are the two-phase primitives — the
+    * token prefix via [[Scale.globalRunningSum]], the value prefix via
+    * [[TrainPrep.runningSumGlobal]] over exact DECIMALs (rounded@6
+    * values summed exactly, so the cumulative value both engines
+    * report is bit-identical) — never a single-task global window.
+    * Docs without a valuation (the eval rows themselves) are not
+    * selectable: training on eval is the q377 contamination defect. */
+  def shapleyBudgetSelect(docs: DataFrame, embs: DataFrame,
+      budget: Long = 20000L, k: Int = 5, nQueries: Int = 32,
+      materialize: Materialize.Strategy = Materialize.local): DataFrame = {
+    val sv = knnShapley(embs, k, nQueries, materialize)
+      .select(col("vec_id").as("doc_id"), col("shapley"))
+    val sized = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .join(sv, "doc_id")
+    val withCum = Scale.globalRunningSum(sized,
+      Seq(col("shapley").desc, col("doc_id")), col("n_tok"), materialize)
+    val withVal = TrainPrep.runningSumGlobal(
+      withCum.withColumn("nshap", -col("shapley"))
+        .withColumn("sdec", col("shapley").cast("decimal(38,6)")),
+      Seq("nshap", "doc_id"), "sdec", "cumv", materialize)
+    // the running sum is EXACT in decimal; the output casts it to
+    // double (identical on both engines for the same decimal value)
+    withVal.where(col("cum") <= budget)
+      .select(col("doc_id"), col("n_tok"), col("shapley"),
+        col("cum").as("cum_tok"),
+        col("cumv").cast("double").as("cum_value"))
+      .orderBy("doc_id")
+  }
 
   /** Hard-negative triplet mining over IVF cells (q369's engine) — per
     * anchor the top same-label and top different-label cell-mates by
@@ -1415,8 +1485,19 @@ object DataSelect {
   /** q376's oracle: the identical construction with plain windows —
     * per-query ROW_NUMBER ranks over the same rounded distances, lead
     * for the successor label, exact-decimal terms, the reverse
-    * cumulative window sum, and the same final mean. */
+    * cumulative window sum, and the same final mean. Split as
+    * CTE chain + final select so q379's composition oracle can extend
+    * the SAME valuation text with the selection step (the two gates
+    * cannot disagree on what a value is). */
   private def knnShapleySql(k: Int, nQueries: Int): String =
+    knnShapleyCtes(k, nQueries) + "\n" +
+      """SELECT c.t_id AS vec_id, COUNT(*) AS n_queries,
+        |  round(CAST(SUM(sn.s_n + c.rc) AS DOUBLE) / COUNT(*), 6)
+        |    AS shapley
+        |FROM c JOIN sn USING (q_id)
+        |GROUP BY c.t_id ORDER BY vec_id""".stripMargin
+
+  private def knnShapleyCtes(k: Int, nQueries: Int): String =
     s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
        |           FROM embeddings),
        |q AS (SELECT vec_id AS q_id, label AS q_lbl, v AS qv FROM e
@@ -1449,10 +1530,5 @@ object DataSelect {
        |sn AS (SELECT q_id,
        |        CAST(round(ym / CAST(n AS DOUBLE), 12) AS DECIMAL(38,12))
        |          AS s_n
-       |       FROM r WHERE rank = n)
-       |SELECT c.t_id AS vec_id, COUNT(*) AS n_queries,
-       |  round(CAST(SUM(sn.s_n + c.rc) AS DOUBLE) / COUNT(*), 6)
-       |    AS shapley
-       |FROM c JOIN sn USING (q_id)
-       |GROUP BY c.t_id ORDER BY vec_id""".stripMargin
+       |       FROM r WHERE rank = n)""".stripMargin
 }

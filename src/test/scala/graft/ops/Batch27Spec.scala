@@ -126,6 +126,47 @@ class Batch27Spec extends AnyFunSuite {
     assert(out == brute(docs, L))
   }
 
+  test("q379 composition: the selected set IS the greedy value-ordered " +
+      "prefix under the token budget, and cum_value is the exact " +
+      "DECIMAL running sum of the q376 values") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val embs = (1L to 120L).map { id =>
+      val v = Array.fill(4)((rnd.nextDouble() * 2 - 1).toFloat) ++
+        Array.fill(60)(0.0f)
+      (id, v, (id % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val docs = (1L to 120L).map { id =>
+      id -> tokens(1000 + id.toInt, 10 + (id % 7).toInt * 5).mkString(" ")
+    }.toDF("doc_id", "text")
+    val budget = 900L
+    val got = DataSelect.shapleyBudgetSelect(docs, embs, budget)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4)))
+      .sortBy(_._1)
+    // sequential greedy over the DISTRIBUTED valuation (valuation
+    // equality itself is Batch26's theorem; this pins the composition)
+    val sv = DataSelect.knnShapley(embs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val nTok = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).length.toLong)
+      .toMap
+    val ordered = sv.toSeq.sortBy { case (id, v) => (-v, id) }
+    var cumT = 0L
+    var cumV = BigDecimal(0)
+    val want = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Double, Long, Double)]
+    for ((id, v) <- ordered if cumT + nTok(id) <= Long.MaxValue) {
+      cumT += nTok(id)
+      cumV += BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      if (cumT <= budget)
+        want += ((id, nTok(id), v, cumT, cumV.toDouble))
+    }
+    assert(got.toSeq == want.sortBy(_._1).toSeq)
+    assert(got.nonEmpty && got.map(_._2).sum <= budget)
+  }
+
   test("q378 equals the sequential re-derivation on seeded random " +
       "corpora with planted cross-doc spans at several L") {
     for ((seed, l) <- Seq((101, 12), (202, 9), (303, 15))) {

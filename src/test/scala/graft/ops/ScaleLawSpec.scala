@@ -58,6 +58,15 @@ class ScaleLawSpec extends AnyFunSuite {
     dir
   }
 
+  // 9× replica (r17): paired with `big` for the q376 cap-bound law —
+  // at ×3 and ×9 the %37 eval pool (≈41 / ≈123 candidates) saturates
+  // the 32-query cap on both sides, isolating the corpus-linear term.
+  private lazy val big9: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sf9x").toString
+    ScaleGen.generate(spark, TestSpark.sf0001, dir, 9)
+    dir
+  }
+
   // 3× replica with Heaps-law token growth (vocab ∝ √reps) — the
   // realistic fixture for open-vocabulary model gates; see header.
   private lazy val bigHeaps: String = {
@@ -278,6 +287,26 @@ class ScaleLawSpec extends AnyFunSuite {
   // all-pairs (capless) regression, which lands at ×9 of every
   // component
   law("q376_knn_shapley", 12.0)
+  // r17 (VERDICT r16 #6): the ×12 belt above absorbs the eval-sample
+  // growth term (14 → 32 queries between the tiny fixtures); THIS law
+  // compares ×3 vs ×9 replicas, where the %37 pool (≈41 and ≈123
+  // candidates) saturates the 32-query cap on BOTH sides — the eval
+  // frame is a constant and the law meters the corpus-linear
+  // pair/rank term alone, the operator's real 100 TB cost.
+  test("q376_knn_shapley: with the 32-query cap binding on both sides, " +
+      "shuffle records grow ≤ ×5 at ×3 data (corpus-linear term alone)") {
+    val sRec = gateMetrics("q376_knn_shapley", big)._1
+    val lRec = gateMetrics("q376_knn_shapley", big9)._1
+    assert(lRec <= sRec * 5.0 + 20000,
+      f"q376 shuffled $sRec -> $lRec records at x3 cap-bound data " +
+        f"(x${lRec.toDouble / math.max(sRec, 1)}%.1f, bound x5.0)")
+  }
+  // the composition gate: the q376 valuation (cap-bound: constant eval
+  // frame) + two two-phase running sums over the doc frame — linear,
+  // but at tiny SF it inherits q376's sample-growth term, so it wears
+  // the same ×12 workload belt
+  law("q379_value_select", 12.0)
+  pinLaw("q379_value_select", 12.0)
   lawOn("q377_contamination_spans", 5.0, big, "namespace", warmGsa)
   // r15: one map-side-combined corpus groupBy; the EG iteration runs
   // on the K-row domain frame only
