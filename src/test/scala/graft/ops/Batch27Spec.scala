@@ -167,6 +167,82 @@ class Batch27Spec extends AnyFunSuite {
     assert(got.nonEmpty && got.map(_._2).sum <= budget)
   }
 
+  // ---- q374's group-convergence exit (VERDICT r16 #3): the planted
+  // ≥50-token spans of the standard corpora keep groups splitting
+  // through width 64, so the no-split exit path was live but never
+  // taken. These corpora have NO long repeat, so the exit MUST fire
+  // rounds before the ⌈log₂ maxLen⌉ worst case — and the discarded
+  // no-split rung must not let the jump certify 2S on an S-token
+  // guarantee (the reported max repeat equals brute force exactly). ----
+
+  private def bruteCrossLcp(docs: Seq[(Long, String)]): Long = {
+    val sufs = for {
+      (id, t) <- docs
+      w = t.split(" ", -1).toSeq
+      off <- w.indices
+    } yield (id, w.drop(off))
+    var best = 0L
+    for (a <- sufs; b <- sufs if a._1 != b._1) {
+      val l = a._2.zip(b._2).takeWhile { case (x, y) => x == y }.size.toLong
+      if (l > best) best = l
+    }
+    best
+  }
+
+  test("q374 no-long-repeat corpus: the no-split exit fires early " +
+      "(kept rungs stop at the repeat scale, far below log2 maxLen) " +
+      "and the discarded round never inflates the reported maximum") {
+    import spark.implicits._
+    // 6 docs × 200 globally-unique tokens; ONE planted 5-token repeat
+    // across docs 2 and 5 — the longest cross-doc span is exactly 5,
+    // so groups stop splitting after the width-8 round
+    val span = (0 until 5).map("r" + _)
+    def doc(id: Long): (Long, String) = {
+      val base = (0 until 200).map(i => s"u${id}_$i")
+      val t = if (id == 2L) base.take(40) ++ span ++ base.drop(40)
+        else if (id == 5L) base.take(90) ++ span ++ base.drop(90)
+        else base
+      id -> t.mkString(" ")
+    }
+    val docs = (1L to 6L).map(doc)
+    val df = docs.toDF("doc_id", "text")
+    val (_, tables) = TrainPrep.globalSaLadderForTest(df)
+    val widths = tables.map(_._1)
+    // exit fired: the full ladder on 200-token docs is widths 1..256
+    // (9 rungs); the repeat structure dies at width 8
+    assert(widths == Seq(1L, 2L, 4L, 8L),
+      s"expected the exit after width 8, kept rungs: $widths")
+    // the discarded no-split rung must NOT certify 16 tokens on an
+    // 8-token guarantee: the reported maximum is exactly brute force
+    val rep = TrainPrep.crossDocRepeat(df).collect()(0)
+    assert(rep.getLong(0) == 5L)
+    assert(bruteCrossLcp(docs) == 5L)
+  }
+
+  test("q374 equals brute force on seeded random corpora capped below " +
+      "8-token repeats, and the exit always fires early") {
+    import spark.implicits._
+    for (seed <- Seq(11, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val span = (0 until 4 + rnd.nextInt(3)).map(i => s"s${seed}_$i")
+      val docs = (1L to 8L).map { id =>
+        val base = (0 until 80 + rnd.nextInt(60))
+          .map(i => s"v${seed}_${id}_$i")
+        val at = rnd.nextInt(base.length)
+        val t = if (id % 3 == 0) base.take(at) ++ span ++ base.drop(at)
+          else base
+        id -> t.mkString(" ")
+      }
+      val df = docs.toDF("doc_id", "text")
+      val (_, tables) = TrainPrep.globalSaLadderForTest(df)
+      val maxLen = docs.map(_._2.split(" ", -1).length).max
+      assert(tables.map(_._1).max < maxLen,
+        s"seed $seed: exit never fired (rungs ${tables.map(_._1)})")
+      val rep = TrainPrep.crossDocRepeat(df).collect()(0).getLong(0)
+      assert(rep == bruteCrossLcp(docs), s"seed $seed")
+    }
+  }
+
   test("q378 equals the sequential re-derivation on seeded random " +
       "corpora with planted cross-doc spans at several L") {
     for ((seed, l) <- Seq((101, 12), (202, 9), (303, 15))) {
