@@ -2,9 +2,9 @@ package graft.tools
 
 import graft.{Sessions, SparkEntry}
 
-/** Long-JVM streaming-replay soak (VERDICT r15 #3): replays the
-  * in-suite streaming suspects (q331, q340, q151) round after round in
-  * ONE JVM and prints, per round, each gate's wall seconds plus the
+/** Long-JVM streaming-replay soak (VERDICT r15 #3, widened r17 per
+  * VERDICT r16 #1): replays streaming gates round after round in ONE
+  * JVM and prints, per round, each gate's wall seconds plus the
   * suspected accumulators — session temp views (every bounded replay's
   * memory sink registers one holding its FULL result set), loaded
   * state-store providers (each stopped stateful query leaves providers
@@ -12,16 +12,30 @@ import graft.{Sessions, SparkEntry}
   * used heap. A mechanism is pinned when a counter grows monotonically
   * WITH the per-round times; fixed when both stay flat.
   *
-  *   java -cp ... graft.tools.StreamSoak /root/testdata/sf0.1 [rounds]
+  * r17: the gate list defaults to the FULL `_stream_` replay class
+  * from the registry (the r16 fix was only proven on q331/q340/q151;
+  * q157/q172/q217 regressed driver-to-driver afterwards and their
+  * coverage was unproven). Flat temp-view/provider counts across a
+  * full-class soak verify every streamed gate really exits through
+  * `collectBounded`'s finally-block — the memory-sink drop and
+  * StateStore unload are per-gate invariants, not per-suspect ones.
+  *
+  *   java -cp ... graft.tools.StreamSoak <sfDir> [rounds] [gates.csv]
   */
 object StreamSoak {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val rounds = args.lift(1).map(_.toInt).getOrElse(30)
+    val rounds = args.lift(1).map(_.toInt).getOrElse(10)
+    val gates = args.lift(2) match {
+      case Some(csv) => csv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        .map { p =>
+          SparkEntry.queries.keys.find(_.startsWith(p)).getOrElse(
+            sys.error(s"no gate matches '$p'"))
+        }
+      case None => SparkEntry.queries.keys.toSeq
+        .filter(_.contains("_stream_")).sorted
+    }
     val spark = Sessions.local()
-    val gates = Seq("q331_stream_dsir", "q340_stream_classifier",
-      "q151_stream_anomaly")
-      .filter(SparkEntry.queries.contains)
 
     def tempViews: Long =
       spark.catalog.listTables().filter("isTemporary").count()
@@ -38,7 +52,7 @@ object StreamSoak {
     }
 
     println("round\t" + gates.map(_.take(8)).mkString("\t") +
-      "\ttemp_views\tproviders\theap_mb")
+      "\ttotal\ttemp_views\tproviders\theap_mb")
     for (r <- 1 to rounds) {
       val times = gates.map { g =>
         val t0 = System.nanoTime()
@@ -52,7 +66,7 @@ object StreamSoak {
       spark.sqlContext.clearCache()
       if (r % 25 == 0) System.gc()
       println(f"$r%d\t" + times.map(t => f"$t%.2f").mkString("\t") +
-        f"\t$tempViews%d\t$providers%d\t$heapMb%d")
+        f"\t${times.sum}%.2f\t$tempViews%d\t$providers%d\t$heapMb%d")
     }
     spark.stop()
   }
