@@ -1195,8 +1195,7 @@ object TrainPrep {
     QueryDef("q374_cross_doc_repeat",
       // readout of the cached [[globalSa]] substrate (one ladder build
       // per JVM/corpus, charged once in bench; q375 reads the same)
-      (s, d) => { val (sa, t) = globalSa(s, d)
-        crossDocRepeatFrom(sa, t, Materialize.local) },
+      (s, d) => crossDocRepeatFromAdj(globalSaAdj(s, d)._2),
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
              |          FROM documents),
              |i AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS i FROM t),
@@ -1226,8 +1225,8 @@ object TrainPrep {
     // by direct token comparison, then the identical run/running-min
     // construction in window SQL.
     QueryDef("q375_cross_doc_coverage",
-      (s, d) => { val (sa, t) = globalSa(s, d)
-        crossDocCoverageFrom(sa, t, 50, Materialize.local) },
+      (s, d) => { val (idx, adj) = globalSaAdj(s, d)
+        crossDocCoverageFromAdj(idx, adj, 50, Materialize.local) },
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
              |          FROM documents),
              |ix AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS i FROM t),
@@ -1280,8 +1279,8 @@ object TrainPrep {
     // forward running count of eval rows, the identical nulled-entry /
     // reverse-min window construction.
     QueryDef("q377_contamination_spans",
-      (s, d) => { val (sa, t) = globalSa(s, d)
-        contaminationFrom(sa, t, evalMod = 41L, minLen = 20,
+      (s, d) => { val (idx, adj) = globalSaAdj(s, d)
+        contaminationFromAdj(idx, adj, evalMod = 41L, minLen = 20,
           Materialize.local) },
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
              |          FROM documents),
@@ -2091,6 +2090,18 @@ object TrainPrep {
       t.write.mode("overwrite").parquet(out + s"/tab_$w.parquet") }
     java.nio.file.Files.write(java.nio.file.Paths.get(out, "widths.txt"),
       tables.map(_._1).mkString(",").getBytes("UTF-8"))
+    // the indexed order + adjacent-LCP walk is the build's THIRD
+    // artifact (r17): q374/q375/q377 each re-ran the identical full
+    // walk per gate; it now runs once here, derived from the PERSISTED
+    // ladder (read-back, not lineage — all artifacts are views of one
+    // build) and charged to the substrate line
+    val persisted = s.read.parquet(out + "/sa.parquet")
+    val pTables = tables.map { case (w, _) =>
+      w -> s.read.parquet(out + s"/tab_$w.parquet") }
+    val (idx, adj) = indexedAdjacentLcps(persisted, pTables,
+      Materialize.local)
+    idx.write.mode("overwrite").parquet(out + "/idx.parquet")
+    adj.write.mode("overwrite").parquet(out + "/adj.parquet")
     out
   }
 
@@ -2108,17 +2119,18 @@ object TrainPrep {
     }
   }
 
-  /** The cached global suffix order + rung tables (cache contract as
-    * the Components substrates: corpus dirs immutable per JVM, scratch
-    * deleted on exit, no build under the map lock). */
-  private def globalSa(s: org.apache.spark.sql.SparkSession, dir: String)
-      : (DataFrame, Seq[(Long, DataFrame)]) = {
+  /** The cached indexed order + adjacent-LCP frame — the substrate
+    * artifact every q374/q375/q377 readout consumes (r17; the raw
+    * sa/rung artifacts stay on disk for inspection and the widths file
+    * documents the kept rungs, but no gate reads them back anymore —
+    * the one full walk happens inside [[buildGlobalSa]]). Cache
+    * contract as the Components substrates: corpus dirs immutable per
+    * JVM, scratch deleted on exit, no build under the map lock. */
+  private def globalSaAdj(s: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     val base = globalSaBase(s, dir)
-    val widths = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(base, "widths.txt")), "UTF-8")
-      .split(",").map(_.toLong).toSeq
-    (s.read.parquet(base + "/sa.parquet"),
-      widths.map(w => w -> s.read.parquet(base + s"/tab_$w.parquet")))
+    (s.read.parquet(base + "/idx.parquet"),
+      s.read.parquet(base + "/adj.parquet"))
   }
 
   def crossDocRepeat(docs: DataFrame,
@@ -2129,31 +2141,24 @@ object TrainPrep {
 
   private[ops] def crossDocRepeatFrom(sa: DataFrame,
       tables: Seq[(Long, DataFrame)],
-      materialize: Materialize.Strategy): DataFrame = {
-    val wg = Window.partitionBy("r").orderBy("doc_id", "off")
-    val within = sa
-      .withColumn("db", lead("doc_id", 1).over(wg))
-      .withColumn("ob", lead("off", 1).over(wg))
-      .where(col("db").isNotNull && col("db") =!= col("doc_id"))
-      .select(col("doc_id").as("da"), col("off").as("oa"),
-        col("db"), col("ob"), col("slen").as("lcp"))
-    val grp = materialize(sa.groupBy("r").agg(
-      min(struct(col("doc_id"), col("off"))).as("fst"),
-      max(struct(col("doc_id"), col("off"))).as("lst")))
-    val bnd = grp.select((col("r") + 1L).as("r"),
-        col("lst.doc_id").as("da"), col("lst.off").as("oa"))
-      .join(grp.select(col("r"), col("fst.doc_id").as("db"),
-        col("fst.off").as("ob")), "r")
-      .where(col("da") =!= col("db"))
-      .select(lit(0L).as("i"), col("da"), col("oa"), col("db"), col("ob"))
-    val jumped = ladderJumpLcp(bnd, tables, materialize)
-    within.unionByName(
-        jumped.select(col("da"), col("oa"), col("db"), col("ob"), col("lcp")))
+      materialize: Materialize.Strategy): DataFrame =
+    crossDocRepeatFromAdj(indexedAdjacentLcps(sa, tables, materialize)._2)
+
+  /** q374's readout over the cached adjacent-LCP frame (r17): the max
+    * cross-doc LCP is realized by a DOC-CHANGING consecutive pair of
+    * the global order — for any cross-doc pair (x, y), LCP(x, y) is
+    * the min of the adjacent LCPs between them, and [x, y] must
+    * contain a doc change whose adjacent LCP is therefore ≥ LCP(x, y).
+    * One filter + argmax over the substrate's `adj` artifact; the
+    * former boundary-pair ladder walk (a per-gate subset of the same
+    * walk) is gone — the full walk runs once, in the build, and
+    * q375/q377 read the same frame. */
+  private[ops] def crossDocRepeatFromAdj(adj: DataFrame): DataFrame =
+    adj.where(col("da") =!= col("db"))
       .orderBy(col("lcp").desc, col("da"), col("oa"), col("db"), col("ob"))
       .limit(1)
       .select(col("lcp").as("repeat_len"), col("da").as("doc_a"),
         col("oa").as("off_a"), col("db").as("doc_b"), col("ob").as("off_b"))
-  }
 
   /** Global ORDER INDEX by `keys` — the row-number sibling of
     * [[denseRankGlobalCounted]] (range repartition, per-partition
@@ -2256,10 +2261,11 @@ object TrainPrep {
     crossDocCoverageFrom(sa, tables, minLen, materialize)
   }
 
-  /** The indexed global order + ALL adjacent-pair LCPs — shared by
-    * [[crossDocCoverageFrom]] (doc-change boundaries) and
-    * [[contaminationFrom]] (eval-row boundaries): returns
-    * (idx: i/doc_id/off/r/slen, adj: i/da/db/lcp for pair (i, i+1)).
+  /** The indexed global order + ALL adjacent-pair LCPs — the ONE walk
+    * the whole q374/q375/q377 family needs (r17: it used to run once
+    * per gate; it is now the substrate's second artifact): returns
+    * (idx: i/doc_id/off/r/slen, adj: i/da/oa/db/ob/lcp for the
+    * consecutive pair (row i, row i+1) of the (r, doc_id, off) order).
     * Identical-rank pairs are identical suffixes (LCP = common
     * length); distinct ranks walk the ladder. */
   private def indexedAdjacentLcps(sa: DataFrame,
@@ -2273,12 +2279,14 @@ object TrainPrep {
       col("doc_id").as("db"), col("off").as("ob"), col("r").as("rb"))
     val adj0 = aSide.join(bSide, "i")
     val sameR = adj0.where(col("ra") === col("rb"))
-      .select(col("i"), col("da"), col("db"), col("sla").as("lcp"))
+      .select(col("i"), col("da"), col("oa"), col("db"), col("ob"),
+        col("sla").as("lcp"))
     val diffR = ladderJumpLcp(
       adj0.where(col("ra") =!= col("rb"))
         .select(col("i"), col("da"), col("oa"), col("db"), col("ob")),
       tables, materialize)
-      .select(col("i"), col("da"), col("db"), col("lcp"))
+      .select(col("i"), col("da"), col("oa"), col("db"), col("ob"),
+        col("lcp"))
     (idx, materialize(sameR.unionByName(diffR)))
   }
 
@@ -2286,6 +2294,11 @@ object TrainPrep {
       tables: Seq[(Long, DataFrame)], minLen: Int,
       materialize: Materialize.Strategy): DataFrame = {
     val (idx, adj) = indexedAdjacentLcps(sa, tables, materialize)
+    crossDocCoverageFromAdj(idx, adj, minLen, materialize)
+  }
+
+  private[ops] def crossDocCoverageFromAdj(idx: DataFrame, adj: DataFrame,
+      minLen: Int, materialize: Materialize.Strategy): DataFrame = {
     // row i's entering pair is adj(i−1); its leaving pair is adj(i)
     val marked = idx
       .join(adj.select((col("i") + 1L).as("i"),
@@ -2347,6 +2360,12 @@ object TrainPrep {
       tables: Seq[(Long, DataFrame)], evalMod: Long, minLen: Int,
       materialize: Materialize.Strategy): DataFrame = {
     val (idx, adj) = indexedAdjacentLcps(sa, tables, materialize)
+    contaminationFromAdj(idx, adj, evalMod, minLen, materialize)
+  }
+
+  private[ops] def contaminationFromAdj(idx: DataFrame, adj: DataFrame,
+      evalMod: Long, minLen: Int,
+      materialize: Materialize.Strategy): DataFrame = {
     val isEval = (col("doc_id") % evalMod) === 0
     val marked = idx
       .join(adj.select((col("i") + 1L).as("i"), col("lcp").as("lcp_in")),
