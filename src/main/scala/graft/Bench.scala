@@ -83,7 +83,11 @@ object Bench {
         () => ops.TrainPrep.warmGlobalSa(spark, sfDir)),
       // the per-doc rank ladder (r17): q366/q367 read one build
       ("per_doc_sa", Seq("q366", "q367"),
-        () => ops.TrainPrep.warmPerDocSa(spark, sfDir)))
+        () => ops.TrainPrep.warmPerDocSa(spark, sfDir)),
+      // the KNN-Shapley valuation (r17): q376 reports it, q379 selects
+      // by it — one pair/rank/recursion pass feeds both
+      ("shapley", Seq("q376", "q379"),
+        () => ops.DataSelect.warmShapley(spark, sfDir)))
     val substrates = substrateDefs.flatMap { case (sname, consumers, run) =>
       if (selected.exists { case (n, _) => consumers.exists(n.startsWith) }) {
         val t0 = System.nanoTime()

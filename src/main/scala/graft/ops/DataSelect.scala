@@ -1006,7 +1006,10 @@ object DataSelect {
     // join, the exact-decimal reverse cumulative sum — over the same
     // rounded distances.
     QueryDef("q376_knn_shapley",
-      (s, d) => knnShapley(Tables.embeddings(s, d)),
+      // readout of the cached [[shapleyValues]] substrate (r17: q379
+      // composes the same valuation into selection — one pair/rank/
+      // recursion pass per (JVM, corpus) feeds both gates)
+      (s, d) => shapleyValues(s, d).orderBy("vec_id"),
       Some(knnShapleySql(5, 32))),
 
     // Valuation composed into selection (✚ — VERDICT r16 #5: q376
@@ -1019,8 +1022,8 @@ object DataSelect {
     // disagree on a value) + the q121 flat-window selection, with the
     // cumulative value as an exact DECIMAL running sum.
     QueryDef("q379_value_select",
-      (s, d) => shapleyBudgetSelect(Tables.documents(s, d),
-        Tables.embeddings(s, d)),
+      (s, d) => shapleyBudgetSelectFrom(Tables.documents(s, d),
+        shapleyValues(s, d)),
       Some(knnShapleyCtes(5, 32) +
         """,
           |sv AS (SELECT c.t_id AS vec_id,
@@ -1059,9 +1062,17 @@ object DataSelect {
     * selectable: training on eval is the q377 contamination defect. */
   def shapleyBudgetSelect(docs: DataFrame, embs: DataFrame,
       budget: Long = 20000L, k: Int = 5, nQueries: Int = 32,
+      materialize: Materialize.Strategy = Materialize.local): DataFrame =
+    shapleyBudgetSelectFrom(docs,
+      knnShapley(embs, k, nQueries, materialize), budget, materialize)
+
+  /** [[shapleyBudgetSelect]] over an ALREADY-COMPUTED valuation frame
+    * — the readout half, split out so the cached [[shapleyValues]]
+    * substrate can feed both q376 and q379 from one build. */
+  private[ops] def shapleyBudgetSelectFrom(docs: DataFrame,
+      values: DataFrame, budget: Long = 20000L,
       materialize: Materialize.Strategy = Materialize.local): DataFrame = {
-    val sv = knnShapley(embs, k, nQueries, materialize)
-      .select(col("vec_id").as("doc_id"), col("shapley"))
+    val sv = values.select(col("vec_id").as("doc_id"), col("shapley"))
     val sized = docs.select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
       .join(sv, "doc_id")
@@ -1481,6 +1492,44 @@ object DataSelect {
           .as("shapley"))
       .orderBy("vec_id")
   }
+
+  private val shapleyCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build the KNN-SHAPLEY valuation substrate for `dir` UNCACHED into
+    * fresh scratch parquet (r17): q376 reports the values, q379 ranks
+    * the budget selection by them — one pair/rank/recursion pass per
+    * (JVM, corpus) feeds both, charged once in bench with a cold/cold
+    * law, the contract of every other substrate. Deterministic: ranks
+    * come from the global order index over rounded distances and the
+    * recursion is exact DECIMAL. */
+  private[graft] def buildShapley(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val out = graft.core.Scratch.tempDir("graft-shapley")
+    knnShapley(Tables.embeddings(s, dir))
+      .write.mode("overwrite").parquet(out + "/shapley.parquet")
+    out
+  }
+
+  /** Pre-build (idempotent) the q376/q379 substrate. */
+  private[graft] def warmShapley(s: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = { shapleyBase(s, dir); () }
+
+  private def shapleyBase(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val key = graft.core.Scratch.corpusKey(dir)
+    val cached = shapleyCache.get(key)
+    if (cached != null) cached else {
+      val built = buildShapley(s, dir)
+      Option(shapleyCache.putIfAbsent(key, built)).getOrElse(built)
+    }
+  }
+
+  /** The cached per-training-point valuation frame (vec_id, n_queries,
+    * shapley) — cache contract as the other substrates. */
+  private def shapleyValues(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    s.read.parquet(shapleyBase(s, dir) + "/shapley.parquet")
 
   /** q376's oracle: the identical construction with plain windows —
     * per-query ROW_NUMBER ranks over the same rounded distances, lead
