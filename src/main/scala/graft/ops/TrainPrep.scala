@@ -588,13 +588,17 @@ object TrainPrep {
     val flagged = toks.join(removeStarts, Seq("doc_id", "pos"), "left")
       .withColumn("rm", max(coalesce(col("is_start"), lit(0L)))
         .over(byDoc.rowsBetween(-(L - 1), 0)))
+    // ordered listagg, not collect_list+sort: the aggregation buffer
+    // is the rebuilt string itself (bounded by doc size), never a
+    // struct array — the q77/q83 rebuild idiom PlanSpec enforces;
+    // removed tokens aggregate as NULL (skipped), a fully-cut doc
+    // coalesces to the empty row
     flagged.groupBy("doc_id").agg(
         count(lit(1)).as("n_tok"),
         sum(col("rm")).as("n_removed"),
         sum(lit(1L) - col("rm")).as("n_kept"),
-        array_join(transform(array_sort(collect_list(
-            when(col("rm") === 0, struct(col("pos"), col("tok"))))),
-          e => e.getField("tok")), " ").as("text_dedup"))
+        coalesce(expr("listagg(CASE WHEN rm = 0 THEN tok END, ' ') " +
+          "WITHIN GROUP (ORDER BY pos)"), lit("")).as("text_dedup"))
       .orderBy("doc_id")
   }
 
