@@ -90,6 +90,15 @@ object Bench {
         () => ops.DataSelect.warmShapley(spark, sfDir)))
     val substrates = substrateDefs.flatMap { case (sname, consumers, run) =>
       if (selected.exists { case (n, _) => consumers.exists(n.startsWith) }) {
+        // drop the PREVIOUS build's debris before timing this one (r17:
+        // the builds run back-to-back and the per-gate cleanup below
+        // never runs between them — with seven builds in a row the
+        // later lines were paying the earlier builds' pinned blocks as
+        // storage eviction, mr_slink reading 2× its quiet-JVM cost)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        spark.sqlContext.clearCache()
+        System.gc()
         val t0 = System.nanoTime()
         run()
         Some(sname -> (System.nanoTime() - t0) / 1e9)
