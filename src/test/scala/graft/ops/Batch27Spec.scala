@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.TestSpark
+import org.apache.spark.sql.functions.{col, length}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Driver-side SEQUENTIAL cross-checks for the r17 additions — the
@@ -95,6 +96,31 @@ class Batch27Spec extends AnyFunSuite {
       else assert(txt == "", s"doc $id")
     }
     assert(out == brute(docs, L))
+  }
+
+  test("q378 closes the loop with q375: the REWRITTEN corpus has zero " +
+      "residual ≥L cross-doc coverage on the planted fixture") {
+    import spark.implicits._
+    val L = 50
+    val span = (0 until 70).map("w" + _).mkString(" ")
+    val docs = Seq(
+      (1L, tokens(21, 20).mkString(" ") + " " + span),
+      (2L, span + " " + tokens(22, 30).mkString(" ")),
+      (3L, tokens(23, 15).mkString(" ") + " " + span + " " +
+        tokens(24, 15).mkString(" ")),
+      (4L, tokens(25, 90).mkString(" ")))
+    val rewritten = TrainPrep.removeCrossDocSpans(docs.toDF("doc_id", "text"), L)
+      .select(col("doc_id"), col("text_dedup").as("text"))
+      .where(length(col("text")) > 0)
+    // the kept first occurrence lost every partner, so the matching
+    // statistics of the REWRITE report no ≥L cross-doc span anywhere
+    val residual = TrainPrep.crossDocCoverage(rewritten, L).collect()
+    assert(residual.nonEmpty)
+    residual.foreach { r =>
+      assert(r.getLong(3) == 0L,
+        s"doc ${r.getLong(0)} still starts ${r.getLong(3)} ≥$L-token " +
+          "cross-doc spans after removal")
+    }
   }
 
   test("q378: a document that is one duplicated span collapses to an " +
