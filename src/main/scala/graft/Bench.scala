@@ -74,6 +74,12 @@ object Bench {
         () => ops.Components.warmDupPairs(spark, sfDir)),
       ("dup_mst", Seq("q348", "q353"),
         () => ops.Components.warmDupMst(spark, sfDir)),
+      // eps_pairs MUST build before the two slink elections: both
+      // consume the persisted candidate table (r17 — one grid ε-join
+      // for the whole family, the dup_pairs→dup_mst shape)
+      ("eps_pairs", Seq("q358", "q359", "q360", "q362", "q363", "q364",
+          "q373"),
+        () => ops.Components.warmEpsPairs(spark, sfDir)),
       ("eps_slink", Seq("q358", "q359", "q362", "q363"),
         () => ops.Components.warmEpsSlink(spark, sfDir)),
       ("mr_slink", Seq("q360", "q364", "q373"),

@@ -366,11 +366,19 @@ class ScaleLawSpec extends AnyFunSuite {
   // both sides so this law meters the Borůvka election alone
   substrateLaw("dup-MST (q348/q353)", 6.0, 6.0, warmPairs)(
     dir => { Components.buildDupMst(spark, dir); () })
-  substrateLaw("eps-slink labels (q358/q359)", 12.0, 12.0)(
+  // the slink family's shared candidate table (r17): the grid ε-join
+  // itself, which densifies ~quadratically under replication-with-
+  // jitter (the q345 workload law — SCALE.md round 12)
+  private val warmEps: String => Unit =
+    dir => Components.warmEpsPairs(spark, dir)
+  substrateLaw("eps candidate pairs (slink family)", 12.0, 12.0)(
+    dir => { Components.buildEpsPairs(spark, dir); () })
+  // both elections consume the persisted candidate table since r17 —
+  // pairs warmed both sides so each law meters its own Borůvka; edge
+  // work is pair-linear, so the densified workload still sets the belt
+  substrateLaw("eps-slink labels (q358/q359)", 12.0, 12.0, warmEps)(
     dir => { Components.buildSlinkLabels(spark, dir); () })
-  // mutual-reach slink: same ε-candidate workload densification as
-  // eps-slink, plus the core-distance window (linear in pairs)
-  substrateLaw("mreach-slink labels (q360)", 12.0, 12.0)(
+  substrateLaw("mreach-slink labels (q360)", 12.0, 12.0, warmEps)(
     dir => { Components.buildMrSlinkLabels(spark, dir); () })
   // global suffix ladder: per round one (doc, off)-keyed join + one
   // distributed dense rank — n-row shuffles × a round count that
