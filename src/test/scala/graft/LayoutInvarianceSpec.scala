@@ -107,7 +107,15 @@ class LayoutInvarianceSpec extends AnyFunSuite {
     "q375_cross_doc_coverage",
     // KNN-Shapley's per-query ranks and exact-decimal reverse cumsum
     // ride the same primitives — values must not see partitioning
-    "q376_knn_shapley")
+    "q376_knn_shapley",
+    // round-17: span removal's keep-first election (min struct per
+    // exact window text) + the per-doc dense-position cover window
+    // behind a repartition, and the rebuilt text itself, must not see
+    // layout; the selection gate stacks BOTH two-phase running sums
+    // (token prefix + exact-decimal value prefix) on the cached
+    // valuation
+    "q378_span_removal",
+    "q379_value_select")
 
   private def contents(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf).collect()
