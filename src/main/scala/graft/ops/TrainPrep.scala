@@ -602,6 +602,37 @@ object TrainPrep {
       .orderBy("doc_id")
   }
 
+  /** The q378 rule in DuckDB, as a CTE chain through `ke` (kept
+    * tokens) — shared by q378's rebuild oracle and q380's composition
+    * oracle, so the two gates cannot disagree on what gets removed. */
+  private val spanRemovalCtes: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+      |          FROM documents),
+      |win AS (
+      |  SELECT doc_id, p, array_to_string(w[p+1 : p+50], ' ') AS s
+      |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 49)) AS p
+      |        FROM t WHERE len(w) >= 50) z),
+      |gd AS (SELECT s FROM win GROUP BY s
+      |       HAVING count(DISTINCT doc_id) > 1),
+      |fd AS (SELECT s, min(doc_id) AS fdoc
+      |       FROM win JOIN gd USING (s) GROUP BY s),
+      |fo AS (SELECT w.s, f.fdoc, min(w.p) AS fpos
+      |       FROM win w JOIN fd f ON w.s = f.s AND w.doc_id = f.fdoc
+      |       GROUP BY w.s, f.fdoc),
+      |rs AS (SELECT w.doc_id, w.p
+      |       FROM win w JOIN fo ON w.s = fo.s
+      |       WHERE NOT (w.doc_id = fo.fdoc AND w.p = fo.fpos)),
+      |ix AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS i FROM t),
+      |tok AS (SELECT ix.doc_id, CAST(ix.i - 1 AS BIGINT) AS pos,
+      |          t.w[ix.i] AS tok
+      |        FROM ix JOIN t USING (doc_id)),
+      |rm AS (SELECT DISTINCT tok.doc_id, tok.pos
+      |       FROM tok JOIN rs ON rs.doc_id = tok.doc_id
+      |         AND tok.pos BETWEEN rs.p AND rs.p + 49),
+      |ke AS (SELECT tok.* FROM tok
+      |       WHERE NOT EXISTS (SELECT 1 FROM rm
+      |         WHERE rm.doc_id = tok.doc_id AND rm.pos = tok.pos))""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q75_decontaminate",
@@ -1081,32 +1112,7 @@ object TrainPrep {
     // string_agg rebuild — the direct re-derivation of the same rule.
     QueryDef("q378_span_removal",
       (s, d) => removeCrossDocSpans(Tables.documents(s, d)),
-      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
-             |          FROM documents),
-             |win AS (
-             |  SELECT doc_id, p, array_to_string(w[p+1 : p+50], ' ') AS s
-             |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 49)) AS p
-             |        FROM t WHERE len(w) >= 50) z),
-             |gd AS (SELECT s FROM win GROUP BY s
-             |       HAVING count(DISTINCT doc_id) > 1),
-             |fd AS (SELECT s, min(doc_id) AS fdoc
-             |       FROM win JOIN gd USING (s) GROUP BY s),
-             |fo AS (SELECT w.s, f.fdoc, min(w.p) AS fpos
-             |       FROM win w JOIN fd f ON w.s = f.s AND w.doc_id = f.fdoc
-             |       GROUP BY w.s, f.fdoc),
-             |rs AS (SELECT w.doc_id, w.p
-             |       FROM win w JOIN fo ON w.s = fo.s
-             |       WHERE NOT (w.doc_id = fo.fdoc AND w.p = fo.fpos)),
-             |ix AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS i FROM t),
-             |tok AS (SELECT ix.doc_id, CAST(ix.i - 1 AS BIGINT) AS pos,
-             |          t.w[ix.i] AS tok
-             |        FROM ix JOIN t USING (doc_id)),
-             |rm AS (SELECT DISTINCT tok.doc_id, tok.pos
-             |       FROM tok JOIN rs ON rs.doc_id = tok.doc_id
-             |         AND tok.pos BETWEEN rs.p AND rs.p + 49),
-             |ke AS (SELECT tok.* FROM tok
-             |       WHERE NOT EXISTS (SELECT 1 FROM rm
-             |         WHERE rm.doc_id = tok.doc_id AND rm.pos = tok.pos))
+      Some(spanRemovalCtes + """
              |SELECT t.doc_id,
              |  CAST(len(t.w) AS BIGINT) AS n_tok,
              |  CAST(COALESCE(r.nr, 0) AS BIGINT) AS n_removed,
@@ -1118,6 +1124,41 @@ object TrainPrep {
              |LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt
              |           FROM ke GROUP BY 1) k USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
+
+    // The REWRITE composed downstream (✚ — the q89 composition shape
+    // for the r17 removal family): span-removal dedup → fully-cut docs
+    // dropped → the surviving rewrite packed into fixed-budget
+    // training sequences, rolled up per source. Proves the two-phase
+    // packer composes on a rewritten corpus whose token counts shrank
+    // under it. Oracle chains the SAME span-removal CTEs (the q378
+    // contract) with q76's window formulation of packing.
+    QueryDef("q380_dedup_pack_e2e",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val rewritten = removeCrossDocSpans(docs)
+          .where(col("n_kept") > 0)
+          .select(col("doc_id"), col("text_dedup").as("text"))
+        packSequences(rewritten.join(docs.select("doc_id", "source"),
+            "doc_id"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            (max(col("seq_id")) + 1).as("n_seqs"),
+            sum(col("n_tok")).as("n_toks"))
+          .orderBy("source")
+      },
+      Some(spanRemovalCtes + """,
+             |reb AS (SELECT doc_id, COUNT(*) AS n_tok FROM ke GROUP BY 1),
+             |sz AS (SELECT d.doc_id, d.source, r.n_tok
+             |       FROM documents d JOIN reb r USING (doc_id)),
+             |p AS (SELECT doc_id, source, n_tok,
+             |        CAST(SUM(n_tok) OVER (PARTITION BY source
+             |          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+             |          AND CURRENT ROW) AS BIGINT) - n_tok AS begin_tok
+             |      FROM sz)
+             |SELECT source, COUNT(*) AS n_docs,
+             |  CAST(MAX(begin_tok // 256) + 1 AS BIGINT) AS n_seqs,
+             |  CAST(SUM(n_tok) AS BIGINT) AS n_toks
+             |FROM p GROUP BY source ORDER BY source""".stripMargin)),
 
     // Token-level SUFFIX ARRAYS by distributed prefix doubling (✚ —
     // algorithm notes at [[suffixArrays]]): the data structure the

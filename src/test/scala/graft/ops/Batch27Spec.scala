@@ -269,6 +269,29 @@ class Batch27Spec extends AnyFunSuite {
     }
   }
 
+  test("q380 composition conserves the rewrite's token mass: packed " +
+      "n_toks equals the sum of q378's kept tokens") {
+    import spark.implicits._
+    val L = 50
+    val span = (0 until 60).map("c" + _).mkString(" ")
+    val docs = Seq(
+      (1L, tokens(31, 25).mkString(" ") + " " + span),
+      (2L, span + " " + tokens(32, 40).mkString(" ")),
+      (3L, tokens(33, 70).mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+      .withColumn("source", org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("src"),
+        org.apache.spark.sql.functions.col("doc_id") % 2))
+    val removed = TrainPrep.removeCrossDocSpans(df, L)
+    val keptTotal = removed.collect().map(r => r.getLong(3)).sum
+    val rewritten = removed.where(col("n_kept") > 0)
+      .select(col("doc_id"), col("text_dedup").as("text"))
+      .join(df.select("doc_id", "source"), "doc_id")
+    val packed = TrainPrep.packSequences(rewritten)
+    assert(packed.agg(org.apache.spark.sql.functions.sum("n_tok"))
+      .collect()(0).getLong(0) == keptTotal)
+  }
+
   test("q378 equals the sequential re-derivation on seeded random " +
       "corpora with planted cross-doc spans at several L") {
     for ((seed, l) <- Seq((101, 12), (202, 9), (303, 15))) {

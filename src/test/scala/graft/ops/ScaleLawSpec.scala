@@ -348,6 +348,9 @@ class ScaleLawSpec extends AnyFunSuite {
   // replication holds it linear); a corpus-wide gram-text shuffle
   // regression lands ×50 of the hash pass
   law("q378_span_removal", 5.0)
+  // r17: the rewrite composed into the two-phase packer — both halves
+  // linear under namespace replication
+  law("q380_dedup_pack_e2e", 5.0)
 
   // r15 (VERDICT r14 #1): cold/cold laws on the substrate BUILDS —
   // the full dedup/grid → Borůvka → label pipelines, cache-bypassed.
