@@ -100,7 +100,15 @@ object Bench {
         // the builds run back-to-back and the per-gate cleanup below
         // never runs between them — with seven builds in a row the
         // later lines were paying the earlier builds' pinned blocks as
-        // storage eviction, mr_slink reading 2× its quiet-JVM cost)
+        // storage eviction, mr_slink reading 2× its quiet-JVM cost).
+        // INVARIANT this blanket unpersist relies on (ADVICE r17):
+        // every substrate round-trips its artifacts through parquet
+        // before returning — no build hands the next one a live
+        // localCheckpoint'd frame (whose truncated lineage could not
+        // be recomputed after the unpersist). A future substrate that
+        // carries a checkpointed DataFrame across builds would fail
+        // here with 'checkpoint block not found'; write it to scratch
+        // parquet instead (the [[graft.core.Scratch]] contract).
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
         spark.sqlContext.clearCache()

@@ -33,11 +33,17 @@ object Scratch {
     * substrate caches key on the dir STRING, so `dir` vs `dir/` vs a
     * relative spelling would silently double-build the substrate.
     * Local paths canonicalize via the filesystem; strings carrying a
-    * URI scheme (e.g. an object-store path on a real cluster) pass
-    * through unchanged — canonicalizing those against the local FS
-    * would mangle them. */
+    * URI scheme (e.g. an object-store path on a real cluster) skip
+    * local-FS canonicalization (it would mangle them) but still drop
+    * trailing slashes — `s3://b/corpus` vs `s3://b/corpus/` is the
+    * exact aliasing this helper exists to fix, and it survives on the
+    * cluster branch otherwise (ADVICE r17). */
   def corpusKey(dir: String): String =
-    if (dir.contains("://")) dir
+    if (dir.contains("://")) {
+      var k = dir
+      while (k.length > 1 && k.endsWith("/")) k = k.stripSuffix("/")
+      k
+    }
     else try new java.io.File(dir).getCanonicalPath
     catch { case _: java.io.IOException => dir }
 

@@ -2187,7 +2187,12 @@ object TrainPrep {
   private[ops] def crossDocRepeatFrom(sa: DataFrame,
       tables: Seq[(Long, DataFrame)],
       materialize: Materialize.Strategy): DataFrame =
-    crossDocRepeatFromAdj(indexedAdjacentLcps(sa, tables, materialize)._2)
+    // dedicated direct-call path (ADVICE r17): the argmax only ever
+    // reads DOC-CHANGING adjacent pairs, so same-doc pairs are dropped
+    // BEFORE the ladder walk instead of after it — the cached-substrate
+    // consumers keep the unfiltered frame (q375/q377 need every pair)
+    crossDocRepeatFromAdj(indexedAdjacentLcps(sa, tables, materialize,
+      pairFilter = col("da") =!= col("db"))._2)
 
   /** q374's readout over the cached adjacent-LCP frame (r17): the max
     * cross-doc LCP is realized by a DOC-CHANGING consecutive pair of
@@ -2315,14 +2320,15 @@ object TrainPrep {
     * length); distinct ranks walk the ladder. */
   private def indexedAdjacentLcps(sa: DataFrame,
       tables: Seq[(Long, DataFrame)],
-      materialize: Materialize.Strategy): (DataFrame, DataFrame) = {
+      materialize: Materialize.Strategy,
+      pairFilter: Column = lit(true)): (DataFrame, DataFrame) = {
     val idx = materialize(globalOrderIndex(sa,
       Seq("r", "doc_id", "off"), "i", materialize))
     val aSide = idx.select(col("i"), col("doc_id").as("da"),
       col("off").as("oa"), col("r").as("ra"), col("slen").as("sla"))
     val bSide = idx.select((col("i") - 1L).as("i"),
       col("doc_id").as("db"), col("off").as("ob"), col("r").as("rb"))
-    val adj0 = aSide.join(bSide, "i")
+    val adj0 = aSide.join(bSide, "i").where(pairFilter)
     val sameR = adj0.where(col("ra") === col("rb"))
       .select(col("i"), col("da"), col("oa"), col("db"), col("ob"),
         col("sla").as("lcp"))

@@ -29,8 +29,14 @@ object StreamSoak {
     val gates = args.lift(2) match {
       case Some(csv) => csv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         .map { p =>
-          SparkEntry.queries.keys.find(_.startsWith(p)).getOrElse(
-            sys.error(s"no gate matches '$p'"))
+          // Map key order is unspecified, so an ambiguous prefix must
+          // ERROR rather than resolve to an arbitrary gate (ADVICE r17)
+          SparkEntry.queries.keys.filter(_.startsWith(p)).toSeq.sorted match {
+            case Seq(one) => one
+            case Seq() => sys.error(s"no gate matches '$p'")
+            case many => sys.error(
+              s"ambiguous gate prefix '$p': ${many.mkString(", ")}")
+          }
         }
       case None => SparkEntry.queries.keys.toSeq
         .filter(_.contains("_stream_")).sorted

@@ -183,7 +183,7 @@ class Batch27Spec extends AnyFunSuite {
     var cumV = BigDecimal(0)
     val want = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Long, Double, Long, Double)]
-    for ((id, v) <- ordered if cumT + nTok(id) <= Long.MaxValue) {
+    for ((id, v) <- ordered) {
       cumT += nTok(id)
       cumV += BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
       if (cumT <= budget)
