@@ -82,8 +82,16 @@ object Bench {
         () => ops.Components.warmEpsPairs(spark, sfDir)),
       ("eps_slink", Seq("q358", "q359", "q362", "q363"),
         () => ops.Components.warmEpsSlink(spark, sfDir)),
+      // the condensed TREE over the eps labels (r18 — VERDICT r17 #1):
+      // q358/q359/q362 were each rebuilding it per gate; one build
+      // persists cl/sel/att/dm/sela and the three gates are readouts
+      ("eps_tree", Seq("q358", "q359", "q362"),
+        () => ops.Components.warmCondTree(spark, sfDir, "eps")),
       ("mr_slink", Seq("q360", "q364", "q373"),
         () => ops.Components.warmMrSlink(spark, sfDir)),
+      // the mr-metric condensed tree (r18): q360's readout input
+      ("mr_tree", Seq("q360"),
+        () => ops.Components.warmCondTree(spark, sfDir, "mr")),
       // the global suffix-order ladder (r16): q374/q375 read one build
       ("global_sa", Seq("q374", "q375", "q377"),
         () => ops.TrainPrep.warmGlobalSa(spark, sfDir)),
@@ -93,7 +101,10 @@ object Bench {
       // the KNN-Shapley valuation (r17): q376 reports it, q379 selects
       // by it — one pair/rank/recursion pass feeds both
       ("shapley", Seq("q376", "q379"),
-        () => ops.DataSelect.warmShapley(spark, sfDir)))
+        () => ops.DataSelect.warmShapley(spark, sfDir)),
+      // the span-removal rewrite (r18): q378 reports it, q380 packs it
+      ("span_rm", Seq("q378", "q380"),
+        () => ops.TrainPrep.warmSpanRemoval(spark, sfDir)))
     val substrates = substrateDefs.flatMap { case (sname, consumers, run) =>
       if (selected.exists { case (n, _) => consumers.exists(n.startsWith) }) {
         // drop the PREVIOUS build's debris before timing this one (r17:

@@ -1424,7 +1424,16 @@ object Components {
   }
 
   private def hdbscanSelection(cl: DataFrame, cuts: Seq[Double],
-      materialize: Materialize.Strategy): DataFrame = {
+      materialize: Materialize.Strategy): DataFrame =
+    hdbscanReadout(selectionFrame(cl, cuts.length, materialize), cl, cuts)
+
+  /** The pure READOUT half of [[hdbscanSelection]] — one keyed join of
+    * the (cluster-count-sized) selection frame against the cluster
+    * table. Factored out in r18 so q358/q360 can read the cached
+    * condensed-tree substrate ([[condTree]]) instead of re-deriving
+    * the selection per gate. */
+  private[ops] def hdbscanReadout(sel: DataFrame, cl: DataFrame,
+      cuts: Seq[Double]): DataFrame = {
     val ts = cuts
     val k = ts.length
     val cutExpr = (0 until k)
@@ -1433,7 +1442,7 @@ object Components {
         case (None, (c, v)) => Some(when(c, v))
         case (Some(e), (c, v)) => Some(e.when(c, v))
       }.get
-    selectionFrame(cl, k, materialize)
+    sel
       .join(cl.select(col("bj"), col("bc"), col("n_birth"), col("stability")),
         Seq("bj", "bc"))
       .select(cutExpr.as("cut"), col("bc").as("cluster"),
@@ -1600,16 +1609,22 @@ object Components {
 
   private def gloshBody(labels: DataFrame, cida: DataFrame, cl: DataFrame,
       k: Int, lambdas: Seq[Long],
-      materialize: Materialize.Strategy): DataFrame = {
-    val att = attachments(labels, cida, k)
-    val dm = subtreeDeepest(cida, cl, k, materialize)
+      materialize: Materialize.Strategy): DataFrame =
+    gloshReadout(attachments(labels, cida, k),
+      subtreeDeepest(cida, cl, k, materialize), lambdas)
+
+  /** The pure READOUT half of [[gloshBody]] — one keyed join of the
+    * per-point attachment frame against the subtree-deepest frame,
+    * then integer score algebra. Factored out in r18 so q359 can read
+    * the cached condensed-tree substrate ([[condTree]]). */
+  private[ops] def gloshReadout(att: DataFrame, dm: DataFrame,
+      lambdas: Seq[Long]): DataFrame =
     att.join(dm, Seq("bj", "bc"))
       .select(col("node"), col("bc").as("cluster"),
         lamCase(lambdas, col("dp")).as("lam_attach"),
         lamCase(lambdas, col("dm")).as("lam_max"))
       .withColumn("glosh_ppm",
         expr("1000000 - (1000000 * lam_attach) div lam_max"))
-  }
 
   /** Soft cluster-membership probabilities (✚ — the `probabilities_`
     * readout of the HDBSCAN framework, discretized to the cut ladder
@@ -1638,8 +1653,20 @@ object Components {
       condensedTreeFromLabels(labels0, cuts, lambdas, minSize, materialize)
     val k = cuts.length
     val sel = selectionFrame(cl, k, materialize)
-    // selected ancestor-or-self per condensed cluster, top-down: itself
-    // when selected, else the parent's answer (null above roots)
+    val sela = selectedAncestors(sel, cl, k, materialize)
+    val att = attachments(labels, cida, k)
+    val dm = subtreeDeepest(cida, cl, k, materialize)
+    softMembershipReadout(att, sela, dm, lambdas)
+  }
+
+  /** Selected ancestor-or-self per condensed cluster, top-down: itself
+    * when selected, else the parent's answer (null above roots —
+    * clusters with NO selected ancestor are dropped). Returns (bj, bc,
+    * abj, abc) on cluster-count-sized tables. Factored out of
+    * [[softMembershipsFromLabels]] in r18 so the condensed-tree
+    * substrate ([[condTree]]) can persist it once. */
+  private def selectedAncestors(sel: DataFrame, cl: DataFrame, k: Int,
+      materialize: Materialize.Strategy): DataFrame = {
     var aParts = List.empty[DataFrame]
     for (b <- k - 1 to 0 by -1) {
       val lvl = sel.where(col("bj") === b)
@@ -1660,9 +1687,15 @@ object Components {
       }
       aParts ::= materialize(lvlA)
     }
-    val sela = aParts.reduce(_ unionByName _).where(col("abj").isNotNull)
-    val att = attachments(labels, cida, k)
-    val dm = subtreeDeepest(cida, cl, k, materialize)
+    aParts.reduce(_ unionByName _).where(col("abj").isNotNull)
+  }
+
+  /** The pure READOUT half of [[softMembershipsFromLabels]] — the
+    * attachment → selected-ancestor → subtree-deepest join chain plus
+    * integer probability algebra, over frames the condensed-tree
+    * substrate persists once per (JVM, corpus). */
+  private[ops] def softMembershipReadout(att: DataFrame, sela: DataFrame,
+      dm: DataFrame, lambdas: Seq[Long]): DataFrame =
     att.join(sela.select(col("bj"), col("bc"), col("abj"), col("abc")),
         Seq("bj", "bc"))
       .join(dm.select(col("bj").as("abj"), col("bc").as("abc"), col("dm")),
@@ -1671,7 +1704,6 @@ object Components {
         lamCase(lambdas, col("dp")).as("lam_attach"),
         lamCase(lambdas, col("dm")).as("lam_max"))
       .withColumn("prob_ppm", expr("(1000000 * lam_attach) div lam_max"))
-  }
 
   /** The q358/q359 density ladder over squared distance — cut
     * reciprocals are exact integers, so stability and GLOSH are pure
@@ -1825,6 +1857,83 @@ object Components {
     * build as [[mrSlinkLabels]]. */
   private def mrMstEdges(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(mrSlinkBase(s, dir) + "/mst.parquet")
+
+  private val condTreeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build the CONDENSED-TREE substrate for `dir`'s `variant` label
+    * scaffold UNCACHED (r18 — VERDICT r17 #1: the slink LABELS were
+    * cached but q358/q359/q362 each re-ran [[condensedTreeFromLabels]]
+    * over the SAME eps labels and q360 over the mr labels — a 4×
+    * rebuild of the one pass the substrate discipline missed, 42.5 s
+    * in the r17 driver record). One tree construction per (JVM,
+    * corpus, variant) persists every frame the readouts consume:
+    *  - `cl` — condensed clusters (bj, bc, n_birth, stability, pbj,
+    *    pbc): q358/q360's join side;
+    *  - `sel` — the excess-of-mass selection (bj, bc, selected);
+    *  - and for the eps variant (its outlier/membership readouts):
+    *    `att` — per-point attachments (node, dp, bj, bc), `dm` —
+    *    subtree-deepest levels, `sela` — selected ancestors. The mr
+    *    variant stops at cl+sel: q360 is its only tree consumer, and
+    *    charging it att/dm work nothing reads would make the bench
+    *    substrate line lie about its own cost.
+    * All frames are exact integers on cluster-count-sized tables
+    * (att is point-count-sized — the one corpus-linear artifact), so
+    * the parquet round-trip is bit-exact and a cache race is only
+    * wasted work. */
+  private[graft] def buildCondTree(s: SparkSession, dir: String,
+      variant: String): String = {
+    val out = graft.core.Scratch.tempDir(s"graft-ctree-$variant")
+    val labels0 = variant match {
+      case "eps" => epsSlinkLabels(s, dir)
+      case "mr" => mrSlinkLabels(s, dir)
+      case other => sys.error(s"unknown condensed-tree variant '$other'")
+    }
+    val k = HdbCuts.length
+    val (labels, cida, cl) = condensedTreeFromLabels(labels0, HdbCuts,
+      HdbLambdas, HdbMinSize, Materialize.local)
+    cl.write.mode("overwrite").parquet(out + "/cl.parquet")
+    // downstream frames derive from the PERSISTED cluster table
+    // (read-back, not lineage) — the artifacts are definitionally
+    // views of one tree, as [[buildMrSlinkLabels]]'s mst/labels pair
+    val clP = s.read.parquet(out + "/cl.parquet")
+    val sel = selectionFrame(clP, k, Materialize.local)
+    sel.write.mode("overwrite").parquet(out + "/sel.parquet")
+    if (variant == "eps") {
+      attachments(labels, cida, k)
+        .write.mode("overwrite").parquet(out + "/att.parquet")
+      subtreeDeepest(cida, clP, k, Materialize.local)
+        .write.mode("overwrite").parquet(out + "/dm.parquet")
+      selectedAncestors(s.read.parquet(out + "/sel.parquet"), clP, k,
+          Materialize.local)
+        .write.mode("overwrite").parquet(out + "/sela.parquet")
+    }
+    out
+  }
+
+  /** Pre-build (idempotent) the condensed-tree substrate — see
+    * [[warmDupMst]]. */
+  private[graft] def warmCondTree(s: SparkSession, dir: String,
+      variant: String): Unit = {
+    condTreeBase(s, dir, variant); ()
+  }
+
+  private def condTreeBase(s: SparkSession, dir: String,
+      variant: String): String = {
+    val key = graft.core.Scratch.corpusKey(dir) + "#" + variant
+    val cached = condTreeCache.get(key)
+    if (cached != null) cached else {
+      val built = buildCondTree(s, dir, variant)
+      Option(condTreeCache.putIfAbsent(key, built)).getOrElse(built)
+    }
+  }
+
+  /** One artifact of the cached condensed-tree substrate — cache
+    * contract as [[dupMst]]: immutable corpus dirs for the JVM's
+    * lifetime, scratch deleted on exit, no build under the map lock. */
+  private def condTree(s: SparkSession, dir: String, variant: String,
+      artifact: String): DataFrame =
+    s.read.parquet(condTreeBase(s, dir, variant) + s"/$artifact.parquet")
 
   /** OPTICS ordering + per-point reachability over an MST forest (✚ —
     * Ankerst/Breunig/Kriegel/Sander 1999, via the MST form: with the
@@ -3329,8 +3438,11 @@ object Components {
     // than the corpus. ScaleLawSpec holds it to the linear record/pin
     // laws at ×3.
     QueryDef("q358_hdbscan",
-      (s, d) => hdbscanClustersFromLabels(epsSlinkLabels(s, d),
-        HdbCuts, HdbLambdas, HdbMinSize),
+      // readout of the cached condensed-tree substrate (r18 — VERDICT
+      // r17 #1): one sel⋈cl join over the persisted tree; the build is
+      // charged once as Bench's eps_tree line
+      (s, d) => hdbscanReadout(condTree(s, d, "eps", "sel"),
+        condTree(s, d, "eps", "cl"), HdbCuts),
       Some(HdbscanSqlBase + "\n" + HdbscanSelectSql)),
 
     // HDBSCAN as PUBLISHED (✚, VERDICT r14 next-round #3): q358's
@@ -3347,8 +3459,9 @@ object Components {
     // unrolled tree algebra — partitions must agree via the Kruskal
     // invariant on the mutual-reachability graph.
     QueryDef("q360_hdbscan_mreach",
-      (s, d) => hdbscanClustersFromLabels(mrSlinkLabels(s, d),
-        HdbCuts, HdbLambdas, HdbMinSize),
+      // readout of the cached mr condensed-tree substrate (r18)
+      (s, d) => hdbscanReadout(condTree(s, d, "mr", "sel"),
+        condTree(s, d, "mr", "cl"), HdbCuts),
       Some(MreachSqlBase + "\n" + HdbscanSelectSql)),
 
     // Soft cluster-membership probabilities (✚ — the fourth readout of
@@ -3362,8 +3475,11 @@ object Components {
     // verbatim) plus an unrolled selected-ancestor resolution, so the
     // three gates cannot disagree on what the tree is.
     QueryDef("q362_soft_membership",
-      (s, d) => softMembershipsFromLabels(epsSlinkLabels(s, d),
-          HdbCuts, HdbLambdas, HdbMinSize)
+      // readout of the cached condensed-tree substrate (r18): the
+      // att⋈sela⋈dm chain over persisted frames
+      (s, d) => softMembershipReadout(condTree(s, d, "eps", "att"),
+          condTree(s, d, "eps", "sela"), condTree(s, d, "eps", "dm"),
+          HdbLambdas)
         .withColumnRenamed("node", "vec_id")
         .orderBy("vec_id"),
       Some(HdbscanSqlBase + "\n" + HdbscanSelCtes + ",\n" +
@@ -3420,8 +3536,10 @@ object Components {
     // density landscape as flat clusters, a persistence hierarchy, and
     // per-point outlierness.
     QueryDef("q359_glosh_outliers",
-      (s, d) => gloshScoresFromLabels(epsSlinkLabels(s, d),
-          HdbCuts, HdbLambdas, HdbMinSize)
+      // readout of the cached condensed-tree substrate (r18): one
+      // att⋈dm join over persisted frames
+      (s, d) => gloshReadout(condTree(s, d, "eps", "att"),
+          condTree(s, d, "eps", "dm"), HdbLambdas)
         .withColumnRenamed("node", "vec_id")
         .orderBy("vec_id"),
       Some(HdbscanSqlBase + "\n" + GloshAttachCtes + "\n" +

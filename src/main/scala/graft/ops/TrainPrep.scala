@@ -531,9 +531,24 @@ object TrainPrep {
     * content, so a colliding singleton is never cut). Token removal is
     * one per-doc dense-position window (`max(is_start)` over the
     * trailing L rows — no range join), and the rebuild is the q77
-    * ordered-listagg shape. Production adds the family's df-cap on
-    * windows shared by > cap docs with the non-silent fallback report,
-    * exactly as q27/q51.
+    * ordered-listagg shape.
+    *
+    * Df-cap (r18 — VERDICT r17 #2, the q27/q51 shape): a window whose
+    * hash spans > `dfCap` docs is mass boilerplate — at 100 TB a
+    * license header shared by millions of docs would otherwise
+    * materialize and shuffle its full 50-token TEXT once per
+    * occurrence, and the exact-text groupBy would key the whole mass
+    * on one string (the exact hot-key q27/q51 cap). Over-cap hashes
+    * take a HASH-ONLY fallback: keep-first on min (doc_id, pos) per
+    * hash, no text ever shuffles — only the (h, doc, pos) triples pass
+    * 1 already moved. The tradeoff is that a text collision inside an
+    * over-cap hash group is not re-split (a colliding singleton would
+    * be cut); with ≥1000-doc boilerplate and 64-bit hashes that risk
+    * is the one q27/q51 accept, and it is NOT silent:
+    * [[spanRemovalCapReport]] lists every capped window with its doc
+    * frequency for curator review — over-cap windows are still
+    * removed (keep-first), never skipped, so no duplicate mass
+    * survives the cap either.
     *
     * Single-pass by design (as published): stitching kept tokens
     * across a cut can mint NEW cross-doc windows; Lee et al. run one
@@ -541,43 +556,10 @@ object TrainPrep {
     * (`n_tok`, `n_removed`, `n_kept`, `text_dedup`) — conservation
     * n_tok = n_removed + n_kept holds row by row. */
   def removeCrossDocSpans(docs: DataFrame, minLen: Int = 50,
+      dfCap: Int = spanDfCap,
       materialize: Materialize.Strategy = Materialize.local): DataFrame = {
     val L = minLen
-    val w = split(col("text"), " ")
-    // heavy array pipeline after an exchange, not in the scan's
-    // one-task-per-file layout (q83/q120 lesson)
-    val eligible = docs.where(size(w) >= L).repartition(col("doc_id"))
-    val grams = materialize(eligible.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), size(w) - L),
-          p => xxhash64(array_join(slice(w, p + 1, lit(L)), " "))))
-          .as(Seq("pos", "h")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h")))
-    val dupH = grams.groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .where(col("nd") > 1).select("h")
-    val candDocs = grams.join(dupH, Seq("h"), "left_semi")
-      .select("doc_id").distinct()
-    val candWins = eligible.join(candDocs, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), size(w) - L),
-          p => struct(
-            xxhash64(array_join(slice(w, p + 1, lit(L)), " ")).as("h"),
-            array_join(slice(w, p + 1, lit(L)), " ").as("g"))))
-          .as(Seq("pos", "hg")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        col("hg").getField("h").as("h"), col("hg").getField("g").as("g"))
-      .join(dupH, Seq("h"), "left_semi")
-    // keep-first on exact TEXT: min (doc_id, pos) per content group;
-    // groups that were only hash-coincidences fall under nd > 1 here
-    val exact = candWins.groupBy("g").agg(
-        countDistinct(col("doc_id")).as("nd"),
-        min(struct(col("doc_id"), col("pos"))).as("first"))
-      .where(col("nd") > 1)
-      .select(col("g"), col("first"))
-    val removeStarts = candWins.join(exact, Seq("g"))
-      .where(col("doc_id") =!= col("first").getField("doc_id") ||
-        col("pos") =!= col("first").getField("pos"))
-      .select(col("doc_id"), col("pos"), lit(1L).as("is_start"))
+    val removeStarts = spanRemovalStarts(docs, minLen, dfCap, materialize)
     val toks = docs.repartition(col("doc_id"))
       .select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
@@ -601,6 +583,152 @@ object TrainPrep {
           "WITHIN GROUP (ORDER BY pos)"), lit("")).as("text_dedup"))
       .orderBy("doc_id")
   }
+
+  /** The CANDIDATE stage of [[removeCrossDocSpans]]: every (doc_id,
+    * pos) where a to-be-removed duplicated window starts, `is_start` =
+    * 1. Factored out (r18) so the df-cap shuffle law can meter the
+    * dup-detection exchange alone — the token-rebuild pass downstream
+    * is corpus-linear in BOTH plans and would drown the candidate
+    * stage in any whole-operator measurement. */
+  private[ops] def spanRemovalStarts(docs: DataFrame, minLen: Int,
+      dfCap: Int, materialize: Materialize.Strategy): DataFrame = {
+    val L = minLen
+    val w = split(col("text"), " ")
+    // heavy array pipeline after an exchange, not in the scan's
+    // one-task-per-file layout (q83/q120 lesson)
+    val eligible = docs.where(size(w) >= L).repartition(col("doc_id"))
+    val grams = materialize(eligible.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(w) - L),
+          p => xxhash64(array_join(slice(w, p + 1, lit(L)), " "))))
+          .as(Seq("pos", "h")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h")))
+    val dupAll = grams.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") > 1)
+    // ≤ cap: the text-verified path; > cap: the hash-only fallback
+    val dupH = dupAll.where(col("nd") <= dfCap).select("h")
+    val hotH = dupAll.where(col("nd") > dfCap).select("h")
+    val candDocs = grams.join(dupH, Seq("h"), "left_semi")
+      .select("doc_id").distinct()
+    val candWins = eligible.join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(w) - L),
+          p => struct(
+            xxhash64(array_join(slice(w, p + 1, lit(L)), " ")).as("h"),
+            array_join(slice(w, p + 1, lit(L)), " ").as("g"))))
+          .as(Seq("pos", "hg")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("hg").getField("h").as("h"), col("hg").getField("g").as("g"))
+      .join(dupH, Seq("h"), "left_semi")
+    // keep-first on exact TEXT: min (doc_id, pos) per content group;
+    // groups that were only hash-coincidences fall under nd > 1 here
+    val exact = candWins.groupBy("g").agg(
+        countDistinct(col("doc_id")).as("nd"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+      .where(col("nd") > 1)
+      .select(col("g"), col("first"))
+    val verifiedStarts = candWins.join(exact, Seq("g"))
+      .where(col("doc_id") =!= col("first").getField("doc_id") ||
+        col("pos") =!= col("first").getField("pos"))
+      .select(col("doc_id"), col("pos"), lit(1L).as("is_start"))
+    // hash-only fallback for over-cap windows: keep-first per HASH over
+    // the triples that already shuffled — a position has exactly one
+    // window hash and each hash lands in exactly one of the two
+    // branches, so the union is disjoint by construction. hotH and
+    // hotFirst carry ≤ total-windows/cap rows BY CONSTRUCTION (each
+    // hot hash owns > cap doc occurrences), so the explicit broadcast
+    // is safe at any corpus size and keeps the occurrence-sized hotOcc
+    // out of every exchange — unlike `exact` above, which is one row
+    // per duplicated window (data-sized, must stay joinable by
+    // shuffle); the ≤ cap bound on ITS key fan is what makes that
+    // side's shuffle join skew-safe
+    val hotOcc = grams.join(broadcast(hotH), Seq("h"), "left_semi")
+    val hotFirst = hotOcc.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    val hotStarts = hotOcc.join(broadcast(hotFirst), Seq("h"))
+      .where(col("doc_id") =!= col("first").getField("doc_id") ||
+        col("pos") =!= col("first").getField("pos"))
+      .select(col("doc_id"), col("pos"), lit(1L).as("is_start"))
+    verifiedStarts.unionByName(hotStarts)
+  }
+
+  /** Document-frequency cap for [[removeCrossDocSpans]]' exact-text
+    * verification: windows shared by more docs than this are mass
+    * boilerplate and take the hash-only keep-first fallback. The
+    * family value ([[Dedup]]'s shingle dfCap) — far above any organic
+    * window df in the test corpora, so the capped and uncapped plans
+    * agree there while the 100 TB plan is skew-bounded by
+    * construction. */
+  private[ops] val spanDfCap = 1000
+
+  /** The non-silent half of [[removeCrossDocSpans]]' df-cap (r18 —
+    * the q27/q51 contract): one row per OVER-CAP window hash,
+    * (`h`, `n_docs`, `n_occurrences`, `sample_doc`) — the curator-
+    * facing list of what was deduplicated on hash alone without
+    * exact-text collision re-splitting. Empty on any corpus whose
+    * window dfs sit under the cap (every test corpus), so the report
+    * doubles as the assertion surface for the hostile-fixture spec.
+    * Shares pass 1's shape: only (hash, doc, pos) triples shuffle. */
+  def spanRemovalCapReport(docs: DataFrame, minLen: Int = 50,
+      dfCap: Int = spanDfCap): DataFrame = {
+    val L = minLen
+    val w = split(col("text"), " ")
+    val eligible = docs.where(size(w) >= L).repartition(col("doc_id"))
+    val grams = eligible.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(w) - L),
+          p => xxhash64(array_join(slice(w, p + 1, lit(L)), " "))))
+          .as(Seq("pos", "h")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
+    grams.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("sample_doc"))
+      .where(col("n_docs") > dfCap)
+      .orderBy(col("n_docs").desc, col("h"))
+  }
+
+  private val spanRmCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build the span-removal REWRITE substrate for `dir` UNCACHED
+    * (r18 — VERDICT r17 #4): q378 reports the rewrite and q380 packs
+    * it, and each gate was re-running the full [[removeCrossDocSpans]]
+    * prefix. One rewrite per (JVM, corpus) persists the output frame
+    * and both gates become readouts — the q376/q379 shapley pattern.
+    * Deterministic: keep-first is a total order on (doc_id, pos) and
+    * the rebuild an ordered listagg, so the parquet round-trip is
+    * exact and a cache race is only wasted work. */
+  private[graft] def buildSpanRemoval(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val out = graft.core.Scratch.tempDir("graft-spanrm") + "/rewrite.parquet"
+    removeCrossDocSpans(Tables.documents(s, dir))
+      .write.mode("overwrite").parquet(out)
+    out
+  }
+
+  /** Pre-build (idempotent) the q378/q380 substrate — Bench's
+    * `span_rm` line. */
+  private[graft] def warmSpanRemoval(s: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    spanRemovalBase(s, dir); ()
+  }
+
+  private def spanRemovalBase(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val key = graft.core.Scratch.corpusKey(dir)
+    val cached = spanRmCache.get(key)
+    if (cached != null) cached else {
+      val built = buildSpanRemoval(s, dir)
+      Option(spanRmCache.putIfAbsent(key, built)).getOrElse(built)
+    }
+  }
+
+  /** The cached span-removal rewrite — cache contract as the
+    * Components substrates: corpus dirs immutable per JVM, scratch
+    * deleted on exit, no build under the map lock. */
+  private def spanRemoval(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    s.read.parquet(spanRemovalBase(s, dir))
 
   /** The q378 rule in DuckDB, as a CTE chain through `ke` (kept
     * tokens) — shared by q378's rebuild oracle and q380's composition
@@ -1111,7 +1239,10 @@ object TrainPrep {
     // keep-first by (doc_id, pos), covered-token anti-join, ordered
     // string_agg rebuild — the direct re-derivation of the same rule.
     QueryDef("q378_span_removal",
-      (s, d) => removeCrossDocSpans(Tables.documents(s, d)),
+      // readout of the cached rewrite substrate (r18 — VERDICT r17
+      // #4): the build is charged once as Bench's span_rm line and
+      // q380 packs the same frame
+      (s, d) => spanRemoval(s, d).orderBy("doc_id"),
       Some(spanRemovalCtes + """
              |SELECT t.doc_id,
              |  CAST(len(t.w) AS BIGINT) AS n_tok,
@@ -1135,7 +1266,9 @@ object TrainPrep {
     QueryDef("q380_dedup_pack_e2e",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val rewritten = removeCrossDocSpans(docs)
+        // the same cached rewrite q378 reports (r18): this gate
+        // measures the packing composition, not a substrate rebuild
+        val rewritten = spanRemoval(s, d)
           .where(col("n_kept") > 0)
           .select(col("doc_id"), col("text_dedup").as("text"))
         packSequences(rewritten.join(docs.select("doc_id", "source"),

@@ -292,6 +292,75 @@ class Batch27Spec extends AnyFunSuite {
       .collect()(0).getLong(0) == keptTotal)
   }
 
+  test("q378 df-cap (r18): an over-cap mass-duplicated window takes the " +
+      "hash-only fallback — the rewrite still equals the exact rule and " +
+      "the cap report lists exactly that window, non-silently") {
+    import spark.implicits._
+    val L = 12
+    // one exactly-L window planted in all 12 docs; surrounding bodies
+    // are per-doc, so the span window is the only cross-doc duplicate
+    val span = (0 until L).map("b" + _).mkString(" ")
+    val docs = (1L to 12L).map { id =>
+      val body = tokens(500 + id.toInt, 18)
+      id -> (body.take(9) ++ Seq(span) ++ body.drop(9)).mkString(" ")
+    }
+    val df = docs.toDF("doc_id", "text")
+    // cap 3 < 12 docs: the window is hot and keep-first is decided on
+    // its HASH alone — with no collision (the only hot-path caveat)
+    // that is the same decision, so the capped rewrite must equal the
+    // sequential exact-text rule bit for bit: later copies are CUT,
+    // never skipped, under the cap too
+    val capped = TrainPrep.removeCrossDocSpans(df, L, dfCap = 3)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+      .toMap
+    assert(capped == brute(docs, L))
+    // the non-silent half: exactly one over-cap window reported, with
+    // its full document frequency and occurrence count
+    val rep = TrainPrep.spanRemovalCapReport(df, L, dfCap = 3).collect()
+    assert(rep.length == 1)
+    assert(rep(0).getLong(1) == 12L) // n_docs
+    assert(rep(0).getLong(2) == 12L) // n_occurrences
+    assert(rep(0).getLong(3) == 1L)  // sample_doc = min doc_id
+    // under the family cap nothing here is hot: empty report, and the
+    // text-verified path produces the identical rewrite
+    assert(TrainPrep.spanRemovalCapReport(df, L).collect().isEmpty)
+    assert(run(docs, L) == capped)
+  }
+
+  test("q378 single-pass tail (r18): a cut that STITCHES kept tokens " +
+      "into a new cross-doc window leaves it (the published one-pass " +
+      "contract) and q375-on-the-rewrite reports exactly that residue") {
+    import spark.implicits._
+    val L = 4
+    // doc 2 = x1 x2 x3 [span] y1 y2 y3: cutting the span stitches
+    // "x2 x3 y1 y2", which doc 3 already contains — but pre-rewrite no
+    // doc-3 window has a partner (the span separates x3 from y1), so
+    // one pass must leave both copies of the MINTED window
+    val span = "s1 s2 s3 s4"
+    val d1 = "u1 u2 " + span + " u3 u4"
+    val d2 = "x1 x2 x3 " + span + " y1 y2 y3"
+    val d3 = "m1 m2 x2 x3 y1 y2 m3 m4"
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3))
+    val out = run(docs, L)
+    assert(out(1L)._4 == d1) // first occurrence kept byte-identical
+    assert(out(2L)._4 == "x1 x2 x3 y1 y2 y3") // span cut, ends stitched
+    assert(out(3L)._4 == d3) // untouched: its window had no partner
+    assert(out == brute(docs, L)) // the sequential rule agrees pass-for-pass
+    // q375 on the REWRITE: the minted window is exactly the residue —
+    // one ≥L cross-doc span start each in docs 2 and 3 with LCP
+    // exactly L, and doc 1 (all s/u tokens now unique corpus-wide)
+    // reports none
+    val rewritten = docs.map { case (id, _) => (id, out(id)._4) }
+      .toDF("doc_id", "text")
+    val residual = TrainPrep.crossDocCoverage(rewritten, L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(residual(1L) == ((0L, 0L)))
+    assert(residual(2L) == ((L.toLong, 1L)))
+    assert(residual(3L) == ((L.toLong, 1L)))
+  }
+
   test("q378 equals the sequential re-derivation on seeded random " +
       "corpora with planted cross-doc spans at several L") {
     for ((seed, l) <- Seq((101, 12), (202, 9), (303, 15))) {

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.{ScaleGen, SparkEntry, Tables, TestSpark}
+import graft.{Materialize, ScaleGen, SparkEntry, Tables, TestSpark}
 import org.apache.spark.scheduler.{SparkListener, SparkListenerBlockUpdated, SparkListenerTaskEnd}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.{col, element_at, slice}
@@ -219,13 +219,20 @@ class ScaleLawSpec extends AnyFunSuite {
   // ADVERSARIAL one (see header).
   lawOn("q349_kn_perplexity", 4.5, bigHeaps, "heaps")
   law("q357_kn_topv", 5.0)
-  lawOn("q358_hdbscan", 6.0, big, "namespace", warmSlink) // tree-bounded stability sums over the warmed scaffold
-  lawOn("q359_glosh_outliers", 6.0, big, "namespace", warmSlink) // same scaffold + per-point attach join
+  // r18: the tree quartet reads the cached CONDENSED-TREE substrate —
+  // warm it both sides so the laws meter each gate's readout joins;
+  // the tree build has its own cold/cold law below
+  private val warmTreeEps: String => Unit =
+    dir => Components.warmCondTree(spark, dir, "eps")
+  lawOn("q358_hdbscan", 6.0, big, "namespace", warmTreeEps) // sel⋈cl readout of the warmed tree
+  lawOn("q359_glosh_outliers", 6.0, big, "namespace", warmTreeEps) // att⋈dm readout
   // r15: mutual-reachability HDBSCAN rides its own substrate
   private val warmMr: String => Unit =
     dir => Components.warmMrSlink(spark, dir)
-  lawOn("q360_hdbscan_mreach", 6.0, big, "namespace", warmMr)
-  lawOn("q362_soft_membership", 6.0, big, "namespace", warmSlink) // same scaffold, 4th readout
+  private val warmTreeMr: String => Unit =
+    dir => Components.warmCondTree(spark, dir, "mr")
+  lawOn("q360_hdbscan_mreach", 6.0, big, "namespace", warmTreeMr)
+  lawOn("q362_soft_membership", 6.0, big, "namespace", warmTreeEps) // att⋈sela⋈dm readout
   // r15: cophenetic runs its OWN grid ε-pass over the pair table,
   // which densifies ~quadratically under replication-with-jitter —
   // q345's workload belt, not a plan defect (labels ride the warmed
@@ -343,14 +350,14 @@ class ScaleLawSpec extends AnyFunSuite {
   // share grams, so diagonals replicate linearly; a real super-linear
   // defect (occurrence PAIRS instead of distinct diagonals) lands ×9
   law("q361_exact_spans", 5.0)
-  // r17: the removal rewrite — hash pass is window-linear, candidate
-  // window TEXT replicates with the duplicate mass (namespace
-  // replication holds it linear); a corpus-wide gram-text shuffle
-  // regression lands ×50 of the hash pass
-  law("q378_span_removal", 5.0)
-  // r17: the rewrite composed into the two-phase packer — both halves
-  // linear under namespace replication
-  law("q380_dedup_pack_e2e", 5.0)
+  // r18: both gates read the cached rewrite substrate — warmed both
+  // sides so each law meters its readout (q378: the parquet scan;
+  // q380: the two-phase packer); the rewrite build has its own
+  // cold/cold law below
+  private val warmSpanRm: String => Unit =
+    dir => TrainPrep.warmSpanRemoval(spark, dir)
+  lawOn("q378_span_removal", 5.0, big, "namespace", warmSpanRm)
+  lawOn("q380_dedup_pack_e2e", 5.0, big, "namespace", warmSpanRm)
 
   // r15 (VERDICT r14 #1): cold/cold laws on the substrate BUILDS —
   // the full dedup/grid → Borůvka → label pipelines, cache-bypassed.
@@ -383,6 +390,15 @@ class ScaleLawSpec extends AnyFunSuite {
     dir => { Components.buildSlinkLabels(spark, dir); () })
   substrateLaw("mreach-slink labels (q360)", 12.0, 12.0, warmEps)(
     dir => { Components.buildMrSlinkLabels(spark, dir); () })
+  // the condensed-tree builds consume the slink label substrates —
+  // labels warmed both sides so each law meters the tree construction
+  // alone (instance tables + k-step cid/selection/attachment passes):
+  // the per-point membership/attachment joins are label-frame-linear,
+  // everything else is cluster-count-sized, so the ×6 point belt holds
+  substrateLaw("eps condensed tree (q358/q359/q362)", 6.0, 6.0, warmSlink)(
+    dir => { Components.buildCondTree(spark, dir, "eps"); () })
+  substrateLaw("mr condensed tree (q360)", 6.0, 6.0, warmMr)(
+    dir => { Components.buildCondTree(spark, dir, "mr"); () })
   // global suffix ladder: per round one (doc, off)-keyed join + one
   // distributed dense rank — n-row shuffles × a round count that
   // namespace replication holds constant (doc lengths preserved)
@@ -400,6 +416,60 @@ class ScaleLawSpec extends AnyFunSuite {
   // the ×12 belt still catches a capless all-pairs regression at ×9
   substrateLaw("knn-shapley valuation (q376/q379)", 12.0, 12.0)(
     dir => { DataSelect.buildShapley(spark, dir); () })
+  // span-removal rewrite (r18): hash pass is window-linear, candidate
+  // window TEXT replicates with the duplicate mass (namespace
+  // replication holds it linear); a corpus-wide gram-text shuffle
+  // regression lands ×50 of the hash pass
+  substrateLaw("span-removal rewrite (q378/q380)", 5.0, 5.0)(
+    dir => { TrainPrep.buildSpanRemoval(spark, dir); () })
+  // r18 (VERDICT r17 #2): the q378 df-cap bounds the candidate-window
+  // exchange. On a mass-boilerplate corpus (every doc IS the same
+  // boilerplate, repeated — all windows over-cap) the uncapped plan
+  // must move candWins' per-occurrence WINDOW-TEXT rows through the
+  // `exact` groupBy/join exchanges, because `exact` is one row per
+  // duplicated window (data-sized — at 100 TB it can never broadcast),
+  // while the capped fallback's hot side (hotH/hotFirst, ≤
+  // windows/cap rows BY CONSTRUCTION) rides explicit broadcasts and
+  // never shuffles an occurrence-sized frame at all. Auto-broadcast is
+  // disabled for the measurement so tiny-SF AQE can't paper over the
+  // at-scale join strategy; the explicit hints are exactly what
+  // survives that at 100 TB. The law meters the CANDIDATE stage
+  // ([[TrainPrep.spanRemovalStarts]]) alone: the token-rebuild
+  // downstream is corpus-linear in both plans and would drown the
+  // signal. Correctness of the fallback is Batch27Spec's theorem.
+  test("q378 df-cap: mass-boilerplate windows never fan per-occurrence " +
+      "text rows into the exchange — capped candidate-stage records " +
+      "well under uncapped") {
+    import spark.implicits._
+    val span = (0 until 50).map("mb" + _).mkString(" ")
+    val doc = Seq.fill(3)(span).mkString(" ") // 150 toks, 50 distinct windows
+    val docs = (1L to 200L).map(id => (id, doc))
+      .toDF("doc_id", "text").localCheckpoint()
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf
+      .getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .getOrElse("")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (cappedRec, _) = measure {
+        TrainPrep.spanRemovalStarts(docs, 50, 20, Materialize.local)
+          .collect() }
+      val (uncappedRec, _) = measure {
+        TrainPrep.spanRemovalStarts(docs, 50, 1000000, Materialize.local)
+          .collect() }
+      info(s"candidate-stage records capped $cappedRec vs uncapped $uncappedRec")
+      assert(cappedRec <= (uncappedRec * 0.7).toLong,
+        s"capped candidate stage shuffled $cappedRec records vs uncapped " +
+          s"$uncappedRec — the df-cap is not bounding the window exchange")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      if (prevAqe.nonEmpty)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevAqe)
+      else
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
 
   // r14: width laws for the checkpoint-carrying gates (the q351 class)
   pinLaw("q347_source_cover", 5.0)
@@ -408,10 +478,10 @@ class ScaleLawSpec extends AnyFunSuite {
   pinLaw("q351_embed_whitening", 5.0)
   pinLaw("q353_dendrogram_cut", 6.0, warmDup)
   pinLaw("q357_kn_topv", 5.0)
-  pinLaw("q358_hdbscan", 6.0, warmSlink)
-  pinLaw("q359_glosh_outliers", 6.0, warmSlink)
-  pinLaw("q360_hdbscan_mreach", 6.0, warmMr)
-  pinLaw("q362_soft_membership", 6.0, warmSlink)
+  pinLaw("q358_hdbscan", 6.0, warmTreeEps)
+  pinLaw("q359_glosh_outliers", 6.0, warmTreeEps)
+  pinLaw("q360_hdbscan_mreach", 6.0, warmTreeMr)
+  pinLaw("q362_soft_membership", 6.0, warmTreeEps)
   pinLaw("q363_cophenetic", 12.0, warmSlink) // pins the ε-pair table (q345-class workload)
   pinLaw("q364_optics_order", 6.0, warmMr) // pins tree-sized arc states per doubling round
   pinLaw("q373_optics_clusters", 6.0, warmMr) // plot-sized window input
