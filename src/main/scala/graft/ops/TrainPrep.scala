@@ -602,9 +602,12 @@ object TrainPrep {
           p => xxhash64(array_join(slice(w, p + 1, lit(L)), " "))))
           .as(Seq("pos", "h")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h")))
-    val dupAll = grams.groupBy("h")
+    // pinned: dup-hash-count-sized, and consumed by THREE plans below
+    // (dupH twice, hotH once) — unpinned, each would re-run the full
+    // grams countDistinct
+    val dupAll = materialize(grams.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("nd"))
-      .where(col("nd") > 1)
+      .where(col("nd") > 1))
     // ≤ cap: the text-verified path; > cap: the hash-only fallback
     val dupH = dupAll.where(col("nd") <= dfCap).select("h")
     val hotH = dupAll.where(col("nd") > dfCap).select("h")
