@@ -1707,10 +1707,12 @@ object Components {
 
   /** The q358/q359 density ladder over squared distance — cut
     * reciprocals are exact integers, so stability and GLOSH are pure
-    * BIGINT arithmetic end to end. */
-  private lazy val HdbCuts = Seq(0.0004, 0.000625, 0.0016, 0.0025)
-  private lazy val HdbLambdas = Seq(2500L, 1600L, 625L, 400L)
-  private lazy val HdbMinSize = 5
+    * BIGINT arithmetic end to end. private[graft] (r18): the
+    * substrate-equivalence spec references these rather than
+    * mirroring them, so a ladder retune can never desync the spec. */
+  private[graft] lazy val HdbCuts = Seq(0.0004, 0.000625, 0.0016, 0.0025)
+  private[graft] lazy val HdbLambdas = Seq(2500L, 1600L, 625L, 400L)
+  private[graft] lazy val HdbMinSize = 5
 
   private val epsPairsCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()

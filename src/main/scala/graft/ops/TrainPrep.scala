@@ -590,18 +590,32 @@ object TrainPrep {
     * dup-detection exchange alone — the token-rebuild pass downstream
     * is corpus-linear in BOTH plans and would drown the candidate
     * stage in any whole-operator measurement. */
-  private[ops] def spanRemovalStarts(docs: DataFrame, minLen: Int,
-      dfCap: Int, materialize: Materialize.Strategy): DataFrame = {
-    val L = minLen
+  /** Eligible docs (≥ L tokens, re-exchanged) and their stride-1
+    * L-window HASH stream (doc_id, pos, h) — pass 1 of the span
+    * family, shared by [[spanRemovalStarts]] and
+    * [[spanRemovalCapReport]] so the cap report can never drift from
+    * the hashes the rewrite actually capped (they are one pipeline,
+    * not two copies). */
+  private def windowHashGrams(docs: DataFrame, L: Int)
+      : (DataFrame, DataFrame) = {
     val w = split(col("text"), " ")
     // heavy array pipeline after an exchange, not in the scan's
     // one-task-per-file layout (q83/q120 lesson)
     val eligible = docs.where(size(w) >= L).repartition(col("doc_id"))
-    val grams = materialize(eligible.select(col("doc_id"),
+    val grams = eligible.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), size(w) - L),
           p => xxhash64(array_join(slice(w, p + 1, lit(L)), " "))))
           .as(Seq("pos", "h")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
+    (eligible, grams)
+  }
+
+  private[ops] def spanRemovalStarts(docs: DataFrame, minLen: Int,
+      dfCap: Int, materialize: Materialize.Strategy): DataFrame = {
+    val L = minLen
+    val w = split(col("text"), " ")
+    val (eligible, grams0) = windowHashGrams(docs, L)
+    val grams = materialize(grams0)
     // pinned: dup-hash-count-sized, and consumed by THREE plans below
     // (dupH twice, hotH once) — unpinned, each would re-run the full
     // grams countDistinct
@@ -639,12 +653,18 @@ object TrainPrep {
     // window hash and each hash lands in exactly one of the two
     // branches, so the union is disjoint by construction. hotH and
     // hotFirst carry ≤ total-windows/cap rows BY CONSTRUCTION (each
-    // hot hash owns > cap doc occurrences), so the explicit broadcast
-    // is safe at any corpus size and keeps the occurrence-sized hotOcc
-    // out of every exchange — unlike `exact` above, which is one row
-    // per duplicated window (data-sized, must stay joinable by
-    // shuffle); the ≤ cap bound on ITS key fan is what makes that
-    // side's shuffle join skew-safe
+    // hot hash owns > cap doc occurrences) and in practice far fewer
+    // (over-cap heads are the extreme Zipf tail — the q27/q51 "hot is
+    // tiny" observation), so the explicit broadcast keeps the
+    // occurrence-sized hotOcc out of every exchange and off every
+    // skewed reducer. The bound is corpus-LINEAR, not constant: a
+    // degenerate corpus that is mostly boilerplate (≥10⁹ DISTINCT
+    // over-cap templates — >8 GB of hashes at 100 TB) fails the
+    // broadcast LOUDLY rather than wrongly, the signal to raise the
+    // cap or pre-dedup exact copies first. `exact` above has no such
+    // bound (one row per duplicated window — data-sized, must stay a
+    // shuffle join); the ≤ cap on ITS key fan is what keeps that
+    // side's shuffle skew-safe
     val hotOcc = grams.join(broadcast(hotH), Seq("h"), "left_semi")
     val hotFirst = hotOcc.groupBy("h")
       .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
@@ -671,17 +691,12 @@ object TrainPrep {
     * exact-text collision re-splitting. Empty on any corpus whose
     * window dfs sit under the cap (every test corpus), so the report
     * doubles as the assertion surface for the hostile-fixture spec.
-    * Shares pass 1's shape: only (hash, doc, pos) triples shuffle. */
+    * Shares pass 1 itself ([[windowHashGrams]]): the reported hashes
+    * are BY CONSTRUCTION the ones the rewrite capped, and only
+    * (hash, doc, pos) triples shuffle. */
   def spanRemovalCapReport(docs: DataFrame, minLen: Int = 50,
       dfCap: Int = spanDfCap): DataFrame = {
-    val L = minLen
-    val w = split(col("text"), " ")
-    val eligible = docs.where(size(w) >= L).repartition(col("doc_id"))
-    val grams = eligible.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), size(w) - L),
-          p => xxhash64(array_join(slice(w, p + 1, lit(L)), " "))))
-          .as(Seq("pos", "h")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
+    val (_, grams) = windowHashGrams(docs, minLen)
     grams.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occurrences"),

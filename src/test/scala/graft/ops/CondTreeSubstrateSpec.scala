@@ -15,12 +15,11 @@ import org.scalatest.funsuite.AnyFunSuite
 class CondTreeSubstrateSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  // the q358-family ladder — mirrors Components' private HdbCuts/
-  // HdbLambdas/HdbMinSize; drift makes the equalities below fail,
-  // which is the intended loud signal to re-sync
-  private val cuts = Seq(0.0004, 0.000625, 0.0016, 0.0025)
-  private val lambdas = Seq(2500L, 1600L, 625L, 400L)
-  private val minSize = 5
+  // the q358-family ladder, referenced (not mirrored) so a retune can
+  // never desync this spec from the gates
+  private def cuts = Components.HdbCuts
+  private def lambdas = Components.HdbLambdas
+  private def minSize = Components.HdbMinSize
 
   private def rows(df: org.apache.spark.sql.DataFrame): List[String] =
     df.collect().map(_.toString).toList
