@@ -329,6 +329,35 @@ class Batch27Spec extends AnyFunSuite {
     assert(run(docs, L) == capped)
   }
 
+  test("q378 df-cap (r18): hot and text-verified branches ACTIVE " +
+      "TOGETHER — an over-cap window and a normal 2-doc dup in one " +
+      "corpus both dedup, and only the over-cap one is reported") {
+    import spark.implicits._
+    val L = 10
+    val hotSpan = (0 until L).map("hb" + _).mkString(" ")   // in all 8 docs
+    val coldSpan = (0 until L).map("cb" + _).mkString(" ")  // in docs 1,2 only
+    val docs = (1L to 8L).map { id =>
+      val body = tokens(700 + id.toInt, 14)
+      val mid = if (id <= 2) Seq(hotSpan, coldSpan) else Seq(hotSpan)
+      id -> (body.take(7) ++ mid ++ body.drop(7)).mkString(" ")
+    }
+    val df = docs.toDF("doc_id", "text")
+    val capped = TrainPrep.removeCrossDocSpans(df, L, dfCap = 3)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+      .toMap
+    // both branches fire and the union is the exact rule's answer
+    assert(capped == brute(docs, L))
+    // docs 2..8 lost the hot span; doc 2 ALSO lost the cold span via
+    // the text-verified branch — both in one pass
+    assert(capped(2L)._2 >= 2L * L)
+    assert((3L to 8L).forall(id => capped(id)._2 >= L))
+    // only the over-cap window is in the curator report
+    val rep = TrainPrep.spanRemovalCapReport(df, L, dfCap = 3).collect()
+    assert(rep.length == 1 && rep(0).getLong(1) == 8L)
+  }
+
   test("q378 single-pass tail (r18): a cut that STITCHES kept tokens " +
       "into a new cross-doc window leaves it (the published one-pass " +
       "contract) and q375-on-the-rewrite reports exactly that residue") {
