@@ -89,8 +89,9 @@ object Bench {
         () => ops.Components.warmCondTree(spark, sfDir, "eps")),
       ("mr_slink", Seq("q360", "q364", "q373"),
         () => ops.Components.warmMrSlink(spark, sfDir)),
-      // the mr-metric condensed tree (r18): q360's readout input
-      ("mr_tree", Seq("q360"),
+      // the mr-metric condensed tree (r18): q360's selection readout
+      // plus the published-form GLOSH/soft-membership pair
+      ("mr_tree", Seq("q360", "q381", "q382"),
         () => ops.Components.warmCondTree(spark, sfDir, "mr")),
       // the global suffix-order ladder (r16): q374/q375 read one build
       ("global_sa", Seq("q374", "q375", "q377"),

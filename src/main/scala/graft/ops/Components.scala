@@ -1873,12 +1873,11 @@ object Components {
     *  - `cl` — condensed clusters (bj, bc, n_birth, stability, pbj,
     *    pbc): q358/q360's join side;
     *  - `sel` — the excess-of-mass selection (bj, bc, selected);
-    *  - and for the eps variant (its outlier/membership readouts):
-    *    `att` — per-point attachments (node, dp, bj, bc), `dm` —
-    *    subtree-deepest levels, `sela` — selected ancestors. The mr
-    *    variant stops at cl+sel: q360 is its only tree consumer, and
-    *    charging it att/dm work nothing reads would make the bench
-    *    substrate line lie about its own cost.
+    *  - `att` — per-point attachments (node, dp, bj, bc), `dm` —
+    *    subtree-deepest levels, `sela` — selected ancestors: the
+    *    outlier/membership readout inputs. Both variants carry all
+    *    five since r18's q381/q382 (GLOSH + soft membership over the
+    *    mutual-reachability tree — the published form).
     * All frames are exact integers on cluster-count-sized tables
     * (att is point-count-sized — the one corpus-linear artifact), so
     * the parquet round-trip is bit-exact and a cache race is only
@@ -1901,15 +1900,13 @@ object Components {
     val clP = s.read.parquet(out + "/cl.parquet")
     val sel = selectionFrame(clP, k, Materialize.local)
     sel.write.mode("overwrite").parquet(out + "/sel.parquet")
-    if (variant == "eps") {
-      attachments(labels, cida, k)
-        .write.mode("overwrite").parquet(out + "/att.parquet")
-      subtreeDeepest(cida, clP, k, Materialize.local)
-        .write.mode("overwrite").parquet(out + "/dm.parquet")
-      selectedAncestors(s.read.parquet(out + "/sel.parquet"), clP, k,
-          Materialize.local)
-        .write.mode("overwrite").parquet(out + "/sela.parquet")
-    }
+    attachments(labels, cida, k)
+      .write.mode("overwrite").parquet(out + "/att.parquet")
+    subtreeDeepest(cida, clP, k, Materialize.local)
+      .write.mode("overwrite").parquet(out + "/dm.parquet")
+    selectedAncestors(s.read.parquet(out + "/sel.parquet"), clP, k,
+        Materialize.local)
+      .write.mode("overwrite").parquet(out + "/sela.parquet")
     out
   }
 
@@ -2481,6 +2478,69 @@ object Components {
              |  sa.bc AS cluster, cl.n_birth, cl.stability, sa.selected
              |FROM sa JOIN cl ON cl.bj = sa.bj AND cl.bc = sa.bc
              |ORDER BY cut, cluster""".stripMargin
+
+  /** The GLOSH per-point readout (attachment + subtree-deepest +
+    * ppm score) — shared VERBATIM by q359 (raw-ε tree) and q381
+    * (mutual-reachability tree, r18): same attachment CTEs, same
+    * score algebra; only the metric upstream differs. */
+  private lazy val GloshSelectSql: String =
+    GloshAttachCtes + "\n" +
+      """SELECT a.node AS vec_id, a.bc AS cluster,
+             |  CAST(la.lam AS BIGINT) AS lam_attach,
+             |  CAST(lm.lam AS BIGINT) AS lam_max,
+             |  CAST(1000000 - (1000000 * CAST(la.lam AS BIGINT)) // lm.lam
+             |    AS BIGINT) AS glosh_ppm
+             |FROM att a
+             |JOIN dma d ON d.bj = a.bj AND d.bc = a.bc
+             |JOIN lv la ON la.j = a.dp
+             |JOIN lv lm ON lm.j = d.dm
+             |ORDER BY vec_id""".stripMargin
+
+  /** The soft-membership tail (selection + attachment CTEs + the
+    * unrolled selected-ancestor resolution and the ppm readout) —
+    * shared VERBATIM by q362 (raw-ε tree) and q382
+    * (mutual-reachability tree, r18). */
+  private lazy val SoftMembershipTailSql: String =
+    HdbscanSelCtes + ",\n" + GloshAttachCtes + ",\n" +
+      """sel3 AS (SELECT bj, bc,
+             |  CASE WHEN selected THEN bj END AS abj,
+             |  CASE WHEN selected THEN bc END AS abc
+             |  FROM sa WHERE bj = 3),
+             |sel2 AS (
+             |  SELECT v.bj, v.bc,
+             |    CASE WHEN v.selected THEN v.bj ELSE u.abj END AS abj,
+             |    CASE WHEN v.selected THEN v.bc ELSE u.abc END AS abc
+             |  FROM sa v JOIN cl c ON c.bj = v.bj AND c.bc = v.bc
+             |  LEFT JOIN sel3 u ON u.bj = c.pbj AND u.bc = c.pbc
+             |  WHERE v.bj = 2),
+             |sel32 AS (SELECT * FROM sel3 UNION ALL SELECT * FROM sel2),
+             |sel1 AS (
+             |  SELECT v.bj, v.bc,
+             |    CASE WHEN v.selected THEN v.bj ELSE u.abj END AS abj,
+             |    CASE WHEN v.selected THEN v.bc ELSE u.abc END AS abc
+             |  FROM sa v JOIN cl c ON c.bj = v.bj AND c.bc = v.bc
+             |  LEFT JOIN sel32 u ON u.bj = c.pbj AND u.bc = c.pbc
+             |  WHERE v.bj = 1),
+             |sel321 AS (SELECT * FROM sel32 UNION ALL SELECT * FROM sel1),
+             |sel0 AS (
+             |  SELECT v.bj, v.bc,
+             |    CASE WHEN v.selected THEN v.bj ELSE u.abj END AS abj,
+             |    CASE WHEN v.selected THEN v.bc ELSE u.abc END AS abc
+             |  FROM sa v JOIN cl c ON c.bj = v.bj AND c.bc = v.bc
+             |  LEFT JOIN sel321 u ON u.bj = c.pbj AND u.bc = c.pbc
+             |  WHERE v.bj = 0),
+             |sela AS (SELECT * FROM sel321 UNION ALL SELECT * FROM sel0)
+             |SELECT a.node AS vec_id, s.abc AS cluster,
+             |  CAST(la.lam AS BIGINT) AS lam_attach,
+             |  CAST(lm.lam AS BIGINT) AS lam_max,
+             |  CAST((1000000 * CAST(la.lam AS BIGINT)) // lm.lam AS BIGINT)
+             |    AS prob_ppm
+             |FROM att a
+             |JOIN sela s ON s.bj = a.bj AND s.bc = a.bc AND s.abj IS NOT NULL
+             |JOIN dma d ON d.bj = s.abj AND d.bc = s.abc
+             |JOIN lv la ON la.j = a.dp
+             |JOIN lv lm ON lm.j = d.dm
+             |ORDER BY vec_id""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     // Every document mapped to its near-dup cluster representative.
@@ -3484,47 +3544,7 @@ object Components {
           HdbLambdas)
         .withColumnRenamed("node", "vec_id")
         .orderBy("vec_id"),
-      Some(HdbscanSqlBase + "\n" + HdbscanSelCtes + ",\n" +
-        GloshAttachCtes + ",\n" +
-        """sel3 AS (SELECT bj, bc,
-             |  CASE WHEN selected THEN bj END AS abj,
-             |  CASE WHEN selected THEN bc END AS abc
-             |  FROM sa WHERE bj = 3),
-             |sel2 AS (
-             |  SELECT v.bj, v.bc,
-             |    CASE WHEN v.selected THEN v.bj ELSE u.abj END AS abj,
-             |    CASE WHEN v.selected THEN v.bc ELSE u.abc END AS abc
-             |  FROM sa v JOIN cl c ON c.bj = v.bj AND c.bc = v.bc
-             |  LEFT JOIN sel3 u ON u.bj = c.pbj AND u.bc = c.pbc
-             |  WHERE v.bj = 2),
-             |sel32 AS (SELECT * FROM sel3 UNION ALL SELECT * FROM sel2),
-             |sel1 AS (
-             |  SELECT v.bj, v.bc,
-             |    CASE WHEN v.selected THEN v.bj ELSE u.abj END AS abj,
-             |    CASE WHEN v.selected THEN v.bc ELSE u.abc END AS abc
-             |  FROM sa v JOIN cl c ON c.bj = v.bj AND c.bc = v.bc
-             |  LEFT JOIN sel32 u ON u.bj = c.pbj AND u.bc = c.pbc
-             |  WHERE v.bj = 1),
-             |sel321 AS (SELECT * FROM sel32 UNION ALL SELECT * FROM sel1),
-             |sel0 AS (
-             |  SELECT v.bj, v.bc,
-             |    CASE WHEN v.selected THEN v.bj ELSE u.abj END AS abj,
-             |    CASE WHEN v.selected THEN v.bc ELSE u.abc END AS abc
-             |  FROM sa v JOIN cl c ON c.bj = v.bj AND c.bc = v.bc
-             |  LEFT JOIN sel321 u ON u.bj = c.pbj AND u.bc = c.pbc
-             |  WHERE v.bj = 0),
-             |sela AS (SELECT * FROM sel321 UNION ALL SELECT * FROM sel0)
-             |SELECT a.node AS vec_id, s.abc AS cluster,
-             |  CAST(la.lam AS BIGINT) AS lam_attach,
-             |  CAST(lm.lam AS BIGINT) AS lam_max,
-             |  CAST((1000000 * CAST(la.lam AS BIGINT)) // lm.lam AS BIGINT)
-             |    AS prob_ppm
-             |FROM att a
-             |JOIN sela s ON s.bj = a.bj AND s.bc = a.bc AND s.abj IS NOT NULL
-             |JOIN dma d ON d.bj = s.abj AND d.bc = s.abc
-             |JOIN lv la ON la.j = a.dp
-             |JOIN lv lm ON lm.j = d.dm
-             |ORDER BY vec_id""".stripMargin)),
+      Some(HdbscanSqlBase + "\n" + SoftMembershipTailSql)),
 
     // GLOSH outlier scores over the SAME condensed tree as q358 (✚ —
     // the outlier-detection half of the HDBSCAN framework; algorithm
@@ -3544,17 +3564,36 @@ object Components {
           condTree(s, d, "eps", "dm"), HdbLambdas)
         .withColumnRenamed("node", "vec_id")
         .orderBy("vec_id"),
-      Some(HdbscanSqlBase + "\n" + GloshAttachCtes + "\n" +
-        """SELECT a.node AS vec_id, a.bc AS cluster,
-             |  CAST(la.lam AS BIGINT) AS lam_attach,
-             |  CAST(lm.lam AS BIGINT) AS lam_max,
-             |  CAST(1000000 - (1000000 * CAST(la.lam AS BIGINT)) // lm.lam
-             |    AS BIGINT) AS glosh_ppm
-             |FROM att a
-             |JOIN dma d ON d.bj = a.bj AND d.bc = a.bc
-             |JOIN lv la ON la.j = a.dp
-             |JOIN lv lm ON lm.j = d.dm
-             |ORDER BY vec_id""".stripMargin)),
+      Some(HdbscanSqlBase + "\n" + GloshSelectSql)),
+
+    // GLOSH over the MUTUAL-REACHABILITY condensed tree (✚, r18 —
+    // Campello et al. define GLOSH over exactly this hierarchy; q359
+    // is its raw-ε discretization, THIS is the published form): the
+    // outlier readout of the q360 substrate — a low-density point
+    // chained to a dense blob through a thin bridge scores differently
+    // here because core distances already inflated its attachment.
+    // Zero new corpus passes: att⋈dm over the cached mr tree; the
+    // oracle swaps ONLY the metric base (MreachSqlBase) under the
+    // VERBATIM q359 attachment/score chain, so the two GLOSH gates
+    // cannot disagree on anything but the metric.
+    QueryDef("q381_glosh_mreach",
+      (s, d) => gloshReadout(condTree(s, d, "mr", "att"),
+          condTree(s, d, "mr", "dm"), HdbLambdas)
+        .withColumnRenamed("node", "vec_id")
+        .orderBy("vec_id"),
+      Some(MreachSqlBase + "\n" + GloshSelectSql)),
+
+    // Soft memberships over the MUTUAL-REACHABILITY condensed tree
+    // (✚, r18 — the probabilities_ readout of HDBSCAN as published,
+    // q362's metric sibling): att⋈sela⋈dm over the cached mr tree;
+    // oracle = the metric base swap under q362's verbatim tail.
+    QueryDef("q382_soft_membership_mreach",
+      (s, d) => softMembershipReadout(condTree(s, d, "mr", "att"),
+          condTree(s, d, "mr", "sela"), condTree(s, d, "mr", "dm"),
+          HdbLambdas)
+        .withColumnRenamed("node", "vec_id")
+        .orderBy("vec_id"),
+      Some(MreachSqlBase + "\n" + SoftMembershipTailSql)),
 
     // Cophenetic fidelity of the ε-slink dendrogram (✚ — algorithm
     // notes at [[copheneticReport]]): the FIFTH readout of the shared

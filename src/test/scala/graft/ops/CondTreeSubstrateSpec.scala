@@ -40,11 +40,17 @@ class CondTreeSubstrateSpec extends AnyFunSuite {
         .withColumnRenamed("node", "vec_id").orderBy("vec_id")))
   }
 
-  test("mr-tree artifacts ≡ direct from-labels computation (q360)") {
+  test("mr-tree artifacts ≡ direct from-labels computation (q360/q381/q382)") {
     val dir = TestSpark.sf0001
     val labels = spark.read.parquet(
       Components.buildMrSlinkLabels(spark, dir) + "/labels.parquet")
     assert(rows(SparkEntry.queries("q360_hdbscan_mreach")(spark, dir)) ==
       rows(Components.hdbscanClustersFromLabels(labels, cuts, lambdas, minSize)))
+    assert(rows(SparkEntry.queries("q381_glosh_mreach")(spark, dir)) ==
+      rows(Components.gloshScoresFromLabels(labels, cuts, lambdas, minSize)
+        .withColumnRenamed("node", "vec_id").orderBy("vec_id")))
+    assert(rows(SparkEntry.queries("q382_soft_membership_mreach")(spark, dir)) ==
+      rows(Components.softMembershipsFromLabels(labels, cuts, lambdas, minSize)
+        .withColumnRenamed("node", "vec_id").orderBy("vec_id")))
   }
 }

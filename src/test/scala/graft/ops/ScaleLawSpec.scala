@@ -233,6 +233,10 @@ class ScaleLawSpec extends AnyFunSuite {
     dir => Components.warmCondTree(spark, dir, "mr")
   lawOn("q360_hdbscan_mreach", 6.0, big, "namespace", warmTreeMr)
   lawOn("q362_soft_membership", 6.0, big, "namespace", warmTreeEps) // att⋈sela⋈dm readout
+  // r18: the published-form (mutual-reachability) GLOSH/membership
+  // pair — same readout joins over the mr tree's artifacts
+  lawOn("q381_glosh_mreach", 6.0, big, "namespace", warmTreeMr)
+  lawOn("q382_soft_membership_mreach", 6.0, big, "namespace", warmTreeMr)
   // r15: cophenetic runs its OWN grid ε-pass over the pair table,
   // which densifies ~quadratically under replication-with-jitter —
   // q345's workload belt, not a plan defect (labels ride the warmed
@@ -482,6 +486,8 @@ class ScaleLawSpec extends AnyFunSuite {
   pinLaw("q359_glosh_outliers", 6.0, warmTreeEps)
   pinLaw("q360_hdbscan_mreach", 6.0, warmTreeMr)
   pinLaw("q362_soft_membership", 6.0, warmTreeEps)
+  pinLaw("q381_glosh_mreach", 6.0, warmTreeMr)
+  pinLaw("q382_soft_membership_mreach", 6.0, warmTreeMr)
   pinLaw("q363_cophenetic", 12.0, warmSlink) // pins the ε-pair table (q345-class workload)
   pinLaw("q364_optics_order", 6.0, warmMr) // pins tree-sized arc states per doubling round
   pinLaw("q373_optics_clusters", 6.0, warmMr) // plot-sized window input
