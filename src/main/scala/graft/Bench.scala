@@ -209,11 +209,25 @@ object Bench {
     val total = results.collect { case (_, v, _, None, _) => v }.sum +
       substrates.map(_._2).sum
     val nErr = results.count(_._4.isDefined)
-    // the driver stores the TAIL of this line when it truncates — the
-    // per-query map (large, alphabetical) goes FIRST so the summary
-    // scalars (total/n_errors/sf) at the END survive any truncation
+    // The FULL record (spreads, raw iteration times, error detail) —
+    // printed as a PRECEDING line and persisted to bench_full.json.
     val line = s"""{"metric":"total","queries":$qs,"iters":$iters,"spread":$spreads,"iters_raw":$itersRaw,"errors":$errs,"substrates":$subsJson,"unit":"sec","sf":"$sfDir","n_errors":$nErr,"value":$total}"""
     println(line)
+    // VERDICT r18 #1: the full line above is ~40 KB and has exceeded
+    // the driver's stdout-tail window since r15 (`BENCH_r15..r18.json`
+    // all carry `parsed: null` — every per-query perf comparison has
+    // been flying blind for four rounds). The FINAL stdout line is now
+    // a COMPACT summary — same schema the driver contract names
+    // (metric/queries/substrates/unit/sf/n_errors/value), medians at
+    // millisecond precision, no spreads/iters_raw/errors maps — ~10 KB
+    // for 381 gates (the query names themselves are the floor; the
+    // contract forbids renaming). Queries stay FIRST so the summary
+    // scalars at the END survive any tail truncation.
+    def f3(v: Double): String = f"$v%.3f"
+    val qsCompact = results.map { case (k, v, _, err, _) =>
+      "\"" + k + "\":" + (if (err.isDefined) "-1" else f3(v))
+    }.mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","queries":$qsCompact,"substrates":$subsJson,"unit":"sec","sf":"$sfDir","n_errors":$nErr,"value":${f3(total)}}"""
     // The driver's BENCH_rN.json keeps only a log tail (r7/r8 records
     // retained 51 of 134 per-query entries and no spreads — VERDICT r8
     // "what's wrong" #2, which forced solo re-benching to adjudicate
@@ -230,6 +244,9 @@ object Bench {
     catch { case e: Exception =>
       System.err.println(s"bench: could not write $out: $e") }
     spark.stop()
+    // after spark.stop() so no executor/cleaner WARN line can land
+    // between the compact record and the end of stdout
+    println(compact)
     if (nErr > 0) sys.exit(1)
   }
 }

@@ -42,13 +42,9 @@ object PngCodec {
   import javax.imageio.ImageIO
   import javax.imageio.stream.MemoryCacheImageInputStream
 
-  // ImageIO defaults to DISK-backed stream caching: every bare
-  // ImageIO.read/write spools the stream through a temp FILE. For
-  // KB-sized in-memory payloads that is a file create+delete per row —
-  // single-threaded it adds ~ms each, and a 32-way decode spread turns
-  // it into filesystem contention (r18, guide §1.1: the stage time was
-  // I/O syscalls, not decode). Keep streams in memory, JVM-wide.
-  ImageIO.setUseCache(false)
+  // In-memory ImageIO stream caching — one JVM-wide decision, owned
+  // and documented by core.ImageIoDefaults (ADVICE r18).
+  graft.core.ImageIoDefaults.ensure()
 
   private val Magic: Array[Byte] =
     Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
@@ -250,7 +246,7 @@ object GifCodec {
   import javax.imageio.metadata.IIOMetadataNode
   import javax.imageio.stream.{MemoryCacheImageInputStream, MemoryCacheImageOutputStream}
 
-  ImageIO.setUseCache(false) // in-memory stream caching (see PngCodec)
+  graft.core.ImageIoDefaults.ensure() // in-memory stream caching
 
   /** GIF87a / GIF89a signature. */
   def isGif(b: Array[Byte]): Boolean =
@@ -453,7 +449,9 @@ object Multimodal {
     * determinism is what makes the REAL decode gateable: an arithmetic
     * oracle knows exactly what the RIFF header parse must report back
     * (the audio twin of q33's PNG leg). Encode runs per partition in
-    * the documents scan's layout — payloads never shuffle. */
+    * the documents scan's layout; on THIS inline path payloads never
+    * shuffle (the parquet-fixture siblings instead cross exactly one
+    * bounded exchange — [[mediaFixture]]'s documented decode spread). */
   def audioTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
     import s.implicits._
     graft.Tables.documents(s, dir).select(col("doc_id")).as[Long]
@@ -574,7 +572,7 @@ object Multimodal {
     import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
     import javax.imageio.ImageIO
 
-    ImageIO.setUseCache(false) // in-memory stream caching (see PngCodec)
+    graft.core.ImageIoDefaults.ensure() // in-memory stream caching
 
     private def patternBits(seed: Int): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
@@ -629,7 +627,7 @@ object Multimodal {
     import java.awt.image.BufferedImage
     import javax.imageio.ImageIO
 
-    ImageIO.setUseCache(false) // in-memory stream caching (see PngCodec)
+    graft.core.ImageIoDefaults.ensure() // in-memory stream caching
 
     /** 63 class-derived signed amplitudes for the AC components (u,v) ∈
       * 8×8 \ DC, engineered so the MEDIAN DECISION HAS A GAP: exactly 32
@@ -756,8 +754,10 @@ object Multimodal {
     import s.implicits._
     // cache contract as Components.dupMst (ADVICE r14): corpus dirs are
     // immutable for the JVM's lifetime, scratch parquet is deleted on
-    // JVM exit, and the multi-job encode never runs under the map lock
-    val key = kind + "|" + dir
+    // JVM exit, and the multi-job encode never runs under the map lock.
+    // Key normalized via corpusKey (ADVICE r18): `dir` vs `dir/` must
+    // not silently re-run the multi-job fixture encode.
+    val key = kind + "|" + graft.core.Scratch.corpusKey(dir)
     val cached = mediaFixtureCache.get(key)
     val path = if (cached != null) cached else {
       val out = graft.core.Scratch.tempDir(s"graft-$kind-media") +

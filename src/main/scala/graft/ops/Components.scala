@@ -1085,21 +1085,36 @@ object Components {
     * levels) both build on this. */
   def boruvkaMst(nodes: DataFrame, edges0: DataFrame, maxIter: Int = 12,
       materialize: Materialize.Strategy = Materialize.local): (DataFrame, DataFrame) = {
-    val edges = materialize(edges0.select(col("a"), col("b"), col("w")))
     var labels = materialize(nodes.select(col("id").as("node"), col("id").as("comp")))
+    // EDGE CONTRACTION (r19 — VERDICT r18 #3, §2.4): the loop used to
+    // re-join the FULL original edge table against the current labels
+    // every round — 12 corpus-scale scans of a table that is mostly
+    // intra-component after the first merges. `rem` carries the CROSS-
+    // component remainder forward instead: initialized once from the
+    // raw edges (components start as singleton node ids, so ca/cb are
+    // just a/b), then relabeled per round through the component-count-
+    // sized merge map and re-filtered — a strictly shrinking frame,
+    // the same discipline connectedComponents already applies to its
+    // contracted edge table. (w, a, b) identities ride along, so the
+    // elected MST is unchanged.
+    var rem = materialize(edges0.select(col("a"), col("b"), col("w"))
+      .where(col("a") =!= col("b"))
+      .select(col("a"), col("b"), col("w"),
+        col("a").as("ca"), col("b").as("cb")))
     var chosenParts = List.empty[DataFrame]
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
-      val e2 = edges
-        .join(labels.select(col("node").as("a"), col("comp").as("ca")), "a")
-        .join(labels.select(col("node").as("b"), col("comp").as("cb")), "b")
-        .where(col("ca") =!= col("cb"))
       // (w, a, b) is unique per edge, so ca/cb never decide the min —
       // they ride along to avoid a second label join on the winner
       val k = struct(col("w"), col("a"), col("b"), col("ca"), col("cb"))
-      val minE = materialize(e2.select(col("ca").as("c"), k.as("k"))
-        .unionByName(e2.select(col("cb").as("c"), k.as("k")))
+      // (r19 note: a persist()+count() fusion of this pin and the
+      // emptiness probe was tried and MEASURED SLOWER — Dataset.persist
+      // caches COLUMNAR with per-read decode, far heavier than the
+      // localCheckpoint row blocks every consumer below scans. The
+      // probe job on pinned blocks is cheap; keep the materialize.)
+      val minE = materialize(rem.select(col("ca").as("c"), k.as("k"))
+        .unionByName(rem.select(col("cb").as("c"), k.as("k")))
         .groupBy("c").agg(min(col("k")).as("k")))
       if (minE.limit(1).count() == 0L) done = true
       else {
@@ -1122,16 +1137,21 @@ object Components {
         // compressMap in log(chain) self-joins of the tiny map (was:
         // a full connectedComponents invocation per Borůvka round,
         // ~2/3 of the gate's micro-job count on the ε-graph MST).
-        val f = materialize(minE.select(col("c").as("s"),
+        // f and p stay LAZY (r19 — VERDICT r18 #3): both are one-hop
+        // projections/self-joins of the PINNED minE, so re-deriving
+        // them inside compressMap's probe/squaring jobs costs a few
+        // cached-block scans of a component-count-sized frame — two
+        // scheduler-floor materialize jobs per round bought nothing.
+        val f = minE.select(col("c").as("s"),
           when(col("k.ca") === col("c"), col("k.cb")).otherwise(col("k.ca"))
-            .as("t")))
-        val p = materialize(f.as("x")
+            .as("t"))
+        val p = f.as("x")
           .join(f.select(col("s").as("ms"), col("t").as("mt")),
             col("x.t") === col("ms"))
           .select(col("x.s").as("s"),
             when(col("mt") === col("x.s"), least(col("x.s"), col("x.t")))
               .otherwise(col("x.t")).as("t"))
-          .where(col("s") =!= col("t")))
+          .where(col("s") =!= col("t"))
         val comp = compressMap(p, materialize)
         // comp resolves every mover to its group's 2-CYCLE min — which
         // need not be the GROUP min: a tree-hanging component can carry
@@ -1144,19 +1164,35 @@ object Components {
         // min = group min, and hid it.)
         val gm = comp.groupBy(col("t").as("r")).agg(min(col("s")).as("ms"))
           .select(col("r"), least(col("r"), col("ms")).as("m"))
-        val merged = comp.join(gm, col("t") === col("r"))
+        // pinned: three consumers since the r19 contraction (the labels
+        // relabel plus both endpoint relabels of `rem`)
+        val merged = materialize(comp.join(gm, col("t") === col("r"))
           .select(col("s"), col("m").as("t"))
           .unionByName(gm.where(col("r") =!= col("m"))
-            .select(col("r").as("s"), col("m").as("t")))
+            .select(col("r").as("s"), col("m").as("t"))))
         labels = materialize(labels
           .join(merged.select(col("s").as("comp"), col("t")), Seq("comp"), "left")
           .select(col("node"), coalesce(col("t"), col("comp")).as("comp")))
+        // contract the remainder through the same merge map: relabel
+        // both endpoints' components, drop the edges that became
+        // intra-component. An edge with ca' = cb' can never re-enter
+        // (components only merge), so the filter is safe and `rem`
+        // shrinks monotonically.
+        rem = materialize(rem
+          .join(merged.select(col("s").as("ca"), col("t").as("ta")),
+            Seq("ca"), "left")
+          .join(merged.select(col("s").as("cb"), col("t").as("tb")),
+            Seq("cb"), "left")
+          .select(col("a"), col("b"), col("w"),
+            coalesce(col("ta"), col("ca")).as("ca"),
+            coalesce(col("tb"), col("cb")).as("cb"))
+          .where(col("ca") =!= col("cb")))
       }
       iter += 1
     }
     require(done, s"boruvkaMst: not converged after $maxIter rounds")
     val mst = chosenParts match {
-      case Nil => edges.where(lit(false))
+      case Nil => edges0.select(col("a"), col("b"), col("w")).where(lit(false))
       case ps => ps.reduce(_ unionByName _)
     }
     (mst, labels)
@@ -1363,18 +1399,21 @@ object Components {
         (col("j") === k - 1 || coalesce(col("nk"), lit(0L)) >= 2)
           .as("isborn")))
     // condensed-cluster id (bj, bc) per instance, resolved top-down:
-    // a birth is itself; a continuation inherits its parent instance's
-    var resolved = List(materialize(born.where(col("j") === k - 1)
+    // a birth is itself; a continuation inherits its parent instance's.
+    // The k-level resolution folds LAZILY over the pinned `born` (r19 —
+    // VERDICT r18 #4: the per-level materialize cost k scheduler-floor
+    // jobs on cluster-count-sized frames); the union pins ONCE as cida.
+    var resolved = List(born.where(col("j") === k - 1)
       .select(col("j"), col("c"), col("sz"),
-        col("j").as("bj"), col("c").as("bc"))))
+        col("j").as("bj"), col("c").as("bc")))
     for (j <- k - 2 to 0 by -1) {
       val up = resolved.head // level j+1, already resolved
-      resolved ::= materialize(born.where(col("j") === j)
+      resolved ::= born.where(col("j") === j)
         .join(up.select(col("c").as("p"), col("bj").as("ubj"),
           col("bc").as("ubc")), Seq("p"), "left")
         .select(col("j"), col("c"), col("sz"),
           when(col("isborn"), lit(j)).otherwise(col("ubj")).as("bj"),
-          when(col("isborn"), col("c")).otherwise(col("ubc")).as("bc")))
+          when(col("isborn"), col("c")).otherwise(col("ubc")).as("bc"))
     }
     val cida = materialize(resolved.reduce(_ unionByName _))
     // discrete stability: instances BELOW the birth level contribute
@@ -1456,6 +1495,13 @@ object Components {
     * without re-deriving the cluster-level readout. */
   private def selectionFrame(cl: DataFrame, k: Int,
       materialize: Materialize.Strategy): DataFrame = {
+    // Both k-level passes used to materialize PER LEVEL (2k scheduler-
+    // floor jobs over cluster-count-sized tables — the dominant cost of
+    // the eps_tree/mr_tree builds, VERDICT r18 #4). Each pass now folds
+    // LAZILY across its k levels and pins ONCE at the end: the lazy
+    // fold's plan references earlier levels ~2^k times, but k is the
+    // cut-ladder length (4) and every leaf is the pinned/parquet-backed
+    // `cl`, so the plan stays small while 2k jobs become 2.
     // excess-of-mass, bottom-up by birth level: V = max(S, Σ V(child)),
     // chosen iff S ≥ Σ V(child) (children are born strictly lower)
     var vParts = List.empty[DataFrame]
@@ -1478,9 +1524,10 @@ object Components {
               greatest(col("stability"), coalesce(col("sv"), lit(0L))).as("v"),
               (col("stability") >= coalesce(col("sv"), lit(0L))).as("chosen"))
       }
-      vParts ::= materialize(lvlV)
+      vParts ::= lvlV
     }
-    val va = vParts.reduce(_ unionByName _)
+    // pinned: the top-down pass filters va once per level (k consumers)
+    val va = materialize(vParts.reduce(_ unionByName _))
     // top-down: selected = chosen ∧ no chosen-unblocked ancestor;
     // blocked(C) = blocked(parent) ∨ chosen(C) propagates the veto
     var sParts = List.empty[DataFrame]
@@ -1501,9 +1548,9 @@ object Components {
               (coalesce(col("pblocked"), lit(false)) || col("chosen"))
                 .as("blocked"))
       }
-      sParts ::= materialize(lvlS)
+      sParts ::= lvlS
     }
-    sParts.reduce(_ unionByName _).select("bj", "bc", "selected")
+    materialize(sParts.reduce(_ unionByName _).select("bj", "bc", "selected"))
   }
 
   /** GLOSH outlier scores (Campello et al.'s Global-Local Outlier
@@ -1585,9 +1632,14 @@ object Components {
     * children, bottom-up by birth level. Returns (bj, bc, dm). */
   private def subtreeDeepest(cida: DataFrame, cl: DataFrame, k: Int,
       materialize: Materialize.Strategy): DataFrame = {
-    val own = cida.groupBy("bj", "bc").agg(min(col("j")).as("dmin"))
-      .join(cl.select(col("bj"), col("bc"), col("pbj"), col("pbc")),
-        Seq("bj", "bc"))
+    // `own` is pinned once (the lazy k-level fold below references it
+    // ~2^k times; without the pin each reference re-runs the cida
+    // aggregation shuffle), then the bottom-up min fold stays LAZY —
+    // k per-level materialize jobs dropped (r19, VERDICT r18 #4).
+    val own = materialize(
+      cida.groupBy("bj", "bc").agg(min(col("j")).as("dmin"))
+        .join(cl.select(col("bj"), col("bc"), col("pbj"), col("pbc")),
+          Seq("bj", "bc")))
     var dmParts = List.empty[DataFrame]
     for (b <- 0 until k) {
       val lvl = own.where(col("bj") === b)
@@ -1602,7 +1654,7 @@ object Components {
             .select(col("bj"), col("bc"), col("pbj"), col("pbc"),
               least(col("dmin"), coalesce(col("kdm"), col("dmin"))).as("dm"))
       }
-      dmParts ::= materialize(lvlDm)
+      dmParts ::= lvlDm
     }
     dmParts.reduce(_ unionByName _).select("bj", "bc", "dm")
   }
@@ -1685,7 +1737,11 @@ object Components {
               when(col("selected"), col("bj")).otherwise(col("uabj")).as("abj"),
               when(col("selected"), col("bc")).otherwise(col("uabc")).as("abc"))
       }
-      aParts ::= materialize(lvlA)
+      // lazy fold (r19 — VERDICT r18 #4): k per-level materialize jobs
+      // dropped; sel/cl are pinned or parquet-backed, k = 4, and the
+      // single consumer (one readout join / one substrate write)
+      // evaluates the whole fold in its own action.
+      aParts ::= lvlA
     }
     aParts.reduce(_ unionByName _).where(col("abj").isNotNull)
   }

@@ -212,8 +212,16 @@ object StreamOps {
     if (arrivalOrder.isEmpty)
       input.repartition(chunks).write.mode("overwrite").parquet(dir)
     else {
-      val ranged = input.repartitionByRange(chunks, arrivalOrder: _*)
-        .withColumn("_chunk", spark_partition_id()).localCheckpoint()
+      // ONE pass (r19 — the staging probe showed the former shape cost
+      // a localCheckpoint pin plus one full-scan filtered write PER
+      // CHUNK inside every file-source gate): range-partition and
+      // write every chunk in a single partitionBy job, then lift the
+      // files out of their chunk subdirs (driver-side renames of a
+      // bounded file count — ≤ one per chunk) and stamp the mtimes.
+      // Same file contents, same arrival order, two fewer scans.
+      input.repartitionByRange(chunks, arrivalOrder: _*)
+        .withColumn("_chunk", spark_partition_id())
+        .write.partitionBy("_chunk").mode("overwrite").parquet(dir)
       // FileStreamSource orders files by modification time; filesystem
       // mtime granularity can be as coarse as 1 s, so write-order
       // timestamps alone don't guarantee the replay order. Stamp each
@@ -222,22 +230,24 @@ object StreamOps {
       // stamps are whole seconds (coarsest common granularity) counted
       // back from now, strictly increasing across AND within chunks
       var seq = 0L
-      val stamped = scala.collection.mutable.Set.empty[String]
       val base = (System.currentTimeMillis() / 1000L) * 1000L - 60L * 1000L
+      val root = new java.io.File(dir)
       (0 until chunks).foreach { i =>
-        ranged.where(col("_chunk") === i).drop("_chunk")
-          .write.mode(if (i == 0) "overwrite" else "append").parquet(dir)
-        val fresh = new java.io.File(dir).listFiles
-          .filter(f => f.getName.endsWith(".parquet") && !stamped(f.getName))
-          .sortBy(_.getName)
-        fresh.foreach { f =>
-          val t = base + seq * 1000L
-          seq += 1
-          require(f.setLastModified(t) && f.lastModified() == t,
-            s"cannot pin mtime of $f — arrival-ordered replay would be " +
-              "nondeterministic on this filesystem")
-          stamped += f.getName
-        }
+        val sub = new java.io.File(root, s"_chunk=$i")
+        Option(sub.listFiles).getOrElse(Array.empty[java.io.File])
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          .foreach { f =>
+            val dst = new java.io.File(root, s"c$i-${f.getName}")
+            require(f.renameTo(dst),
+              s"cannot move $f — arrival-ordered replay needs flat files")
+            val t = base + seq * 1000L
+            seq += 1
+            require(dst.setLastModified(t) && dst.lastModified() == t,
+              s"cannot pin mtime of $dst — arrival-ordered replay would be " +
+                "nondeterministic on this filesystem")
+          }
+        rmTree(sub) // leftover .crc metadata; `_`-prefixed dirs are
+                    // reader-hidden anyway
       }
     }
   }

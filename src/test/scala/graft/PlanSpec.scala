@@ -220,17 +220,33 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"))
   }
 
-  test("no declared query plans a CartesianProduct or collect_list") {
+  // The three whole-suite walkers (cartesian/collect_list, lambda-in-
+  // scan-layout, partition-less window) used to be three separate tests,
+  // each re-building and re-planning all 381 declared queries — 3 × ~4.3
+  // min of pure Catalyst planning, the single largest block in the test
+  // suite (VERDICT r18 #2: the driver's `sbt test` window truncates at
+  // ~46 min). One planning pass now feeds all three audits; the checks
+  // and their exemption lists are unchanged.
+  test("whole-suite plan audit: no CartesianProduct/collect_list, " +
+      "no lambda projection in scan layout, no partition-less window") {
     // global anti-pattern audit over EVERY declared query: a cartesian
     // product or a per-group collect_list anywhere is a 100 TB
     // scale-killer regardless of small-SF timings. (q29's broadcast
     // nested-loop over a 5-row query side is a BroadcastNestedLoopJoin,
     // not a CartesianProduct — allowed by design.)
+    val bad = scala.collection.mutable.ArrayBuffer.empty[String]
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
-      val p = fn(spark, sf).queryExecution.sparkPlan.toString
-      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
-      assert(!p.contains("collect_list"), s"$name materializes groups into rows")
+      val qe = fn(spark, sf).queryExecution
+      val ep = qe.executedPlan
+      val p = ep.toString
+      if (p.contains("CartesianProduct")) bad += s"$name plans a cartesian product"
+      if (p.contains("collect_list")) bad += s"$name materializes groups into rows"
+      if (!lambdaBounded(name))
+        lambdaViolations(ep).foreach(v => bad += s"$name: lambda in scan layout: $v")
+      if (!windowBounded(name))
+        windowOffenders(ep).foreach(v => bad += s"$name: partition-less window: $v")
     }
+    assert(bad.isEmpty, s"whole-suite plan audit violations:\n${bad.mkString("\n")}")
   }
 
   test("q349 hints broadcasts ONLY of provably-1-row aggregates, never vocab-keyed tables") {
@@ -332,78 +348,82 @@ class PlanSpec extends AnyFunSuite {
       s"windows must aggregate to bin tables first:\n${badWindows(plan).mkString("\n")}")
   }
 
-  test("no lambda-bearing projection executes in a file scan's task layout") {
-    // The structural form of rounds 8-9's measured lesson (q120 21->1 s,
-    // q83 4.3->0.7 s): lambda HOFs (transform/filter/aggregate/zip_with)
-    // evaluate INTERPRETED, and Catalyst runs projections in their
-    // input's task layout — so a lambda projection whose input chain
-    // reaches a FileSourceScan without crossing an exchange does the
-    // whole corpus's per-row work in one-task-per-file parallelism
-    // (4 files at 100 TB/2k-file layout is still catastrophically
-    // fewer tasks than cores x executors, and the work is interpreted
-    // either way). Heavy per-row compute belongs in a native codegen'd
-    // Expression (functions/) or behind a repartition.
+  // ---- whole-suite walker helpers (one planning pass feeds all three
+  // audits — see the fused test above) ----
+
+  // The structural form of rounds 8-9's measured lesson (q120 21->1 s,
+  // q83 4.3->0.7 s): lambda HOFs (transform/filter/aggregate/zip_with)
+  // evaluate INTERPRETED, and Catalyst runs projections in their
+  // input's task layout — so a lambda projection whose input chain
+  // reaches a FileSourceScan without crossing an exchange does the
+  // whole corpus's per-row work in one-task-per-file parallelism
+  // (4 files at 100 TB/2k-file layout is still catastrophically
+  // fewer tasks than cores x executors, and the work is interpreted
+  // either way). Heavy per-row compute belongs in a native codegen'd
+  // Expression (functions/) or behind a repartition.
+  //
+  // Documented bounded-lambda exemptions — flagged queries whose
+  // per-row lambda cost is a SMALL FIXED constant, where the
+  // repartition that would silence the walker costs strictly more
+  // (a full-corpus shuffle) than the work it parallelizes:
+  //  - q62: the array-HOF surface gate itself; lambdas over the
+  //    fixed 64-dim embedding are the behavior under test;
+  //  - q99: bin = count(cuts < score) over the ~10-element broadcast
+  //    cutpoint array — O(#bins) per row.
+  // Any UNBOUNDED lambda (per-token/per-window text work: q83, q120,
+  // q21/q22/q73 historically) must be fixed, not added here.
+  private val lambdaBounded = Set("q62_array_hof", "q99_curriculum_bins")
+
+  private def lambdaViolations(
+      p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
     import org.apache.spark.sql.catalyst.expressions.LambdaFunction
     import org.apache.spark.sql.execution.{FileSourceScanExec, ProjectExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.Exchange
-
     def scanWithoutExchangeBelow(p: SparkPlan): Boolean = p match {
       case _: Exchange => false // layout changes here; lambda runs post-shuffle
       case _: FileSourceScanExec => true
       case a: AdaptiveSparkPlanExec => scanWithoutExchangeBelow(a.executedPlan)
       case other => other.children.exists(scanWithoutExchangeBelow)
     }
-    def violations(p: SparkPlan): Seq[String] = {
-      val here = p match {
-        case proj: ProjectExec
-            if proj.projectList.exists(_.exists(_.isInstanceOf[LambdaFunction])) &&
-               scanWithoutExchangeBelow(proj.child) =>
-          Seq(proj.projectList.filter(_.exists(_.isInstanceOf[LambdaFunction]))
-            .map(_.sql).mkString("; ").take(200))
-        case _ => Nil
-      }
-      val below = p match {
-        case a: AdaptiveSparkPlanExec => violations(a.executedPlan)
-        case other => other.children.flatMap(violations)
-      }
-      here ++ below
+    val here = p match {
+      case proj: ProjectExec
+          if proj.projectList.exists(_.exists(_.isInstanceOf[LambdaFunction])) &&
+             scanWithoutExchangeBelow(proj.child) =>
+        Seq(proj.projectList.filter(_.exists(_.isInstanceOf[LambdaFunction]))
+          .map(_.sql).mkString("; ").take(200))
+      case _ => Nil
     }
-    // Documented bounded-lambda exemptions — flagged queries whose
-    // per-row lambda cost is a SMALL FIXED constant, where the
-    // repartition that would silence the walker costs strictly more
-    // (a full-corpus shuffle) than the work it parallelizes:
-    //  - q62: the array-HOF surface gate itself; lambdas over the
-    //    fixed 64-dim embedding are the behavior under test;
-    //  - q99: bin = count(cuts < score) over the ~10-element broadcast
-    //    cutpoint array — O(#bins) per row.
-    // Any UNBOUNDED lambda (per-token/per-window text work: q83, q120,
-    // q21/q22/q73 historically) must be fixed, not added here.
-    val bounded = Set("q62_array_hof", "q99_curriculum_bins")
-    val bad = for {
-      (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
-      if !bounded(name)
-      v <- violations(fn(spark, sf).queryExecution.executedPlan)
-    } yield s"$name: $v"
-    assert(bad.isEmpty,
-      s"interpreted lambda projections in scan task layout (repartition first " +
-        s"or write a native Expression):\n${bad.mkString("\n")}")
+    val below = p match {
+      case a: AdaptiveSparkPlanExec => lambdaViolations(a.executedPlan)
+      case other => other.children.flatMap(lambdaViolations)
+    }
+    here ++ below
   }
 
-  test("no declared query plans a partition-less window") {
-    // Round-10 lesson (q198: row_number over the full vocabulary): a
-    // Window with an EMPTY partitionSpec is a single reducer task no
-    // matter how parallel everything below it is — and "it's only the
-    // aggregated table" is exactly how a million-row vocab ends up on
-    // one core. Every global order in a builder must go through the
-    // two-phase Scale.globalRowNumber / globalRunningSum / globalLead
-    // (range partitions + bounded per-partition windows). This walker
-    // bans the construct outright across ALL declared queries; bounded
-    // exceptions must be listed with a justification.
-    // One structural exception: a partition-less window whose input
-    // chain crosses a LIMIT (GlobalLimit / TakeOrderedAndProject) is
-    // k-bounded by construction — q54/q162 cut to top-k FIRST and rank
-    // only the survivors, which is itself the documented discipline.
+  // Round-10 lesson (q198: row_number over the full vocabulary): a
+  // Window with an EMPTY partitionSpec is a single reducer task no
+  // matter how parallel everything below it is — and "it's only the
+  // aggregated table" is exactly how a million-row vocab ends up on
+  // one core. Every global order in a builder must go through the
+  // two-phase Scale.globalRowNumber / globalRunningSum / globalLead
+  // (range partitions + bounded per-partition windows). This walker
+  // bans the construct outright across ALL declared queries; bounded
+  // exceptions must be listed with a justification.
+  // One structural exception: a partition-less window whose input
+  // chain crosses a LIMIT (GlobalLimit / TakeOrderedAndProject) is
+  // k-bounded by construction — q54/q162 cut to top-k FIRST and rank
+  // only the survivors, which is itself the documented discipline.
+  //
+  // Documented bounded exemptions:
+  //  - q127: the phase-2 exact skyline pass runs over the union of
+  //    per-partition local skylines — survivor-sized by construction
+  //    (a global dominator implies a local-skyline dominator), and
+  //    the sequential predecessor-max scan has no two-phase form.
+  private val windowBounded = Set("q127_skyline")
+
+  private def windowOffenders(
+      p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
     import org.apache.spark.sql.execution.{GlobalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
@@ -412,36 +432,20 @@ class PlanSpec extends AnyFunSuite {
       case a: AdaptiveSparkPlanExec => limitBounded(a.executedPlan)
       case other => other.children.nonEmpty && other.children.forall(limitBounded)
     }
-    def offenders(p: SparkPlan): Seq[String] = {
-      val here = p match {
-        case w: WindowExec
-            if w.partitionSpec.isEmpty && !limitBounded(w.child) =>
-          Seq(w.toString.linesIterator.next().take(160))
-        case w: WindowGroupLimitExec
-            if w.partitionSpec.isEmpty && !limitBounded(w.child) =>
-          Seq(w.toString.linesIterator.next().take(160))
-        case _ => Nil
-      }
-      val below = p match {
-        case a: AdaptiveSparkPlanExec => offenders(a.executedPlan)
-        case other => other.children.flatMap(offenders)
-      }
-      here ++ below
+    val here = p match {
+      case w: WindowExec
+          if w.partitionSpec.isEmpty && !limitBounded(w.child) =>
+        Seq(w.toString.linesIterator.next().take(160))
+      case w: WindowGroupLimitExec
+          if w.partitionSpec.isEmpty && !limitBounded(w.child) =>
+        Seq(w.toString.linesIterator.next().take(160))
+      case _ => Nil
     }
-    // Documented bounded exemptions:
-    //  - q127: the phase-2 exact skyline pass runs over the union of
-    //    per-partition local skylines — survivor-sized by construction
-    //    (a global dominator implies a local-skyline dominator), and
-    //    the sequential predecessor-max scan has no two-phase form.
-    val bounded = Set("q127_skyline")
-    val bad = for {
-      (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
-      if !bounded(name)
-      v <- offenders(fn(spark, sf).queryExecution.executedPlan)
-    } yield s"$name: $v"
-    assert(bad.isEmpty,
-      s"partition-less windows (use Scale.globalRowNumber/globalRunningSum/" +
-        s"globalLead):\n${bad.mkString("\n")}")
+    val below = p match {
+      case a: AdaptiveSparkPlanExec => windowOffenders(a.executedPlan)
+      case other => other.children.flatMap(windowOffenders)
+    }
+    here ++ below
   }
 
   test("q243 weighted sample is TakeOrderedAndProject, never a corpus sort") {
